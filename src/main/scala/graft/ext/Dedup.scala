@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB of documents):
+  *   - exact dedup is a hash-groupBy — one shuffle on a 64-bit key;
+  *   - MinHash/LSH avoids the O(n²) pair space by banding signatures and
+  *     joining only within buckets (shuffle on band-hash, then verify);
+  *   - pairwise Jaccard/cosine paths are for *candidate verification*
+  *     (post-LSH) or bounded scopes — never run them unbucketed at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one representative (min id) per normalized-text
+    * fingerprint. One shuffle; map-side partial agg applies.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__fp", "__keep")
+
+  // ---- MinHash ----
+
+  /** k independent 32-bit MinHash values over a shingle array, via
+    * xxhash64(shingle, seed_i) — the standard "k hash functions" scheme
+    * (Broder '97). Pure column expressions; one pass, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH banding: split a k-length signature into `bands` bands of
+    * `k/bands` rows each, hash each band → (bandIdx, bandHash) array.
+    * Docs sharing ANY band bucket become candidate pairs.
+    */
+  def lshBands(signature: Column, k: Int, bands: Int): Column = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands ($bands) must divide k ($k)")
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("bucket"))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → sign → band → explode →
+    * self-join on (band, bucket) → verify estimated Jaccard from the full
+    * signatures. Returns (idA, idB, est_jaccard) with idA < idB.
+    *
+    * Shuffle profile: one shuffle on band-bucket (the join), candidate
+    * set ≪ n²; the verify step is a map over joined rows. At 100 TB,
+    * tune `bands`/`k` for the target threshold (threshold ≈
+    * (1/bands)^(1/rowsPerBand)) so buckets stay small, and salt any hot
+    * bucket (boilerplate docs) before the self-join.
+    */
+  def minhashNearDups(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val signed = docs
+      .select(col(idCol).as("id"),
+        TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = signed
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per doc: per-bit weighted vote of shingle hashes,
+    * bit set iff the vote sum is positive. Shaped for scale: explode
+    * shingles → one xxhash64 per shingle → ONE groupBy(id) with 64
+    * conditional sums (map-side partial aggregation; a single shuffle on
+    * the doc id). The naive formulation — 64 `aggregate` lambdas over
+    * the shingle array per row — blows up codegen and ran 35s at sf0.1
+    * vs <2s for this shape.
+    * Returns (idCol, simhash: long).
+    */
+  def simhashDf(docs: DataFrame, textCol: String, idCol: String,
+                shingleSize: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$bit")
+    }
+    val votes = hashed.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val sh = (0 until 64).map { bit =>
+      when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), sh.as("sh"))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, bucketed by the top
+    * `prefixBits` bits to avoid the full cross join (docs differing in
+    * the prefix are missed — standard block-permutation variants rotate
+    * the prefix; one rotation kept simple here).
+    */
+  def simhashNearDups(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, maxHamming: Int = 3,
+      prefixBits: Int = 16): DataFrame = {
+    val hashed = simhashDf(docs, textCol, idCol, shingleSize)
+    val bucketed = hashed.withColumn("bucket", shiftrightunsigned(col("sh"), 64 - prefixBits))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("hamming", hamming64(col("a.sh"), col("b.sh")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+
+  // ---- exact-verified n-gram Jaccard ----
+
+  /** True Jaccard similarity between the distinct word-shingle sets of
+    * doc pairs that share ≥1 shingle. The shared-shingle inner join IS
+    * the candidate filter (inverted-index pattern): shuffle on shingle,
+    * never on the pair space. Bound the scope (or run post-LSH) at scale;
+    * hot shingles (stop-phrases) should be dropped via a doc-frequency
+    * cap upstream.
+    */
+  def jaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+        col(idCol).as("id"),
+        array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val inverted = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val pairs = inverted.as("a")
+      .join(inverted.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs — see [[Similarity.cosine]]
+    * for the math; bucketing via [[Similarity]] IVF at scale.
+    */
+  def embeddingNearDups(
+      embs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one broadcast of the
+  * query set, a map over the corpus, per-query top-k via window rank —
+  * no corpus shuffle). The scale path is IVF: k-means-ish coarse
+  * centroids assign each vector to a cell; queries probe only the
+  * nearest `nProbe` cells, cutting the scanned fraction to
+  * nProbe/nCells. All math is column expressions over arrays
+  * (`zip_with`/`aggregate`), accumulated in double.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors, accumulated left-to-right in
+    * double (deterministic order — matters for oracle comparison).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); the corpus is
+    * only mapped + locally top-k'd per partition before the final
+    * per-query rank — at 1000 executors the corpus never shuffles in
+    * full, only nQueries×k candidate rows do.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val joined = c.crossJoin(broadcast(q))
+    val filtered = if (excludeSelf) joined.filter(col("corpus_id") =!= col("query_id")) else joined
+    val scored = filtered.withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
+
+  /** Deterministic coarse centroids for IVF: average the vectors of each
+    * of `nCells` hash-assigned groups (a cheap stand-in for k-means that
+    * needs one aggregation pass; swap in ml KMeans offline for real
+    * recall targets — the query-path plumbing is identical).
+    */
+  def coarseCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame = {
+    val dim = size(col(vecCol))
+    corpus
+      .select(pmod(xxhash64(col(idCol)), lit(nCells)).as("cell"), col(vecCol).as("v"))
+      .groupBy("cell")
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("cell"),
+        transform(sequence(lit(1), size(element_at(col("vs"), 1))),
+          i => aggregate(col("vs"), lit(0.0),
+            (acc, v) => acc + element_at(v, i).cast(DoubleType)) / size(col("vs")))
+          .as("centroid"))
+  }
+
+  /** IVF assignment: nearest centroid per corpus vector (centroids are
+    * broadcast — tiny). Persist the result partitioned/bucketed by cell
+    * so query-time probes prune partitions.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("cv"), col("centroid")) / norm(col("centroid")))
+    val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("corpus_id"), col("cv"), col("cell"))
+  }
+
+  /** IVF top-k: probe the `nProbe` cells nearest each query, brute-force
+    * within them. Approximate (recall < 1 when true neighbors sit in
+    * unprobed cells) but scans only nProbe/nCells of the corpus.
+    */
+  def ivfTopK(
+      assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("qv"), col("centroid")) / norm(col("centroid")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
+    val probes = qCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

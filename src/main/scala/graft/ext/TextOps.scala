@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) so they survive a
+  * 100-TB scan: each is a narrow map over the text column, no shuffle.
+  * Mirrors/extends the reference's stored text stats
+  * (`ET-ETL-DWH-PY312/ETL/schema.py:336-338` words_count_agent/client/
+  * both) into a general text-quality toolkit.
+  */
+object TextOps {
+
+  /** Whitespace token count (the schema.py:336-338 semantics). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: split on word/non-word boundaries, ~the
+    * pre-tokenization regex of GPT-style BPE (letters runs, digit runs,
+    * punctuation runs each count once).
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(text, "(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])|(?<![\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|\\s+"),
+      t => length(t) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation / alpha / whitespace / digit ratios — standard quality
+    * signals (C4/Gopher-style filters).
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{L}]", "")).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  /** Mean words per sentence-ish segment. */
+  def meanWordsPerLine(text: Column): Column =
+    tokenCountWs(text).cast(DoubleType) /
+      greatest(size(split(text, "[.!?\\n]+")).cast(DoubleType), lit(1.0))
+
+  /** Stopword-hit ratio against a given stopword list (lowercased match).
+    * Gopher-style: docs with very low stopword density are likely
+    * non-natural text.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    hits.cast(DoubleType) / greatest(size(toks).cast(DoubleType), lit(1.0))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Composite 0–1 quality score: length in-range, some alpha content,
+    * not punctuation-soup, has stopwords. Weights are heuristic;
+    * thresholds follow common web-corpus filtering practice.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val lenOk = when(len.between(50, 100000), lit(1.0))
+      .when(len.between(10, 49), lit(0.5)).otherwise(lit(0.0))
+    val alphaOk = when(alphaRatio(text) >= 0.6, lit(1.0))
+      .when(alphaRatio(text) >= 0.3, lit(0.5)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text, EnglishStopwords) >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk * 0.3 + alphaOk * 0.3 + punctOk * 0.2 + stopOk * 0.2), 2)
+  }
+
+  /** Character n-gram language-ID heuristic: score each candidate
+    * language by density of its most-frequent function words / n-grams,
+    * pick the argmax. A real pipeline plugs a model; the shape (map →
+    * argmax over a small per-language score array, no shuffle) is what
+    * matters at scale.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+    "es" -> Seq(" el ", " la ", " y ", " es ", " los "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers(lang).map { m =>
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+        ./(lit(m.length)).cast(DoubleType)
+    }.reduce(_ + _)
+  }
+
+  /** Best-guess language among [[langMarkers]]; "und" (undetermined) when
+    * no marker fires.
+    */
+  def langIdGuess(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = array(langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l"))): _*)
+    val best = array_max(scored)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling-style document fingerprint: xxhash64 over the
+    * whitespace-normalized, lowercased text — cheap exact-dup key that is
+    * robust to whitespace/case jitter.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Word shingles (n consecutive tokens joined by a space) — the shared
+    * substrate of MinHash / Jaccard dedup in [[Dedup]].
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val count = size(toks) - lit(n - 1)
+    // sequence(a, b) counts DOWN when a > b — guard the empty case.
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles over whitespace-normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = lower(regexp_replace(trim(text), "\\s+", " "))
+    val count = length(s) - lit(n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar cleansing transforms (SURVEY.md §2.6, Q35–Q44).
+  *
+  * Semantics derived from the reference's pandas transforms
+  * (`ET-ETL-DWH-PY312/ETL/Transform.py:131-139,245-266`,
+  * `ET-ETL-DWH-PY312/ETL/utils.py:197-213`), re-expressed as Catalyst
+  * column expressions so they stay inside whole-stage codegen. No UDFs
+  * except [[unicodeUnescape]], which has no builtin equivalent.
+  */
+object Cleanse {
+
+  /** Round a timestamp to whole seconds, half-up (ties away from epoch for
+    * positive timestamps). Mirrors pandas `.dt.round("s")` except on exact
+    * .5s ties, where pandas rounds half-to-even — use [[tsRoundSecEven]]
+    * for bit-exact pandas parity. Pure expression composition → codegen'd.
+    * Ref: Transform.py:131-135,246.
+    */
+  def tsRoundSec(c: Column): Column =
+    timestamp_micros(((unix_micros(c.cast(TimestampType)) + lit(500000L)) / lit(1000000L))
+      .cast(LongType) * lit(1000000L))
+
+  /** Exact pandas `.dt.round("s")`: round half to even on .5s ties. */
+  def tsRoundSecEven(c: Column): Column = {
+    val micros = unix_micros(c.cast(TimestampType))
+    val base = (micros / lit(1000000L)).cast(LongType) // floor for >=0
+    val frac = micros - base * lit(1000000L)
+    val roundedUp = base + lit(1L)
+    val halfEven = when(frac < 500000L, base)
+      .when(frac > 500000L, roundedUp)
+      .otherwise(when(base % 2 === 0, base).otherwise(roundedUp)) // tie → even second
+    timestamp_micros(halfEven * lit(1000000L))
+  }
+
+  /** Sentinel / out-of-range date substitution: pandas raises
+    * `OutOfBoundsDatetime` for dates below ~1677-09-21 and the reference
+    * substitutes 1900-01-01 (utils.py:197-205, Transform.py:136-139).
+    * We replicate the substitution *condition* (the pandas bound), since
+    * Spark itself parses year 1 fine.
+    */
+  val PandasMinTs = "1677-09-22 00:00:00"
+  def sentinelDate(c: Column, default: String = "1900-01-01 00:00:00"): Column = {
+    val parsed = try_to_timestamp(c)
+    when(parsed.isNull && c.isNotNull, to_timestamp(lit(default)))
+      .when(parsed < to_timestamp(lit(PandasMinTs)), to_timestamp(lit(default)))
+      .otherwise(parsed)
+  }
+
+  /** Regex timestamp salvage: on rows whose timestamp string fails strict
+    * parsing, extract `YYYY-MM-DDTHH:MM:SS` and parse that
+    * (Transform.py:245-250). Returns null only if even the salvage fails.
+    */
+  val TsSalvagePattern = "(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})"
+  def tsParseSalvaged(c: Column): Column = {
+    val strict = try_to_timestamp(c)
+    val salvaged = try_to_timestamp(regexp_extract(c, TsSalvagePattern, 1), lit("yyyy-MM-dd'T'HH:mm:ss"))
+    coalesce(strict, salvaged)
+  }
+
+  /** Split an ISO timestamp string into (date, "HH:MM") — the reference's
+    * `str.split('T')` + `[:5]` (Transform.py:39-40, get-scores.py:58-59).
+    */
+  def splitDate(c: Column): Column = split(c, "T").getItem(0)
+  def splitTimeHHMM(c: Column): Column = substring(split(c, "T").getItem(1), 1, 5)
+
+  /** Link synthesis: `concat(prefix, id)` (Transform.py:42). */
+  def makeLink(prefix: String, id: Column): Column = concat(lit(prefix), id.cast(StringType))
+
+  /** JSON field extraction with safe cast (get-scores.py:71-74). */
+  def jsonField(c: Column, path: String): Column = get_json_object(c, path)
+  def jsonFieldInt(c: Column, path: String): Column = get_json_object(c, path).try_cast("int")
+
+  /** NaN → null for double columns (Transform.py:157,289). Non-double
+    * columns pass through (Spark nulls are already correct there).
+    */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+  def nanToNullAll(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map {
+      case f if f.dataType == DoubleType || f.dataType == FloatType =>
+        nanToNull(col(f.name)).cast(f.dataType).as(f.name)
+      case f => col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Strict drop: error if a column is missing (pandas default `df.drop`);
+    * Spark's `drop` is always lenient. Ref: Transform.py:141-150.
+    */
+  def strictDrop(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"strictDrop: columns not present: ${missing.mkString(", ")}")
+    df.drop(cols: _*)
+  }
+
+  /** Lenient drop (pandas `errors="ignore"`, Transform.py:268-282). */
+  def lenientDrop(df: DataFrame, cols: Seq[String]): DataFrame = df.drop(cols: _*)
+
+  /** ISO-8601 second-precision serialization (Load.py:187-192, utils.py:20-23). */
+  def isoFormat(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Unicode-escape decode (utils.py:208-213). Dead code in the reference
+    * but a declared capability; the only UDF in the library.
+    */
+  val unicodeUnescape = udf { (s: String) =>
+    if (s == null) null
+    else
+      try org.apache.commons.text.StringEscapeUtils.unescapeJava(s)
+      catch { case _: Exception => s }
+  }
+}

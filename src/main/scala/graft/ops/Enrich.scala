@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment joins + default-row injection (SURVEY.md §2.4, Q28–Q30, Q15).
+  *
+  * The reference does dimension enrichment with in-memory `{id: name}`
+  * dict lookups (`ET-ETL-DWH-PY312/ETL/Transform.py:30-37`) — the Spark
+  * shape is a broadcast hash join: dimensions are small ("Base
+  * Dictionaries - stable, rarely changed", DOCS/README.MD:10), facts are
+  * the 100-TB side, so the dim side must never shuffle the fact table.
+  */
+object Enrich {
+
+  /** Broadcast-join a small dimension onto a fact table.
+    * `how="inner"` mirrors the reference's KeyError-on-miss dict lookup;
+    * pass "left" to keep unmatched facts (per-row detail merge, Q29).
+    */
+  def dimJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      how: String = "inner",
+      select: Seq[(String, String)] = Seq.empty
+  ): DataFrame = {
+    val dimPruned =
+      if (select.isEmpty) dim
+      else dim.select((dimKey +: select.map(_._1)).distinct.map(col).toIndexedSeq: _*)
+    val renamed = select.foldLeft(dimPruned) { case (d, (src, tgt)) =>
+      d.withColumnRenamed(src, tgt)
+    }
+    fact.join(broadcast(renamed), fact(factKey) === renamed(dimKey), how)
+      .drop(renamed(dimKey))
+  }
+
+  /** Rows of `fact` whose key has a match in `dim` — the reference's
+    * detail-fetch guard (`Extract.py:87-94`): a left-semi join, so no
+    * columns from `dim` are carried and the fact side never duplicates.
+    */
+  def semiGuard(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_semi")
+
+  /** Rows of `fact` with NO match in `dim` (anti-join) — the existence
+    * check half of upsert (Load.py:139-147).
+    */
+  def antiGuard(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_anti")
+
+  /** Default-row injection: append `defaults` rows whose key is absent
+    * from `df` — the synthetic "Ender Turing" user id=0
+    * (Transform.py:20-27,117-127). Anti-join the literal row against the
+    * table (broadcast; the literal side is tiny), then unionByName.
+    */
+  def withDefaultRows(df: DataFrame, defaults: DataFrame, key: String): DataFrame = {
+    val missing = defaults.join(df.select(key), Seq(key), "left_anti")
+    df.unionByName(missing, allowMissingColumns = true)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nested-document flattening (SURVEY.md §2.3, Q17–Q27).
+  *
+  * The reference's `pd.json_normalize(record_path, meta, meta_prefix)`
+  * call sites (`ET-ETL-DWH-PY312/ETL/Transform.py:69-115,184-233`) all
+  * reduce to: explode an array-of-structs child column, carry selected
+  * parent keys, optionally prefix/rename child columns. `explode` (not
+  * `explode_outer`) matches the child-table semantics — a parent with an
+  * empty/null child array contributes no child rows.
+  */
+object Flatten {
+
+  /** Explode `child` (array<struct>) out of `df`, carrying `parentKeys`
+    * (each as `(sourceCol, targetName)`), prefixing child field names with
+    * `childPrefix`, then applying `renames`.
+    *
+    * Mirrors `json_normalize(record_path=[child], meta=[...],
+    * meta_prefix=...)` with `max_level=0`: struct fields nested below the
+    * exploded level are left intact (as struct columns).
+    */
+  def explodeChild(
+      df: DataFrame,
+      child: String,
+      parentKeys: Seq[(String, String)],
+      childPrefix: String = "",
+      renames: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val parents = parentKeys.map { case (src, tgt) => col(src).as(tgt) }
+    val exploded = df.select(parents :+ explode(col(child)).as("__c"): _*)
+    val childFields = exploded.schema("__c").dataType match {
+      case s: StructType => s.fieldNames.toSeq
+      case other => throw new IllegalArgumentException(
+        s"explodeChild: $child must be array<struct>, element is $other")
+    }
+    val childCols = childFields.map { f =>
+      val name = renames.getOrElse(f, childPrefix + f)
+      col(s"__c.`$f`").as(name)
+    }
+    exploded.select(parentKeys.map(k => col(k._2)) ++ childCols: _*)
+  }
+
+  /** Two-level flatten: explode `child`, then explode `grandchild` within
+    * it, carrying parent keys through both levels. Mirrors the chained
+    * json_normalize of sessions.tags[].match[] (Transform.py:184-192) and
+    * sessions.scores[].point_scores[] (Transform.py:205-218).
+    * `childCarry` lists fields of the first-level child to carry down.
+    */
+  def explodeChild2(
+      df: DataFrame,
+      child: String,
+      grandchild: String,
+      parentKeys: Seq[(String, String)],
+      childCarry: Seq[(String, String)],
+      renames: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val lvl1 = df.select(
+      parentKeys.map { case (s, t) => col(s).as(t) } :+ explode(col(child)).as("__c"): _*)
+    val lvl2 = lvl1.select(
+      parentKeys.map(k => col(k._2)) ++
+        childCarry.map { case (s, t) => col(s"__c.`$s`").as(t) } :+
+        explode(col(s"__c.`$grandchild`")).as("__g"): _*)
+    val gFields = lvl2.schema("__g").dataType.asInstanceOf[StructType].fieldNames.toSeq
+    val gCols = gFields.map(f => col(s"__g.`$f`").as(renames.getOrElse(f, f)))
+    lvl2.select(parentKeys.map(k => col(k._2)) ++ childCarry.map(k => col(k._2)) ++ gCols: _*)
+  }
+
+  /** Inverse helper used in tests and the nest-roundtrip differential
+    * queries: nest `childDf` rows under `parentDf` as an array<struct>
+    * column keyed by `key`. groupBy+collect_list — one shuffle, map-side
+    * partial aggregation applies.
+    */
+  def nestChild(
+      parentDf: DataFrame,
+      childDf: DataFrame,
+      parentKey: String,
+      childKey: String,
+      as: String
+  ): DataFrame = {
+    val childStruct = struct(childDf.columns.filter(_ != childKey).map(col).toIndexedSeq: _*)
+    val nested = childDf
+      .groupBy(col(childKey).as("__k"))
+      .agg(collect_list(childStruct).as(as))
+    parentDf.join(nested, parentDf(parentKey) === nested("__k"), "left").drop("__k")
+  }
+}

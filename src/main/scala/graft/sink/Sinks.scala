@@ -1,0 +1,36 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Multi-format file sinks (SURVEY.md §2.7 Q48).
+  *
+  * The reference dispatches on file extension — json, csv, tsv, parquet
+  * (+ pickle/xlsx, single-node niceties out of scope for a distributed
+  * engine) — with per-entity naming: facts `{name}-{start}-{stop}.{ext}`,
+  * dims `dict-{name}.{ext}` (`ET-ETL-DWH-PY312/ETL/Load.py:186-224`).
+  * The reference's extension-dispatch bugs (csv→to_excel etc.,
+  * Load.py:214-220) are intent-corrected here, per SURVEY.md §7.4.
+  *
+  * All writers are directory-atomic (Spark commit protocol: _SUCCESS
+  * marker), replacing the reference's per-connection transaction
+  * commit/rollback (utils.py:222-239).
+  */
+object Sinks {
+
+  def factFileName(name: String, start: String, stop: String): String =
+    s"$name-$start-$stop"
+  def dimFileName(name: String): String = s"dict-$name"
+
+  def write(df: DataFrame, path: String, format: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit = format match {
+    case "parquet" => df.write.mode(mode).parquet(path)
+    case "json" => df.write.mode(mode).json(path)
+    case "csv" =>
+      df.write.mode(mode).option("header", "true").csv(path)
+    case "tsv" =>
+      df.write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unsupported sink format: $other (reference's pickle/xlsx/looker are out of scope)")
+  }
+}
