@@ -26,7 +26,7 @@ object TextOps {
     */
   def tokenCountBpeIsh(text: Column): Column =
     size(filter(split(text, "(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])|(?<![\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|\\s+"),
-      t => length(t) > 0))
+      t => length(trim(t)) > 0)) // boundary splits can strand pure-whitespace tokens
 
   def charCount(text: Column): Column = length(text)
 

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.ops.Upsert
+import graft.schema.Schemas
+import graft.sync.Incremental
+
+/** End-to-end orchestration of the reference's daily sync
+  * (`ET-ETL-DWH-PY312/run-et-etl.py:119-204`): dims first (facts carry
+  * FKs into them), then facts, then the watermark — all landing in a
+  * parquet warehouse directory via keyed source-wins upsert.
+  *
+  * The reference's per-row SQL loop (Load.py:102-162) becomes one
+  * distributed merge per table; its sequential phase ordering stays an
+  * orchestration-layer concern (dims → facts), exactly as SURVEY.md §3
+  * prescribes.
+  */
+final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
+
+  private def tablePath(name: String) = s"$warehouseDir/$name"
+
+  /** Merge one table batch into the warehouse. Key columns come from the
+    * schema's unique constraints (utils.py:247-253); incoming columns are
+    * reconciled against the declared schema (Load.py:91-99) when one is
+    * declared for the table.
+    */
+  def loadTable(name: String, batch: DataFrame): Unit = {
+    val keys = Schemas.upsertKeys.getOrElse(name, Seq("id"))
+    val reconciled = Schemas.all.get(name) match {
+      case Some(schema) =>
+        val target = schema.fieldNames.toSeq
+        Upsert.reconcileSchema(batch, target, keys).df
+      case None => batch
+    }
+    val path = tablePath(name)
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(t) if t.columns.sameElements(reconciled.columns) =>
+        Upsert.upsert(t, reconciled, keys)
+      case Some(t) =>
+        Upsert.upsert(t, reconciled.select(t.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*), keys)
+      case None => reconciled
+    }
+    // rewrite via temp dir: Spark can't overwrite a path it is reading
+    val tmp = s"$path.__new"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** Base-dictionaries phase (run-et-etl.py:13-29). */
+  def syncBaseDicts(raw: Map[String, DataFrame]): Unit = {
+    raw.get("agents").foreach { a =>
+      val (dim, assoc) = Transform.agents(a)
+      loadTable("agents", dim); loadTable("agent_group_associations", assoc)
+    }
+    raw.get("scorecards").foreach { sc =>
+      val (dim, cats, points) = Transform.scorecards(sc)
+      loadTable("scorecards", dim)
+      loadTable("scorecard_categories", cats)
+      loadTable("scorecard_points", points)
+    }
+    raw.get("groups").foreach(g => loadTable("groups", Transform.groups(g)))
+    raw.get("labels").foreach(l => loadTable("labels", Transform.labels(l)))
+    raw.get("categories").foreach { c =>
+      val (dim, labels) = Transform.categories(c)
+      loadTable("categories", dim)
+      labels.foreach(loadTable("category_labels", _))
+    }
+    raw.get("tags").foreach { tg =>
+      val (dim, tl) = Transform.tags(tg)
+      loadTable("tags", dim)
+      tl.foreach(loadTable("tag_labels", _))
+    }
+    raw.get("users").foreach(u => loadTable("users", Transform.users(u)))
+  }
+
+  /** Sessions phase (run-et-etl.py:32-63). Empty extract short-circuits
+    * (run-et-etl.py:54-55 — intent, not the truthy-string bug).
+    */
+  def syncSessions(rawSessions: DataFrame): Unit = {
+    if (rawSessions.isEmpty) return
+    val t = Transform.sessions(rawSessions)
+    loadTable("sessions", t.sessions)
+    loadTable("sessions_tags", t.tags)
+    loadTable("sessions_categories", t.categories)
+    loadTable("sessions_reviewers", t.reviewers)
+    t.scores.foreach(loadTable("sessions_scores", _))
+    loadTable("sessions_comments", t.comments)
+    loadTable("sessions_summaries", t.summaries)
+    loadTable("sessions_crm_statuses", t.crmStatuses)
+  }
+
+  /** Full daily run (EP1): dims → facts → watermark. */
+  def runDaily(rawDicts: Map[String, DataFrame], rawSessions: DataFrame,
+               watermarkPath: String, now: LocalDateTime): Unit = {
+    syncBaseDicts(rawDicts)
+    syncSessions(rawSessions)
+    Incremental.writeWatermark(watermarkPath, now)
+  }
+}

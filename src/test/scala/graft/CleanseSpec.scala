@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cleanse
+
+class CleanseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tsRoundSec rounds half-up at .5s and down below") {
+    val df = Seq(
+      "2024-01-01 00:00:00.499999",
+      "2024-01-01 00:00:00.500000",
+      "2024-01-01 00:00:01.500000",
+      "2024-01-01 00:00:02.000001").toDF("s")
+      .select(Cleanse.tsRoundSec(col("s").cast("timestamp")).as("r"))
+    assert(df.collect().map(_.getTimestamp(0)) === Array(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:01"),
+      ts("2024-01-01 00:00:02"), ts("2024-01-01 00:00:02")))
+  }
+
+  test("tsRoundSecEven matches pandas half-to-even on exact .5s ties") {
+    val df = Seq(
+      "2024-01-01 00:00:00.500000", // tie, base even -> 0
+      "2024-01-01 00:00:01.500000", // tie, base odd  -> 2
+      "2024-01-01 00:00:02.500001", // above tie      -> 3
+      "2024-01-01 00:00:02.499999"  // below tie      -> 2
+    ).toDF("s").select(Cleanse.tsRoundSecEven(col("s").cast("timestamp")).as("r"))
+    assert(df.collect().map(_.getTimestamp(0)) === Array(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:02"),
+      ts("2024-01-01 00:00:03"), ts("2024-01-01 00:00:02")))
+  }
+
+  test("sentinelDate substitutes out-of-pandas-range dates with 1900-01-01") {
+    val df = Seq("0001-01-01T00:00:00", "2024-06-26T10:15:44", "1500-01-01T00:00:00", "not a date")
+      .toDF("s").select(Cleanse.sentinelDate(col("s")).as("r"))
+    val out = df.collect().map(_.getTimestamp(0))
+    assert(out(0) === ts("1900-01-01 00:00:00"))
+    assert(out(1) === ts("2024-06-26 10:15:44"))
+    assert(out(2) === ts("1900-01-01 00:00:00")) // below pandas min bound
+    assert(out(3) === ts("1900-01-01 00:00:00")) // unparseable, non-null input
+  }
+
+  test("sentinelDate keeps null as null") {
+    val df = Seq[Option[String]](None).toDF("s").select(Cleanse.sentinelDate(col("s")).as("r"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("tsParseSalvaged extracts an embedded ISO timestamp from garbage") {
+    val df = Seq(
+      "2024-06-26T10:15:44.620796",
+      "broken!!2024-06-26T11:00:01garbage",
+      "no timestamp here").toDF("s")
+      .select(Cleanse.tsParseSalvaged(col("s")).as("r"))
+    val out = df.collect()
+    assert(out(0).getTimestamp(0) === ts("2024-06-26 10:15:44.620796"))
+    assert(out(1).getTimestamp(0) === ts("2024-06-26 11:00:01"))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("strictDrop fails on a missing column; lenientDrop does not") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException](Cleanse.strictDrop(df, Seq("nope")))
+    assert(e.getMessage.contains("nope"))
+    assert(Cleanse.lenientDrop(df, Seq("nope", "name")).columns === Array("id"))
+  }
+
+  test("nanToNullAll nulls NaN doubles and leaves other columns alone") {
+    val df = Seq((1, Double.NaN, "x"), (2, 1.5, "y")).toDF("id", "v", "s")
+    val out = Cleanse.nanToNullAll(df).collect()
+    assert(out(0).isNullAt(1) && out(1).getDouble(1) === 1.5)
+    assert(out(0).getString(2) === "x")
+  }
+
+  test("split/link/iso helpers") {
+    val df = Seq("2024-06-26T10:15:44").toDF("s").select(
+      Cleanse.splitDate(col("s")).as("d"),
+      Cleanse.splitTimeHHMM(col("s")).as("t"),
+      Cleanse.makeLink("https://x/?id=", lit(42)).as("l"))
+    val r = df.collect()(0)
+    assert(r.getString(0) === "2024-06-26")
+    assert(r.getString(1) === "10:15")
+    assert(r.getString(2) === "https://x/?id=42")
+  }
+
+  test("unicodeUnescape decodes escapes, passes plain text through") {
+    val df = Seq("caf\\u00e9", "plain").toDF("s")
+      .select(Cleanse.unicodeUnescape(col("s")).as("r"))
+    assert(df.collect().map(_.getString(0)) === Array("café", "plain"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE  QUICK brown fox jumps over the lazy dog"),  // exact dup of 1 after normalization
+    (4L, "completely different text about spark engines and data"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id representative per normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L, 4L, 5L)) // 3 collapsed into 1
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(2L))
+  }
+
+  test("jaccardPairs finds the near-dup pair with correct similarity") {
+    val out = Dedup.jaccardPairs(docs, "text", "doc_id", shingleSize = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    // docs 1,2 share 6 of 8 distinct 3-shingles -> j = 6/8 = 0.75; 1,3 identical -> 1.0
+    val m = out.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 3L)) === 1.0)
+    assert(m((1L, 2L)) === 0.75)
+    assert(m((2L, 3L)) === 0.75)
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("minhash est_jaccard approximates true jaccard for identical docs") {
+    val out = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val m = out.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 3L)) === 1.0) // identical signatures
+    assert(m.contains((1L, 2L)) || m.contains((2L, 3L))) // high-sim pair caught by LSH
+  }
+
+  test("simhash: identical docs hash identically; near-dups are close") {
+    val hashed = Dedup.simhashDf(docs, "text", "doc_id", shingleSize = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed(1L) === hashed(3L))
+    val d12 = java.lang.Long.bitCount(hashed(1L) ^ hashed(2L))
+    val d14 = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))
+    assert(d12 < d14, s"near-dup hamming $d12 should beat unrelated $d14")
+  }
+
+  test("embeddingNearDups finds identical vectors") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(e, "embedding", "vec_id", threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 1.0)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Flatten
+
+class FlattenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nestedDf = {
+    val parent = Seq((1, "p1"), (2, "p2"), (3, "p3")).toDF("id", "pname")
+    val child = Seq((1, 10, "c10"), (1, 11, "c11"), (2, 12, "c12"))
+      .toDF("pid", "cid", "cname")
+    Flatten.nestChild(parent, child, "id", "pid", "kids")
+  }
+
+  test("explodeChild carries parent keys and renames") {
+    val out = Flatten.explodeChild(nestedDf, "kids",
+        parentKeys = Seq("id" -> "parent_id"),
+        renames = Map("cid" -> "child_id"))
+      .orderBy("parent_id", "child_id")
+    assert(out.columns === Array("parent_id", "child_id", "cname"))
+    assert(out.as[(Int, Int, String)].collect() ===
+      Array((1, 10, "c10"), (1, 11, "c11"), (2, 12, "c12")))
+  }
+
+  test("explodeChild drops parents with empty/null child arrays") {
+    val out = Flatten.explodeChild(nestedDf, "kids", Seq("id" -> "id"))
+    assert(!out.select("id").as[Int].collect().contains(3))
+  }
+
+  test("explodeChild applies childPrefix like json_normalize meta_prefix") {
+    val out = Flatten.explodeChild(nestedDf, "kids", Seq("id" -> "id"), childPrefix = "k_")
+    assert(out.columns === Array("id", "k_cid", "k_cname"))
+  }
+
+  test("explodeChild rejects non array-of-struct child") {
+    val df = Seq((1, Seq(1, 2))).toDF("id", "nums")
+    intercept[IllegalArgumentException](Flatten.explodeChild(df, "nums", Seq("id" -> "id")))
+  }
+
+  test("explodeChild2 flattens two levels carrying keys through both") {
+    val gc = Seq((1, 10, Seq((100, "x"), (101, "y"))), (1, 11, Seq((102, "z"))))
+      .toDF("pid", "cid", "pts")
+      .select(col("pid"), col("cid"),
+        col("pts").cast("array<struct<ptid:int,v:string>>").as("pts"))
+    val parent = Seq((1, "p")).toDF("id", "pname")
+    val nested = Flatten.nestChild(parent, gc, "id", "pid", "mids")
+    val out = Flatten.explodeChild2(nested, "mids", "pts",
+        parentKeys = Seq("id" -> "root_id"),
+        childCarry = Seq("cid" -> "mid_id"))
+      .orderBy("root_id", "mid_id", "ptid")
+    assert(out.columns === Array("root_id", "mid_id", "ptid", "v"))
+    assert(out.as[(Int, Int, Int, String)].collect() ===
+      Array((1, 10, 100, "x"), (1, 10, 101, "y"), (1, 11, 102, "z")))
+  }
+
+  test("nestChild then explodeChild is identity on child rows") {
+    val parent = Seq((1, "p1"), (2, "p2")).toDF("id", "pname")
+    val child = (1 to 20).map(i => (i % 2 + 1, i, s"c$i")).toDF("pid", "cid", "cname")
+    val nested = Flatten.nestChild(parent, child, "id", "pid", "kids")
+    val roundtrip = Flatten.explodeChild(nested, "kids", Seq("id" -> "pid"))
+      .select("pid", "cid", "cname").orderBy("cid")
+    assert(roundtrip.collect() === child.orderBy("cid").collect())
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{EtlPipeline, Transform}
+import graft.sync.Incremental
+
+/** End-to-end: API-shaped nested fixtures → 17-table warehouse →
+  * overlapping re-run converges (SURVEY.md §5.2 item 4, replicating
+  * EP1 run-et-etl.py:119-204).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def readApi(name: String): DataFrame =
+    spark.read.option("multiLine", "true").json(resource(s"api/$name.json"))
+
+  test("agents transform: flatten + sentinel + drops") {
+    val (dim, assoc) = Transform.agents(readApi("agents"))
+    assert(dim.columns.toSet === Set("id", "name", "phone_number", "is_active", "deactivated_at"))
+    // agent 3 has no groups -> no association rows
+    val a = assoc.orderBy("agent_id", "group_id").collect()
+    assert(a.length === 3)
+    // sentinel '0001-01-01' start_dt -> 1900-01-01
+    val sentinelRow = assoc.filter(col("agent_id") === 1 && col("group_id") === 11).collect()(0)
+    assert(sentinelRow.getTimestamp(2).toString.startsWith("1900-01-01"))
+    // round-to-second applied: .620796 -> :16
+    val rounded = assoc.filter(col("agent_id") === 1 && col("group_id") === 10).collect()(0)
+    assert(rounded.getTimestamp(2).toString === "2024-01-05 09:30:16.0")
+  }
+
+  test("scorecards transform: two-level flatten yields categories and points") {
+    val (dim, cats, points) = Transform.scorecards(readApi("scorecards"))
+    assert(dim.count() === 2 && !dim.columns.contains("team_ids"))
+    assert(cats.count() === 3 && cats.columns.toSet ===
+      Set("id", "name", "scorecard_id", "sort_order"))
+    assert(points.count() === 4)
+    assert(points.filter(col("critical")).count() === 2)
+  }
+
+  test("users transform injects default Ender Turing row id=0") {
+    val users = Transform.users(readApi("users"))
+    val zero = users.filter(col("id") === 0).collect()
+    assert(zero.length === 1)
+    assert(zero(0).getAs[String]("full_name") === "Ender Turing")
+    assert(users.count() === 3)
+    // re-applying on a frame that has id=0 must not duplicate
+    assert(Transform.users(readApi("users")).count() === 3)
+  }
+
+  test("sessions transform: children, salvage parse, drops") {
+    val t = Transform.sessions(readApi("sessions"))
+    assert(t.sessions.count() === 2)
+    // projection contract: dropped fields are gone
+    val dropped = graft.schema.Schemas.droppedSessionFields.toSet
+    assert(t.sessions.columns.toSet.intersect(dropped).isEmpty)
+    // malformed start_dt salvaged via regex (session 2)
+    val s2 = t.sessions.filter(col("id").endsWith("0002")).collect()(0)
+    assert(s2.getAs[java.sql.Timestamp]("start_dt").toString === "2024-06-26 11:00:01.0")
+    // two-level tags.match flatten: 2 match rows, all for session 1
+    assert(t.tags.count() === 2)
+    assert(t.tags.columns.contains("session_id") && t.tags.columns.contains("tag_id"))
+    // empty children contribute nothing
+    assert(t.categories.count() === 2)
+    assert(t.reviewers.count() === 1)
+    assert(t.scores.get.count() === 2) // two point_scores carried through
+    assert(t.scores.get.columns.toSet ===
+      Set("session_id", "scorecard_id", "reviewer_id", "scorecard_point_id", "score", "comment"))
+    assert(t.summaries.count() === 1 && t.crmStatuses.count() === 1)
+  }
+
+  test("full pipeline run + overlapping re-run converges (upsert semantics)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val wm = s"$wh/_meta/last_synced"
+    val pipe = new EtlPipeline(spark, wh)
+    val dicts = Map(
+      "agents" -> readApi("agents"),
+      "scorecards" -> readApi("scorecards"),
+      "users" -> readApi("users"))
+
+    pipe.runDaily(dicts, readApi("sessions"), wm, LocalDateTime.of(2024, 6, 28, 0, 5))
+    val counts1 = Seq("agents", "agent_group_associations", "scorecards",
+      "scorecard_categories", "scorecard_points", "users", "sessions",
+      "sessions_tags", "sessions_scores")
+      .map(n => n -> pipe.readTable(n).count()).toMap
+    assert(counts1("agents") === 3)
+    assert(counts1("agent_group_associations") === 3)
+    assert(counts1("scorecard_points") === 4)
+    assert(counts1("users") === 3)
+    assert(counts1("sessions") === 2)
+    assert(counts1("sessions_tags") === 2)
+    assert(counts1("sessions_scores") === 2)
+
+    // second overlapping run: same payloads -> identical warehouse
+    pipe.runDaily(dicts, readApi("sessions"), wm, LocalDateTime.of(2024, 6, 29, 0, 5))
+    counts1.foreach { case (n, c) =>
+      assert(pipe.readTable(n).count() === c, s"table $n diverged on re-run")
+    }
+    assert(Incremental.readWatermark(wm) === LocalDateTime.of(2024, 6, 29, 0, 5))
+  }
+
+  test("watermark round-trips and defaults to minimum when absent") {
+    val p = Files.createTempDirectory("graft-wm").toString + "/wm"
+    assert(Incremental.readWatermark(p) === LocalDateTime.of(1, 1, 1, 0, 0, 0))
+    val now = LocalDateTime.of(2024, 6, 28, 12, 30, 45)
+    Incremental.writeWatermark(p, now)
+    assert(Incremental.readWatermark(p) === now)
+  }
+}

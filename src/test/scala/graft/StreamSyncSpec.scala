@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamSync
+
+class StreamSyncSpec extends SparkSpec {
+
+  test("windowedCounts aggregates tumbling event-time windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamSync.windowedCounts(events, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:11:00"), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+        .select(col("window.start").cast("string").as("w"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("w", "event_type")
+        .as[(String, String, Long, Double)].collect()
+      assert(out === Array(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 00:10:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by inactivity gap per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamSync.sessionize(events, "ts", "user_id", "5 minutes", "1 hour")
+    // session_window aggregation rejects update mode — complete is the
+    // natural mode for this small test sink
+    val q = agg.writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 1L, 1.0), // same session
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 1.0)) // new session
+      q.processAllAvailable()
+      val out = spark.table("sess").select("user_id", "n_events")
+        .orderBy(col("n_events").desc).as[(Long, Long)].collect()
+      assert(out === Array((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+}

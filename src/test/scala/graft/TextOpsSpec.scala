@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCountWs: whitespace runs, trimming, empty string") {
+    val df = Seq("a b  c", "  x ", "", "one").toDF("t")
+      .select(TextOps.tokenCountWs(col("t")).as("n"))
+    assert(df.as[Int].collect() === Array(3, 1, 0, 1))
+  }
+
+  test("wordShingles produces n-grams, empty below n tokens") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextOps.wordShingles(col("t"), 3).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("charShingles windows characters after whitespace-normalization") {
+    val df = Seq("ab  cd").toDF("t").select(TextOps.charShingles(col("t"), 3).as("sh"))
+    assert(df.as[Seq[String]].collect()(0) === Seq("ab ", "b c", " cd"))
+  }
+
+  test("ratios: alpha/digit/punct over mixed text") {
+    val df = Seq("ab1.?").toDF("t").select(
+      TextOps.alphaRatio(col("t")).as("a"),
+      TextOps.digitRatio(col("t")).as("d"),
+      TextOps.punctRatio(col("t")).as("p"))
+    val r = df.as[(Double, Double, Double)].collect()(0)
+    assert(r._1 === 0.4) // 2 letters / 5
+    assert(r._2 === 0.2) // 1 digit / 5
+    assert(r._3 === 0.4) // . and ? / 5
+  }
+
+  test("stopwordRatio counts lowercase stopword hits") {
+    val df = Seq("The cat and the dog").toDF("t")
+      .select(TextOps.stopwordRatio(col("t"), TextOps.EnglishStopwords).as("r"))
+    assert(df.as[Double].collect()(0) === 0.6) // the, and, the of 5 tokens
+  }
+
+  test("langIdGuess picks marker-dense language, und when none") {
+    val df = Seq(
+      "the cat is on the mat and the dog is here",
+      "der hund ist gut und die katze ist da",
+      "xyzzy qwerty").toDF("t")
+      .select(TextOps.langIdGuess(col("t")).as("l"))
+    assert(df.as[String].collect() === Array("en", "de", "und"))
+  }
+
+  test("qualityScore: clean prose beats punctuation soup") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps running for a while longer"
+    val bad = "!!! ??? ,,, ... ;;; ::: !!!"
+    val df = Seq(good, bad).toDF("t").select(TextOps.qualityScore(col("t")).as("q"))
+    val out = df.as[Double].collect()
+    assert(out(0) > 0.8)
+    assert(out(1) < 0.3)
+  }
+
+  test("tokenCountBpeIsh splits letter/digit/punct runs") {
+    val df = Seq("hello world42!").toDF("t")
+      .select(TextOps.tokenCountBpeIsh(col("t")).as("n"))
+    // hello | world | 42 -> wait: world42 is one alnum run? letters+digits
+    // share the class, '!' is its own run -> hello, world42, '!' = 3
+    assert(df.as[Int].collect()(0) === 3)
+  }
+}
