@@ -179,7 +179,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineF(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 6).as("cos"))

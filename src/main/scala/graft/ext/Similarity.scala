@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorExpressions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the exact baseline (one broadcast of the
@@ -43,7 +45,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val joined = c.crossJoin(broadcast(q))
     val filtered = if (excludeSelf) joined.filter(col("corpus_id") =!= col("query_id")) else joined
-    val scored = filtered.withColumn("cos", cosine(col("qv"), col("cv")))
+    val scored = filtered.withColumn("cos",
+      VectorExpressions.cosineF(col("qv"), col("cv"))) // codegen'd kernel
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored
@@ -99,7 +102,7 @@ object Similarity {
       .filter(col("rn") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rank"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.functions.VectorExpressions
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotF matches the composable aggregate/zip_with dot bit-for-bit") {
+    val rng = new scala.util.Random(42)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorExpressions.dotF(col("a.v"), col("b.v")).as("fast"),
+        Similarity.dot(col("a.v"), col("b.v")).as("slow"),
+        VectorExpressions.cosineF(col("a.v"), col("b.v")).as("fastc"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("slowc"))
+    val rows = pairs.collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot mismatch")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "cosine mismatch")
+    }
+  }
+
+  test("dotF null semantics and empty arrays") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+      .select(VectorExpressions.dotF(col("a"), col("b")).as("d"))
+    val out = df.collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) === 0.0)
+  }
+
+  test("dotF rejects non-float-array inputs at analysis time") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.dotF(col("a"), col("b"))).collect()
+    }
+  }
+}
