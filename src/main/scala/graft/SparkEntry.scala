@@ -425,6 +425,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_pivot" -> ((s, d) =>
+      // channel-keyed pivot (duration_details '0'/'1' shape, schema.py:325)
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .orderBy("o_orderpriority")),
+
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "x_sessionize_batch" -> ((s, d) =>
+      // session_window in batch mode: 30-min inactivity gap per user
+      events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts_us")))
+        .groupBy(session_window(col("tss"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
+    "x_approx_distinct" -> ((s, d) =>
+      // rows-only: HLL sketch values are engine-specific by design
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
     // ---- ext: dedup ----
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")
@@ -763,6 +791,37 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "x_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, tss, value,
+        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) < INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, min(tss) AS session_start,
+        |  max(tss) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sink.Sinks
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "name", "v")
+
+  test("naming convention: facts carry range, dims carry dict- prefix") {
+    assert(Sinks.factFileName("sessions", "2024-06-01", "2024-06-02") ===
+      "sessions-2024-06-01-2024-06-02")
+    assert(Sinks.dimFileName("agents") === "dict-agents")
+  }
+
+  test("parquet/json/csv/tsv sinks round-trip with atomic _SUCCESS marker") {
+    val base = Files.createTempDirectory("graft-sinks").toString
+    for (fmt <- Seq("parquet", "json", "csv", "tsv")) {
+      val path = s"$base/$fmt"
+      Sinks.write(df, path, fmt)
+      assert(new java.io.File(s"$path/_SUCCESS").exists(), s"$fmt missing commit marker")
+      val back = fmt match {
+        case "parquet" => spark.read.parquet(path)
+        case "json" => spark.read.json(path)
+        case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        case "tsv" => spark.read.option("header", "true").option("sep", "\t")
+          .option("inferSchema", "true").csv(path)
+      }
+      assert(back.count() === 2, s"$fmt row count")
+      assert(back.columns.toSet === Set("id", "name", "v"), s"$fmt columns")
+    }
+  }
+
+  test("unsupported formats fail loudly (pickle/xlsx/looker out of scope)") {
+    val e = intercept[IllegalArgumentException](
+      Sinks.write(df, "/tmp/nope", "xlsx"))
+    assert(e.getMessage.contains("xlsx"))
+  }
+}

@@ -32,6 +32,25 @@ class StreamSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink merges each micro-batch into the parquet target (source wins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    val target = s"$dir/t"
+    // seed the target with an existing row the stream will overwrite
+    Seq((1, "old", "2024-01-01")).toDF("id", "v", "day")
+      .write.partitionBy("day").parquet(target)
+    val input = MemoryStream[(Int, String, String)]
+    val updates = input.toDF().toDF("id", "v", "day")
+    val q = StreamSync.upsertSink(updates, target, Seq("id"), "day",
+      s"$dir/ckpt", org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    input.addData((1, "new", "2024-01-01"), (2, "ins", "2024-01-02"))
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(target).orderBy("id")
+      .select("id", "v").as[(Int, String)].collect()
+    assert(out === Array((1, "new"), (2, "ins")))
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
