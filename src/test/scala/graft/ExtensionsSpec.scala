@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions bind at session-build time, so this spec builds its
+  * own session (sharing the JVM's SparkContext) after clearing the
+  * default — getOrCreate would otherwise return the shared suite
+  * session and silently skip the extensions config.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("dot_product_float is callable from SQL via GraftExtensions") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // spark.sql.extensions is a STATIC conf — read from the SparkContext
+    // at first creation, so a second session in the same JVM must inject
+    // via withExtensions (same GraftExtensions entry point).
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val out = spark.sql(
+        """SELECT dot_product_float(
+          |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(out === 11.0)
+      val err = intercept[Exception](
+        spark.sql("SELECT dot_product_float(array(CAST(1.0 AS FLOAT)))").collect())
+      assert(err.getMessage.contains("2 arguments"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

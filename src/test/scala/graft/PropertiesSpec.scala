@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Flatten, Upsert}
+import graft.ext.TextOps
+
+/** ScalaCheck properties (SURVEY.md §5.2 item 3), run through the raw
+  * scalacheck runner (the scalatestplus bridge isn't on the offline
+  * classpath). Each property round-trips through real Spark jobs, so
+  * trial counts are kept small and the seed fixed for reproducibility.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withInitialSeed(Seed(42L))
+    .withMaxSize(12)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val rowGen = for {
+    id <- Gen.choose(1, 8)
+    v <- Gen.choose(0, 100)
+  } yield (id, v)
+
+  test("property: upsert idempotence — upsert(upsert(t,u),u) == upsert(t,u)") {
+    check("idempotence", Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) { (t0, u0) =>
+      val t = t0.distinctBy(_._1).toDF("id", "v")
+      val u = u0.distinctBy(_._1).toDF("id", "v")
+      val once = Upsert.upsert(t, u, Seq("id")).orderBy("id", "v").collect()
+      val twice = Upsert.upsert(Upsert.upsert(t, u, Seq("id")), u, Seq("id"))
+        .orderBy("id", "v").collect()
+      once.sameElements(twice)
+    })
+  }
+
+  test("property: post-upsert keys are unique and updates always win") {
+    check("source-wins", Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) { (t0, u0) =>
+      val t = t0.distinctBy(_._1).toDF("id", "v")
+      val uRows = u0.distinctBy(_._1)
+      val u = uRows.toDF("id", "v")
+      val out = Upsert.upsert(t, u, Seq("id")).as[(Int, Int)].collect()
+      val keysUnique = out.map(_._1).distinct.length == out.length
+      val outMap = out.toMap
+      keysUnique && uRows.forall { case (k, v) => outMap(k) == v }
+    })
+  }
+
+  test("property: flatten row count equals sum of child array sizes") {
+    check("flatten-count", Prop.forAll(Gen.listOf(rowGen)) { child0 =>
+      val parents = (1 to 8).map(i => (i, s"p$i")).toDF("id", "name")
+      val child = child0.zipWithIndex.map { case ((pid, v), i) => (pid, i, v) }
+        .toDF("pid", "cid", "v")
+      val nested = Flatten.nestChild(parents, child, "id", "pid", "kids")
+      val flat = Flatten.explodeChild(nested, "kids", Seq("id" -> "pid"))
+      flat.count() == child0.length.toLong
+    })
+  }
+
+  test("property: wordShingles count == max(0, tokens - n + 1)") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      .map(_.mkString(" "))
+    check("shingles", Prop.forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
+      val tokens = text.split("\\s+").count(_.nonEmpty)
+      val out = Seq(text).toDF("t")
+        .select(TextOps.wordShingles(col("t"), n).as("sh"))
+        .select(size(col("sh"))).as[Int].collect()(0)
+      out == math.max(0, tokens - n + 1)
+    })
+  }
+
+  test("property: dedupLastWins output is key-unique, keeps max-seq row") {
+    val seqRowGen = for {
+      id <- Gen.choose(1, 5); v <- Gen.choose(0, 50); seq <- Gen.choose(1, 20)
+    } yield (id, v, seq)
+    check("dedup-last-wins", Prop.forAll(Gen.nonEmptyListOf(seqRowGen)) { rows0 =>
+      // make (id, seq) unique so "last wins" is well-defined
+      val rows = rows0.distinctBy(r => (r._1, r._3))
+      val df = rows.toDF("id", "v", "seq")
+      val out = Upsert.dedupLastWins(df, Seq("id"), "seq").as[(Int, Int, Int)].collect()
+      val expect = rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+      out.map(_._1).distinct.length == out.length && out.forall(r => r == expect(r._1))
+    })
+  }
+}
