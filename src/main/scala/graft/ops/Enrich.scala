@@ -48,6 +48,28 @@ object Enrich {
   def antiGuard(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
     fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_anti")
 
+  /** Skew-safe large-to-medium join: salt the skewed (left) side's key
+    * with `saltBuckets` random-ish suffixes derived from a row hash, and
+    * explode the right side across all buckets, so one hot key spreads
+    * over `saltBuckets` reducers instead of one straggler task. Use when
+    * the right side is too big to broadcast but the left key is skewed;
+    * AQE's skew-join handles the sort-merge case, this handles hash
+    * joins and pre-AQE plans deterministically.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      saltBuckets: Int, how: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+    val expanded = right
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(expanded,
+        salted(leftKey) === expanded(rightKey) && salted("__salt") === expanded("__salt"),
+        how)
+      .drop("__salt")
+  }
+
   /** Default-row injection: append `defaults` rows whose key is absent
     * from `df` — the synthetic "Ender Turing" user id=0
     * (Transform.py:20-27,117-127). Anti-join the literal row against the

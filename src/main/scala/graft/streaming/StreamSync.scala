@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.ops.Upsert
 
@@ -47,6 +47,59 @@ object StreamSync {
         Upsert.upsertPartitioned(batch.sparkSession, tablePath, batch, keys, partitionCol)
       }
       .start()
+
+  /** Event fed into the custom stateful tracker. */
+  final case class UserEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Running per-user state: what the reference's SaaS accumulates
+    * upstream (per-agent running quality stats) — here kept in Spark
+    * state store instead of an external system.
+    */
+  final case class UserStats(userId: Long, nEvents: Long, totalValue: Double,
+                             lastSeen: java.sql.Timestamp)
+
+  /** StatefulProcessor keeping one [[UserStats]] ValueState per user.
+    * TTL (with TimeMode.ProcessingTime) bounds state for idle users —
+    * the requirement for unbounded key spaces at 100 TB of events.
+    */
+  class UserStatsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var state: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStats]("stats", Encoders.product[UserStats], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserStats] = {
+      val batch = rows.toSeq
+      val prev =
+        if (state.exists()) state.get()
+        else UserStats(key, 0L, 0.0, new java.sql.Timestamp(0L))
+      val next = UserStats(
+        key,
+        prev.nEvents + batch.size,
+        prev.totalValue + batch.map(_.value).sum,
+        batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.lastSeen))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Custom arbitrary-state aggregation via transformWithState (the
+    * Spark 4 StatefulProcessor API; the legacy mapGroupsWithState exec
+    * node is broken in this Spark build — its PythonSQLMetrics init
+    * NPEs). Requires the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    * Emits the updated per-user stats row each micro-batch.
+    */
+  def runningUserStats(events: Dataset[UserEvent],
+                       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new UserStatsProcessor(ttl), TimeMode.None(), OutputMode.Update())
+  }
 
   /** Sessionization by inactivity gap — `session_window` built-in; the
     * conversation-analytics analog of grouping events into sessions.

@@ -32,6 +32,41 @@ class StreamSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStats accumulates custom state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamSync.UserEvent]
+    val stats = StreamSync.runningUserStats(input.toDS())
+    val q = stats.writeStream.format("memory").queryName("ustats")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamSync.UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 2.0),
+        StreamSync.UserEvent(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 3.0),
+        StreamSync.UserEvent(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(
+        StreamSync.UserEvent(1L, Timestamp.valueOf("2024-01-01 00:05:00"), 10.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emitted update; take the
+      // latest row per user
+      val m = spark.table("ustats")
+        .orderBy(col("nEvents").desc)
+        .as[StreamSync.UserStats].collect()
+      val u1 = m.filter(_.userId == 1L).maxBy(_.nEvents)
+      val u2 = m.filter(_.userId == 2L).maxBy(_.nEvents)
+      assert(u1.nEvents === 3L && u1.totalValue === 15.0)
+      assert(u1.lastSeen === Timestamp.valueOf("2024-01-01 00:05:00"))
+      assert(u2.nEvents === 1L && u2.totalValue === 5.0)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("upsertSink merges each micro-batch into the parquet target (source wins)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
