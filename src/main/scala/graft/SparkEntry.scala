@@ -522,15 +522,18 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "x_langid" -> ((s, d) =>
-      // rows-only: heuristic n-gram language guess
       t(s, d, "documents").select(col("doc_id"), col("lang"),
           TextOps.langIdGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
     "x_quality" -> ((s, d) =>
-      // rows-only: composite quality score (heuristic weights)
       t(s, d, "documents").select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "x_bpe_tokens" -> ((s, d) =>
+      // rows-only: lookaround-based pre-tokenization (not RE2-expressible)
+      t(s, d, "documents").select(col("doc_id"),
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
         .orderBy("doc_id"))
   )
@@ -880,6 +883,57 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    (length(t) - length(replace(t, ' the ', ''))) / 5 + (length(t) - length(replace(t, ' and ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4 + (length(t) - length(replace(t, ' is ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' to ', ''))) / 4 AS s_en,
+        |    (length(t) - length(replace(t, ' der ', ''))) / 5 + (length(t) - length(replace(t, ' die ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' und ', ''))) / 5 + (length(t) - length(replace(t, ' ist ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' das ', ''))) / 5 AS s_de,
+        |    (length(t) - length(replace(t, ' le ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' et ', ''))) / 4 + (length(t) - length(replace(t, ' est ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' les ', ''))) / 5 AS s_fr,
+        |    (length(t) - length(replace(t, ' el ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' y ', ''))) / 3 + (length(t) - length(replace(t, ' es ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' los ', ''))) / 5 AS s_es,
+        |    (length(t) - length(replace(t, '的', ''))) / 1 + (length(t) - length(replace(t, '是', ''))) / 1
+        |      + (length(t) - length(replace(t, '了', ''))) / 1 + (length(t) - length(replace(t, '在', ''))) / 1
+        |      + (length(t) - length(replace(t, '我', ''))) / 1 AS s_zh
+        |  FROM p)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en) THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "x_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+        |  FROM base)
+        |SELECT doc_id, round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
+        |FROM parts ORDER BY doc_id""".stripMargin,
 
     "x_text_stats" ->
       """SELECT doc_id,
