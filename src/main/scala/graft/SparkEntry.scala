@@ -535,7 +535,19 @@ object SparkEntry {
       // rows-only: lookaround-based pre-tokenization (not RE2-expressible)
       t(s, d, "documents").select(col("doc_id"),
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "x_multimodal_features" -> ((s, d) => {
+      // rows-only: binary-column feature plumbing over text-as-blob (the
+      // container has no media codecs; the decode kernel is a
+      // deterministic stub, the schema/partition plumbing is real)
+      val blobs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      graft.ext.Multimodal.extractFeatures(blobs, "blob", dim = 8)
+        .select(col("doc_id"), col("byte_len"),
+          round(element_at(col("feature"), 1), 6).as("f0"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -108,4 +108,48 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     syncSessions(rawSessions)
     Incremental.writeWatermark(watermarkPath, now)
   }
+
+  /** EP1 step 5 — the incremental late-data pass (run-et-etl.py:66-116):
+    *
+    *  1. re-upsert sessions from the trailing `nDays` window that carry
+    *     manual scores ("is_scored,manual" filter: late QA reviews
+    *     appear days after the conversation, run-et-etl.py:84-93);
+    *  2. re-upsert sessions whose categories changed since the last
+    *     watermark (`updated_at`-driven invalidation,
+    *     run-et-etl.py:95-106) — here: sessions referencing a changed
+    *     category id.
+    *
+    * `rawWindow` plays the role of the re-extract (the source re-read of
+    * the window — with partition pruning this is O(window)); semantics
+    * of both passes are plain upserts, so re-running is idempotent.
+    */
+  def runIncremental(
+      rawWindow: DataFrame,
+      watermarkPath: String,
+      now: LocalDateTime,
+      nDays: Int = 30): Unit = {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val wm = Incremental.readWatermark(watermarkPath)
+
+    // pass 1: manually-scored sessions in the window
+    val manual = rawWindow.filter(asize(col("reviewers")) > 0)
+    syncSessions(manual)
+
+    // pass 2: sessions of categories updated since the watermark
+    val changedCats = Incremental.newerThan(
+      readTable("categories"), "updated_at", wm).select(col("id"))
+    val catRows = rawWindow
+      .select(col("id").as("__sid"),
+        org.apache.spark.sql.functions.explode(col("categories")).as("__c"))
+      .select(col("__sid"), col("__c.id").as("__cid"))
+    val invalidated = catRows
+      .join(org.apache.spark.sql.functions.broadcast(changedCats),
+        catRows("__cid") === changedCats("id"), "left_semi")
+      .select(col("__sid")).distinct()
+    val toResync = rawWindow.join(invalidated,
+      rawWindow("id") === invalidated("__sid"), "left_semi")
+    syncSessions(toResync)
+
+    Incremental.writeWatermark(watermarkPath, now)
+  }
 }

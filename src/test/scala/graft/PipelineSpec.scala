@@ -102,6 +102,41 @@ class PipelineSpec extends SparkSpec {
     assert(Incremental.readWatermark(wm) === LocalDateTime.of(2024, 6, 29, 0, 5))
   }
 
+  test("categories transform: labels flatten, per-row absent labels, ts round") {
+    val (dim, labels) = Transform.categories(readApi("categories"))
+    assert(dim.count() === 3 && !dim.columns.contains("labels"))
+    // updated_at parsed + rounded (.25s -> down)
+    val c100 = dim.filter(col("id") === 100).collect()(0)
+    assert(c100.getAs[java.sql.Timestamp]("updated_at").toString === "2024-06-28 09:00:00.0")
+    val l = labels.get.orderBy("category_id", "label_id").collect()
+    assert(l.map(r => (r.getLong(0), r.getLong(1))) ===
+      Array((100L, 900L), (100L, 901L), (101L, 902L))) // id=102 has none
+  }
+
+  test("runIncremental: manual-score pass + changed-category invalidation") {
+    val wh = Files.createTempDirectory("graft-wh-inc").toString
+    val wm = s"$wh/_meta/last_synced"
+    val pipe = new EtlPipeline(spark, wh)
+    val dicts = Map("categories" -> readApi("categories"))
+    pipe.runDaily(dicts, readApi("sessions"), wm, LocalDateTime.of(2024, 6, 27, 0, 5))
+    val before = pipe.readTable("sessions")
+      .filter(col("id").endsWith("0001")).collect()(0).getAs[Double]("average_score")
+    assert(before === 0.8)
+
+    // late re-score arrives: session 1's average_score changed at source
+    val window = readApi("sessions").withColumn("average_score",
+      when(col("id").endsWith("0001"), lit(0.95)).otherwise(col("average_score")))
+    pipe.runIncremental(window, wm, LocalDateTime.of(2024, 6, 28, 0, 5))
+
+    val after = pipe.readTable("sessions").orderBy("id").collect()
+    // session 1 (has reviewers -> manual pass) got the new score
+    assert(after(0).getAs[Double]("average_score") === 0.95)
+    // session 2 (no reviewers, no categories) untouched
+    assert(after(1).getAs[Any]("average_score") === null)
+    assert(pipe.readTable("sessions").count() === 2)
+    assert(Incremental.readWatermark(wm) === LocalDateTime.of(2024, 6, 28, 0, 5))
+  }
+
   test("watermark round-trips and defaults to minimum when absent") {
     val p = Files.createTempDirectory("graft-wm").toString + "/wm"
     assert(Incremental.readWatermark(p) === LocalDateTime.of(1, 1, 1, 0, 0, 0))
