@@ -1,6 +1,8 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Multi-format file sinks (SURVEY.md §2.7 Q48).
   *
@@ -21,14 +23,28 @@ object Sinks {
     s"$name-$start-$stop"
   def dimFileName(name: String): String = s"dict-$name"
 
+  /** Text sinks can't hold nested values — JSON-encode struct/array/map
+    * columns (the reference's pandas `to_csv` stringified nested dicts
+    * the same way, just less parseably).
+    */
+  def flattenForText(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def write(df: DataFrame, path: String, format: String,
             mode: SaveMode = SaveMode.Overwrite): Unit = format match {
     case "parquet" => df.write.mode(mode).parquet(path)
     case "json" => df.write.mode(mode).json(path)
     case "csv" =>
-      df.write.mode(mode).option("header", "true").csv(path)
+      flattenForText(df).write.mode(mode).option("header", "true").csv(path)
     case "tsv" =>
-      df.write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
+      flattenForText(df).write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported sink format: $other (reference's pickle/xlsx/looker are out of scope)")
