@@ -68,6 +68,31 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `a·x + b` over Long with wraparound (Java) semantics — the universal-
+  * hashing permutation MinHash needs. Plain Column arithmetic can't
+  * express this under ANSI mode (overflow throws there; here it's the
+  * point: odd-a multiply mod 2⁶⁴ is a bijection).
+  */
+case class HashPermute(child: Expression, a: Long, b: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash_permute expects bigint, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(x: Any): Any = a * x.asInstanceOf[Long] + b
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${a}L * $c + ${b}L")
+
+  override protected def withNewChildInternal(newChild: Expression): HashPermute =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -83,4 +108,8 @@ object VectorExpressions {
     * [[graft.ext.Similarity.cosine]], far less allocation.
     */
   def cosineF(a: Column, b: Column): Column = dotF(a, b) / (normF(a) * normF(b))
+
+  /** wraparound a·x + b (see [[HashPermute]]). */
+  def hashPermute(x: Column, a: Long, b: Long): Column =
+    GraftBridge.column(HashPermute(expr(x), a, b))
 }

@@ -1,0 +1,66 @@
+package graft.tools
+
+/** Scale soak harness (not part of the driver contract): synthesizes a
+  * 510k-doc corpus with seeded near-dups and a 10M-row date-partitioned
+  * fact table under /tmp/soak, then drives dedup + partitioned upsert
+  * at that scale. Run: `sbt "runMain graft.tools.Soak"`.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "24g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[soak] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    val base = "/tmp/soak"
+
+    // 500k synthetic docs: 60-word texts from a 50-word vocab, 2% near-dup pairs
+    val vocab = (0 until 50).map(i => s"w$i")
+    val docs = time("gen 500k docs") {
+      val df = spark.range(500000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          element_at(typedLit(vocab), (pmod(xxhash64(col("id"), lit(j)), lit(50)) + 1).cast("int"))): _*).as("text"))
+      val dups = df.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" w0")).as("text")) // near-dup with one extra token
+      val out = df.unionByName(dups)
+      out.write.mode("overwrite").parquet(s"$base/docs"); spark.read.parquet(s"$base/docs")
+    }
+    println("[soak] corpus size: " + docs.count())
+    time("exact dedup")(graft.ext.Dedup.exact(docs, "text", "doc_id").count())
+    val nd = time("minhash LSH near-dups")(
+      graft.ext.Dedup.minhashNearDups(docs, "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.6).count())
+    println("[soak] minhash pairs found: " + nd)
+    val sh = time("simhash near-dups")(
+      graft.ext.Dedup.simhashNearDups(docs, "text", "doc_id", shingleSize = 3, maxHamming = 6, prefixBits = 10).count())
+    println("[soak] simhash pairs found: " + sh)
+
+    // 10M-row fact table partitioned by 100 dates; upsert a 2-date batch
+    time("gen 10M fact") {
+      spark.range(10000000).select(col("id"),
+          date_format(date_add(lit("2024-01-01").cast("date"), pmod(col("id"), lit(100)).cast("int")), "yyyy-MM-dd").as("day"),
+          (col("id") % 1000).cast("double").as("v"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$base/fact")
+    }
+    val batch = spark.range(50000).select((col("id") * 7).as("id"),
+        lit("2024-01-05").as("day"), lit(-1.0).as("v"))
+      .unionByName(spark.range(1000).select((col("id") + 20000000).as("id"), lit("2024-01-07").as("day"), lit(-2.0).as("v")))
+    val dirsBefore = new java.io.File(s"$base/fact").listFiles.filter(_.isDirectory)
+      .map(d => d.getName -> d.lastModified).toMap
+    time("partitioned upsert (2 of 100 partitions)") {
+      graft.ops.Upsert.upsertPartitioned(spark, s"$base/fact", batch, Seq("id"), "day")
+    }
+    val touched = new java.io.File(s"$base/fact").listFiles.filter(_.isDirectory)
+      .filter(d => d.lastModified != dirsBefore.getOrElse(d.getName, 0L)).map(_.getName).sorted
+    println("[soak] partitions rewritten: " + touched.mkString(", "))
+    println("[soak] fact count after: " + spark.read.parquet(s"$base/fact").count())
+    spark.stop()
+  }
+}
