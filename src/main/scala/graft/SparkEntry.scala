@@ -833,7 +833,7 @@ object SparkEntry {
         |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
         |flagged AS (
         |  SELECT user_id, tss, value,
-        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) < INTERVAL 30 MINUTE
+        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) <= INTERVAL 30 MINUTE
         |         THEN 0 ELSE 1 END AS new_sess
         |  FROM e),
         |numbered AS (

@@ -32,7 +32,24 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     val reconciled = Schemas.all.get(name) match {
       case Some(schema) =>
         val target = schema.fieldNames.toSeq
-        Upsert.reconcileSchema(batch, target, keys).df
+        val named = Upsert.reconcileSchema(batch, target, keys).df
+        // cast to the declared catalog types (schema-on-read JSON gives
+        // long/double where the DWH declares int/float; ANSI cast keeps
+        // overflow loud). JSON-shaped columns need mediation: schema-
+        // on-read infers struct where the catalog declares map (dynamic
+        // keys like duration_details '0'/'1') or an opaque JSON string
+        // (additional_info) — both go through to_json.
+        import org.apache.spark.sql.functions.{col, from_json, to_json}
+        import org.apache.spark.sql.types.{DataType, MapType, StringType, StructType, ArrayType}
+        def convert(c: String, src: DataType, tgt: DataType) = (src, tgt) match {
+          case (s, t) if s == t => col(c)
+          case (_: StructType | _: MapType | _: ArrayType, StringType) => to_json(col(c))
+          case (_: StructType, m: MapType) => from_json(to_json(col(c)), m)
+          case _ => col(c).cast(tgt)
+        }
+        named.select(named.columns.map { c =>
+          convert(c, named.schema(c).dataType, schema(c).dataType).as(c)
+        }.toIndexedSeq: _*)
       case None => batch
     }
     val path = tablePath(name)

@@ -93,6 +93,17 @@ class PipelineSpec extends SparkSpec {
     assert(counts1("sessions") === 2)
     assert(counts1("sessions_tags") === 2)
     assert(counts1("sessions_scores") === 2)
+    // declared catalog types applied on load: JSON longs -> int,
+    // struct-shaped duration_details -> map, additional_info -> JSON string
+    val sess = pipe.readTable("sessions")
+    assert(sess.schema("agent_id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(sess.schema("duration_details").dataType ===
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.DoubleType))
+    assert(sess.schema("additional_info").dataType === org.apache.spark.sql.types.StringType)
+    val dd = sess.filter(org.apache.spark.sql.functions.col("id").endsWith("0001"))
+      .select("duration_details").collect()(0).getMap[String, Double](0)
+    assert(dd("0") === 120.0 && dd("1") === 180.5)
 
     // second overlapping run: same payloads -> identical warehouse
     pipe.runDaily(dicts, readApi("sessions"), wm, LocalDateTime.of(2024, 6, 29, 0, 5))

@@ -33,6 +33,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("flattenForText JSON-encodes nested columns, passes scalars through") {
+    import org.apache.spark.sql.functions._
+    val nested = df.withColumn("s", struct(lit(1).as("a"), lit("x").as("b")))
+      .withColumn("arr", array(lit(1), lit(2)))
+    val flat = Sinks.flattenForText(nested)
+    import org.apache.spark.sql.types.StringType
+    assert(flat.schema("s").dataType === StringType)
+    assert(flat.schema("arr").dataType === StringType)
+    assert(flat.schema("id").dataType !== StringType)
+    val r = flat.orderBy("id").collect()(0)
+    assert(r.getAs[String]("s") === """{"a":1,"b":"x"}""")
+    assert(r.getAs[String]("arr") === "[1,2]")
+  }
+
   test("unsupported formats fail loudly (pickle/xlsx/looker out of scope)") {
     val e = intercept[IllegalArgumentException](
       Sinks.write(df, "/tmp/nope", "xlsx"))
