@@ -32,6 +32,34 @@ class StreamSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    // 10-min windows, 30-min tolerated lateness, append mode so a
+    // window only emits once finalized by the watermark
+    val agg = StreamSync.windowedCounts(events, "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to finalize the 00:00 window
+      input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is 2h late, far beyond the 30-min bound -> dropped
+      input.addData((Timestamp.valueOf("2024-01-01 00:06:00"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 04:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val w0 = spark.table("late")
+        .filter(col("window.start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select("n", "total_value").as[(Long, Double)].collect()
+      // the finalized 00:00 window holds only the on-time event
+      assert(w0 === Array((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("runningUserStats accumulates custom state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
