@@ -37,6 +37,23 @@ object Sinks {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Bucketed catalog table: co-locates rows by join key so repeated
+    * large-to-large joins/aggregations on `bucketCols` run shuffle-free
+    * (both sides pre-hashed into the same bucket count). This is the
+    * persistent-layout answer to the reference's repeated
+    * sessions⨝children joins — at 100 TB, bucketing the fact tables by
+    * session id removes the dominant exchange from every child join.
+    * Sorted within buckets so sort-merge joins skip the sort too.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   def write(df: DataFrame, path: String, format: String,
             mode: SaveMode = SaveMode.Overwrite): Unit = format match {
     case "parquet" => df.write.mode(mode).parquet(path)

@@ -47,6 +47,27 @@ class SinksSpec extends SparkSpec {
     assert(r.getAs[String]("arr") === "[1,2]")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val left = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v1")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v2")
+    Sinks.writeBucketed(left, "graft_bkt_l", Seq("k"), 4, sortCols = Seq("k"))
+    Sinks.writeBucketed(right, "graft_bkt_r", Seq("k"), 4, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("graft_bkt_l").join(spark.table("graft_bkt_r"), "k")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, plan was:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
+
   test("unsupported formats fail loudly (pickle/xlsx/looker out of scope)") {
     val e = intercept[IllegalArgumentException](
       Sinks.write(df, "/tmp/nope", "xlsx"))
