@@ -184,13 +184,29 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = docs.select(
         col(idCol).as("id"),
         array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val inverted = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val inverted0 = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    // hot-shingle cap: drop shingles appearing in more than maxShingleDf
+    // docs (stop-phrases) BEFORE the pair join — they contribute huge
+    // candidate fan-out but little discriminating signal. NOTE: with the
+    // cap on, `jaccard` is computed over capped shingle sets (a lower
+    // bound on true jaccard for affected pairs) — standard practice for
+    // web-scale dedup.
+    val inverted = maxShingleDf match {
+      case None => inverted0
+      case Some(cap) =>
+        val hot = inverted0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sh"))
+        inverted0.join(hot, Seq("sh"), "left_anti")
+    }
+    // sizes over the (possibly capped) shingle space, so jaccard stays
+    // internally consistent: |A∩B| / (|A|+|B|-|A∩B|) in the same space
+    val sizes = inverted.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val pairs = inverted.as("a")
       .join(inverted.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -38,6 +38,24 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((1L, 4L)))
   }
 
+  test("jaccardPairs maxShingleDf drops hot shingles from the candidate space") {
+    // "x y z" appears in ALL docs (stop-phrase); distinct tails differ
+    val hot = Seq(
+      (1L, "x y z alpha beta gamma"),
+      (2L, "x y z alpha beta delta"),
+      (3L, "x y z completely different tail here"),
+      (4L, "x y z nothing shared at all okay")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(hot, "text", "doc_id", shingleSize = 3, threshold = 0.01)
+    val capped = Dedup.jaccardPairs(hot, "text", "doc_id", shingleSize = 3,
+      threshold = 0.01, maxShingleDf = Some(3))
+    // uncapped: every pair shares "x y z" -> 6 candidate pairs
+    assert(uncapped.count() === 6)
+    // capped: "x y z" (df=4) removed; only 1-2 still share shingles
+    val c = capped.as[(Long, Long, Double)].collect()
+    assert(c.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
+
   test("minhash est_jaccard approximates true jaccard for identical docs") {
     val out = Dedup.minhashNearDups(docs, "text", "doc_id",
         shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
