@@ -155,22 +155,39 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`, bucketed by the top
-    * `prefixBits` bits to avoid the full cross join (docs differing in
-    * the prefix are missed — standard block-permutation variants rotate
-    * the prefix; one rotation kept simple here).
+  /** SimHash near-dup pairs within `maxHamming`, block-permutation
+    * bucketed: each doc is bucketed on the top `prefixBits` bits of
+    * `rotations` rotations of its hash, and candidates sharing ANY
+    * rotated bucket are verified. With rotations=r, a pair is missed
+    * only if every rotation puts a differing bit in the prefix — for
+    * hamming ≤ d pairs the miss probability shrinks geometrically with
+    * r (the classic Charikar/Manku block-permutation scheme).
+    * rotations=1 is the cheap prefix-only variant.
     */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, maxHamming: Int = 3,
-      prefixBits: Int = 16): DataFrame = {
+      prefixBits: Int = 16, rotations: Int = 4): DataFrame = {
     val hashed = simhashDf(docs, textCol, idCol, shingleSize)
-    val bucketed = hashed.withColumn("bucket", shiftrightunsigned(col("sh"), 64 - prefixBits))
+    val step = 64 / rotations
+    val rot = explode(array((0 until rotations).map { r =>
+      val k = r * step
+      val rotated =
+        if (k == 0) col("sh")
+        else shiftleft(col("sh"), k).bitwiseOR(shiftrightunsigned(col("sh"), 64 - k))
+      struct(lit(r).as("r"), shiftrightunsigned(rotated, 64 - prefixBits).as("b"))
+    }: _*))
+    val bucketed = hashed.select(col("id"), col("sh"), rot.as("rb"))
+      .select(col("id"), col("sh"), col("rb.r").as("r"), col("rb.b").as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("hamming", hamming64(col("a.sh"), col("b.sh")))
+    a.join(b, col("a.r") === col("b.r") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   // ---- exact-verified n-gram Jaccard ----

@@ -74,6 +74,24 @@ class DedupSpec extends SparkSpec {
     assert(d12 < d14, s"near-dup hamming $d12 should beat unrelated $d14")
   }
 
+  test("simhash rotations catch pairs the prefix-only bucketing misses") {
+    // craft docs whose simhashes differ in few bits INCLUDING a top bit:
+    // use near-identical shingle sets so hamming is small, then check
+    // the multi-rotation variant finds at least as many pairs as the
+    // single-rotation one on the real fixture corpus
+    val one = Dedup.simhashNearDups(docs, "text", "doc_id",
+      shingleSize = 3, maxHamming = 40, prefixBits = 16, rotations = 1)
+    val four = Dedup.simhashNearDups(docs, "text", "doc_id",
+      shingleSize = 3, maxHamming = 40, prefixBits = 16, rotations = 4)
+    val p1 = one.select("id_a", "id_b").collect().toSet
+    val p4 = four.select("id_a", "id_b").collect().toSet
+    assert(p1.subsetOf(p4))
+    assert(p4.size >= p1.size)
+    // identical docs (1,3) must be found by every variant
+    assert(p4.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+    assert(p1.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
   test("embeddingNearDups finds identical vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
