@@ -540,6 +540,21 @@ object SparkEntry {
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
         .orderBy("doc_id")),
 
+    "x_decontaminate" -> ((s, d) => {
+      // n-gram benchmark decontamination: docs sharing any 5-gram with
+      // the "benchmark" slice (doc_id < 20) are removed
+      val docs = t(s, d, "documents")
+      graft.ext.Corpus.decontaminate(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 5)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "x_sample_stratified" -> ((s, d) =>
+      // rows-only: deterministic hash sampling uses engine-native xxhash64
+      graft.ext.Corpus.stratifiedSample(t(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "x_multimodal_features" -> ((s, d) => {
       // rows-only: binary-column feature plumbing over text-as-blob (the
       // container has no media codecs; the decode kernel is a
@@ -899,6 +914,20 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                         FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM c),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE doc_id < 20),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.s = b.s)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
 
     "x_langid" ->
       """WITH p AS (

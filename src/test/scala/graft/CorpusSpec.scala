@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "a completely unrelated document about spark engines here"),
+    (3L, "xx yy the quick brown fox jumps zz ww qq"), // shares a 5-gram with bench
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  private def benchmark = Seq(
+    (100L, "the quick brown fox jumps over fences")
+  ).toDF("doc_id", "text")
+
+  test("decontaminate removes docs sharing an n-gram with the benchmark") {
+    val clean = Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 5)
+    // docs 1 and 3 share "the quick brown fox jumps"; 4 is too short to
+    // have any 5-gram; 2 shares nothing
+    assert(clean.select("doc_id").as[Long].collect().sorted === Array(2L, 4L))
+  }
+
+  test("contaminationReport counts overlapping n-grams per doc") {
+    val rep = Corpus.contaminationReport(corpus, benchmark, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(rep.keySet === Set(1L, 3L))
+    assert(rep(1L) === 2L) // "the quick brown fox jumps", "quick brown fox jumps over"
+    assert(rep(3L) === 1L)
+  }
+
+  test("deterministicSample is reproducible and respects the fraction roughly") {
+    val big = (1 to 10000).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Corpus.deterministicSample(big, "doc_id", 0.3, seed = 9L)
+      .select("doc_id").as[Long].collect().sorted
+    val s2 = Corpus.deterministicSample(big, "doc_id", 0.3, seed = 9L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1 === s2) // bit-reproducible
+    assert(math.abs(s1.length - 3000) < 200, s"got ${s1.length} of ~3000")
+    // different seed -> different sample
+    val s3 = Corpus.deterministicSample(big, "doc_id", 0.3, seed = 10L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!(s3 === s1))
+  }
+
+  test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
+    val df = (1 to 3000).map(i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.8, "de" -> 0.1), seed = 3L)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("fr"))
+    assert(math.abs(counts("en") - 800) < 120)
+    assert(math.abs(counts("de") - 100) < 60)
+  }
+}
