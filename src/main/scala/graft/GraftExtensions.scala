@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, HashPermute}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so
@@ -23,6 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product_float(a, b) takes exactly 2 arguments")
         DotProductFloat(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hash_permute"),
+      new ExpressionInfo(classOf[HashPermute].getName, "hash_permute"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "hash_permute(x, a, b) takes exactly 3 arguments (a, b literal bigints)")
+        def lit(e: Expression, name: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case _ => throw new IllegalArgumentException(s"hash_permute: $name must be a literal integer")
+        }
+        HashPermute(children.head, lit(children(1), "a"), lit(children(2), "b"))
       }))
   }
 }

@@ -34,6 +34,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val err = intercept[Exception](
         spark.sql("SELECT dot_product_float(array(CAST(1.0 AS FLOAT)))").collect())
       assert(err.getMessage.contains("2 arguments"))
+      // hash_permute: wraparound semantics visible from SQL
+      val hp = spark.sql("SELECT hash_permute(CAST(2 AS BIGINT), 9223372036854775807, 0) AS h")
+        .collect()(0).getLong(0)
+      assert(hp === Long.MaxValue * 2L) // wraps, does not throw
+      val err2 = intercept[Exception](
+        spark.sql("SELECT hash_permute(CAST(1 AS BIGINT), id, 0) FROM range(1)").collect())
+      assert(err2.getMessage.contains("literal"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
