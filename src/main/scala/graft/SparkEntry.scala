@@ -432,6 +432,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_share_of_total" -> ((s, d) => {
+      // share-of-total: aggregate then window over the aggregate (the
+      // "category share" dashboard shape)
+      val seg = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(dec(col("o_totalprice"))).as("rev_d"), count(lit(1)).as("n_orders"))
+      import org.apache.spark.sql.expressions.Window
+      seg.withColumn("revenue", col("rev_d").cast("double"))
+        .withColumn("share",
+          round(col("rev_d").cast("double") /
+            sum(col("rev_d")).over(Window.partitionBy()).cast("double"), 6))
+        .select("c_mktsegment", "revenue", "n_orders", "share")
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_agent_dashboard" -> ((s, d) => {
+      // per-supplier performance ranked within nation (the per-agent
+      // quality dashboard shape: agent ≈ supplier, team ≈ nation)
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem"); val sup = t(s, d, "supplier"); val nat = t(s, d, "nation")
+      val perSupp = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("s_suppkey").asc)
+      perSupp.withColumn("rank_in_nation", row_number().over(w))
+        .select("s_suppkey", "s_name", "n_name", "n_items", "revenue",
+          "avg_qty", "rank_in_nation")
+        .orderBy("n_name", "rank_in_nation")
+    }),
+
     "q_pivot" -> ((s, d) =>
       // channel-keyed pivot (duration_details '0'/'1' shape, schema.py:325)
       t(s, d, "orders").groupBy("o_orderpriority")
@@ -830,6 +866,27 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d, count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
+        |  round(CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE), 6) AS share
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+
+    "q_agent_dashboard" ->
+      """WITH per_supp AS (
+        |  SELECT s_suppkey, s_name, n_name, count(*) AS n_items,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY s_suppkey, s_name, n_name)
+        |SELECT s_suppkey, s_name, n_name, n_items, revenue, avg_qty,
+        |  CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC) AS INTEGER) AS rank_in_nation
+        |FROM per_supp ORDER BY n_name, rank_in_nation""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
