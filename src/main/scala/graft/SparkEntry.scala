@@ -432,6 +432,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_asof_join" -> ((s, d) => {
+      // as-of enrichment: each event gets the latest reference reading
+      // (the every-10th event) at or before its timestamp, per user
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts_us")).as("tss"), col("value"))
+      val ref = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("tss").as("rts"))
+        .agg(max(col("value")).as("ref_value"))
+      graft.ops.AsOfJoin.asofBackward(ev, ref, "user_id", "tss", "rts", Seq("ref_value"))
+        .select("event_id", "user_id", "tss", "ref_value")
+        .orderBy("event_id")
+    }),
+
     "q_share_of_total" -> ((s, d) => {
       // share-of-total: aggregate then window over the aggregate (the
       // "category share" dashboard shape)
@@ -866,6 +879,16 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |r AS (
+        |  SELECT user_id, tss AS rts, max(value) AS ref_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, tss)
+        |SELECT e.event_id, e.user_id, e.tss, r.ref_value
+        |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_share_of_total" ->
       """WITH seg AS (

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for each left row, the latest right row with
+  * `rightTs <= leftTs` (backward direction) on the same key — the
+  * time-series enrichment operator Spark lacks natively (SURVEY.md §2.4
+  * notes it absent from the reference; the builder brief lists it as a
+  * canonical custom operator).
+  *
+  * Spark-first shape (option (a) of the brief's preference order —
+  * composition, no custom physical operator needed): tag and union both
+  * sides, sort per key by (ts, side), carry the last-seen right payload
+  * forward with `last(_, ignoreNulls)` over an unbounded-preceding
+  * window, keep left rows. ONE shuffle on the key + a per-key sort —
+  * same cost as a sort-merge join, no interval explosion, no skew
+  * beyond the key distribution (salt hot keys upstream if needed).
+  *
+  * Right side must be unique per (key, ts) — pre-aggregate otherwise
+  * (ambiguous as-of matches are a data bug, not a tie to break
+  * silently).
+  */
+object AsOfJoin {
+
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // right side first at equal timestamps (side=0 sorts before side=1),
+    // so an exactly-simultaneous right row IS visible to the left row
+    val taggedRight = right.select(
+      (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        payloadCols.map(c => col(c).as(s"__p_$c")) ++:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        leftCols.map(col)): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofBackward picks the latest right row at or before each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:00:30"), 101.0),
+      (1L, ts("2024-01-01 09:59:00"), 99.0), // before any quote
+      (2L, ts("2024-01-01 10:00:10"), 200.0)
+    ).toDF("sym", "t_ts", "trade_px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 50.0),
+      (1L, ts("2024-01-01 10:00:30"), 51.0), // exactly simultaneous with a trade
+      (2L, ts("2024-01-01 10:00:09"), 60.0)
+    ).toDF("sym", "q_ts", "quote_px")
+
+    val out = AsOfJoin.asofBackward(trades, quotes, "sym", "t_ts", "q_ts", Seq("quote_px"))
+      .orderBy("sym", "t_ts")
+      .as[(Long, Timestamp, Double, Option[Double])].collect()
+    assert(out === Array(
+      (1L, ts("2024-01-01 09:59:00"), 99.0, None),       // no quote yet -> null
+      (1L, ts("2024-01-01 10:00:05"), 100.0, Some(50.0)),
+      (1L, ts("2024-01-01 10:00:30"), 101.0, Some(51.0)), // equal ts matches
+      (2L, ts("2024-01-01 10:00:10"), 200.0, Some(60.0))))
+  }
+
+  test("asofBackward carries multiple payload columns and respects keys") {
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "lt")
+    val r = Seq((1L, 5L, "a", 1.0), (1L, 15L, "b", 2.0), (3L, 1L, "x", 9.0))
+      .toDF("k", "rt", "s", "v")
+    val out = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("s", "v"))
+      .orderBy("k", "lt")
+      .as[(Long, Long, Option[String], Option[Double])].collect()
+    assert(out === Array(
+      (1L, 10L, Some("a"), Some(1.0)),
+      (1L, 20L, Some("b"), Some(2.0)),
+      (2L, 15L, None, None))) // key 2 has no right rows; key 3 unused
+  }
+}
