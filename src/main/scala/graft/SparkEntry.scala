@@ -445,6 +445,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // range (band) join: non-equi predicate against a broadcast
+      // interval dimension — each order lands in its price band
+      val bands = s.createDataFrame(Seq(
+        ("small", 0.0, 100000.0),
+        ("medium", 100000.0, 250000.0),
+        ("large", 250000.0, 1e9)
+      )).toDF("band", "lo", "hi")
+      val o = t(s, d, "orders")
+      o.join(broadcast(bands),
+          o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        .select("o_orderkey", "o_totalprice", "band")
+        .orderBy("o_orderkey")
+    }),
+
     "q_share_of_total" -> ((s, d) => {
       // share-of-total: aggregate then window over the aggregate (the
       // "category share" dashboard shape)
@@ -889,6 +904,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.tss, r.ref_value
         |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0), ('large', 250000.0, 1e9))
+        |SELECT o_orderkey, o_totalprice, band FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_share_of_total" ->
       """WITH seg AS (
