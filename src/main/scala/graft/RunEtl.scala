@@ -72,6 +72,8 @@ object RunEtl {
     require(o.input.nonEmpty, "--input is required")
     require(o.warehouse.nonEmpty || o.loadTo.isDefined,
       "--warehouse or --load-to is required")
+    require(o.loadTo.isEmpty || o.out.isDefined || o.warehouse.nonEmpty,
+      "--load-to needs --out (or --warehouse) as the target directory")
     o
   }
 
@@ -112,8 +114,13 @@ object RunEtl {
       case None =>
         val pipe = new EtlPipeline(spark, opts.warehouse)
         val wm = s"${opts.warehouse}/_meta/last_synced"
+        // capture the PREVIOUS watermark before runDaily advances it —
+        // the incremental changed-dim pass compares against last sync,
+        // not against the timestamp runDaily just wrote
+        val prevWm = graft.sync.Incremental.readWatermark(wm)
         pipe.runDaily(dicts, sessions, wm, LocalDateTime.now())
-        if (opts.daily) pipe.runIncremental(sessions, wm, LocalDateTime.now())
+        if (opts.daily)
+          pipe.runIncremental(sessions, wm, LocalDateTime.now(), since = Some(prevWm))
     }
   }
 

@@ -61,18 +61,19 @@ object Similarity {
     * needs one aggregation pass; swap in ml KMeans offline for real
     * recall targets — the query-path plumbing is identical).
     */
-  def coarseCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame = {
-    val dim = size(col(vecCol))
-    corpus
-      .select(pmod(xxhash64(col(idCol)), lit(nCells)).as("cell"), col(vecCol).as("v"))
-      .groupBy("cell")
+  /** mean vector per cell over a (cell, v) frame. */
+  private def centroidMean(cells: DataFrame): DataFrame =
+    cells.groupBy("cell")
       .agg(collect_list(col("v")).as("vs"))
       .select(col("cell"),
         transform(sequence(lit(1), size(element_at(col("vs"), 1))),
           i => aggregate(col("vs"), lit(0.0),
             (acc, v) => acc + element_at(v, i).cast(DoubleType)) / size(col("vs")))
           .as("centroid"))
-  }
+
+  def coarseCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame =
+    centroidMean(corpus.select(
+      pmod(xxhash64(col(idCol)), lit(nCells)).as("cell"), col(vecCol).as("v")))
 
   /** Lloyd refinement: re-center each cell on the mean of its assigned
     * vectors, `iterations` times. One assignment pass + one aggregation
@@ -88,15 +89,7 @@ object Similarity {
     var cents = centroids
     for (_ <- 0 until iterations) {
       val assigned = assignCells(corpus, cents, vecCol, idCol)
-      cents = assigned
-        .select(col("cell"), col("cv").as("v"))
-        .groupBy("cell")
-        .agg(collect_list(col("v")).as("vs"))
-        .select(col("cell"),
-          transform(sequence(lit(1), size(element_at(col("vs"), 1))),
-            i => aggregate(col("vs"), lit(0.0),
-              (acc, v) => acc + element_at(v, i).cast(DoubleType)) / size(col("vs")))
-            .as("centroid"))
+      cents = centroidMean(assigned.select(col("cell"), col("cv").as("v")))
     }
     cents
   }

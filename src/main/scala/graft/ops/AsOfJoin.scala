@@ -29,24 +29,29 @@ object AsOfJoin {
       key: String, leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct (non-null per right row even
+    // when individual fields are null) so the window carry is atomic —
+    // carrying columns independently with ignoreNulls would mix fields
+    // from different right rows whenever a payload field is null
+    val payloadStructR = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     // right side first at equal timestamps (side=0 sorts before side=1),
     // so an exactly-simultaneous right row IS visible to the left row
     val taggedRight = right.select(
       (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        payloadCols.map(c => col(c).as(s"__p_$c")) ++:
+        payloadStructR.as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        lit(null).cast(payloadType).as("__p") +:
         leftCols.map(col)): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__c_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__c.`$c`").as(c)): _*)
   }
 }

@@ -21,14 +21,16 @@ object Cleanse {
     * Ref: Transform.py:131-135,246.
     */
   def tsRoundSec(c: Column): Column =
-    timestamp_micros(((unix_micros(c.cast(TimestampType)) + lit(500000L)) / lit(1000000L))
+    // floor(), not cast-truncation: truncation rounds toward zero and
+    // misrounds pre-1970 (negative-micros) timestamps
+    timestamp_micros(floor((unix_micros(c.cast(TimestampType)) + lit(500000L)) / lit(1000000L))
       .cast(LongType) * lit(1000000L))
 
   /** Exact pandas `.dt.round("s")`: round half to even on .5s ties. */
   def tsRoundSecEven(c: Column): Column = {
     val micros = unix_micros(c.cast(TimestampType))
-    val base = (micros / lit(1000000L)).cast(LongType) // floor for >=0
-    val frac = micros - base * lit(1000000L)
+    val base = floor(micros / lit(1000000L)).cast(LongType) // true floor, negatives included
+    val frac = micros - base * lit(1000000L) // in [0, 1e6) for any sign
     val roundedUp = base + lit(1L)
     val halfEven = when(frac < 500000L, base)
       .when(frac > 500000L, roundedUp)

@@ -72,11 +72,17 @@ object Enrich {
 
   /** Default-row injection: append `defaults` rows whose key is absent
     * from `df` — the synthetic "Ender Turing" user id=0
-    * (Transform.py:20-27,117-127). Anti-join the literal row against the
-    * table (broadcast; the literal side is tiny), then unionByName.
+    * (Transform.py:20-27,117-127). Scale shape: semi-join the TABLE
+    * against broadcast(defaults) — a handful of rows — to learn which
+    * default keys already exist, then anti-join defaults against that
+    * tiny set. The naive `defaults ANTI df` can't broadcast its tiny
+    * side (anti builds on the right), so it would shuffle the full
+    * table.
     */
   def withDefaultRows(df: DataFrame, defaults: DataFrame, key: String): DataFrame = {
-    val missing = defaults.join(df.select(key), Seq(key), "left_anti")
+    val present = df.select(key)
+      .join(broadcast(defaults.select(key)), Seq(key), "left_semi").distinct()
+    val missing = defaults.join(broadcast(present), Seq(key), "left_anti")
     df.unionByName(missing, allowMissingColumns = true)
   }
 }

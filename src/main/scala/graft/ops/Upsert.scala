@@ -43,12 +43,17 @@ object Upsert {
   }
 
   /** Core merge. `updates` must already be key-unique (use
-    * [[dedupLastWins]] first if a batch can self-collide).
+    * [[dedupLastWins]] first if a batch can self-collide). Keys compare
+    * null-safely (`<=>`): a null key is a value, so a null-keyed update
+    * REPLACES a null-keyed target row instead of duplicating on every
+    * run — keeps the idempotence contract even on dirty keys.
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     requireKeys(target, keys, "target")
     requireKeys(updates, keys, "updates")
-    val kept = target.join(updates.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
+    val updKeys = updates.select(keys.map(col).toIndexedSeq: _*)
+    val cond = keys.map(k => target(k) <=> updKeys(k)).reduce(_ && _)
+    val kept = target.join(updKeys, cond, "left_anti")
     kept.unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
@@ -87,12 +92,18 @@ object Upsert {
       partitionCol: String
   ): Unit = {
     val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
-    val existing =
-      try spark.read.parquet(tablePath).filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
-      catch { case _: Exception => spark.emptyDataFrame }
+    // explicit existence check: a transient read failure must abort the
+    // merge (rethrowing), not silently drop pre-existing partition rows
+    val fsCheck = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tableIsThere = fsCheck.exists(new org.apache.hadoop.fs.Path(tablePath))
     val merged =
-      if (existing.isEmpty) updates
-      else upsert(existing, updates, keys)
+      if (!tableIsThere) updates
+      else {
+        val existing = spark.read.parquet(tablePath)
+          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+        upsert(existing, updates, keys)
+      }
     merged.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)

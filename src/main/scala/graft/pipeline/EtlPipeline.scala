@@ -53,9 +53,10 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       case None => batch
     }
     val path = tablePath(name)
+    // existence is checked explicitly — a transient READ failure must
+    // abort the merge, not silently replace the table with the batch
     val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: Exception => None }
+      if (pathExists(path)) Some(spark.read.parquet(path)) else None
     val merged = existing match {
       case Some(t) if t.columns.sameElements(reconciled.columns) =>
         Upsert.upsert(t, reconciled, keys)
@@ -74,6 +75,14 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
   }
 
   def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  def tableExists(name: String): Boolean = pathExists(tablePath(name))
+
+  private def pathExists(path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
+  }
 
   /** Base-dictionaries phase (run-et-etl.py:13-29). */
   def syncBaseDicts(raw: Map[String, DataFrame]): Unit = {
@@ -144,15 +153,25 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       rawWindow: DataFrame,
       watermarkPath: String,
       now: LocalDateTime,
-      nDays: Int = 30): Unit = {
+      nDays: Int = 30,
+      since: Option[LocalDateTime] = None): Unit = {
     import org.apache.spark.sql.functions.{col, size => asize}
-    val wm = Incremental.readWatermark(watermarkPath)
+    // `since` lets a caller that already advanced the watermark (e.g.
+    // runDaily earlier in the same run) pass the PREVIOUS sync point —
+    // reading the file after runDaily wrote `now` would make the
+    // changed-category pass a permanent no-op
+    val wm = since.getOrElse(Incremental.readWatermark(watermarkPath))
 
     // pass 1: manually-scored sessions in the window
     val manual = rawWindow.filter(asize(col("reviewers")) > 0)
     syncSessions(manual)
 
     // pass 2: sessions of categories updated since the watermark
+    // (skipped when no categories dimension was ever loaded)
+    if (!tableExists("categories")) {
+      Incremental.writeWatermark(watermarkPath, now)
+      return
+    }
     val changedCats = Incremental.newerThan(
       readTable("categories"), "updated_at", wm).select(col("id"))
     val catRows = rawWindow

@@ -32,6 +32,19 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, ts("2024-01-01 10:00:10"), 200.0, Some(60.0))))
   }
 
+  test("asofBackward keeps payload rows atomic when fields are null") {
+    val l = Seq((1L, 20L)).toDF("k", "lt")
+    val r = Seq(
+      (1L, 10L, Option("a"), Option(1.0)),
+      (1L, 15L, Option.empty[String], Option(5.0)) // later row, null field
+    ).toDF("k", "rt", "s", "v")
+    val out = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("s", "v"))
+      .as[(Long, Long, Option[String], Option[Double])].collect()
+    // must be the 15L row VERBATIM (s=null, v=5.0) — not s="a" carried
+    // over from the older row
+    assert(out === Array((1L, 20L, None, Some(5.0))))
+  }
+
   test("asofBackward carries multiple payload columns and respects keys") {
     val l = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "lt")
     val r = Seq((1L, 5L, "a", 1.0), (1L, 15L, "b", 2.0), (3L, 1L, "x", 9.0))

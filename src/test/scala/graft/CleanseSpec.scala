@@ -35,6 +35,21 @@ class CleanseSpec extends SparkSpec {
       ts("2024-01-01 00:00:03"), ts("2024-01-01 00:00:02")))
   }
 
+  test("rounding floors correctly for pre-1970 (negative-epoch) timestamps") {
+    val df = Seq(
+      "1969-12-31 23:59:58.400000",
+      "1969-12-31 23:59:58.600000",
+      "1969-12-31 23:59:58.500000"  // tie: base second 58 is even -> stays 58
+    ).toDF("s").select(
+      Cleanse.tsRoundSec(col("s").cast("timestamp")).as("up"),
+      Cleanse.tsRoundSecEven(col("s").cast("timestamp")).as("even"))
+    val out = df.collect()
+    assert(out(0).getTimestamp(0) === ts("1969-12-31 23:59:58"))
+    assert(out(1).getTimestamp(0) === ts("1969-12-31 23:59:59"))
+    assert(out(2).getTimestamp(0) === ts("1969-12-31 23:59:59")) // half-up
+    assert(out(2).getTimestamp(1) === ts("1969-12-31 23:59:58")) // half-even
+  }
+
   test("sentinelDate substitutes out-of-pandas-range dates with 1900-01-01") {
     val df = Seq("0001-01-01T00:00:00", "2024-06-26T10:15:44", "1500-01-01T00:00:00", "not a date")
       .toDF("s").select(Cleanse.sentinelDate(col("s")).as("r"))

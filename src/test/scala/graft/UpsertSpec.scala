@@ -40,6 +40,17 @@ class UpsertSpec extends SparkSpec {
     assert(out === Array((1, "a", 1.0), (1, "b", 9.0), (2, "a", 3.0)))
   }
 
+  test("null keys are values: null-keyed updates replace, not duplicate") {
+    val t = Seq((Option(1), "a", 1.0), (Option.empty[Int], "nullrow", 2.0)).toDF("id", "name", "score")
+    val u = Seq((Option.empty[Int], "replaced", 9.0)).toDF("id", "name", "score")
+    val once = Upsert.upsert(t, u, Seq("id"))
+    assert(once.count() === 2)
+    assert(once.filter(col("id").isNull).as[(Option[Int], String, Double)].collect() ===
+      Array((None, "replaced", 9.0)))
+    val twice = Upsert.upsert(once, u, Seq("id"))
+    assert(twice.orderBy("name").collect() === once.orderBy("name").collect())
+  }
+
   test("dedupLastWins keeps the highest-ordering row per key") {
     val batch = Seq((1, "v1", 1), (1, "v2", 2), (2, "w1", 1)).toDF("id", "name", "seq")
     val out = Upsert.dedupLastWins(batch, Seq("id"), "seq")
