@@ -85,29 +85,37 @@ object RunEtl {
     }
 
     val dicts = dictNames.flatMap(n => readEntity(n).map(n -> _)).toMap
-    val sessions0 = readEntity("sessions")
-      .getOrElse(spark.emptyDataFrame)
+    val sessionsOpt = readEntity("sessions")
 
-    // backfill window (EP2, run-et-etl.py:170-190): filter on start_dt
-    val windowed = (opts.startDt, opts.stopDt) match {
-      case (None, None) => sessions0
-      case (s, e) =>
-        import org.apache.spark.sql.functions.{col, lit, to_timestamp}
-        val withStart = s.map(v => col("start_dt").cast("string") >= lit(v))
-        val withStop = e.map(v => col("start_dt").cast("string") < lit(v))
-        (withStart ++ withStop).reduceOption(_ && _)
-          .map(sessions0.filter).getOrElse(sessions0)
+    // backfill window (EP2, run-et-etl.py:170-190): filter on the
+    // PARSED start_dt (salvaging corrupted strings like Transform does
+    // — a lexicographic string compare would silently drop exactly the
+    // rows the salvage path exists to keep)
+    val windowed = sessionsOpt.map { sessions0 =>
+      (opts.startDt, opts.stopDt) match {
+        case (None, None) => sessions0
+        case (s, e) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val ts = graft.ops.Cleanse.tsParseSalvaged(col("start_dt").cast("string"))
+          val withStart = s.map(v => ts >= lit(v).cast("timestamp"))
+          val withStop = e.map(v => ts < lit(v).cast("timestamp"))
+          (withStart ++ withStop).reduceOption(_ && _)
+            .map(sessions0.filter).getOrElse(sessions0)
+      }
     }
     // test-mode cap (run-et-etl.py:146-168, Extract.py:30-31)
-    val sessions = if (opts.testMode) windowed.limit(opts.testLimit) else windowed
+    val sessions = windowed.map(w => if (opts.testMode) w.limit(opts.testLimit) else w)
 
     opts.loadTo match {
       case Some(fmt) =>
-        // EP2 file-sink variant (Load.py:186-224)
+        // EP2 file-sink variant (Load.py:186-224); absent sessions.json
+        // → dims only (the reference's base-dicts-only mode)
         val out = opts.out.getOrElse(opts.warehouse)
-        val t = Transform.sessions(sessions)
-        val range = (opts.startDt.getOrElse("begin"), opts.stopDt.getOrElse("end"))
-        Sinks.write(t.sessions, s"$out/${Sinks.factFileName("sessions", range._1, range._2)}", fmt)
+        sessions.foreach { sess =>
+          val t = Transform.sessions(sess)
+          val range = (opts.startDt.getOrElse("begin"), opts.stopDt.getOrElse("end"))
+          Sinks.write(t.sessions, s"$out/${Sinks.factFileName("sessions", range._1, range._2)}", fmt)
+        }
         dicts.foreach { case (n, df) =>
           Sinks.write(df.drop(dictChildCols(n): _*), s"$out/${Sinks.dimFileName(n)}", fmt)
         }
@@ -118,9 +126,11 @@ object RunEtl {
         // the incremental changed-dim pass compares against last sync,
         // not against the timestamp runDaily just wrote
         val prevWm = graft.sync.Incremental.readWatermark(wm)
-        pipe.runDaily(dicts, sessions, wm, LocalDateTime.now())
-        if (opts.daily)
-          pipe.runIncremental(sessions, wm, LocalDateTime.now(), since = Some(prevWm))
+        pipe.syncBaseDicts(dicts)
+        sessions.foreach(pipe.syncSessions)
+        graft.sync.Incremental.writeWatermark(wm, LocalDateTime.now())
+        if (opts.daily) sessions.foreach(sess =>
+          pipe.runIncremental(sess, wm, LocalDateTime.now(), since = Some(prevWm)))
     }
   }
 

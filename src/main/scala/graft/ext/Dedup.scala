@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup: keep one representative (min id) per normalized-text
-    * fingerprint. One shuffle; map-side partial agg applies.
+    * fingerprint. One full-row shuffle on the 64-bit fingerprint plus a
+    * per-partition sort (window form — no partial aggregation; the
+    * groupBy-keepers + join alternative trades the sort for a second
+    * small (fp,id) shuffle and benchmarked equivalently at 2M rows).
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs

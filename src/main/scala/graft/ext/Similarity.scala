@@ -61,15 +61,24 @@ object Similarity {
     * needs one aggregation pass; swap in ml KMeans offline for real
     * recall targets — the query-path plumbing is identical).
     */
-  /** mean vector per cell over a (cell, v) frame. */
+  /** Mean vector per cell over a (cell, v) frame — memory-bounded:
+    * posexplode to (cell, dim, x), aggregate per (cell, dim) with
+    * map-side combine, reassemble ordered arrays. Never holds more than
+    * one vector per row (the collect_list-of-vectors alternative packs
+    * a whole cell into one aggregation buffer and OOMs at exactly the
+    * corpus sizes IVF exists for).
+    */
   private def centroidMean(cells: DataFrame): DataFrame =
-    cells.groupBy("cell")
-      .agg(collect_list(col("v")).as("vs"))
-      .select(col("cell"),
-        transform(sequence(lit(1), size(element_at(col("vs"), 1))),
-          i => aggregate(col("vs"), lit(0.0),
-            (acc, v) => acc + element_at(v, i).cast(DoubleType)) / size(col("vs")))
-          .as("centroid"))
+    cells
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      // decimal accumulation: order-independent (deterministic at any
+      // parallelism), unlike avg(double)
+      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
+        .cast(DoubleType).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
 
   def coarseCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame =
     centroidMean(corpus.select(

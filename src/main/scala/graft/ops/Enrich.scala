@@ -60,6 +60,11 @@ object Enrich {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       saltBuckets: Int, how: String = "inner"): DataFrame = {
+    // the right side is replicated saltBuckets times, so join types
+    // that emit unmatched RIGHT rows would emit them once per bucket
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(how.toLowerCase),
+      s"saltedJoin: '$how' would duplicate unmatched right rows across salt buckets")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
     val expanded = right

@@ -83,6 +83,13 @@ object Upsert {
     * partitions the updates batch touches (dynamic partition overwrite).
     * This is the O(delta) path that makes daily sync viable at 100 TB —
     * the naive alternative rewrites the whole table (§7.4).
+    *
+    * CONTRACT: the partition column must be stable per key (a key never
+    * moves between partitions — true for the reference's facts, keyed
+    * by session id with an immutable start date). An update that moves
+    * a key to a new partition value would leave the old row in its
+    * untouched partition; use the full-table [[upsert]] for mutable
+    * partition columns.
     */
   def upsertPartitioned(
       spark: SparkSession,

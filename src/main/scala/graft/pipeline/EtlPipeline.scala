@@ -53,6 +53,7 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       case None => batch
     }
     val path = tablePath(name)
+    recoverInterruptedSwap(path)
     // existence is checked explicitly — a transient READ failure must
     // abort the merge, not silently replace the table with the batch
     val existing =
@@ -64,15 +65,48 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
         Upsert.upsert(t, reconciled.select(t.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*), keys)
       case None => reconciled
     }
-    // rewrite via temp dir: Spark can't overwrite a path it is reading
+    // rewrite via temp dir: Spark can't overwrite a path it is reading.
+    // Swap order matters for crash safety: the old table is RENAMED
+    // aside (not deleted) before the new one moves in, so every crash
+    // window leaves either the old table, or a recoverable __new with
+    // its _SUCCESS marker — never nothing (recoverInterruptedSwap picks
+    // these up on the next run).
     val tmp = s"$path.__new"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
   }
+
+  /** Heal a swap interrupted mid-flight: a completed __new (has
+    * _SUCCESS) with no live table is promoted; a leftover __old beside
+    * a live table is garbage-collected; an orphaned __old with NO live
+    * table is restored.
+    */
+  private def recoverInterruptedSwap(path: String): Unit = {
+    val fs = hadoopFs
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val neu = new org.apache.hadoop.fs.Path(s"$path.__new")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    if (!fs.exists(dst)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.__new/_SUCCESS"))) {
+        fs.rename(neu, dst) // crash after old moved aside, before promote
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.rename(old, dst) // crash before a complete __new existed
+      }
+    } else {
+      fs.delete(old, true)
+      fs.delete(neu, true)
+    }
+  }
+
+  private def hadoopFs =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
 
@@ -137,23 +171,24 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
 
   /** EP1 step 5 — the incremental late-data pass (run-et-etl.py:66-116):
     *
-    *  1. re-upsert sessions from the trailing `nDays` window that carry
-    *     manual scores ("is_scored,manual" filter: late QA reviews
-    *     appear days after the conversation, run-et-etl.py:84-93);
+    *  1. re-upsert sessions in `rawWindow` that carry manual scores
+    *     ("is_scored,manual" filter: late QA reviews appear days after
+    *     the conversation, run-et-etl.py:84-93);
     *  2. re-upsert sessions whose categories changed since the last
     *     watermark (`updated_at`-driven invalidation,
     *     run-et-etl.py:95-106) — here: sessions referencing a changed
     *     category id.
     *
-    * `rawWindow` plays the role of the re-extract (the source re-read of
-    * the window — with partition pruning this is O(window)); semantics
-    * of both passes are plain upserts, so re-running is idempotent.
+    * `rawWindow` IS the trailing re-extract: the caller bounds it (the
+    * reference bounds at the source with a 30-day date filter; build the
+    * predicate with [[Incremental.resyncWindow]] — with partition
+    * pruning that re-read is O(window)). Both passes are plain upserts,
+    * so re-running is idempotent.
     */
   def runIncremental(
       rawWindow: DataFrame,
       watermarkPath: String,
       now: LocalDateTime,
-      nDays: Int = 30,
       since: Option[LocalDateTime] = None): Unit = {
     import org.apache.spark.sql.functions.{col, size => asize}
     // `since` lets a caller that already advanced the watermark (e.g.

@@ -75,11 +75,14 @@ object StreamSync {
       val prev =
         if (state.exists()) state.get()
         else UserStats(key, 0L, 0.0, new java.sql.Timestamp(0L))
+      // lastSeen must be monotone: a late micro-batch can deliver
+      // events OLDER than what's already in state
+      val batchMax = batch.map(_.ts).maxByOption(_.getTime)
       val next = UserStats(
         key,
         prev.nEvents + batch.size,
         prev.totalValue + batch.map(_.value).sum,
-        batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.lastSeen))
+        batchMax.filter(_.getTime > prev.lastSeen.getTime).getOrElse(prev.lastSeen))
       state.update(next)
       Iterator.single(next)
     }
