@@ -445,6 +445,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_percentiles" -> ((s, d) =>
+      // exact interpolated percentiles (median/p90) per group
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "q_range_join" -> ((s, d) => {
       // range (band) join: non-equi predicate against a broadcast
       // interval dimension — each order lands in its price band
@@ -904,6 +913,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.tss, r.ref_value
         |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_range_join" ->
       """WITH bands(band, lo, hi) AS (
