@@ -445,6 +445,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_fk_orphans" -> ((s, d) => {
+      // referential-integrity audit: lineitems without a parent order
+      // (plus a synthesized orphan so the check provably fires)
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+        .unionByName(s.range(1).select(
+          lit(-999L).as("l_orderkey"), lit(1).as("l_linenumber")))
+      graft.ops.Validate.fkOrphans(li, o, "l_orderkey", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_percentiles" -> ((s, d) =>
       // exact interpolated percentiles (median/p90) per group
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -913,6 +924,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.tss, r.ref_value
         |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_fk_orphans" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL SELECT CAST(-999 AS BIGINT), 1)
+        |SELECT l_orderkey, l_linenumber FROM li
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

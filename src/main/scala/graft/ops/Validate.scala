@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse integrity checks — the constraints the reference declares
+  * in SQLAlchemy (PKs, uniques, FKs; `ET-ETL-DWH-PY312/ETL/schema.py`)
+  * but that a parquet store cannot enforce. Each check returns a
+  * violations DataFrame (empty = healthy) so callers choose
+  * fail-fast (`require(df.isEmpty)`) or audit-report semantics.
+  *
+  * All checks are single aggregations / anti-joins — scale-safe.
+  */
+object Validate {
+
+  /** Key tuples appearing more than once (must be empty post-upsert). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Child rows whose FK has no parent (referential orphans). */
+  def fkOrphans(child: DataFrame, parent: DataFrame,
+                childFk: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+      child(childFk) === parent(parentKey), "left_anti")
+
+  /** Rows with nulls in declared non-nullable columns. */
+  def nullViolations(df: DataFrame, notNullCols: Seq[String]): DataFrame =
+    notNullCols.filter(df.columns.contains) match {
+      case Nil => df.limit(0)
+      case cols => df.filter(cols.map(col(_).isNull).reduce(_ || _))
+    }
+
+  /** One-line health report per table: row count + violation counts for
+    * the declared key/not-null constraints.
+    */
+  final case class TableHealth(table: String, rows: Long,
+                               duplicateKeyGroups: Long, nullKeyRows: Long)
+  def health(name: String, df: DataFrame, keys: Seq[String]): TableHealth =
+    TableHealth(
+      name,
+      df.count(),
+      duplicateKeys(df, keys).count(),
+      nullViolations(df, keys).count())
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.ops.Validate
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateKeys flags multi-row key groups only") {
+    val df = Seq((1, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)).toDF("id", "sub", "v")
+    assert(Validate.duplicateKeys(df, Seq("id")).as[(Int, Long)].collect() === Array((1, 2L)))
+    assert(Validate.duplicateKeys(df, Seq("id", "sub")).isEmpty)
+  }
+
+  test("fkOrphans finds childless rows; healthy FK graph is empty") {
+    val parent = Seq((10, "p")).toDF("pid", "pname")
+    val child = Seq((1, 10), (2, 99)).toDF("cid", "fk")
+    val orphans = Validate.fkOrphans(child, parent, "fk", "pid")
+    assert(orphans.select("cid").as[Int].collect() === Array(2))
+    val healthy = Seq((1, 10)).toDF("cid", "fk")
+    assert(Validate.fkOrphans(healthy, parent, "fk", "pid").isEmpty)
+  }
+
+  test("nullViolations catches nulls in declared columns, skips absent ones") {
+    val df = Seq((Option(1), Option("a")), (Option.empty[Int], Option("b")),
+      (Option(3), Option.empty[String])).toDF("id", "name")
+    assert(Validate.nullViolations(df, Seq("id")).count() === 1)
+    assert(Validate.nullViolations(df, Seq("id", "name")).count() === 2)
+    assert(Validate.nullViolations(df, Seq("not_a_col")).count() === 0)
+  }
+
+  test("health summarizes a loaded warehouse table") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v")
+    val h = Validate.health("t", df, Seq("id"))
+    assert(h === Validate.TableHealth("t", 3, 1, 0))
+  }
+}
