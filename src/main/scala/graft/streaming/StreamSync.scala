@@ -104,6 +104,29 @@ object StreamSync {
       .transformWithState(new UserStatsProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream-stream inner join within a time tolerance: each left event
+    * pairs with right events of the same key whose timestamp lies in
+    * [leftTs - tolerance, leftTs + tolerance]. Watermarks on BOTH sides
+    * + the range condition let Spark expire join state — without them
+    * stream-stream state grows forever. The streaming analog of the
+    * sessions⨝details enrichment.
+    *
+    * Column name contract: both inputs keep their own column names,
+    * which must not collide except the key.
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      tolerance: String, lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"))
+      .drop(r(key))
+  }
+
   /** Sessionization by inactivity gap — `session_window` built-in; the
     * conversation-analytics analog of grouping events into sessions.
     */

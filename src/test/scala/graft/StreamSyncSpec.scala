@@ -32,6 +32,31 @@ class StreamSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin pairs events within tolerance, per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamSync.streamIntervalJoin(
+      clicks.toDF().toDF("user_id", "c_ts", "click_id"),
+      views.toDF().toDF("user_id", "v_ts", "view_id"),
+      "user_id", "c_ts", "v_ts", tolerance = "10 minutes", lateness = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "c1"),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), "c2"))
+      views.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "v1"), // within 10 min
+        (1L, Timestamp.valueOf("2024-01-01 11:00:00"), "v2"), // outside
+        (2L, Timestamp.valueOf("2024-01-01 09:55:00"), "v3")) // within (before)
+      q.processAllAvailable()
+      val out = spark.table("ssj").select("user_id", "click_id", "view_id")
+        .orderBy("user_id").as[(Long, String, String)].collect()
+      assert(out === Array((1L, "c1", "v1"), (2L, "c2", "v3")))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
