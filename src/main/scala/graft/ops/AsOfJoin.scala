@@ -24,10 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Forward direction: the EARLIEST right row with `rightTs >= leftTs`
+    * — "next reading at or after". Same union shape with the sort and
+    * carry reversed.
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame =
+    asof(left, right, key, leftTs, rightTs, payloadCols, forward = true)
+
   def asofBackward(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asof(left, right, key, leftTs, rightTs, payloadCols, forward = false)
+
+  private def asof(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // the payload travels as ONE struct (non-null per right row even
     // when individual fields are null) so the window carry is atomic —
@@ -36,8 +52,10 @@ object AsOfJoin {
     val payloadStructR = struct(payloadCols.map(col).toIndexedSeq: _*)
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c)))
-    // right side first at equal timestamps (side=0 sorts before side=1),
-    // so an exactly-simultaneous right row IS visible to the left row
+    // right side first at equal timestamps in the scan direction
+    // (side=0 sorts before side=1 ascending; window below flips the
+    // frame for forward), so an exactly-simultaneous right row IS
+    // visible to the left row in both directions
     val taggedRight = right.select(
       (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         payloadStructR.as("__p") +:
@@ -47,9 +65,15 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("__p") +:
         leftCols.map(col)): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward)
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__ts").desc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__ts").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__c.`$c`").as(c)): _*)

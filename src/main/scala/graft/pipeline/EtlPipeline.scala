@@ -110,6 +110,17 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
 
   def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
 
+  /** Post-load integrity audit over every materialized table: key
+    * uniqueness + null keys per the declared constraints
+    * (schema.py uniques → [[Schemas.upsertKeys]]). Empty violations on
+    * a healthy warehouse; the reference's dry-run validator analog
+    * (Load.py:33-60) running against the store instead of the payload.
+    */
+  def auditHealth(): Seq[graft.ops.Validate.TableHealth] =
+    Schemas.upsertKeys.keys.toSeq.sorted
+      .filter(tableExists)
+      .map(n => graft.ops.Validate.health(n, readTable(n), Schemas.upsertKeys(n)))
+
   def tableExists(name: String): Boolean = pathExists(tablePath(name))
 
   private def pathExists(path: String): Boolean = {

@@ -32,6 +32,17 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, ts("2024-01-01 10:00:10"), 200.0, Some(60.0))))
   }
 
+  test("asofForward picks the earliest right row at or after each left ts") {
+    val l = Seq((1L, 10L), (1L, 16L), (1L, 99L)).toDF("k", "lt")
+    val r = Seq((1L, 12L, "a"), (1L, 16L, "b"), (1L, 30L, "c")).toDF("k", "rt", "s")
+    val out = AsOfJoin.asofForward(l, r, "k", "lt", "rt", Seq("s"))
+      .orderBy("lt").as[(Long, Long, Option[String])].collect()
+    assert(out === Array(
+      (1L, 10L, Some("a")),  // next reading after 10 is 12
+      (1L, 16L, Some("b")),  // equal ts matches
+      (1L, 99L, None)))      // nothing after 99
+  }
+
   test("asofBackward keeps payload rows atomic when fields are null") {
     val l = Seq((1L, 20L)).toDF("k", "lt")
     val r = Seq(

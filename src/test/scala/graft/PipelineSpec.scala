@@ -111,6 +111,14 @@ class PipelineSpec extends SparkSpec {
       assert(pipe.readTable(n).count() === c, s"table $n diverged on re-run")
     }
     assert(Incremental.readWatermark(wm) === LocalDateTime.of(2024, 6, 29, 0, 5))
+
+    // post-load audit: every table key-unique, no null keys
+    val health = pipe.auditHealth()
+    assert(health.nonEmpty)
+    health.foreach { h =>
+      assert(h.duplicateKeyGroups === 0, s"${h.table} has duplicate keys")
+      assert(h.nullKeyRows === 0, s"${h.table} has null keys")
+    }
   }
 
   test("categories transform: labels flatten, per-row absent labels, ts round") {
