@@ -76,6 +76,43 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: asofBackward payload ts never exceeds the left ts") {
+    val tsGen = Gen.choose(0L, 100L)
+    check("asof-invariant", Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1, 3), tsGen)),
+      Gen.listOf(Gen.zip(Gen.choose(1, 3), tsGen))) { (l0, r0) =>
+      val l = l0.distinct.map { case (k, t) => (k, t) }.toDF("k", "lt")
+      val r = r0.distinct.map { case (k, t) => (k, t, t) }.toDF("k", "rt", "rts_payload")
+        .dropDuplicates("k", "rt")
+      val out = graft.ops.AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("rts_payload"))
+        .as[(Int, Long, Option[Long])].collect()
+      // every matched payload carries a right-ts <= left-ts, and it is
+      // the LATEST such right ts for that key
+      out.forall { case (k, lt, p) =>
+        val eligible = r0.distinct.filter { case (rk, rt) => rk == k && rt <= lt }
+        p match {
+          case None => eligible.isEmpty
+          case Some(v) => eligible.nonEmpty && v == eligible.map(_._2).max
+        }
+      }
+    })
+  }
+
+  test("property: decontaminate output shares no n-gram with the benchmark") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    check("decontaminate", Prop.forAll(
+      Gen.listOf(textGen), Gen.listOf(textGen)) { (corpus0, bench0) =>
+      val corpus = corpus0.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = bench0.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val clean = graft.ext.Corpus.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+        .as[(Long, String)].collect()
+      def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val benchGrams = bench0.flatMap(grams).toSet
+      clean.forall { case (_, t) => grams(t).intersect(benchGrams).isEmpty }
+    })
+  }
+
   test("property: dedupLastWins output is key-unique, keeps max-seq row") {
     val seqRowGen = for {
       id <- Gen.choose(1, 5); v <- Gen.choose(0, 50); seq <- Gen.choose(1, 20)
