@@ -172,6 +172,17 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_orderdate", "li_l_linenumber", "li_l_partkey")
     }),
 
+    "q19_flatten_outer" -> ((s, d) => {
+      // outer flatten: customers WITHOUT orders keep a null-order row
+      // (LEFT-join semantics; inner explode would drop them)
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val nested = Flatten.nestChild(c, o, "c_custkey", "o_custkey", "ords")
+      Flatten.explodeChildOuter(nested, "ords", Seq("c_custkey" -> "c_custkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
     "q20_flatten_two_level" -> ((s, d) => {
       // two-level explode chain (sessions.scores[].point_scores[], Transform.py:205-218)
       // quarter sample: the nest construction (test-harness inverse of
@@ -732,6 +743,13 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey % 2 = 0
         |ORDER BY o.o_orderkey, o.o_orderdate, li_l_linenumber, li_l_partkey""".stripMargin,
+
+    "q19_flatten_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "q20_flatten_two_level" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity

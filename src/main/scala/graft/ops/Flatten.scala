@@ -44,6 +44,31 @@ object Flatten {
     exploded.select(parentKeys.map(k => col(k._2)) ++ childCols: _*)
   }
 
+  /** Outer variant: parents with empty/null child arrays KEEP one row
+    * with null child columns (LEFT-join semantics; `explodeChild`'s
+    * inner semantics match the reference's child tables).
+    */
+  def explodeChildOuter(
+      df: DataFrame,
+      child: String,
+      parentKeys: Seq[(String, String)],
+      childPrefix: String = "",
+      renames: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val parents = parentKeys.map { case (src, tgt) => col(src).as(tgt) }
+    val exploded = df.select(parents :+ explode_outer(col(child)).as("__c"): _*)
+    val childFields = df.schema(child).dataType match {
+      case ArrayType(s: StructType, _) => s.fieldNames.toSeq
+      case other => throw new IllegalArgumentException(
+        s"explodeChildOuter: $child must be array<struct>, got $other")
+    }
+    val childCols = childFields.map { f =>
+      val name = renames.getOrElse(f, childPrefix + f)
+      col(s"__c.`$f`").as(name)
+    }
+    exploded.select(parentKeys.map(k => col(k._2)) ++ childCols: _*)
+  }
+
   /** Two-level flatten: explode `child`, then explode `grandchild` within
     * it, carrying parent keys through both levels. Mirrors the chained
     * json_normalize of sessions.tags[].match[] (Transform.py:184-192) and
