@@ -567,21 +567,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "x_dedup_minhash" -> ((s, d) =>
-      // rows-only: minhash signature uses engine-native xxhash64
+      // portable FNV-1a signatures — the oracle replays the FULL LSH
+      // pipeline (signatures, banding, bucket join, est_jaccard)
       Dedup.minhashNearDups(
           t(s, d, "documents").filter(col("doc_id") < 300),
           "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     "x_dedup_simhash" -> ((s, d) =>
-      // rows-only: simhash bit votes use engine-native xxhash64
+      // rotations=8 × prefixBits=8 = 8 disjoint blocks → EXACT for
+      // hamming ≤ 7 (pigeonhole), so the oracle is brute-force all-pairs
       Dedup.simhashNearDups(
           t(s, d, "documents").filter(col("doc_id") < 300),
-          "text", "doc_id", shingleSize = 3, maxHamming = 8, prefixBits = 8)
+          "text", "doc_id", shingleSize = 3, maxHamming = 7, prefixBits = 8,
+          rotations = 8)
         .orderBy("id_a", "id_b")),
 
     "x_fingerprint" -> ((s, d) =>
-      // rows-only: xxhash64 fingerprint (engine-native hash)
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -608,6 +610,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(
           t(s, d, "embeddings").filter(col("vec_id") < 300),
           "embedding", "vec_id", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "x_embed_neardup_bucketed" -> ((s, d) =>
+      // rows-only: approximate (IVF cell-bucketed candidates) — runs the
+      // FULL embeddings table, no cap; recall vs exact pairs is asserted
+      // in DedupSpec
+      Dedup.embeddingNearDupsBucketed(
+          t(s, d, "embeddings"),
+          "embedding", "vec_id", threshold = 0.4, nCells = 16, nProbe = 4)
         .orderBy("id_a", "id_b")),
 
     // ---- ext: text analysis ----
@@ -662,6 +673,36 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** DuckDB fragment: FNV-1a 64 over the ASCII string expression `s`
+    * (unsigned HUGEINT) — byte-for-byte the math of
+    * [[graft.functions.Fnv1a64]] (128-bit ints stand in for Java's
+    * wraparound multiply).
+    */
+  private def fnvSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($s) + 1), i -> CAST(ord($s[i]) AS HUGEINT))), " +
+      "(acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)"
+
+  /** DuckDB fragment: reinterpret an unsigned-mod-2⁶⁴ HUGEINT as the
+    * signed BIGINT Java/Spark carries.
+    */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - 18446744073709551616 " +
+      s"ELSE $u END AS BIGINT)"
+
+  /** (seed, a, b) VALUES rows mirroring [[Dedup.permuteConsts]] (b as an
+    * unsigned literal — DuckDB side works mod 2⁶⁴).
+    */
+  private def seedRowsSql: String = (0 until 64).map { i =>
+    val (a, b) = Dedup.permuteConsts(i)
+    s"($i, CAST($a AS HUGEINT), CAST(${java.lang.Long.toUnsignedString(b)} AS HUGEINT))"
+  }.mkString(", ")
+
+  /** (bit, 2^bit) VALUES rows for the simhash bit extraction. */
+  private def bitRowsSql: String = (0 until 64).map { b =>
+    s"($b, CAST(${java.math.BigInteger.ONE.shiftLeft(b)} AS HUGEINT))"
+  }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
@@ -1042,6 +1083,65 @@ object SparkEntry {
         |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full LSH replay: FNV-1a shingle hashes → 64 permuted mins → 16
+    // band buckets → bucket self-join → positional signature agreement
+    "x_dedup_minhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
+         |perm AS (
+         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
+         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
+         |bs AS (
+         |  SELECT doc_id, band,
+         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
+         |  FROM sig CROSS JOIN range(16) t(band)),
+         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cand JOIN sig s1 ON cand.id_a = s1.doc_id JOIN sig s2 ON cand.id_b = s2.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // rotations=8/prefixBits=8 is exact for hamming ≤ 7 (8 disjoint
+    // blocks, pigeonhole) → oracle is brute-force all-pairs hamming
+    "x_dedup_simhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |bits(bit, p) AS (VALUES $bitRowsSql),
+         |votes AS (
+         |  SELECT doc_id, bit, p, sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN bits GROUP BY doc_id, bit, p),
+         |shu AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u FROM votes GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ${fnvSql("nt")} AS hu FROM n)
+         |SELECT doc_id, ${signedSql("hu")} AS fp FROM hh ORDER BY doc_id""".stripMargin,
 
     "x_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -41,14 +41,18 @@ object Dedup {
     * Pure column expressions; one pass, no shuffle.
     */
   /** deterministic odd multiplier + offset for hash function i
-    * (odd-a wraparound multiply mod 2⁶⁴ is a bijection).
+    * (odd-a wraparound multiply mod 2⁶⁴ is a bijection). `a` is kept
+    * below 2³¹ so an oracle engine with 128-bit ints can replicate
+    * a·x + b mod 2⁶⁴ in one multiply (2³¹·2⁶⁴ < 2¹²⁷); the input is
+    * already a well-mixed 64-bit FNV hash so a small odd multiplier
+    * loses no minhash quality.
     */
-  private def permuteConsts(seed: Int): (Long, Long) = (
-    2 * (0x9E3779B97F4A7C15L * (seed + 1) ^ (seed * 0xC2B2AE3D27D4EB4FL)) + 1,
+  private[graft] def permuteConsts(seed: Int): (Long, Long) = (
+    2 * ((0x9E3779B97F4A7C15L * (seed + 1) ^ (seed * 0xC2B2AE3D27D4EB4FL)) & 0x3FFFFFFFL) + 1,
     0x165667B19E3779F9L * (seed + 13))
 
   def minhashSignature(shingles: Column, k: Int): Column = {
-    val baseHashes = transform(shingles, s => xxhash64(s))
+    val baseHashes = transform(shingles, s => graft.functions.VectorExpressions.fnv1a64(s))
     array((0 until k).map { seed =>
       val (a, b) = permuteConsts(seed)
       array_min(transform(baseHashes,
@@ -69,7 +73,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode(TextOps.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .select(col("id"), graft.functions.VectorExpressions.fnv1a64(col("sh")).as("h"))
     val minCols = (0 until k).map { seed =>
       val (a, b) = permuteConsts(seed)
       min(graft.functions.VectorExpressions.hashPermute(col("h"), a, b)).as(s"m$seed")
@@ -88,8 +92,8 @@ object Dedup {
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("bucket"))
+        graft.functions.VectorExpressions.fnv1a64(concat_ws(",", lit(b),
+          slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
     }: _*)
   }
 
@@ -100,31 +104,48 @@ object Dedup {
     * Shuffle profile: one shuffle on band-bucket (the join), candidate
     * set ≪ n²; the verify step is a map over joined rows. At 100 TB,
     * tune `bands`/`k` for the target threshold (threshold ≈
-    * (1/bands)^(1/rowsPerBand)) so buckets stay small, and salt any hot
-    * bucket (boilerplate docs) before the self-join.
+    * (1/bands)^(1/rowsPerBand)) so buckets stay small.
+    *
+    * `maxBucketSize`: a (band, bucket) holding m docs contributes
+    * O(m²) candidate pairs; boilerplate corpora (license headers,
+    * templated pages) produce a few huge buckets that dominate the join
+    * (the skew failure mode SCALE.md names). With the cap on, buckets
+    * larger than `maxBucketSize` are dropped BEFORE the self-join —
+    * near-identical docs in a dropped bucket still pair through their
+    * other `bands - 1` buckets, so recall for true near-dups degrades
+    * gracefully while the worst-case candidate count becomes
+    * Σ min(|bucket|, cap)².
     */
   def minhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
     val signed = minhashSignatureDf(docs, textCol, idCol, shingleSize, k)
-    val banded = signed
+    val banded0 = signed
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        val hot = banded0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("band"), col("bucket"))
+        banded0.join(hot, Seq("band", "bucket"), "left_anti")
+    }
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    // est_jaccard is identical for duplicate pair rows (same signatures),
+    // so verify + filter BEFORE the pair dedup: the dedup shuffle then
+    // carries only the (tiny) surviving pair set, not every candidate
+    // with two full k-long signatures
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / lit(k.toDouble))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), m => m))
+          .cast(DoubleType) / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- SimHash ----
@@ -143,7 +164,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode(TextOps.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", graft.functions.VectorExpressions.fnv1a64(col("sh")))
     val voteCols = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"v$bit")
@@ -166,6 +187,14 @@ object Dedup {
     * hamming ≤ d pairs the miss probability shrinks geometrically with
     * r (the classic Charikar/Manku block-permutation scheme).
     * rotations=1 is the cheap prefix-only variant.
+    *
+    * FULL-RECALL configuration: when `prefixBits == 64/rotations` the
+    * rotated prefixes are exactly `rotations` disjoint aligned blocks
+    * covering all 64 bits, so by pigeonhole any pair with
+    * `hamming < rotations` shares at least one clean block and is
+    * GUARANTEED to be found (e.g. rotations=8, prefixBits=8 is exact
+    * for maxHamming ≤ 7) — which is what lets the DuckDB oracle check
+    * this operator against brute-force all-pairs hamming.
     */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
@@ -183,14 +212,14 @@ object Dedup {
     val bucketed = hashed.select(col("id"), col("sh"), rot.as("rb"))
       .select(col("id"), col("sh"), col("rb.r").as("r"), col("rb.b").as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
+    // hamming is identical for duplicate pair rows — filter before the
+    // pair dedup so only near-dups shuffle (same reshape as minhash)
     a.join(b, col("a.r") === col("b.r") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- exact-verified n-gram Jaccard ----
@@ -240,8 +269,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs — see [[Similarity.cosine]]
-    * for the math; bucketing via [[Similarity]] IVF at scale.
+  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs form.
+    * O(n²) pair space — this is the *verification oracle / bounded-scope*
+    * path only (tests, post-bucketing audit of a sample). At corpus
+    * scale use [[embeddingNearDupsBucketed]].
     */
   def embeddingNearDups(
       embs: DataFrame, vecCol: String, idCol: String,
@@ -252,5 +283,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-dups at scale: IVF cell-bucketed pair
+    * generation instead of the all-pairs join. Each vector is assigned
+    * to its `nProbe` nearest coarse centroids (multi-probe assignment —
+    * the standard recall fix for pairs straddling a cell boundary);
+    * candidate pairs are generated only *within* a cell, then verified
+    * with the exact codegen'd cosine kernel.
+    *
+    * Shuffle profile: centroids are broadcast (tiny); the corpus
+    * shuffles ONCE on `cell` for the self-join; pair space is
+    * Σ_cells |cell|² instead of n². Size `nCells` ≈ n / targetCellSize
+    * (e.g. 1M vectors / 1k-per-cell = 1024 cells) so per-cell pair
+    * blocks stay bounded; recall for true near-dups (cos ≥ ~0.9) is
+    * high because near-identical vectors share a nearest centroid, and
+    * multi-probe covers boundary pairs (DedupSpec measures it against
+    * the exact pairs).
+    */
+  def embeddingNearDupsBucketed(
+      embs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2,
+      lloydIterations: Int = 1): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = Similarity.refineCentroids(e,
+      Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
+    // multi-probe assignment: rank centroids per vector (codegen'd
+    // cosine kernel — ranking-equivalent to dot/|centroid|), keep top nProbe
+    val scored = e.crossJoin(broadcast(cents
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("id"), col("v"), col("cell"))
+    // equi-join on cell — NOT a cartesian. Verify cosine and FILTER
+    // map-side, BEFORE the (id_a, id_b) dedup: only surviving near-dup
+    // pairs (tiny) ever shuffle, instead of every candidate row carrying
+    // two full vectors. cos is identical for duplicate pair rows, so
+    // filter-then-dedup ≡ dedup-then-filter.
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.VectorExpressions.cosineF(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

@@ -109,8 +109,13 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("cv"), col("centroid")) / norm(col("centroid")))
+    // rank by cosine via the codegen'd float kernel (centroids cast to
+    // float once, broadcast): cosine = dot/(|v||c|) ranks cells
+    // identically to dot/|c| for a fixed vector, and the interpreted
+    // HOF dot was the hot spot of every assignment pass
+    val scored = c.crossJoin(broadcast(centroids
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", VectorExpressions.cosineF(col("cv"), col("cf")))
     val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("corpus_id"), col("cv"), col("cell"))
@@ -124,8 +129,9 @@ object Similarity {
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("qv"), col("centroid")) / norm(col("centroid")))
+    val qCells = q.crossJoin(broadcast(centroids
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", VectorExpressions.cosineF(col("qv"), col("cf")))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
     val probes = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe).select(col("query_id"), col("qv"), col("cell"))

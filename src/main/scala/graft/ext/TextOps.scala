@@ -110,12 +110,14 @@ object TextOps {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
-  /** 64-bit rolling-style document fingerprint: xxhash64 over the
+  /** 64-bit document fingerprint: portable FNV-1a over the
     * whitespace-normalized, lowercased text — cheap exact-dup key that is
-    * robust to whitespace/case jitter.
+    * robust to whitespace/case jitter, reproducible outside the engine
+    * (see [[graft.functions.Fnv1a64]]).
     */
   def fingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    graft.functions.VectorExpressions.fnv1a64(
+      lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Word shingles (n consecutive tokens joined by a space) — the shared
     * substrate of MinHash / Jaccard dedup in [[Dedup]].

@@ -93,6 +93,55 @@ case class HashPermute(child: Expression, a: Long, b: Long)
     copy(child = newChild)
 }
 
+/** FNV-1a 64-bit over a string's UTF-8 bytes. Chosen over the engine's
+  * `xxhash64` for the dedup fingerprint/MinHash/SimHash substrate because
+  * it is PORTABLE: the same value is reproducible in any engine with
+  * 128-bit integer math (one xor + one multiply mod 2⁶⁴ per byte), which
+  * is what lets the DuckDB oracle replicate signatures bit-for-bit.
+  * Wraparound multiply needs native code under ANSI mode (same reason as
+  * [[HashPermute]]). Codegen'd tight byte loop — same shape as xxhash64.
+  */
+case class Fnv1a64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fnv1a64 expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(x: Any): Any = {
+    val bytes = x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h ^ ($bytes[$i] & 0xffL)) * 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -112,4 +161,8 @@ object VectorExpressions {
   /** wraparound a·x + b (see [[HashPermute]]). */
   def hashPermute(x: Column, a: Long, b: Long): Column =
     GraftBridge.column(HashPermute(expr(x), a, b))
+
+  /** portable FNV-1a 64-bit string hash (see [[Fnv1a64]]). */
+  def fnv1a64(s: Column): Column =
+    GraftBridge.column(Fnv1a64(expr(s)))
 }

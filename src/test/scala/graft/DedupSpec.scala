@@ -65,6 +65,29 @@ class DedupSpec extends SparkSpec {
     assert(m.contains((1L, 2L)) || m.contains((2L, 3L))) // high-sim pair caught by LSH
   }
 
+  test("minhashNearDups maxBucketSize drops boilerplate mega-buckets, keeps clean pairs") {
+    // 30 identical boilerplate docs → one mega-bucket per band → O(m²)
+    // candidate pairs dominating the join (the skew failure mode)
+    val boiler = (100L until 130L)
+      .map(i => (i, "copy paste boilerplate license header text exactly the same every time"))
+    val mixed = docs.union(boiler.toDF("doc_id", "text"))
+    val uncapped = Dedup.minhashNearDups(mixed, "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+    assert(uncapped.count() >= 30L * 29 / 2) // 435 boilerplate pairs alone
+    val capped = Dedup.minhashNearDups(mixed, "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, threshold = 0.5, maxBucketSize = Some(5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every bucket holding the 30 boilerplate docs exceeds the cap, so
+    // their pair space is gone entirely...
+    assert(!capped.exists(_._1 >= 100L))
+    // ...while the small-corpus buckets (≤3 docs) are untouched: the
+    // clean fixture's pairs survive identically
+    val cleanUncapped = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === cleanUncapped)
+  }
+
   test("simhash: identical docs hash identically; near-dups are close") {
     val hashed = Dedup.simhashDf(docs, "text", "doc_id", shingleSize = 3)
       .as[(Long, Long)].collect().toMap
@@ -90,6 +113,33 @@ class DedupSpec extends SparkSpec {
     // identical docs (1,3) must be found by every variant
     assert(p4.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
     assert(p1.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
+  test("embeddingNearDupsBucketed: no cartesian, no false positives, high recall vs exact") {
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(_ => vec())
+    // 40 random bases + 20 planted near-dups (tiny perturbations of bases 0..19):
+    // the planted pairs are the ground-truth near-dup set at threshold 0.95
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 20).map { i =>
+        (100L + i, base(i).map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+      }
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(e, "embedding", "vec_id", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20) // all planted pairs visible to the exact path
+    val bucketed = Dedup.embeddingNearDupsBucketed(e, "embedding", "vec_id",
+      threshold = 0.95, nCells = 8, nProbe = 2)
+    val got = bucketed.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the final cosine verify is exact, so bucketing can only MISS pairs,
+    // never invent them
+    assert(got.subsetOf(exact))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"bucketed recall $recall below 0.9 (got ${got.size}/${exact.size})")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must be a cell equi-join, not a cartesian")
   }
 
   test("embeddingNearDups finds identical vectors") {

@@ -28,6 +28,18 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fnv1a64 known answers, empty string, and null") {
+    // reference values from the canonical FNV-1a 64 definition
+    // (offset basis 0xcbf29ce484222325, prime 0x100000001b3)
+    val df = Seq(Some("hello world"), Some("a"), Some(""), None).toDF("s")
+      .select(VectorExpressions.fnv1a64(col("s")).as("h"))
+    val out = df.collect()
+    assert(out(0).getLong(0) === 8618312879776256743L)
+    assert(out(1).getLong(0) === -5808556873153909620L)
+    assert(out(2).getLong(0) === 0xcbf29ce484222325L) // empty → offset basis
+    assert(out(3).isNullAt(0))
+  }
+
   test("dotF null semantics and empty arrays") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
