@@ -35,6 +35,70 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Nested "sessions" payload fixture for the Q22–Q27 per-site flatten
+    * queries: orders = sessions, lineitem-derived children, nested with
+    * [[Flatten.nestChild]] (the harness inverse, as in q17–q20). One
+    * fixture carries ALL seven children so `Transform.sessions` runs
+    * against the reference's full payload shape (Transform.py:166-297);
+    * built once per (session, dir) and persisted because every child
+    * query re-enters through it. Quarter sample — the nest construction
+    * is the harness; the flatten under test is scale-invariant.
+    */
+  private val sessionsRawCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sessionsRaw(s: SparkSession, d: String): DataFrame =
+    sessionsRawCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("id"), col("o_orderdate").as("start_dt"),
+          col("o_custkey").as("agent_id"), col("o_totalprice").as("amount"))
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+
+      // tags[].match[]: tag = distinct (order, part); match rows carry
+      // tag_id AND tag_session_id (the collision field the call site
+      // must drop). tk multiplier exceeds max partkey at test SFs.
+      val matchRows = li.select(
+        (col("l_orderkey") * 100000 + col("l_partkey")).as("tk"),
+        col("l_partkey").as("tag_id"), col("l_orderkey").as("tag_session_id"),
+        col("l_linenumber"), col("l_quantity"))
+      val tagLevel = li.select(col("l_orderkey"), col("l_partkey").as("id")).distinct()
+        .withColumn("tk", col("l_orderkey") * 100000 + col("id"))
+      val tagsNested = Flatten.nestChild(tagLevel, matchRows, "tk", "tk", "match")
+        .drop("tk")
+
+      val cats = li.select(col("l_orderkey"), col("l_suppkey").as("id"), col("l_quantity"))
+        .groupBy("l_orderkey", "id").agg(dsum(col("l_quantity")).as("score"))
+      val revs = li.select(col("l_orderkey"), col("l_suppkey").as("id"), col("l_shipdate"))
+        .groupBy("l_orderkey", "id").agg(max(col("l_shipdate")).as("last_reviewed_at"))
+
+      // scores[].point_scores[]: score entry = distinct 3-key tuple; its
+      // struct must CARRY session_id (the inner explode re-reads it), so
+      // nest on a duplicated sess_key column
+      val pointRows = li.select(
+        (col("l_orderkey") * 35 + (col("l_partkey") % 5) * 7 + col("l_suppkey") % 7).as("sk"),
+        col("l_linenumber").as("point_id"), col("l_quantity").as("value"))
+      val scoreLevel = li.select(col("l_orderkey").as("session_id"),
+          (col("l_partkey") % 5).as("scorecard_id"), (col("l_suppkey") % 7).as("reviewer_id"))
+        .distinct()
+        .withColumn("sk",
+          col("session_id") * 35 + col("scorecard_id") * 7 + col("reviewer_id"))
+      val scoresNested = Flatten.nestChild(scoreLevel, pointRows, "sk", "sk", "point_scores")
+        .drop("sk").withColumn("sess_key", col("session_id"))
+
+      val comments = li.select(col("l_orderkey"), col("l_suppkey").as("author_id"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("text"))
+      val summaries = li.groupBy("l_orderkey").agg(max(col("l_returnflag")).as("text"))
+      val crm = li.select(col("l_orderkey"), col("l_linestatus").as("crm_status")).distinct()
+
+      var raw = Flatten.nestChild(base, tagsNested, "id", "l_orderkey", "tags")
+      raw = Flatten.nestChild(raw, cats, "id", "l_orderkey", "categories")
+      raw = Flatten.nestChild(raw, revs, "id", "l_orderkey", "reviewers")
+      raw = Flatten.nestChild(raw, scoresNested, "id", "sess_key", "scores")
+      raw = Flatten.nestChild(raw, comments, "id", "l_orderkey", "comments")
+      raw = Flatten.nestChild(raw, summaries, "id", "l_orderkey", "summary")
+      raw = Flatten.nestChild(raw, crm, "id", "l_orderkey", "crm_statuses")
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Flagship (smoke-checked rows>0 on sf0.001): the "agent quality
     * dashboard" shape from SURVEY.md §7.2 — date-range scan, 5-table
     * star join (fact side never broadcast), monthly conditional rollup,
@@ -200,6 +264,52 @@ object SparkEntry {
           childCarry = Seq("o_orderkey" -> "o_orderkey", "o_totalprice" -> "o_totalprice"))
         .orderBy("c_custkey", "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity")
     }),
+
+    // ---- §2.3b per-site flatten coverage: the remaining Transform call
+    // sites (Q21–Q27), each through pipeline.Transform on a nested
+    // fixture built from the driver tables (nestChild is the harness
+    // inverse, as in q17–q20) ----
+    "q21_tag_labels" -> ((s, d) => {
+      // tags.labels (Transform.py:103-115): id→label_id rename under an
+      // id→tag_id parent carry — the collision path a shared-operator
+      // test can't catch
+      val partBase = t(s, d, "part").select(col("p_partkey").as("id"),
+        col("p_name").as("name"))
+      val labels = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey").as("id")).distinct()
+      val raw = Flatten.nestChild(partBase, labels, "id", "l_partkey", "labels")
+      val (_, tagLabels) = graft.pipeline.Transform.tags(raw)
+      tagLabels.get.orderBy("tag_id", "label_id")
+    }),
+
+    "q22_session_tags" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).tags
+        .orderBy("session_id", "tag_id", "l_linenumber", "l_quantity")),
+
+    "q23_session_categories" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).categories
+        .orderBy("session_id", "category_id", "score")),
+
+    "q24_session_reviewers" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).reviewers
+        .orderBy("session_id", "reviewer_id", "last_reviewed_at")),
+
+    "q25_session_scores" -> ((s, d) =>
+      // scores[].point_scores[] with the 3-key carry (Transform.py:205-218)
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).scores.get
+        .orderBy("session_id", "scorecard_id", "reviewer_id", "point_id", "value")),
+
+    "q26_session_comments" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).comments
+        .orderBy("session_id", "author_id", "text")),
+
+    "q27_session_summary" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).summaries
+        .orderBy("session_id", "text")),
+
+    "q27b_session_crm" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).crmStatuses
+        .orderBy("session_id", "crm_status")),
 
     // ---- §2.4 joins / enrichment ----
     "q28_broadcast_enrich" -> ((s, d) => {
@@ -798,6 +908,57 @@ object SparkEntry {
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey % 4 = 0
         |ORDER BY c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity""".stripMargin,
+
+    "q21_tag_labels" ->
+      """SELECT DISTINCT l.l_partkey AS tag_id, l.l_suppkey AS label_id
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |ORDER BY tag_id, label_id""".stripMargin,
+
+    "q22_session_tags" ->
+      """SELECT l.l_orderkey AS session_id, l.l_partkey AS tag_id, l.l_linenumber, l.l_quantity
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, tag_id, l_linenumber, l_quantity""".stripMargin,
+
+    "q23_session_categories" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS category_id,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS score
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1, 2 ORDER BY session_id, category_id, score""".stripMargin,
+
+    "q24_session_reviewers" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS reviewer_id,
+        |  max(l.l_shipdate) AS last_reviewed_at
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1, 2 ORDER BY session_id, reviewer_id, last_reviewed_at""".stripMargin,
+
+    "q25_session_scores" ->
+      """SELECT l.l_orderkey AS session_id, l.l_partkey % 5 AS scorecard_id,
+        |  l.l_suppkey % 7 AS reviewer_id, l.l_linenumber AS point_id, l.l_quantity AS value
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, scorecard_id, reviewer_id, point_id, value""".stripMargin,
+
+    "q26_session_comments" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS author_id,
+        |  l.l_returnflag || '-' || l.l_linestatus AS text
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, author_id, text""".stripMargin,
+
+    "q27_session_summary" ->
+      """SELECT l.l_orderkey AS session_id, max(l.l_returnflag) AS text
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY session_id, text""".stripMargin,
+
+    "q27b_session_crm" ->
+      """SELECT DISTINCT l.l_orderkey AS session_id, l.l_linestatus AS crm_status
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, crm_status""".stripMargin,
 
     "q28_broadcast_enrich" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name
