@@ -114,7 +114,19 @@ object RunEtl {
         sessions.foreach { sess =>
           val t = Transform.sessions(sess)
           val range = (opts.startDt.getOrElse("begin"), opts.stopDt.getOrElse("end"))
-          Sinks.write(t.sessions, s"$out/${Sinks.factFileName("sessions", range._1, range._2)}", fmt)
+          // EVERY frame of the session payload goes to the sink, like
+          // the reference's load2file writing all of et_data — not just
+          // the flattened fact
+          def fw(name: String, df: DataFrame): Unit =
+            Sinks.write(df, s"$out/${Sinks.factFileName(name, range._1, range._2)}", fmt)
+          fw("sessions", t.sessions)
+          fw("sessions_tags", t.tags)
+          fw("sessions_categories", t.categories)
+          fw("sessions_reviewers", t.reviewers)
+          t.scores.foreach(fw("sessions_scores", _))
+          fw("sessions_comments", t.comments.drop("comment_pos"))
+          fw("sessions_summaries", t.summaries)
+          fw("sessions_crm_statuses", t.crmStatuses)
         }
         dicts.foreach { case (n, df) =>
           Sinks.write(df.drop(dictChildCols(n): _*), s"$out/${Sinks.dimFileName(n)}", fmt)

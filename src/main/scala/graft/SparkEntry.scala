@@ -300,7 +300,11 @@ object SparkEntry {
         .orderBy("session_id", "scorecard_id", "reviewer_id", "point_id", "value")),
 
     "q26_session_comments" -> ((s, d) =>
+      // comment_pos is dropped: the fixture nests via collect_list, so
+      // array positions are arbitrary (the load-side last-wins dedup is
+      // spec-tested on ordered JSON fixtures instead)
       graft.pipeline.Transform.sessions(sessionsRaw(s, d)).comments
+        .select("session_id", "author_id", "text")
         .orderBy("session_id", "author_id", "text")),
 
     "q27_session_summary" -> ((s, d) =>

@@ -56,7 +56,11 @@ object AsOfJoin {
     // (side=0 sorts before side=1 ascending; window below flips the
     // frame for forward), so an exactly-simultaneous right row IS
     // visible to the left row in both directions
-    val taggedRight = right.select(
+    // a right reading with NO timestamp can never be "as of" anything —
+    // drop it up front (otherwise it sorts to an end of the scan and
+    // leaks its payload into one direction's carry)
+    val rightClean = right.filter(col(rightTs).isNotNull)
+    val taggedRight = rightClean.select(
       (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         payloadStructR.as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
@@ -65,14 +69,18 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("__p") +:
         leftCols.map(col)): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
+    // nulls FIRST in BOTH scan directions: a left row with no timestamp
+    // then precedes every right row and carries a null payload
+    // symmetrically (desc's default nulls-last would let it scan after
+    // all rights and spuriously match the earliest reading)
     val w =
       if (forward)
         Window.partitionBy(col("__k"))
-          .orderBy(col("__ts").desc, col("__side").asc)
+          .orderBy(col("__ts").desc_nulls_first, col("__side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(col("__k"))
-          .orderBy(col("__ts").asc, col("__side").asc)
+          .orderBy(col("__ts").asc_nulls_first, col("__side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)

@@ -98,7 +98,20 @@ object Upsert {
       keys: Seq[String],
       partitionCol: String
   ): Unit = {
+    // O(distinct partition values in the batch) at the driver — bounded
+    // by construction for date-partitioned daily syncs
     val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
+    // null partition values land in the default partition and ARE
+    // rewritten by dynamic overwrite — `isin` would silently skip them
+    // (null never matches), dropping pre-existing null-partition rows
+    val (nullTouched, valsTouched) = touched.partition(_ == null)
+    val touchedPred = {
+      val in =
+        if (valsTouched.nonEmpty) Some(col(partitionCol).isin(valsTouched.toIndexedSeq: _*))
+        else None
+      val nl = if (nullTouched.nonEmpty) Some(col(partitionCol).isNull) else None
+      (in ++ nl).reduceOption(_ || _).getOrElse(lit(false))
+    }
     // explicit existence check: a transient read failure must abort the
     // merge (rethrowing), not silently drop pre-existing partition rows
     val fsCheck = org.apache.hadoop.fs.FileSystem.get(
@@ -107,8 +120,7 @@ object Upsert {
     val merged =
       if (!tableIsThere) updates
       else {
-        val existing = spark.read.parquet(tablePath)
-          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+        val existing = spark.read.parquet(tablePath).filter(touchedPred)
         upsert(existing, updates, keys)
       }
     merged.write

@@ -52,6 +52,43 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
         }.toIndexedSeq: _*)
       case None => batch
     }
+    Schemas.partitionedFacts.get(name) match {
+      case Some((srcCol, pCol)) if reconciled.columns.contains(srcCol) =>
+        loadPartitioned(name, reconciled, keys, srcCol, pCol)
+      case _ =>
+        loadFullRewrite(name, reconciled, keys, partitionCol = None)
+    }
+  }
+
+  /** O(delta) fact load: derive the date partition column and merge via
+    * dynamic partition overwrite — only the date partitions the batch
+    * touches are read and rewritten ([[Upsert.upsertPartitioned]]; §7.4:
+    * a daily sessions sync at 100 TB must not rewrite 100 TB). A
+    * pre-partitioning warehouse (no partition column on disk) is
+    * migrated once through the full-rewrite swap path, written
+    * partitioned from then on.
+    */
+  private def loadPartitioned(name: String, batch: DataFrame, keys: Seq[String],
+                              srcCol: String, pCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val path = tablePath(name)
+    recoverInterruptedSwap(path)
+    val withP = batch.withColumn(pCol, to_date(col(srcCol)))
+    val needsMigration =
+      pathExists(path) && !spark.read.parquet(path).columns.contains(pCol)
+    if (needsMigration) {
+      // one-time migration of a pre-partitioning warehouse: derive the
+      // partition column on the existing table too, full merge, swap
+      val existing = spark.read.parquet(path)
+        .withColumn(pCol, to_date(col(srcCol)))
+      val merged = Upsert.upsert(existing,
+        withP.select(existing.columns.map(col).toIndexedSeq: _*), keys)
+      swapWrite(path, merged, partitionCol = Some(pCol))
+    } else Upsert.upsertPartitioned(spark, path, withP, keys, pCol)
+  }
+
+  private def loadFullRewrite(name: String, reconciled: DataFrame,
+                              keys: Seq[String], partitionCol: Option[String]): Unit = {
     val path = tablePath(name)
     recoverInterruptedSwap(path)
     // existence is checked explicitly — a transient READ failure must
@@ -65,14 +102,21 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
         Upsert.upsert(t, reconciled.select(t.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*), keys)
       case None => reconciled
     }
-    // rewrite via temp dir: Spark can't overwrite a path it is reading.
-    // Swap order matters for crash safety: the old table is RENAMED
-    // aside (not deleted) before the new one moves in, so every crash
-    // window leaves either the old table, or a recoverable __new with
-    // its _SUCCESS marker — never nothing (recoverInterruptedSwap picks
-    // these up on the next run).
+    swapWrite(path, merged, partitionCol)
+  }
+
+  /** Rewrite via temp dir: Spark can't overwrite a path it is reading.
+    * Swap order matters for crash safety: the old table is RENAMED
+    * aside (not deleted) before the new one moves in, so every crash
+    * window leaves either the old table, or a recoverable __new with
+    * its _SUCCESS marker — never nothing (recoverInterruptedSwap picks
+    * these up on the next run).
+    */
+  private def swapWrite(path: String, merged: DataFrame,
+                        partitionCol: Option[String]): Unit = {
     val tmp = s"$path.__new"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(tmp)
     val fs = hadoopFs
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
@@ -167,7 +211,13 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     loadTable("sessions_categories", t.categories)
     loadTable("sessions_reviewers", t.reviewers)
     t.scores.foreach(loadTable("sessions_scores", _))
-    loadTable("sessions_comments", t.comments)
+    // key is session_id only: a session with several comments would put
+    // duplicate keys in one batch, violating upsert's precondition —
+    // keep the LAST comment by array position (the reference's
+    // sequential merge lands on the same row)
+    loadTable("sessions_comments",
+      Upsert.dedupLastWins(t.comments, Seq("session_id"), "comment_pos")
+        .drop("comment_pos"))
     loadTable("sessions_summaries", t.summaries)
     loadTable("sessions_crm_statuses", t.crmStatuses)
   }

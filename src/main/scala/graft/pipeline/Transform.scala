@@ -148,9 +148,15 @@ object Transform {
             "scorecard_id" -> "scorecard_id", "reviewer_id" -> "reviewer_id"))
       }
 
-    val sessComments = Flatten.explodeChild(raw, "comments",
-        parentKeys = Seq("id" -> "session_id"))
-      .select("session_id", "author_id", "text")
+    // comments carry their JSON-array position: the warehouse key is
+    // session_id ALONE (_sessions_comments_uc), so the loader needs a
+    // deterministic "later row wins" order to mirror the reference's
+    // sequential per-row merge — array order IS that order
+    val sessComments = raw
+      .select(col("id").as("session_id"),
+        posexplode(col("comments")).as(Seq("comment_pos", "__c")))
+      .select(col("session_id"), col("comment_pos"),
+        col("__c.author_id").as("author_id"), col("__c.text").as("text"))
 
     val sessSummaries = Flatten.explodeChild(raw, "summary",
         parentKeys = Seq("id" -> "session_id"))

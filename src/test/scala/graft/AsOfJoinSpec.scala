@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.AsOfJoin
 
 class AsOfJoinSpec extends SparkSpec {
@@ -41,6 +43,22 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 10L, Some("a")),  // next reading after 10 is 12
       (1L, 16L, Some("b")),  // equal ts matches
       (1L, 99L, None)))      // nothing after 99
+  }
+
+  test("null timestamps: null-ts left rows match nothing in BOTH directions; null-ts right rows are ignored") {
+    val l = Seq((1L, Option(20L)), (1L, Option.empty[Long])).toDF("k", "lt")
+    val r = Seq(
+      (1L, Option(10L), "a"),
+      (1L, Option.empty[Long], "ghost") // unstamped reading: must never match
+    ).toDF("k", "rt", "s")
+    val back = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("s"))
+      .orderBy(col("lt").asc_nulls_first).as[(Long, Option[Long], Option[String])].collect()
+    assert(back === Array((1L, None, None), (1L, Some(20L), Some("a"))))
+    val fwd = AsOfJoin.asofForward(l, r, "k", "lt", "rt", Seq("s"))
+      .orderBy(col("lt").asc_nulls_first).as[(Long, Option[Long], Option[String])].collect()
+    // 20L has no reading at-or-after it; the null-ts left row matches
+    // nothing (symmetric with backward — was the asymmetry bug)
+    assert(fwd === Array((1L, None, None), (1L, Some(20L), None)))
   }
 
   test("asofBackward keeps payload rows atomic when fields are null") {

@@ -119,6 +119,61 @@ class PipelineSpec extends SparkSpec {
       assert(h.duplicateKeyGroups === 0, s"${h.table} has duplicate keys")
       assert(h.nullKeyRows === 0, s"${h.table} has null keys")
     }
+
+    // comments key is session_id ONLY: session 1 has TWO comments in the
+    // payload — the load keeps the last by array position (the
+    // reference's sequential merge lands on the same row)
+    val com = pipe.readTable("sessions_comments").collect()
+    assert(com.length === 1)
+    assert(com(0).getAs[String]("text") === "follow-up done")
+  }
+
+  test("partitioned sessions load rewrites only touched date partitions") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh-part").toString
+    val pipe = new EtlPipeline(spark, wh)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      ("s1", ts("2024-06-01 10:00:00"), 1.0),
+      ("s2", ts("2024-06-02 10:00:00"), 2.0)).toDF("id", "start_dt", "average_score")
+    pipe.loadTable("sessions", b1)
+    val d1 = new java.io.File(s"$wh/sessions/start_date=2024-06-01")
+    val d2 = new java.io.File(s"$wh/sessions/start_date=2024-06-02")
+    assert(d1.isDirectory && d2.isDirectory)
+    val d1Files = d1.listFiles.map(f => (f.getName, f.lastModified)).toSet
+
+    // second batch touches ONLY 2024-06-02 (update s2 + insert s3)
+    val b2 = Seq(
+      ("s2", ts("2024-06-02 10:00:00"), 5.0),
+      ("s3", ts("2024-06-02 11:00:00"), 3.0)).toDF("id", "start_dt", "average_score")
+    pipe.loadTable("sessions", b2)
+
+    // untouched partition: byte-identical file listing (O(delta) proof)
+    assert(d1.listFiles.map(f => (f.getName, f.lastModified)).toSet === d1Files,
+      "untouched date partition was rewritten")
+    // touched partition merged with upsert semantics
+    val out = pipe.readTable("sessions").orderBy("id")
+      .select("id", "average_score").as[(String, Double)].collect()
+    assert(out === Array(("s1", 1.0), ("s2", 5.0), ("s3", 3.0)))
+  }
+
+  test("pre-partitioning sessions table is migrated once, then loaded O(delta)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh-mig").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // simulate a warehouse written before date partitioning existed
+    Seq(("s1", ts("2024-06-01 10:00:00"), 1.0))
+      .toDF("id", "start_dt", "average_score")
+      .write.parquet(s"$wh/sessions")
+    val pipe = new EtlPipeline(spark, wh)
+    val batch = Seq(("s2", ts("2024-06-02 10:00:00"), 2.0))
+      .toDF("id", "start_dt", "average_score")
+    pipe.loadTable("sessions", batch)
+    assert(new java.io.File(s"$wh/sessions/start_date=2024-06-01").isDirectory)
+    assert(new java.io.File(s"$wh/sessions/start_date=2024-06-02").isDirectory)
+    val out = pipe.readTable("sessions").orderBy("id")
+      .select("id", "average_score").as[(String, Double)].collect()
+    assert(out === Array(("s1", 1.0), ("s2", 2.0)))
   }
 
   test("categories transform: labels flatten, per-row absent labels, ts round") {
@@ -154,6 +209,17 @@ class PipelineSpec extends SparkSpec {
     assert(after(1).getAs[Any]("average_score") === null)
     assert(pipe.readTable("sessions").count() === 2)
     assert(Incremental.readWatermark(wm) === LocalDateTime.of(2024, 6, 28, 0, 5))
+  }
+
+  test("--load-to emits every session child frame, not just the fact") {
+    val outDir = Files.createTempDirectory("graft-loadto").toString
+    val inputDir = new java.io.File(resource("api/sessions.json")).getParent
+    RunEtl.run(spark, RunEtl.Opts(input = inputDir, loadTo = Some("json"), out = Some(outDir)))
+    val files = new java.io.File(outDir).list().toSet
+    for (n <- Seq("sessions", "sessions_tags", "sessions_categories",
+        "sessions_reviewers", "sessions_scores", "sessions_comments",
+        "sessions_summaries", "sessions_crm_statuses"))
+      assert(files.exists(_.startsWith(s"$n-begin-end")), s"missing child sink $n in $files")
   }
 
   test("watermark round-trips and defaults to minimum when absent") {

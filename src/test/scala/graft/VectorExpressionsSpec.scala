@@ -40,6 +40,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(3).isNullAt(0))
   }
 
+  test("dotF fails fast on mismatched dimensions instead of truncating") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b").select(VectorExpressions.dotF(col("a"), col("b")).as("d"))
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("mismatched dimensions")))
+  }
+
   test("dotF null semantics and empty arrays") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
