@@ -493,6 +493,14 @@ object SparkEntry {
           Cleanse.isoFormat(col("o_orderdate")).as("iso_dt"))
         .orderBy("o_orderkey")),
 
+    "q_url_codec" -> ((s, d) =>
+      // URL form-encode + decode round-trip (Extract.py:37,46); p_name
+      // is [a-z ] so the oracle can replicate the encoding exactly
+      t(s, d, "part").select(col("p_partkey"),
+          Cleanse.urlEncode(col("p_name")).as("enc"),
+          Cleanse.urlDecode(Cleanse.urlEncode(col("p_name"))).as("roundtrip"))
+        .orderBy("p_partkey")),
+
     // ---- §2.7 upsert / load ----
     "q45_upsert" -> ((s, d) => {
       val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -532,6 +540,42 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("o_orderdate")).as("w"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("w")),
+
+    "q_stream_windowed_counts" -> ((s, d) => {
+      // STREAMING execution of the tumbling-window incremental protocol
+      // (Q50's streaming form): file-stream the orders table →
+      // watermarked windowed counts → upsert sink per micro-batch →
+      // read the merged table back. The oracle is plain batch SQL, so
+      // this row proves stream results == batch results. value sums
+      // accumulate in decimal (order-independent under any micro-batch
+      // schedule).
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      // the file source streams a DIRECTORY of drops — stage the table
+      // file as one arriving drop
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(s, s"$tmp/in", sch)
+        .select(col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
+          col("o_orderstatus").as("event_type"),
+          col("o_totalprice").cast("decimal(18,2)").as("value"))
+      val counts = graft.streaming.StreamSync.windowedCounts(stream, "ts", "1 day", "1 day")
+      val out = counts.select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .withColumn("wyear", to_date(date_trunc("year", col("window_start"))))
+      val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
+        keys = Seq("window_start", "event_type"), partitionCol = "wyear",
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/table")
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
 
     "q51_late_window_resync" -> ((s, d) =>
       // 30-day late-data re-extract with is_scored,manual analog filter
@@ -718,6 +762,22 @@ object SparkEntry {
       Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 10, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_ivf_recall" -> ((s, d) => {
+      // rows-only: quantified quality bound for the approximate path —
+      // per-query recall@10 of IVF probing vs the exact brute force
+      // (deterministic: hash-seeded centroids, deterministic ties)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val cents = Similarity.refineCentroids(e,
+        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16),
+        "embedding", "vec_id", iterations = 1)
+      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
+      val ivf = Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
+        k = 10, nProbe = 4)
+      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+      Similarity.recallAtK(ivf, brute).orderBy("query_id")
     }),
 
     "x_embed_neardup" -> ((s, d) =>
@@ -1093,6 +1153,11 @@ object SparkEntry {
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_dt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // p_name is [a-z ]: form-encoding is exactly space→'+'
+    "q_url_codec" ->
+      """SELECT p_partkey, replace(p_name, ' ', '+') AS enc, p_name AS roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "q45_upsert" ->
       """WITH tgt AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
@@ -1124,6 +1189,12 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS w, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY w""".stripMargin,
+
+    "q_stream_windowed_counts" ->
+      """SELECT date_trunc('day', o_orderdate) AS window_start,
+        |  o_orderstatus AS event_type, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q51_late_window_resync" ->
       """SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders

@@ -142,4 +142,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** recall@k per query of an approximate top-k result against the exact
+    * one (both in `(query_id, corpus_id, …)` shape): the fraction of the
+    * exact neighbors the approximate path retrieved. The quality gate
+    * for [[ivfTopK]] probe settings — measure recall on a corpus sample,
+    * then tune nProbe/nCells until the bound holds.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id"), lit(1).as("__hit")),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) / count(lit(1)))
+        .as("recall"))
 }

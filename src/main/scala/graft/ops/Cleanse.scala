@@ -104,6 +104,14 @@ object Cleanse {
   /** ISO-8601 second-precision serialization (Load.py:187-192, utils.py:20-23). */
   def isoFormat(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
 
+  /** URL form-encoding / decoding (the reference URL-encodes request
+    * params and decodes configured names, Extract.py:37,46 +
+    * settings.py:33-36) — thin names over the engine's codegen'd
+    * builtins so the §2.6 surface is complete.
+    */
+  def urlEncode(c: Column): Column = url_encode(c)
+  def urlDecode(c: Column): Column = url_decode(c)
+
   /** Unicode-escape decode (utils.py:208-213). Dead code in the reference
     * but a declared capability; the only UDF in the library.
     */

@@ -37,10 +37,22 @@ object Validate {
     */
   final case class TableHealth(table: String, rows: Long,
                                duplicateKeyGroups: Long, nullKeyRows: Long)
-  def health(name: String, df: DataFrame, keys: Seq[String]): TableHealth =
-    TableHealth(
-      name,
-      df.count(),
-      duplicateKeys(df, keys).count(),
-      nullViolations(df, keys).count())
+
+  /** ONE aggregation per table (a single shuffle on the key) instead of
+    * three separate jobs: group per key tuple once, then roll up row
+    * count, duplicate-key groups, and null-key rows from the grouped
+    * frame — over a full-warehouse audit that is 3× fewer scans.
+    */
+  def health(name: String, df: DataFrame, keys: Seq[String]): TableHealth = {
+    val present = keys.filter(df.columns.contains)
+    val nullKey = present.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    val r = df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("rows"),
+        count(when(col("__n") > 1, 1)).as("dup_groups"),
+        coalesce(sum(when(nullKey, col("__n"))), lit(0L)).as("null_rows"))
+      .collect()(0)
+    TableHealth(name, r.getLong(0), r.getLong(1), r.getLong(2))
+  }
 }

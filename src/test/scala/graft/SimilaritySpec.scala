@@ -32,6 +32,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._2).contains(0L))
   }
 
+  test("IVF recall@10 under partial probing meets the bound on clustered embeddings") {
+    val rnd = new scala.util.Random(7)
+    // 8 well-separated clusters × 40 points — the corpus shape IVF
+    // exists for (Lloyd steps snap the hash-seeded centroids onto them)
+    val centers = (0 until 8).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield
+      ((c * 40 + i).toLong, centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    val embs = rows.toDF("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") % 40 === 0) // one per cluster
+    val cents = Similarity.refineCentroids(embs,
+      Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 8),
+      "embedding", "vec_id", iterations = 2)
+    val assigned = Similarity.assignCells(embs, cents, "embedding", "vec_id")
+    val ivf = Similarity.ivfTopK(assigned, cents, queries,
+      "embedding", "vec_id", k = 10, nProbe = 2)
+    val brute = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", k = 10)
+    val recalls = Similarity.recallAtK(ivf, brute).as[(Long, Double)].collect().toMap
+    assert(recalls.size === 8)
+    val mean = recalls.values.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean below 0.9 (per-query: $recalls)")
+  }
+
   test("IVF probe returns self-consistent top-k from probed cells") {
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 2)
     val assigned = Similarity.assignCells(embs, centroids, "embedding", "vec_id")

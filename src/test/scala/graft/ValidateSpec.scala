@@ -20,6 +20,23 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.fkOrphans(healthy, parent, "fk", "pid").isEmpty)
   }
 
+  test("one-pass health matches the three individual checks") {
+    val df = Seq(
+      (Option(1), "a", 1.0), (Option(1), "a", 2.0), // duplicate (id, sub)
+      (Option(2), "b", 3.0),
+      (Option.empty[Int], "c", 4.0), (Option.empty[Int], "c", 5.0) // null key, also dup
+    ).toDF("id", "sub", "v")
+    val keys = Seq("id", "sub")
+    val h = Validate.health("t", df, keys)
+    assert(h.rows === df.count())
+    assert(h.duplicateKeyGroups === Validate.duplicateKeys(df, keys).count())
+    assert(h.nullKeyRows === Validate.nullViolations(df, keys).count())
+    assert((h.rows, h.duplicateKeyGroups, h.nullKeyRows) === (5L, 2L, 2L))
+    // empty frame: all zeros, no NPE from the empty aggregate
+    val empty = Validate.health("e", df.limit(0), keys)
+    assert((empty.rows, empty.duplicateKeyGroups, empty.nullKeyRows) === (0L, 0L, 0L))
+  }
+
   test("nullViolations catches nulls in declared columns, skips absent ones") {
     val df = Seq((Option(1), Option("a")), (Option.empty[Int], Option("b")),
       (Option(3), Option.empty[String])).toDF("id", "name")
