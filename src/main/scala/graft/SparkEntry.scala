@@ -541,6 +541,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("w")),
 
+    "q_paged_extract" -> ((s, d) => {
+      // connector round-trip (Extract.py:23-117 shape): dump documents
+      // as paged JSON-array files (the extract's dump format), re-read
+      // through the paginating connector with its stop-on-empty
+      // protocol. Page assembly is bounded driver work, like the
+      // reference's own HTTP loop.
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      val rows = docs.toJSON.collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-paged").toString
+      (rows.grouped(200).zipWithIndex.toSeq :+ (Array.empty[String], rows.length / 200 + 1))
+        .foreach { case (page, i) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"documents-$i.json"),
+            page.mkString("[", ",", "]"))
+        }
+      graft.sources.PagedExtract.read(s,
+          new graft.sources.PagedExtract.LocalDirFetcher(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_stream_windowed_counts" -> ((s, d) => {
       // STREAMING execution of the tumbling-window incremental protocol
       // (Q50's streaming form): file-stream the orders table →
@@ -1189,6 +1210,9 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS w, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY w""".stripMargin,
+
+    "q_paged_extract" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
 
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('day', o_orderdate) AS window_start,

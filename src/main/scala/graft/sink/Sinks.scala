@@ -6,10 +6,11 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Multi-format file sinks (SURVEY.md §2.7 Q48).
   *
-  * The reference dispatches on file extension — json, csv, tsv, parquet
-  * (+ pickle/xlsx, single-node niceties out of scope for a distributed
-  * engine) — with per-entity naming: facts `{name}-{start}-{stop}.{ext}`,
-  * dims `dict-{name}.{ext}` (`ET-ETL-DWH-PY312/ETL/Load.py:186-224`).
+  * The reference dispatches on file extension — json, csv, tsv, parquet,
+  * xlsx (here a dependency-free minimal OOXML writer; pickle stays out
+  * of scope as a Python-runtime serialization) — with per-entity naming:
+  * facts `{name}-{start}-{stop}.{ext}`, dims `dict-{name}.{ext}`
+  * (`ET-ETL-DWH-PY312/ETL/Load.py:186-224`).
   * The reference's extension-dispatch bugs (csv→to_excel etc.,
   * Load.py:214-220) are intent-corrected here, per SURVEY.md §7.4.
   *
@@ -62,8 +63,92 @@ object Sinks {
       flattenForText(df).write.mode(mode).option("header", "true").csv(path)
     case "tsv" =>
       flattenForText(df).write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
+    case "xlsx" => writeXlsx(df, if (path.endsWith(".xlsx")) path else s"$path.xlsx")
     case other =>
       throw new IllegalArgumentException(
-        s"Unsupported sink format: $other (reference's pickle/xlsx/looker are out of scope)")
+        s"Unsupported sink format: $other (reference's pickle/looker are out of scope)")
+  }
+
+  /** xlsx export (Load.py:210-213's `to_excel`): a BI handoff file, so —
+    * like the reference's pandas path — inherently a bounded,
+    * driver-side artifact, enforced by `maxRows`. Written as minimal
+    * ECMA-376 SpreadsheetML (one inline-string sheet) over
+    * `java.util.zip`: no dependency needed. Numeric/boolean cells keep
+    * their type; everything else lands as text; a header row carries the
+    * column names (pandas to_excel default).
+    */
+  def writeXlsx(df: DataFrame, file: String, maxRows: Int = 1048575): Unit = {
+    val flat = flattenForText(df)
+    val rows = flat.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeXlsx: more than $maxRows rows — an xlsx export is a bounded BI artifact; " +
+        "use a distributed sink for data this size")
+    val numeric = flat.schema.fields.map(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+    def cellXml(v: Any, isNum: Boolean): String = v match {
+      case null => ""
+      case b: Boolean => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n if isNum => s"""<c><v>$n</v></c>"""
+      case other => s"""<c t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+
+    val header = flat.columns
+      .map(c => s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""").mkString
+    val body = new StringBuilder
+    body.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      .append(s"<row>$header</row>")
+    rows.foreach { r =>
+      body.append("<row>")
+      var i = 0
+      while (i < r.length) {
+        body.append(cellXml(if (r.isNullAt(i)) null else r.get(i), numeric(i)))
+        i += 1
+      }
+      body.append("</row>")
+    }
+    body.append("</sheetData></worksheet>")
+
+    val entries = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin,
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" -> body.toString)
+
+    val f = new java.io.File(file)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    try entries.foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    } finally zip.close()
   }
 }

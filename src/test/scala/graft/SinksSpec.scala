@@ -68,9 +68,50 @@ class SinksSpec extends SparkSpec {
     }
   }
 
-  test("unsupported formats fail loudly (pickle/xlsx/looker out of scope)") {
+  test("unsupported formats fail loudly (pickle/looker out of scope)") {
     val e = intercept[IllegalArgumentException](
-      Sinks.write(df, "/tmp/nope", "xlsx"))
-    assert(e.getMessage.contains("xlsx"))
+      Sinks.write(df, "/tmp/nope", "pickle"))
+    assert(e.getMessage.contains("pickle"))
+  }
+
+  test("xlsx sink: valid minimal OOXML package with typed cells") {
+    import java.util.zip.ZipFile
+    val x = Seq(
+      (1L, "a & <b>", Option(1.5), true),
+      (2L, "plain", Option.empty[Double], false)
+    ).toDF("id", "name", "score", "ok")
+    val file = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
+    Sinks.write(x, file, "xlsx")
+    val zip = new ZipFile(file)
+    try {
+      val names = {
+        val e = zip.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result().toSet
+      }
+      assert(names === Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+      val sheet = new String(
+        zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // well-formed XML (parse, don't grep)
+      val parsed = scala.xml.XML.loadString(sheet)
+      val rows = parsed \\ "row"
+      assert(rows.length === 3) // header + 2 data rows
+      assert((rows.head \\ "t").map(_.text) === Seq("id", "name", "score", "ok"))
+      val r1 = rows(1)
+      assert((r1 \\ "t").map(_.text).contains("a & <b>")) // escaped + round-tripped
+      assert((r1 \\ "v").map(_.text) === Seq("1", "1.5", "1")) // id, score, bool
+      // null score in row 2 → empty cell (3 cells with values)
+      assert((rows(2) \\ "v").map(_.text) === Seq("2", "0"))
+    } finally zip.close()
+  }
+
+  test("xlsx sink: maxRows cap fails loudly, not by truncating") {
+    val big = spark.range(100).toDF("id")
+    val file = java.nio.file.Files.createTempDirectory("graft-xlsx2").toString + "/big.xlsx"
+    val e = intercept[IllegalArgumentException](
+      Sinks.writeXlsx(big, file, maxRows = 50))
+    assert(e.getMessage.contains("bounded"))
   }
 }
