@@ -836,7 +836,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "x_bpe_tokens" -> ((s, d) =>
-      // rows-only: lookaround-based pre-tokenization (not RE2-expressible)
+      // the lookaround boundary-split equals maximal-run extraction on
+      // ASCII text, which the oracle can express without lookarounds
       t(s, d, "documents").select(col("doc_id"),
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
         .orderBy("doc_id")),
@@ -851,7 +852,8 @@ object SparkEntry {
     }),
 
     "x_sample_stratified" -> ((s, d) =>
-      // rows-only: deterministic hash sampling uses engine-native xxhash64
+      // portable FNV sample buckets — the oracle replays the exact
+      // per-row membership decision
       graft.ext.Corpus.stratifiedSample(t(s, d, "documents"),
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -1213,6 +1215,26 @@ object SparkEntry {
 
     "q_paged_extract" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    // the boundary-split tokens ARE the maximal alnum / non-alnum-non-
+    // space runs (exact on ASCII; lookarounds not needed to count runs)
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replay of the FNV sample-bucket membership decision (seed 7)
+    "x_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
+         |  FROM h)
+         |SELECT doc_id, lang FROM m
+         |WHERE b < CAST((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.0 END) * 1000000.0 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('day', o_orderdate) AS window_start,

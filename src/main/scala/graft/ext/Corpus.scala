@@ -66,6 +66,12 @@ object Corpus {
     df.filter(sampleHash(col(keyCol), seed) < (frac * 1000000.0).cast("long"))
   }
 
+  /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
+    * "key:seed" — reproducible not just across runs and partitionings
+    * but across ENGINES (the DuckDB oracle replays it exactly; same
+    * rationale as [[graft.functions.Fnv1a64]] for the dedup hashes).
+    */
   private def sampleHash(key: Column, seed: Long): Column =
-    pmod(xxhash64(key, lit(seed)), lit(1000000L))
+    pmod(graft.functions.VectorExpressions.fnv1a64(
+      concat(key.cast("string"), lit(":"), lit(seed.toString))), lit(1000000L))
 }

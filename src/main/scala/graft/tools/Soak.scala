@@ -61,6 +61,53 @@ object Soak {
       .filter(d => d.lastModified != dirsBefore.getOrElse(d.getName, 0L)).map(_.getName).sorted
     println("[soak] partitions rewritten: " + touched.mkString(", "))
     println("[soak] fact count after: " + spark.read.parquet(s"$base/fact").count())
+
+    // round 2: embedding near-dup at a scale where all-pairs is
+    // impossible (200k × 200k / 2 = 2·10¹⁰ cosine pairs) — the bucketed
+    // path must finish AND find the seeded near-identical pairs
+    val embs = time("gen 200k 32-d embeddings (+2k planted near-dups)") {
+      val dim = 32
+      // deterministic pseudo-gaussian-ish coords from hash buckets,
+      // clustered: 64 cluster centers, points = center + small jitter
+      def coord(j: Int, of: org.apache.spark.sql.Column, scale: Double, offset: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(of, lit(j)), lit(1000)).cast("double") / 500.0 - 1.0) * scale + offset
+      val centersOf = pmod(col("id"), lit(64)) // cluster id
+      val df = spark.range(200000).select(col("id").as("vec_id"),
+        array((0 until dim).map(j =>
+          (coord(j, centersOf, 5.0, lit(0.0)) + coord(j, col("id"), 0.05, lit(0.0)))
+            .cast("float")): _*).as("embedding"))
+      val dups = df.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000000).as("vec_id"),
+          transform(col("embedding"), x => (x + lit(0.001f)).cast("float")).as("embedding"))
+      val out = df.unionByName(dups)
+      out.write.mode("overwrite").parquet(s"$base/embs"); spark.read.parquet(s"$base/embs")
+    }
+    println("[soak] embeddings: " + embs.count())
+    val pairs = time("bucketed embedding near-dups (nCells=256, nProbe=2)") {
+      graft.ext.Dedup.embeddingNearDupsBucketed(embs, "embedding", "vec_id",
+        threshold = 0.9999, nCells = 256, nProbe = 2, lloydIterations = 1)
+        .cache()
+    }
+    val nPairs = pairs.count()
+    val planted = pairs.filter(col("id_b") >= 10000000 && col("id_a") === col("id_b") - 10000000).count()
+    println(s"[soak] near-dup pairs: $nPairs; planted pairs recovered: $planted / 2000")
+
+    // round 2: LSH hot-bucket cap under a boilerplate block — 20k
+    // IDENTICAL docs would alone contribute 2·10⁸ candidate pairs per
+    // band uncapped; the capped run must stay fast and keep the real
+    // near-dup pairs
+    val boiler = time("gen 510k docs + 20k identical boilerplate") {
+      val b = spark.range(20000).select((col("id") + 2000000).as("doc_id"),
+        lit((0 until 60).map(i => s"b${i % 7}").mkString(" ")).as("text"))
+      docs.unionByName(b).write.mode("overwrite").parquet(s"$base/docs_boiler")
+      spark.read.parquet(s"$base/docs_boiler")
+    }
+    val capped = time("minhash LSH with maxBucketSize=1000 (boilerplate-capped)") {
+      graft.ext.Dedup.minhashNearDups(boiler, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, threshold = 0.6,
+        maxBucketSize = Some(1000)).count()
+    }
+    println(s"[soak] capped pairs (boilerplate block excluded): $capped vs clean-corpus $nd")
     spark.stop()
   }
 }
