@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFloat, HashPermute}
+import graft.functions.{DotProductFloat, Fnv1a64, HashPermute}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(s"hash_permute: $name must be a literal integer")
         }
         HashPermute(children.head, lit(children(1), "a"), lit(children(2), "b"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "fnv1a64(s) takes exactly 1 argument")
+        Fnv1a64(children.head)
       }))
   }
 }

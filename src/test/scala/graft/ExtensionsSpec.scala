@@ -41,6 +41,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val err2 = intercept[Exception](
         spark.sql("SELECT hash_permute(CAST(1 AS BIGINT), id, 0) FROM range(1)").collect())
       assert(err2.getMessage.contains("literal"))
+      // fnv1a64: portable hash callable from SQL, known answer
+      val fv = spark.sql("SELECT fnv1a64('hello world') AS h").collect()(0).getLong(0)
+      assert(fv === 8618312879776256743L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
