@@ -469,9 +469,12 @@ object SparkEntry {
         .orderBy("event_id")),
 
     "q41_unicode_unescape" -> ((s, d) =>
-      // rows-only check: no DuckDB builtin for unicode-escape decode
+      // escape sequences synthesized onto real text (the corpus itself
+      // is backslash-free), so the decode path runs and the expected
+      // output is exactly expressible in the oracle
       t(s, d, "documents").select(col("doc_id"),
-          Cleanse.unicodeUnescape(col("text")).as("unescaped"))
+          Cleanse.unicodeUnescape(
+            concat(lit("\\u0041\\u00e9\\t"), col("text"))).as("unescaped"))
         .orderBy("doc_id")),
 
     "q42_nan_to_null" -> ((s, d) => {
@@ -1157,6 +1160,11 @@ object SparkEntry {
     "q40_json_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // A → 'A', é → 'é', \t → tab, prefixed onto the raw text
+    "q41_unicode_unescape" ->
+      """SELECT doc_id, 'Aé' || chr(9) || text AS unescaped
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q42_nan_to_null" ->
       """WITH src AS (
