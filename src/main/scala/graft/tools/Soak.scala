@@ -8,6 +8,10 @@ package graft.tools
 object Soak {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
+    // optional section filter: docs | fact | embs | boiler (default all)
+    val sections = if (args.isEmpty) Set("docs", "fact", "embs", "boiler") else args.toSet
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,7 +27,7 @@ object Soak {
 
     // 500k synthetic docs: 60-word texts from a 50-word vocab, 2% near-dup pairs
     val vocab = (0 until 50).map(i => s"w$i")
-    val docs = time("gen 500k docs") {
+    def genDocs() = time("gen 500k docs") {
       val df = spark.range(500000).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 60).map(j =>
           element_at(typedLit(vocab), (pmod(xxhash64(col("id"), lit(j)), lit(50)) + 1).cast("int"))): _*).as("text"))
@@ -33,16 +37,20 @@ object Soak {
       val out = df.unionByName(dups)
       out.write.mode("overwrite").parquet(s"$base/docs"); spark.read.parquet(s"$base/docs")
     }
-    println("[soak] corpus size: " + docs.count())
-    time("exact dedup")(graft.ext.Dedup.exact(docs, "text", "doc_id").count())
-    val nd = time("minhash LSH near-dups")(
-      graft.ext.Dedup.minhashNearDups(docs, "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.6).count())
-    println("[soak] minhash pairs found: " + nd)
-    val sh = time("simhash near-dups")(
-      graft.ext.Dedup.simhashNearDups(docs, "text", "doc_id", shingleSize = 3, maxHamming = 6, prefixBits = 10).count())
-    println("[soak] simhash pairs found: " + sh)
+    section("docs") {
+      val docs = genDocs()
+      println("[soak] corpus size: " + docs.count())
+      time("exact dedup")(graft.ext.Dedup.exact(docs, "text", "doc_id").count())
+      val nd = time("minhash LSH near-dups")(
+        graft.ext.Dedup.minhashNearDups(docs, "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.6).count())
+      println("[soak] minhash pairs found: " + nd)
+      val sh = time("simhash near-dups")(
+        graft.ext.Dedup.simhashNearDups(docs, "text", "doc_id", shingleSize = 3, maxHamming = 6, prefixBits = 10).count())
+      println("[soak] simhash pairs found: " + sh)
+    }
 
     // 10M-row fact table partitioned by 100 dates; upsert a 2-date batch
+    section("fact") {
     time("gen 10M fact") {
       spark.range(10000000).select(col("id"),
           date_format(date_add(lit("2024-01-01").cast("date"), pmod(col("id"), lit(100)).cast("int")), "yyyy-MM-dd").as("day"),
@@ -61,10 +69,12 @@ object Soak {
       .filter(d => d.lastModified != dirsBefore.getOrElse(d.getName, 0L)).map(_.getName).sorted
     println("[soak] partitions rewritten: " + touched.mkString(", "))
     println("[soak] fact count after: " + spark.read.parquet(s"$base/fact").count())
+    }
 
     // round 2: embedding near-dup at a scale where all-pairs is
     // impossible (200k × 200k / 2 = 2·10¹⁰ cosine pairs) — the bucketed
     // path must finish AND find the seeded near-identical pairs
+    section("embs") {
     val embs = time("gen 200k 32-d embeddings (+2k planted near-dups)") {
       val dim = 32
       // deterministic pseudo-gaussian-ish coords from hash buckets,
@@ -74,7 +84,7 @@ object Soak {
       val centersOf = pmod(col("id"), lit(64)) // cluster id
       val df = spark.range(200000).select(col("id").as("vec_id"),
         array((0 until dim).map(j =>
-          (coord(j, centersOf, 5.0, lit(0.0)) + coord(j, col("id"), 0.05, lit(0.0)))
+          (coord(j, centersOf, 5.0, lit(0.0)) + coord(j, col("id"), 1.2, lit(0.0)))
             .cast("float")): _*).as("embedding"))
       val dups = df.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 10000000).as("vec_id"),
@@ -91,15 +101,20 @@ object Soak {
     val nPairs = pairs.count()
     val planted = pairs.filter(col("id_b") >= 10000000 && col("id_a") === col("id_b") - 10000000).count()
     println(s"[soak] near-dup pairs: $nPairs; planted pairs recovered: $planted / 2000")
+    }
 
     // round 2: LSH hot-bucket cap under a boilerplate block — 20k
     // IDENTICAL docs would alone contribute 2·10⁸ candidate pairs per
     // band uncapped; the capped run must stay fast and keep the real
     // near-dup pairs
+    section("boiler") {
+    val docsOnDisk =
+      if (new java.io.File(s"$base/docs").exists()) spark.read.parquet(s"$base/docs")
+      else genDocs()
     val boiler = time("gen 510k docs + 20k identical boilerplate") {
       val b = spark.range(20000).select((col("id") + 2000000).as("doc_id"),
         lit((0 until 60).map(i => s"b${i % 7}").mkString(" ")).as("text"))
-      docs.unionByName(b).write.mode("overwrite").parquet(s"$base/docs_boiler")
+      docsOnDisk.unionByName(b).write.mode("overwrite").parquet(s"$base/docs_boiler")
       spark.read.parquet(s"$base/docs_boiler")
     }
     val capped = time("minhash LSH with maxBucketSize=1000 (boilerplate-capped)") {
@@ -107,7 +122,8 @@ object Soak {
         shingleSize = 3, k = 64, bands = 16, threshold = 0.6,
         maxBucketSize = Some(1000)).count()
     }
-    println(s"[soak] capped pairs (boilerplate block excluded): $capped vs clean-corpus $nd")
+    println(s"[soak] capped pairs (boilerplate block excluded): $capped — the clean corpus' seeded 10,000")
+    }
     spark.stop()
   }
 }
