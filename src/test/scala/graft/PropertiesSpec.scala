@@ -113,6 +113,38 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: fnv1a64 matches an independent reference implementation") {
+    def refFnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      for (b <- s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L
+      h
+    }
+    check("fnv1a64-ref", Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { ss =>
+      val rows = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      rows.isEmpty || {
+        val out = rows.toDF("id", "s")
+          .select(col("id"), graft.functions.VectorExpressions.fnv1a64(col("s")).as("h"))
+          .as[(Long, Long)].collect().toMap
+        rows.forall { case (i, s) => out(i) == refFnv(s) }
+      }
+    })
+  }
+
+  test("property: bucketed near-dup pairs are a subset of exact pairs with equal cosines") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-1.0f, 1.0f))
+    check("bucketed-subset", Prop.forAll(Gen.listOfN(24, vecGen)) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val df = rows.toDF("vec_id", "embedding")
+      val exact = graft.ext.Dedup.embeddingNearDups(df, "embedding", "vec_id", 0.8)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val bucketed = graft.ext.Dedup.embeddingNearDupsBucketed(df, "embedding", "vec_id",
+          0.8, nCells = 4, nProbe = 2)
+        .as[(Long, Long, Double)].collect()
+      bucketed.forall { case (a, b, c) => exact.get((a, b)).contains(c) }
+    })
+  }
+
   test("property: dedupLastWins output is key-unique, keeps max-seq row") {
     val seqRowGen = for {
       id <- Gen.choose(1, 5); v <- Gen.choose(0, 50); seq <- Gen.choose(1, 20)
