@@ -47,7 +47,10 @@ object SparkEntry {
   private val sessionsRawCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def sessionsRaw(s: SparkSession, d: String): DataFrame =
-    sessionsRawCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    // keyed by applicationId (unique per SparkContext — identity hashes
+    // can be reused after GC and would hand out a frame bound to a
+    // stopped session)
+    sessionsRawCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val base = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey").as("id"), col("o_orderdate").as("start_dt"),
           col("o_custkey").as("agent_id"), col("o_totalprice").as("amount"))
@@ -553,12 +556,13 @@ object SparkEntry {
       val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars").orderBy("doc_id")
       val rows = docs.toJSON.collect()
       val dir = java.nio.file.Files.createTempDirectory("graft-paged").toString
-      (rows.grouped(200).zipWithIndex.toSeq :+ (Array.empty[String], rows.length / 200 + 1))
-        .foreach { case (page, i) =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(dir, s"documents-$i.json"),
-            page.mkString("[", ",", "]"))
-        }
+      // data pages 0..n-1, then the terminating empty page at exactly n
+      val pages = rows.grouped(200).toSeq :+ Array.empty[String]
+      pages.zipWithIndex.foreach { case (page, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, s"documents-$i.json"),
+          page.mkString("[", ",", "]"))
+      }
       graft.sources.PagedExtract.read(s,
           new graft.sources.PagedExtract.LocalDirFetcher(dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))

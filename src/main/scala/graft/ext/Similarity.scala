@@ -127,7 +127,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    if (cents.nonEmpty && cents.length <= InlineAssignMaxCells) {
+    if (cents.length == 1) {
+      // single cell: everything is assigned to it (greatest() needs ≥2 args)
+      c.withColumn("cell", lit(cents.head._1))
+        .select(col("corpus_id"), col("cv"), col("cell"))
+    } else if (cents.nonEmpty && cents.length <= InlineAssignMaxCells) {
       val scored = cents.map { case (cell, vec) =>
         struct(
           VectorExpressions.cosineF(col("cv"), typedLit(vec)).as("d"),

@@ -90,6 +90,14 @@ object Upsert {
     * a key to a new partition value would leave the old row in its
     * untouched partition; use the full-table [[upsert]] for mutable
     * partition columns.
+    *
+    * CRASH MODEL: dynamic partition overwrite's commit has a window
+    * where a touched partition's old files are deleted before the new
+    * ones land. That is acceptable ONLY in replayable contexts (the
+    * streaming upsert sink replays the micro-batch from its checkpoint;
+    * the merge is idempotent). Non-replayable batch orchestration goes
+    * through `EtlPipeline.loadPartitioned`, which stages the delta and
+    * swaps each partition with a rename-old-aside protocol instead.
     */
   def upsertPartitioned(
       spark: SparkSession,

@@ -60,19 +60,31 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     }
   }
 
-  /** O(delta) fact load: derive the date partition column and merge via
-    * dynamic partition overwrite — only the date partitions the batch
-    * touches are read and rewritten ([[Upsert.upsertPartitioned]]; §7.4:
-    * a daily sessions sync at 100 TB must not rewrite 100 TB). A
-    * pre-partitioning warehouse (no partition column on disk) is
-    * migrated once through the full-rewrite swap path, written
-    * partitioned from then on.
+  /** O(delta) fact load: derive the date partition column and merge only
+    * the date partitions the batch touches (§7.4: a daily sessions sync
+    * at 100 TB must not rewrite 100 TB). A pre-partitioning warehouse
+    * (no partition column on disk) is migrated once through the
+    * full-rewrite swap path, written partitioned from then on.
+    *
+    * CRASH SAFETY: unlike raw dynamic partition overwrite (whose commit
+    * deletes a partition's old files before the new ones land — a crash
+    * window where that partition's data is simply GONE), the merged
+    * delta is staged to `<table>.__delta` with its _SUCCESS marker and
+    * then swapped in PER PARTITION with the same rename-old-aside
+    * protocol as [[swapWrite]]: every crash window leaves each touched
+    * partition either old, or new, or old-renamed-to-`.graft_old_*`
+    * (which [[recoverPartitionSwaps]] restores on the next load). Backup
+    * dirs carry a leading dot so Spark's file listing never reads them
+    * (an underscore prefix is NOT enough: a dir containing `=` is still
+    * parsed as a partition column and conflicts). A leftover stage dir is deleted, not replayed — the
+    * upsert is idempotent and the next sync regenerates it.
     */
   private def loadPartitioned(name: String, batch: DataFrame, keys: Seq[String],
                               srcCol: String, pCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, to_date}
     val path = tablePath(name)
     recoverInterruptedSwap(path)
+    recoverPartitionSwaps(path)
     val withP = batch.withColumn(pCol, to_date(col(srcCol)))
     val needsMigration =
       pathExists(path) && !spark.read.parquet(path).columns.contains(pCol)
@@ -84,7 +96,65 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       val merged = Upsert.upsert(existing,
         withP.select(existing.columns.map(col).toIndexedSeq: _*), keys)
       swapWrite(path, merged, partitionCol = Some(pCol))
-    } else Upsert.upsertPartitioned(spark, path, withP, keys, pCol)
+      return
+    }
+    val fs = hadoopFs
+    val stage = s"$path.__delta"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    if (!pathExists(path)) {
+      // first write: plain partitioned table via the swap (atomic)
+      swapWrite(path, withP, partitionCol = Some(pCol))
+      return
+    }
+    // merge against ONLY the touched partitions (null partition values
+    // included — isin alone would skip them), stage the result
+    val touched = withP.select(col(pCol)).distinct().collect().map(_.get(0))
+    val (nullTouched, valsTouched) = touched.partition(_ == null)
+    val pred = {
+      val in =
+        if (valsTouched.nonEmpty)
+          Some(col(pCol).isin(valsTouched.toIndexedSeq: _*))
+        else None
+      val nl = if (nullTouched.nonEmpty) Some(col(pCol).isNull) else None
+      (in ++ nl).reduceOption(_ || _)
+        .getOrElse(org.apache.spark.sql.functions.lit(false))
+    }
+    val existing = spark.read.parquet(path).filter(pred)
+    val merged = Upsert.upsert(existing,
+      withP.select(existing.columns.map(col).toIndexedSeq: _*), keys)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(pCol).parquet(stage)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$stage/_SUCCESS")),
+      s"staged delta for $name is missing its _SUCCESS marker")
+    // swap each staged partition into the live table, old renamed aside
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    staged.foreach { st =>
+      val pname = st.getPath.getName
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$pname")
+      val old = new org.apache.hadoop.fs.Path(s"$path/.graft_old_$pname")
+      fs.delete(old, true)
+      if (fs.exists(dst)) fs.rename(dst, old)
+      fs.rename(st.getPath, dst)
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Heal partition swaps interrupted mid-flight: a `.graft_old_<p>` backup
+    * beside a missing live partition is restored; beside a live one it
+    * is garbage-collected.
+    */
+  private def recoverPartitionSwaps(path: String): Unit = {
+    if (!pathExists(path)) return
+    val fs = hadoopFs
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graft_old_"))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(
+          s"$path/${st.getPath.getName.stripPrefix(".graft_old_")}")
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+      }
   }
 
   private def loadFullRewrite(name: String, reconciled: DataFrame,

@@ -63,7 +63,8 @@ object Sinks {
       flattenForText(df).write.mode(mode).option("header", "true").csv(path)
     case "tsv" =>
       flattenForText(df).write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
-    case "xlsx" => writeXlsx(df, if (path.endsWith(".xlsx")) path else s"$path.xlsx")
+    case "xlsx" =>
+      writeXlsx(df, if (path.endsWith(".xlsx")) path else s"$path.xlsx", mode = mode)
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported sink format: $other (reference's pickle/looker are out of scope)")
@@ -77,7 +78,18 @@ object Sinks {
     * their type; everything else lands as text; a header row carries the
     * column names (pandas to_excel default).
     */
-  def writeXlsx(df: DataFrame, file: String, maxRows: Int = 1048575): Unit = {
+  def writeXlsx(df: DataFrame, file: String, maxRows: Int = 1048575,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val exists = new java.io.File(file).exists()
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"writeXlsx: $file already exists")
+      case SaveMode.Ignore if exists => return
+      case SaveMode.Append =>
+        throw new IllegalArgumentException(
+          "writeXlsx: append is not supported for a single-file BI artifact")
+      case _ => ()
+    }
     val flat = flattenForText(df)
     val rows = flat.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
@@ -92,9 +104,20 @@ object Sinks {
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+    def finite(n: Any): Boolean = n match {
+      case d: Double => !d.isNaN && !d.isInfinite
+      case f: Float => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
     def cellXml(v: Any, isNum: Boolean): String = v match {
-      case null => ""
+      // null → an EMPTY cell element, never a skipped one: cells carry
+      // no r= attribute, so a skipped cell would shift every later
+      // value one column left
+      case null => "<c/>"
       case b: Boolean => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
+      // NaN/Infinity are not valid SpreadsheetML numbers (Excel flags
+      // the file as corrupt) — land them as empty cells like null
+      case n if isNum && !finite(n) => "<c/>"
       case n if isNum => s"""<c><v>$n</v></c>"""
       case other => s"""<c t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
     }

@@ -157,6 +157,30 @@ class PipelineSpec extends SparkSpec {
     assert(out === Array(("s1", 1.0), ("s2", 5.0), ("s3", 3.0)))
   }
 
+  test("interrupted partition swap recovers: _old_ backup restored when live partition is missing") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh-rec").toString
+    val pipe = new EtlPipeline(spark, wh)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    pipe.loadTable("sessions", Seq(
+      ("s1", ts("2024-06-01 10:00:00"), 1.0),
+      ("s2", ts("2024-06-02 10:00:00"), 2.0)).toDF("id", "start_dt", "average_score"))
+    // simulate a crash between rename-old-aside and rename-new-in:
+    // live partition gone, backup left behind
+    val live = new java.io.File(s"$wh/sessions/start_date=2024-06-01")
+    val bak = new java.io.File(s"$wh/sessions/.graft_old_start_date=2024-06-01")
+    assert(live.renameTo(bak))
+    // Spark ignores the dot-prefixed backup: the table reads with a hole
+    assert(pipe.readTable("sessions").count() === 1)
+    // next load heals it before merging
+    pipe.loadTable("sessions", Seq(("s3", ts("2024-06-03 10:00:00"), 3.0))
+      .toDF("id", "start_dt", "average_score"))
+    val out = pipe.readTable("sessions").orderBy("id")
+      .select("id", "average_score").as[(String, Double)].collect()
+    assert(out === Array(("s1", 1.0), ("s2", 2.0), ("s3", 3.0)))
+    assert(!bak.exists())
+  }
+
   test("pre-partitioning sessions table is migrated once, then loaded O(delta)") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh-mig").toString

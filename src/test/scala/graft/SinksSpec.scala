@@ -102,9 +102,28 @@ class SinksSpec extends SparkSpec {
       val r1 = rows(1)
       assert((r1 \\ "t").map(_.text).contains("a & <b>")) // escaped + round-tripped
       assert((r1 \\ "v").map(_.text) === Seq("1", "1.5", "1")) // id, score, bool
-      // null score in row 2 → empty cell (3 cells with values)
+      // null score in row 2 → EMPTY cell element, not a skipped one:
+      // every row must carry exactly 4 <c> elements or later values
+      // shift into the wrong columns
+      rows.foreach(r => assert((r \\ "c").length === 4))
       assert((rows(2) \\ "v").map(_.text) === Seq("2", "0"))
     } finally zip.close()
+  }
+
+  test("xlsx sink: NaN lands as an empty cell; ErrorIfExists honored") {
+    val x = Seq((1L, Double.NaN), (2L, 2.5)).toDF("id", "v")
+    val file = java.nio.file.Files.createTempDirectory("graft-xlsx3").toString + "/nan.xlsx"
+    Sinks.writeXlsx(x, file)
+    val zip = new java.util.zip.ZipFile(file)
+    val sheet = try new String(
+      zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally zip.close()
+    assert(!sheet.contains("NaN")) // invalid SpreadsheetML number never emitted
+    val parsed = scala.xml.XML.loadString(sheet)
+    assert(((parsed \\ "row")(1) \\ "c").length === 2) // cell present, empty
+    val e = intercept[IllegalStateException](
+      Sinks.writeXlsx(x, file, mode = org.apache.spark.sql.SaveMode.ErrorIfExists))
+    assert(e.getMessage.contains("exists"))
   }
 
   test("xlsx sink: maxRows cap fails loudly, not by truncating") {
