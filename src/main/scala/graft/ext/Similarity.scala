@@ -175,6 +175,38 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Persist an IVF assignment partitioned BY CELL: the layout that
+    * makes query-time probes partition-prunable — a probe of nProbe
+    * cells reads nProbe directories of the store, not the corpus.
+    */
+  def writeAssigned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /** IVF top-k against a cell-partitioned store: the probed cell set is
+    * computed first (tiny — queries × centroids, both bounded) and
+    * pushed into the store scan as a STATIC `cell IN (...)` predicate,
+    * so partition pruning skips every unprobed cell's files before the
+    * scan starts. At 100 TB with nCells=4096 and nProbe=8, the scan
+    * reads 0.2% of the store.
+    */
+  def ivfTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      centroids: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.crossJoin(broadcast(centroids
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", VectorExpressions.cosineF(col("qv"), col("cf")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
+    val probedCells = qCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe).select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(storePath)
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    ivfTopK(assigned, centroids, queries, vecCol, idCol, k, nProbe)
+  }
+
   /** recall@k per query of an approximate top-k result against the exact
     * one (both in `(query_id, corpus_id, …)` shape): the fraction of the
     * exact neighbors the approximate path retrieved. The quality gate

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean below 0.9 (per-query: $recalls)")
   }
 
+  test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
+    val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
+    val assigned = Similarity.assignCells(embs, centroids, "embedding", "vec_id")
+    Similarity.writeAssigned(assigned, store)
+    val q = embs.filter(col("vec_id") === 0)
+    val fromStore = Similarity.ivfTopKFromStore(spark, store, centroids, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+    val inMem = Similarity.ivfTopK(assigned, centroids, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+    assert(fromStore.orderBy("rank").collect() === inMem.orderBy("rank").collect())
+    // the probed-cell predicate must reach the scan as a PARTITION filter
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"store scan is not partition-pruned:\n$plan")
+  }
+
   test("IVF probe returns self-consistent top-k from probed cells") {
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 2)
     val assigned = Similarity.assignCells(embs, centroids, "embedding", "vec_id")
