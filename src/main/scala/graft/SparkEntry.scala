@@ -865,6 +865,20 @@ object SparkEntry {
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "x_multimodal_frames" -> ((s, d) => {
+      // rows-only: frame-sampling plumbing (stub decode kernel) over
+      // text-as-blob with synthetic durations — row-per-frame shape,
+      // offsets, and null/zero-duration semantics are the real contract
+      val blobs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"),
+          (col("n_chars") % 5 * 1000).as("duration_ms"))
+      graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
+          everyMs = 1000, dim = 4)
+        .select(col("doc_id"), col("duration_ms"), col("frame_ms"),
+          round(element_at(col("frame_feature"), 1), 6).as("f0"))
+        .orderBy("doc_id", "frame_ms")
+    }),
+
     "x_multimodal_features" -> ((s, d) => {
       // rows-only: binary-column feature plumbing over text-as-blob (the
       // container has no media codecs; the decode kernel is a

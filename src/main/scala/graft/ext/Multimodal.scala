@@ -79,4 +79,75 @@ object Multimodal {
   def frameSampleOffsets(durationMsCol: String, everyMs: Int): org.apache.spark.sql.Column =
     when(col(durationMsCol).isNull || col(durationMsCol) <= 0, array().cast("array<bigint>"))
       .otherwise(sequence(lit(0L), col(durationMsCol) - 1, lit(everyMs.toLong)))
+
+  /** STUB resize kernel: deterministic byte-fold to the target pixel
+    * budget (a real deployment replaces ONLY this body with the image
+    * library call — signature and call site stay).
+    */
+  def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val out = new Array[Byte](math.max(1, math.min(bytes.length, w * h / 64)))
+    var i = 0
+    while (i < bytes.length) { out(i % out.length) = (out(i % out.length) ^ bytes(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Resize a binary image column partition-wise: blob replaced with the
+    * (stub-)resized payload, target dimensions recorded alongside. Same
+    * execution shape as [[extractFeatures]] — per-partition init for the
+    * codec, blob never enters a shuffle key.
+    */
+  def resize(df: DataFrame, blobCol: String, width: Int, height: Int): DataFrame = {
+    val inSchema = df.schema
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
+      StructField("resized_width", IntegerType, nullable = false),
+      StructField("resized_height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition init point for the real codec
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(blobIdx) = stubResize(r.getAs[Array[Byte]](blobIdx), width, height)
+        Row.fromSeq(vals.toSeq ++ Seq(width, height))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled offset of each video
+    * blob — (input columns minus the blob) + `frame_ms` + the frame's
+    * stub-decoded feature vector. The frame grab runs inside the same
+    * per-partition kernel; a parent with null/zero duration contributes
+    * no frames (inner-explode semantics, like the flatten family).
+    */
+  def sampleFrames(df: DataFrame, blobCol: String, durationMsCol: String,
+                   everyMs: Int, dim: Int = 8): DataFrame = {
+    val inSchema = df.schema
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val durIdx = inSchema.fieldIndex(durationMsCol)
+    val keptIdx = inSchema.fields.indices.filter(_ != blobIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields(_)) ++ Seq(
+      StructField("frame_ms", LongType, nullable = false),
+      StructField("frame_feature", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition init point for the real codec
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val dur = if (r.isNullAt(durIdx)) 0L else r.getAs[Number](durIdx).longValue()
+        if (bytes == null || dur <= 0) Iterator.empty
+        else {
+          val kept = keptIdx.map(r.get)
+          (0L until dur by everyMs.toLong).iterator.map { ms =>
+            // stub frame grab: fold the offset into the decode so each
+            // frame's feature is distinct and deterministic
+            val frame = stubDecode(bytes, dim)
+            val shifted = frame.indices.map(i =>
+              frame(i) + (ms.toFloat / math.max(1L, dur))).toArray
+            Row.fromSeq(kept ++ Seq(ms, shifted.toSeq))
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -31,6 +31,37 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(1) - (1 + 3) / 255.0f) < 1e-6)
   }
 
+  test("resize: blob replaced partition-wise, dims recorded, null-safe") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "blob")
+    val out = Multimodal.resize(df, "blob", width = 64, height = 64).orderBy("media_id").collect()
+    assert(out(0).getAs[Array[Byte]]("blob") !== null)
+    assert(out(0).getAs[Int]("resized_width") === 64)
+    assert(out(0).getAs[Int]("resized_height") === 64)
+    assert(out(1).isNullAt(out(1).fieldIndex("blob"))) // null stays null
+    // determinism: same input → same resized payload
+    val again = Multimodal.resize(df, "blob", 64, 64).orderBy("media_id").collect()
+    assert(out(0).getAs[Array[Byte]]("blob").toSeq === again(0).getAs[Array[Byte]]("blob").toSeq)
+  }
+
+  test("sampleFrames: one row per offset, per-frame features distinct, inner semantics") {
+    val df = Seq(
+      (1L, Array[Byte](9, 8, 7), Option(2500L)),
+      (2L, Array[Byte](1, 2, 3), Option(0L)),          // zero duration → no frames
+      (3L, null.asInstanceOf[Array[Byte]], Option(5000L)) // null blob → no frames
+    ).toDF("media_id", "blob", "duration_ms")
+    val out = Multimodal.sampleFrames(df, "blob", "duration_ms", everyMs = 1000, dim = 4)
+    assert(out.columns === Array("media_id", "duration_ms", "frame_ms", "frame_feature"))
+    val rows = out.orderBy("media_id", "frame_ms").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))) ===
+      Array((1L, 0L), (1L, 1000L), (1L, 2000L)))
+    // offset folded in → frames of one video differ
+    val f0 = rows(0).getSeq[Float](3); val f1 = rows(1).getSeq[Float](3)
+    assert(f0 !== f1)
+  }
+
   test("frameSampleOffsets: every Nms within duration, empty for null/zero") {
     val df = Seq((1L, Option(2500L)), (2L, Option(0L)), (3L, Option.empty[Long]))
       .toDF("id", "duration_ms")
