@@ -746,6 +746,12 @@ object SparkEntry {
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
 
+    "x_dedup_exact_best" -> ((s, d) =>
+      // quality-first representative: keep the LONGEST duplicate (by
+      // n_chars), ties to min doc_id
+      Dedup.exactKeepBest(t(s, d, "documents"), "text", "doc_id", "n_chars")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+
     "x_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(
           t(s, d, "documents").filter(col("doc_id") < 300),
@@ -1371,6 +1377,15 @@ object SparkEntry {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_exact_best" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "x_dedup_jaccard" ->

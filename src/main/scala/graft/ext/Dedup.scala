@@ -30,6 +30,23 @@ object Dedup {
       .filter(col(idCol) === col("__keep"))
       .drop("__fp", "__keep")
 
+  /** Exact dedup keeping the duplicate that MAXIMIZES `preferCol` per
+    * normalized-text fingerprint (quality-first representative
+    * selection — training pipelines keep the longest / highest-quality
+    * copy, not an arbitrary one). Ties break to min id for
+    * determinism. Same single-shuffle profile as [[exact]].
+    */
+  def exactKeepBest(docs: DataFrame, textCol: String, idCol: String,
+                    preferCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+      .orderBy(col(preferCol).desc_nulls_last, col(idCol).asc)
+    docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   // ---- MinHash ----
 
   /** k independent MinHash values over a shingle array (Broder '97).

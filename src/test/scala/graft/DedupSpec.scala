@@ -20,6 +20,18 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(1L, 2L, 4L, 5L)) // 3 collapsed into 1
   }
 
+  test("exactKeepBest keeps the max-prefer duplicate, ties to min id") {
+    val scored = Seq(
+      (1L, "same text here", 10),
+      (2L, "SAME   text here", 50), // normalized-dup of 1, higher quality → kept
+      (3L, "same text here", 50),   // ties with 2 on prefer → min id (2) wins
+      (4L, "different", 5)
+    ).toDF("doc_id", "text", "quality")
+    val out = Dedup.exactKeepBest(scored, "text", "doc_id", "quality")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(2L, 4L))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
