@@ -132,9 +132,17 @@ object Similarity {
       c.withColumn("cell", lit(cents.head._1))
         .select(col("corpus_id"), col("cv"), col("cell"))
     } else if (cents.nonEmpty && cents.length <= InlineAssignMaxCells) {
+      // rank by dot(v, ĉ) with centroids NORMALIZED ON THE DRIVER:
+      // cosine = dot(v,ĉ)/|v| and |v| is constant per row, so the
+      // argmax is identical — but each cell costs ONE kernel call
+      // instead of cosineF's three (no reliance on codegen CSE to
+      // dedupe 128 copies of dot(v,v))
       val scored = cents.map { case (cell, vec) =>
+        val n = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
+        val unit =
+          if (n == 0.0) vec else vec.map(x => (x / n).toFloat)
         struct(
-          VectorExpressions.cosineF(col("cv"), typedLit(vec)).as("d"),
+          VectorExpressions.dotF(col("cv"), typedLit(unit)).as("d"),
           lit(-cell).as("negcell"))
       }
       val best = greatest(scored.toIndexedSeq: _*)

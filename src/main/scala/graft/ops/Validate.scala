@@ -44,9 +44,14 @@ object Validate {
     * frame — over a full-warehouse audit that is 3× fewer scans.
     */
   def health(name: String, df: DataFrame, keys: Seq[String]): TableHealth = {
+    // audit the declared keys that EXIST (schema drift should degrade
+    // the audit gracefully, same contract as [[nullViolations]] — a
+    // missing key column is drift to report, not an AnalysisException)
     val present = keys.filter(df.columns.contains)
-    val nullKey = present.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
-    val r = df.groupBy(keys.map(col).toIndexedSeq: _*)
+    if (present.isEmpty)
+      return TableHealth(name, df.count(), 0L, 0L)
+    val nullKey = present.map(col(_).isNull).reduce(_ || _)
+    val r = df.groupBy(present.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__n"))
       .agg(
         coalesce(sum(col("__n")), lit(0L)).as("rows"),

@@ -133,8 +133,8 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       val dst = new org.apache.hadoop.fs.Path(s"$path/$pname")
       val old = new org.apache.hadoop.fs.Path(s"$path/.graft_old_$pname")
       fs.delete(old, true)
-      if (fs.exists(dst)) fs.rename(dst, old)
-      fs.rename(st.getPath, dst)
+      if (fs.exists(dst)) renameOrDie(fs, dst, old)
+      renameOrDie(fs, st.getPath, dst)
       fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -152,7 +152,7 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
       .foreach { st =>
         val live = new org.apache.hadoop.fs.Path(
           s"$path/${st.getPath.getName.stripPrefix(".graft_old_")}")
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        if (!fs.exists(live)) renameOrDie(fs, st.getPath, live)
         else fs.delete(st.getPath, true)
       }
   }
@@ -191,8 +191,8 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, old)
+    renameOrDie(fs, new org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(old, true)
   }
 
@@ -208,10 +208,10 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     if (!fs.exists(dst)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.__new/_SUCCESS"))) {
-        fs.rename(neu, dst) // crash after old moved aside, before promote
+        renameOrDie(fs, neu, dst) // crash after old moved aside, before promote
         fs.delete(old, true)
       } else if (fs.exists(old)) {
-        fs.rename(old, dst) // crash before a complete __new existed
+        renameOrDie(fs, old, dst) // crash before a complete __new existed
       }
     } else {
       fs.delete(old, true)
@@ -221,6 +221,17 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
 
   private def hadoopFs =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Hadoop FileSystem.rename reports most failures by RETURNING FALSE
+    * (missing src, missing dst parent, quota, cross-FS), not throwing —
+    * an unchecked rename inside a swap protocol can cascade into
+    * deleting the only surviving copy. Every swap rename goes through
+    * here and aborts loudly instead.
+    */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+                          src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
 
   def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
 

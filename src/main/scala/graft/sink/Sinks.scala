@@ -32,6 +32,9 @@ object Sinks {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        // binary → hex, not Array[Byte].toString identity garbage
+        case org.apache.spark.sql.types.BinaryType =>
+          org.apache.spark.sql.functions.hex(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }
@@ -100,9 +103,15 @@ object Sinks {
       case _ => false
     })
 
-    def esc(s: String): String = s
-      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+    def esc(s: String): String = {
+      // control chars below 0x20 (except TAB/LF/CR) are illegal in XML
+      // 1.0 even as entities — substitute, or the whole file is corrupt
+      val clean = s.map(c =>
+        if (c < ' ' && c != '\t' && c != '\n' && c != '\r') '�' else c)
+      clean
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;")
+    }
 
     def finite(n: Any): Boolean = n match {
       case d: Double => !d.isNaN && !d.isInfinite
@@ -119,11 +128,14 @@ object Sinks {
       // the file as corrupt) — land them as empty cells like null
       case n if isNum && !finite(n) => "<c/>"
       case n if isNum => s"""<c><v>$n</v></c>"""
-      case other => s"""<c t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+      // xml:space="preserve": Excel otherwise strips leading/trailing
+      // whitespace from inline strings on load
+      case other =>
+        s"""<c t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>"""
     }
 
     val header = flat.columns
-      .map(c => s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""").mkString
+      .map(c => s"""<c t="inlineStr"><is><t xml:space="preserve">${esc(c)}</t></is></c>""").mkString
     val body = new StringBuilder
     body.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")

@@ -82,7 +82,12 @@ object PagedExtract {
       .take(maxPages)
       .map(fetcher.fetch)
       .takeWhile {
-        case Some(body) => body.trim.replaceAll("\\s", "") != "[]"
+        // a BLANK body is end-of-data too (the fetcher contract names
+        // "empty body" as past-the-end; a 0-byte terminator file must
+        // not keep the loop running to maxPages)
+        case Some(body) =>
+          val t = body.replaceAll("\\s", "")
+          t.nonEmpty && t != "[]"
         case None => false
       }
       .map(_.get)

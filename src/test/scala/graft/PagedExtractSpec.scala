@@ -39,6 +39,12 @@ class PagedExtractSpec extends SparkSpec {
     assert(PagedExtract.read(spark, new LocalDirFetcher(dir, "p")).isEmpty)
   }
 
+  test("a blank page body ends pagination like an empty array") {
+    val dir = writePages(Seq("""[{"id": 1}]""", "", """[{"id": 99}]"""), "p")
+    val out = PagedExtract.read(spark, new LocalDirFetcher(dir, "p"))
+    assert(out.count() === 1) // page 2 past the blank terminator is never read
+  }
+
   test("maxPages guards against a non-terminating source") {
     val endless = new PageFetcher {
       override def fetch(page: Int): Option[String] = Some(s"""[{"id": $page}]""")

@@ -110,6 +110,23 @@ class SinksSpec extends SparkSpec {
     } finally zip.close()
   }
 
+  test("xlsx sink: control chars substituted, whitespace preserved, binary hex-encoded") {
+    val x = Seq((1L, "bad\u0001ctl", "  padded  ", Array[Byte](0x0A, 0x0B)))
+      .toDF("id", "dirty", "pad", "bin")
+    val file = java.nio.file.Files.createTempDirectory("graft-xlsx4").toString + "/c.xlsx"
+    Sinks.write(x, file, "xlsx")
+    val zip = new java.util.zip.ZipFile(file)
+    val sheet = try new String(
+      zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally zip.close()
+    val parsed = scala.xml.XML.loadString(sheet) // must stay well-formed XML
+    assert(!sheet.contains("\u0001")) // illegal XML char substituted
+    assert(sheet.contains("bad\uFFFDctl"))
+    val texts = ((parsed \\ "row")(1) \\ "t").map(_.text)
+    assert(texts.contains("  padded  ")) // xml:space keeps the padding
+    assert(texts.contains("0A0B")) // binary as hex, not [B@... identity
+  }
+
   test("xlsx sink: NaN lands as an empty cell; ErrorIfExists honored") {
     val x = Seq((1L, Double.NaN), (2L, 2.5)).toDF("id", "v")
     val file = java.nio.file.Files.createTempDirectory("graft-xlsx3").toString + "/nan.xlsx"

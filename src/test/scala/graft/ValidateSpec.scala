@@ -35,6 +35,14 @@ class ValidateSpec extends SparkSpec {
     // empty frame: all zeros, no NPE from the empty aggregate
     val empty = Validate.health("e", df.limit(0), keys)
     assert((empty.rows, empty.duplicateKeyGroups, empty.nullKeyRows) === (0L, 0L, 0L))
+    // schema drift: a declared key column missing from the table must
+    // degrade the audit (group by what exists), not throw
+    val drifted = Validate.health("d", df, Seq("id", "not_a_col"))
+    assert(drifted.rows === 5L)
+    assert(drifted.duplicateKeyGroups === 2L) // grouped by id alone
+    // all keys absent: row count only
+    val bare = Validate.health("b", df, Seq("nope"))
+    assert((bare.rows, bare.duplicateKeyGroups, bare.nullKeyRows) === (5L, 0L, 0L))
   }
 
   test("nullViolations catches nulls in declared columns, skips absent ones") {
