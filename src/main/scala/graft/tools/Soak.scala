@@ -9,7 +9,8 @@ object Soak {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
-    val sections = if (args.isEmpty) Set("docs", "fact", "embs", "boiler") else args.toSet
+    val sections =
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -69,6 +70,40 @@ object Soak {
       .filter(d => d.lastModified != dirsBefore.getOrElse(d.getName, 0L)).map(_.getName).sorted
     println("[soak] partitions rewritten: " + touched.mkString(", "))
     println("[soak] fact count after: " + spark.read.parquet(s"$base/fact").count())
+    }
+
+    // round 2: the ORCHESTRATOR's crash-safe staged-swap load at scale —
+    // 10M-row sessions fact over 100 dates, then a 2-date incremental
+    // batch: must rewrite exactly 2 partitions, per-partition renames
+    // included in the timing
+    section("load") {
+      val wh = s"$base/wh"
+      new java.io.File(s"$wh/sessions").delete()
+      val pipe = new graft.pipeline.EtlPipeline(spark, wh)
+      val full = spark.range(10000000).select(
+        concat(lit("s"), col("id")).as("id"),
+        to_timestamp(date_add(lit("2024-01-01").cast("date"),
+          pmod(col("id"), lit(100)).cast("int"))).as("start_dt"),
+        (col("id") % 1000).cast("double").as("average_score"))
+      time("initial 10M-row sessions load (100 date partitions)") {
+        pipe.loadTable("sessions", full)
+      }
+      // batch keys stay in their original date partition (id ≡ 4 mod
+      // 100 → 2024-01-05), honoring the stable-partition contract
+      val batch = spark.range(50000).select(
+        concat(lit("s"), col("id") * 100 + 4).as("id"),
+        lit("2024-01-05 00:00:00").cast("timestamp").as("start_dt"),
+        lit(-1.0).as("average_score"))
+      val dirs = new java.io.File(s"$wh/sessions").listFiles.filter(_.isDirectory)
+        .map(d => d.getName -> d.lastModified).toMap
+      time("incremental 50k-row batch via staged per-partition swap") {
+        pipe.loadTable("sessions", batch)
+      }
+      val touchedP = new java.io.File(s"$wh/sessions").listFiles.filter(_.isDirectory)
+        .filter(d => d.lastModified != dirs.getOrElse(d.getName, 0L)).map(_.getName).sorted
+      println("[soak] sessions partitions rewritten: " + touchedP.mkString(", "))
+      println("[soak] sessions count after: " +
+        spark.read.parquet(s"$wh/sessions").count())
     }
 
     // round 2: embedding near-dup at a scale where all-pairs is
