@@ -89,8 +89,7 @@ object Dedup {
                          shingleSize: Int, k: Int): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), graft.functions.VectorExpressions.fnv1a64(col("sh")).as("h"))
+        explode(TextOps.shingleHashes(col(textCol), shingleSize)).as("h"))
     val minCols = (0 until k).map { seed =>
       val (a, b) = permuteConsts(seed)
       min(graft.functions.VectorExpressions.hashPermute(col("h"), a, b)).as(s"m$seed")
@@ -180,8 +179,7 @@ object Dedup {
                 shingleSize: Int): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("h", graft.functions.VectorExpressions.fnv1a64(col("sh")))
+        explode(TextOps.shingleHashes(col(textCol), shingleSize)).as("h"))
     val voteCols = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"v$bit")
@@ -252,9 +250,12 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    // shingles live as 64-bit FNV hashes end-to-end (single-pass
+    // kernel; the inverted index and intersection counts only need
+    // equality, and 8-byte keys shuffle ~4× lighter than shingle text)
     val sh = docs.select(
         col(idCol).as("id"),
-        array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("shingles"))
+        array_distinct(TextOps.shingleHashes(col(textCol), shingleSize)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val inverted0 = sh.select(col("id"), explode(col("shingles")).as("sh"))
     // hot-shingle cap: drop shingles appearing in more than maxShingleDf
@@ -284,6 +285,63 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- cluster resolution ----
+
+  /** Connected components over a near-dup pair graph: every node gets
+    * `cluster_id` = the minimum node id reachable from it. This is the
+    * step that turns PAIRS (what LSH/jaccard emit) into deduplicatable
+    * CLUSTERS — without it, transitive groups (A~B, B~C but A≁C) can't
+    * be reduced to one representative.
+    *
+    * Algorithm: iterative min-label propagation. Each round, every node
+    * takes the min of its own label and its neighbors' labels; converged
+    * when no label changes. Rounds = component diameter, and near-dup
+    * graphs have tiny, dense components (bucket caps bound them by
+    * construction — see [[minhashNearDups]] `maxBucketSize`), so this
+    * terminates in a handful of rounds even at corpus scale. Each round
+    * is one shuffle of the (node, label) frame on node id + one
+    * broadcast-or-shuffle join with the edge list; `localCheckpoint`
+    * cuts the growing lineage so round N doesn't recompute rounds 1..N-1.
+    *
+    * `edges` is (id_a, id_b) — undirected, either orientation; `nodes`
+    * is one column `id` (singletons come out labeled with themselves).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIterations: Int = 20): DataFrame = {
+    val adj = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .union(edges.select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst")))
+    var labels = nodes.select(col(nodes.columns(0)).as("id"))
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val nbrMin = adj.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** One representative per near-dup cluster: resolve components over
+    * the pair graph, keep the min-id doc of each cluster (singletons —
+    * docs in no pair — always survive). The end-to-end near-dedup:
+    * `docs → pairs (minhash/jaccard/embedding) → keepClusterRepresentatives`.
+    */
+  def keepClusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+                                 idCol: String): DataFrame = {
+    val cc = connectedComponents(
+      pairs.select(col(pairs.columns(0)), col(pairs.columns(1))),
+      docs.select(col(idCol)))
+    docs.join(cc.filter(col("id") === col("cluster_id")).select(col("id")),
+      docs(idCol) === col("id"), "left_semi")
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT all-pairs form.

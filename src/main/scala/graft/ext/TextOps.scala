@@ -131,6 +131,16 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** FNV-1a hashes of the word shingles, computed in a single byte
+    * scan with no string materialization — bit-identical to
+    * `transform(wordShingles(text, n), fnv1a64)` (the equivalence is
+    * property-tested), ~an order of magnitude cheaper. This is the
+    * form every dedup/decontamination scan should use; [[wordShingles]]
+    * remains for callers that need the shingle TEXT (reports, debug).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.VectorExpressions.shingleFnv(lower(trim(text)), n)
+
   /** Character n-gram shingles over whitespace-normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val s = lower(regexp_replace(trim(text), "\\s+", " "))

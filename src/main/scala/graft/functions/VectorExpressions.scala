@@ -151,6 +151,112 @@ case class Fnv1a64(child: Expression)
     copy(child = newChild)
 }
 
+/** All word-shingle FNV-1a hashes of a string in ONE byte scan:
+  * `shingle_fnv(s, n)` ≡
+  * `transform(wordShingles-of-s, sh -> fnv1a64(sh))` — bit-identical
+  * values (same tokenizer contract as `split(s, "\\s+")` with Spark's
+  * limit -1, same 0x20 joiner, same FNV byte loop as [[Fnv1a64]]) — so
+  * every DuckDB oracle that replays the string pipeline keeps matching.
+  *
+  * Why it exists: the composable form routes through `transform` /
+  * `sequence` / `slice` / `concat_ws`, all interpreted higher-order
+  * expressions that allocate a token array, k slice copies, and k
+  * shingle strings PER ROW. This kernel tokenizes the raw UTF-8 bytes
+  * once and folds each shingle's bytes straight into the hash
+  * accumulator: zero string materialization, no interpreted eval. It
+  * is the substrate of minhash/simhash/jaccard/decontamination, i.e.
+  * the innermost loop of a 100-TB dedup scan.
+  */
+case class ShingleFnv(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_fnv"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"shingle_fnv: n must be >= 1, got $n")
+    else if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_fnv expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(x: Any): Any =
+    ShingleFnv.compute(x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFnv.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFnv =
+    copy(child = newChild)
+}
+
+object ShingleFnv {
+  // Java \s — exactly the separator class of split(s, "\\s+"); all six
+  // are single-byte in UTF-8, so byte-wise scanning is unicode-safe.
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  private val Seed = 0xcbf29ce484222325L
+  private val Prime = 0x100000001b3L
+
+  /** Called from generated code (static forwarder). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // Field offsets mirroring java.lang.String.split("\\s+", -1): a
+    // leading empty field when the string starts with whitespace, a
+    // trailing empty field when it ends with one (callers trim, but
+    // the contract must hold for ANY input to stay oracle-equivalent).
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nf = 0
+    def push(a: Int, b: Int): Unit = {
+      if (nf == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nf * 2)
+        ends = java.util.Arrays.copyOf(ends, nf * 2)
+      }
+      starts(nf) = a; ends(nf) = b; nf += 1
+    }
+    var i = 0
+    var fieldStart = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        push(fieldStart, i)
+        while (i < len && isWs(bytes(i))) i += 1
+        fieldStart = i
+      } else i += 1
+    }
+    push(fieldStart, len)
+    val m = nf - n + 1
+    if (m < 1) org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](m)
+      var sh = 0
+      while (sh < m) {
+        var h = Seed
+        var j = sh
+        while (j < sh + n) {
+          if (j > sh) h = (h ^ 0x20L) * Prime
+          var k = starts(j)
+          val e = ends(j)
+          while (k < e) {
+            h = (h ^ (bytes(k) & 0xffL)) * Prime
+            k += 1
+          }
+          j += 1
+        }
+        out(sh) = h
+        sh += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -174,4 +280,8 @@ object VectorExpressions {
   /** portable FNV-1a 64-bit string hash (see [[Fnv1a64]]). */
   def fnv1a64(s: Column): Column =
     GraftBridge.column(Fnv1a64(expr(s)))
+
+  /** single-pass word-shingle FNV hashes (see [[ShingleFnv]]). */
+  def shingleFnv(s: Column, n: Int): Column =
+    GraftBridge.column(ShingleFnv(expr(s), n))
 }

@@ -76,6 +76,25 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: shingleHashes == fnv1a64 over wordShingles, elementwise") {
+    // the single-pass ShingleFnv kernel must be bit-identical to the
+    // composable string pipeline it replaces — including whitespace
+    // runs, leading/trailing whitespace, unicode, and empty strings
+    val wordGen = Gen.oneOf("alpha", "beta", "γάμμα", "δ", "x", "", " ", "\t")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check("shingle-fnv-equiv", Prop.forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
+      val Array(fast, slow) = Seq(text).toDF("t")
+        .select(
+          TextOps.shingleHashes(col("t"), n).as("fast"),
+          transform(TextOps.wordShingles(col("t"), n),
+            s => graft.functions.VectorExpressions.fnv1a64(s)).as("slow"))
+        .selectExpr("cast(fast as array<bigint>)", "cast(slow as array<bigint>)")
+        .as[(Seq[Long], Seq[Long])].collect()
+        .flatMap(r => Array(r._1, r._2))
+      fast == slow
+    })
+  }
+
   test("property: asofBackward payload ts never exceeds the left ts") {
     val tsGen = Gen.choose(0L, 100L)
     check("asof-invariant", Prop.forAll(
