@@ -772,6 +772,24 @@ object SparkEntry {
           "text", "doc_id", shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    "x_dedup_clusters" -> ((s, d) => {
+      // near-dup CLUSTER resolution: pairs (n-gram jaccard) → connected
+      // components (min-label propagation) → per-doc cluster id + size.
+      // The step that turns pairwise similarity into deduplicatable
+      // groups (transitive: A~B, B~C clusters A,B,C together even when
+      // A≁C). The oracle replays it with a recursive CTE.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)
+      val cc = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"))
+      import org.apache.spark.sql.expressions.Window
+      cc.select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_minhash" -> ((s, d) =>
       // portable FNV-1a signatures — the oracle replays the FULL LSH
       // pipeline (signatures, banding, bucket join, est_jaccard)
@@ -1430,6 +1448,38 @@ object SparkEntry {
         |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // jaccard pairs (same CTE chain as x_dedup_jaccard) → undirected
+    // edges → recursive min-label reachability → min reachable id per
+    // node = cluster id (singletons label themselves)
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+        |    FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
 
     // full LSH replay: FNV-1a shingle hashes → 64 permuted mins → 16
     // band buckets → bucket self-join → positional signature agreement

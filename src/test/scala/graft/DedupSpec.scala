@@ -68,6 +68,26 @@ class DedupSpec extends SparkSpec {
     assert(c.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
   }
 
+  test("connectedComponents resolves transitive chains, labels singletons") {
+    // chain 1-2, 2-3, 3-4 (diameter 3 — needs >1 propagation round) plus
+    // pair 10-11 and singletons 20, 21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("keepClusterRepresentatives keeps one doc per near-dup cluster") {
+    // docs 1,2,3 are a transitive near-dup cluster via jaccard pairs;
+    // 4 and 5 survive as singletons
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", shingleSize = 3, threshold = 0.5)
+    val kept = Dedup.keepClusterRepresentatives(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L))
+  }
+
   test("minhash est_jaccard approximates true jaccard for identical docs") {
     val out = Dedup.minhashNearDups(docs, "text", "doc_id",
         shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
