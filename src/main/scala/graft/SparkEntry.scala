@@ -812,6 +812,15 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "x_bm25_search" -> ((s, d) =>
+      // BM25 relevance ranking for a bag-of-terms query — corpus
+      // slicing by keyword relevance; fixed-order score assembly keeps
+      // the float sum deterministic (see Search.bm25)
+      graft.ext.Search.bm25(t(s, d, "documents"), "text", "doc_id",
+          Seq("spark", "vector", "merge"), topK = 20)
+        .select(col("id").as("doc_id"), col("score"), col("rank"))
+        .orderBy("rank")),
+
     // ---- ext: similarity search ----
     "x_ann_bruteforce" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1539,6 +1548,39 @@ object SparkEntry {
          |  FROM documents),
          |hh AS (SELECT doc_id, ${fnvSql("nt")} AS hu FROM n)
          |SELECT doc_id, ${signedSql("hu")} AS fp FROM hh ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: same tokenizer, same idf form, same fixed-order
+    // per-term score assembly (max-of-CASE per term, summed left to
+    // right) so the double math is bit-identical
+    "x_bm25_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS len
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark' THEN s END) AS s0,
+        |    max(CASE WHEN term = 'vector' THEN s END) AS s1,
+        |    max(CASE WHEN term = 'merge' THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score FROM agg),
+        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
 
     "x_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
