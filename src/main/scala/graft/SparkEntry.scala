@@ -889,6 +889,26 @@ object SparkEntry {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "x_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters: top-token / top-bigram /
+      // duplicate-bigram fractions per doc
+      TextOps.repetitionStats(t(s, d, "documents"), "text", "doc_id", n = 2)
+        .select(col("id").as("doc_id"), col("top_token_frac"),
+          col("top_ngram_frac"), col("dup_ngram_frac"))
+        .orderBy("doc_id")),
+
+    "x_pii_redact" -> ((s, d) =>
+      // PII scrub over text with synthesized (deterministic) email /
+      // phone / IPv4 — both sides inject the same PII, so the redaction
+      // semantics are fully oracle-checked (same recipe as q41's
+      // synthesized escapes)
+      t(s, d, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
+          col("doc_id"), lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+        .select(col("doc_id"), TextOps.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+
     "x_bpe_tokens" -> ((s, d) =>
       // the lookaround boundary-split equals maximal-run extraction on
       // ASCII text, which the oracle can express without lookarounds
@@ -1288,6 +1308,47 @@ object SparkEntry {
 
     "q_paged_extract" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    // repetition replay: same tokenizer; n-gram counts over the shingle
+    // STRINGS (count-equivalent to the engine's shingle hashes)
+    "x_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t),
+        |toks AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+        |  FROM tokc GROUP BY doc_id),
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |ngr AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS s
+        |  FROM d),
+        |ngrc AS (SELECT doc_id, s, count(*) AS c FROM ngr GROUP BY doc_id, s),
+        |ngrs AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+        |  FROM ngrc GROUP BY doc_id)
+        |SELECT doc.doc_id, toks.top_token_frac, ngrs.top_ngram_frac, ngrs.dup_ngram_frac
+        |FROM documents doc
+        |LEFT JOIN toks ON doc.doc_id = toks.doc_id
+        |LEFT JOIN ngrs ON doc.doc_id = ngrs.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    // same deterministic PII injection, same RE2-safe patterns with 'g'
+    "x_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1 555 01' || doc_id
+        |      || ' at 10.0.' || (doc_id % 256) || '.7' AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     // the boundary-split tokens ARE the maximal alnum / non-alnum-non-
     // space runs (exact on ASCII; lookarounds not needed to count runs)

@@ -131,6 +131,56 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1
+    * repetition filters): the fraction of tokens taken by the single
+    * most frequent token, the fraction of word n-grams taken by the
+    * most frequent n-gram, and the fraction of n-gram occurrences that
+    * are repeats. High values flag boilerplate/templated/looping text —
+    * the standard pre-training quality cut alongside [[qualityScore]].
+    *
+    * Shape: two explode→groupBy passes keyed by (doc, token|ngram-hash)
+    * with map-side combine — shuffles are keyed by doc id and sized by
+    * the token stream, never the pair space. Docs with no tokens (or
+    * fewer than n) come out with null fractions.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val ids = docs.select(col(idCol).as("id"))
+    val tokCounts = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(col("id"))
+      .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")).cast(DoubleType), 6)
+        .as("top_token_frac"))
+    val ngrCounts = docs
+      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+    val ngrStats = ngrCounts.groupBy(col("id"))
+      .agg(
+        round(max(col("c")).cast(DoubleType) / sum(col("c")).cast(DoubleType), 6)
+          .as("top_ngram_frac"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast(DoubleType)
+          / sum(col("c")).cast(DoubleType), 6).as("dup_ngram_frac"))
+    ids.join(tokStats, Seq("id"), "left").join(ngrStats, Seq("id"), "left")
+  }
+
+  /** PII redaction: emails, IPv4 addresses, and international-format
+    * phone numbers replaced with typed placeholders — the standard
+    * privacy scrub before corpus release. Patterns are deliberately
+    * RE2-safe (no lookaround/backrefs) so they run identically under
+    * Java regex and RE2-family engines; applied email → ip → phone so
+    * earlier placeholders can't be re-matched by later patterns.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(noIp, "\\+[0-9][0-9 -]{6,}[0-9]", "<PHONE>")
+  }
+
   /** FNV-1a hashes of the word shingles, computed in a single byte
     * scan with no string materialization — bit-identical to
     * `transform(wordShingles(text, n), fnv1a64)` (the equivalence is

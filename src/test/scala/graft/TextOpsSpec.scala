@@ -69,4 +69,27 @@ class TextOpsSpec extends SparkSpec {
     // share the class, '!' is its own run -> hello, world42, '!' = 3
     assert(df.as[Int].collect()(0) === 3)
   }
+
+  test("repetitionStats: looping text scores high, varied text low, empty is null") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // top token 4/4, bigram "spam spam" 3/3, all dups
+      (2L, "one two three four five"),    // all unique: top 1/5, bigrams unique
+      (3L, "")                            // no tokens -> null fractions
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "text", "doc_id", n = 2)
+      .select("id", "top_token_frac", "top_ngram_frac", "dup_ngram_frac")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((Some(1.0), Some(1.0), Some(1.0))))
+    assert(out(2L) === ((Some(0.2), Some(0.25), Some(0.0))))
+    assert(out(3L) === ((None, None, None)))
+  }
+
+  test("redactPii scrubs emails, IPv4s, and phone numbers, leaves prose") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.co or call +44 20 7946 0958 from 192.168.1.77 ok")
+      .toDF("t").select(TextOps.redactPii(col("t")).as("r"))
+    assert(df.as[String].collect()(0) ===
+      "mail <EMAIL> or call <PHONE> from <IP> ok")
+  }
 }
