@@ -605,6 +605,46 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    "q_stream_running_stats" -> ((s, d) => {
+      // CUSTOM STREAMING STATE, driver-visible: transformWithState
+      // (StatefulProcessor + RocksDB state store) keeping running
+      // per-user stats — the arbitrary-state upgrade of Q50's windowed
+      // protocol. One AvailableNow micro-batch means the emitted state
+      // equals the batch aggregate, so the oracle is plain SQL; the
+      // projection keeps only order-independent fields (count, max-ts)
+      // — the double running sum is exercised in StreamSyncSpec.
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val stream = graft.streaming.StreamSync.readParquetStream(s, s"$tmp/in", sch)
+          .select(col("o_custkey").cast("long").as("userId"),
+            col("o_orderdate").cast("timestamp").as("ts"),
+            col("o_totalprice").cast("double").as("value"))
+          .as[graft.streaming.StreamSync.UserEvent]
+        val stats = graft.streaming.StreamSync.runningUserStats(stream)
+        val q = stats.toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out")
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      s.read.parquet(s"$tmp/out")
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("lastSeen").as("last_seen"))
+        .orderBy("user_id")
+    }),
+
     "q51_late_window_resync" -> ((s, d) =>
       // 30-day late-data re-extract with is_scored,manual analog filter
       t(s, d, "orders")
@@ -1300,6 +1340,12 @@ object SparkEntry {
 
     "q47_schema_reconcile" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    // single-batch transformWithState == batch aggregate per user
+    "q_stream_running_stats" ->
+      """SELECT o_custkey AS user_id, count(*) AS n_events,
+        |  max(CAST(o_orderdate AS TIMESTAMP)) AS last_seen
+        |FROM orders GROUP BY o_custkey ORDER BY user_id""".stripMargin,
 
     "q50_tumbling_agg" ->
       """SELECT date_trunc('month', o_orderdate) AS w, count(*) AS n,
