@@ -577,6 +577,16 @@ object SparkEntry {
       // this row proves stream results == batch results. value sums
       // accumulate in decimal (order-independent under any micro-batch
       // schedule).
+      //
+      // State partitions are sized to the STATEFUL KEY LOAD, not the
+      // session's scan parallelism: each shuffle partition of a
+      // stateful query carries a state-store instance (open, snapshot,
+      // commit per micro-batch), so a handful of window×type keys on
+      // 32 stores is pure per-store overhead. The conf is restored
+      // after the stream finishes; at production scale this is the
+      // `spark.sql.shuffle.partitions` the STREAMING job is launched
+      // with (sized to keys/throughput), independent of batch jobs.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
       // the file source streams a DIRECTORY of drops — stage the table
@@ -594,11 +604,14 @@ object SparkEntry {
       val out = counts.select(col("window.start").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
         .withColumn("wyear", to_date(date_trunc("year", col("window_start"))))
-      val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
-        keys = Seq("window_start", "event_type"), partitionCol = "wyear",
-        checkpoint = s"$tmp/ckpt",
-        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
+          keys = Seq("window_start", "event_type"), partitionCol = "wyear",
+          checkpoint = s"$tmp/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$tmp/table")
         .select(col("window_start"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value"))
@@ -621,6 +634,10 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state partitions sized to the stateful key load (see the
+      // windowed-counts note): 8 RocksDB instances, not 32
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         import s.implicits._
         val stream = graft.streaming.StreamSync.readParquetStream(s, s"$tmp/in", sch)
@@ -638,7 +655,10 @@ object SparkEntry {
           }
           .start()
         q.awaitTermination()
-      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      } finally {
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("lastSeen").as("last_seen"))
