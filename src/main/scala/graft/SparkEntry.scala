@@ -634,10 +634,12 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // state partitions sized to the stateful key load (see the
-      // windowed-counts note): 8 RocksDB instances, not 32
+      // state partitions sized to the stateful key THROUGHPUT: per-row
+      // encoder + RocksDB work dominates this query (150k rows), so use
+      // more stores than the windowed row's key-bound 8 — but still not
+      // the scan parallelism
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "16")
       try {
         import s.implicits._
         val stream = graft.streaming.StreamSync.readParquetStream(s, s"$tmp/in", sch)
@@ -892,7 +894,8 @@ object SparkEntry {
     "x_ann_ivf" -> ((s, d) => {
       // rows-only: approximate (IVF probe) — no exact oracle by design
       val e = t(s, d, "embeddings")
-      val centroids = Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16)
+      val centroids = Similarity.materializeCentroids(
+        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16))
       val assigned = Similarity.assignCells(e, centroids, "embedding", "vec_id")
       Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 10, nProbe = 4)
@@ -990,6 +993,15 @@ object SparkEntry {
       // per-row membership decision
       graft.ext.Corpus.stratifiedSample(t(s, d, "documents"),
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "x_mixture_budget" -> ((s, d) =>
+      // token-budget mixture assembly: en capped at 5000 tokens, de at
+      // 2000, other strata dropped — deterministic hash order, so the
+      // oracle replays the exact cutoff
+      graft.ext.Corpus.tokenBudgetSample(t(s, d, "documents"), "doc_id", "lang",
+          TextOps.tokenCountWs(col("text")), Map("en" -> 5000L, "de" -> 2000L),
+          seed = 7L)
         .select("doc_id", "lang").orderBy("doc_id")),
 
     "x_multimodal_frames" -> ((s, d) => {
@@ -1422,6 +1434,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replay of the deterministic-order cumulative token cutoff (seed 7)
+    "x_mixture_budget" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |    ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    sum(toks) OVER (PARTITION BY lang ORDER BY ${signedSql("hu")} ASC, doc_id ASC
+         |                    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hx)
+         |SELECT doc_id, lang FROM c
+         |WHERE cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
 
     // replay of the FNV sample-bucket membership decision (seed 7)
     "x_sample_stratified" ->

@@ -95,12 +95,32 @@ object Similarity {
     */
   def refineCentroids(corpus: DataFrame, centroids: DataFrame,
                       vecCol: String, idCol: String, iterations: Int): DataFrame = {
-    var cents = centroids
+    // pin between iterations: each Lloyd step reads the previous
+    // centroids twice (assign + mean) and the chain would otherwise
+    // recompute every earlier iteration per use
+    var cents = materializeCentroids(centroids)
     for (_ <- 0 until iterations) {
       val assigned = assignCells(corpus, cents, vecCol, idCol)
-      cents = centroidMean(assigned.select(col("cell"), col("cv").as("v")))
+      cents = materializeCentroids(
+        centroidMean(assigned.select(col("cell"), col("cv").as("v"))))
     }
     cents
+  }
+
+  /** Pin a centroid frame to a local (driver-materialized) DataFrame.
+    * Centroid frames are tiny by contract (nCells rows) but EXPENSIVE
+    * to produce — each recomputation is a full corpus mean pass (plus
+    * an assignment pass per Lloyd iteration). Spark recomputes a
+    * DataFrame per downstream use, and IVF pipelines use the centroids
+    * 2–4 times (refine, assign, query-probe) — so pin them once and
+    * every reuse is a free local scan. The collect is bounded by
+    * nCells × dim doubles.
+    */
+  def materializeCentroids(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    val pinned = cents.select(col("cell"), col("centroid"))
+    val rows = pinned.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), pinned.schema)
   }
 
   /** IVF assignment: nearest centroid per corpus vector (centroids are

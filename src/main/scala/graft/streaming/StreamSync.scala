@@ -44,7 +44,11 @@ object StreamSync {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.upsertPartitioned(batch.sparkSession, tablePath, batch, keys, partitionCol)
+        // triggers with no state changes (e.g. the watermark-advance
+        // batch AvailableNow appends) must not touch the target — an
+        // empty merge still lists/stages/swaps every affected partition
+        if (!batch.isEmpty)
+          Upsert.upsertPartitioned(batch.sparkSession, tablePath, batch, keys, partitionCol)
       }
       .start()
 

@@ -47,6 +47,25 @@ class CorpusSpec extends SparkSpec {
     assert(!(s3 === s1))
   }
 
+  test("tokenBudgetSample: exact cutoff per stratum, deterministic, unlisted drop") {
+    import org.apache.spark.sql.functions._
+    // every doc contributes exactly 10 tokens, so budgets translate to
+    // exact doc counts: en 50 tokens -> 5 docs, de 20 -> 2 docs
+    val df = (1 to 300).map(i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3), (1 to 10).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val toks = graft.ext.TextOps.tokenCountWs(col("text"))
+    val out = Corpus.tokenBudgetSample(df, "doc_id", "lang", toks,
+      Map("en" -> 50L, "de" -> 20L), seed = 7L)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 5L, "de" -> 2L)) // fr dropped entirely
+    // reproducible: same seed -> same docs
+    val again = Corpus.tokenBudgetSample(df, "doc_id", "lang", toks,
+      Map("en" -> 50L, "de" -> 20L), seed = 7L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === out.select("doc_id").as[Long].collect().sorted)
+  }
+
   test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
     val df = (1 to 3000).map(i =>
       (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("doc_id", "lang")
