@@ -860,6 +860,18 @@ object SparkEntry {
           "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    "x_dedup_incremental" -> ((s, d) => {
+      // cross-run near-dedup: an incoming batch (doc_id 200–299)
+      // LSH-joined against the existing corpus store (doc_id < 200) —
+      // the daily-ingest shape; no store self-join
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+          docs.filter(col("doc_id") < 200),
+          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_new", "id_store")
+    }),
+
     "x_dedup_simhash" -> ((s, d) =>
       // rotations=8 × prefixBits=8 = 8 disjoint blocks → EXACT for
       // hamming ≤ 7 (pigeonhole), so the oracle is brute-force all-pairs
@@ -1675,6 +1687,37 @@ object SparkEntry {
          |  FROM cand JOIN sig s1 ON cand.id_a = s1.doc_id JOIN sig s2 ON cand.id_b = s2.doc_id)
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // same LSH replay, asymmetric: store (doc_id < 200) × incoming
+    // (200–299) instead of a self-join
+    "x_dedup_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
+         |perm AS (
+         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
+         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
+         |bs AS (
+         |  SELECT doc_id, band,
+         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
+         |  FROM sig CROSS JOIN range(16) t(band)),
+         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_store
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < 200 AND b.doc_id >= 200),
+         |est AS (
+         |  SELECT id_new, id_store,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cand JOIN sig s1 ON cand.id_new = s1.doc_id JOIN sig s2 ON cand.id_store = s2.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_store""".stripMargin,
 
     // rotations=8/prefixBits=8 is exact for hamming ≤ 7 (8 disjoint
     // blocks, pigeonhole) → oracle is brute-force all-pairs hamming

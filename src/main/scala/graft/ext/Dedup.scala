@@ -164,6 +164,62 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact incremental dedup: incoming docs whose normalized-text
+    * fingerprint already exists in the corpus store are dropped. The
+    * store side only needs the 64-bit fingerprint column (persist it
+    * once; 8 bytes/doc), the incoming batch never joins the corpus
+    * text. One broadcast-or-shuffle anti-join on the fingerprint.
+    */
+  def exactAgainstStore(incoming: DataFrame, textCol: String,
+                        storeFingerprints: DataFrame): DataFrame = {
+    val fpCol = storeFingerprints.columns(0)
+    incoming
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(storeFingerprints.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Incremental MinHash+LSH near-dedup: candidate pairs between an
+    * INCOMING batch and an existing CORPUS STORE — the daily-ingest
+    * shape, where re-self-joining the whole corpus per batch would be
+    * absurd. Both sides are banded identically and joined on
+    * (band, bucket): cost is O(|incoming| signatures) map work + a
+    * join against the store's banded signatures, which at scale are
+    * PRECOMPUTED once ([[minhashSignatureDf]] output persisted,
+    * partitioned by band) and only grow by each accepted batch.
+    * Returns (id_new, id_store, est_jaccard).
+    *
+    * `maxBucketSize` caps STORE-side buckets (boilerplate hot buckets
+    * live in the corpus; see [[minhashNearDups]] for the recall
+    * trade-off).
+    */
+  def minhashNearDupsAgainst(
+      incoming: DataFrame, store: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
+    def banded(df: DataFrame): DataFrame =
+      minhashSignatureDf(df, textCol, idCol, shingleSize, k)
+        .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("b"))
+        .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val bIn = banded(incoming)
+    val bSt0 = banded(store)
+    val bSt = maxBucketSize match {
+      case None => bSt0
+      case Some(cap) =>
+        val hot = bSt0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("band"), col("bucket"))
+        bSt0.join(hot, Seq("band", "bucket"), "left_anti")
+    }
+    bIn.as("a").join(bSt.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_store"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), m => m))
+          .cast(DoubleType) / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_new", "id_store")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc: per-bit weighted vote of shingle hashes,

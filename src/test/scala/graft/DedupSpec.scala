@@ -68,6 +68,36 @@ class DedupSpec extends SparkSpec {
     assert(c.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
   }
 
+  test("exactAgainstStore drops incoming docs already fingerprinted in the store") {
+    val store = Seq((1L, "the quick brown fox"), (2L, "other corpus text"))
+      .toDF("doc_id", "text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    val incoming = Seq(
+      (10L, "THE  QUICK brown fox"),  // normalized-dup of store doc 1 -> dropped
+      (11L, "genuinely new document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactAgainstStore(incoming, "text", store)
+      .select("doc_id").as[Long].collect()
+    assert(out === Array(11L))
+  }
+
+  test("minhashNearDupsAgainst pairs incoming near-dups with store docs only") {
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+      (2L, "completely unrelated corpus document about spark engines and data")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs away fast tonight"),
+      (11L, "nothing in common with anything stored before at all honestly"),
+      // near-dup of ANOTHER INCOMING doc but no store doc — must NOT pair
+      (12L, "nothing in common with anything stored before at all frankly")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupsAgainst(incoming, store, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_new", "id_store").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 1L)))
+  }
+
   test("connectedComponents resolves transitive chains, labels singletons") {
     // chain 1-2, 2-3, 3-4 (diameter 3 — needs >1 propagation round) plus
     // pair 10-11 and singletons 20, 21
