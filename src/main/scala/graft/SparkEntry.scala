@@ -789,6 +789,24 @@ object SparkEntry {
         .orderBy("n_name", "rank_in_nation")
     }),
 
+    "q_rolling_window" -> ((s, d) => {
+      // trailing 90-day rolling features per customer (RANGE frame over
+      // a day index): the time-series feature shape (trailing spend,
+      // order frequency) dashboards and feature pipelines both need.
+      // Decimal accumulation keeps the windowed sum independent of tie
+      // order within equal dates.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d, "orders")
+        .withColumn("day_idx",
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_idx"))
+        .rangeBetween(-90, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_90d"),
+          count(lit(1)).over(w).as("n_90d"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_pivot" -> ((s, d) =>
       // channel-keyed pivot (duration_details '0'/'1' shape, schema.py:325)
       t(s, d, "orders").groupBy("o_orderpriority")
@@ -1384,6 +1402,20 @@ object SparkEntry {
 
     "q47_schema_reconcile" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "q_rolling_window" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(p) OVER w AS DOUBLE) AS rev_90d,
+        |  count(*) OVER w AS n_90d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+        |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // single-batch transformWithState == batch aggregate per user
     "q_stream_running_stats" ->
