@@ -196,22 +196,42 @@ object Dedup {
   def minhashNearDupsAgainst(
       incoming: DataFrame, store: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
-    def banded(df: DataFrame): DataFrame =
-      minhashSignatureDf(df, textCol, idCol, shingleSize, k)
-        .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("b"))
-        .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
-    val bIn = banded(incoming)
-    val bSt0 = banded(store)
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame =
+    minhashNearDupsAgainstBanded(
+      bandedSignatures(incoming, textCol, idCol, shingleSize, k, bands),
+      bandedSignatures(store, textCol, idCol, shingleSize, k, bands),
+      k, threshold, maxBucketSize)
+
+  /** Banded MinHash signatures — (id, sig, band, bucket), one row per
+    * band. This is the PERSISTABLE store-side artifact of incremental
+    * dedup: write it once (partitioned by band if large), append each
+    * accepted batch's rows, and per-batch cost drops to signing the
+    * batch + one join — the store text is never re-shingled. (Soak:
+    * 10k-vs-510k went 45 s → 5.5 s once the store side was persisted.)
+    */
+  def bandedSignatures(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, k: Int = 64,
+                       bands: Int = 16): DataFrame =
+    minhashSignatureDf(docs, textCol, idCol, shingleSize, k)
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+
+  /** The join half of [[minhashNearDupsAgainst]], taking pre-banded
+    * frames (from [[bandedSignatures]], live or read back from a
+    * persisted store).
+    */
+  def minhashNearDupsAgainstBanded(
+      incomingBanded: DataFrame, storeBanded: DataFrame, k: Int,
+      threshold: Double, maxBucketSize: Option[Int] = None): DataFrame = {
     val bSt = maxBucketSize match {
-      case None => bSt0
+      case None => storeBanded
       case Some(cap) =>
-        val hot = bSt0.groupBy(col("band"), col("bucket"))
+        val hot = storeBanded.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
           .select(col("band"), col("bucket"))
-        bSt0.join(hot, Seq("band", "bucket"), "left_anti")
+        storeBanded.join(hot, Seq("band", "bucket"), "left_anti")
     }
-    bIn.as("a").join(bSt.as("b"),
+    incomingBanded.as("a").join(bSt.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_store"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), m => m))

@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -158,6 +158,60 @@ object Soak {
         maxBucketSize = Some(1000)).count()
     }
     println(s"[soak] capped pairs (boilerplate block excluded): $capped — the clean corpus' seeded 10,000")
+    }
+    // round 4: cluster resolution, incremental dedup, and BM25 at scale
+    section("r4") {
+      // connected components: 1M nodes in 200k chains of 5 (diameter 4
+      // forces multiple propagation rounds) — must resolve every chain
+      // to its minimum and leave sizes exactly 5
+      val nodes = spark.range(1000000).toDF("id")
+      val edges = spark.range(1000000).filter(col("id") % 5 =!= 4)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val cc = time("connected components: 1M nodes, 800k edges, diameter 4") {
+        graft.ext.Dedup.connectedComponents(edges, nodes).cache()
+      }
+      val nClusters = cc.select(countDistinct(col("cluster_id"))).as[Long].head()
+      val maxSize = cc.groupBy(col("cluster_id")).count()
+        .agg(max(col("count"))).as[Long].head()
+      val wrong = cc.filter(col("cluster_id") =!= col("id") - pmod(col("id"), lit(5))).count()
+      println(s"[soak] cc clusters: $nClusters (expect 200000), max size: $maxSize (expect 5), mislabeled: $wrong (expect 0)")
+
+      // incremental near-dedup: 10k-doc batch against the 510k store —
+      // half the batch are near-dups of store docs (one extra token)
+      val store =
+        if (new java.io.File(s"$base/docs").exists()) spark.read.parquet(s"$base/docs")
+        else genDocs()
+      val incoming = store.filter(col("doc_id") % 100 === 1).limit(5000)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" w1")).as("text"))
+        .unionByName(spark.range(5000).select((col("id") + 6000000).as("doc_id"),
+          concat_ws(" ", (0 until 60).map(j =>
+            concat(lit("z"), pmod(xxhash64(col("id"), lit(j)), lit(50)))): _*).as("text")))
+      // production flow: the store's banded signatures are persisted
+      // ONCE (and appended per accepted batch); each arriving batch
+      // only signs itself and joins
+      time("one-time: persist 510k-doc banded signature store") {
+        graft.ext.Dedup.bandedSignatures(store, "text", "doc_id",
+            shingleSize = 3, k = 64, bands = 16)
+          .write.mode("overwrite").parquet(s"$base/sigstore")
+      }
+      val incPairs = graft.ext.Dedup.minhashNearDupsAgainstBanded(
+        graft.ext.Dedup.bandedSignatures(incoming, "text", "doc_id",
+          shingleSize = 3, k = 64, bands = 16),
+        spark.read.parquet(s"$base/sigstore"),
+        k = 64, threshold = 0.6).cache()
+      val nInc = time("per-batch: 10k batch vs persisted 510k store") {
+        incPairs.count()
+      }
+      val matchedNew = incPairs.select(countDistinct(col("id_new"))).as[Long].head()
+      println(s"[soak] incremental pairs: $nInc; distinct incoming docs flagged: $matchedNew (expect ~5000, none from the fresh 5k)")
+
+      // BM25 over the 510k-doc corpus: full scoring + top-20
+      val hits = time("bm25 top-20 over 510k docs (3 query terms)") {
+        graft.ext.Search.bm25(store, "text", "doc_id", Seq("w1", "w2", "w3"), topK = 20)
+          .collect()
+      }
+      println(s"[soak] bm25 returned ${hits.length} ranked docs; top score ${hits.headOption.map(_.getDouble(1)).getOrElse(0.0)}")
     }
     spark.stop()
   }

@@ -98,6 +98,30 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((10L, 1L)))
   }
 
+  test("banded signature store round-trips through parquet (persisted == direct)") {
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast today"),
+      (2L, "completely unrelated corpus document about spark engines and data")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs away fast tonight")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.minhashNearDupsAgainst(incoming, store, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_new", "id_store", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.bandedSignatures(store, "text", "doc_id", shingleSize = 3, k = 64, bands = 16)
+      .write.mode("overwrite").parquet(dir)
+    val viaStore = Dedup.minhashNearDupsAgainstBanded(
+        Dedup.bandedSignatures(incoming, "text", "doc_id", shingleSize = 3, k = 64, bands = 16),
+        spark.read.parquet(dir), k = 64, threshold = 0.5)
+      .select("id_new", "id_store", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore === direct)
+    assert(direct.map(p => (p._1, p._2)) === Set((10L, 1L)))
+  }
+
   test("connectedComponents resolves transitive chains, labels singletons") {
     // chain 1-2, 2-3, 3-4 (diameter 3 — needs >1 propagation round) plus
     // pair 10-11 and singletons 20, 21
