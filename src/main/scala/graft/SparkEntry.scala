@@ -1034,6 +1034,15 @@ object SparkEntry {
           seed = 7L)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "x_pack_offsets" -> ((s, d) =>
+      // sequence-packing layout: deterministic concatenation order +
+      // token offsets + 2048-token bin per doc, in 8 parallel buckets
+      graft.ext.Corpus.packingOffsets(t(s, d, "documents"), "doc_id",
+          TextOps.tokenCountWs(col("text")), binTokens = 2048, nBuckets = 8,
+          seed = 7L)
+        .select(col("doc_id"), col("pack_bucket"), col("pack_offset"), col("bin_id"))
+        .orderBy("doc_id")),
+
     "x_multimodal_frames" -> ((s, d) => {
       // rows-only: frame-sampling plumbing (stub decode kernel) over
       // text-as-blob with synthetic durations — row-per-frame shape,
@@ -1478,6 +1487,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replay of the deterministic packing layout (seed 7, 8 buckets)
+    "x_pack_offsets" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |    ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, toks, ${signedSql("hu")} AS h,
+         |    ((${signedSql("hu")} % 8) + 8) % 8 AS pack_bucket
+         |  FROM hx),
+         |c AS (
+         |  SELECT doc_id, pack_bucket,
+         |    CAST(sum(toks) OVER (PARTITION BY pack_bucket ORDER BY h ASC, doc_id ASC
+         |                         ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS pack_offset
+         |  FROM m)
+         |SELECT doc_id, pack_bucket, pack_offset, pack_offset // 2048 AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // replay of the deterministic-order cumulative token cutoff (seed 7)
     "x_mixture_budget" ->

@@ -66,6 +66,27 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.select("doc_id").as[Long].collect().sorted)
   }
 
+  test("packingOffsets: contiguous offsets per bucket, stable bins, deterministic") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i => (i.toLong, (1 to 10).mkString(" ")))
+      .toDF("doc_id", "text") // 10 tokens each
+    val toks = graft.ext.TextOps.tokenCountWs(col("text"))
+    val out = Corpus.packingOffsets(df, "doc_id", toks, binTokens = 64, nBuckets = 4, seed = 7L)
+      .select("doc_id", "pack_bucket", "pack_offset", "bin_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // per bucket: offsets are exactly 0, 10, 20, ... (contiguous concatenation)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val offs = rows.map(_._3).sorted
+      assert(offs === offs.indices.map(_ * 10L).toArray)
+    }
+    // bin = floor(offset / 64)
+    assert(out.forall(r => r._4 === r._3 / 64))
+    // deterministic across runs
+    val again = Corpus.packingOffsets(df, "doc_id", toks, binTokens = 64, nBuckets = 4, seed = 7L)
+      .select("doc_id", "pack_offset").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again === out.map(r => (r._1, r._3)).sortBy(_._1))
+  }
+
   test("stratifiedSample applies per-stratum fractions; unlisted strata drop") {
     val df = (1 to 3000).map(i =>
       (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("doc_id", "lang")

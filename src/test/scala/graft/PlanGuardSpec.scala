@@ -1,0 +1,31 @@
+package graft
+
+/** Plan-shape regression guard: no registered query may plan a
+  * CartesianProduct — the one join shape that cannot survive a 100×
+  * scale-up. Broadcast nested-loop joins are allowed (they are the
+  * INTENTIONAL shape for tiny-side cross joins: centroid ranking,
+  * query broadcast, band dimensions); an unbroadcast cartesian is not.
+  *
+  * Streaming rows are excluded — their builders EXECUTE the stream as
+  * a side effect, and their batch plans are covered by the equivalent
+  * batch queries (q50, q33) plus StreamSyncSpec.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val excluded = Set(
+    "q_stream_windowed_counts", // executes a stream in the builder
+    "q_stream_running_stats"    // executes a stream in the builder
+  )
+
+  test("no registered query plans a CartesianProduct at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => excluded.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+}
