@@ -95,6 +95,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: connectedComponents == driver union-find on random graphs") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L)))
+    check("cc-vs-union-find", Prop.forAll(edgeGen) { edges0 =>
+      val nodes = (1L to 20L).toList
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges0.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component MINIMUM (union-by-min above keeps
+      // roots minimal, so find() lands on the min id)
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val edges = if (edges0.isEmpty) Seq((1L, 1L)) else edges0
+      val got = graft.ext.Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), nodes.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      got == expected
+    })
+  }
+
   test("property: asofBackward payload ts never exceeds the left ts") {
     val tsGen = Gen.choose(0L, 100L)
     check("asof-invariant", Prop.forAll(

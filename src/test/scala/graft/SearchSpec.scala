@@ -27,6 +27,11 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("bm25 with no matching term returns empty, not an error") {
+    val out = Search.bm25(docs, "text", "doc_id", Seq("zzz", "qqq"), topK = 5)
+    assert(out.count() === 0)
+  }
+
   test("bm25 tf saturation: 3 hits beats 1 hit in same-length docs") {
     val d = Seq(
       (1L, "spark spark spark pad pad"),
