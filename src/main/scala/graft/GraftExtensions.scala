@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFloat, Fnv1a64, HashPermute}
+import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so
@@ -43,6 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "fnv1a64(s) takes exactly 1 argument")
         Fnv1a64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_fnv"),
+      new ExpressionInfo(classOf[ShingleFnv].getName, "shingle_fnv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "shingle_fnv(s, n) takes exactly 2 arguments (n a literal integer)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException("shingle_fnv: n must be a literal integer")
+        }
+        ShingleFnv(children.head, n)
       }))
   }
 }

@@ -44,6 +44,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // fnv1a64: portable hash callable from SQL, known answer
       val fv = spark.sql("SELECT fnv1a64('hello world') AS h").collect()(0).getLong(0)
       assert(fv === 8618312879776256743L)
+      // shingle_fnv: one-pass shingle hashes == fnv of each shingle
+      val sv = spark.sql(
+        "SELECT shingle_fnv('a b c', 2) AS sh, array(fnv1a64('a b'), fnv1a64('b c')) AS ref")
+        .collect()(0)
+      assert(sv.getSeq[Long](0) === sv.getSeq[Long](1))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
