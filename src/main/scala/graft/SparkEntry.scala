@@ -582,11 +582,15 @@ object SparkEntry {
       // session's scan parallelism: each shuffle partition of a
       // stateful query carries a state-store instance (open, snapshot,
       // commit per micro-batch), so a handful of window×type keys on
-      // 32 stores is pure per-store overhead. The conf is restored
-      // after the stream finishes; at production scale this is the
+      // 32 stores is pure per-store overhead. The stream runs on a
+      // CLONED session (own conf, shared SparkContext) so the override
+      // never touches the caller's session — Verify plans queries from
+      // 4 threads concurrently, and a set/restore on the shared conf
+      // would race. At production scale this is the
       // `spark.sql.shuffle.partitions` the STREAMING job is launched
       // with (sized to keys/throughput), independent of batch jobs.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
       // the file source streams a DIRECTORY of drops — stage the table
@@ -596,7 +600,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$d/orders.parquet"),
         java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
       val stream = graft.streaming.StreamSync
-        .readParquetStream(s, s"$tmp/in", sch)
+        .readParquetStream(ss, s"$tmp/in", sch)
         .select(col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
           col("o_orderstatus").as("event_type"),
           col("o_totalprice").cast("decimal(18,2)").as("value"))
@@ -604,14 +608,11 @@ object SparkEntry {
       val out = counts.select(col("window.start").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
         .withColumn("wyear", to_date(date_trunc("year", col("window_start"))))
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
-          keys = Seq("window_start", "event_type"), partitionCol = "wyear",
-          checkpoint = s"$tmp/ckpt",
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
+        keys = Seq("window_start", "event_type"), partitionCol = "wyear",
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
       s.read.parquet(s"$tmp/table")
         .select(col("window_start"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value"))
@@ -632,17 +633,20 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/orders.parquet"),
         java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // cloned session (own conf, shared context): the RocksDB provider
+      // and the state-partition override stay invisible to the caller's
+      // session — Verify plans queries concurrently. State partitions
+      // are sized to the stateful key THROUGHPUT: per-row encoder +
+      // RocksDB work dominates this query (150k rows), so use more
+      // stores than the windowed row's key-bound 8 — but still not the
+      // scan parallelism.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // state partitions sized to the stateful key THROUGHPUT: per-row
-      // encoder + RocksDB work dominates this query (150k rows), so use
-      // more stores than the windowed row's key-bound 8 — but still not
-      // the scan parallelism
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "16")
-      try {
-        import s.implicits._
-        val stream = graft.streaming.StreamSync.readParquetStream(s, s"$tmp/in", sch)
+      ss.conf.set("spark.sql.shuffle.partitions", "16")
+      locally {
+        import ss.implicits._
+        val stream = graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/in", sch)
           .select(col("o_custkey").cast("long").as("userId"),
             col("o_orderdate").cast("timestamp").as("ts"),
             col("o_totalprice").cast("double").as("value"))
@@ -657,9 +661,6 @@ object SparkEntry {
           }
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.read.parquet(s"$tmp/out")
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
@@ -1522,7 +1523,8 @@ object SparkEntry {
          |                    ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM hx)
          |SELECT doc_id, lang FROM c
-         |WHERE cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
+         |WHERE (CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END) > 0
+         |  AND cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
 
     // replay of the FNV sample-bucket membership decision (seed 7)

@@ -403,6 +403,15 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // an unconverged result is WRONG (intermediate labels would split a
+    // real cluster into several "representatives") — fail loudly rather
+    // than return it; near-dup graphs converge in a handful of rounds,
+    // so hitting this means the graph has chains far beyond what the
+    // bucket caps should allow and maxIterations needs an explicit bump
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIterations rounds " +
+          "(component diameter exceeds maxIterations); raise maxIterations")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
@@ -416,8 +425,11 @@ object Dedup {
     val cc = connectedComponents(
       pairs.select(col(pairs.columns(0)), col(pairs.columns(1))),
       docs.select(col(idCol)))
-    docs.join(cc.filter(col("id") === col("cluster_id")).select(col("id")),
-      docs(idCol) === col("id"), "left_semi")
+    // reserved alias: an unqualified "id" would be ambiguous whenever
+    // docs itself carries an `id` column (e.g. idCol = "id")
+    val reps = cc.filter(col("id") === col("cluster_id"))
+      .select(col("id").as("__rep_id"))
+    docs.join(reps, docs(idCol) === reps("__rep_id"), "left_semi")
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT all-pairs form.

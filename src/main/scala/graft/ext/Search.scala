@@ -36,6 +36,9 @@ object Search {
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25: need at least one query term")
+    // corpus tokens are lowercased — match query terms in the same
+    // space, or an uppercase query term would silently score zero
+    val qTerms = terms.map(_.toLowerCase)
     val lens = docs.select(col(idCol).as("id"),
       TextOps.tokenCountWs(col(textCol)).cast("long").as("len"))
     // exact integer corpus stats (no double accumulation): N and Σlen
@@ -43,7 +46,7 @@ object Search {
     val tf = docs
       .select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qTerms: _*))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
@@ -61,10 +64,10 @@ object Search {
             + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / col("avgdl")))))
     // fixed-order assembly: score = s(term₁) + s(term₂) + … — immune to
     // agg-order float drift, mirrored verbatim in the oracle SQL
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+    val perTerm = qTerms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("s"))).as(s"s_$i")
     }
-    val total = terms.indices
+    val total = qTerms.indices
       .map(i => coalesce(col(s"s_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     val agg = scored.groupBy(col("id")).agg(perTerm.head, perTerm.tail: _*)

@@ -44,11 +44,22 @@ object StreamSync {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // triggers with no state changes (e.g. the watermark-advance
-        // batch AvailableNow appends) must not touch the target — an
-        // empty merge still lists/stages/swaps every affected partition
-        if (!batch.isEmpty)
-          Upsert.upsertPartitioned(batch.sparkSession, tablePath, batch, keys, partitionCol)
+        // Empty triggers (e.g. the watermark-advance batch AvailableNow
+        // appends) never touch the target — an empty merge would still
+        // list/stage/swap every affected partition. CONTRACT: the
+        // target table exists only after the first NON-empty batch (an
+        // empty partitioned parquet table cannot carry a schema, so
+        // "create empty on first trigger" would produce an unreadable
+        // or layout-corrupting artifact); readers of a possibly-idle
+        // stream must tolerate an absent target. Persist first:
+        // foreachBatch frames re-execute their micro-batch plan per
+        // action, and isEmpty + merge would otherwise run the stateful
+        // aggregation twice.
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            Upsert.upsertPartitioned(b.sparkSession, tablePath, b, keys, partitionCol)
+        } finally b.unpersist()
       }
       .start()
 

@@ -66,6 +66,19 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.select("doc_id").as[Long].collect().sorted)
   }
 
+  test("tokenBudgetSample drops zero-token docs from unlisted strata") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "en", "a b c"),
+      (2L, "fr", ""),       // zero tokens, unlisted stratum — must drop
+      (3L, "fr", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.tokenBudgetSample(df, "doc_id", "lang",
+        graft.ext.TextOps.tokenCountWs(col("text")), Map("en" -> 10L), seed = 7L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L))
+  }
+
   test("packingOffsets: contiguous offsets per bucket, stable bins, deterministic") {
     import org.apache.spark.sql.functions._
     val df = (1 to 500).map(i => (i.toLong, (1 to 10).mkString(" ")))

@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("connectedComponents throws rather than return unconverged labels") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = (1L to 5L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, nodes, maxIterations = 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("keepClusterRepresentatives works when idCol is literally 'id'") {
+    val docsId = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "payload")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepClusterRepresentatives(docsId, pairs, "id")
+      .select("id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))
+  }
+
   test("keepClusterRepresentatives keeps one doc per near-dup cluster") {
     // docs 1,2,3 are a transitive near-dup cluster via jaccard pairs;
     // 4 and 5 survive as singletons

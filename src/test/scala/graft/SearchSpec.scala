@@ -32,6 +32,14 @@ class SearchSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("bm25 query terms are case-normalized like the corpus") {
+    val upper = Search.bm25(docs, "text", "doc_id", Seq("SPARK"), topK = 5)
+      .select("id").as[Long].collect().toSet
+    val lower = Search.bm25(docs, "text", "doc_id", Seq("spark"), topK = 5)
+      .select("id").as[Long].collect().toSet
+    assert(upper === lower && upper.nonEmpty)
+  }
+
   test("bm25 tf saturation: 3 hits beats 1 hit in same-length docs") {
     val d = Seq(
       (1L, "spark spark spark pad pad"),

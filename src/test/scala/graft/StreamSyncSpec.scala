@@ -139,6 +139,25 @@ class StreamSyncSpec extends SparkSpec {
     assert(out === Array((1, "new"), (2, "ins")))
   }
 
+  test("upsertSink: empty batches never touch the target (documented contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-empty").toString
+    val target = s"$dir/t"
+    val input = MemoryStream[(Int, String, String)]
+    // every row filtered out -> the micro-batch reaching the sink is
+    // EMPTY. Contract: the target appears only at the first non-empty
+    // batch (an empty PARTITIONED parquet table cannot carry a schema),
+    // so after an all-empty stream the target must NOT exist — and an
+    // existing target must be byte-untouched by later empty batches.
+    val updates = input.toDF().toDF("id", "v", "day").filter(col("id") < 0)
+    val q = StreamSync.upsertSink(updates, target, Seq("id"), "day",
+      s"$dir/ckpt", org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    input.addData((1, "dropped", "2024-01-01"))
+    q.awaitTermination(60000)
+    assert(!new java.io.File(target).exists())
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
