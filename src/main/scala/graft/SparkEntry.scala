@@ -705,6 +705,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_asof_tolerance" -> ((s, d) => {
+      // as-of join with a MATCH TOLERANCE: the latest reference at or
+      // before each event counts only if it is ≤ 10 minutes old —
+      // stale references null out (the standard telemetry-join
+      // semantics; composes from asofBackward by carrying the matched
+      // right timestamp as a payload)
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts_us")).as("tss"), col("value"))
+      val ref = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("tss").as("rts"))
+        .agg(max(col("value")).as("ref_value"))
+        .withColumn("matched_rts", col("rts"))
+      graft.ops.AsOfJoin.asofBackward(ev, ref, "user_id", "tss", "rts",
+          Seq("ref_value", "matched_rts"))
+        .select(col("event_id"), col("user_id"), col("tss"),
+          when(col("matched_rts") >= col("tss") - expr("INTERVAL 10 MINUTES"),
+            col("ref_value")).as("ref_value_fresh"))
+        .orderBy("event_id")
+    }),
+
     "q_asof_forward" -> ((s, d) => {
       // forward direction: each event gets the EARLIEST reference
       // reading at or after its timestamp ("next reading"), per user —
@@ -1567,6 +1587,17 @@ object SparkEntry {
         |  SELECT user_id, tss AS rts, max(value) AS ref_value
         |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, tss)
         |SELECT e.event_id, e.user_id, e.tss, r.ref_value
+        |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |r AS (
+        |  SELECT user_id, tss AS rts, max(value) AS ref_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, tss)
+        |SELECT e.event_id, e.user_id, e.tss,
+        |  CASE WHEN r.rts >= e.tss - INTERVAL 10 MINUTE THEN r.ref_value END AS ref_value_fresh
         |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
         |ORDER BY e.event_id""".stripMargin,
 
