@@ -74,6 +74,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Array((1L, 20L, None, Some(5.0))))
   }
 
+  test("tolerance composition: stale matches null out, fresh ones survive") {
+    import org.apache.spark.sql.functions._
+    // carry the matched right ts as payload, then guard freshness —
+    // the q_asof_tolerance shape
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "lt")
+    val r = Seq((1L, 95L, "fresh-for-100"), (1L, 120L, "stale-for-200"))
+      .toDF("k", "rt", "s")
+      .withColumn("mrt", col("rt"))
+    val out = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("s", "mrt"))
+      .select(col("k"), col("lt"),
+        when(col("mrt") >= col("lt") - 10L, col("s")).as("s_fresh"))
+      .orderBy("lt").as[(Long, Long, Option[String])].collect()
+    // lt=100 matches rt=95 (age 5 ≤ 10: kept); lt=200 matches rt=120
+    // (age 80 > 10: nulled, not dropped)
+    assert(out === Array((1L, 100L, Some("fresh-for-100")), (1L, 200L, None)))
+  }
+
   test("asofBackward carries multiple payload columns and respects keys") {
     val l = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "lt")
     val r = Seq((1L, 5L, "a", 1.0), (1L, 15L, "b", 2.0), (3L, 1L, "x", 9.0))
