@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline: the extension
+  * layer's analog of [[graft.pipeline.EtlPipeline]] — quality gate →
+  * benchmark decontamination → exact dedup → near-dup cluster dedup,
+  * composed in the order a production corpus build runs them (cheap
+  * narrow filters first, the pair-generating near-dedup last, over the
+  * already-shrunk survivor set).
+  *
+  * Every stage is an already-oracle-proven operator; this composition
+  * is itself differential-tested end-to-end (`x_curation_e2e`), so the
+  * STAGE WIRING — filter order, column threading, representative
+  * selection — is verified, not just the parts.
+  */
+object CurationPipeline {
+
+  /** Per-stage survivor counts, for the curation report. */
+  final case class StageCounts(input: Long, afterQuality: Long,
+                               afterDecontamination: Long, afterExactDedup: Long,
+                               afterNearDedup: Long)
+
+  /** Run the full chain; returns the surviving corpus. Stages:
+    *  1. quality: `TextOps.qualityScore >= minQuality` (narrow filter);
+    *  2. decontamination: drop docs sharing any `ngram`-gram with
+    *     `benchmark` (broadcast inverted index);
+    *  3. exact dedup: keep min-id per normalized fingerprint;
+    *  4. near-dedup: n-gram jaccard pairs at `jaccardThreshold` →
+    *     connected components → keep cluster minimum.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+             idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
+             shingleSize: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
+    val exact = Dedup.exact(clean, textCol, idCol)
+    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize, jaccardThreshold)
+    Dedup.keepClusterRepresentatives(exact, pairs, idCol)
+  }
+
+  /** The chain with per-stage counts (each stage evaluated once more —
+    * report use, not the hot path).
+    */
+  def curateWithReport(docs: DataFrame, benchmark: DataFrame, textCol: String,
+                       idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
+                       shingleSize: Int = 3,
+                       jaccardThreshold: Double = 0.5): (DataFrame, StageCounts) = {
+    val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
+    val exact = Dedup.exact(clean, textCol, idCol)
+    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize, jaccardThreshold)
+    val fin = Dedup.keepClusterRepresentatives(exact, pairs, idCol)
+    (fin, StageCounts(docs.count(), quality.count(), clean.count(),
+      exact.count(), fin.count()))
+  }
+}
