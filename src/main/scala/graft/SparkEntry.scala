@@ -1527,7 +1527,7 @@ object SparkEntry {
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0
          |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-         |    ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
          |  FROM documents),
          |m AS (
          |  SELECT doc_id, toks, ${signedSql("hu")} AS h,
@@ -1547,7 +1547,7 @@ object SparkEntry {
          |  SELECT doc_id, lang,
          |    CASE WHEN length(trim(text)) = 0 THEN 0
          |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-         |    ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, lang,
@@ -1631,7 +1631,7 @@ object SparkEntry {
     // replay of the FNV sample-bucket membership decision (seed 7)
     "x_sample_stratified" ->
       s"""WITH h AS (
-         |  SELECT doc_id, lang, ${fnvSql("(CAST(doc_id AS VARCHAR) || ':7')")} AS hu
+         |  SELECT doc_id, lang, ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
          |  FROM documents),
          |m AS (
          |  SELECT doc_id, lang,

@@ -32,12 +32,26 @@ object CurationPipeline {
     */
   def curate(docs: DataFrame, benchmark: DataFrame, textCol: String,
              idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
-             shingleSize: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+             shingleSize: Int = 3, jaccardThreshold: Double = 0.5,
+             checkpointDir: Option[String] = None): DataFrame = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
-    val exact = Dedup.exact(clean, textCol, idCol)
+    // pin the exact-dedup survivors: downstream they are read three
+    // times (shingle pair generation, component-label init, the final
+    // representative semi-join) and their lineage carries the
+    // decontamination n-gram explode — pinned, that runs once.
+    // checkpointDir switches the pin (and the per-round component pins)
+    // to reliable checkpoints for cluster runs; the local default is
+    // right for local mode (see [[Dedup.connectedComponents]]).
+    val exactLazy = Dedup.exact(clean, textCol, idCol)
+    val exact = checkpointDir match {
+      case Some(dir) =>
+        docs.sparkSession.sparkContext.setCheckpointDir(dir)
+        exactLazy.checkpoint(true)
+      case None => exactLazy.localCheckpoint(true)
+    }
     val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize, jaccardThreshold)
-    Dedup.keepClusterRepresentatives(exact, pairs, idCol)
+    Dedup.keepClusterRepresentatives(exact, pairs, idCol, checkpointDir)
   }
 
   /** The chain with per-stage counts (each stage evaluated once more —

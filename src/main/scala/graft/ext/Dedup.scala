@@ -385,19 +385,33 @@ object Dedup {
     * is one column `id` (singletons come out labeled with themselves).
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIterations: Int = 20): DataFrame = {
-    val adj = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-      .union(edges.select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst")))
-    var labels = nodes.select(col(nodes.columns(0)).as("id"))
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+                          maxIterations: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // localCheckpoint pins blocks on EXECUTORS only — fast, and right
+    // for local mode, but on a real cluster a single executor loss
+    // makes the pinned frame unrecoverable and fails the whole dedup
+    // job. Pass checkpointDir (HDFS/object-store path) to switch every
+    // per-round pin to a reliable checkpoint that survives executor
+    // loss at the cost of a write per round.
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val pin: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint(true) else _.localCheckpoint(true)
+    // pin the edge list too: its lineage is the whole upstream pair
+    // generation (LSH banding / shingle explode — the expensive part),
+    // and it is re-joined EVERY round plus once per convergence check;
+    // unpinned, a 4-round graph recomputes pair generation ~8 times
+    val adj = pin(edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .union(edges.select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst"))))
+    var labels = pin(nodes.select(col(nodes.columns(0)).as("id"))
+      .withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
       val nbrMin = adj.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val next = pin(labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
         .filter(col("lbl") < col("prev")).isEmpty
       labels = next
@@ -421,10 +435,11 @@ object Dedup {
     * `docs → pairs (minhash/jaccard/embedding) → keepClusterRepresentatives`.
     */
   def keepClusterRepresentatives(docs: DataFrame, pairs: DataFrame,
-                                 idCol: String): DataFrame = {
+                                 idCol: String,
+                                 checkpointDir: Option[String] = None): DataFrame = {
     val cc = connectedComponents(
       pairs.select(col(pairs.columns(0)), col(pairs.columns(1))),
-      docs.select(col(idCol)))
+      docs.select(col(idCol)), checkpointDir = checkpointDir)
     // reserved alias: an unqualified "id" would be ambiguous whenever
     // docs itself carries an `id` column (e.g. idCol = "id")
     val reps = cc.filter(col("id") === col("cluster_id"))

@@ -37,8 +37,10 @@ object Search {
            topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25: need at least one query term")
     // corpus tokens are lowercased — match query terms in the same
-    // space, or an uppercase query term would silently score zero
-    val qTerms = terms.map(_.toLowerCase)
+    // space, or an uppercase query term would silently score zero;
+    // distinct, or a repeated term would double-count its contribution
+    // in the fixed-order score sum
+    val qTerms = terms.map(_.toLowerCase).distinct
     val lens = docs.select(col(idCol).as("id"),
       TextOps.tokenCountWs(col(textCol)).cast("long").as("len"))
     // exact integer corpus stats (no double accumulation): N and Σlen
