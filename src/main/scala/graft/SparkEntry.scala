@@ -1100,7 +1100,37 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"),
           round(element_at(col("feature"), 1), 6).as("f0"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "x_gopher_filter" -> ((s, d) =>
+      // composite Gopher quality verdict (Rae et al. 2021 Table A1):
+      // per-rule metrics + all-rules pass flag, all codegen'd column
+      // arithmetic — the inline quality cut of a pre-training ingest
+      TextOps.gopherFilter(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "x_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary: top-100 words with rank + cumulative
+      // coverage — tokenizer-training prep; ties rank by word
+      graft.ext.Corpus.vocabulary(t(s, d, "documents"), "text", topK = 100)
+        .orderBy("rank")),
+
+    "x_dup_passages" -> ((s, d) =>
+      // cross-doc duplicate-passage profile: per doc, how many of its
+      // 5-token windows appear in other docs (inverted-index shape —
+      // no pair join); the oracle replays it over shingle strings
+      Dedup.duplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
+        .orderBy("id")),
+
+    "x_zorder_layout" -> ((s, d) =>
+      // Morton z-value over (custkey, days-since-epoch) — the write-
+      // time clustering key for two-dimensional data skipping; pure
+      // bit arithmetic, replayed bit-for-bit by the oracle
+      t(s, d, "orders").select(col("o_orderkey"),
+          graft.ops.Layout.zValue(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+            .as("zval"))
+        .orderBy("o_orderkey"))
   )
 
   /** DuckDB fragment: FNV-1a 64 over the ASCII string expression `s`
@@ -2055,6 +2085,91 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_chars_m,
         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
         |        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full Gopher-rule replay: same tokenizer, same regex counters
+    // (RE2-safe patterns — identical counts under Java regex and RE2)
+    "x_gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nsc,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS ells,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(regexp_extract_all(text, '(^|\n)[ \t]*[-•*]')) AS bullet_lines,
+        |    len(regexp_extract_all(text, '(\.\.\.|…)[ \t]*(\n|$)')) AS ell_lines,
+        |    len(regexp_extract_all(text, '(^|\s)\S*\p{L}\S*')) AS alpha_words,
+        |    CAST(len(list_intersect(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(nsc AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN (hashes + ells) / n_words END AS symbol_ratio,
+        |    CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        |    CAST(ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        |    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
+        |    stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_frac, 6) AS bullet_frac,
+        |  round(ellipsis_frac, 6) AS ellipsis_frac,
+        |  round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+        |  coalesce(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio < 0.1
+        |    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+        |    AND alpha_word_frac > 0.8 AND stop_hits >= 2, false) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x_vocab_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (
+        |  SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT word, cnt, rank,
+        |  round(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_frac
+        |FROM r, t WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // window strings stand in for the engine's window hashes
+    // (count-equivalent, as in x_repetition)
+    "x_dup_passages" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |            FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM d),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_windows,
+        |    sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+        |  FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id)
+        |SELECT doc.doc_id AS id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
+        |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // bit-for-bit Morton replay: even bits custkey, odd bits day index
+    "x_zorder_layout" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 31), i ->
+        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
+        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1))
+        |  )) AS BIGINT) AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

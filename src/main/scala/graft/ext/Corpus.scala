@@ -134,6 +134,36 @@ object Corpus {
       .drop("__h", "__pb", "__cum")
   }
 
+  /** Corpus vocabulary table: lowercase whitespace-token frequencies
+    * with rank and cumulative coverage fraction — the tokenizer-
+    * training prep view ("how many distinct words cover X% of the
+    * corpus"). Deterministic: ties rank by the word itself.
+    *
+    * Scale shape: one explode→groupBy pass (map-side combined), sized
+    * by the token stream; the rank/cumsum window runs on the top-K rows
+    * only (orderBy+limit plans as TakeOrdered — no global sort), never
+    * on the full vocabulary. The corpus total rides in as a broadcast
+    * scalar. Cumulative coverage of the global top-K in top-K order
+    * equals the global cumulative for those ranks.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"))
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    counts.orderBy(col("cnt").desc, col("word").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(totals))
+      .select(col("word"), col("cnt"), col("rank"),
+        round(col("__cum").cast("double") / col("__total").cast("double"), 6)
+          .as("cum_frac"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

@@ -363,6 +363,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-document duplicate-passage profile (the Lee et al. 2022
+    * "Deduplicating Training Data" motif at window granularity): for
+    * each document, how many of its n-token windows also occur in at
+    * least one OTHER document, and the duplicated-window fraction. High
+    * fractions flag boilerplate-heavy docs (licenses, navboxes,
+    * templated pages) that survive whole-document dedup because the
+    * surrounding text differs.
+    *
+    * Shape: windows live as 64-bit FNV shingle hashes (single-pass
+    * kernel) → a distinct-(doc, window) pass builds the document-
+    * frequency table keyed by window hash → windows re-join their df
+    * and aggregate per doc. Both shuffles are keyed by window hash or
+    * doc id and sized by the token stream — the pair space is never
+    * materialized, so the profile runs at corpus scale where a
+    * passage-level self-join cannot. Docs with fewer than n tokens come
+    * out with zero windows and a null fraction.
+    */
+  def duplicatePassages(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 5): DataFrame = {
+    val windows = docs.select(col(idCol).as("id"),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("h"))
+    val docFreq = windows.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__ndocs"))
+    val perDoc = windows.join(docFreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__ndocs") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_windows"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(col("n_dup_windows").cast(DoubleType)
+          / col("n_windows").cast(DoubleType), 6).as("dup_frac"))
+  }
+
   // ---- cluster resolution ----
 
   /** Connected components over a near-dup pair graph: every node gets

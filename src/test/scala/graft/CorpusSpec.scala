@@ -110,4 +110,18 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(counts("en") - 800) < 120)
     assert(math.abs(counts("de") - 100) < 60)
   }
+
+  test("vocabulary: rank by count then word, cumulative coverage, topK cut") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a B d")).toDF("doc_id", "text")   // a:3 b:4(lowercased) c:1 d:1
+    val out = Corpus.vocabulary(docs, "text", topK = 3)
+      .select("word", "cnt", "rank", "cum_frac")
+      .as[(String, Long, Int, Double)].collect().sortBy(_._3)
+    // 9 tokens total; b(4) > a(3) > c(1)=d(1) tie → c first by word
+    assert(out === Array(
+      ("b", 4L, 1, 0.444444),
+      ("a", 3L, 2, 0.777778),
+      ("c", 1L, 3, 0.888889)))
+  }
 }

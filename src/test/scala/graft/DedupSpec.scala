@@ -270,4 +270,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out === Array((1L, 2L, 1.0)))
   }
+
+  test("duplicatePassages: shared window flags both docs, unique and short docs don't") {
+    val shared = "alpha beta gamma delta epsilon"       // one 5-token window
+    val d = Seq(
+      (1L, s"intro one two $shared"),                   // 8 tokens → 4 windows, 1 shared
+      (2L, s"$shared closing words here"),              // 8 tokens → 4 windows, 1 shared
+      (3L, "totally different text with nothing shared at all"),
+      (4L, "too short")                                 // < 5 tokens → no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(d, "text", "doc_id", n = 5)
+      .select("id", "n_windows", "n_dup_windows", "dup_frac")
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 1L, Some(0.25))))
+    assert(out(2L) === ((2L, 4L, 1L, Some(0.25))))
+    assert(out(3L)._3 === 0L && out(3L)._4 === Some(0.0))
+    assert(out(4L) === ((4L, 0L, 0L, None)))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: known Morton codes") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (7L, 0L),
+      ((1L << 30), (1L << 30))).toDF("x", "y")
+    val out = df.select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    // z(2,3): x=10b → bit at pos 2; y=11b → bits at pos 1,3 → 4+2+8 = 14
+    assert(out === Array(0L, 1L, 2L, 3L, 14L, 21L,
+      (1L << 60) | (1L << 61)))
+  }
+
+  test("zValue masks to the requested bit width and stays positive") {
+    val df = Seq(((1L << 40) | 5L, 3L)).toDF("x", "y")
+    // bits=31: the x bit at position 40 is ignored, low bits survive:
+    // x=101b → pos 0,4; y=11b → pos 1,3 → 1+2+8+16 = 27
+    val z = df.select(Layout.zValue(col("x"), col("y"), bits = 31).as("z"))
+      .as[Long].collect()(0)
+    assert(z === 27L)
+    assert(z >= 0L)
+  }
+
+  private def touched(layout: DataFrame, pred: Column): Long = layout
+    .select(col("x"), col("y"), spark_partition_id().as("p"))
+    .filter(pred).select("p").distinct().count()
+
+  test("zorderBy prunes on BOTH dimensions; a single-dim sort only on its own") {
+    // 64×64 grid → 4096 cells into 16 range partitions. The point of the
+    // z-layout: ONE layout that lets min/max pruning work for filters on
+    // either column. A single-dimension sort prunes its own column and
+    // nothing else.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    val zed = Layout.zorderBy(grid, col("x"), col("y"), numPartitions = 16)
+
+    // an aligned 8×8 box is a contiguous run of 64 z-values — it can
+    // only straddle a couple of range boundaries
+    val boxZ = touched(zed, col("x").between(8, 15) && col("y").between(8, 15))
+    assert(boxZ <= 4, s"z-ordered aligned box touched $boxZ of 16 partitions")
+
+    // one-dimensional stripes: each constrains half the interleaved
+    // bits → a bounded subset of partitions, for EITHER dimension
+    val xStripeZ = touched(zed, col("x").between(8, 15))
+    val yStripeZ = touched(zed, col("y").between(8, 15))
+    assert(xStripeZ <= 10, s"x-stripe touched $xStripeZ of 16")
+    assert(yStripeZ <= 10, s"y-stripe touched $yStripeZ of 16")
+
+    // contrast: x-sorted layout — an x-stripe prunes perfectly, but a
+    // y-stripe reads (nearly) every partition
+    val xSorted = grid.repartitionByRange(16, col("x"), col("y"))
+    val yStripeSorted = touched(xSorted, col("y").between(8, 15))
+    assert(yStripeSorted >= 14, s"x-sorted y-stripe touched $yStripeSorted — expected ~all")
+    assert(math.max(xStripeZ, yStripeZ) < yStripeSorted,
+      "z-order worst-dimension pruning must beat the single-sort blind dimension")
+  }
+}

@@ -92,4 +92,42 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[String].collect()(0) ===
       "mail <EMAIL> or call <PHONE> from <IP> ok")
   }
+
+  test("gopherFilter: each rule fails its crafted offender, clean prose passes") {
+    // 60 plain words with stopwords sprinkled in → passes everything
+    val good = (1 to 60).map(i =>
+      if (i % 5 == 0) "the" else if (i % 7 == 0) "with" else "word" + i).mkString(" ")
+    val short = "the quick brown fox with it"               // < 50 words
+    val symbols = (1 to 60).map(i =>
+      if (i % 5 == 0) "the" else if (i % 7 == 0) "with" else "tag#" + i).mkString(" ")
+    val bullets = (1 to 60).map(i =>
+      "- " + (if (i % 3 == 0) "the" else if (i % 7 == 0) "with" else "item" + i))
+      .mkString("\n")                                       // every line bullet-started
+    val nostop = (1 to 60).map("tok" + _).mkString(" ")     // no required stopwords
+    val docs = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
+      (5L, nostop), (6L, "")).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, "text", "doc_id")
+      .select("doc_id", "n_words", "symbol_ratio", "bullet_frac", "stop_hits", "passes")
+      .as[(Long, Long, Option[Double], Option[Double], Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6, "clean prose must pass")
+    assert(out(2L)._2 < 50 && !out(2L)._6, "short doc fails word count")
+    assert(out(3L)._3.get > 0.1 && !out(3L)._6, "hash soup fails symbol ratio")
+    assert(out(4L)._4.get >= 0.9 && !out(4L)._6, "bullet list fails bullet fraction")
+    assert(out(5L)._5 < 2 && !out(5L)._6, "stopword-free doc fails stop_hits")
+    assert(out(6L)._2 === 0L && !out(6L)._6, "empty doc fails with zero words")
+  }
+
+  test("gopherFilter metrics: mean word length, ellipsis lines, alpha words") {
+    // 3 lines, one ellipsis-ended; 7 words totalling 23 non-space chars
+    val t = "aaaa aaaa ...\naaaa aaaa\n12 34"
+    val out = TextOps.gopherFilter(Seq((1L, t)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("n_words", "mean_word_len", "ellipsis_frac", "alpha_word_frac")
+      .as[(Long, Double, Double, Double)].collect()(0)
+    assert(out._1 === 7L)                        // 4×aaaa + "..." + 12 + 34
+    assert(out._2 === 3.285714)                  // round(23/7, 6)
+    assert(out._3 === 0.333333)                  // 1 of 3 lines ellipsis-ended
+    assert(out._4 === 0.571429)                  // 4 of 7 words have a letter
+  }
 }
