@@ -668,6 +668,47 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_stream_dedup" -> ((s, d) => {
+      // STREAMING EXACT DEDUP with bounded state: the input directory
+      // receives the same orders drop TWICE (the at-least-once
+      // re-delivery / backfill-replay shape) — dropDuplicatesWithin-
+      // Watermark keeps one row per key and evicts state as the
+      // watermark passes, so the output equals the batch distinct and
+      // the oracle is plain SQL. Contrast: dropDuplicates would hold
+      // every key forever.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders_drop1.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders_drop2.parquet"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
+          col("o_orderstatus"), col("o_totalprice"))
+      val deduped = graft.streaming.StreamSync
+        .dedupWithinWatermark(stream, "ts", "30 days", Seq("o_orderkey"))
+      val q = deduped.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("ts"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "q51_late_window_resync" -> ((s, d) =>
       // 30-day late-data re-extract with is_scored,manual analog filter
       t(s, d, "orders")
@@ -1676,6 +1717,12 @@ object SparkEntry {
         |  o_orderstatus AS event_type, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM orders GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // the stream ingests the same drop twice; the dedup output must be
+    // the plain batch table (orderkey is the key and is unique)
+    "q_stream_dedup" ->
+      """SELECT o_orderkey, o_orderdate AS ts, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q51_late_window_resync" ->
       """SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders

@@ -30,6 +30,20 @@ object StreamSync {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count("*").as("n"), sum("value").as("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates of a key are
+    * dropped while they arrive within `delay` of the watermark; a key's
+    * dedup state is evicted once the event-time watermark passes it.
+    * This is the streaming form of [[graft.ext.Dedup.exact]] /
+    * [[graft.ext.Dedup.exactAgainstStore]] for the ingest path — and
+    * the scale-critical contrast to `dropDuplicates` on a stream, whose
+    * state grows with every key ever seen and eventually OOMs a
+    * 100-TB/day pipeline. Rows later than the watermark are dropped by
+    * the watermark operator itself (standard lateness semantics).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, delay: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Upsert sink: each micro-batch merges into the parquet target with
     * source-wins semantics (Load.py:228-231), partition-scoped rewrites
     * (see [[Upsert.upsertPartitioned]]). Exactly-once per key given the

@@ -85,6 +85,29 @@ class StreamSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops in-window duplicates, passes distinct keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("k", "ts", "payload")
+    val deduped = StreamSync.dedupWithinWatermark(events, "ts", "1 hour", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      // same batch: duplicate of k=1 dropped, k=2 kept
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "first"),
+        (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "dup-in-batch"),
+        (2L, Timestamp.valueOf("2024-01-01 00:20:00"), "other"))
+      q.processAllAvailable()
+      // next batch, still within the watermark window: dup dropped again
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:30:00"), "dup-next-batch"))
+      q.processAllAvailable()
+      val out = spark.table("sdd").select("k", "payload")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(out === Array((1L, "first"), (2L, "other")))
+    } finally q.stop()
+  }
+
   test("runningUserStats accumulates custom state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
