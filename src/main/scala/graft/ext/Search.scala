@@ -50,9 +50,14 @@ object Search {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency as a window over the tf frame — NOT a separate
+    // groupBy(term) aggregate: that aggregate's plan re-derives tf, so
+    // the corpus token explode (the dominant cost here) would run twice.
+    // The window reshuffles only the tiny post-filter tf frame
+    // (matching docs × |terms| rows), never the token stream.
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .join(lens, Seq("id"))
       .withColumn("avgdl",
