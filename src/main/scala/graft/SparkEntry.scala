@@ -1143,6 +1143,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "x_keyterms" -> ((s, d) =>
+      // per-doc top-3 distinctive terms by smoothed TF-IDF — the
+      // document-labeling complement of x_bm25_search; df computed as a
+      // window over the tf frame (explode runs once — see Search.bm25)
+      graft.ext.Search.keyTerms(t(s, d, "documents"), "text", "doc_id", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
+        .orderBy("doc_id", "rank")),
+
     "x_gopher_filter" -> ((s, d) =>
       // composite Gopher quality verdict (Rae et al. 2021 Table A1):
       // per-rule metrics + all-rules pass flag, all codegen'd column
@@ -2133,6 +2141,26 @@ object SparkEntry {
         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
         |        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
+    // by the bm25 oracle); ties rank by term on both sides
+    "x_keyterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
+        |  FROM tf JOIN d USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // full Gopher-rule replay: same tokenizer, same regex counters
     // (RE2-safe patterns — identical counts under Java regex and RE2)

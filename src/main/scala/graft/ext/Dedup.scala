@@ -445,11 +445,15 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       val nbrMin = adj.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the pin: the convergence check
+      // is then a filter over the pinned frame instead of a second
+      // labels join per round (one fewer shuffle join per iteration)
       val next = pin(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") < col("prev")).isEmpty
-      labels = next
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev")))
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     // an unconverged result is WRONG (intermediate labels would split a

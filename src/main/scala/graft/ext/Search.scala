@@ -90,4 +90,37 @@ object Search {
           .orderBy(col("score").desc, col("id").asc)))
       .select(col("id"), round(col("score"), 6).as("score"), col("rank"))
   }
+
+  /** Per-document top-K distinctive terms by TF-IDF (smoothed idf
+    * `ln((N+1)/(df+1))`) — the document-labeling / topic-slicing
+    * complement of [[bm25]]'s query-side ranking. Ties rank by term for
+    * determinism; terms present in every document score 0 and sink.
+    *
+    * Scale shape: one explode→groupBy pass builds the (doc, term, tf)
+    * frame (map-side combined, sized by the token stream); document
+    * frequency is a window over that frame keyed by term and the top-K
+    * cut a window keyed by doc — both reshuffle only the distinct
+    * (doc, term) pairs, never raw tokens. The corpus size rides in as
+    * a broadcast scalar. No UDFs.
+    */
+  def keyTerms(docs: DataFrame, textCol: String, idCol: String,
+               topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs").cast("double") + lit(1.0))
+          / (col("df").cast("double") + lit(1.0))))
+      .withColumn("rank", row_number().over(wDoc))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("term"), round(col("score"), 6).as("score"),
+        col("rank"))
+  }
 }

@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -212,6 +212,71 @@ object Soak {
           .collect()
       }
       println(s"[soak] bm25 returned ${hits.length} ranked docs; top score ${hits.headOption.map(_.getDouble(1)).getOrElse(0.0)}")
+    }
+    section("r5") {
+      // z-order layout vs single-column sort, judged the way engines
+      // actually skip data: parquet footer min/max stats per row group.
+      // A row group is PRUNABLE for a predicate iff its [min,max] range
+      // doesn't intersect the predicate — we read the written footers
+      // and count, deterministically (no timing noise).
+      val n = 10000000L
+      val fact = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(4096)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(4096)).as("y"),
+        col("id").as("payload"))
+      time("write 10M rows z-ordered (64 files)") {
+        graft.ops.Layout.zorderBy(fact, col("x"), col("y"), 64, bits = 12)
+          .write.mode("overwrite").parquet(s"$base/zfact")
+      }
+      time("write 10M rows x-sorted (64 files)") {
+        fact.repartitionByRange(64, col("x"), col("y"))
+          .sortWithinPartitions(col("x"), col("y"))
+          .write.mode("overwrite").parquet(s"$base/xfact")
+      }
+      val hconf = spark.sessionState.newHadoopConf()
+      def rowGroupRanges(dir: String): Seq[Map[String, (Long, Long)]] =
+        new java.io.File(dir).listFiles().toSeq
+          .filter(f => f.getName.endsWith(".parquet")).flatMap { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f.getPath), hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+                block.getColumns.asScala
+                  .filter(c => Set("x", "y").contains(c.getPath.toDotString))
+                  .map { c =>
+                    val st = c.getStatistics
+                    c.getPath.toDotString ->
+                      (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                        st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                  }.toMap
+              }
+            } finally reader.close()
+          }
+      def prunable(ranges: Seq[Map[String, (Long, Long)]],
+                   pred: Map[String, (Long, Long)]): Int =
+        ranges.count { rg =>
+          pred.exists { case (c, (lo, hi)) =>
+            rg.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+          }
+        }
+      val stripe = (1024L, 1151L) // 128 of 4096 values = 1/32 of the domain
+      for ((label, dir) <- Seq("z-ordered" -> s"$base/zfact", "x-sorted" -> s"$base/xfact")) {
+        val ranges = rowGroupRanges(dir)
+        val total = ranges.size
+        val px = prunable(ranges, Map("x" -> stripe))
+        val py = prunable(ranges, Map("y" -> stripe))
+        val pbox = prunable(ranges, Map("x" -> stripe, "y" -> stripe))
+        println(s"[soak] $label layout: $total row groups; prunable for " +
+          s"x-stripe $px, y-stripe $py, box $pbox")
+      }
+      // correctness: both layouts return identical filtered counts
+      val zc = spark.read.parquet(s"$base/zfact")
+        .filter(col("x").between(stripe._1, stripe._2)).count()
+      val xc = spark.read.parquet(s"$base/xfact")
+        .filter(col("x").between(stripe._1, stripe._2)).count()
+      println(s"[soak] x-stripe counts agree: z=$zc sorted=$xc (${zc == xc})")
     }
     spark.stop()
   }

@@ -49,4 +49,26 @@ class SearchSpec extends SparkSpec {
       .select("id", "rank").as[(Long, Int)].collect().toMap
     assert(out(1L) === 1 && out(2L) === 2)
   }
+
+  test("keyTerms surfaces distinctive terms, sinks corpus-wide ones") {
+    val d = Seq(
+      (1L, "common zebra zebra common common"),
+      (2L, "common yak common common common"),
+      (3L, "common common common common llama")
+    ).toDF("doc_id", "text")
+    val out = Search.keyTerms(d, "text", "doc_id", topK = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    // 'common' is in every doc → idf ln(4/4)=0; the unique term wins
+    assert(out === Map(1L -> "zebra", 2L -> "yak", 3L -> "llama"))
+  }
+
+  test("keyTerms ranks within doc by score then term, respects topK") {
+    val d = Seq(
+      (1L, "aa bb bb"),     // bb tf=2, aa tf=1, same df → bb first
+      (2L, "cc")
+    ).toDF("doc_id", "text")
+    val out = Search.keyTerms(d, "text", "doc_id", topK = 2)
+      .select("id", "term", "rank").as[(Long, String, Int)].collect().sorted
+    assert(out === Array((1L, "aa", 2), (1L, "bb", 1), (2L, "cc", 1)))
+  }
 }
