@@ -277,6 +277,31 @@ object Soak {
       val xc = spark.read.parquet(s"$base/xfact")
         .filter(col("x").between(stripe._1, stripe._2)).count()
       println(s"[soak] x-stripe counts agree: z=$zc sorted=$xc (${zc == xc})")
+
+      // round-5 text ops at 510k-doc scale: the duplicate-passage
+      // profile must flag the seeded near-dups (they share all but one
+      // window with their source doc) and the Gopher filter is a pure
+      // narrow map — both must hold throughput at corpus scale
+      val store =
+        if (new java.io.File(s"$base/docs").exists()) spark.read.parquet(s"$base/docs")
+        else genDocs()
+      val dp = time("duplicate-passage profile over 510k docs (5-gram windows)") {
+        val out = graft.ext.Dedup.duplicatePassages(store, "text", "doc_id", n = 5).cache()
+        out.count() // force — cache() alone is lazy and would time nothing
+        out
+      }
+      val planted = dp.filter(col("id") >= 1000000 && col("dup_frac") > 0.8).count()
+      println(s"[soak] planted near-dups with dup_frac > 0.8: $planted / 10000")
+      dp.unpersist()
+      val gf = time("Gopher filter over 510k docs") {
+        graft.ext.TextOps.gopherFilter(store, "text", "doc_id")
+          .agg(sum(when(col("passes"), 1L).otherwise(0L))).head().getLong(0)
+      }
+      println(s"[soak] gopher-passing docs: $gf")
+      val kt = time("TF-IDF key terms over 510k docs (top-3)") {
+        graft.ext.Search.keyTerms(store, "text", "doc_id", topK = 3).count()
+      }
+      println(s"[soak] keyterm rows: $kt")
     }
     spark.stop()
   }
