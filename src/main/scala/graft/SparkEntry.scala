@@ -1179,7 +1179,21 @@ object SparkEntry {
           graft.ops.Layout.zValue(col("o_custkey"),
             datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
             .as("zval"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    "x_zrange_scan" -> ((s, d) => {
+      // read-side z-probe: a (custkey, day) box answered through the
+      // quadtree z-range cover + residual predicate — must equal the
+      // plain box filter (the oracle IS the plain box filter); on a
+      // z-sorted table each range is one contiguous scan
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val o = t(s, d, "orders").withColumn("zval",
+        graft.ops.Layout.zValue(col("o_custkey"), day, bits = 12))
+      graft.ops.Layout.scanZBox(o, col("o_custkey"), day, col("zval"),
+          100L, 299L, 1200L, 2399L, bits = 12, maxRanges = 64)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    })
   )
 
   /** DuckDB fragment: FNV-1a 64 over the ASCII string expression `s`
@@ -2237,6 +2251,14 @@ object SparkEntry {
         |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
         |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
         |ORDER BY id""".stripMargin,
+
+    // the z-probe must be SEMANTICALLY the box filter — the oracle is
+    // the box filter itself, no z replay needed
+    "x_zrange_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 299
+        |  AND datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) BETWEEN 1200 AND 2399
+        |ORDER BY o_orderkey""".stripMargin,
 
     // bit-for-bit Morton replay: even bits custkey, odd bits day index
     "x_zorder_layout" ->

@@ -39,6 +39,85 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Driver-side Morton code of a single (x, y) point — the scalar twin
+    * of [[zValue]], used to compute probe ranges.
+    */
+  def zOf(x: Long, y: Long, bits: Int = 31): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Covering z-ranges for the box [xLo,xHi]×[yLo,yHi]: recursive
+    * quadtree decomposition into ALIGNED cells — within an aligned
+    * 2^L-side cell the Morton codes are one contiguous run of 4^L
+    * values, so the box becomes a sorted, disjoint, EXACT set of
+    * z-intervals (no false positives, nothing missed). This is the
+    * read-side twin of [[zorderBy]]: a table sorted/partitioned by
+    * z-value answers a two-dimensional box query as a handful of range
+    * scans instead of a full pass. Range count grows with the box
+    * perimeter (boundary cells), not its area; `maxRanges` coalesces
+    * the smallest gaps past that bound — the result then over-covers
+    * (still correct under a residual predicate, which [[scanZBox]]
+    * always applies).
+    */
+  def zRangesForBox(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+                    bits: Int = 31, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val max = (1L << bits) - 1
+    require(xLo >= 0 && yLo >= 0 && xHi <= max && yHi <= max && xLo <= xHi && yLo <= yHi,
+      s"box [$xLo,$xHi]×[$yLo,$yHi] must sit in [0, $max]²")
+    def go(xb: Long, yb: Long, level: Int): Vector[(Long, Long)] = {
+      val side = 1L << level
+      val xe = xb + side - 1
+      val ye = yb + side - 1
+      if (xe < xLo || xb > xHi || ye < yLo || yb > yHi) Vector.empty
+      else if (xb >= xLo && xe <= xHi && yb >= yLo && ye <= yHi) {
+        val zMin = zOf(xb, yb, bits)
+        Vector((zMin, zMin + side * side - 1))
+      } else {
+        val h = side >> 1
+        go(xb, yb, level - 1) ++ go(xb + h, yb, level - 1) ++
+          go(xb, yb + h, level - 1) ++ go(xb + h, yb + h, level - 1)
+      }
+    }
+    // quadtree ranges arrive disjoint; merge the contiguous ones
+    val merged = go(0L, 0L, bits).sortBy(_._1)
+      .foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc :+ ((lo, hi)), (lo2, hi2)) if lo2 == hi + 1 => acc :+ (lo, hi2)
+        case (acc, r) => acc :+ r
+      }
+    // coalesce smallest inter-range gaps until under the bound (trades
+    // exactness for probe count; over-coverage only)
+    var rs = merged
+    while (rs.size > maxRanges) {
+      val gapIdx = rs.indices.drop(1)
+        .minBy(i => rs(i)._1 - rs(i - 1)._2)
+      rs = rs.patch(gapIdx - 1,
+        Vector((rs(gapIdx - 1)._1, rs(gapIdx)._2)), 2)
+    }
+    rs
+  }
+
+  /** Box query against a z-laid-out table: OR-of-range predicates on
+    * the z column (each a contiguous scan of the z-sorted layout) plus
+    * the exact residual predicate — correct even when the range cover
+    * was coalesced, and the ranges are what min/max pruning feeds on.
+    */
+  def scanZBox(df: DataFrame, x: Column, y: Column, zCol: Column,
+               xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+               bits: Int = 31, maxRanges: Int = 64): DataFrame = {
+    val ranges = zRangesForBox(xLo, xHi, yLo, yHi, bits, maxRanges)
+    val zPred = ranges.map { case (lo, hi) => zCol.between(lo, hi) }
+      .reduce(_ || _)
+    df.filter(zPred && x.between(xLo, xHi) && y.between(yLo, yHi))
+  }
+
   /** Cluster `df` into `numPartitions` z-ordered output partitions:
     * range-partition on the Morton code of (x, y), sort within each
     * partition by it. Written out, every file covers a compact z-range

@@ -28,6 +28,44 @@ class LayoutSpec extends SparkSpec {
     assert(z >= 0L)
   }
 
+  test("zRangesForBox: exact, sorted, disjoint cover (50 random boxes, 16×16)") {
+    val bits = 4
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val x1 = rnd.nextInt(16); val x2 = x1 + rnd.nextInt(16 - x1)
+      val y1 = rnd.nextInt(16); val y2 = y1 + rnd.nextInt(16 - y1)
+      val ranges = Layout.zRangesForBox(x1, x2, y1, y2, bits, maxRanges = Int.MaxValue)
+      ranges.sliding(2).foreach {
+        case Seq((_, h), (l2, _)) => assert(l2 > h + 1, "ranges must be disjoint, non-adjacent")
+        case _ =>
+      }
+      val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+      val exact = (for { x <- x1 to x2; y <- y1 to y2 }
+        yield Layout.zOf(x, y, bits)).toSet
+      assert(covered === exact, s"box [$x1,$x2]×[$y1,$y2]")
+    }
+  }
+
+  test("zRangesForBox coalescing respects maxRanges and only over-covers") {
+    val r = Layout.zRangesForBox(1, 14, 1, 14, bits = 4, maxRanges = 3)
+    assert(r.size <= 3)
+    val covered = r.flatMap { case (lo, hi) => lo to hi }.toSet
+    val exact = (for { x <- 1 to 14; y <- 1 to 14 } yield Layout.zOf(x, y, 4)).toSet
+    assert(exact.subsetOf(covered))
+  }
+
+  test("scanZBox returns exactly the direct box-filter rows") {
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), bits = 5))
+    val viaZ = Layout.scanZBox(grid, col("x"), col("y"), col("z"),
+        3, 17, 5, 29, bits = 5, maxRanges = 8)
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    val direct = grid.filter(col("x").between(3, 17) && col("y").between(5, 29))
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    assert(viaZ === direct && viaZ.nonEmpty)
+  }
+
   private def touched(layout: DataFrame, pred: Column): Long = layout
     .select(col("x"), col("y"), spark_partition_id().as("p"))
     .filter(pred).select("p").distinct().count()
