@@ -1171,6 +1171,19 @@ object SparkEntry {
       Dedup.duplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
         .orderBy("id")),
 
+    "x_dup_passages_incr" -> ((s, d) => {
+      // cross-run passage profiling: an incoming batch (doc_id 200–299)
+      // scored against the corpus window store (doc_id < 200) — the
+      // daily-ingest shape; the corpus text is never re-scanned
+      val docs = t(s, d, "documents")
+      val store = Dedup.windowStore(
+        docs.filter(col("doc_id") < 200), "text", "doc_id", n = 5)
+      Dedup.duplicatePassagesAgainst(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+          store, "text", "doc_id", n = 5)
+        .orderBy("id")
+    }),
+
     "x_zorder_layout" -> ((s, d) =>
       // Morton z-value over (custkey, days-since-epoch) — the write-
       // time clustering key for two-dimensional data skipping; pure
@@ -2250,6 +2263,37 @@ object SparkEntry {
         |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
         |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
         |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // store windows replayed as strings (count-equivalent, as in
+    // x_dup_passages); a batch window is dup if it's in the store or
+    // in another batch doc
+    "x_dup_passages_incr" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sw AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                   FOR i IN range(1, len(w) - 3)]) AS s
+        |    FROM d WHERE doc_id < 200)),
+        |bw AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |            FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 300),
+        |bdf AS (SELECT s, count(DISTINCT doc_id) AS bdocs FROM bw GROUP BY s),
+        |per AS (
+        |  SELECT bw.doc_id, count(*) AS n_windows,
+        |    sum(CASE WHEN sw.s IS NOT NULL OR bdf.bdocs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM bw JOIN bdf ON bw.s = bdf.s LEFT JOIN sw ON bw.s = sw.s
+        |  GROUP BY bw.doc_id)
+        |SELECT doc.doc_id AS id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(per.n_dup AS DOUBLE) / per.n_windows, 6) AS dup_frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 200 AND doc_id < 300) doc
+        |LEFT JOIN per ON doc.doc_id = per.doc_id
         |ORDER BY id""".stripMargin,
 
     // the z-probe must be SEMANTICALLY the box filter — the oracle is

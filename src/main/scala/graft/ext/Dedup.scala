@@ -398,6 +398,50 @@ object Dedup {
           / col("n_windows").cast(DoubleType), 6).as("dup_frac"))
   }
 
+  /** The persistable corpus-side state for cross-run passage profiling:
+    * one row per distinct n-token window hash with its document
+    * frequency. Write it partitioned however the warehouse likes and
+    * hand it back to [[duplicatePassagesAgainst]] per ingest batch —
+    * the corpus is then never re-scanned (same pattern as
+    * [[bandedSignatures]] for LSH dedup).
+    */
+  def windowStore(docs: DataFrame, textCol: String, idCol: String,
+                  n: Int = 5): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental duplicate-passage profile: an incoming batch scored
+    * against a persisted [[windowStore]] — a batch window counts as
+    * duplicated if its hash exists in the store (any corpus doc has it)
+    * OR occurs in another batch document. The daily-ingest shape:
+    * store-side cost is one join keyed by window hash against the
+    * (distinct-window-sized) store, the batch is the only text scanned.
+    * `n` must match the store's.
+    */
+  def duplicatePassagesAgainst(batch: DataFrame, store: DataFrame,
+                               textCol: String, idCol: String,
+                               n: Int = 5): DataFrame = {
+    val windows = batch.select(col(idCol).as("id"),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("h"))
+    val batchDf = windows.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__bdocs"))
+    val flagged = windows
+      .join(batchDf, Seq("h"))
+      .join(store.select(col("h"), col("n_docs").as("__sdocs")), Seq("h"), "left")
+      .withColumn("__dup",
+        when(col("__sdocs").isNotNull || col("__bdocs") > 1, 1L).otherwise(0L))
+    val perDoc = flagged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("__dup")).as("n_dup_windows"))
+    batch.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(col("n_dup_windows").cast(DoubleType)
+          / col("n_windows").cast(DoubleType), 6).as("dup_frac"))
+  }
+
   // ---- cluster resolution ----
 
   /** Connected components over a near-dup pair graph: every node gets

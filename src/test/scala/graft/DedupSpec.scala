@@ -287,4 +287,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._3 === 0L && out(3L)._4 === Some(0.0))
     assert(out(4L) === ((4L, 0L, 0L, None)))
   }
+
+  test("duplicatePassagesAgainst: store passages flag the batch; store round-trips") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon new tail"),   // 1 of 3 windows in store
+      (11L, "completely fresh words nothing shared here ok"),
+      (12L, "completely fresh words nothing shared here ok") // batch-internal dup of 11
+    ).toDF("doc_id", "text")
+    val store = Dedup.windowStore(corpus, "text", "doc_id", n = 5)
+    def run(st: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicatePassagesAgainst(batch, st, "text", "doc_id", n = 5)
+        .select("id", "n_windows", "n_dup_windows", "dup_frac")
+        .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val out = run(store)
+    assert(out(10L) === ((10L, 3L, 1L, Some(0.333333))))
+    assert(out(11L) === ((11L, 3L, 3L, Some(1.0))))
+    assert(out(12L) === ((12L, 3L, 3L, Some(1.0))))
+    // the persisted store produces identical results (the daily shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft-winstore").toString
+    try {
+      store.write.mode("overwrite").parquet(dir)
+      assert(run(spark.read.parquet(dir)) === out)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
