@@ -104,18 +104,27 @@ object Layout {
     rs
   }
 
-  /** Box query against a z-laid-out table: OR-of-range predicates on
-    * the z column (each a contiguous scan of the z-sorted layout) plus
-    * the exact residual predicate — correct even when the range cover
-    * was coalesced, and the ranges are what min/max pruning feeds on.
+  /** Box query against a z-laid-out table: the covering ranges join in
+    * as a BROADCAST table (each range a contiguous scan of the z-sorted
+    * layout — ranges are disjoint, so the join can't duplicate rows),
+    * plus the exact residual predicate — correct even when the range
+    * cover was coalesced. NOT an OR-of-betweens filter: Catalyst
+    * inlines the z-value alias into every disjunct, duplicating the
+    * whole Morton expression per range (64 ranges × ~2·bits bit-ops
+    * blew the codegen budget, measured ~4s at sf0.1); through the join
+    * the z-value is computed once per row and compared against 64
+    * broadcast longs.
     */
   def scanZBox(df: DataFrame, x: Column, y: Column, zCol: Column,
                xLo: Long, xHi: Long, yLo: Long, yHi: Long,
                bits: Int = 31, maxRanges: Int = 64): DataFrame = {
     val ranges = zRangesForBox(xLo, xHi, yLo, yHi, bits, maxRanges)
-    val zPred = ranges.map { case (lo, hi) => zCol.between(lo, hi) }
-      .reduce(_ || _)
-    df.filter(zPred && x.between(xLo, xHi) && y.between(yLo, yHi))
+    val spark = df.sparkSession
+    val rangesDf = spark.createDataFrame(ranges.map(r => (r._1, r._2)))
+      .toDF("__zlo", "__zhi")
+    df.join(broadcast(rangesDf), zCol >= col("__zlo") && zCol <= col("__zhi"))
+      .drop("__zlo", "__zhi")
+      .filter(x.between(xLo, xHi) && y.between(yLo, yHi))
   }
 
   /** Cluster `df` into `numPartitions` z-ordered output partitions:

@@ -28,6 +28,15 @@ class LayoutSpec extends SparkSpec {
     assert(z >= 0L)
   }
 
+  test("driver-side zOf matches the column-side zValue (200 random points)") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(200)((rnd.nextLong(1L << 31), rnd.nextLong(1L << 31)))
+    val fromCol = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z")).as[Long].collect()
+    val fromDriver = pts.map { case (x, y) => Layout.zOf(x, y) }
+    assert(fromCol.toSeq === fromDriver)
+  }
+
   test("zRangesForBox: exact, sorted, disjoint cover (50 random boxes, 16×16)") {
     val bits = 4
     val rnd = new scala.util.Random(7)
