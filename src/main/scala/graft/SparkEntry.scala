@@ -709,6 +709,46 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_stream_interval_join" -> ((s, d) => {
+      // STREAM-STREAM INTERVAL JOIN, driver-visible: two order streams
+      // (finished vs open) joined per customer within ±30 days — state
+      // on both sides bounded by the watermark. One AvailableNow pass
+      // over fully-arrived inputs emits every match, so the oracle is
+      // the plain batch non-equi join.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      for (sub <- Seq("f", "o")) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/$sub"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/orders.parquet"),
+          java.nio.file.Paths.get(s"$tmp/$sub/orders.parquet"))
+      }
+      def side(sub: String, status: String, tsName: String, idName: String) =
+        graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/$sub", sch)
+          .filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("user_id"),
+            col("o_orderdate").cast("timestamp").as(tsName),
+            col("o_orderkey").as(idName))
+      val joined = graft.streaming.StreamSync.streamIntervalJoin(
+        side("f", "F", "c_ts", "click_id"),
+        side("o", "O", "v_ts", "view_id"),
+        "user_id", "c_ts", "v_ts", tolerance = "30 days", lateness = "30 days")
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .orderBy("user_id", "click_id", "view_id")
+    }),
+
     "q51_late_window_resync" -> ((s, d) =>
       // 30-day late-data re-extract with is_scored,manual analog filter
       t(s, d, "orders")
@@ -1752,6 +1792,17 @@ object SparkEntry {
         |  o_orderstatus AS event_type, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM orders GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // full-arrival AvailableNow pass ⇒ the interval join emits exactly
+    // the batch non-equi join
+    "q_stream_interval_join" ->
+      """SELECT f.o_custkey AS user_id, f.o_orderkey AS click_id, o.o_orderkey AS view_id
+        |FROM orders f JOIN orders o
+        |  ON f.o_custkey = o.o_custkey
+        |  AND o.o_orderdate >= f.o_orderdate - INTERVAL 30 DAY
+        |  AND o.o_orderdate <= f.o_orderdate + INTERVAL 30 DAY
+        |WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'
+        |ORDER BY user_id, click_id, view_id""".stripMargin,
 
     // the stream ingests the same drop twice; the dedup output must be
     // the plain batch table (orderkey is the key and is unique)
