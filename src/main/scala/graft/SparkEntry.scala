@@ -1234,6 +1234,18 @@ object SparkEntry {
             .as("zval"))
         .orderBy("o_orderkey")),
 
+    "x_zorder3" -> ((s, d) => {
+      // three-dimensional Morton code (custkey, day index, priority
+      // class) — the clustering key for a fact queried by key AND date
+      // AND category; bit i of column k lands at position 3i+k
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val pri = substring(col("o_orderpriority"), 1, 1).cast("long")
+      t(s, d, "orders").select(col("o_orderkey"),
+          graft.ops.Layout.zValueN(
+            Seq(col("o_custkey"), day, pri), bits = 16).as("zval"))
+        .orderBy("o_orderkey")
+    }),
+
     "x_zrange_scan" -> ((s, d) => {
       // read-side z-probe: a (custkey, day) box answered through the
       // quadtree z-range cover + residual predicate — must equal the
@@ -2354,6 +2366,16 @@ object SparkEntry {
         |WHERE o_custkey BETWEEN 100 AND 299
         |  AND datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) BETWEEN 1200 AND 2399
         |ORDER BY o_orderkey""".stripMargin,
+
+    // three-way interleave replay: bit i of column k at position 3i+k
+    "x_zorder3" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (3*i))
+        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (3*i+1))
+        |    + (((CAST(substring(o_orderpriority, 1, 1) AS BIGINT) >> i) & 1) << (3*i+2))
+        |  )) AS BIGINT) AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // bit-for-bit Morton replay: even bits custkey, odd bits day index
     "x_zorder_layout" ->

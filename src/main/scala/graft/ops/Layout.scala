@@ -28,26 +28,43 @@ object Layout {
     * should range-reduce wider domains first — e.g. days since an
     * epoch, bucketed ids).
     */
-  def zValue(x: Column, y: Column, bits: Int = 31): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    (0 until bits).map { i =>
-      val xb = shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i)
-      val yb = shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      xb.bitwiseOR(yb)
+  def zValue(x: Column, y: Column, bits: Int = 31): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton code: bit i of column k lands at position
+    * n·i + k. Two dimensions is the common case ([[zValue]]); three is
+    * the 100-TB fact queried by key AND date AND region. `bits · n`
+    * must stay ≤ 62 so the code stays positive in a signed long.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"zValueN needs at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits*dims must be in [$n, 62], got ${bits}*$n")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, k) =>
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), n * i + k)
+      }
     }.reduce(_ bitwiseOR _)
   }
 
   /** Driver-side Morton code of a single (x, y) point — the scalar twin
     * of [[zValue]], used to compute probe ranges.
     */
-  def zOf(x: Long, y: Long, bits: Int = 31): Long = {
+  def zOf(x: Long, y: Long, bits: Int = 31): Long = zOfN(Seq(x, y), bits)
+
+  /** Driver-side twin of [[zValueN]]. */
+  def zOfN(xs: Seq[Long], bits: Int): Long = {
+    val n = xs.size
     var z = 0L
     var i = 0
     while (i < bits) {
-      z |= ((x >>> i) & 1L) << (2 * i)
-      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      var k = 0
+      while (k < n) {
+        z |= ((xs(k) >>> i) & 1L) << (n * i + k)
+        k += 1
+      }
       i += 1
     }
     z

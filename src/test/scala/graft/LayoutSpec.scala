@@ -37,6 +37,21 @@ class LayoutSpec extends SparkSpec {
     assert(fromCol.toSeq === fromDriver)
   }
 
+  test("zValueN: 3-way interleave known answers and driver parity") {
+    // x=1 → pos 0; y=1 → pos 1; w=1 → pos 2  ⇒ z(1,1,1) = 7
+    // z(2,0,1): x bit1 → pos 3; w bit0 → pos 2 ⇒ 12
+    val df = Seq((1L, 1L, 1L), (2L, 0L, 1L), (5L, 3L, 0L)).toDF("x", "y", "w")
+    val out = df.select(
+      Layout.zValueN(Seq(col("x"), col("y"), col("w")), bits = 16).as("z"))
+      .as[Long].collect()
+    val expected = Seq(Seq(1L, 1L, 1L), Seq(2L, 0L, 1L), Seq(5L, 3L, 0L))
+      .map(Layout.zOfN(_, 16))
+    assert(out.toSeq === expected)
+    assert(expected.take(2) === Seq(7L, 12L))
+    // the 2-D forms are the n=2 special case
+    assert(Layout.zOf(5L, 3L) === Layout.zOfN(Seq(5L, 3L), 31))
+  }
+
   test("zRangesForBox: exact, sorted, disjoint cover (50 random boxes, 16×16)") {
     val bits = 4
     val rnd = new scala.util.Random(7)
