@@ -1234,6 +1234,12 @@ object SparkEntry {
             .as("zval"))
         .orderBy("o_orderkey")),
 
+    "x_skew_report" -> ((s, d) =>
+      // join-key skew diagnostic over the fact table's supplier key —
+      // the pre-salting inspection; deterministic tie order
+      graft.ops.Validate.skewReport(t(s, d, "lineitem"), "l_suppkey", topK = 10)
+        .orderBy("rank")),
+
     "x_zorder3" -> ((s, d) => {
       // three-dimensional Morton code (custkey, day index, priority
       // class) — the clustering key for a fact queried by key AND date
@@ -2366,6 +2372,20 @@ object SparkEntry {
         |WHERE o_custkey BETWEEN 100 AND 299
         |  AND datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) BETWEEN 1200 AND 2399
         |ORDER BY o_orderkey""".stripMargin,
+
+    "x_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c),
+        |r AS (
+        |  SELECT key, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT key, cnt, rank,
+        |  round(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
+        |  round(CAST(cnt AS DOUBLE) / (CAST(t.total AS DOUBLE) / CAST(t.nkeys AS DOUBLE)), 6) AS skew
+        |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // three-way interleave replay: bit i of column k at position 3i+k
     "x_zorder3" ->

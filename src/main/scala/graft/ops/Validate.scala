@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
+  /** Join-key skew diagnostic: the top-K heaviest keys with their row
+    * counts, share of the table, and skew factor (count over the mean
+    * per-key count) — what you inspect before deciding a join needs
+    * salting ([[Enrich.saltedJoin]]) or an AQE skew threshold. One
+    * groupBy (map-side combined) + a TakeOrdered top-K + a broadcast
+    * scalar; ties rank by key for determinism.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"), col("rank"),
+        round(col("cnt").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("cnt").cast("double")
+          / (col("__total").cast("double") / col("__nkeys").cast("double")), 6)
+          .as("skew"))
+  }
+
   /** Key tuples appearing more than once (must be empty post-upsert). */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col).toIndexedSeq: _*)

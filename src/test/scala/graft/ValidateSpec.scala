@@ -58,4 +58,16 @@ class ValidateSpec extends SparkSpec {
     val h = Validate.health("t", df, Seq("id"))
     assert(h === Validate.TableHealth("t", 3, 1, 0))
   }
+
+  test("skewReport ranks heavy keys with share and skew factor") {
+    // key "a": 6 rows, "b": 2, "c": 1, "d": 1  → total 10, 4 keys, mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val out = Validate.skewReport(df, "k", topK = 3)
+      .select("key", "cnt", "rank", "share", "skew")
+      .as[(String, Long, Int, Double, Double)].collect().sortBy(_._3)
+    assert(out === Array(
+      ("a", 6L, 1, 0.6, 2.4),
+      ("b", 2L, 2, 0.2, 0.8),
+      ("c", 1L, 3, 0.1, 0.4)))   // c before d: tie broken by key
+  }
 }
