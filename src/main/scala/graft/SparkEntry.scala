@@ -1056,6 +1056,17 @@ object SparkEntry {
           "embedding", "vec_id", threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    "x_embed_neardup_incr" -> ((s, d) => {
+      // rows-only: approximate — an incoming embedding batch (vec_id ≥
+      // 400) probed against the corpus store (vec_id < 400); recall vs
+      // the exact batch×store pairs is asserted in DedupSpec
+      val e = t(s, d, "embeddings")
+      Dedup.embeddingNearDupsAgainst(
+          e.filter(col("vec_id") >= 400), e.filter(col("vec_id") < 400),
+          "embedding", "vec_id", threshold = 0.4, nCells = 16, nProbe = 4)
+        .orderBy("id_new", "id_store")
+    }),
+
     "x_embed_neardup_bucketed" -> ((s, d) =>
       // rows-only: approximate (IVF cell-bucketed candidates) — runs the
       // FULL embeddings table, no cap; recall vs exact pairs is asserted

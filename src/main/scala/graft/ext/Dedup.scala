@@ -562,6 +562,40 @@ object Dedup {
     * multi-probe covers boundary pairs (DedupSpec measures it against
     * the exact pairs).
     */
+  /** Cross-run embedding near-dedup: an incoming batch probed against
+    * the existing corpus — the embedding-space twin of
+    * [[minhashNearDupsAgainst]], completing the incremental story for
+    * every dedup family. The store keeps its IVF layout (top-1 cell per
+    * vector — what [[Similarity.writeAssigned]] persists partitioned by
+    * cell); the batch multi-probes its `nProbe` nearest cells, and only
+    * (batch × same-cell store) candidates are cosine-verified — no
+    * store self-join, no cartesian. Approximate like the bucketed
+    * variant: verification is exact, bucketing can only miss.
+    */
+  def embeddingNearDupsAgainst(
+      incoming: DataFrame, store: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2,
+      lloydIterations: Int = 1): DataFrame = {
+    val st = store.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = Similarity.refineCentroids(st,
+      Similarity.coarseCentroids(st, "v", "id", nCells), "v", "id", lloydIterations)
+    val assignedStore = Similarity.assignCells(st, cents, "v", "id")
+    val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = inc.crossJoin(broadcast(cents
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
+    val probes = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("id"), col("v"), col("cell"))
+    probes.as("n").join(assignedStore.as("s"), col("n.cell") === col("s.cell"))
+      .select(col("n.id").as("id_new"), col("s.corpus_id").as("id_store"),
+        graft.functions.VectorExpressions.cosineF(col("n.v"), col("s.cv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_new", "id_store")
+      .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+  }
+
   def embeddingNearDupsBucketed(
       embs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,

@@ -261,6 +261,36 @@ class DedupSpec extends SparkSpec {
       "pair generation must be a cell equi-join, not a cartesian")
   }
 
+  test("embeddingNearDupsAgainst: batch probes the store, no store self-pairs, high recall") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val storeBase = (0 until 40).map(i => (i.toLong, vec()))
+    // batch: 15 near-dups of store vectors 0..14 + 5 fresh vectors
+    val batch = (0 until 15).map { i =>
+      (200L + i, storeBase(i)._2.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    } ++ (0 until 5).map(i => (300L + i, vec()))
+    val st = storeBase.toDF("vec_id", "embedding")
+    val b = batch.toDF("vec_id", "embedding")
+    // ground truth: exact cosine of every batch×store pair at 0.95
+    val exact = b.as("n").crossJoin(st.as("s"))
+      .select(col("n.vec_id").as("id_new"), col("s.vec_id").as("id_store"),
+        graft.functions.VectorExpressions.cosineF(
+          col("n.embedding"), col("s.embedding")).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .select("id_new", "id_store").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 15)
+    val got = Dedup.embeddingNearDupsAgainst(b, st, "embedding", "vec_id",
+        threshold = 0.95, nCells = 8, nProbe = 2)
+    val gotPairs = got.select("id_new", "id_store").as[(Long, Long)].collect().toSet
+    assert(gotPairs.subsetOf(exact), "exact verify can only miss, never invent")
+    val recall = gotPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"incremental recall $recall below 0.9")
+    // every emitted pair is batch-side id_new — never a store self-pair
+    assert(gotPairs.forall { case (n, s2) => n >= 200L && s2 < 200L })
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("embeddingNearDups finds identical vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
