@@ -1222,6 +1222,13 @@ object SparkEntry {
       Dedup.duplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
         .orderBy("id")),
 
+    "x_dup_passages_removed" -> ((s, d) =>
+      // the passage-dedup TREATMENT: docs rewritten with every token
+      // inside a cross-doc 5-token window removed — whole-doc dedup
+      // can't do this (the boilerplate hides inside unique pages)
+      Dedup.removeDuplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
+        .orderBy("id")),
+
     "x_dup_passages_incr" -> ((s, d) => {
       // cross-run passage profiling: an incoming batch (doc_id 200–299)
       // scored against the corpus window store (doc_id < 200) — the
@@ -2343,6 +2350,41 @@ object SparkEntry {
         |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
         |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
         |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // full surgical replay: windows and tokens with positions (struct
+    // comprehensions), covered positions fan out 0..4, survivors
+    // re-aggregate in position order
+    "x_dup_passages_removed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ot,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, u.p AS wpos, u.s FROM (
+        |    SELECT doc_id, unnest([{'p': i - 1, 's': w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]}
+        |                           FOR i IN range(1, len(w) - 3)]) AS u
+        |    FROM d)),
+        |duph AS (
+        |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM wins GROUP BY s) WHERE df >= 2),
+        |covered AS (
+        |  SELECT DISTINCT wins.doc_id, wins.wpos + o.o AS pos
+        |  FROM wins JOIN duph USING (s), unnest([0,1,2,3,4]) AS o(o)),
+        |toks AS (
+        |  SELECT doc_id, u.p AS pos, u.t FROM (
+        |    SELECT doc_id, unnest([{'p': i - 1, 't': ot[i]} FOR i IN range(1, len(ot) + 1)]) AS u
+        |    FROM d)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.t FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept_tokens
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
         |ORDER BY id""".stripMargin,
 
     // store windows replayed as strings (count-equivalent, as in

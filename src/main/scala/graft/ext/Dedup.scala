@@ -398,6 +398,50 @@ object Dedup {
           / col("n_windows").cast(DoubleType), 6).as("dup_frac"))
   }
 
+  /** The duplicate-passage TREATMENT (Lee et al. 2022 §4: drop the
+    * duplicated span, keep the rest): rewrite each document with every
+    * token removed that lies inside an n-token window occurring in at
+    * least `minDf` distinct documents. Whole-doc dedup misses these —
+    * the boilerplate block survives inside otherwise-unique pages;
+    * this removes the block itself.
+    *
+    * Scale shape — everything is explode + join + re-aggregate, no
+    * per-row quadratic HOFs: tokens and windows posexplode with their
+    * positions; dup windows (df ≥ minDf over window hashes) semi-join
+    * back and fan out to their covered positions; surviving tokens
+    * anti-join and re-assemble in position order. Shuffles are keyed by
+    * window hash or doc id and sized by the token stream. Whitespace is
+    * normalized to single spaces in the rewrite (tokenization is the
+    * unit of surgery); case is preserved.
+    */
+  def removeDuplicatePassages(docs: DataFrame, textCol: String, idCol: String,
+                              n: Int = 5, minDf: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val toks = base
+      .select(col("id"), posexplode(split(trim(col("__text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val wins = base.select(col("id"),
+      posexplode(TextOps.shingleHashes(col("__text"), n)).as(Seq("wpos", "h")))
+    val dupH = wins.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(col("h"))
+    val covered = wins.join(dupH, Seq("h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("wpos"), col("wpos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    base.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
   /** The persistable corpus-side state for cross-run passage profiling:
     * one row per distinct n-token window hash with its document
     * frequency. Write it partitioned however the warehouse likes and

@@ -318,6 +318,25 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((4L, 0L, 0L, None)))
   }
 
+  test("removeDuplicatePassages cuts the shared span, preserves unique text and case") {
+    val shared = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, s"Intro ONE two $shared"),
+      (2L, s"$shared Closing words here"),
+      (3L, "totally different text with nothing shared at all"),
+      (4L, "too short"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatePassages(d, "text", "doc_id", n = 5)
+      .select("id", "clean_text", "n_kept_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "Intro ONE two", 3L)))       // case preserved
+    assert(out(2L) === ((2L, "Closing words here", 3L)))
+    assert(out(3L)._2 === "totally different text with nothing shared at all")
+    assert(out(4L) === ((4L, "too short", 2L)))           // < n tokens untouched
+    assert(out(5L) === ((5L, "", 0L)))
+  }
+
   test("duplicatePassagesAgainst: store passages flag the batch; store round-trips") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val batch = Seq(
