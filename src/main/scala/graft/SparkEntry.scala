@@ -1202,6 +1202,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
         .orderBy("doc_id", "rank")),
 
+    "x_unigram_logprob" -> ((s, d) =>
+      // model-free LM quality signal: per-doc mean unigram log-prob
+      // under the corpus' own distribution (decimal-accumulated ln —
+      // deterministic at any parallelism)
+      graft.ext.Corpus.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
     "x_gopher_filter" -> ((s, d) =>
       // composite Gopher quality verdict (Rae et al. 2021 Table A1):
       // per-rule metrics + all-rules pass flag, all codegen'd column
@@ -2255,6 +2262,27 @@ object SparkEntry {
         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
         |        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ln matches Java bit-for-bit; the mean accumulates ln values in
+    // DECIMAL on both sides (partial-agg order independence)
+    "x_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |j AS (
+        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
+        |  FROM tk JOIN c USING (term), t),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id AS id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  per.mean_lnp
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
 
     // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
     // by the bm25 oracle); ties rank by term on both sides

@@ -164,6 +164,37 @@ object Corpus {
           .as("cum_frac"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus' own
+    * token distribution — the cheap language-model quality signal
+    * (CCNet-style): gibberish and rare-token soup score far below
+    * common prose, with no external model needed. Deterministic at any
+    * parallelism: the per-doc mean accumulates the (bit-identical on
+    * both engines) ln values in DECIMAL before the final double cast.
+    *
+    * Scale shape: one explode→groupBy vocabulary pass, then the token
+    * stream joins its term count (shuffle keyed by term — inverted-
+    * index shape) and re-aggregates per doc; corpus total rides in as
+    * a broadcast scalar.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val perDoc = toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("lnp",
+        log(col("cnt").cast("double") / col("__total").cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lnp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_lnp"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("mean_lnp"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

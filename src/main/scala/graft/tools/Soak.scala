@@ -302,6 +302,17 @@ object Soak {
         graft.ext.Search.keyTerms(store, "text", "doc_id", topK = 3).count()
       }
       println(s"[soak] keyterm rows: $kt")
+      // passage REMOVAL: the planted near-dups (60 shared tokens + one
+      // extra) must be stripped to nearly nothing while unique docs
+      // keep their text
+      val removed = time("duplicate-passage removal over 510k docs") {
+        val out = graft.ext.Dedup.removeDuplicatePassages(store, "text", "doc_id", n = 5).cache()
+        out.count()
+        out
+      }
+      val strippedPlanted = removed.filter(col("id") >= 1000000 && col("n_kept_tokens") < 10).count()
+      println(s"[soak] planted near-dups stripped below 10 tokens: $strippedPlanted / 10000")
+      removed.unpersist()
     }
     spark.stop()
   }

@@ -111,6 +111,23 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(counts("de") - 100) < 60)
   }
 
+  test("unigramLogProb: common prose scores above rare-token soup, empty is null") {
+    val docs = Seq(
+      (1L, "a a b"),     // a:2/4, b:1/4 → mean (ln .5 + ln .5 + ln .25)/3
+      (2L, "c"),         // c:1/4 → ln .25
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(docs, "text", "doc_id")
+      .select("id", "n_tokens", "mean_lnp")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 === 3L)
+    assert(out(1L)._3.exists(v => math.abs(v - r6((2 * math.log(0.5) + math.log(0.25)) / 3)) < 2e-6))
+    assert(out(2L)._3.exists(v => math.abs(v - r6(math.log(0.25))) < 2e-6))
+    assert(out(3L) === ((3L, 0L, None)))
+    assert(out(1L)._3.get > out(2L)._3.get, "common tokens must score higher")
+  }
+
   test("vocabulary: rank by count then word, cumulative coverage, topK cut") {
     val docs = Seq(
       (1L, "b b b a a c"),
