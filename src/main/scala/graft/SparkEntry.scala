@@ -1289,7 +1289,50 @@ object SparkEntry {
           100L, 299L, 1200L, 2399L, bits = 12, maxRanges = 64)
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
-    })
+    }),
+
+    "q_histogram" -> ((s, d) => {
+      // equi-width histogram of the price distribution: the bucket
+      // arithmetic is hand-rolled (one fixed IEEE expression both
+      // engines replay bit-for-bit); AnalyticsSpec proves it matches
+      // Spark's width_bucket builtin on the same data
+      val v = col("l_extendedprice")
+      val lo = lit(900.0); val hi = lit(105000.0); val nb = 20.0
+      val bucket = when(v < lo, lit(0L))
+        .when(v >= hi, lit(nb.toLong + 1))
+        .otherwise(floor(lit(nb) * (v - lo) / (hi - lo)).cast("long") + lit(1L))
+      t(s, d, "lineitem").withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("bucket")
+    }),
+
+    "q_outliers" -> ((s, d) =>
+      // per-event-type z-score anomaly screen; decimal-exact moments
+      // make the flagged set deterministic at any parallelism and
+      // bit-replayable by the oracle
+      graft.ops.Validate.zScoreOutliers(events(s, d), "event_type", "value",
+          threshold = 2.0)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "x_sample_weighted" -> ((s, d) =>
+      // weighted priority sample (Duffield et al.): P(keep) ∝ n_chars;
+      // portable-FNV uniforms + a single IEEE division per row — the
+      // oracle replays the exact priority order
+      graft.ext.Corpus.prioritySample(t(s, d, "documents"), "doc_id",
+          col("n_chars"), k = 100, seed = 7L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "x_approx_quantiles" -> ((s, d) =>
+      // rows-only: sketch-based quantiles (values are approximate by
+      // design; AnalyticsSpec bounds the error vs the exact percentile)
+      t(s, d, "lineitem")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(10000)).as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "q"))))
   )
 
   /** DuckDB fragment: FNV-1a 64 over the ASCII string expression `s`
@@ -2485,6 +2528,48 @@ object SparkEntry {
         |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
         |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1))
         |  )) AS BIGINT) AS zval
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // same fixed IEEE bucket expression as the engine
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+        |              WHEN l_extendedprice >= 105000.0 THEN 21
+        |              ELSE CAST(floor(20.0 * (l_extendedprice - 900.0) / (105000.0 - 900.0)) AS BIGINT) + 1
+        |         END AS bucket,
+        |         l_extendedprice
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // decimal-exact moments → the identical double z expression
+    "q_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE m.n > 1
+        |  AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
+        |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
+
+    // replay of the priority order: pri = w / ((fnvBucket+1)/10⁶)
+    "x_sample_weighted" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(n_chars AS DOUBLE)
+         |      / (CAST((((${signedSql("hu")} % 1000000) + 1000000) % 1000000) + 1 AS DOUBLE) / 1000000.0) AS pri
+         |  FROM h)
+         |SELECT doc_id, lang, n_chars FROM
+         |  (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -70,6 +70,30 @@ object Corpus {
     df.filter(sampleHash(col(keyCol), seed) < (frac * 1000000.0).cast("long"))
   }
 
+  /** Weighted priority sample (Duffield–Lund–Thorup "priority
+    * sampling", IEEE Trans. IT 2007): each row draws a uniform
+    * u ∈ (0,1] from the portable FNV bucket ((bucket+1)/10⁶) and gets
+    * priority w/u; the k largest priorities are kept. Inclusion
+    * probability ≈ min(1, w/τ) — proportional to weight — with unbiased
+    * Horvitz–Thompson totals, unlike a plain top-k-by-weight.
+    *
+    * Deterministic & portable BY CONSTRUCTION: u is integer-derived and
+    * w/u is a single IEEE division (correctly rounded), so the priority
+    * is bit-identical on any run, partitioning, or engine — no ln/pow
+    * whose libm rounding could differ between JVM and C (the reason
+    * this is priority sampling and not A-Res, whose key u^(1/w) needs
+    * pow). Plans as TakeOrderedAndProject — per-partition top-k, no
+    * global sort shuffle.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    val u = (sampleHash(col(idCol), seed) + lit(1L)).cast("double") / lit(1000000.0)
+    df.withColumn("__pri", weight.cast("double") / u)
+      .orderBy(col("__pri").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Token-budget mixture sampling: per stratum (language/domain/
     * source), keep documents — in deterministic hash order — until the
     * stratum's TOKEN budget is exhausted (a doc is kept iff the

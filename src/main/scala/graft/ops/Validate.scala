@@ -38,6 +38,34 @@ object Validate {
           .as("skew"))
   }
 
+  /** Per-group z-score outliers: rows whose value deviates more than
+    * `threshold` sample standard deviations from their group's mean —
+    * the anomaly screen run over metric streams before they feed
+    * training labels or dashboards. Moments accumulate as exact
+    * decimals (order-independent, so AQE / any parallelism gives the
+    * same answer); the z computation is then a fixed sequence of IEEE
+    * double ops, making the flagged set bit-deterministic — the DuckDB
+    * oracle replays it exactly. One shuffle (the moment groupBy; group
+    * cardinality is small by assumption) + a broadcast join back to the
+    * unshuffled rows.
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double = 2.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val moments = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(28,10)")).as("__s1"),
+        sum((v * v).cast("decimal(28,10)")).as("__s2"))
+    val nd = col("__n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val variance = (s2 - s1 * s1 / nd) / (nd - lit(1.0))
+    val z = (v - s1 / nd) / sqrt(variance)
+    df.join(broadcast(moments), Seq(groupCol))
+      .filter(col("__n") > 1 && variance > 0 && abs(z) > threshold)
+      .drop("__n", "__s1", "__s2")
+  }
+
   /** Key tuples appearing more than once (must be empty post-upsert). */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col).toIndexedSeq: _*)
