@@ -1325,6 +1325,40 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "q_scd2_merge" -> ((s, d) => {
+      // SCD2 dimension merge: even custkeys form the current table
+      // (with closed history for %7 keys), the updates batch renames
+      // the segment of %3 keys and introduces odd %5<3 keys — one
+      // full-outer join, double-rows via compacted struct-array explode
+      val ts = (x: String) => lit(x).cast("timestamp")
+      val cust = t(s, d, "customer")
+      val open = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          ts("2020-01-01 00:00:00").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val closedHist = cust.filter(col("c_custkey") % 2 === 0 && col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("OLD").as("segment"),
+          ts("2019-01-01 00:00:00").as("valid_from"),
+          ts("2020-01-01 00:00:00").as("valid_to"))
+      val updates = cust.filter(col("c_custkey") % 5 < 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          ts("2021-06-01 00:00:00").as("eff"))
+      graft.ops.Scd2.merge(open.unionByName(closedHist), updates,
+          Seq("c_custkey"), Seq("segment"), "eff")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    "q_dim_history" -> ((s, d) =>
+      // SCD2 interval reconstruction from a changelog: per-user
+      // event_type state history with consecutive-duplicate collapse;
+      // (ts, event_id) tie-break keeps boundaries deterministic
+      graft.ops.Scd2.fromChangelog(
+          events(s, d).withColumn("ts", col("ts_us")),
+          Seq("user_id"), Seq("event_type"), "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_type")),
+
     "x_approx_quantiles" -> ((s, d) =>
       // rows-only: sketch-based quantiles (values are approximate by
       // design; AnalyticsSpec bounds the error vs the exact percentile)
@@ -2556,6 +2590,55 @@ object SparkEntry {
         |  AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+
+    // SCD2 merge replay: full-outer join, close-on-diff + reopen
+    "q_scd2_merge" ->
+      """WITH cur_open AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |cur_closed AS (
+        |  SELECT c_custkey, 'OLD' AS segment,
+        |    TIMESTAMP '2019-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS valid_to
+        |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 = 0),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS segment,
+        |    TIMESTAMP '2021-06-01 00:00:00' AS eff
+        |  FROM customer WHERE c_custkey % 5 < 3),
+        |j AS (
+        |  SELECT o.c_custkey AS o_key, o.segment AS o_seg, o.valid_from AS o_vf,
+        |         u.c_custkey AS u_key, u.segment AS u_seg, u.eff
+        |  FROM cur_open o FULL OUTER JOIN upd u ON o.c_custkey = u.c_custkey)
+        |SELECT * FROM (
+        |  SELECT o_key AS c_custkey, o_seg AS segment, o_vf AS valid_from,
+        |    CASE WHEN u_key IS NOT NULL AND u_seg IS DISTINCT FROM o_seg
+        |         THEN eff END AS valid_to
+        |  FROM j WHERE o_key IS NOT NULL
+        |  UNION ALL
+        |  SELECT u_key, u_seg, eff, NULL FROM j
+        |  WHERE u_key IS NOT NULL AND (o_key IS NULL OR u_seg IS DISTINCT FROM o_seg)
+        |  UNION ALL
+        |  SELECT c_custkey, segment, valid_from, valid_to FROM cur_closed)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // interval reconstruction: collapse unchanged runs, lead() closes
+    "q_dim_history" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |ch AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     // replay of the priority order: pri = w / ((fnvBucket+1)/10⁶)
     "x_sample_weighted" ->
