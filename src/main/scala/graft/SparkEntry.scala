@@ -1325,6 +1325,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    "x_ann_pq" -> ((s, d) => {
+      // rows-only by design (the k-means shortlist is not SQL-
+      // replayable; PqSpec gates recall and proves ADC == dot-on-
+      // decoded). Full production pipeline: train 8×16 codebooks,
+      // encode 64-dim floats to 8 byte codes (32× compression), ADC-
+      // shortlist 30 per query from the codes, exact-rerank to top-10
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val queries = e.filter(col("id") < 5)
+      val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 2)
+      val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
+      graft.ext.Pq.adcRerankTopK(enc, cb, queries, e, "v", "id",
+          k = 10, shortlistK = 30, dim = 64, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_scd2_merge" -> ((s, d) => {
       // SCD2 dimension merge: even custkeys form the current table
       // (with closed history for %7 keys), the updates batch renames

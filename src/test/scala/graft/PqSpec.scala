@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Similarity}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16; private val m = 4; private val ksub = 8
+
+  /** 8 well-separated cluster anchors, 25 points each, deterministic
+    * jitter — the clustered regime PQ exists for.
+    */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(8, dim)(rnd.nextFloat() * 10f - 5f)
+    val rows = (0 until 200).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.4f - 0.2f).toSeq)
+    }
+    rows.toDF("id", "v").withColumn("v", Pq.normalized(col("v").cast("array<float>")))
+  }
+
+  private lazy val cb = Pq.trainCodebooks(corpus, "v", "id", dim, m, ksub, iterations = 2)
+  private lazy val enc = Pq.encode(corpus, cb, "v", "id", dim, m, ksub)
+
+  test("codebook shape: m subspaces, ≤ ksub codes each, centroids of dim/m") {
+    val rows = cb.select("sub", "code", "centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(rows.map(_._1).distinct.sorted === (0 until m))
+    rows.foreach { case (_, code, c) =>
+      assert(code >= 0 && code < ksub)
+      assert(c.length === dim / m)
+    }
+  }
+
+  test("codes are dense, in range, and byte-stable across partitioning") {
+    val codes = enc.select("id", "codes").as[(Long, Seq[Int])].collect()
+    assert(codes.length === 200)
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === m && cs.forall(c => c >= 0 && c < ksub))
+    }
+    val codes7 = Pq.encode(corpus.repartition(7), cb, "v", "id", dim, m, ksub)
+      .select("id", "codes").as[(Long, Seq[Int])].collect()
+    assert(codes7.sortBy(_._1).toSeq === codes.sortBy(_._1).toSeq)
+  }
+
+  test("ADC score equals exact dot product against the decoded vector") {
+    // the defining property of asymmetric distance: LUT-sum == ⟨q, decode(x)⟩
+    val q = corpus.filter(col("id") < 3)
+    val adc = Pq.adcTopK(enc, cb, q, "v", "id", k = 200, dim, m, ksub,
+        excludeSelf = false)
+      .select("query_id", "corpus_id", "adc").as[(Long, Long, Double)].collect()
+    val dec = Pq.decode(enc, cb, dim, m, ksub).select(col("id"), col("recon"))
+    val exact = q.select(col("id").as("query_id"), col("v").as("qv"))
+      .crossJoin(dec)
+      .select(col("query_id"), col("id").as("corpus_id"),
+        Similarity.dot(col("qv"), col("recon")).as("d"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, d) => ((a, b), d) }.toMap
+    assert(adc.nonEmpty)
+    adc.foreach { case (qid, cid, s) =>
+      assert(math.abs(s - exact((qid, cid))) < 1e-5,
+        s"ADC $s vs exact-decoded ${exact((qid, cid))} for ($qid,$cid)")
+    }
+  }
+
+  test("quantization error: decoded vectors stay close to originals on clustered data") {
+    val dec = Pq.decode(enc, cb, dim, m, ksub)
+    val err = dec.select(
+        sqrt(aggregate(zip_with(col("v"), col("recon"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)).as("e"))
+      .agg(avg("e")).as[Double].first()
+    // unit vectors; separated clusters quantize to ≪ unit error
+    assert(err < 0.35, s"mean reconstruction L2 error $err")
+  }
+
+  test("shortlist recall: exact top-10 sits inside the ADC top-30") {
+    // tight clusters make same-cluster rows ADC near-ties, so raw ADC
+    // top-10 is tie-break noise (≈10/24 here) — the metric that governs
+    // the re-rank pipeline is whether the true neighbors reach the
+    // shortlist at all
+    val q = corpus.filter(col("id") < 10)
+    val short = Pq.adcTopK(enc, cb, q, "v", "id", k = 30, dim, m, ksub)
+    val exact = Similarity.bruteForceTopK(corpus, q, "v", "id", k = 10)
+    val recall = Similarity.recallAtK(short, exact)
+      .agg(avg("recall")).as[Double].first()
+    assert(recall >= 0.9, s"shortlist recall@10-in-30 $recall")
+  }
+
+  test("ADC shortlist + exact re-rank: recall@10 ≥ 0.9") {
+    val q = corpus.filter(col("id") < 10)
+    val reranked = Pq.adcRerankTopK(enc, cb, q, corpus, "v", "id",
+      k = 10, shortlistK = 30, dim, m, ksub)
+    val exact = Similarity.bruteForceTopK(corpus, q, "v", "id", k = 10)
+    val recall = Similarity.recallAtK(reranked, exact)
+      .agg(avg("recall")).as[Double].first()
+    assert(recall >= 0.9, s"re-ranked recall@10 $recall")
+  }
+}
