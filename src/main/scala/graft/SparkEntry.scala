@@ -1343,6 +1343,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "x_compact" -> ((s, d) => {
+      // compaction round-trip: fragment documents into 32 small files,
+      // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
+      // oracle computes the same aggregate over the original table, so
+      // a full hash match proves compaction preserved every row byte-
+      // for-byte while the emitted file count collapsed
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+        .resolve("documents").toString
+      t(s, d, "documents").repartition(32).write
+        .mode("overwrite").parquet(tmp)
+      val rep = graft.ops.Layout.compact(s, tmp, targetBytes = 256L * 1024 * 1024)
+      val fnvB = graft.functions.VectorExpressions.fnv1a64(col("text"))
+      s.read.parquet(tmp).agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(pmod(fnvB, lit(1000000L))).as("text_fnv_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+        .withColumn("compacted", lit(rep.filesAfter < rep.filesBefore))
+    }),
+
     "q_scd2_merge" -> ((s, d) => {
       // SCD2 dimension merge: even custkeys form the current table
       // (with closed history for %7 keys), the updates batch renames
@@ -2608,6 +2628,16 @@ object SparkEntry {
         |  AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+
+    // content checksum over the ORIGINAL table — must equal the
+    // engine's checksum of the compacted rewrite
+    "x_compact" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum((((${signedSql("hu")} % 1000000) + 1000000) % 1000000)) AS BIGINT) AS text_fnv_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  TRUE AS compacted
+         |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
 
     // SCD2 merge replay: full-outer join, close-on-diff + reopen
     "q_scd2_merge" ->

@@ -123,4 +123,37 @@ class LayoutSpec extends SparkSpec {
     assert(math.max(xStripeZ, yStripeZ) < yStripeSorted,
       "z-order worst-dimension pruning must beat the single-sort blind dimension")
   }
+
+  test("compact bin-packs small files and preserves content exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+      .resolve("tbl").toString
+    val df = (1 to 500).map(i => (i.toLong, s"row_$i", i * 1.5)).toDF("id", "s", "v")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    val rep = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(rep.filesBefore === 40)
+    assert(rep.filesAfter === 1, s"expected 1 packed file, got ${rep.filesAfter}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // no work dirs left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(parent === Array("tbl"))
+    // idempotent: compacting a compacted table is a no-op-shaped rewrite
+    val rep2 = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(rep2.filesBefore === 1 && rep2.filesAfter === 1)
+  }
+
+  test("compactPartitions packs each leaf independently; partition column survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part")
+      .resolve("fact").toString
+    val df = (1 to 300).map(i => (i.toLong, s"d${i % 3}", i.toDouble)).toDF("id", "day", "v")
+    df.repartition(10).write.mode("overwrite").partitionBy("day").parquet(dir)
+    val reps = Layout.compactPartitions(spark, dir, targetBytes = 1L << 30)
+    assert(reps.keySet === Set("day=d0", "day=d1", "day=d2"))
+    reps.values.foreach(r => assert(r.filesAfter === 1 && r.filesBefore > 1))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 300)
+    // partition column readable and content unchanged (modulo column order)
+    assert(back.select("id", "day", "v").exceptAll(df).isEmpty)
+  }
 }
