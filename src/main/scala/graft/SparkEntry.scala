@@ -1343,6 +1343,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_funnel" -> ((s, d) => {
+      // strictly-ordered view→click→purchase funnel: step i counts
+      // only events after the user's step-(i−1) completion time
+      val steps = Seq("view", "click", "purchase")
+      graft.ext.Behavior.funnelCounts(
+        graft.ext.Behavior.funnelUsers(events(s, d), "user_id", "ts_us",
+          "event_type", steps), steps)
+    }),
+
+    "q_retention" -> ((s, d) =>
+      // cohort retention curve: users cohorted by first active day,
+      // actives counted per (cohort, day offset) cell
+      graft.ext.Behavior.retention(events(s, d), "user_id", "ts_us",
+        maxOffsetDays = 30)),
+
     "x_compact" -> ((s, d) => {
       // compaction round-trip: fragment documents into 32 small files,
       // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
@@ -2628,6 +2643,49 @@ object SparkEntry {
         |  AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+
+    // strict-order funnel replay: chained min-after-previous-step
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events),
+        |t0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT t0.user_id, t0.t0,
+        |    min(CASE WHEN e.ts > t0.t0 THEN e.ts END) AS t1
+        |  FROM t0 LEFT JOIN e
+        |    ON e.user_id = t0.user_id AND e.event_type = 'click'
+        |  GROUP BY t0.user_id, t0.t0),
+        |t2 AS (
+        |  SELECT t1.user_id, t1.t0, t1.t1,
+        |    min(CASE WHEN e.ts > t1.t1 THEN e.ts END) AS t2
+        |  FROM t1 LEFT JOIN e
+        |    ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+        |  GROUP BY t1.user_id, t1.t0, t1.t1),
+        |c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM t2)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, 0 AS step_idx, c0 AS users,
+        |    CAST(1.0 AS DOUBLE) AS conversion FROM c
+        |  UNION ALL SELECT 'click', 1, c1, round(CAST(c1 AS DOUBLE) / c0, 6) FROM c
+        |  UNION ALL SELECT 'purchase', 2, c2, round(CAST(c2 AS DOUBLE) / c0, 6) FROM c)
+        |ORDER BY step_idx""".stripMargin,
+
+    // cohort = first active day; cell counts distinct active days' users
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY u)
+        |SELECT c.cohort_day,
+        |  CAST(datediff('day', c.cohort_day, e.day) AS INTEGER) AS day_offset,
+        |  count(*) AS active_users
+        |FROM e JOIN c ON e.u = c.u
+        |WHERE datediff('day', c.cohort_day, e.day) <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // content checksum over the ORIGINAL table — must equal the
     // engine's checksum of the compacted rewrite
