@@ -1336,10 +1336,34 @@ object SparkEntry {
           graft.ext.Pq.normalized(col("embedding")).as("v"))
       val queries = e.filter(col("id") < 5)
       val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 2)
+        dim = 64, m = 8, ksub = 16, iterations = 1)
       val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
       graft.ext.Pq.adcRerankTopK(enc, cb, queries, e, "v", "id",
           k = 10, shortlistK = 30, dim = 64, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_ivfpq" -> ((s, d) => {
+      // rows-only by design. FAISS-style IVF-PQ: coarse cells → PQ on
+      // RESIDUALS (codes quantize local offsets, not the global
+      // spread) → probe + ADC shortlist → exact re-rank. The scale
+      // path for ANN over a corpus whose full vectors don't fit hot
+      // storage: the scan side holds cell + 8 bytes per vector
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          graft.ext.Pq.normalized(col("embedding")).as("v"))
+      // lean build settings for the per-round driver run: quality knobs
+      // (Lloyd depth, refine) are gated in PqSpec + the 202k soak; an
+      // index is built ONCE and searched many times in production, not
+      // rebuilt per query as this end-to-end row does
+      val cents = graft.ext.Similarity.refineCentroids(e,
+        graft.ext.Similarity.coarseCentroids(e, "v", "id", nCells = 16),
+        "v", "id", iterations = 1)
+      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(e, cents, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 1)
+      graft.ext.Pq.ivfPqRerankTopK(enc, cents, rcb, e.filter(col("id") < 5), e,
+          "v", "id", k = 10, shortlistK = 30, nProbe = 4,
+          dim = 64, m = 8, ksub = 16)
         .orderBy("query_id", "rank")
     }),
 

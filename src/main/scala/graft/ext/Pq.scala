@@ -40,31 +40,40 @@ object Pq {
                      iterations: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    // Forgy init: the ksub hash-smallest ROWS seed each subspace's
-    // codebook as real data points. (A hash-random PARTITION mean is
-    // the wrong init here: every group then averages to ≈ the global
-    // mean, the argmax tie-breaks collapse most rows into one code,
-    // and Lloyd cannot recover — measured recall@10 0.41 vs 0.97 on
-    // the clustered PqSpec fixture.)
-    val subs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("subvec", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
-    val wInit = Window.partitionBy(col("sub"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
-    var cb = pin(subs
-      .withColumn("rn", row_number().over(wInit))
-      .filter(col("rn") <= ksub)
-      .select(col("sub"), (col("rn") - 1).cast("long").as("code"),
-        col("subvec").cast("array<double>").as("centroid")))
-    for (_ <- 0 until iterations) {
-      val enc = encode(corpus, cb, vecCol, idCol, dim, m, ksub)
-      val assigned = enc
-        .select(col("id"), col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+    // every training pass (init window + one encode/means per Lloyd
+    // step) re-reads the projection; cache it for the build and drop
+    // it before returning — the only output is the driver-pinned
+    // codebook, so nothing lazy escapes the cache's lifetime. (At
+    // full-corpus scale, train on a sample: the codebook needs
+    // distribution coverage, not every row.)
+    val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    try {
+      // Forgy init: the ksub hash-smallest ROWS seed each subspace's
+      // codebook as real data points. (A hash-random PARTITION mean is
+      // the wrong init here: every group then averages to ≈ the global
+      // mean, the argmax tie-breaks collapse most rows into one code,
+      // and Lloyd cannot recover — measured recall@10 0.41 vs 0.97 on
+      // the clustered PqSpec fixture.)
+      val subs = src
+        .select(col("id"), col("v"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"))
         .withColumn("subvec", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
-      cb = pin(subspaceMeans(assigned))
-    }
-    cb
+      val wInit = Window.partitionBy(col("sub"))
+        .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      var cb = pin(subs
+        .withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ksub)
+        .select(col("sub"), (col("rn") - 1).cast("long").as("code"),
+          col("subvec").cast("array<double>").as("centroid")))
+      for (_ <- 0 until iterations) {
+        val enc = encode(src, cb, "v", "id", dim, m, ksub)
+        val assigned = enc
+          .select(col("id"), col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+          .withColumn("subvec", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
+        cb = pin(subspaceMeans(assigned))
+      }
+      cb
+    } finally src.unpersist()
   }
 
   /** Decimal-mean per (sub, code) over exploded subvectors — memory-
@@ -106,26 +115,27 @@ object Pq {
     */
   def encode(corpus: DataFrame, codebooks: DataFrame,
              vecCol: String, idCol: String,
-             dim: Int, m: Int, ksub: Int): DataFrame = {
-    require(m.toLong * ksub <= 4096, "inline encode form: m*ksub too large")
+             dim: Int, m: Int, ksub: Int): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      codesExpr(codebooks, vecCol, dim, m, ksub).as("codes"))
+
+  /** The codes array as a COLUMN over `vecCol` — composable into any
+    * projection (encode, index build) without forcing a re-join. One
+    * [[graft.functions.PqEncodeCodes]] kernel call per row: the
+    * m·ksub-inlined-kernels alternative generated Janino-hostile
+    * methods (~12 s fixed codegen per query) and capped ksub.
+    */
+  def codesExpr(codebooks: DataFrame, vecCol: String,
+                dim: Int, m: Int, ksub: Int): Column = {
     val dsub = dim / m
     val cb = collectCb(codebooks)
-    val codeExprs = (0 until m).map { j =>
-      val sv = slice(col(vecCol), j * dsub + 1, dsub)
-      cb.getOrElse(j, Array.empty) match {
-        case Array() => lit(0)
-        case Array((only, _, _)) => lit(only)
-        case codes =>
-          val scored = codes.map { case (code, cvec, half) =>
-            struct(
-              (VectorExpressions.dotF(sv, typedLit(cvec)) - lit(half)).as("s"),
-              lit(-code).as("negcode"))
-          }
-          (-greatest(scored.toIndexedSeq: _*).getField("negcode")).cast("int")
-      }
+    val flat = Array.fill(m * ksub * dsub)(0.0f)
+    val halves = Array.fill(m * ksub)(Double.PositiveInfinity)
+    for ((sub, codes) <- cb; (code, cvec, half) <- codes) {
+      halves(sub * ksub + code) = half
+      for (i <- cvec.indices) flat((sub * ksub + code) * dsub + i) = cvec(i)
     }
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array(codeExprs.toIndexedSeq: _*).as("codes"))
+    VectorExpressions.pqEncode(col(vecCol), flat, halves, m, ksub, dsub)
   }
 
   /** Reconstruction (decode) of a codes array back to the quantized
@@ -228,5 +238,131 @@ object Pq {
     val n = VectorExpressions.normF(v)
     when(n === 0.0, v).otherwise(
       transform(v, x => (x.cast(DoubleType) / n).cast("float")))
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ: PQ over RESIDUALS of a coarse quantizer (Jégou et al. §IV;
+  // the FAISS IVFPQ workhorse). Plain PQ's subspace error is sized by
+  // the GLOBAL spread; encoding x − c(cell) sizes the codebooks to the
+  // LOCAL offsets for the same m bytes per vector. Honest quality
+  // model, from the 202k soak on 64 tight clusters (~3.2k members each,
+  // an adversarial all-near-ties regime): when the true top-k
+  // distinction sits below the 8-byte quantizer's resolution floor, NO
+  // flat-PQ ADC ranking recovers it (recall@10 ≈ 0.04–0.08 at
+  // shortlist 200, both variants — a tie-break lottery). The operative
+  // knob there is SHORTLIST SIZE vs the ambiguity-set size: IVF-PQ's
+  // contribution is cutting the candidate pool to the probed cells
+  // (~3% here), which is what makes an ambiguity-set-sized shortlist
+  // (with exact re-rank over only queries×shortlistK real vectors)
+  // affordable — measured recall@10 1.000 at shortlist 4000 over the
+  // same corpus. On data with resolvable local structure (PqSpec's
+  // fixture), small shortlists already reach ≥ 0.9.
+  // ---------------------------------------------------------------------
+
+  /** Assign cells (coarse quantizer), subtract the centroid, and train/
+    * encode PQ on the residuals. Returns (codebooks, encoded) where
+    * encoded = (id, cell, codes) — the compact index rows to persist,
+    * partitioned by cell for probe-time pruning.
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                 vecCol: String, idCol: String,
+                 dim: Int, m: Int, ksub: Int,
+                 iterations: Int = 2): (DataFrame, DataFrame) = {
+    val assigned = Similarity.assignCells(corpus, centroids, vecCol, idCol)
+    val cents = centroids.select(col("cell"),
+      col("centroid").cast("array<float>").as("__cf"))
+    // cached: training re-reads the residuals per Lloyd pass and the
+    // final encode reads them once more. The returned `encoded` frame
+    // is lazy OVER this cache — persist it (partitioned by cell) and
+    // the cache becomes collectable
+    val residuals = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("rv", zip_with(col("cv"), col("__cf"),
+        (x, c) => (x.cast(DoubleType) - c.cast(DoubleType)).cast("float")))
+      .select(col("corpus_id"), col("cell"), col("rv"))
+      .cache()
+    val cb = trainCodebooks(residuals, "rv", "corpus_id", dim, m, ksub, iterations)
+    val enc = residuals.select(col("corpus_id").as("id"), col("cell"),
+      codesExpr(cb, "rv", dim, m, ksub).as("codes"))
+    (cb, enc)
+  }
+
+  /** IVF-PQ search: probe the `nProbe` nearest cells per query; score
+    * candidates as ⟨q,x⟩ ≈ ⟨q,c(cell)⟩ + ⟨q,residual⟩ — the first term
+    * is one broadcast scalar per (query, probed cell), the second the
+    * usual ADC LUT sum over the residual codes. The candidate scan
+    * touches only probed cells (partition-prunable when `encoded` is
+    * stored partitioned by cell) and never reads full vectors.
+    */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, vecCol: String, idCol: String,
+                k: Int, nProbe: Int,
+                dim: Int, m: Int, ksub: Int,
+                excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cents = centroids.select(col("cell"),
+      col("centroid").cast("array<float>").as("cf"))
+    // probed cells + the per-cell coarse term ⟨q, c⟩
+    val scoredCells = q.crossJoin(broadcast(cents))
+      .withColumn("qdotc", VectorExpressions.dotF(col("qv"), col("cf")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdotc").desc, col("cell").asc)
+    val probes = scoredCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"), col("qdotc"))
+    // residual LUTs (shared codebooks across cells)
+    val cbRows = codebooks.select(col("sub"), col("code"),
+      col("centroid").cast("array<float>").as("ccf"))
+    val luts = q.crossJoin(broadcast(cbRows))
+      .withColumn("slot", (col("sub") * ksub + col("code")).cast("int"))
+      .withColumn("d", VectorExpressions.dotF(
+        slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("ccf")))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("lutm"))
+      .withColumn("lut", transform(sequence(lit(0), lit(m * ksub - 1)),
+        i => coalesce(element_at(col("lutm"), i.cast("int")), lit(0.0))))
+      .select(col("query_id"), col("lut"))
+    val probeSide = probes.join(luts, Seq("query_id"))
+      .select(col("query_id"), col("cell"), col("qdotc"), col("lut"))
+    val adc = (0 until m)
+      .map(j => element_at(col("lut"), col("codes")(j) + (j * ksub + 1)))
+      .reduce(_ + _)
+    val cands = encoded.join(broadcast(probeSide), Seq("cell"))
+    val filtered =
+      if (excludeSelf) cands.filter(col("id") =!= col("query_id")) else cands
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    filtered.withColumn("score", col("qdotc") + adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** IVF-PQ with exact re-ranking: shortlist via [[ivfPqTopK]], fetch
+    * only the shortlist's real vectors, re-rank exactly — the full
+    * production read path (coarse probe → compressed scan → exact
+    * top-k on queries × shortlistK rows).
+    */
+  def ivfPqRerankTopK(encoded: DataFrame, centroids: DataFrame,
+                      codebooks: DataFrame, queries: DataFrame,
+                      corpus: DataFrame, vecCol: String, idCol: String,
+                      k: Int, shortlistK: Int, nProbe: Int,
+                      dim: Int, m: Int, ksub: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val short = ivfPqTopK(encoded, centroids, codebooks, queries, vecCol,
+      idCol, shortlistK, nProbe, dim, m, ksub, excludeSelf)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val fetched = c.join(broadcast(short.join(q, Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"), col("qv"))),
+      Seq("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    fetched.withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 }

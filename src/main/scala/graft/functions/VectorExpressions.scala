@@ -257,6 +257,78 @@ object ShingleFnv {
   }
 }
 
+/** PQ code assignment kernel: per subspace j, argmax over codes c of
+  * ⟨v_j, c⟩ − ‖c‖²/2 against a driver-built flat codebook — ONE call
+  * into a compiled loop per row. The composable alternative (a
+  * `greatest` over m·ksub inlined dot-kernel structs) generates a
+  * method so large that Janino compilation dominated the whole query
+  * (~12 s fixed cost per PQ query at sf0.1; ~1 s with this kernel),
+  * and it caps ksub at codegen limits — this form scales to the
+  * standard 8-bit (ksub=256) codebooks. Same arithmetic order as
+  * [[DotProductFloat]] (left-to-right double accumulation), so codes
+  * are bit-identical to the inlined form. Never-trained codes carry
+  * half = +∞ and cannot win; ties break to the lowest code.
+  */
+case class PqEncodeCodes(child: Expression, codebook: Array[Float],
+                         halves: Array[Double], m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float>, got ${t.simpleString}")
+  }
+
+  def codesFor(v: ArrayData): ArrayData = {
+    require(v.numElements() == m * dsub,
+      s"pq_encode: vector of ${v.numElements()} dims, expected ${m * dsub}")
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      val vOff = j * dsub
+      var c = 0
+      while (c < ksub) {
+        val h = halves(j * ksub + c)
+        if (!h.isPosInfinity) {
+          val cOff = (j * ksub + c) * dsub
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            s += v.getFloat(vOff + i).toDouble * codebook(cOff + i).toDouble
+            i += 1
+          }
+          s -= h
+          if (s > bestS) { bestS = s; best = c }
+        }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(x: Any): Any = codesFor(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // the loop lives in compiled Scala; codegen only routes the call —
+      // constant-size generated code regardless of m·ksub
+      val ref = ctx.addReferenceObj("pqEncoder", this, classOf[PqEncodeCodes].getName)
+      s"${ev.value} = $ref.codesFor($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -284,4 +356,9 @@ object VectorExpressions {
   /** single-pass word-shingle FNV hashes (see [[ShingleFnv]]). */
   def shingleFnv(s: Column, n: Int): Column =
     GraftBridge.column(ShingleFnv(expr(s), n))
+
+  /** PQ code assignment against a flat codebook (see [[PqEncodeCodes]]). */
+  def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],
+               m: Int, ksub: Int, dsub: Int): Column =
+    GraftBridge.column(PqEncodeCodes(expr(v), codebook, halves, m, ksub, dsub))
 }

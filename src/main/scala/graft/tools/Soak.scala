@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -313,6 +313,126 @@ object Soak {
       val strippedPlanted = removed.filter(col("id") >= 1000000 && col("n_kept_tokens") < 10).count()
       println(s"[soak] planted near-dups stripped below 10 tokens: $strippedPlanted / 10000")
       removed.unpersist()
+    }
+
+    // round 5b: PQ at 202k embeddings, compaction, priority sampling,
+    // SCD2 changelog rebuild and funnel at 10M events
+    section("r5b") {
+      require(new java.io.File(s"$base/embs").exists(),
+        "[soak] r5b needs the embs section to have run first")
+      val embs = spark.read.parquet(s"$base/embs")
+      val e = embs.select(col("vec_id").as("id"),
+        graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val (dim, m, ksub) = (32, 8, 16)
+      val cb = time("PQ train 8×16 codebooks over 202k 32-d embeddings (2 Lloyd iters)") {
+        graft.ext.Pq.trainCodebooks(e, "v", "id", dim, m, ksub, iterations = 2)
+      }
+      val encPath = s"$base/pq_codes"
+      time("PQ encode 202k vectors → byte codes (persisted)") {
+        graft.ext.Pq.encode(e, cb, "v", "id", dim, m, ksub)
+          .write.mode("overwrite").parquet(encPath)
+      }
+      val enc = spark.read.parquet(encPath)
+      val queries = e.filter(col("id") % 40000 === 7).limit(5)
+      val reranked = time("PQ ADC shortlist-200 + exact re-rank top-10, 5 queries") {
+        graft.ext.Pq.adcRerankTopK(enc, cb, queries, e, "v", "id",
+          k = 10, shortlistK = 200, dim, m, ksub).cache()
+      }
+      reranked.count()
+      val exact = time("exact brute-force top-10 (baseline for recall)") {
+        graft.ext.Similarity.bruteForceTopK(e, queries, "v", "id", k = 10).cache()
+      }
+      exact.count()
+      val recall = graft.ext.Similarity.recallAtK(reranked, exact)
+        .agg(avg("recall")).as[Double].head()
+      println(f"[soak] PQ re-ranked recall@10 over 202k: $recall%.3f (32-dim clustered, 32× code compression)")
+      reranked.unpersist()
+
+      // IVF-PQ: residual codes — same m bytes per vector, local
+      // resolution restored (plain PQ's error is sized by the global
+      // spread; inside a 3k-member cluster every row is an ADC
+      // near-tie and recall collapses to the tie-break lottery above)
+      val cents = time("IVF-PQ coarse quantizer: 256 cells + 1 Lloyd iter") {
+        graft.ext.Similarity.refineCentroids(e,
+          graft.ext.Similarity.coarseCentroids(e, "v", "id", nCells = 256),
+          "v", "id", iterations = 1)
+      }
+      val (rcb, ivfEnc) = {
+        val t0 = System.nanoTime()
+        val r = graft.ext.Pq.ivfPqIndex(e, cents, "v", "id", dim, m, ksub,
+          iterations = 2)
+        r._2.write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivfpq")
+        println(f"[soak] IVF-PQ index 202k (train residual codebooks + encode + persist by cell): ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        (r._1, spark.read.parquet(s"$base/ivfpq"))
+      }
+      val ivfReranked = time("IVF-PQ probe-8 + ADC shortlist-200 + exact re-rank, 5 queries") {
+        graft.ext.Pq.ivfPqRerankTopK(ivfEnc, cents, rcb, queries, e, "v", "id",
+          k = 10, shortlistK = 200, nProbe = 8, dim = dim, m = m, ksub = ksub).cache()
+      }
+      ivfReranked.count()
+      val ivfRecall = graft.ext.Similarity.recallAtK(ivfReranked, exact)
+        .agg(avg("recall")).as[Double].head()
+      println(f"[soak] IVF-PQ re-ranked recall@10 over 202k: $ivfRecall%.3f (vs $recall%.3f plain-PQ)")
+      ivfReranked.unpersist()
+      // tie-heavy corpora (3.2k-member clusters) put the top-10
+      // distinction below ANY 8-byte quantizer's floor — the knob is a
+      // shortlist ≥ the ambiguity set; the index's value is that the
+      // probed candidate pool (~3%) makes that shortlist cheap
+      val ivfWide = time("IVF-PQ probe-8 + shortlist-4000 + exact re-rank, 5 queries") {
+        graft.ext.Pq.ivfPqRerankTopK(ivfEnc, cents, rcb, queries, e, "v", "id",
+          k = 10, shortlistK = 4000, nProbe = 8, dim = dim, m = m, ksub = ksub).cache()
+      }
+      ivfWide.count()
+      val ivfWideRecall = graft.ext.Similarity.recallAtK(ivfWide, exact)
+        .agg(avg("recall")).as[Double].head()
+      println(f"[soak] IVF-PQ re-ranked recall@10, shortlist 4000: $ivfWideRecall%.3f (fetches 4000 of 202k full vectors/query)")
+      ivfWide.unpersist(); exact.unpersist()
+
+      // compaction: the 510k-doc corpus fragmented into 512 files →
+      // bin-packed to 128 MB targets; content must checksum-match
+      val store =
+        if (new java.io.File(s"$base/docs").exists()) spark.read.parquet(s"$base/docs")
+        else genDocs()
+      time("fragment 510k docs into 512 files") {
+        store.repartition(512).write.mode("overwrite").parquet(s"$base/docs_frag")
+      }
+      val before = spark.read.parquet(s"$base/docs_frag")
+        .agg(count(lit(1)), sum(pmod(graft.functions.VectorExpressions.fnv1a64(col("text")), lit(1000000L))))
+        .as[(Long, Long)].head()
+      val rep = time("compact 512 → 128 MB-target files (narrow coalesce + swap)") {
+        graft.ops.Layout.compact(spark, s"$base/docs_frag", targetBytes = 128L * 1024 * 1024)
+      }
+      val after = spark.read.parquet(s"$base/docs_frag")
+        .agg(count(lit(1)), sum(pmod(graft.functions.VectorExpressions.fnv1a64(col("text")), lit(1000000L))))
+        .as[(Long, Long)].head()
+      println(s"[soak] compaction ${rep.filesBefore} files (${rep.bytesBefore >> 20} MB) → " +
+        s"${rep.filesAfter} files; content preserved: ${before == after}")
+
+      val sampled = time("priority sample 10k of 510k by char weight") {
+        graft.ext.Corpus.prioritySample(store, "doc_id", length(col("text")), k = 10000).count()
+      }
+      println(s"[soak] priority sample rows: $sampled")
+
+      // 10M-event stream: SCD2 changelog rebuild + strict funnel
+      val ev = spark.range(10000000).select(
+        (col("id") % 500000).as("user_id"),
+        element_at(typedLit(Seq("view", "click", "purchase", "error")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int")).as("event_type"),
+        (to_timestamp(lit("2024-01-01 00:00:00"))
+          + expr("make_interval(0, 0, 0, 0, 0, 0, id % 2592000)")).as("ts"),
+        col("id").as("event_id"))
+      val hist = time("SCD2 rebuild from 10M-event changelog (500k keys)") {
+        graft.ops.Scd2.fromChangelog(ev, Seq("user_id"), Seq("event_type"),
+          "ts", "event_id").count()
+      }
+      println(s"[soak] scd2 intervals: $hist")
+      val fun = time("strict 3-step funnel over 10M events (500k users)") {
+        graft.ext.Behavior.funnelCounts(
+          graft.ext.Behavior.funnelUsers(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase")), Seq("view", "click", "purchase"))
+          .collect()
+      }
+      fun.foreach(r => println(s"[soak] funnel ${r.mkString(" | ")}"))
     }
     spark.stop()
   }

@@ -89,6 +89,23 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"shortlist recall@10-in-30 $recall")
   }
 
+  test("IVF-PQ residual index: probe+ADC+re-rank recall@10 ≥ 0.9") {
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 16),
+      "v", "id", iterations = 1)
+    val (rcb, enc) = Pq.ivfPqIndex(corpus, cents, "v", "id", dim, m, ksub)
+    // the index stores cell + m small ints per vector, nothing else
+    assert(enc.columns.toSeq === Seq("id", "cell", "codes"))
+    assert(enc.count() === 200)
+    val q = corpus.filter(col("id") < 10)
+    val reranked = Pq.ivfPqRerankTopK(enc, cents, rcb, q, corpus, "v", "id",
+      k = 10, shortlistK = 30, nProbe = 4, dim = dim, m = m, ksub = ksub)
+    val exact = Similarity.bruteForceTopK(corpus, q, "v", "id", k = 10)
+    val recall = Similarity.recallAtK(reranked, exact)
+      .agg(avg("recall")).as[Double].first()
+    assert(recall >= 0.9, s"IVF-PQ re-ranked recall@10 $recall")
+  }
+
   test("ADC shortlist + exact re-rank: recall@10 ≥ 0.9") {
     val q = corpus.filter(col("id") < 10)
     val reranked = Pq.adcRerankTopK(enc, cb, q, corpus, "v", "id",
