@@ -17,6 +17,10 @@ import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: plans AsOfJoinNode as the native streaming
+    // merge exec (AsOfJoin.asofNative also self-installs the strategy
+    // via experimental.extraStrategies for unconfigured sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),

@@ -820,6 +820,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_asof_native" -> ((s, d) => {
+      // the SAME as-of enrichment as q_asof_join, executed by the
+      // custom whole-operator plan (AsOfJoinNode → AsOfJoinExec via
+      // GraftStrategy): one shuffle per side, per-partition streaming
+      // merge — proven against DuckDB's native ASOF JOIN like the
+      // window-composition form
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts_us")).as("tss"), col("value"))
+      val ref = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("tss").as("rts"))
+        .agg(max(col("value")).as("ref_value"))
+      graft.ops.AsOfJoin.asofNative(ev, ref, "user_id", "tss", "rts", Seq("ref_value"))
+        .select("event_id", "user_id", "tss", "ref_value")
+        .orderBy("event_id")
+    }),
+
+    "q_asof_native_fwd" -> ((s, d) => {
+      // forward direction through the custom physical operator
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts_us")).as("tss"), col("value"))
+      val ref = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("tss").as("rts"))
+        .agg(max(col("value")).as("ref_value"))
+      graft.ops.AsOfJoin.asofNative(ev, ref, "user_id", "tss", "rts", Seq("ref_value"),
+          forward = true)
+        .select("event_id", "user_id", "tss", "ref_value")
+        .orderBy("event_id")
+    }),
+
     "q_fk_orphans" -> ((s, d) => {
       // referential-integrity audit: lineitems without a parent order
       // (plus a synthesized orphan so the check provably fires)
@@ -2043,6 +2072,26 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |r AS (
+        |  SELECT user_id, tss AS rts, max(value) AS ref_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, tss)
+        |SELECT e.event_id, e.user_id, e.tss, r.ref_value
+        |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss <= r.rts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_native" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |r AS (
+        |  SELECT user_id, tss AS rts, max(value) AS ref_value
+        |  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, tss)
+        |SELECT e.event_id, e.user_id, e.tss, r.ref_value
+        |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tss >= r.rts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_native_fwd" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
         |r AS (

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOfJoinNode, GraftStrategy}
 
 /** AS-OF join: for each left row, the latest right row with
   * `rightTs <= leftTs` (backward direction) on the same key — the
@@ -39,6 +43,56 @@ object AsOfJoin {
       key: String, leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame =
     asof(left, right, key, leftTs, rightTs, payloadCols, forward = false)
+
+  /** Native-plan form: same semantics as [[asofBackward]]/[[asofForward]]
+    * (the spec proves row-for-row parity), executed by the custom
+    * [[graft.plans.AsOfJoinExec]] operator instead of the union+window
+    * composition. Each side shuffles once on the key and sorts
+    * independently — no union frame carrying left-width nulls for every
+    * right row, no window state; a per-partition streaming merge with
+    * O(1) memory does the matching. Prefer this form when the right
+    * side is large (the composition's union row width is
+    * left-width+payload for BOTH sides).
+    *
+    * Installs [[graft.plans.GraftStrategy]] into the session's
+    * experimental strategies on first use, so no upfront
+    * `spark.sql.extensions` configuration is required.
+    */
+  def asofNative(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], forward: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    GraftStrategy.install(spark)
+    val leftNames = left.columns.toSet
+    val clash = payloadCols.filter(leftNames.contains)
+    require(clash.isEmpty,
+      s"asofNative: payload columns ${clash.mkString(", ")} collide with left columns — alias them first")
+    // prune + clean the right side up front (null-ts rows can never
+    // match; the exec also guards, but pruning keeps the shuffle lean)
+    val rightClean = right.filter(col(rightTs).isNotNull)
+      .select((key +: rightTs +: payloadCols.filterNot(c => c == key || c == rightTs))
+        .distinct.map(col): _*)
+    val lPlan = GraftBridge.analyzed(left)
+    val rAnalyzed = GraftBridge.analyzed(rightClean)
+    // fresh exprIds on the right so self-as-of (both sides sharing one
+    // lineage, as the registered query does) keeps the sides distinct
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan: LogicalPlan = Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def pick(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asofNative: column '$n' not found on $side side"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      leftKeys = Seq(pick(lPlan.output, key, "left")),
+      rightKeys = Seq(pick(rOut, key, "right")),
+      leftTs = pick(lPlan.output, leftTs, "left"),
+      rightTs = pick(rOut, rightTs, "right"),
+      payload = payloadCols.map(pick(rOut, _, "right")),
+      forward = forward)
+    GraftBridge.ofRows(spark, node)
+  }
 
   private def asof(
       left: DataFrame, right: DataFrame,

@@ -103,4 +103,71 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 20L, Some("b"), Some(2.0)),
       (2L, 15L, None, None))) // key 2 has no right rows; key 3 unused
   }
+
+  // ——— native custom-plan operator (graft.plans.AsOfJoinExec) ———
+
+  test("asofNative plans the custom operator (AsOfJoinExec in the physical plan)") {
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "lt")
+    val r = Seq((1L, 5L, "a")).toDF("k", "rt", "s")
+    val df = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s"))
+    // nodeName strips the Exec suffix: the custom operator renders as
+    // "AsOfJoin [keys...]" above the two ENSURE_REQUIREMENTS exchanges
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+      s"expected the AsOfJoinExec node in:\n${df.queryExecution.executedPlan}")
+    // and it still answers correctly through the exchange+sort requirements
+    assert(df.orderBy("k").as[(Long, Long, Option[String])].collect() ===
+      Array((1L, 10L, Some("a")), (2L, 20L, None)))
+  }
+
+  test("asofNative matches the window composition row-for-row (randomized, both directions)") {
+    val rnd = new scala.util.Random(4242)
+    // keys with: no right rows (7), only right rows (8), heavy overlap,
+    // duplicate left timestamps, null ts on both sides
+    val lRows = Seq.tabulate(400) { i =>
+      val k = 1L + rnd.nextInt(7)
+      val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000).toLong)
+      (k, t, i.toLong)
+    }
+    val rRows = Seq.tabulate(300) { i =>
+      val k = 2L + rnd.nextInt(7) // 8 exists only on the right
+      val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000).toLong)
+      (k, t, s"p$i")
+    }
+    // right side must be unique per (key, ts) — the operator contract
+    val l = lRows.toDF("k", "lt", "lid")
+    val r = rRows.toDF("k", "rt", "s")
+      .groupBy("k", "rt").agg(org.apache.spark.sql.functions.max("s").as("s"))
+    for (fwd <- Seq(false, true)) {
+      val viaWindow =
+        (if (fwd) AsOfJoin.asofForward(l, r, "k", "lt", "rt", Seq("s"))
+         else AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("s")))
+          .orderBy("lid").as[(Long, Option[Long], Long, Option[String])].collect()
+      val viaNative = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s"), forward = fwd)
+        .orderBy("lid").as[(Long, Option[Long], Long, Option[String])].collect()
+      assert(viaNative === viaWindow, s"direction forward=$fwd diverged")
+    }
+  }
+
+  test("asofNative: atomic payload, equal-ts match, self-lineage right side") {
+    // same shape as the composition's atomic-payload test
+    val l = Seq((1L, 20L)).toDF("k", "lt")
+    val r = Seq(
+      (1L, 10L, Option("a"), Option(1.0)),
+      (1L, 15L, Option.empty[String], Option(5.0))).toDF("k", "rt", "s", "v")
+    val out = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s", "v"))
+      .as[(Long, Long, Option[String], Option[Double])].collect()
+    assert(out === Array((1L, 20L, None, Some(5.0))))
+    // right side derived from the left (shared lineage/exprIds) — the
+    // registered query's shape; the fresh-alias projection must keep
+    // the sides distinct
+    val ev = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0)).toDF("k", "lt", "v")
+    val ref = ev.filter(col("lt") % 20 === 0)
+      .select(col("k"), col("lt").as("rt"), col("v").as("rv"))
+    val out2 = AsOfJoin.asofNative(ev, ref, "k", "lt", "rt", Seq("rv"))
+      .orderBy("lt").as[(Long, Long, Double, Option[Double])].collect()
+    assert(out2 === Array(
+      (1L, 10L, 1.0, None),
+      (1L, 20L, 2.0, Some(2.0)), // equal ts matches
+      (1L, 30L, 3.0, Some(2.0))))
+  }
 }
