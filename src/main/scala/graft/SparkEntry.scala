@@ -1411,6 +1411,33 @@ object SparkEntry {
       graft.ext.Behavior.retention(events(s, d), "user_id", "ts_us",
         maxOffsetDays = 30)),
 
+    "q_transitions" -> ((s, d) =>
+      // first-order Markov transition matrix of the event stream:
+      // (from, to) counts + per-source-state probability (one lead
+      // window on the user shuffle, exact bigint division)
+      graft.ext.Behavior.transitions(events(s, d), "user_id", "ts_us",
+        "event_type", "event_id")),
+
+    "q_top_paths" -> ((s, d) =>
+      // most common 3-step event paths across user sequences — two
+      // chained leads over the same user window, count per path
+      graft.ext.Behavior.topPaths(events(s, d), "user_id", "ts_us",
+        "event_type", "event_id", n = 3, k = 15)),
+
+    "q_active_trailing" -> ((s, d) =>
+      // trailing 7-day distinct actives per day via contribution
+      // explode — the scalable form of a sliding COUNT DISTINCT (no
+      // event-table self-join; shuffle is O(user-days × 7))
+      graft.ext.Behavior.activeUsersTrailing(events(s, d), "user_id", "ts_us",
+        windowDays = 7)),
+
+    "q_decay_score" -> ((s, d) =>
+      // recency-weighted engagement: Σ value/(1+age_days) per user —
+      // harmonic decay because division is IEEE-exact everywhere
+      // (exp/pow are not correctly rounded and would flake the hash)
+      graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
+        "value")),
+
     "x_compact" -> ((s, d) => {
       // compaction round-trip: fragment documents into 32 small files,
       // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
@@ -2759,6 +2786,52 @@ object SparkEntry {
         |FROM e JOIN c ON e.u = c.u
         |WHERE datediff('day', c.cohort_day, e.day) <= 30
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |g AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM e)
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, count(*) AS n
+        |FROM g WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
+
+    "q_active_trailing" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day FROM events),
+        |od AS (SELECT DISTINCT day FROM ud)
+        |SELECT od.day AS day, count(DISTINCT ud.u) AS active_users
+        |FROM od JOIN ud ON ud.day BETWEEN od.day - INTERVAL 6 DAY AND od.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day FROM events),
+        |m AS (SELECT max(day) AS maxd FROM e)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(round(value / (1 + datediff('day', day, maxd)), 6)
+        |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
+        |  count(*) AS n_events
+        |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // content checksum over the ORIGINAL table — must equal the
     // engine's checksum of the compacted rewrite

@@ -75,4 +75,103 @@ object Behavior {
       .agg(count(lit(1)).as("active_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** First-order Markov transition matrix of the event stream: per
+    * user, each event's type paired with the NEXT event's type (by
+    * timestamp, tie-broken on `idCol` so replays are deterministic),
+    * counted per (from, to) and normalized per source state.
+    *
+    * Scale shape: one window (= one shuffle on user) + one small
+    * aggregation on 5×5 states. The probability is a SINGLE bigint
+    * division — IEEE-exact and order-independent, so the oracle hash
+    * can't drift (contrast a float sum).
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top-K most common length-`n` event-type paths (n-grams of the
+    * per-user event sequence) — "what do users actually do" mining.
+    * Two chained leads over one user-shuffle; count per path.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, idCol: String, n: Int = 3, k: Int = 10): DataFrame = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val withSteps = (1 until n).foldLeft(events.withColumn("__s0", col(typeCol))) {
+      case (df, i) => df.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+    }
+    val path = concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*)
+    withSteps
+      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .groupBy(path.as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Trailing-window active users: for each observed day, the count of
+    * DISTINCT users active in the `windowDays`-day window ending that
+    * day (the "7-day actives" KPI).
+    *
+    * Scale shape: count-distinct over a sliding range frame isn't a
+    * window Spark (or any engine) runs directly — the scalable form is
+    * contribution explode: dedup to (user, day) first (the big
+    * reduction), then each (user, day) contributes to the ≤`windowDays`
+    * output days it is visible from via a `sequence()` explode, then
+    * count distinct users per output day. Shuffle volume is
+    * O(distinct(user,day) × windowDays), independent of raw event
+    * count; no self-join of the event table against itself.
+    */
+  def activeUsersTrailing(events: DataFrame, userCol: String, tsCol: String,
+                          windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day")).distinct()
+    val observedDays = userDays.select(col("day")).distinct()
+    userDays
+      .withColumn("out_day", explode(sequence(
+        col("day"), date_add(col("day"), windowDays - 1))))
+      // only days the table actually contains are reported (a trailing
+      // window ending on a day nobody was active isn't a dashboard row)
+      .join(observedDays.withColumnRenamed("day", "out_day"), Seq("out_day"), "left_semi")
+      .groupBy(col("out_day").as("day"))
+      .agg(countDistinct(col("u")).as("active_users"))
+      .orderBy("day")
+  }
+
+  /** Recency-weighted engagement score per user: Σ value / (1 + age_days)
+    * relative to the stream's max day — a decayed-engagement ranking
+    * signal. The harmonic decay is deliberate: one integer datediff and
+    * one IEEE division per row are exactly reproducible everywhere,
+    * where `exp`/`pow` decays are correctly-rounded in NO standard
+    * library and would make a differential hash flaky. Per-row rounding
+    * before the DECIMAL sum keeps the aggregate order-independent.
+    */
+  def decayedEngagement(events: DataFrame, userCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    // the reference day (stream max) rides in as a broadcast 1-row frame
+    // — no driver round-trip, the plan stays lazy and self-contained
+    val maxDay = events.agg(max(to_date(col(tsCol))).as("__maxd"))
+    events.crossJoin(broadcast(maxDay))
+      .withColumn("__w", round(
+        col(valueCol) / (lit(1) + datediff(col("__maxd"), to_date(col(tsCol)))), 6))
+      .groupBy(col(userCol))
+      .agg(cast6(sum(col("__w").cast("decimal(24,6)"))).as("score"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col(userCol))
+  }
+
+  private def cast6(c: Column): Column = round(c.cast("double"), 6)
 }

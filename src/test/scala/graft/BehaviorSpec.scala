@@ -81,4 +81,78 @@ class BehaviorSpec extends SparkSpec {
     val got = Behavior.retention(events, "user_id", "ts", maxOffsetDays = 30)
     assert(got.count() === 1)
   }
+
+  test("transitions count per-user successive pairs and normalize per source state") {
+    val events = Seq(
+      // user 1: a -> b -> a  (pairs: a>b, b>a)
+      (1L, ts("2024-01-01 09:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 09:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 09:02:00"), "a", 3L),
+      // user 2: a -> a       (pair: a>a) — no cross-user pair with u1
+      (2L, ts("2024-01-01 09:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 09:01:00"), "a", 5L)
+    ).toDF("user_id", "ts", "et", "event_id")
+    val got = Behavior.transitions(events, "user_id", "ts", "et", "event_id")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", "a", 1L, 0.5), // of 2 a-departures, 1 went to a
+      ("a", "b", 1L, 0.5),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions tie-break equal timestamps on the id column") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "x", 2L),
+      (1L, ts("2024-01-01 09:00:00"), "y", 1L) // same ts: id 1 comes first
+    ).toDF("user_id", "ts", "et", "event_id")
+    val got = Behavior.transitions(events, "user_id", "ts", "et", "event_id")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("y", "x", 1L, 1.0)))
+  }
+
+  test("topPaths mines n-step sequences with deterministic tie order") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 09:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 09:02:00"), "c", 3L),
+      (1L, ts("2024-01-01 09:03:00"), "d", 4L), // paths: a>b>c, b>c>d
+      (2L, ts("2024-01-01 09:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 09:01:00"), "b", 6L),
+      (2L, ts("2024-01-01 09:02:00"), "c", 7L)  // path: a>b>c (again)
+    ).toDF("user_id", "ts", "et", "event_id")
+    val got = Behavior.topPaths(events, "user_id", "ts", "et", "event_id", n = 3, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a > b > c", 2L), ("b > c > d", 1L)))
+    // a 2-user stream has no cross-user paths: user 2's c never chains
+    // into user 1's events
+  }
+
+  test("activeUsersTrailing counts distinct users over the trailing window, observed days only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-09 09:00:00")) // gap: Jan 3-8 have no events
+    ).toDF("user_id", "ts")
+    val got = Behavior.activeUsersTrailing(events, "user_id", "ts", windowDays = 7)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    assert(got === Seq(
+      (d("2024-01-01"), 2L),  // u1, u2
+      (d("2024-01-02"), 2L),  // u1 (both days), u2 from Jan 1
+      (d("2024-01-09"), 1L))) // only u3 — Jan 1-2 are outside the 7-day window
+    // days 3..8 are NOT reported (not observed), though Jan 2's users
+    // are visible from them
+  }
+
+  test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
+    val events = Seq(
+      (1L, ts("2024-01-03 09:00:00"), 10.0), // age 0: weight 1
+      (1L, ts("2024-01-02 09:00:00"), 10.0), // age 1: weight 1/2
+      (2L, ts("2024-01-01 09:00:00"), 12.0)  // age 2: weight 1/3
+    ).toDF("user_id", "ts", "value")
+    val got = Behavior.decayedEngagement(events, "user_id", "ts", "value")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 15.0, 2L), (2L, 4.0, 1L)))
+  }
 }
