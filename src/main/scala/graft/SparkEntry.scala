@@ -1438,6 +1438,24 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "x_fuzzy_join" -> ((s, d) => {
+      // record linkage: deterministically corrupt a third of the part
+      // names (delete one key-derived character), then re-link them to
+      // the master list at edit distance <= 1 via PassJoin segment
+      // blocking — candidate space is the blocking join, never |L|x|R|;
+      // the oracle replays the same corruption + levenshtein exactly
+      val part = t(s, d, "part")
+      val pos = (col("p_partkey") % 5 + 1).cast("int")
+      val dirty = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("dirty_key"),
+          concat(col("p_name").substr(lit(1), pos),
+            col("p_name").substr(pos + lit(2), length(col("p_name")))).as("dname"))
+      val clean = part.select(col("p_partkey").as("clean_key"), col("p_name"))
+      graft.ext.Linkage.editDistanceJoin(dirty, clean, "dname", "p_name", k = 1)
+        .select("dirty_key", "clean_key", "dname", "p_name", "dist")
+        .orderBy("dirty_key", "clean_key")
+    }),
+
     "x_compact" -> ((s, d) => {
       // compaction round-trip: fragment documents into 32 small files,
       // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
@@ -2832,6 +2850,20 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x_fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS dirty_key,
+        |    concat(substr(p_name, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
+        |           substr(p_name, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |clean AS (SELECT p_partkey AS clean_key, p_name FROM part)
+        |SELECT dirty_key, clean_key, dname, p_name,
+        |  CAST(levenshtein(dname, p_name) AS INTEGER) AS dist
+        |FROM dirty, clean
+        |WHERE abs(length(dname) - length(p_name)) <= 1
+        |  AND levenshtein(dname, p_name) <= 1
+        |ORDER BY dirty_key, clean_key""".stripMargin,
 
     // content checksum over the ORIGINAL table — must equal the
     // engine's checksum of the compacted rewrite

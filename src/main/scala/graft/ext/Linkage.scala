@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Record linkage: edit-distance (Levenshtein) similarity JOIN without
+  * the all-pairs cross product — the "match dirty entity names to the
+  * master list" operator every dedup/linkage pipeline needs.
+  *
+  * Scale shape (PassJoin-style segment blocking, Li et al. VLDB'12 —
+  * public algorithm): partition each RIGHT string into `k+1` balanced
+  * contiguous segments. If `ed(s, r) <= k`, at least one of r's k+1
+  * segments is untouched by all k edits (pigeonhole) and therefore
+  * occurs VERBATIM in s, shifted by at most k positions. So:
+  *
+  *   - right side emits its k+1 (length, segIdx, segment) blocking keys
+  *     — a narrow ×(k+1) explode;
+  *   - left side emits every substring that could equal segment segIdx
+  *     of a right string of length n, for each n within ±k of its own
+  *     length and each start within ±k of the segment's home position —
+  *     a bounded ×O(k²) explode (18 candidates at k=1), deduplicated;
+  *   - candidates hash-join on (n, segIdx, substring) — the ONE real
+  *     shuffle, proportional to candidate count, never to |L|×|R|;
+  *   - survivors verify with the exact codegen'd `levenshtein`.
+  *
+  * Complete by construction (the untouched segment is always among the
+  * enumerated candidates); the verify step makes it exact. Skew: a
+  * segment shared by a huge fraction of the right side (constant
+  * prefixes) concentrates candidates — `maxSegmentDf` excludes such
+  * segments from blocking on BOTH sides, trading recall for a bounded
+  * bucket exactly like `Dedup.jaccardPairs(maxShingleDf)`; pairs whose
+  * only untouched segment was dropped are missed, so cap generously.
+  */
+object Linkage {
+
+  /** All (left, right) row pairs with `levenshtein(leftCol, rightCol) <= k`,
+    * as left.* ++ right.* ++ `dist`. Left and right column names must be
+    * disjoint.
+    */
+  def editDistanceJoin(
+      left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, k: Int,
+      maxSegmentDf: Option[Int] = None): DataFrame = {
+    require(k >= 1, "editDistanceJoin: k must be >= 1 (use an equi-join for k=0)")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"editDistanceJoin: shared column names ${clash.mkString(", ")} — alias one side first")
+    val kp1 = k + 1
+
+    // segment geometry for a string of length `n`: k+1 segments whose
+    // lengths differ by at most one (first `thresh` get `base`, the
+    // rest base+1), segment i starting at i*base + max(0, i - thresh)
+    def withGeometry(df: DataFrame, nCol: String): DataFrame = df
+      .withColumn("__ed_base", (col(nCol) / kp1).cast("int"))
+      .withColumn("__ed_thresh", lit(kp1) - (col(nCol) % kp1))
+      .withColumn("__ed_len",
+        col("__ed_base") + when(col("__ed_i") >= col("__ed_thresh"), 1).otherwise(0))
+      .withColumn("__ed_start",
+        col("__ed_i") * col("__ed_base") +
+          greatest(lit(0), col("__ed_i") - col("__ed_thresh")))
+
+    val rSegs = withGeometry(
+      right
+        .withColumn("__ed_n", length(col(rightCol)))
+        .withColumn("__ed_i", explode(sequence(lit(0), lit(k)))), "__ed_n")
+      .withColumn("__ed_seg",
+        col(rightCol).substr(col("__ed_start") + 1, col("__ed_len")))
+      .select(right.columns.map(col) :+ col("__ed_n") :+ col("__ed_i") :+ col("__ed_seg"): _*)
+
+    val lCands = withGeometry(
+      left
+        .withColumn("__ed_m", length(col(leftCol)))
+        .withColumn("__ed_n",
+          explode(sequence(greatest(col("__ed_m") - k, lit(0)), col("__ed_m") + k)))
+        .withColumn("__ed_i", explode(sequence(lit(0), lit(k)))), "__ed_n")
+      .withColumn("__ed_pmin", greatest(lit(0), col("__ed_start") - k))
+      .withColumn("__ed_pmax",
+        least(col("__ed_m") - col("__ed_len"), col("__ed_start") + k))
+      .filter(col("__ed_pmax") >= col("__ed_pmin"))
+      .withColumn("__ed_p", explode(sequence(col("__ed_pmin"), col("__ed_pmax"))))
+      .withColumn("__ed_seg", col(leftCol).substr(col("__ed_p") + 1, col("__ed_len")))
+      .select(left.columns.map(col) :+ col("__ed_n") :+ col("__ed_i") :+ col("__ed_seg"): _*)
+      .distinct()
+
+    val blockKeys = Seq("__ed_n", "__ed_i", "__ed_seg")
+    val (lB, rB) = maxSegmentDf match {
+      case Some(cap) =>
+        // document-frequency cap over the RIGHT side's blocking keys:
+        // a segment carried by more than `cap` right rows is excluded
+        // from blocking entirely (recall trade, bounded bucket)
+        val hot = rSegs.groupBy(blockKeys.map(col): _*)
+          .agg(count(lit(1)).as("__ed_df")).filter(col("__ed_df") > cap)
+          .select(blockKeys.map(col): _*)
+        (lCands.join(hot, blockKeys, "left_anti"),
+          rSegs.join(hot, blockKeys, "left_anti"))
+      case None => (lCands, rSegs)
+    }
+
+    lB.join(rB, blockKeys)
+      .drop(blockKeys: _*)
+      .distinct() // several segments can witness the same pair
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
+      .filter(col("dist") <= k)
+  }
+}

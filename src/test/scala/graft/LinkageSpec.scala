@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editDistanceJoin finds substitution, deletion, and insertion matches at k=1") {
+    val dirty = Seq((1L, "red widget"), (2L, "blue bot"), (3L, "ssmall gear"), (4L, "nomatch"))
+      .toDF("did", "dname")
+    val master = Seq((10L, "red gadget"), (11L, "red widget"), (12L, "blue bolt"),
+      (13L, "small gear")).toDF("mid", "mname")
+    val got = Linkage.editDistanceJoin(dirty, master, "dname", "mname", k = 1)
+      .select("did", "mid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 11L, 0), // exact
+      (2L, 12L, 1), // deletion in dirty ("bot" vs "bolt")
+      (3L, 13L, 1)  // insertion in dirty ("ssmall" vs "small")
+      // "red widget" vs "red gadget" is distance 2 — excluded
+      // "nomatch" matches nothing
+    ))
+  }
+
+  test("editDistanceJoin parity with brute-force cross join (randomized, k=1 and k=2)") {
+    val rnd = new scala.util.Random(77)
+    def word() = Seq.fill(3 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString
+    // small alphabet + short strings => dense near-matches, incl. dups
+    val l = Seq.tabulate(60)(i => (i.toLong, word())).toDF("lid", "ls")
+    val r = Seq.tabulate(60)(i => (i.toLong, word())).toDF("rid", "rs")
+    for (k <- Seq(1, 2)) {
+      val fast = Linkage.editDistanceJoin(l, r, "ls", "rs", k)
+        .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+      val brute = l.crossJoin(r)
+        .withColumn("dist", levenshtein(col("ls"), col("rs")))
+        .filter(col("dist") <= k)
+        .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(fast === brute, s"k=$k: blocking lost or invented pairs")
+    }
+  }
+
+  test("editDistanceJoin handles empty and near-empty strings") {
+    val l = Seq((1L, ""), (2L, "a")).toDF("lid", "ls")
+    val r = Seq((10L, "a"), (11L, "ab")).toDF("rid", "rs")
+    val got = Linkage.editDistanceJoin(l, r, "ls", "rs", k = 1)
+      .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 10L, 1), (2L, 10L, 0), (2L, 11L, 1)))
+  }
+
+  test("maxSegmentDf drops hot-segment blocks but keeps clean matches") {
+    // 50 rows share the segment-heavy name; 1 clean near-pair survives
+    val boiler = Seq.tabulate(50)(i => (100L + i, "aaaaaaaaaa"))
+    val l = ((1L, "unique pair") +: boiler).toDF("lid", "ls")
+    val r = Seq((10L, "unique pairs"), (11L, "aaaaaaaaaa")).toDF("rid", "rs")
+    val capped = Linkage.editDistanceJoin(l, r, "ls", "rs", k = 1, maxSegmentDf = Some(5))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // the boilerplate block exceeds no RIGHT-side df cap here (df counts
+    // right rows) — cap on the right keeps "aaaaaaaaaa" (df=1); verify
+    // the clean pair is present and the boilerplate pairs still match
+    assert(capped.contains((1L, 10L)))
+    // now cap against a hot RIGHT side
+    val rHot = Seq.tabulate(50)(i => (200L + i, "aaaaaaaaaa")).toDF("rid", "rs")
+      .union(Seq((10L, "unique pairs")).toDF("rid", "rs"))
+    val capped2 = Linkage.editDistanceJoin(l, rHot, "ls", "rs", k = 1,
+        maxSegmentDf = Some(5))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(capped2.contains((1L, 10L)), "clean pair must survive the cap")
+    assert(!capped2.exists(_._2 >= 200L), "hot-block pairs are excluded by the cap")
+  }
+}
