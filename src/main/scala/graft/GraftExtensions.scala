@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv}
+import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv, SpaceSavingAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so
@@ -60,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("shingle_fnv: n must be a literal integer")
         }
         ShingleFnv(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "space_saving_topk(key, capacity) takes exactly 2 arguments (capacity a literal integer)")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "space_saving_topk: capacity must be a literal integer")
+        }
+        SpaceSavingAgg(children.head, cap)
       }))
   }
 }

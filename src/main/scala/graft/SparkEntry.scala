@@ -1438,6 +1438,34 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "x_heavy_hitters" -> ((s, d) =>
+      // SpaceSaving heavy hitters over event_type with capacity >>
+      // distinct keys: no counter evicts, so the sketch is provably
+      // EXACT (err=0) and the full oracle hash-match applies — the
+      // custom TypedImperativeAggregate shuffles O(capacity) summaries,
+      // never raw keys
+      events(s, d)
+        .agg(graft.functions.VectorExpressions
+          .spaceSavingTopK(col("event_type"), 64).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.est").as("n"),
+          col("h.err").as("err"), col("h.total").as("total"))
+        .orderBy(col("n").desc, col("key"))),
+
+    "x_heavy_hitters_approx" -> ((s, d) =>
+      // eviction regime: 150+ users against 32 counters — estimates
+      // carry explicit (est, err, total) bounds; rows-only by design
+      // (the surviving tail set legitimately depends on merge order;
+      // HeavyHittersSpec proves the bounds and the guarantee that
+      // every key with freq > N/capacity survives)
+      events(s, d)
+        .agg(graft.functions.VectorExpressions
+          .spaceSavingTopK(col("user_id").cast("string"), 32).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.est").as("est"),
+          col("h.err").as("err"), col("h.total").as("total"))
+        .orderBy(col("est").desc, col("key"))),
+
     "x_fuzzy_join" -> ((s, d) => {
       // record linkage: deterministically corrupt a third of the part
       // names (delete one key-derived character), then re-link them to
@@ -2850,6 +2878,13 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exact regime: err is identically 0 and counts are true counts
+    "x_heavy_hitters" ->
+      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT c.key, c.n, CAST(0 AS BIGINT) AS err, t.total
+        |FROM c, t ORDER BY c.n DESC, c.key""".stripMargin,
 
     "x_fuzzy_join" ->
       """WITH dirty AS (

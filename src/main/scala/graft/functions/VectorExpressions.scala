@@ -361,4 +361,10 @@ object VectorExpressions {
   def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],
                m: Int, ksub: Int, dsub: Int): Column =
     GraftBridge.column(PqEncodeCodes(expr(v), codebook, halves, m, ksub, dsub))
+
+  /** SpaceSaving heavy-hitters aggregate (see [[SpaceSavingAgg]]):
+    * `array<struct<key, est, err, total>>` sorted by estimate.
+    */
+  def spaceSavingTopK(key: Column, capacity: Int): Column =
+    GraftBridge.column(SpaceSavingAgg(expr(key), capacity).toAggregateExpression())
 }
