@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -433,6 +433,76 @@ object Soak {
           .collect()
       }
       fun.foreach(r => println(s"[soak] funnel ${r.mkString(" | ")}"))
+    }
+
+    // round-5 additions: edit-distance linkage, heavy hitters, native as-of
+    section("r5c") {
+      // 300k-entity master list with enough name entropy that PassJoin
+      // segments block meaningfully; 10k dirty probes with one seeded
+      // char deletion each — every probe must re-link to its source
+      val wa = (0 until 200).map(i => s"alpha$i")
+      val wb = (0 until 200).map(i => s"beta$i")
+      val master = spark.range(300000).select(col("id").as("mid"),
+        concat_ws("-",
+          element_at(typedLit(wa), (pmod(xxhash64(col("id"), lit(1)), lit(200)) + 1).cast("int")),
+          element_at(typedLit(wb), (pmod(xxhash64(col("id"), lit(2)), lit(200)) + 1).cast("int")),
+          col("id").cast("string")).as("mname"))
+      val pos = (pmod(col("mid"), lit(6)) + 2).cast("int")
+      val dirty = master.filter(col("mid") % 30 === 0)
+        .select(col("mid").as("did"),
+          concat(col("mname").substr(lit(1), pos),
+            col("mname").substr(pos + lit(2), length(col("mname")))).as("dname"))
+      val linked = time("edit-distance join: 10k dirty probes vs 300k master, k=1") {
+        graft.ext.Linkage.editDistanceJoin(dirty, master, "dname", "mname", k = 1)
+          .cache()
+      }
+      val nPairs = linked.count()
+      val selfLinked = linked.filter(col("did") === col("mid")).count()
+      println(s"[soak] linkage pairs: $nPairs; probes re-linked to source: " +
+        s"$selfLinked/10000 (others are genuine distance-1 neighbors)")
+      linked.unpersist()
+
+      // heavy hitters: 10M rows, 4 hot keys over a 1M-key tail;
+      // capacity 256 — sketch vs exact groupBy topk
+      val hh = spark.range(10000000).select(
+        when(pmod(xxhash64(col("id")), lit(10)) < 4,
+          concat(lit("hot"), pmod(xxhash64(col("id"), lit(7)), lit(4))))
+          .otherwise(concat(lit("tail"), pmod(xxhash64(col("id"), lit(9)), lit(1000000))))
+          .as("k"))
+      val sketchTop = time("space_saving_topk(256) over 10M rows (1M distinct keys)") {
+        hh.agg(graft.functions.VectorExpressions.spaceSavingTopK(col("k"), 256).as("s"))
+          .select(explode(col("s")).as("h")).select("h.key", "h.est", "h.err")
+          .limit(10).collect()
+      }
+      val exactTop = time("exact groupBy count top-10 (baseline)") {
+        hh.groupBy("k").count().orderBy(col("count").desc).limit(10).collect()
+      }
+      val sketchHot = sketchTop.map(_.getString(0)).filter(_.startsWith("hot")).toSet
+      val exactHot = exactTop.map(_.getString(0)).filter(_.startsWith("hot")).toSet
+      println(s"[soak] heavy hitters: sketch found $sketchHot == exact $exactHot: " +
+        s"${sketchHot == exactHot}; top sketch rows: " +
+        sketchTop.take(4).map(r => s"${r.getString(0)}=${r.getLong(1)}±${r.getLong(2)}").mkString(", "))
+
+      // native as-of vs window composition: 10M trades, 1M quotes, 100k keys
+      val trades = spark.range(10000000).select(
+        pmod(col("id"), lit(100000)).as("k"),
+        (col("id") * 7 % 1000000000L).as("lt"),
+        col("id").as("lid"))
+      val quotes = spark.range(1000000).select(
+        pmod(col("id"), lit(100000)).as("k"),
+        (col("id") * 61 % 1000000000L).as("qt"),
+        (col("id") % 997).cast("double").as("px"))
+        .groupBy("k", "qt").agg(max("px").as("px"))
+      val viaWindow = time("as-of composition (union+window): 10M x 1M") {
+        graft.ops.AsOfJoin.asofBackward(trades, quotes, "k", "lt", "qt", Seq("px"))
+          .agg(count(lit(1)), sum(col("px").cast("decimal(18,2)"))).collect()
+      }
+      val viaNative = time("as-of native exec (merge join): 10M x 1M") {
+        graft.ops.AsOfJoin.asofNative(trades, quotes, "k", "lt", "qt", Seq("px"))
+          .agg(count(lit(1)), sum(col("px").cast("decimal(18,2)"))).collect()
+      }
+      println(s"[soak] as-of checksums equal: ${viaWindow.head == viaNative.head} " +
+        s"(${viaWindow.head.mkString("|")})")
     }
     spark.stop()
   }
