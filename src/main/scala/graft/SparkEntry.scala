@@ -1438,6 +1438,26 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_interval_merge" -> ((s, d) => {
+      // union of per-user activity spans: each event opens a span of
+      // floor(value*10) seconds; overlapping/touching spans stitch
+      // into islands (one shuffle + two windows, no self-join)
+      val iv = events(s, d).select(col("user_id"),
+        expr("ts div 1000000000").as("s"),
+        (expr("ts div 1000000000") +
+          floor(col("value") * 10).cast("long")).as("e"))
+      graft.ops.Intervals.mergeOverlapping(iv, "user_id", "s", "e")
+    }),
+
+    "q_interval_coverage" -> ((s, d) => {
+      // per-user coverage rollup over the merged islands
+      val iv = events(s, d).select(col("user_id"),
+        expr("ts div 1000000000").as("s"),
+        (expr("ts div 1000000000") +
+          floor(col("value") * 10).cast("long")).as("e"))
+      graft.ops.Intervals.coverage(iv, "user_id", "s", "e")
+    }),
+
     "x_heavy_hitters" -> ((s, d) =>
       // SpaceSaving heavy hitters over event_type with capacity >>
       // distinct keys: no counter evicts, so the sketch is provably
@@ -2878,6 +2898,55 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+        |    epoch_ns(ts) // 1000000000 + CAST(floor(value * 10) AS BIGINT) AS e
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |  FROM (
+        |    SELECT user_id, s, e,
+        |      max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM iv)),
+        |h AS (
+        |  SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+        |  count(*) AS n_spans, max(e) - min(s) AS covered
+        |FROM h GROUP BY user_id, island
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+        |    epoch_ns(ts) // 1000000000 + CAST(floor(value * 10) AS BIGINT) AS e
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |  FROM (
+        |    SELECT user_id, s, e,
+        |      max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM iv)),
+        |h AS (
+        |  SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g),
+        |isl AS (
+        |  SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+        |    count(*) AS n_spans, max(e) - min(s) AS covered
+        |  FROM h GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(covered) AS BIGINT) AS total_covered,
+        |  count(*) AS n_islands, max(n_spans) AS max_island_spans
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // exact regime: err is identically 0 and counts are true counts
     "x_heavy_hitters" ->

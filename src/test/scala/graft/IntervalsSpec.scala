@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Intervals
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeOverlapping stitches overlapping and touching spans, splits on gaps") {
+    val spans = Seq(
+      (1L, 0L, 10L),   // island A
+      (1L, 5L, 12L),   // overlaps -> A
+      (1L, 12L, 20L),  // touches end exactly (start == prev max) -> A
+      (1L, 25L, 30L),  // gap of 5 -> island B
+      (2L, 0L, 1L)     // other key
+    ).toDF("k", "s", "e")
+    val got = Intervals.mergeOverlapping(spans, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 20L, 3L, 20L),
+      (1L, 25L, 30L, 1L, 5L),
+      (2L, 0L, 1L, 1L, 1L)))
+  }
+
+  test("maxGap bridges near-adjacent spans") {
+    val spans = Seq((1L, 0L, 10L), (1L, 14L, 20L)).toDF("k", "s", "e")
+    val strict = Intervals.mergeOverlapping(spans, "k", "s", "e").count()
+    val bridged = Intervals.mergeOverlapping(spans, "k", "s", "e", maxGap = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(strict === 2)
+    assert(bridged === Seq((1L, 0L, 20L, 2L, 20L)))
+  }
+
+  test("null start drops, null end becomes a point, inverted spans clamp") {
+    val spans = Seq(
+      (1L, Option(5L), Option.empty[Long]),  // point at 5
+      (1L, Option.empty[Long], Option(99L)), // unanchored: dropped
+      (1L, Option(7L), Option(3L))           // inverted: clamps to point at 7
+    ).toDF("k", "s", "e")
+    val got = Intervals.mergeOverlapping(spans, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 5L, 1L, 0L), (1L, 7L, 7L, 1L, 0L)))
+  }
+
+  test("coverage rolls islands up per key") {
+    val spans = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 100L, 110L),
+      (2L, 0L, 50L)
+    ).toDF("k", "s", "e")
+    val got = Intervals.coverage(spans, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 25L, 2L, 2L), (2L, 50L, 1L, 1L)))
+  }
+
+  test("island ids are contiguous per key under multi-partition shuffle") {
+    val rnd = new scala.util.Random(11)
+    val spans = Seq.tabulate(500) { i =>
+      (i % 7L, rnd.nextInt(1000).toLong, 0L)
+    }.map { case (k, s, _) => (k, s, s + 1 + rnd.nextInt(50)) }
+    val df = spans.toDF("k", "s", "e").repartition(8)
+    val islands = Intervals.mergeOverlapping(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // islands per key are sorted, non-overlapping, and separated by
+    // a strictly positive gap
+    islands.groupBy(_._1).foreach { case (_, is) =>
+      is.sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+    // and the union length equals a driver-side replay
+    val byKey = spans.groupBy(_._1)
+    for ((k, ss) <- byKey) {
+      val merged = ss.sortBy(x => (x._2, x._3)).foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((as, ae) :: rest), (_, s, e)) =>
+          if (s <= ae) (as, math.max(ae, e)) :: rest else (s, e) :: acc
+        case (Nil, (_, s, e)) => List((s, e))
+      }
+      val want = merged.map { case (s, e) => e - s }.sum
+      val got = islands.filter(_._1 == k).map(_._5).sum
+      assert(got === want, s"key $k union length")
+    }
+  }
+}
