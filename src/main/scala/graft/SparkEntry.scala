@@ -1438,6 +1438,25 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_bloom_prune" -> ((s, d) => {
+      // runtime-filter pruning made explicit: Bloom of the urgent
+      // orders' keys (one tiny aggregate, rides as a scalar subquery)
+      // drops non-matching lineitems BEFORE the join shuffle; false
+      // positives are removed by the exact join, so results are
+      // byte-identical to the plain join — only the shuffled volume
+      // changes
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+      val pruned = graft.ops.Enrich.bloomPrune(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+      pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_interval_merge" -> ((s, d) => {
       // union of per-user activity spans: each event opens a span of
       // floor(value*10) seconds; overlapping/touching spans stitch
@@ -2898,6 +2917,13 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (

@@ -42,6 +42,42 @@ object Enrich {
   def semiGuard(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
     fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_semi")
 
+  /** Bloom-filter pre-filter for a selective join: build a Bloom filter
+    * over `dim`'s keys (one tiny aggregate), broadcast it as a scalar,
+    * and drop fact rows whose key can't possibly match BEFORE the fact
+    * side shuffles. False positives pass through (the exact join after
+    * removes them); false negatives are impossible — semantics are
+    * unchanged, only the shuffled volume shrinks.
+    *
+    * This is Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the
+    * spark.sql.optimizer.runtime.bloomFilter expressions) made an
+    * explicit, composable operator: the optimizer only injects it
+    * under shuffle-join patterns it recognizes; here any upstream
+    * (pre-aggregation inputs, custom operators, multi-use facts) can
+    * prune eagerly.
+    */
+  def bloomPrune(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        XxHash64(Seq(GraftBridge.expression(dim(dimKey))), 42L), expectedItems)
+        .toAggregateExpression())
+    // might_contain requires the filter as a scalar subquery (or
+    // constant): the one-row aggregate plan rides along and executes
+    // once, its result broadcast into the codegen'd filter
+    val bfSub = ScalarSubquery(GraftBridge.analyzed(dim.agg(bloomAgg.as("__bf"))))
+    fact.filter(GraftBridge.column(BloomFilterMightContain(
+      bfSub,
+      XxHash64(Seq(GraftBridge.expression(fact(factKey))), 42L))))
+  }
+
   /** Rows of `fact` with NO match in `dim` (anti-join) — the existence
     * check half of upsert (Load.py:139-147).
     */

@@ -29,6 +29,37 @@ class EnrichSpec extends SparkSpec {
     assert(semi.columns === facts.columns) // no dim columns leak
   }
 
+  test("bloomPrune keeps every matching row and never changes join results") {
+    val fact = (1 to 2000).map(i => (i, i % 500, i * 2.0)).toDF("fid", "fk", "fv")
+    val dim = (0 until 50).map(i => (i * 3, s"d$i")).toDF("dk", "dname") // sparse keys
+    val pruned = Enrich.bloomPrune(fact, dim, "fk", "dk", expectedItems = 1000)
+    // no false negatives: pruned ⊇ the true semi-join
+    val trueSemi = fact.join(dim, fact("fk") === dim("dk"), "left_semi")
+    assert(pruned.join(dim, pruned("fk") === dim("dk"), "left_semi").count() ===
+      trueSemi.count())
+    // end-to-end: join after pruning == join without pruning
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .select("fid", "fk", "fv", "dk", "dname").orderBy("fid").collect()
+    val viaBloom = pruned.join(dim, pruned("fk") === dim("dk"))
+      .select("fid", "fk", "fv", "dk", "dname").orderBy("fid").collect()
+    assert(viaBloom === plain)
+    // and the filter actually prunes (166 of 500 fact keys can match;
+    // fpp at this sizing keeps the pass-through well under the input)
+    assert(pruned.count() < 2000, "bloom filter pruned nothing")
+  }
+
+  test("bloomPrune passes null keys through to the join (which drops them)") {
+    val fact = Seq((1, Option(5)), (2, Option.empty[Int])).toDF("fid", "fk")
+    val dim = Seq(Tuple1(5)).toDF("dk")
+    val pruned = Enrich.bloomPrune(fact, dim, "fk", "dk", expectedItems = 10)
+    // row 1 must survive; whether the null-key row survives pruning is
+    // irrelevant to join semantics (it can never match) — assert the
+    // end result only
+    val joined = pruned.join(dim, pruned("fk") === dim("dk"))
+      .select("fid").as[Int].collect()
+    assert(joined === Array(1))
+  }
+
   test("saltedJoin equals plain join for inner and left") {
     val left = (1 to 500).map(i => (i, if (i % 10 == 0) 1 else i % 7, i * 1.0))
       .toDF("id", "k", "v") // key 1 is hot
