@@ -1438,6 +1438,23 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_snapshot_diff" -> ((s, d) => {
+      // CDC between two simulated snapshot versions of orders: rows
+      // keyed %97==3 exist only in "new" (inserts), %89==7 only in
+      // "old" (deletes), %11==0 got a price bump (updates with the
+      // changed column named) — one full-outer key shuffle, unchanged
+      // rows never leave the join
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val old = base.filter(col("o_orderkey") % 97 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val nw = base.filter(col("o_orderkey") % 89 =!= 7)
+      graft.ops.Snapshot.diff(old, nw, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_bloom_prune" -> ((s, d) => {
       // runtime-filter pruning made explicit: Bloom of the urgent
       // orders' keys (one tiny aggregate, rides as a scalar subquery)
@@ -2917,6 +2934,32 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |old AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 != 3),
+        |nw AS (SELECT * FROM base WHERE o_orderkey % 89 != 7),
+        |d AS (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'U'
+        |    END AS op,
+        |    CASE WHEN n.o_orderkey IS NOT NULL AND o.o_orderkey IS NOT NULL THEN
+        |      concat_ws(',',
+        |        CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |          THEN 'o_orderstatus' END,
+        |        CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |          THEN 'o_totalprice' END)
+        |    ELSE '' END AS changed_cols
+        |  FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op, changed_cols FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_bloom_prune" ->
       """SELECT l.l_returnflag, count(*) AS n,
