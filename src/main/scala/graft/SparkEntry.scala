@@ -1438,6 +1438,31 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_profile" -> ((s, d) =>
+      // one-pass column profile of orders: every metric for every
+      // column in a single Aggregate (count/null/distinct/min/max/mean)
+      graft.ops.Validate.profile(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate"))),
+
+    "q_mad_outliers" -> ((s, d) =>
+      // robust median/MAD outlier screen over the event values — the
+      // long tail distorts a mean/stddev z-score's own baseline, the
+      // median's breakdown point doesn't care
+      graft.ops.Validate.madOutliers(
+        events(s, d).select(col("event_id"), col("value")), "value", k = 3.5)
+        .orderBy("event_id")),
+
+    "x_decontaminate_semantic" -> ((s, d) => {
+      // paraphrase-level decontamination: corpus embeddings vs a
+      // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") % 100 === 0)
+      val corpus = e.filter(col("vec_id") % 100 =!= 0)
+      graft.ext.Corpus.decontaminateSemantic(corpus, bench,
+        "embedding", "vec_id", threshold = 0.30)
+    }),
+
     "q_snapshot_diff" -> ((s, d) => {
       // CDC between two simulated snapshot versions of orders: rows
       // keyed %97==3 exist only in "new" (inserts), %89==7 only in
@@ -2934,6 +2959,62 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH s AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderdate' AS "column", count(o_orderdate) AS n,
+        |    count(*) FILTER (o_orderdate IS NULL) AS nulls,
+        |    count(DISTINCT o_orderdate) AS n_distinct,
+        |    CAST(min(o_orderdate) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderdate) AS VARCHAR) AS max_s,
+        |    CAST(NULL AS DOUBLE) AS mean FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(o_orderkey),
+        |    count(*) FILTER (o_orderkey IS NULL),
+        |    count(DISTINCT o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR),
+        |    round(CAST(sum(CAST(o_orderkey AS DECIMAL(30,6))) AS DOUBLE) / count(o_orderkey), 6) FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(o_orderstatus),
+        |    count(*) FILTER (o_orderstatus IS NULL),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+        |    CAST(NULL AS DOUBLE) FROM s
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(o_totalprice),
+        |    count(*) FILTER (o_totalprice IS NULL),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(o_totalprice), 6) FROM s)
+        |ORDER BY "column"""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_id, value FROM events),
+        |m AS (SELECT quantile_cont(value, 0.5) AS med FROM e),
+        |d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad,
+        |        any_value(m.med) AS med FROM e, m)
+        |SELECT event_id, value,
+        |  round(abs(value - d.med) / (d.mad * 1.4826), 6) AS robust_z
+        |FROM e, d
+        |WHERE d.mad > 0 AND abs(value - d.med) / (d.mad * 1.4826) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    // the oracle replays the kernel's exact left-to-right double
+    // accumulation (list_transform + list_sum), so the threshold
+    // decision is bit-identical — same pattern as x_embed_neardup
+    "x_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |b AS (SELECT v FROM e WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 != 0),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    max(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))))) AS mc
+        |  FROM c, b GROUP BY c.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_benchmark_cos
+        |FROM scored WHERE mc >= 0.30 ORDER BY vec_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -36,6 +36,33 @@ object Corpus {
     corpus.join(contaminated, corpus(idCol) === contaminated("__cid"), "left_anti")
   }
 
+  /** SEMANTIC decontamination: corpus rows whose embedding is too
+    * close (cosine ≥ threshold) to ANY benchmark embedding — catches
+    * paraphrased contamination the n-gram check can't see. Returns the
+    * flagged rows with their max benchmark similarity (round 6 for
+    * replayable output).
+    *
+    * Scale shape: benchmark embeddings broadcast (benchmarks are small
+    * by construction), corpus sweeps once through the codegen'd
+    * dot-product kernel, map-side partial max reduces to one row per
+    * corpus id before the single shuffle. For benchmark sets too big
+    * to broadcast, pre-bucket both sides with `Similarity.assignCells`
+    * and sweep per cell (the x_embed_neardup_bucketed treatment).
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.cosineF
+    val b = benchmark.select(col(vecCol).as("__bv"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(b))
+      .groupBy(col(idCol))
+      .agg(max(cosineF(col(vecCol), col("__bv"))).as("__mc"))
+      .filter(col("__mc") >= threshold)
+      .select(col(idCol), round(col("__mc"), 6).as("max_benchmark_cos"))
+      .orderBy(col(idCol))
+  }
+
   /** The complement: docs flagged as contaminated, with the overlap
     * count (for audit reports).
     */

@@ -85,6 +85,67 @@ object Validate {
       case cols => df.filter(cols.map(col(_).isNull).reduce(_ || _))
     }
 
+  /** Column-level profile of a table in ONE pass — the data-quality
+    * summary every ingest review starts from. Long format, one row per
+    * column: n, nulls, distinct (exact), min/max (as strings, so mixed
+    * column types share a schema), mean for numeric columns (decimal-
+    * accumulated, order-independent, null for non-numerics).
+    *
+    * Scale shape: a single Aggregate over the table — every metric for
+    * every column computes in the same scan (count/min/max/sum are all
+    * partial-aggregable; count_distinct rewrites to expand+distinct
+    * internally, the one genuinely heavy metric — pass
+    * `exactDistinct = false` to use HLL approx_count_distinct at scale).
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty,
+              exactDistinct: Boolean = true): DataFrame = {
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSet
+    val aggs = targets.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        (if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        (if (numeric.contains(c))
+          // exact decimal sum ÷ count as ONE double division — the
+          // decimal-avg form rounds differently across engines
+          round(sum(col(c).cast("decimal(30,6)")).cast("double") / count(col(c)), 6)
+        else lit(null).cast("double")).as(s"__mean_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = targets.map(c =>
+      s"'$c', __n_$c, __null_$c, __dist_$c, __min_$c, __max_$c, __mean_$c").mkString(", ")
+    one.selectExpr(s"stack(${targets.size}, $stacked) as " +
+        "(column, n, nulls, n_distinct, min_s, max_s, mean)")
+      .orderBy("column")
+  }
+
+  /** Robust (median/MAD) outlier screen over a numeric column: rows
+    * with |x - median| / (MAD · 1.4826) above `k` — resistant to the
+    * very outliers a mean/stddev z-score lets distort its own
+    * baseline. Exact percentiles (one pass each for median and MAD),
+    * broadcast as a 1-row frame; the score is a single IEEE division,
+    * replayable by any engine with quantile_cont.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.5): DataFrame = {
+    val med = df.agg(
+      expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"),
+        first(col("__med")).as("__med"))
+    withMed.drop("__med").crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        round(abs(col(valueCol) - col("__med")) / (col("__mad") * 1.4826), 6))
+      .filter(col("__mad") > 0 && col("robust_z") > k)
+      .drop("__med", "__mad")
+  }
+
   /** One-line health report per table: row count + violation counts for
     * the declared key/not-null constraints.
     */

@@ -25,6 +25,20 @@ class CorpusSpec extends SparkSpec {
     assert(clean.select("doc_id").as[Long].collect().sorted === Array(2L, 4L))
   }
 
+  test("decontaminateSemantic flags near-parallel embeddings, spares orthogonal ones") {
+    val corpusE = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // parallel to bench 100 -> flagged
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal -> clean
+      (3L, Array(0.9f, 0.1f, 0.0f)),   // near-parallel -> flagged
+      (4L, Array(-1.0f, 0.0f, 0.0f))   // anti-parallel (cos -1) -> clean
+    ).toDF("vec_id", "embedding")
+    val benchE = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Corpus.decontaminateSemantic(
+        corpusE, benchE, "embedding", "vec_id", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
   test("contaminationReport counts overlapping n-grams per doc") {
     val rep = Corpus.contaminationReport(corpus, benchmark, "text", "doc_id", n = 5)
       .as[(Long, Long)].collect().toMap

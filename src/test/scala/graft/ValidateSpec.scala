@@ -70,4 +70,35 @@ class ValidateSpec extends SparkSpec {
       ("b", 2L, 2, 0.2, 0.8),
       ("c", 1L, 3, 0.1, 0.4)))   // c before d: tie broken by key
   }
+
+  test("profile summarizes every column in one pass, mean only for numerics") {
+    val df = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("b"), Option(3.0)),
+      (3L, Option.empty[String], Option.empty[Double]),
+      (4L, Option("a"), Option(2.0))
+    ).toDF("id", "s", "v")
+    val got = Validate.profile(df)
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("id", 4L, 0L, 4L, "1", "4", Some(2.5)),
+      ("s", 3L, 1L, 2L, "a", "b", None),
+      ("v", 3L, 1L, 3L, "1.0", "3.0", Some(2.0))))
+  }
+
+  test("madOutliers flags the long tail without letting it move the baseline") {
+    // 100 values near 10, one extreme outlier; mean/stddev z-score
+    // would drag the threshold toward the outlier — the median doesn't
+    val df = ((1 to 100).map(i => (i.toLong, 10.0 + (i % 5) * 0.1)) :+ (999L, 1000.0))
+      .toDF("id", "v")
+    val got = Validate.madOutliers(df, "v", k = 3.5)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(999L))
+  }
+
+  test("madOutliers with zero MAD (constant column) flags nothing") {
+    val df = Seq.fill(50)(7.0).zipWithIndex.map(_.swap).toDF("id", "v")
+    assert(Validate.madOutliers(df, "v").count() === 0)
+  }
 }
