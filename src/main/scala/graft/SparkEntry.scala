@@ -1438,6 +1438,17 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_quantile_bins" -> ((s, d) =>
+      // equal-frequency discretizer: exact-percentile edges broadcast,
+      // codegen'd comparison-sum assignment — no global sort (the
+      // ntile trap: a partitionless window collapses the table into
+      // one partition)
+      graft.ops.Validate.quantileBins(
+        events(s, d).select(col("event_id"), col("value")), "value", nBins = 10)
+        .select(col("event_id"), col("value"), col("bin"),
+          round(col("bin_lower"), 6).as("bin_lower"))
+        .orderBy("event_id")),
+
     "q_profile" -> ((s, d) =>
       // one-pass column profile of orders: every metric for every
       // column in a single Aggregate (count/null/distinct/min/max/mean)
@@ -2959,6 +2970,18 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_quantile_bins" -> {
+      val qs = (1 until 10).map(i => i / 10.0).mkString(",")
+      val caseSum = (1 to 9)
+        .map(i => s"(CASE WHEN value > edges[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_id, value FROM events),
+         |ed AS (SELECT quantile_cont(value, [$qs]) AS edges FROM e),
+         |b AS (SELECT event_id, value, edges, 1 + $caseSum AS bin FROM e, ed)
+         |SELECT event_id, value, CAST(bin AS INTEGER) AS bin,
+         |  CASE WHEN bin = 1 THEN NULL ELSE round(edges[bin - 1], 6) END AS bin_lower
+         |FROM b ORDER BY event_id""".stripMargin
+    },
 
     "q_profile" ->
       """WITH s AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders)

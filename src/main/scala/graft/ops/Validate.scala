@@ -146,6 +146,36 @@ object Validate {
       .drop("__med", "__mad")
   }
 
+  /** Equal-frequency (quantile) binning — the feature-engineering
+    * discretizer. Returns `df` + `bin` (1..nBins) + the bin's lower
+    * edge.
+    *
+    * Deliberately NOT `ntile()`: a global ntile is a window with no
+    * partitionBy — the whole table sorts into ONE partition, the
+    * classic scale-killer. Here the nBins-1 interior edges come from
+    * one exact-percentile aggregate (a few hundred bytes), broadcast;
+    * assignment is a codegen'd sum of comparisons per row — no global
+    * sort, no shuffle of the data at all. Rows equal to an edge go to
+    * the lower bin (`value <= edge`), so ties land deterministically
+    * regardless of partitioning (ntile splits ties by arbitrary sort
+    * position instead).
+    */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "quantileBins: nBins in [2, 1000]")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = df.agg(
+      expr(s"percentile($valueCol, array(${qs.mkString(",")}))").as("__edges"))
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (lit(1) + (0 until nBins - 1)
+          .map(i => when(col(valueCol) > col("__edges").getItem(i), 1).otherwise(0))
+          .reduce(_ + _)).cast("int"))
+      .withColumn("bin_lower",
+        when(col("bin") === 1, lit(null).cast("double"))
+          .otherwise(element_at(col("__edges"), col("bin") - 1)))
+      .drop("__edges")
+  }
+
   /** One-line health report per table: row count + violation counts for
     * the declared key/not-null constraints.
     */

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Validate
 
 class ValidateSpec extends SparkSpec {
@@ -100,5 +102,24 @@ class ValidateSpec extends SparkSpec {
   test("madOutliers with zero MAD (constant column) flags nothing") {
     val df = Seq.fill(50)(7.0).zipWithIndex.map(_.swap).toDF("id", "v")
     assert(Validate.madOutliers(df, "v").count() === 0)
+  }
+
+  test("quantileBins assigns equal-frequency bins without a global sort") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartition(8)
+    val binned = Validate.quantileBins(df, "v", nBins = 4)
+    val sizes = binned.groupBy("bin").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    // exact percentile edges on 1..1000 quarter the range; ties go low
+    assert(sizes.values.forall(n => n >= 249 && n <= 251), sizes.toString)
+    // known edge values: p25 of 1..1000 = 250.75 etc; value 250 -> bin 1,
+    // value 251 -> bin 2
+    val got = binned.filter(col("id").isin(250L, 251L, 1000L))
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    assert(got === Map(250L -> 1, 251L -> 2, 1000L -> 4))
+    // no partitionless window in the plan (the ntile trap)
+    assert(!binned.queryExecution.executedPlan.toString.contains("Window"),
+      "quantileBins must not plan a window")
   }
 }
