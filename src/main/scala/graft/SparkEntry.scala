@@ -1559,20 +1559,25 @@ object SparkEntry {
         .orderBy(col("est").desc, col("key"))),
 
     "x_fuzzy_join" -> ((s, d) => {
-      // record linkage: deterministically corrupt a third of the part
-      // names (delete one key-derived character), then re-link them to
-      // the master list at edit distance <= 1 via PassJoin segment
-      // blocking — candidate space is the blocking join, never |L|x|R|;
-      // the oracle replays the same corruption + levenshtein exactly
+      // record linkage: entity names = part name + key suffix (unique,
+      // like real master-list entities; the bare p_name vocabulary is
+      // ~56 strings, which would make every blocking segment hot AND
+      // the true answer itself quadratic-sized). Corrupt a third of
+      // them by one key-derived char deletion, re-link at edit
+      // distance <= 1 via PassJoin segment blocking — candidate space
+      // is the blocking join, never |L|x|R|; the oracle replays the
+      // same corruption + levenshtein exactly
       val part = t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
       val pos = (col("p_partkey") % 5 + 1).cast("int")
       val dirty = part.filter(col("p_partkey") % 3 === 0)
         .select(col("p_partkey").as("dirty_key"),
-          concat(col("p_name").substr(lit(1), pos),
-            col("p_name").substr(pos + lit(2), length(col("p_name")))).as("dname"))
-      val clean = part.select(col("p_partkey").as("clean_key"), col("p_name"))
-      graft.ext.Linkage.editDistanceJoin(dirty, clean, "dname", "p_name", k = 1)
-        .select("dirty_key", "clean_key", "dname", "p_name", "dist")
+          concat(col("ename").substr(lit(1), pos),
+            col("ename").substr(pos + lit(2), length(col("ename")))).as("dname"))
+      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
+      graft.ext.Linkage.editDistanceJoin(dirty, clean, "dname", "ename", k = 1)
+        .select("dirty_key", "clean_key", "dname", "ename", "dist")
         .orderBy("dirty_key", "clean_key")
     }),
 
@@ -3129,17 +3134,19 @@ object SparkEntry {
         |FROM c, t ORDER BY c.n DESC, c.key""".stripMargin,
 
     "x_fuzzy_join" ->
-      """WITH dirty AS (
+      """WITH p AS (
+        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
+        |dirty AS (
         |  SELECT p_partkey AS dirty_key,
-        |    concat(substr(p_name, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
-        |           substr(p_name, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
-        |  FROM part WHERE p_partkey % 3 = 0),
-        |clean AS (SELECT p_partkey AS clean_key, p_name FROM part)
-        |SELECT dirty_key, clean_key, dname, p_name,
-        |  CAST(levenshtein(dname, p_name) AS INTEGER) AS dist
+        |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
+        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
+        |  FROM p WHERE p_partkey % 3 = 0),
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p)
+        |SELECT dirty_key, clean_key, dname, ename,
+        |  CAST(levenshtein(dname, ename) AS INTEGER) AS dist
         |FROM dirty, clean
-        |WHERE abs(length(dname) - length(p_name)) <= 1
-        |  AND levenshtein(dname, p_name) <= 1
+        |WHERE abs(length(dname) - length(ename)) <= 1
+        |  AND levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
 
     // content checksum over the ORIGINAL table — must equal the
