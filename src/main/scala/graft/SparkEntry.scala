@@ -1438,6 +1438,34 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_rollup_maintain" -> ((s, d) => {
+      // incremental-view maintenance: the stored (day, type) rollup of
+      // prior syncs merges with the new batch's partial aggregate by
+      // additive sum — O(delta) per sync, history never rescanned; the
+      // oracle recomputes from ALL raw events, so a hash match proves
+      // merge == recompute for this split
+      def agg1(df: DataFrame) = df
+        .groupBy(to_date(col("ts_us")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v_sum"))
+      val ev = events(s, d)
+      val store = agg1(ev.filter(col("event_id") % 2 === 0))
+      val batch = agg1(ev.filter(col("event_id") % 2 =!= 0))
+      graft.sync.Incremental.maintainRollup(store, batch,
+          Seq("day", "event_type"), Seq("n", "v_sum"))
+        .select(col("day"), col("event_type"), col("n"),
+          col("v_sum").cast("double").as("v_sum"))
+        .orderBy("day", "event_type")
+    }),
+
+    "x_active_trailing_hll" -> ((s, d) =>
+      // sketch form of the trailing-actives KPI: one HLL per day,
+      // merged across the window — shuffle volume independent of the
+      // user count (rows-only: estimates; BehaviorSpec bounds the
+      // error vs the exact operator)
+      graft.ext.Behavior.activeUsersTrailingApprox(events(s, d),
+        "user_id", "ts_us", windowDays = 7)),
+
     "q_quantile_bins" -> ((s, d) =>
       // equal-frequency discretizer: exact-percentile edges broadcast,
       // codegen'd comparison-sum assignment — no global sort (the
@@ -2975,6 +3003,12 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rollup_maintain" ->
+      """SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_quantile_bins" -> {
       val qs = (1 until 10).map(i => i / 10.0).mkString(",")

@@ -151,6 +151,31 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Sketch form of [[activeUsersTrailing]] for key spaces too large
+    * to shuffle: ONE HyperLogLog sketch per day (not per user-day),
+    * exploded across the ≤`windowDays` output days it serves and
+    * merged with `hll_union_agg`. Shuffle volume is
+    * O(days × windowDays × sketch bytes) — independent of user count
+    * entirely, where the exact form shuffles every (user, day) pair.
+    * Estimates carry HLL's standard error (~1.6% at lgConfigK=12);
+    * the spec bounds the deviation against the exact operator.
+    */
+  def activeUsersTrailingApprox(events: DataFrame, userCol: String, tsCol: String,
+                                windowDays: Int = 7, lgConfigK: Int = 12): DataFrame = {
+    val daySketch = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+    val observedDays = daySketch.select(col("day")).distinct()
+    daySketch
+      .withColumn("out_day", explode(sequence(
+        col("day"), date_add(col("day"), windowDays - 1))))
+      .join(observedDays.withColumnRenamed("day", "out_day"), Seq("out_day"), "left_semi")
+      .groupBy(col("out_day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("active_users_est"))
+      .orderBy("day")
+  }
+
   /** Recency-weighted engagement score per user: Σ value / (1 + age_days)
     * relative to the stream's max day — a decayed-engagement ranking
     * signal. The harmonic decay is deliberate: one integer datediff and

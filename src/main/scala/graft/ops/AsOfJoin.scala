@@ -61,7 +61,17 @@ object AsOfJoin {
   def asofNative(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], forward: Boolean = false): DataFrame =
+    asofNativeKeys(left, right, Seq(key), leftTs, rightTs, payloadCols, forward)
+
+  /** Composite-key form — the exec compares key tuples lexicographically,
+    * so any number of equality keys rides the same single-shuffle merge.
+    */
+  def asofNativeKeys(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
       payloadCols: Seq[String], forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofNative: at least one key")
     val spark = left.sparkSession
     GraftStrategy.install(spark)
     val leftNames = left.columns.toSet
@@ -71,7 +81,7 @@ object AsOfJoin {
     // prune + clean the right side up front (null-ts rows can never
     // match; the exec also guards, but pruning keeps the shuffle lean)
     val rightClean = right.filter(col(rightTs).isNotNull)
-      .select((key +: rightTs +: payloadCols.filterNot(c => c == key || c == rightTs))
+      .select((keys ++ (rightTs +: payloadCols.filterNot(c => keys.contains(c) || c == rightTs)))
         .distinct.map(col): _*)
     val lPlan = GraftBridge.analyzed(left)
     val rAnalyzed = GraftBridge.analyzed(rightClean)
@@ -85,8 +95,8 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"asofNative: column '$n' not found on $side side"))
     val node = AsOfJoinNode(
       lPlan, rPlan,
-      leftKeys = Seq(pick(lPlan.output, key, "left")),
-      rightKeys = Seq(pick(rOut, key, "right")),
+      leftKeys = keys.map(pick(lPlan.output, _, "left")),
+      rightKeys = keys.map(pick(rOut, _, "right")),
       leftTs = pick(lPlan.output, leftTs, "left"),
       rightTs = pick(rOut, rightTs, "right"),
       payload = payloadCols.map(pick(rOut, _, "right")),

@@ -80,4 +80,32 @@ object Incremental {
     val changed = newerThan(dims, dimUpdatedCol, watermark).select(col(dimKey).as(factFk))
     facts.join(broadcast(changed), Seq(factFk), "left_semi")
   }
+
+  /** O(delta) maintenance of an ADDITIVE keyed rollup: fold a new
+    * batch's partial aggregate into the stored rollup by summing the
+    * additive columns per key — the incremental-view-maintenance
+    * pattern for count/sum dashboards. History is never rescanned:
+    * cost is O(|store keys| + |batch keys|) per sync instead of
+    * O(all raw events ever).
+    *
+    * Only ADDITIVE measures belong here (count, sum; avg must travel
+    * as sum+count and divide at read time — a stored avg can't merge).
+    * Invariant (spec-proven): maintainRollup(agg(old), agg(new)) ==
+    * agg(old ∪ new) for any split of the stream.
+    */
+  def maintainRollup(store: DataFrame, batchAgg: DataFrame,
+                     keys: Seq[String], addCols: Seq[String]): DataFrame = {
+    require(store.columns.toSeq == batchAgg.columns.toSeq,
+      s"maintainRollup: store/batch schemas differ " +
+        s"(${store.columns.mkString(",")} vs ${batchAgg.columns.mkString(",")})")
+    // cast each summed column back to its stored type — sum() widens
+    // (long→long but decimal(p,s)→decimal(p+10,s)), and a rollup that
+    // widens per sync isn't closed under its own maintenance
+    val merged = store.unionByName(batchAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(addCols.head)).as(addCols.head),
+        addCols.tail.map(c => sum(col(c)).as(c)): _*)
+    merged.select(store.columns.map(c =>
+      col(c).cast(store.schema(c).dataType).as(c)): _*)
+  }
 }

@@ -170,4 +170,28 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 20L, 2.0, Some(2.0)), // equal ts matches
       (1L, 30L, 3.0, Some(2.0))))
   }
+
+  test("asofNativeKeys: composite keys match the single-concatenated-key reduction") {
+    val rnd = new scala.util.Random(1234)
+    val l = Seq.tabulate(300)(i =>
+      (1L + rnd.nextInt(3), s"r${rnd.nextInt(3)}", rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k1", "k2", "lt", "lid")
+    val r = Seq.tabulate(200)(i =>
+      (1L + rnd.nextInt(3), s"r${rnd.nextInt(3)}", rnd.nextInt(500).toLong, s"p$i"))
+      .toDF("k1", "k2", "rt", "s")
+      .groupBy("k1", "k2", "rt").agg(org.apache.spark.sql.functions.max("s").as("s"))
+    val viaPair = AsOfJoin.asofNativeKeys(l, r, Seq("k1", "k2"), "lt", "rt", Seq("s"))
+      .orderBy("lid").as[(Long, String, Long, Long, Option[String])].collect().toSeq
+    // reduction: the same join on a fused key through the window form
+    // (keys are tiny fixed-width here, so concatenation is injective)
+    val lf = l.withColumn("kk",
+      org.apache.spark.sql.functions.concat_ws("|", col("k1"), col("k2")))
+    val rf = r.withColumn("kk",
+      org.apache.spark.sql.functions.concat_ws("|", col("k1"), col("k2")))
+      .select("kk", "rt", "s")
+    val viaFused = AsOfJoin.asofBackward(lf, rf, "kk", "lt", "rt", Seq("s"))
+      .orderBy("lid").select("k1", "k2", "lt", "lid", "s")
+      .as[(Long, String, Long, Long, Option[String])].collect().toSeq
+    assert(viaPair === viaFused)
+  }
 }

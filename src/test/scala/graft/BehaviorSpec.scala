@@ -145,6 +145,24 @@ class BehaviorSpec extends SparkSpec {
     // are visible from them
   }
 
+  test("activeUsersTrailingApprox tracks the exact operator within HLL error") {
+    val rnd = new scala.util.Random(3)
+    val events = Seq.tabulate(5000) { i =>
+      (rnd.nextInt(800).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(20)}%02d 09:00:00"))
+    }.toDF("user_id", "ts")
+    val exact = Behavior.activeUsersTrailing(events, "user_id", "ts", windowDays = 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val approx = Behavior.activeUsersTrailingApprox(events, "user_id", "ts", windowDays = 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet, "same observed days")
+    for ((day, est) <- approx) {
+      val truth = exact(day).toDouble
+      assert(math.abs(est - truth) / truth < 0.05,
+        s"$day: est $est vs exact $truth beyond 5%")
+    }
+  }
+
   test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
     val events = Seq(
       (1L, ts("2024-01-03 09:00:00"), 10.0), // age 0: weight 1

@@ -39,4 +39,31 @@ class IncrementalSpec extends SparkSpec {
       "updated_at", LocalDateTime.of(2024, 6, 1, 0, 0, 0))
     assert(out.select("id").as[Int].collect().sorted === Array(3, 4))
   }
+
+  test("maintainRollup: merge of split aggregates equals the full recompute, any split") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val raw = Seq.tabulate(500)(i =>
+      (i.toLong, s"k${rnd.nextInt(7)}", rnd.nextInt(100).toLong)).toDF("id", "k", "v")
+    def agg1(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("v_sum"))
+    val full = agg1(raw).orderBy("k").collect()
+    for (mod <- Seq(2, 3, 10)) {
+      val store = agg1(raw.filter(col("id") % mod === 0))
+      val batch = agg1(raw.filter(col("id") % mod =!= 0))
+      val merged = Incremental.maintainRollup(store, batch, Seq("k"), Seq("n", "v_sum"))
+      assert(merged.orderBy("k").collect() === full, s"split mod=$mod")
+      // closed under its own maintenance: data types unchanged (sum()
+      // marks results nullable where count() didn't — benign, and
+      // erased anyway by the parquet round-trip a real store does)
+      assert(merged.schema.map(f => (f.name, f.dataType)) ===
+        store.schema.map(f => (f.name, f.dataType)), "rollup schema drifted after merge")
+    }
+    // keys present only in one side still appear
+    val store = agg1(raw.filter(col("k") === "k1"))
+    val batch = agg1(raw.filter(col("k") =!= "k1"))
+    assert(Incremental.maintainRollup(store, batch, Seq("k"), Seq("n", "v_sum"))
+      .orderBy("k").collect() === full)
+  }
 }
