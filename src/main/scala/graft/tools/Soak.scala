@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -503,6 +503,53 @@ object Soak {
       }
       println(s"[soak] as-of checksums equal: ${viaWindow.head == viaNative.head} " +
         s"(${viaWindow.head.mkString("|")})")
+    }
+
+    // round-5 additions II: rollup maintenance, snapshot diff, binning
+    section("r5d") {
+      // incremental rollup maintenance: 1M-key stored rollup + 100k-row batch
+      val hist = spark.range(10000000).select(
+        pmod(col("id"), lit(1000000)).as("k"),
+        (col("id") % 100).as("v"))
+      val batch = spark.range(100000).select(
+        (pmod(col("id"), lit(50000)) * 17).as("k"),
+        (col("id") % 100).as("v"))
+      def agg1(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).as("v_sum"))
+      val store = agg1(hist)
+      store.write.mode("overwrite").parquet(s"$base/rollup_store")
+      val stored = spark.read.parquet(s"$base/rollup_store")
+      val maintained = time("maintainRollup: 1M-key store + 100k-row batch") {
+        graft.sync.Incremental.maintainRollup(stored, agg1(batch),
+          Seq("k"), Seq("n", "v_sum")).count()
+      }
+      val recomputed = time("full recompute baseline (10.1M raw rows)") {
+        agg1(hist.unionByName(batch)).count()
+      }
+      println(s"[soak] rollup keys maintained=$maintained recomputed=$recomputed")
+
+      // snapshot diff at 10M rows with 1% churn
+      val vOld = spark.range(10000000).select(col("id").as("k"),
+        (col("id") % 1000).as("v")).filter(col("k") % 101 =!= 0)
+      val vNew = spark.range(10000000).select(col("id").as("k"),
+        when(col("id") % 97 === 0, col("id") % 1000 + 1)
+          .otherwise(col("id") % 1000).as("v")).filter(col("k") % 103 =!= 5)
+      val d = time("snapshot diff: 10M rows, ~1% churn") {
+        graft.ops.Snapshot.diffSummary(vOld, vNew, Seq("k")).collect()
+      }
+      println("[soak] diff summary: " + d.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+
+      // quantile binning at 10M: edges once, assignment codegen'd
+      val big = spark.range(10000000).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(100000)) / lit(7.0)).as("v"))
+      val binned = time("quantileBins(10) over 10M rows") {
+        graft.ops.Validate.quantileBins(big, "v", nBins = 10)
+          .groupBy("bin").count().orderBy("bin").collect()
+      }
+      val sizes = binned.map(_.getLong(1))
+      println(s"[soak] bin sizes min=${sizes.min} max=${sizes.max} " +
+        s"(equal-frequency within ${(sizes.max - sizes.min) * 100.0 / 1000000}%)")
     }
     spark.stop()
   }
