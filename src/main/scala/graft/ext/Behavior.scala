@@ -161,13 +161,30 @@ object Behavior {
     * the spec bounds the deviation against the exact operator.
     */
   def activeUsersTrailingApprox(events: DataFrame, userCol: String, tsCol: String,
-                                windowDays: Int = 7, lgConfigK: Int = 12): DataFrame = {
-    val daySketch = events
+                                windowDays: Int = 7, lgConfigK: Int = 12): DataFrame =
+    trailingFromSketches(daySketches(events, userCol, tsCol, lgConfigK), windowDays)
+
+  /** Persistable day-level HLL sketches — the incremental-maintenance
+    * companion to [[activeUsersTrailingApprox]]: write one binary
+    * sketch row per day, append new days as they arrive (no history
+    * rescan, the `Incremental.maintainRollup` pattern for DISTINCT
+    * counts, which plain additive rollups cannot maintain), and answer
+    * any trailing-window question later by merging stored sketches.
+    */
+  def daySketches(events: DataFrame, userCol: String, tsCol: String,
+                  lgConfigK: Int = 12): DataFrame =
+    events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
       .groupBy(col("day"))
       .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
-    val observedDays = daySketch.select(col("day")).distinct()
-    daySketch
+
+  /** Trailing distinct-actives from a persisted sketch store (schema:
+    * day, sk) — same output shape as [[activeUsersTrailingApprox]],
+    * zero contact with raw events.
+    */
+  def trailingFromSketches(store: DataFrame, windowDays: Int = 7): DataFrame = {
+    val observedDays = store.select(col("day")).distinct()
+    store
       .withColumn("out_day", explode(sequence(
         col("day"), date_add(col("day"), windowDays - 1))))
       .join(observedDays.withColumnRenamed("day", "out_day"), Seq("out_day"), "left_semi")

@@ -163,6 +163,42 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("day sketches round-trip parquet and maintain incrementally: append == recompute") {
+    val rnd = new scala.util.Random(17)
+    def batch(days: Range, n: Int) = Seq.tabulate(n) { _ =>
+      val d = days(rnd.nextInt(days.size))
+      (rnd.nextInt(500).toLong, ts(f"2024-01-$d%02d 09:00:00"))
+    }.toDF("user_id", "ts")
+    val b1 = batch(1 to 10, 2000)
+    val b2 = batch(8 to 15, 1500) // overlapping days: sketches must union
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    // run 1 persists its day sketches; run 2 merges its own with the store
+    Behavior.daySketches(b1, "user_id", "ts").write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+      .unionByName(Behavior.daySketches(b2, "user_id", "ts"))
+      .groupBy("day")
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_union_agg(col("sk"))).as("est"))
+    // same estimates as sketching the full stream in one pass
+    val direct = Behavior.daySketches(b1.unionByName(b2), "user_id", "ts")
+      .select(col("day"), org.apache.spark.sql.functions
+        .hll_sketch_estimate(col("sk")).as("est"))
+    val a = store.orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    val b = direct.orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    assert(a === b, "incremental sketch maintenance must equal one-pass sketching")
+    // and the trailing answer from the store tracks the exact one
+    val all = b1.unionByName(b2)
+    val exact = Behavior.activeUsersTrailing(all, "user_id", "ts", 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val approx = Behavior.trailingFromSketches(
+      spark.read.parquet(dir).unionByName(Behavior.daySketches(b2, "user_id", "ts"))
+        .groupBy("day").agg(org.apache.spark.sql.functions.hll_union_agg(col("sk")).as("sk")), 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((day, est) <- approx)
+      assert(math.abs(est - exact(day).toDouble) / exact(day) < 0.05, s"$day off >5%")
+  }
+
   test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
     val events = Seq(
       (1L, ts("2024-01-03 09:00:00"), 10.0), // age 0: weight 1
