@@ -33,9 +33,21 @@ object CurationPipeline {
   def curate(docs: DataFrame, benchmark: DataFrame, textCol: String,
              idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
              shingleSize: Int = 3, jaccardThreshold: Double = 0.5,
-             checkpointDir: Option[String] = None): DataFrame = {
+             checkpointDir: Option[String] = None,
+             // optional paraphrase gate: (corpus embeddings, benchmark
+             // embeddings, cosine threshold) with (idCol, vecCol)
+             // schemas — drops docs whose embedding is too close to
+             // any benchmark embedding (catches what n-grams miss)
+             semantic: Option[(DataFrame, DataFrame, String, Double)] = None): DataFrame = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
-    val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
+    val ngramClean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
+    val clean = semantic match {
+      case Some((corpusEmb, benchEmb, vecCol, threshold)) =>
+        val flagged = Corpus.decontaminateSemantic(
+          corpusEmb, benchEmb, vecCol, idCol, threshold).select(col(idCol))
+        ngramClean.join(broadcast(flagged), Seq(idCol), "left_anti")
+      case None => ngramClean
+    }
     // pin the exact-dedup survivors: downstream they are read three
     // times (shingle pair generation, component-label init, the final
     // representative semi-join) and their lineage carries the

@@ -38,4 +38,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(counts.afterNearDedup === 2)        // doc 6 clustered with 1
     assert(out.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
   }
+
+  test("curate with the semantic gate also drops paraphrase-level contamination") {
+    // doc 2 shares NO n-gram with the benchmark, but its embedding is
+    // near-parallel to a benchmark embedding — only the semantic gate
+    // catches it
+    val corpusEmb = Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f)),
+      (6L, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("doc_id", "embedding")
+    val benchEmb = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val out = CurationPipeline.curate(
+      docs, benchmark, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5,
+      semantic = Some((corpusEmb, benchEmb, "embedding", 0.9)))
+    // baseline survivors were {1, 2}; the semantic gate removes 2
+    assert(out.select("doc_id").as[Long].collect().sorted === Array(1L))
+  }
 }
