@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge exec (AsOfJoin.asofNative also self-installs the strategy
     // via experimental.extraStrategies for unconfigured sessions)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // optimizer tier: left-only filters sink through the custom node
+    // so they still reach the scan
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     ext.injectFunction((
       FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),

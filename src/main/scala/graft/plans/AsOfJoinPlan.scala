@@ -4,9 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+  Ascending, Attribute, Descending, Expression, JoinedRow, PredicateHelper, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -68,11 +70,41 @@ object GraftStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GraftStrategy)) {
       spark.experimental.extraStrategies =
         GraftStrategy +: spark.experimental.extraStrategies
     }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        PushFilterThroughAsOfJoin +: spark.experimental.extraOptimizations
+    }
+  }
+}
+
+/** Optimizer rule — the one pushdown Catalyst can't do for a node it
+  * doesn't know: a Filter above [[AsOfJoinNode]] whose conjuncts only
+  * reference LEFT columns moves below the node into the left child.
+  * Legal because the operator emits exactly one row per left row and a
+  * row's match depends only on its OWN key/ts — dropping other left
+  * rows can't change it. With the rule, `asofNative(...).filter(left
+  * predicate)` reaches the parquet scan as a pushed filter instead of
+  * running after the join shuffle. Payload-referencing conjuncts stay
+  * above (a right-side filter WOULD change the as-of matches).
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, aj: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), aj.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Per-partition streaming merge as-of join.

@@ -171,6 +171,33 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 30L, 3.0, Some(2.0))))
   }
 
+  test("left-only filters push below the custom node (and results are unchanged)") {
+    // parquet-backed left so pushdown is visible at the scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_push").toString
+    Seq((1L, 10L, 5.0), (1L, 20L, 6.0), (2L, 30L, 7.0), (2L, 40L, 8.0))
+      .toDF("k", "lt", "v").write.mode("overwrite").parquet(dir)
+    val l = spark.read.parquet(dir)
+    val r = Seq((1L, 15L, "a"), (2L, 35L, "b")).toDF("k", "rt", "s")
+    val joined = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s"))
+      .filter(col("v") > 6.5) // references only left columns
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,6.5)]"),
+      s"left filter did not reach the scan:\n$plan")
+    // a payload-referencing filter must NOT push (it would change matches)
+    val guarded = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s"))
+      .filter(col("s") === "b")
+    val gPlan = guarded.queryExecution.optimizedPlan.toString
+    assert(gPlan.indexOf("Filter") < gPlan.indexOf("AsOfJoin"),
+      s"payload filter must stay above the node:\n$gPlan")
+    // semantics unchanged by the pushdown
+    assert(joined.orderBy("k", "lt").as[(Long, Long, Double, Option[String])]
+      .collect() === Array(
+        (2L, 30L, 7.0, None),
+        (2L, 40L, 8.0, Some("b"))))
+    assert(guarded.as[(Long, Long, Double, Option[String])].collect() ===
+      Array((2L, 40L, 8.0, Some("b"))))
+  }
+
   test("asofNativeKeys: composite keys match the single-concatenated-key reduction") {
     val rnd = new scala.util.Random(1234)
     val l = Seq.tabulate(300)(i =>
