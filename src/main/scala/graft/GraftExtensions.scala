@@ -22,8 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // via experimental.extraStrategies for unconfigured sessions)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     // optimizer tier: left-only filters sink through the custom node
-    // so they still reach the scan
+    // so they still reach the scan, and projections narrow the left
+    // child (Catalyst's own pruning skips nodes it doesn't know)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinLeft)
     ext.injectFunction((
       FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),

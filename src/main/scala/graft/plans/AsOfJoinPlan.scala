@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Descending, Expression, JoinedRow, PredicateHelper, SortOrder,
   UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -77,7 +77,8 @@ object GraftStrategy extends SparkStrategy {
     }
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
       spark.experimental.extraOptimizations =
-        PushFilterThroughAsOfJoin +: spark.experimental.extraOptimizations
+        Seq(PushFilterThroughAsOfJoin, PruneAsOfJoinLeft) ++
+          spark.experimental.extraOptimizations
     }
   }
 }
@@ -103,6 +104,26 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
           org.apache.spark.sql.catalyst.expressions.And), aj.left))
         kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Column pruning through the custom node: a Project above
+  * [[AsOfJoinNode]] that uses only SOME left columns narrows the left
+  * child to (used ∪ keys ∪ ts) — Catalyst's own ColumnPruning skips
+  * nodes it doesn't know, so without this a two-column read after an
+  * as-of join would still scan the left table's full width.
+  */
+object PruneAsOfJoinLeft extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, aj: AsOfJoinNode) =>
+      val needed = p.references ++
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(aj.leftKeys :+ aj.leftTs)
+      if (aj.left.outputSet.subsetOf(needed)) p
+      else {
+        // preserve the child's column order for the kept attributes
+        val kept = aj.left.output.filter(needed.contains)
+        p.copy(child = aj.copy(left = Project(kept, aj.left)))
       }
   }
 }

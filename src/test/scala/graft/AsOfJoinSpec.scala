@@ -198,6 +198,21 @@ class AsOfJoinSpec extends SparkSpec {
       Array((2L, 40L, 8.0, Some("b"))))
   }
 
+  test("projections prune the left scan through the custom node") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_prune").toString
+    Seq((1L, 10L, 5.0, "wide1", "wide2"), (2L, 30L, 7.0, "wide1", "wide2"))
+      .toDF("k", "lt", "v", "w1", "w2").write.mode("overwrite").parquet(dir)
+    val l = spark.read.parquet(dir)
+    val r = Seq((1L, 5L, "a")).toDF("k", "rt", "s")
+    val narrow = AsOfJoin.asofNative(l, r, "k", "lt", "rt", Seq("s"))
+      .select("k", "s") // w1/w2/v/lt unused beyond the node's own needs
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:bigint,lt:bigint>"),
+      s"left scan not pruned to (key, ts):\n$plan")
+    assert(narrow.orderBy("k").as[(Long, Option[String])].collect() ===
+      Array((1L, Some("a")), (2L, None)))
+  }
+
   test("asofNativeKeys: composite keys match the single-concatenated-key reduction") {
     val rnd = new scala.util.Random(1234)
     val l = Seq.tabulate(300)(i =>
