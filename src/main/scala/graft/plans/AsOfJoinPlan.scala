@@ -172,6 +172,12 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
@@ -183,6 +189,8 @@ case class AsOfJoinExec(
     val rProjExprs = rightKeys ++ (rightTs +: payload)
     val payloadTypes = payload.map(_.dataType)
     val outAttrs = output
+    val outRowsMetric = longMetric("numOutputRows")
+    val matchedMetric = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrds = keyTypes.map(TypeUtils.getInterpretedOrdering).toArray
@@ -248,6 +256,7 @@ case class AsOfJoinExec(
           if (lkt.isNullAt(nK)) {
             // unstamped left row: matches nothing (in both directions);
             // the right pointer does not move, so later rows are unaffected
+            outRowsMetric += 1
             return resultProj(joiner(lRow, nullPayload))
           }
           val lTsVal = lkt.get(nK, tsType)
@@ -269,6 +278,8 @@ case class AsOfJoinExec(
               } else continue = false
             } else continue = false
           }
+          outRowsMetric += 1
+          if (lastMatch != null) matchedMetric += 1
           val p = if (lastMatch != null) payloadOf(lastMatch) else nullPayload
           resultProj(joiner(lRow, p))
         }
