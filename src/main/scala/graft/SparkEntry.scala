@@ -1438,6 +1438,20 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_ab_test" -> ((s, d) =>
+      // experiment readout: users split by id parity, conversion =
+      // any purchase event; rates, lift, pooled two-proportion z —
+      // integer counts through single IEEE divisions and one sqrt,
+      // bit-reproducible on any engine (no erf: the statistic is
+      // data, the p-value cutoff is the caller's policy)
+      graft.ext.Behavior.abTest(
+        events(s, d)
+          .withColumn("variant",
+            when(col("user_id") % 2 === 0, "A").otherwise("B"))
+          .withColumn("converted",
+            col("event_type") === "purchase" && col("value") > 90),
+        "variant", "user_id", "converted")),
+
     "q_rollup_maintain" -> ((s, d) => {
       // incremental-view maintenance: the stored (day, type) rollup of
       // prior syncs merges with the new batch's partial aggregate by
@@ -3003,6 +3017,24 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pv AS (SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv FROM u GROUP BY v),
+        |a AS (SELECT v AS variant_a, n AS n_a, conv AS conv_a FROM pv ORDER BY v LIMIT 1),
+        |b AS (SELECT v AS variant_b, n AS n_b, conv AS conv_b FROM pv ORDER BY v DESC LIMIT 1)
+        |SELECT variant_a, n_a, conv_a, variant_b, n_b, conv_b,
+        |  round(conv_a / n_a, 6) AS rate_a,
+        |  round(conv_b / n_b, 6) AS rate_b,
+        |  round((conv_b / n_b - conv_a / n_a) / (conv_a / n_a), 6) AS lift,
+        |  round((conv_b / n_b - conv_a / n_a) /
+        |    sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+        |      (1 - (conv_a + conv_b) / (n_a + n_b)) *
+        |      ((1.0 / n_a) + (1.0 / n_b))), 6) AS z
+        |FROM a, b""".stripMargin,
 
     "q_rollup_maintain" ->
       """SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,

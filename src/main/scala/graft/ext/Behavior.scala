@@ -216,4 +216,47 @@ object Behavior {
   }
 
   private def cast6(c: Column): Column = round(c.cast("double"), 6)
+
+  /** Two-variant experiment readout: per-user conversion (any row with
+    * the flag) aggregated per variant, then rate lift and the pooled
+    * two-proportion z statistic. One row out: ns, conversions, rates,
+    * lift, z.
+    *
+    * Every derived number is integer counts → single IEEE divisions /
+    * one sqrt — all correctly-rounded operations, so the readout is
+    * bit-reproducible on any engine (no erf here by design: p-value
+    * cutoffs are policy, the statistic is data; compare |z| to the
+    * caller's critical value).
+    *
+    * Scale shape: one (variant, user) dedup shuffle — the same
+    * reduction every funnel starts with — then a 2-row aggregate.
+    */
+  def abTest(df: DataFrame, variantCol: String, userCol: String,
+             convertedCol: String): DataFrame = {
+    val perUser = df.groupBy(col(variantCol).as("__v"), col(userCol))
+      .agg(max(when(col(convertedCol), 1L).otherwise(0L)).as("__c"))
+    val perVariant = perUser.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("conv"))
+    val variants = perVariant.orderBy("__v")
+    val a = variants.limit(1).select(
+      col("__v").as("variant_a"), col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = variants.orderBy(col("__v").desc).limit(1).select(
+      col("__v").as("variant_b"), col("n").as("n_b"), col("conv").as("conv_b"))
+    // all ratio math in DOUBLE: integral '/' under ANSI mode raises on
+    // zero divisors, IEEE double division doesn't — and double ops are
+    // what the oracle replays
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (ca, cb) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
+    val p = (ca + cb) / (na + nb)
+    a.crossJoin(b)
+      .withColumn("rate_a", round(ca / na, 6))
+      .withColumn("rate_b", round(cb / nb, 6))
+      // degenerate readouts (no conversions anywhere, or all users
+      // converted) have no defined lift/z — emit null, don't raise
+      .withColumn("lift", round(when(ca > 0,
+        (cb / nb - ca / na) / (ca / na)), 6))
+      .withColumn("z", round(when(p > 0 && p < 1,
+        (cb / nb - ca / na) /
+          sqrt(p * (lit(1) - p) * (lit(1.0) / na + lit(1.0) / nb))), 6))
+  }
 }

@@ -199,6 +199,26 @@ class BehaviorSpec extends SparkSpec {
       assert(math.abs(est - exact(day).toDouble) / exact(day) < 0.05, s"$day off >5%")
   }
 
+  test("abTest computes rates, lift, and the pooled z statistic; degenerate cases null") {
+    // A: 4 users, 1 converts (multi-row users dedup); B: 4 users, 2 convert
+    val rows = Seq(
+      ("A", 1L, true), ("A", 1L, false), ("A", 2L, false), ("A", 3L, false), ("A", 4L, false),
+      ("B", 10L, true), ("B", 11L, true), ("B", 12L, false), ("B", 13L, false)
+    ).toDF("variant", "user_id", "converted")
+    val got = Behavior.abTest(rows, "variant", "user_id", "converted")
+      .select("variant_a", "n_a", "conv_a", "variant_b", "n_b", "conv_b",
+        "rate_a", "rate_b", "lift", "z")
+      .as[(String, Long, Long, String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // p = 3/8; z = 0.25 / sqrt(0.375 * 0.625 * 0.5) = 0.730297
+    assert(got === Seq(("A", 4L, 1L, "B", 4L, 2L, 0.25, 0.5, 1.0, 0.730297)))
+    // all-converted experiment: z undefined -> null, no exception
+    val degenerate = Seq(("A", 1L, true), ("B", 2L, true)).toDF("variant", "user_id", "converted")
+    val d = Behavior.abTest(degenerate, "variant", "user_id", "converted")
+      .select("z").as[Option[Double]].collect()
+    assert(d === Array(None))
+  }
+
   test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
     val events = Seq(
       (1L, ts("2024-01-03 09:00:00"), 10.0), // age 0: weight 1
