@@ -1506,6 +1506,16 @@ object SparkEntry {
         events(s, d).select(col("event_id"), col("value")), "value", k = 3.5)
         .orderBy("event_id")),
 
+    "x_compression_ratio" -> ((s, d) =>
+      // zlib quality signal over the documents table: boilerplate
+      // compresses away, entropy soup doesn't (rows-only: a JVM codec
+      // has no SQL replay; TextOpsSpec pins the ordering properties
+      // and partitioning determinism)
+      graft.ext.TextOps.compressionRatio(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id")
+        .orderBy("id")),
+
     "x_decontaminate_semantic" -> ((s, d) => {
       // paraphrase-level decontamination: corpus embeddings vs a
       // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30

@@ -166,6 +166,55 @@ object TextOps {
     ids.join(tokStats, Seq("id"), "left").join(ngrStats, Seq("id"), "left")
   }
 
+  /** Compression-ratio quality signal (the zlib filter of web-corpus
+    * pipelines): deflate each document's UTF-8 bytes and report
+    * compressed/raw — boilerplate and template spam compress far
+    * below prose, random noise barely compresses at all. Gate LOW
+    * ratios (near-duplicated structure) and very HIGH ones (entropy
+    * soup) per corpus policy.
+    *
+    * Shape: `mapPartitions` with ONE `Deflater` reused per partition
+    * (the JNI-backed codec is exactly the init-per-partition pattern
+    * `Multimodal` stubs — zlib ships in the JDK, so this one is real).
+    * Narrow map, no shuffle. Output is deterministic for a fixed zlib
+    * level on a given JVM, but NOT replayable in SQL — rows-only by
+    * design.
+    */
+  def compressionRatio(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("id", docs.schema(idCol).dataType),
+      StructField("raw_bytes", IntegerType, nullable = false),
+      StructField("compressed_bytes", IntegerType, nullable = false),
+      StructField("compression_ratio", DoubleType)))
+    val in = docs.select(col(idCol), col(textCol))
+    val rdd = in.rdd.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { r =>
+        val id = r.get(0)
+        val text = r.getString(1)
+        if (text == null) Row(id, 0, 0, null)
+        else {
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio =
+            if (bytes.length == 0) null
+            else java.lang.Double.valueOf(
+              math.round(compressed.toDouble / bytes.length * 1e6) / 1e6)
+          Row(id, bytes.length, compressed, ratio)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** PII redaction: emails, IPv4 addresses, and international-format
     * phone numbers replaced with typed placeholders — the standard
     * privacy scrub before corpus release. Patterns are deliberately

@@ -130,4 +130,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out._3 === 0.333333)                  // 1 of 3 lines ellipsis-ended
     assert(out._4 === 0.571429)                  // 4 of 7 words have a letter
   }
+
+  test("compressionRatio orders boilerplate < prose < noise") {
+    val rnd = new scala.util.Random(8)
+    val docs = Seq(
+      (1L, "the same line repeats here\n" * 50),                       // boilerplate
+      (2L, "a reasonably varied prose paragraph about spark engines " +
+        "discussing partitions shuffles and the optimizer in detail " +
+        "with enough distinct words to resist the dictionary" * 3),
+      (3L, Seq.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString),   // noise
+      (4L, ""),                                                        // empty -> null ratio
+      (5L, null.asInstanceOf[String])                                  // null text
+    ).toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val boiler = out(1L)._4.get
+    val prose = out(2L)._4.get
+    val noise = out(3L)._4.get
+    assert(boiler < prose && prose < noise,
+      s"expected boiler $boiler < prose $prose < noise $noise")
+    assert(noise > 0.5, "random text must barely compress")
+    assert(boiler < 0.1, "repeated lines must collapse")
+    assert(out(4L)._4.isEmpty && out(4L)._2 === 0)
+    assert(out(5L)._4.isEmpty)
+    // deterministic across partitionings
+    val re = TextOps.compressionRatio(docs.repartition(4), "text", "doc_id")
+      .as[(Long, Int, Int, Option[Double])].collect().map(r => r._1 -> r._4).toMap
+    assert(re === out.view.mapValues(_._4).toMap)
+  }
 }
