@@ -1211,6 +1211,18 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ms")
     }),
 
+    "x_multimodal_neardup" -> ((s, d) => {
+      // rows-only: perceptual near-dup over binary media — stub hash
+      // kernel, REAL Charikar rotation banding + hamming verify (the
+      // shared Dedup.signatureNearDups core, spec-proven); text-as-blob
+      // stands in for image bytes
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      graft.ext.Multimodal.imageNearDups(blobs, "blob", "doc_id",
+          maxHamming = 4, prefixBits = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_multimodal_features" -> ((s, d) => {
       // rows-only: binary-column feature plumbing over text-as-blob (the
       // container has no media codecs; the decode kernel is a

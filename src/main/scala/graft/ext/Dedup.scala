@@ -290,8 +290,21 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, maxHamming: Int = 3,
+      prefixBits: Int = 16, rotations: Int = 4): DataFrame =
+    signatureNearDups(simhashDf(docs, textCol, idCol, shingleSize),
+      maxHamming, prefixBits, rotations)
+
+  /** Hamming-banded pair generation over ANY 64-bit signature frame
+    * (`id`, `sh`) — the Charikar/Manku block-permutation core factored
+    * out of [[simhashNearDups]] so other signature families (perceptual
+    * image hashes, audio fingerprints) reuse the same bucketing: rotate
+    * the signature `rotations` ways, bucket each rotation by its top
+    * `prefixBits`, generate candidates only within buckets, verify with
+    * the exact popcount.
+    */
+  def signatureNearDups(
+      sigs: DataFrame, maxHamming: Int = 3,
       prefixBits: Int = 16, rotations: Int = 4): DataFrame = {
-    val hashed = simhashDf(docs, textCol, idCol, shingleSize)
     val step = 64 / rotations
     val rot = explode(array((0 until rotations).map { r =>
       val k = r * step
@@ -300,7 +313,7 @@ object Dedup {
         else shiftleft(col("sh"), k).bitwiseOR(shiftrightunsigned(col("sh"), 64 - k))
       struct(lit(r).as("r"), shiftrightunsigned(rotated, 64 - prefixBits).as("b"))
     }: _*))
-    val bucketed = hashed.select(col("id"), col("sh"), rot.as("rb"))
+    val bucketed = sigs.select(col("id"), col("sh"), rot.as("rb"))
       .select(col("id"), col("sh"), col("rb.r").as("r"), col("rb.b").as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     // hamming is identical for duplicate pair rows — filter before the

@@ -150,4 +150,55 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** STUB perceptual hash: 64-bit signature from a difference walk over
+    * the raw bytes — a real deployment replaces this body with dHash
+    * over the decoded, resized grayscale image. Deterministic, and
+    * nearby for byte streams differing in few positions (each byte
+    * pair flips at most its own bit), so the banding downstream is
+    * exercised honestly even by the fake.
+    */
+  def stubPerceptualHash64(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.length < 2) return 0L
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      // compare a sampled byte pair per output bit (dHash shape:
+      // brighter-than-right-neighbor, here greater-than-next-sample)
+      val i = (bit.toLong * (bytes.length - 1) / 64).toInt
+      val a = bytes(i) & 0xff
+      val b = bytes(math.min(i + 1, bytes.length - 1)) & 0xff
+      if (a > b) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate media detection: per-blob perceptual signature
+    * (partition-wise map), then the SAME Charikar rotation-banded
+    * hamming pair generation the text SimHash uses
+    * ([[Dedup.signatureNearDups]]) — the banding, bucket join, and
+    * popcount verify are real and shared; only the 64-bit signature
+    * kernel is the documented stub.
+    */
+  def imageNearDups(df: DataFrame, blobCol: String, idCol: String,
+                    maxHamming: Int = 6, prefixBits: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val sigs = {
+      val inSchema = df.schema
+      val blobIdx = inSchema.fieldIndex(blobCol)
+      val idIdx = inSchema.fieldIndex(idCol)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", inSchema(idIdx).dataType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rdd = df.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.get(idIdx), stubPerceptualHash64(r.getAs[Array[Byte]](blobIdx)))
+        }
+      }
+      spark.createDataFrame(rdd, outSchema)
+    }
+    Dedup.signatureNearDups(sigs, maxHamming, prefixBits)
+  }
 }

@@ -62,6 +62,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f0 !== f1)
   }
 
+  test("imageNearDups: banding over the stub perceptual hash finds near-identical blobs") {
+    val base = Array.tabulate[Byte](256)(i => (i % 97).toByte)
+    val near = base.clone(); near(40) = 99 // one-byte tweak: few signature bits flip
+    // descending ramps: every sampled pair descends where the base's
+    // ascend — all 64 signature bits differ
+    val far = Array.tabulate[Byte](256)(i => (255 - (i % 97)).toByte)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("media_id", "blob")
+    val pairs = Multimodal.imageNearDups(df, "blob", "media_id",
+        maxHamming = 6, prefixBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-identical blobs must pair")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated blob must not pair")
+  }
+
+  test("signatureNearDups (shared banding core) honors the hamming threshold") {
+    import graft.ext.Dedup
+    val sigs = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL),
+      (2L, 0x0F0F0F0F0F0F0F0CL), // hamming 2 from 1
+      (3L, 0x0F0F0F0F0F0FFF0FL), // hamming 4 from 1 (6 from 2: disjoint flips)
+      (4L, -0x0F0F0F0F0F0F0F10L) // far from everything
+    ).toDF("id", "sh")
+    val h2 = Dedup.signatureNearDups(sigs, maxHamming = 2, prefixBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(h2 === Set((1L, 2L)))
+    val h4 = Dedup.signatureNearDups(sigs, maxHamming = 4, prefixBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(h4 === Set((1L, 2L), (1L, 3L)))
+    val h6 = Dedup.signatureNearDups(sigs, maxHamming = 6, prefixBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(h6 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("frameSampleOffsets: every Nms within duration, empty for null/zero") {
     val df = Seq((1L, Option(2500L)), (2L, Option(0L)), (3L, Option.empty[Long]))
       .toDF("id", "duration_ms")
