@@ -1594,6 +1594,30 @@ object SparkEntry {
       graft.ops.Intervals.coverage(iv, "user_id", "s", "e")
     }),
 
+    "q_golden_record" -> ((s, d) => {
+      // survivorship: two synthetic variants of every customer (one
+      // with a nulled segment, one with a truncated name and stale
+      // balance) merge back into a golden record per cluster — one
+      // codegen'd max_by aggregation, null values demoted below any
+      // real one
+      import graft.ext.Linkage._
+      val c = t(s, d, "customer")
+      val v1 = c.select(col("c_custkey"), lit(1L).as("seq"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("c_acctbal").as("bal"))
+      val v2 = c.select(col("c_custkey"), lit(2L).as("seq"),
+        col("c_name").substr(lit(1), lit(10)).as("name"),
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal") - 5.0).as("bal"))
+      goldenRecordWithCount(v1.unionByName(v2), "c_custkey", Map(
+        "name" -> LongestString,
+        "seg" -> MostRecentBy("seq"),
+        "bal" -> MaxValue))
+        .orderBy("c_custkey")
+    }),
+
     "x_heavy_hitters" -> ((s, d) =>
       // SpaceSaving heavy hitters over event_type with capacity >>
       // distinct keys: no counter evicts, so the sketch is provably
@@ -3213,6 +3237,20 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(covered) AS BIGINT) AS total_covered,
         |  count(*) AS n_islands, max(n_spans) AS max_island_spans
         |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_golden_record" ->
+      """WITH v AS (
+        |  SELECT c_custkey, 1 AS seq, c_name AS name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+        |    c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, substr(c_name, 1, 10),
+        |    c_mktsegment, c_acctbal - 5.0 FROM customer)
+        |SELECT c_custkey, max(bal) AS bal,
+        |  arg_max(name, length(name)) AS name,
+        |  arg_max(seg, CASE WHEN seg IS NOT NULL THEN 10 + seq ELSE seq END) AS seg,
+        |  count(*) AS n_merged
+        |FROM v GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     // exact regime: err is identically 0 and counts are true counts
     "x_heavy_hitters" ->

@@ -102,4 +102,65 @@ object Linkage {
       .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
       .filter(col("dist") <= k)
   }
+
+  /** Survivorship rules for [[goldenRecord]]: how to pick one value per
+    * column from a cluster of duplicate records.
+    */
+  sealed trait SurvivorRule
+  /** Value from the row with the greatest `orderCol` among rows where
+    * this column is non-null ("latest wins, but never a null over a
+    * value"). `orderCol` must be unique per cluster for a
+    * deterministic pick — pass a (ts, id) struct column upstream if
+    * timestamps tie.
+    */
+  final case class MostRecentBy(orderCol: String) extends SurvivorRule
+  /** Longest non-null string (completeness heuristic: "Jonathan" beats
+    * "Jon"); ties break to the lexicographically greatest so the pick
+    * is deterministic under any partitioning.
+    */
+  case object LongestString extends SurvivorRule
+  /** Greatest non-null value. */
+  case object MaxValue extends SurvivorRule
+  /** Smallest non-null value (e.g. first-seen timestamp). */
+  case object MinValue extends SurvivorRule
+
+  /** Merge each duplicate cluster into ONE golden record — the
+    * survivorship half of entity resolution ([[editDistanceJoin]] or
+    * the Dedup cluster operators find the clusters; this merges them).
+    * One aggregation on the cluster key; every rule compiles to a
+    * codegen'd `max_by`/`max`/`min` form, so the merge is a single
+    * shuffle with map-side partial aggregation and deterministic
+    * output for unique order columns.
+    */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   rules: Map[String, SurvivorRule]): DataFrame = {
+    val missing = rules.keys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"goldenRecord: unknown columns ${missing.mkString(", ")}")
+    val aggs = rules.toSeq.sortBy(_._1).map { case (c, rule) =>
+      val v = col(c)
+      (rule match {
+        // non-null filter via a null-ranked order: null values order
+        // below every real one, so a null only wins an all-null cluster
+        case MostRecentBy(o) =>
+          max_by(v, when(v.isNotNull, struct(lit(1).as("nn"), col(o).as("o")))
+            .otherwise(struct(lit(0).as("nn"), col(o).as("o"))))
+        case LongestString =>
+          max_by(v, when(v.isNotNull,
+            struct(lit(1).as("nn"), length(v).as("l"), v.as("v")))
+            .otherwise(struct(lit(0).as("nn"), lit(-1).as("l"), v.as("v"))))
+        case MaxValue => max(v)
+        case MinValue => min(v)
+      }).as(c)
+    }
+    df.groupBy(col(clusterCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[goldenRecord]] + how many source rows each golden row merged. */
+  def goldenRecordWithCount(df: DataFrame, clusterCol: String,
+                            rules: Map[String, SurvivorRule]): DataFrame = {
+    val golden = goldenRecord(df, clusterCol, rules)
+    val counts = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("n_merged"))
+    golden.join(counts, Seq(clusterCol))
+  }
 }

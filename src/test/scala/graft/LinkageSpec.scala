@@ -48,6 +48,43 @@ class LinkageSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 1), (2L, 10L, 0), (2L, 11L, 1)))
   }
 
+  test("goldenRecord survivorship: latest-wins, longest-string, min/max, null demotion") {
+    import graft.ext.Linkage._
+    val dupes = Seq(
+      // cluster 10: three variants of one customer
+      (10L, 1L, Option("Jon"),      Option("555-0100"), Option(100L)),
+      (10L, 2L, Option("Jonathan"), Option.empty[String], Option(250L)),
+      (10L, 3L, Option.empty[String], Option("555-0199"), Option(50L)),
+      // cluster 20: single record passes through
+      (20L, 4L, Option("Ada"), Option.empty[String], Option(7L))
+    ).toDF("cluster", "seq", "name", "phone", "balance")
+    val golden = Linkage.goldenRecordWithCount(dupes, "cluster", Map(
+      "name" -> LongestString,
+      "phone" -> MostRecentBy("seq"), // latest non-null phone: seq 3
+      "balance" -> MaxValue,
+      "seq" -> MinValue))
+      .orderBy("cluster")
+      // columns come back rule-sorted: balance, name, phone, seq (+count)
+      .as[(Long, Option[Long], Option[String], Option[String], Long, Long)]
+      .collect().toSeq
+    assert(golden === Seq(
+      (10L, Some(250L), Some("Jonathan"), Some("555-0199"), 1L, 3L),
+      (20L, Some(7L), Some("Ada"), None, 4L, 1L)))
+  }
+
+  test("goldenRecord null demotion: a null never beats a value, all-null stays null") {
+    import graft.ext.Linkage._
+    val dupes = Seq(
+      (1L, 5L, Option.empty[String]), // latest row has NULL name
+      (1L, 3L, Option("Keep")),
+      (2L, 9L, Option.empty[String])  // all-null cluster
+    ).toDF("cluster", "seq", "name")
+    val golden = Linkage.goldenRecord(dupes, "cluster",
+        Map("name" -> MostRecentBy("seq")))
+      .orderBy("cluster").as[(Long, Option[String])].collect().toSeq
+    assert(golden === Seq((1L, Some("Keep")), (2L, None)))
+  }
+
   test("maxSegmentDf drops hot-segment blocks but keeps clean matches") {
     // 50 rows share the segment-heavy name; 1 clean near-pair survives
     val boiler = Seq.tabulate(50)(i => (100L + i, "aaaaaaaaaa"))
