@@ -1594,6 +1594,29 @@ object SparkEntry {
       graft.ops.Intervals.coverage(iv, "user_id", "s", "e")
     }),
 
+    "q_attribution" -> ((s, d) => {
+      // last-touch attribution through the NATIVE as-of operator:
+      // each purchase joins the latest preceding non-purchase event of
+      // the same user (the "touch"), credited only within a 30-minute
+      // window; conversions count per touch type
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts_us")).as("tss"),
+        col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tss", "value")
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("tss").as("touch_ts"))
+        .agg(max(col("event_type")).as("touch_type"))
+      graft.ops.AsOfJoin.asofNative(purchases, touches,
+          "user_id", "tss", "touch_ts", Seq("touch_type", "touch_ts"))
+        .withColumn("attributed",
+          when(col("touch_ts") >= col("tss") - expr("INTERVAL 30 MINUTES"),
+            col("touch_type")).otherwise(lit("none")))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("conversions"), dsum(col("value")).as("revenue"))
+        .orderBy("attributed")
+    }),
+
     "q_golden_record" -> ((s, d) => {
       // survivorship: two synthetic variants of every customer (one
       // with a nulled segment, one with a truncated name and stale
@@ -3237,6 +3260,24 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(covered) AS BIGINT) AS total_covered,
         |  count(*) AS n_islands, max(n_spans) AS max_island_spans
         |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type, value
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, tss, value FROM ev WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, tss AS touch_ts, max(event_type) AS touch_type
+        |  FROM ev WHERE event_type != 'purchase' GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN t.touch_ts >= p.tss - INTERVAL 30 MINUTE
+        |    THEN t.touch_type ELSE 'none' END AS attributed,
+        |  count(*) AS conversions,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.tss >= t.touch_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_golden_record" ->
       """WITH v AS (
