@@ -1417,6 +1417,15 @@ object SparkEntry {
           "event_type", steps), steps)
     }),
 
+    "q_funnel_windowed" -> ((s, d) => {
+      // window-bounded funnel: each step counts only within 1 hour of
+      // the previous completion ("click within the hour of the view")
+      val steps = Seq("view", "click", "purchase")
+      graft.ext.Behavior.funnelCounts(
+        graft.ext.Behavior.funnelUsers(events(s, d), "user_id", "ts_us",
+          "event_type", steps, maxStepGapSeconds = Some(3600L)), steps)
+    }),
+
     "q_retention" -> ((s, d) =>
       // cohort retention curve: users cohorted by first active day,
       // actives counted per (cohort, day offset) cell
@@ -1509,6 +1518,15 @@ object SparkEntry {
       graft.ops.Validate.profile(
         t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice",
           "o_orderdate"))),
+
+    "q_winsorize" -> ((s, d) =>
+      // percentile clipping: values pinned into [p05, p95] — edges from
+      // one exact-percentile aggregate, clipping codegen'd, no shuffle
+      graft.ops.Validate.winsorize(
+        events(s, d).select(col("event_id"), col("value")), "value",
+        lo = 0.05, hi = 0.95)
+        .select(col("event_id"), col("value"), round(col("value_w"), 6).as("value_w"))
+        .orderBy("event_id")),
 
     "q_mad_outliers" -> ((s, d) =>
       // robust median/MAD outlier screen over the event values — the
@@ -2999,6 +3017,36 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     // strict-order funnel replay: chained min-after-previous-step
+    "q_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events),
+        |t0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT t0.user_id, t0.t0,
+        |    min(CASE WHEN e.ts > t0.t0 AND e.ts <= t0.t0 + INTERVAL 3600 SECOND
+        |      THEN e.ts END) AS t1
+        |  FROM t0 LEFT JOIN e
+        |    ON e.user_id = t0.user_id AND e.event_type = 'click'
+        |  GROUP BY t0.user_id, t0.t0),
+        |t2 AS (
+        |  SELECT t1.user_id, t1.t0, t1.t1,
+        |    min(CASE WHEN e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 3600 SECOND
+        |      THEN e.ts END) AS t2
+        |  FROM t1 LEFT JOIN e
+        |    ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+        |  GROUP BY t1.user_id, t1.t0, t1.t1),
+        |c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM t2)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, 0 AS step_idx, c0 AS users,
+        |    CAST(1.0 AS DOUBLE) AS conversion FROM c
+        |  UNION ALL SELECT 'click', 1, c1, round(CAST(c1 AS DOUBLE) / c0, 6) FROM c
+        |  UNION ALL SELECT 'purchase', 2, c2, round(CAST(c2 AS DOUBLE) / c0, 6) FROM c)
+        |ORDER BY step_idx""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
@@ -3151,6 +3199,14 @@ object SparkEntry {
         |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
         |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(o_totalprice), 6) FROM s)
         |ORDER BY "column"""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_id, value FROM events),
+        |ed AS (SELECT quantile_cont(value, 0.05) AS lo,
+        |              quantile_cont(value, 0.95) AS hi FROM e)
+        |SELECT event_id, value,
+        |  round(greatest(least(value, ed.hi), ed.lo), 6) AS value_w
+        |FROM e, ed ORDER BY event_id""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_id, value FROM events),

@@ -26,7 +26,8 @@ object Behavior {
     * progress (the distinguishing semantics vs a per-type min).
     */
   def funnelUsers(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  maxStepGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
@@ -35,9 +36,18 @@ object Behavior {
       val e = events.filter(col(typeCol) === steps(i))
         .select(col(userCol), col(tsCol).as("__ts"))
       val carried = (0 until i).map(j => col(s"t$j"))
+      // window-bounded funnels ("click within an hour of the view")
+      // additionally require the step inside the gap from the previous
+      // completion — the strictly-after condition is unchanged
+      val inOrder = col("__ts") > col(s"t${i - 1}")
+      val cond = maxStepGapSeconds match {
+        case Some(s) =>
+          inOrder && col("__ts") <= col(s"t${i - 1}") + expr(s"INTERVAL $s SECONDS")
+        case None => inOrder
+      }
       cur = cur.join(e, Seq(userCol), "left")
         .groupBy((col(userCol) +: carried).toIndexedSeq: _*)
-        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts"))).as(s"t$i"))
+        .agg(min(when(cond, col("__ts"))).as(s"t$i"))
     }
     cur
   }

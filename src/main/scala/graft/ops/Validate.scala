@@ -176,6 +176,25 @@ object Validate {
       .drop("__edges")
   }
 
+  /** Winsorization: clip a numeric column to its [lo, hi] exact
+    * percentiles — the standard outlier-tamer before averaging or
+    * model features. Adds `<col>_w` (clipped) alongside the original;
+    * edges come from one percentile aggregate broadcast as a 1-row
+    * frame, clipping is a codegen'd `greatest(least(...))` — no sort,
+    * no shuffle of the data.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "winsorize: 0 <= lo < hi <= 1")
+    val edges = df.agg(
+      expr(s"percentile($valueCol, $lo)").as("__lo"),
+      expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.crossJoin(broadcast(edges))
+      .withColumn(s"${valueCol}_w",
+        greatest(least(col(valueCol), col("__hi")), col("__lo")))
+      .drop("__lo", "__hi")
+  }
+
   /** One-line health report per table: row count + violation counts for
     * the declared key/not-null constraints.
     */

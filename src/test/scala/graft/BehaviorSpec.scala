@@ -55,6 +55,27 @@ class BehaviorSpec extends SparkSpec {
       Some(ts("2024-01-01 12:00:00")))))
   }
 
+  test("window-bounded funnel: steps beyond the gap don't count, within-gap do") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),  // within the hour
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 12:30:00"))   // 2.5h later: outside
+    ).toDF("user_id", "event_type", "ts")
+    val u = Behavior.funnelUsers(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxStepGapSeconds = Some(3600L))
+      .orderBy("user_id")
+      .as[(Long, Timestamp, Option[Timestamp])].collect()
+    assert(u.toSeq === Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:30:00"))),
+      (2L, ts("2024-01-01 10:00:00"), None)))
+    // unbounded form still counts user 2's late click
+    val unbounded = Behavior.funnelUsers(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("user_id").as[(Long, Timestamp, Option[Timestamp])].collect()
+    assert(unbounded(1)._3.contains(ts("2024-01-01 12:30:00")))
+  }
+
   test("retention cohorts by first day and counts active cells") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")), // same day: 1 cell

@@ -104,6 +104,18 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.madOutliers(df, "v").count() === 0)
   }
 
+  test("winsorize clips to the exact percentile edges, inliers untouched") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Validate.winsorize(df, "v", lo = 0.05, hi = 0.95)
+      .select("id", "v", "v_w").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // exact p05 of 1..100 = 5.95; p95 = 95.05
+    assert(out(1L) === ((1.0, 5.95)))
+    assert(out(100L) === ((100.0, 95.05)))
+    assert(out(50L) === ((50.0, 50.0))) // inlier untouched
+    assert(out(6L) === ((6.0, 6.0)))    // just inside the lower edge
+  }
+
   test("quantileBins assigns equal-frequency bins without a global sort") {
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
       .repartition(8)
