@@ -1214,11 +1214,17 @@ object SparkEntry {
     "x_multimodal_neardup" -> ((s, d) => {
       // rows-only: perceptual near-dup over binary media — stub hash
       // kernel, REAL Charikar rotation banding + hamming verify (the
-      // shared Dedup.signatureNearDups core, spec-proven); text-as-blob
-      // stands in for image bytes
-      val blobs = t(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      graft.ext.Multimodal.imageNearDups(blobs, "blob", "doc_id",
+      // shared Dedup.signatureNearDups core, spec-proven). The corpus
+      // has no byte-level near-dups, so every 7th doc gets a planted
+      // one-char-tweaked twin — the pairs the banding must find
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val twins = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text").substr(lit(1), lit(5)), lit("X"),
+            col("text").substr(lit(7), length(col("text"))))
+            .cast("binary").as("blob"))
+      graft.ext.Multimodal.imageNearDups(base.unionByName(twins), "blob", "doc_id",
           maxHamming = 4, prefixBits = 10)
         .orderBy("id_a", "id_b")
     }),
