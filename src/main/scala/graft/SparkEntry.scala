@@ -1465,6 +1465,26 @@ object SparkEntry {
       graft.ext.Behavior.decayedEngagement(events(s, d), "user_id", "ts_us",
         "value")),
 
+    "q_twap" -> ((s, d) =>
+      // time-weighted average value per user over the µs epoch axis
+      // (unique per key here, so the lead order can't tie — and the
+      // finest unit DuckDB's TIMESTAMP can replay): each reading holds
+      // until the next one — the summary a plain AVG gets wrong under
+      // irregular sampling
+      graft.ext.Behavior.twap(
+        events(s, d).select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("value")),
+        "user_id", "tus", "value")),
+
+    "q_exact_corr" -> ((s, d) =>
+      // Pearson correlation of value vs hour-of-day per event type,
+      // from EXACT decimal moments — bit-stable under any partitioning
+      // (the built-in corr()'s streaming merge is not)
+      graft.ext.Behavior.exactCorr(
+        events(s, d).select(col("event_type"), col("value"),
+          hour(col("ts_us")).as("hod")),
+        "event_type", "value", "hod")),
+
     "q_ab_test" -> ((s, d) =>
       // experiment readout: users split by id parity, conversion =
       // any purchase event; rates, lift, pooled two-proportion z —
@@ -3140,6 +3160,39 @@ object SparkEntry {
         |    AS DECIMAL(24,6))) AS DOUBLE), 6) AS score,
         |  count(*) AS n_events
         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        |l AS (
+        |  SELECT user_id, tus, value,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS nts
+        |  FROM e)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * (nts - tus)
+        |      AS DECIMAL(30,2))) AS DOUBLE) / sum(nts - tus), 6) AS twap,
+        |  CAST(sum(nts - tus) AS BIGINT) AS span,
+        |  count(*) AS n_intervals
+        |FROM l WHERE nts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_exact_corr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS x,
+        |    CAST(hour(make_timestamp(epoch_ns(ts) // 1000)) AS DECIMAL(18,4)) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_ab_test" ->
       """WITH u AS (

@@ -227,6 +227,65 @@ object Behavior {
 
   private def cast6(c: Column): Column = round(c.cast("double"), 6)
 
+  /** Time-weighted average per key: each observation holds until the
+    * next one, so TWAP = Σ value·Δt / Σ Δt over consecutive pairs (the
+    * last observation carries no duration). The telemetry/market
+    * summary a plain AVG gets wrong whenever sampling is irregular.
+    *
+    * One lead window on the key shuffle; value·Δt accumulates in
+    * DECIMAL (2-dp values × integer durations are exact), one double
+    * division at the end — deterministic under any partial-agg order.
+    * `tsNumCol` is a NUMERIC time axis in the caller's unit (epoch
+    * ns/s — pass a UNIQUE-per-key axis, e.g. raw nanos, so the lead
+    * order can't tie); `span` is reported in that unit. Keys with a
+    * single observation have no spanned time and drop out.
+    */
+  def twap(df: DataFrame, keyCol: String, tsNumCol: String,
+           valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsNumCol))
+    df
+      .withColumn("__next_ts", lead(col(tsNumCol), 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .withColumn("__dur", col("__next_ts") - col(tsNumCol))
+      .groupBy(col(keyCol))
+      .agg(
+        round((sum((col(valueCol).cast("decimal(18,2)") * col("__dur"))
+            .cast("decimal(30,2)")).cast("double") /
+          sum(col("__dur"))), 6).as("twap"),
+        sum(col("__dur")).as("span"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Pearson correlation from EXACT moments: Σx, Σy, Σxy, Σx², Σy²
+    * accumulate in DECIMAL (exact for fixed-decimal inputs), the
+    * closed-form correlation assembles in double at the end — unlike
+    * the built-in `corr()`, whose streaming co-moment merge leaves
+    * partial-aggregation order in the low bits, this is bit-stable
+    * under any partitioning and replayable by any engine.
+    */
+  def exactCorr(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum((x * y).cast("decimal(30,8)")).cast("double").as("__sxy"),
+        sum((x * x).cast("decimal(30,8)")).cast("double").as("__sxx"),
+        sum((y * y).cast("decimal(30,8)")).cast("double").as("__syy"))
+      .withColumn("corr", round(
+        when((col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
+             (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+             sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")))), 6))
+      .select(col(groupCol), col("n"), col("corr"))
+      .orderBy(col(groupCol))
+  }
+
   /** Two-variant experiment readout: per-user conversion (any row with
     * the flag) aggregated per variant, then rate lift and the pooled
     * two-proportion z statistic. One row out: ns, conversions, rates,

@@ -76,6 +76,29 @@ class BehaviorSpec extends SparkSpec {
     assert(unbounded(1)._3.contains(ts("2024-01-01 12:30:00")))
   }
 
+  test("twap weights each reading by how long it held") {
+    // value 10 holds 1s, value 20 holds 3s, last reading carries none:
+    // twap = (10*1 + 20*3) / 4 = 17.5
+    val df = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 4L, 99.0),
+      (2L, 0L, 5.0) // single reading: no span, drops out
+    ).toDF("k", "t", "v")
+    val got = Behavior.twap(df, "k", "t", "v")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 17.5, 4L, 2L)))
+  }
+
+  test("exactCorr: perfect, inverse, and undefined correlations") {
+    val df = Seq(
+      ("up", 1.0, 1.0), ("up", 2.0, 2.0), ("up", 3.0, 3.0),
+      ("down", 1.0, 3.0), ("down", 2.0, 2.0), ("down", 3.0, 1.0),
+      ("flat", 1.0, 7.0), ("flat", 2.0, 7.0) // zero y-variance -> null
+    ).toDF("g", "x", "y")
+    val got = Behavior.exactCorr(df, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("down", 3L, Some(-1.0)), ("flat", 2L, None), ("up", 3L, Some(1.0))))
+  }
+
   test("retention cohorts by first day and counts active cells") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")), // same day: 1 cell
