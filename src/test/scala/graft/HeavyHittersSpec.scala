@@ -65,6 +65,32 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Set(("g1", "x", 2L), ("g1", "y", 1L), ("g2", "z", 1L)))
   }
 
+  test("grouped beyond the ObjectHashAggregate fallback threshold (serialize mid-stream)") {
+    // >128 groups forces the sort-based fallback, which serializes and
+    // deserializes partially-built summaries — the eviction state
+    // (lazy min-queue) must survive the round-trip
+    val rnd = new scala.util.Random(21)
+    val rows = for {
+      g <- 0 until 300
+      i <- 0 until 40
+    } yield (s"g$g", if (i < 25) s"hot$g" else s"t${rnd.nextInt(20)}")
+    val df = rnd.shuffle(rows).toDF("g", "k").repartition(6)
+    val got = df.groupBy("g")
+      .agg(spaceSavingTopK(col("k"), 8).as("hh"))
+      .select(col("g"), explode(col("hh")).as("h"))
+      .select("g", "h.key", "h.est", "h.total")
+      .as[(String, String, Long, Long)].collect()
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup.size === 300)
+    for ((g, rows) <- byGroup) {
+      assert(rows.forall(_._4 == 40L), s"$g: total must be the group size")
+      val top = rows.maxBy(_._3)
+      assert(top._2 === s"hot${g.drop(1)}",
+        s"$g: the 25/40 hot key must top the sketch (got ${top._2})")
+      assert(top._3 >= 25L, s"$g: hot key estimate ${top._3} below true count")
+    }
+  }
+
   test("SQL surface via GraftExtensions registration") {
     // the shared test session doesn't configure spark.sql.extensions —
     // apply the extension object directly through a fresh builder is

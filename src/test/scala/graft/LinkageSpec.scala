@@ -40,6 +40,21 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("editDistanceJoin handles multibyte (unicode) strings consistently") {
+    // substr/length/levenshtein all operate on CHARACTERS in Spark, so
+    // segment geometry stays aligned for non-ASCII text
+    val l = Seq((1L, "café münchen"), (2L, "caff münchen")).toDF("lid", "ls")
+    val r = Seq((10L, "café münchen"), (11L, "cafe münchen")).toDF("rid", "rs")
+    val got = Linkage.editDistanceJoin(l, r, "ls", "rs", k = 1)
+      .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+    val brute = l.crossJoin(r)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")))
+      .filter(col("dist") <= 1)
+      .select("lid", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.contains((1L, 10L, 0)) && got.contains((1L, 11L, 1)))
+  }
+
   test("editDistanceJoin handles empty and near-empty strings") {
     val l = Seq((1L, ""), (2L, "a")).toDF("lid", "ls")
     val r = Seq((10L, "a"), (11L, "ab")).toDF("rid", "rs")
