@@ -25,10 +25,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query map → file (the driver's stdout capture keeps only
+    // a ~2KB tail, which a 150-entry map overflows — that truncation
+    // made every prior round's line unparseable). Stdout gets ONE
+    // compact line: total + the slowest queries, trimmed to fit the
+    // tail budget with room for sbt's "[success] ..." epilogue.
+    try {
+      val fw = new java.io.FileWriter("BENCH_FULL.json")
+      fw.write(jsonLine(results) + "\n"); fw.close()
+    } catch { case _: Throwable => () }
+    val budget = 1600
+    var top = results.sortBy(-_._2)
+    while (top.nonEmpty && jsonLine(top).length > budget) top = top.dropRight(1)
+    println(jsonLine(top))
     spark.stop()
   }
 }
