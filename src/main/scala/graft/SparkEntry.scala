@@ -569,6 +569,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_paged_scan_v2" -> ((s, d) => {
+      // the SAME extract-dump round-trip through the DataSource V2
+      // connector (graft.sources.PagedSourceProvider): pages become
+      // input partitions read in PARALLEL on executors (the driver-loop
+      // form above fetches sequentially), and the `page` predicate is
+      // pushed into the scan so the terminating empty page's file is
+      // pruned at planning time and never opened.
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      val rows = docs.toJSON.collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-paged-v2").toString
+      val pages = rows.grouped(200).toSeq :+ Array.empty[String]
+      pages.zipWithIndex.foreach { case (page, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, s"documents-$i.json"),
+          page.mkString("[", ",", "]"))
+      }
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      s.read.format("graft-paged")
+        .option("dir", dir).option("prefix", "documents").load()
+        .filter(col("page") < pages.size - 1)
+        .select(from_json(col("payload"), sch).as("r"))
+        .select("r.doc_id", "r.lang", "r.n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_stream_windowed_counts" -> ((s, d) => {
       // STREAMING execution of the tumbling-window incremental protocol
       // (Q50's streaming form): file-stream the orders table →
@@ -2168,6 +2196,9 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY w""".stripMargin,
 
     "q_paged_extract" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q_paged_scan_v2" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
 
     // repetition replay: same tokenizer; n-gram counts over the shingle

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 form of the paged-extract connector
+  * (`ET-ETL-DWH-PY312/ETL/Extract.py:23-117`'s page loop as a Spark
+  * TABLE): `spark.read.format("graft-paged").option("dir", …)
+  * .option("prefix", …)` over a directory of `<prefix>-<n>.json` page
+  * files, each holding one JSON array of records (the dump format the
+  * reference's extract writes).
+  *
+  * Why a connector and not [[PagedExtract.read]]'s driver loop: the
+  * driver loop fetches pages SEQUENTIALLY (as the reference does,
+  * Extract.py:56-66) and ships the strings through a `createDataset`.
+  * Here every page is an [[InputPartition]] — pages are read and parsed
+  * ON EXECUTORS, in parallel, and never pass through the driver at all;
+  * at 100 TB of page dumps the scan scales with the cluster instead of
+  * the driver's socket.
+  *
+  * The connector is honest DSv2, not a wrapper:
+  *   - partition planning: one partition per page file, so a 10k-page
+  *     extract becomes a 10k-task parallel scan;
+  *   - filter pushdown ([[SupportsPushDownFilters]]): comparisons and
+  *     IN-lists on the `page` column prune page FILES at planning time
+  *     — `WHERE page < 3` plans 3 partitions, not all of them (the
+  *     driver-facing `.explain` shows them under `PushedFilters`);
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]): a
+  *     `payload`-only projection never materializes the page number,
+  *     and a `page`-only scan (e.g. `count(*) GROUP BY page`) never
+  *     allocates the payload strings;
+  *   - statistics ([[SupportsReportStatistics]]): planned-file byte
+  *     sizes feed the optimizer's broadcast decision, post-pruning.
+  *
+  * Rows are `(page INT, payload STRING)` — one row per top-level array
+  * element, the element's raw JSON text. Typing stays downstream via
+  * `from_json`, exactly like Spark's own text-based sources; the schema
+  * of the payload is the reader's contract, not the connector's.
+  */
+final class PagedSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-paged"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedV2.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val dir = properties.get("dir")
+    val prefix = Option(properties.get("prefix")).getOrElse("page")
+    require(dir != null, "graft-paged: option 'dir' is required")
+    new PagedTable(dir, prefix)
+  }
+}
+
+object PagedV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  /** Page files under `dir` named `<prefix>-<n>.json`, as (n, path),
+    * page order. Listing is driver-side planning work, like any file
+    * source's; the FILE CONTENTS never touch the driver.
+    */
+  def listPages(dir: String, prefix: String): Seq[(Int, String)] = {
+    val d = new java.io.File(dir)
+    val re = (java.util.regex.Pattern.quote(prefix) + "-(\\d+)\\.json").r
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap { f =>
+        f.getName match {
+          case re(n) => Some((n.toInt, f.getAbsolutePath))
+          case _     => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Top-level JSON array → raw element strings (Jackson streaming, the
+    * parser Spark's own JSON source uses). Runs on executors, one page
+    * at a time — memory is bounded by a page, not the extract.
+    */
+  def splitTopLevelArray(json: String): Seq[String] = {
+    val factory = new com.fasterxml.jackson.core.JsonFactory()
+    val p = factory.createParser(json)
+    try {
+      val out = ArrayBuffer.empty[String]
+      val first = p.nextToken()
+      if (first == null) return Seq.empty
+      require(first == com.fasterxml.jackson.core.JsonToken.START_ARRAY,
+        "graft-paged: page payload must be a top-level JSON array")
+      val w = new java.io.StringWriter()
+      val gen = factory.createGenerator(w)
+      while (p.nextToken() != com.fasterxml.jackson.core.JsonToken.END_ARRAY) {
+        w.getBuffer.setLength(0)
+        gen.copyCurrentStructure(p)
+        gen.flush()
+        out += w.toString
+      }
+      gen.close()
+      out.toSeq
+    } finally p.close()
+  }
+
+  /** Same-JVM observability for specs (local mode): pages actually
+    * OPENED by readers — partition pruning shows up as fewer opens.
+    */
+  val pagesOpened = new AtomicLong(0)
+}
+
+final class PagedTable(dir: String, prefix: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-paged:$dir/$prefix"
+  override def schema(): StructType = PagedV2.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(dir, prefix)
+}
+
+final class PagedScanBuilder(dir: String, prefix: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = PagedV2.schema
+
+  // A filter is pushable when it constrains ONLY the page number with a
+  // shape we can turn into file pruning. Everything else stays above
+  // the scan (Spark re-applies what we don't accept).
+  private def pushable(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("page", _)            => true
+    case sources.GreaterThan("page", _)        => true
+    case sources.GreaterThanOrEqual("page", _) => true
+    case sources.LessThan("page", _)           => true
+    case sources.LessThanOrEqual("page", _)    => true
+    case sources.In("page", _)                 => true
+    case _                                     => false
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(pushable)
+    filters.filterNot(pushable)
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve OUR field order; Spark's required set decides membership
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(PagedV2.schema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new PagedScan(dir, prefix, pushed, required)
+}
+
+final class PagedScan(
+    dir: String,
+    prefix: String,
+    pushed: Array[sources.Filter],
+    required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def asInt(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => other.toString.toInt
+  }
+
+  private def keepPage(n: Int): Boolean = pushed.forall {
+    case sources.EqualTo("page", v)            => n == asInt(v)
+    case sources.GreaterThan("page", v)        => n > asInt(v)
+    case sources.GreaterThanOrEqual("page", v) => n >= asInt(v)
+    case sources.LessThan("page", v)           => n < asInt(v)
+    case sources.LessThanOrEqual("page", v)    => n <= asInt(v)
+    case sources.In("page", vs)                => vs.exists(v => asInt(v) == n)
+    case _                                     => true
+  }
+
+  // planned = listed ∩ pushed-predicate — pruning happens HERE, before
+  // any task launches
+  private lazy val planned: Seq[(Int, String)] =
+    PagedV2.listPages(dir, prefix).filter { case (n, _) => keepPage(n) }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-paged dir=$dir prefix=$prefix pages=${planned.size} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map { case (n, path) => PagedInputPartition(n, path) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required.fieldNames)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-pruning file bytes: what the optimizer should size joins by
+    private val bytes = planned.map { case (_, p) => new java.io.File(p).length() }.sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+}
+
+final case class PagedInputPartition(page: Int, path: String) extends InputPartition
+
+final class PagedReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedInputPartition]
+    new PartitionReader[InternalRow] {
+      private var elems: Iterator[String] = _
+      private var current: String = _
+      override def next(): Boolean = {
+        if (elems == null) {
+          PagedV2.pagesOpened.incrementAndGet()
+          val body = java.nio.file.Files.readString(java.nio.file.Paths.get(p.path))
+          elems = PagedV2.splitTopLevelArray(body).iterator
+        }
+        if (elems.hasNext) { current = elems.next(); true } else false
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "page"    => p.page
+          case "payload" => UTF8String.fromString(current)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{PagedExtract, PagedV2}
+
+class PagedV2Spec extends SparkSpec {
+
+  /** pages: 0 → [a,b], 1 → [c], 2 → [], 3 → [d] */
+  private def writePages(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-v2").toString
+    val pages = Seq(
+      """[{"id":1,"v":"a"},{"id":2,"v":"b"}]""",
+      """[{"id":3,"v":"c"}]""",
+      """[]""",
+      """[{"id":4,"v":"d"}]""")
+    pages.zipWithIndex.foreach { case (body, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"t-$i.json"), body)
+    }
+    // a non-matching file the lister must ignore
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "other-0.json"), """[{"id":99}]""")
+    dir
+  }
+
+  private def readV2(dir: String) =
+    spark.read.format("graft-paged")
+      .option("dir", dir).option("prefix", "t").load()
+
+  test("short name resolves via DataSourceRegister and reads all pages") {
+    val dir = writePages()
+    val rows = readV2(dir).orderBy("page", "payload").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 0, 1, 3))
+    assert(rows.map(_.getString(1)).count(_.contains("\"id\":1")) == 1)
+  }
+
+  test("payload elements round-trip through from_json") {
+    val dir = writePages()
+    val parsed = readV2(dir)
+      .select(from_json(col("payload"),
+        StructType(Seq(StructField("id", LongType), StructField("v", StringType)))).as("r"))
+      .select("r.id", "r.v").orderBy("id").collect()
+    assert(parsed.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("page filters prune FILES at planning time, not just rows") {
+    val dir = writePages()
+    PagedV2.pagesOpened.set(0)
+    val n = readV2(dir).filter(col("page") <= 1).count()
+    assert(n == 3)
+    // pages 2 and 3 must never be opened — planning-time pruning
+    assert(PagedV2.pagesOpened.get() == 2,
+      s"expected 2 page opens, saw ${PagedV2.pagesOpened.get()}")
+    // and the pushdown is visible in the plan
+    val plan = readV2(dir).filter(col("page") <= 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pages=2"), plan)
+  }
+
+  test("IN-list and equality pushdown") {
+    val dir = writePages()
+    PagedV2.pagesOpened.set(0)
+    assert(readV2(dir).filter(col("page").isin(0, 3)).count() == 3)
+    assert(PagedV2.pagesOpened.get() == 2)
+    PagedV2.pagesOpened.set(0)
+    assert(readV2(dir).filter(col("page") === 1).count() == 1)
+    assert(PagedV2.pagesOpened.get() == 1)
+  }
+
+  test("payload predicates stay above the scan and still apply") {
+    val dir = writePages()
+    val n = readV2(dir).filter(col("payload").contains("\"v\":\"c\"")).count()
+    assert(n == 1)
+  }
+
+  test("column pruning narrows the read schema") {
+    val dir = writePages()
+    val df = readV2(dir).select("page")
+    assert(df.schema.fieldNames.toSeq == Seq("page"))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 0, 1, 3))
+    // payload-only projection likewise
+    val p = readV2(dir).select("payload")
+    assert(p.schema.fieldNames.toSeq == Seq("payload"))
+    assert(p.count() == 4)
+  }
+
+  test("statistics reflect post-pruning file bytes") {
+    val dir = writePages()
+    val all = readV2(dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val some = readV2(dir).filter(col("page") === 1)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(some < all, s"pruned stats $some should be < full $all")
+  }
+
+  test("parity with the driver-loop connector on the documents dump shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-par").toString
+    val docs = spark.range(10).selectExpr("id", "concat('d', id) AS v")
+    val rows = docs.toJSON.collect()
+    val pages = rows.grouped(4).toSeq :+ Array.empty[String]
+    pages.zipWithIndex.foreach { case (page, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"d-$i.json"), page.mkString("[", ",", "]"))
+    }
+    val sch = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val viaLoop = PagedExtract.read(spark, new PagedExtract.LocalDirFetcher(dir, "d"))
+      .orderBy("id").collect()
+    val viaV2 = spark.read.format("graft-paged")
+      .option("dir", dir).option("prefix", "d").load()
+      .select(from_json(col("payload"), sch).as("r")).select("r.id", "r.v")
+      .orderBy("id").collect()
+    assert(viaV2.map(_.toSeq).toSeq == viaLoop.map(_.toSeq).toSeq)
+  }
+
+  test("nested objects and arrays survive element splitting") {
+    val parts = PagedV2.splitTopLevelArray(
+      """[{"a":{"b":[1,2,{"c":"}]"}]},"s":"x,y"},{"a":null}]""")
+    assert(parts.size == 2)
+    assert(parts.head.contains("\"c\":\"}]\""))
+    assert(PagedV2.splitTopLevelArray("[]").isEmpty)
+    assert(PagedV2.splitTopLevelArray("").isEmpty)
+  }
+}
