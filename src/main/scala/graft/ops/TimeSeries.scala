@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream onto
+  * a fixed grid, then repair the gaps (forward-fill / linear
+  * interpolation). The reference stops at calendar bucketing
+  * (`ET-ETL-DWH-PY312/ETL/Transform.py`'s date splits); a metrics
+  * pipeline needs the regular-grid form — rolling windows, rate
+  * computations, and model features all assume equally-spaced points.
+  *
+  * Scale shape: the spine is generated PER KEY from that key's own
+  * [min, max] slot range (`sequence` + `explode`) — never a cross join
+  * against a global calendar, so a key active for one day doesn't pay
+  * for the corpus's full history. One shuffle for the slot aggregate,
+  * one for the spine join, both keyed by (key, slot). Gap repair is
+  * pure window work over the same key partitioning — no extra shuffle
+  * after the resample's.
+  *
+  * Determinism: slot values aggregate by DECIMAL sum (order-independent
+  * under any partial-agg schedule); the avg's single IEEE division and
+  * the interpolation's per-row arithmetic are replayed by the oracle in
+  * the same operation order, so results are byte-stable at any
+  * parallelism.
+  */
+object TimeSeries {
+
+  /** Floor `epochSec` onto a `stepSeconds` grid — integer arithmetic
+    * (pmod handles negatives as a true floor, matching SQL `//`), no
+    * double round-trip.
+    */
+  def slotOf(epochSec: Column, stepSeconds: Long): Column =
+    epochSec.cast("long") - pmod(epochSec.cast("long"), lit(stepSeconds))
+
+  /** Regularize: one row per (key, grid slot) between each key's first
+    * and last observation. Observed slots carry the decimal-exact mean
+    * of `valueCol` (rounded to 6) and the observation count; gap slots
+    * carry a null mean and n = 0.
+    *
+    * `maxSlotsPerKey` guards the explode: a key whose span/step exceeds
+    * it fails fast instead of materializing a runaway spine (the
+    * mis-parsed-1970-timestamp failure mode).
+    */
+  def resample(df: DataFrame, keyCol: String, epochSecCol: String,
+               valueCol: String, stepSeconds: Long,
+               maxSlotsPerKey: Long = 10000000L): DataFrame = {
+    require(stepSeconds > 0, "resample: stepSeconds must be positive")
+    val observed = df
+      .select(col(keyCol), slotOf(col(epochSecCol), stepSeconds).as("slot"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col(keyCol), col("slot"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("vsum_d"), count(lit(1)).as("n"))
+    val spine = observed.groupBy(col(keyCol))
+      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+      .withColumn("span", (col("hi") - col("lo")) / stepSeconds + 1)
+      .withColumn("guard",
+        when(col("span") <= maxSlotsPerKey, lit(true))
+          .otherwise(raise_error(concat(lit(s"resample: key "), col(keyCol).cast("string"),
+            lit(s" spans more than $maxSlotsPerKey slots")))))
+      .where(col("guard"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("slot"))
+    spine.join(observed, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol), col("slot"),
+        round(col("vsum_d").cast("double") / col("n"), 6).as("value_avg"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Forward-fill: each null in `cols` takes the latest preceding
+    * non-null value within its key, in `ordCol` order. Pure window —
+    * no shuffle beyond the key partitioning.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, ordCol: String,
+                  cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Linear interpolation: nulls in `valueCol` take the straight line
+    * between the nearest preceding and following non-null observations
+    * (in `ordCol`, which must be numeric — e.g. the resample slot).
+    * Leading/trailing nulls (no neighbor on one side) stay null;
+    * `forwardFill` handles the trailing edge when that's wanted.
+    */
+  def interpolateLinear(df: DataFrame, keyCol: String, ordCol: String,
+                        valueCol: String): DataFrame = {
+    val prevW = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val tNonNull = when(v.isNotNull, col(ordCol).cast("double"))
+    val prevV = last(v, ignoreNulls = true).over(prevW)
+    val prevT = last(tNonNull, ignoreNulls = true).over(prevW)
+    val nextV = first(v, ignoreNulls = true).over(nextW)
+    val nextT = first(tNonNull, ignoreNulls = true).over(nextW)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull && nextT =!= prevT,
+          round(prevV + (nextV - prevV) * (col(ordCol).cast("double") - prevT)
+            / (nextT - prevT), 6)))
+  }
+}

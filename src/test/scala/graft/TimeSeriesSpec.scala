@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resample fills gap slots with null mean and n=0") {
+    // key a: observations at slots 0, 0, 300 (gap at 100, 200 with step 100)
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 95L, 3.0), ("a", 310L, 5.0),
+      ("b", 1000L, 7.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.resample(df, "k", "ts", "v", 100L)
+      .orderBy("k", "slot").collect()
+    val rows = out.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      ("a", 0L, 2.0, 2L),      // mean of 1.0, 3.0
+      ("a", 100L, null, 0L),
+      ("a", 200L, null, 0L),
+      ("a", 300L, 5.0, 1L),
+      ("b", 1000L, 7.0, 1L)))  // single-slot key: spine is that slot
+  }
+
+  test("resample spine is per-key, not a global calendar") {
+    val df = Seq(("a", 0L, 1.0), ("b", 100000L, 2.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.resample(df, "k", "ts", "v", 100L)
+    // b must NOT get slots from a's range or vice versa
+    assert(out.count() == 2)
+  }
+
+  test("resample guards runaway spans") {
+    val df = Seq(("a", 0L, 1.0), ("a", 10000000L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      TimeSeries.resample(df, "k", "ts", "v", 1L, maxSlotsPerKey = 1000L).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("forwardFill carries the latest non-null forward, per key") {
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, None), ("a", 4L, Some(4.0)),
+      ("b", 1L, None), ("b", 2L, Some(9.0))
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.forwardFill(df, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(out == Seq(1.0, 1.0, 1.0, 4.0, null, 9.0))
+  }
+
+  test("interpolateLinear draws the line between neighbors") {
+    val df = Seq(
+      ("a", 0L, Some(0.0)), ("a", 10L, None), ("a", 20L, None), ("a", 30L, Some(3.0)),
+      ("a", 40L, Some(8.0)),
+      // edges: leading null has no prev, stays null
+      ("b", 0L, None), ("b", 10L, Some(1.0)), ("b", 20L, None)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.interpolateLinear(df, "k", "t", "v")
+      .orderBy("k", "t").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(out == Seq(0.0, 1.0, 2.0, 3.0, 8.0, null, 1.0, null))
+  }
+
+  test("interpolation then forward-fill repairs trailing edge only") {
+    val df = Seq(
+      ("a", 0L, Some(2.0)), ("a", 10L, None), ("a", 20L, Some(4.0)), ("a", 30L, None)
+    ).toDF("k", "t", "v")
+    val interp = TimeSeries.interpolateLinear(df, "k", "t", "v")
+    val out = TimeSeries.forwardFill(interp, "k", "t", Seq("v"))
+      .orderBy("t").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(2.0, 3.0, 4.0, 4.0))
+  }
+}
