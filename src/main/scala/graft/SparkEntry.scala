@@ -801,6 +801,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_pagerank" -> ((s, d) => {
+      // entity importance over the purchase FK graph: customers link to
+      // the suppliers they bought from (bipartite, suppliers dangling —
+      // exercises the dangling-mass correction). 3 synchronous steps;
+      // per-edge contributions accumulate in decimal, so the unrolled
+      // oracle matches byte-for-byte.
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.ext.Graph.pagerank(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
     "q_resample" -> ((s, d) =>
       // hourly regularization of the event stream per type: per-key
       // spine (sequence over each key's own [min,max] slot range — no
@@ -2434,6 +2449,44 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // pagerank: 3 unrolled synchronous steps, decimal-accumulated edge
+    // contributions, IEEE-replayed scalar update (note (CAST(1 AS
+    // DOUBLE) - 0.85), the same runtime subtraction the engine does —
+    // NOT a pre-simplified 0.15, which is a different double)
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(CAST(round(r.rank / od.od, 12) AS DECIMAL(24,12))) AS csum
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(24,12))), 0) AS dsum
+        |       FROM r0 WHERE node NOT IN (SELECT src FROM od)),
+        |r1 AS (SELECT nodes.node,
+        |         round((CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 *
+        |           (coalesce(CAST(c1.csum AS DOUBLE), 0) + CAST(d1.dsum AS DOUBLE) / nn.n), 12) AS rank
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+        |c2 AS (SELECT e.dst AS node, sum(CAST(round(r.rank / od.od, 12) AS DECIMAL(24,12))) AS csum
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(24,12))), 0) AS dsum
+        |       FROM r1 WHERE node NOT IN (SELECT src FROM od)),
+        |r2 AS (SELECT nodes.node,
+        |         round((CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 *
+        |           (coalesce(CAST(c2.csum AS DOUBLE), 0) + CAST(d2.dsum AS DOUBLE) / nn.n), 12) AS rank
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+        |c3 AS (SELECT e.dst AS node, sum(CAST(round(r.rank / od.od, 12) AS DECIMAL(24,12))) AS csum
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(CAST(round(rank, 12) AS DECIMAL(24,12))), 0) AS dsum
+        |       FROM r2 WHERE node NOT IN (SELECT src FROM od)),
+        |r3 AS (SELECT nodes.node,
+        |         round((CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 *
+        |           (coalesce(CAST(c3.csum AS DOUBLE), 0) + CAST(d3.dsum AS DOUBLE) / nn.n), 12) AS rank
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists. [[Dedup.connectedComponents]]
+  * covers the equivalence-closure shape (dedup clusters); this adds the
+  * influence-propagation shape — PageRank — for entity-importance
+  * scoring over FK graphs, citation/link graphs, and user-interaction
+  * graphs.
+  *
+  * Scale shape: each iteration is one join of the rank frame with the
+  * edge list (shuffle keyed by src) and one aggregate keyed by dst —
+  * the textbook distributed PageRank profile. Node count and dangling
+  * mass ride as broadcast 1-row frames (no driver round-trip, the plan
+  * stays lazy). Iterations chain the plan; pass `checkpointDir` (or
+  * rely on local pinning) when deep chains need cutting on a real
+  * cluster, same contract as connectedComponents.
+  *
+  * Determinism: per-edge contributions are rounded and accumulated in
+  * DECIMAL (order-independent under any partial-agg schedule); the
+  * per-node update is then a fixed sequence of scalar IEEE ops on those
+  * exact sums, and ranks re-round to 12 decimals each iteration — so a
+  * DuckDB oracle replaying the same expressions matches byte-for-byte
+  * at any parallelism.
+  */
+object Graph {
+
+  /** PageRank with `iterations` fixed synchronous steps, damping `d`:
+    * `r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + danglingMass/N)`
+    * — dangling nodes (no out-edges) spread their rank uniformly, the
+    * standard correction that keeps Σr = 1. Multi-edges contribute
+    * multiply (pre-`distinct` the edge frame if unwanted).
+    *
+    * Returns (node, rank) over all nodes appearing as src or dst.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85,
+               checkpointEach: Boolean = false,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "pagerank: need at least one iteration")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    // IEEE 1-d, not a pre-simplified constant: the oracle writes the
+    // same subtraction, so both sides hold the identical double
+    val teleport = lit(1.0) - lit(damping)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val pin: DataFrame => DataFrame =
+      if (!checkpointEach) identity
+      else if (checkpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
+
+    // r0 = 1/N per node; n rides along so iterations don't re-join it
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          round(col("rank") / col("od"), 12).cast("decimal(24,12)").as("cd"))
+        .groupBy(col("node")).agg(sum(col("cd")).as("csum"))
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(24,12)")),
+          lit(0).cast("decimal(34,12)")).as("dsum"))
+      ranks = pin(ranks
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(teleport / col("n") + lit(damping) *
+            (coalesce(col("csum").cast("double"), lit(0.0)) +
+              col("dsum").cast("double") / col("n")), 12).as("rank"),
+          col("n")))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

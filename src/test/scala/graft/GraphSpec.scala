@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetric two-cycle stays uniform") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("s", "t")
+    val r = Graph.pagerank(e, "s", "t", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-9)
+    assert(math.abs(r("b") - 0.5) < 1e-9)
+  }
+
+  test("dangling node redistributes its mass (hand-computed 3 steps)") {
+    // A→B, B dangling. Exact per-step values computed by hand from the
+    // update rule — pins both the formula and the dangling correction.
+    val e = Seq(("A", "B")).toDF("s", "t")
+    val r = Graph.pagerank(e, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r("A") - 0.3394296875) < 1e-9, r.toString)
+    assert(math.abs(r("B") - 0.6605703125) < 1e-9, r.toString)
+  }
+
+  test("rank mass is conserved: sum == 1") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("s", "t")
+    val total = Graph.pagerank(e, "s", "t", iterations = 4)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-8, total.toString)
+  }
+
+  test("hub gets more rank than spokes") {
+    // star: everyone links to h
+    val e = Seq(("a", "h"), ("b", "h"), ("c", "h")).toDF("s", "t")
+    val r = Graph.pagerank(e, "s", "t").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("h") > r("a") && r("a") == r("b") && r("b") == r("c"))
+  }
+
+  test("byte-identical under repartitioning") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"),
+      ("d", "c"), ("c", "d")).toDF("s", "t")
+    val r1 = Graph.pagerank(e, "s", "t").orderBy("node").collect().toSeq
+    val r2 = Graph.pagerank(e.repartition(7), "s", "t")
+      .orderBy("node").collect().toSeq
+    assert(r1.map(_.toSeq) == r2.map(_.toSeq))
+  }
+
+  test("multi-edges contribute multiply") {
+    // a sends BOTH its half-shares to b when the a→b edge is doubled
+    // vs a graph where a splits between b and c
+    val doubled = Seq(("a", "b"), ("a", "b")).toDF("s", "t")
+    val split = Seq(("a", "b"), ("a", "c")).toDF("s", "t")
+    val rd = Graph.pagerank(doubled, "s", "t", iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rs = Graph.pagerank(split, "s", "t", iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rd("b") > rs("b"))
+  }
+}
