@@ -1124,6 +1124,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "x_kmeans" -> ((s, d) => {
+      // auditable clustering: one FNV-seeded Lloyd step over the
+      // embedding corpus (k=8), summarized as per-cluster size + mean
+      // cosine-to-centroid. Every step — seeding hash, decimal-exact
+      // centroid means, kernel accumulation order, tie-break — replays
+      // in the DuckDB oracle byte-for-byte (unlike the xxhash-seeded
+      // IVF rows, which are rows-only by design).
+      val e = t(s, d, "embeddings")
+      Similarity.kmeansAssign(e, "embedding", "vec_id", k = 8)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_cos"))
+        .orderBy("cell")
+    }),
+
     "x_ann_ivf" -> ((s, d) => {
       // rows-only: approximate (IVF probe) — no exact oracle by design
       val e = t(s, d, "embeddings")
@@ -3442,6 +3457,37 @@ object SparkEntry {
     // the oracle replays the kernel's exact left-to-right double
     // accumulation (list_transform + list_sum), so the threshold
     // decision is bit-identical — same pattern as x_embed_neardup
+    // k-means single-Lloyd-step replay: FNV cell seeding (8 | 2⁶⁴, so
+    // unsigned %8 == Spark's signed pmod), engine-agnostic centroid
+    // means, same kernel accumulation order as the engine's zip_with
+    // fold, same (cos desc, cell asc) tie-break
+    "x_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cells AS (
+        |  SELECT CAST(${fnvSql("(CAST(vec_id AS VARCHAR))")} % 8 AS BIGINT) AS cell, v FROM e),
+        |d AS (
+        |  SELECT cell, unnest([{'dim': i, 'x': CAST(v[i] AS DOUBLE)} FOR i IN range(1, len(v) + 1)]) AS s
+        |  FROM cells),
+        |dx AS (SELECT cell, s.dim AS dim, s.x AS x FROM d),
+        |cent AS (
+        |  SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+        |  FROM dx GROUP BY cell, dim),
+        |centv AS (SELECT cell, list(m ORDER BY dim) AS c FROM cent GROUP BY cell),
+        |scored AS (
+        |  SELECT e.vec_id, centv.cell,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * centv.c[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(centv.c) + 1), i -> centv.c[i] * centv.c[i])))), 6) AS cos
+        |  FROM e, centv),
+        |assigned AS (
+        |  SELECT vec_id, cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+        |  FROM scored)
+        |SELECT cell, count(*) AS n,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_cos
+        |FROM assigned WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
     "x_decontaminate_semantic" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
         |b AS (SELECT v FROM e WHERE vec_id % 100 = 0),

@@ -84,6 +84,57 @@ object Similarity {
     centroidMean(corpus.select(
       pmod(xxhash64(col(idCol)), lit(nCells)).as("cell"), col(vecCol).as("v")))
 
+  /** Portable-hash cell seeding: FNV-1a over the id string, mod k.
+    * Same role as the xxhash64 seeding above, but replayable outside
+    * the engine (the differential oracle recomputes it bit-for-bit) —
+    * use this form when cluster membership must be auditable.
+    */
+  def hashCells(id: Column, k: Int): Column =
+    pmod(VectorExpressions.fnv1a64(id.cast("string")), lit(k.toLong))
+
+  /** Engine-agnostic per-dim mean over a (cell, v) frame: decimal-exact
+    * sum, ONE double division, round(9) — unlike [[centroidMean]]'s
+    * decimal division (whose result scale is engine-specific), every
+    * step here has identical semantics in any SQL engine, so centroids
+    * are byte-replayable. Memory-bounded the same way (posexplode, one
+    * dim per row, map-side combine).
+    */
+  def meanVectors(cells: DataFrame): DataFrame =
+    cells
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1)), 9).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+
+  /** One deterministic k-means (Lloyd) step with auditable seeding:
+    * seed cells by [[hashCells]], center each cell on its
+    * [[meanVectors]] mean, re-assign every vector to the nearest
+    * centroid by cosine (ties break toward the lower cell id). Returns
+    * (id, cell, cos). Chain [[refineCentroids]] + [[assignCells]] for
+    * more iterations at scale; this form is the one whose every step a
+    * differential oracle can replay.
+    *
+    * Shuffle profile: one (cell, dim) aggregate for the centroids; the
+    * assignment is a broadcast of k centroid rows against the corpus —
+    * the corpus itself never shuffles.
+    */
+  def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val cells0 = corpus.select(hashCells(col(idCol), k).as("cell"),
+      col(vecCol).as("v"))
+    val cents = meanVectors(cells0)
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", round(cosine(col("v"), col("centroid")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cell"), col("cos"))
+  }
+
   /** Lloyd refinement: re-center each cell on the mean of its assigned
     * vectors, `iterations` times. One assignment pass + one aggregation
     * per iteration (both narrow/broadcast — the corpus never shuffles

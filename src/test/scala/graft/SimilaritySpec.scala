@@ -84,4 +84,36 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").as[(Long, Long, Double, Int)].collect()
     assert(out === brute)
   }
+
+  test("kmeansAssign: every vector once, to its provably nearest centroid") {
+    val out = Similarity.kmeansAssign(embs, "embedding", "vec_id", k = 2)
+    val rows = out.collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).distinct.length === 5) // one row per id
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+    // argmax check: re-score every (id, centroid) pair independently;
+    // the chosen cell's cos must be the max (ties toward lower cell)
+    val cents = Similarity.meanVectors(embs.select(
+      Similarity.hashCells(col("vec_id"), 2).as("cell"), col("embedding").as("v")))
+    val all = embs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .crossJoin(cents)
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("centroid")), 6))
+      .select("id", "cell", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (r <- rows) {
+      val (id, cell, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val best = all.filter(_._1 == id).map(_._3).max
+      assert(cos == best, s"id $id assigned cos $cos but best is $best")
+      val winners = all.filter(t => t._1 == id && t._3 == best).map(_._2).min
+      assert(cell == winners, s"id $id tie-break picked $cell, expected $winners")
+    }
+  }
+
+  test("kmeansAssign is byte-identical under repartitioning") {
+    val a = Similarity.kmeansAssign(embs, "embedding", "vec_id", k = 2)
+      .orderBy("id").collect().toSeq
+    val b = Similarity.kmeansAssign(embs.repartition(7), "embedding", "vec_id", k = 2)
+      .orderBy("id").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
 }
