@@ -801,6 +801,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_unpivot" -> ((s, d) =>
+      // wide→long melt of the lineitem measures (the inverse of
+      // q_pivot): Spark's Unpivot node — a zero-shuffle Expand
+      t(s, d, "lineitem")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
+
+    "x_split" -> ((s, d) =>
+      // deterministic train/val/test assignment (growth-stable FNV
+      // membership, seed 13), summarized per split × lang
+      graft.ext.Corpus.assignSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("split", "lang")),
+
+    "x_nfc" -> ((s, d) => {
+      // unicode canonicalization (codegen'd java.text.Normalizer): NFD
+      // text synthesized by suffixing e + COMBINING ACUTE composes to
+      // é — length drops by one, content diverges from the raw form
+      val syn = concat(col("text"), lit("e\u0301"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(syn).cast("long").as("n_raw"),
+          length(graft.functions.TextNormalize.nfc(syn)).cast("long").as("n_nfc"),
+          (syn =!= graft.functions.TextNormalize.nfc(syn)).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     "q_pagerank" -> ((s, d) => {
       // entity importance over the purchase FK graph: customers link to
       // the suppliers they bought from (bipartite, suppliers dangling —
@@ -2464,6 +2494,37 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    // split-band membership replay (seed 13; bands on millionth
+    // boundaries: train < 800000 ≤ val < 900000 ≤ test)
+    "x_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':13')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, n_chars,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
+         |  FROM h)
+         |SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM m GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "x_nfc" ->
+      """SELECT doc_id,
+        |  length(text || 'e' || chr(769)) AS n_raw,
+        |  length(nfc_normalize(text || 'e' || chr(769))) AS n_nfc,
+        |  (text || 'e' || chr(769)) != nfc_normalize(text || 'e' || chr(769)) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // pagerank: 3 unrolled synchronous steps, decimal-accumulated edge
     // contributions, IEEE-replayed scalar update (note (CAST(1 AS

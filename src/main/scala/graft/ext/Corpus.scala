@@ -97,6 +97,34 @@ object Corpus {
     df.filter(sampleHash(col(keyCol), seed) < (frac * 1000000.0).cast("long"))
   }
 
+  /** Deterministic train/val/test split assignment: each row's portable
+    * FNV bucket (millionths of the unit interval) lands in the
+    * cumulative-fraction band of its split. Membership is a pure
+    * function of (id, seed) — reproducible across runs, partitionings,
+    * and engines (the oracle replays it), and STABLE UNDER CORPUS
+    * GROWTH: adding documents never moves an existing document's split,
+    * the property that keeps eval sets honest as the corpus is
+    * re-crawled. Fractions must sum to 1 (±1e-9); bands are half-open
+    * on millionth boundaries, so realized fractions are exact to 1e-6.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] = Seq(
+                    "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                  seed: Long = 13L, splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = sampleHash(col(idCol), seed)
+    val thresholds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 1000000L)
+    }.tail
+    val bands = splits.map(_._1).zip(thresholds)
+    val label = bands.init.foldRight(lit(bands.last._1): org.apache.spark.sql.Column) {
+      case ((name, t), acc) => when(b < t, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Weighted priority sample (Duffield–Lund–Thorup "priority
     * sampling", IEEE Trans. IT 2007): each row draws a uniform
     * u ∈ (0,1] from the portable FNV bucket ((bucket+1)/10⁶) and gets

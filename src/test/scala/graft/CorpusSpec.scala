@@ -155,4 +155,34 @@ class CorpusSpec extends SparkSpec {
       ("a", 3L, 2, 0.777778),
       ("c", 1L, 3, 0.888889)))
   }
+
+  test("assignSplit: exhaustive, deterministic, near-requested fractions") {
+    val docs = spark.range(10000).toDF("id")
+    val out = Corpus.assignSplit(docs, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 10000L)
+    assert(math.abs(out("train") - 8000.0) < 300, out.toString)
+    assert(math.abs(out("val") - 1000.0) < 150, out.toString)
+    assert(math.abs(out("test") - 1000.0) < 150, out.toString)
+    // determinism: identical mapping on re-run
+    val a = Corpus.assignSplit(docs, "id").orderBy("id").collect().map(_.getString(1))
+    val b = Corpus.assignSplit(docs.repartition(7), "id").orderBy("id").collect().map(_.getString(1))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("assignSplit is stable under corpus growth") {
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(5000).toDF("id")
+    val s = Corpus.assignSplit(small, "id").orderBy("id").collect().map(_.getString(1))
+    val g = Corpus.assignSplit(big, "id").filter(col("id") < 1000)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(s.toSeq == g.toSeq) // adding docs never moves an existing one
+  }
+
+  test("assignSplit rejects fractions that don't sum to 1") {
+    val docs = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(docs, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
