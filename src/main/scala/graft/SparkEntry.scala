@@ -801,6 +801,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_binned_range_join" -> ((s, d) =>
+      // the SCALE form of q_range_join: when the interval side is too
+      // big to broadcast, intervals explode into fixed-width bins and
+      // the join becomes an equi-join on bin (shuffled hash/SMJ, never
+      // a nested loop); the exact predicate re-filters, so results are
+      // exactly the theta join's. Here: customers whose balance falls
+      // within [s_acctbal, s_acctbal+500) of some supplier.
+      graft.ops.Intervals.binnedPointJoin(
+        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+        "c_acctbal",
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 500.0).as("hi")),
+        "lo", "hi", binSize = 250.0)
+        .select("c_custkey", "s_suppkey", "c_acctbal")
+        .orderBy("c_custkey", "s_suppkey")),
+
     "q_unpivot" -> ((s, d) =>
       // wide→long melt of the lineitem measures (the inverse of
       // q_pivot): Spark's Unpivot node — a zero-shuffle Expand
@@ -2494,6 +2510,12 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_binned_range_join" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "q_unpivot" ->
       """SELECT * FROM (

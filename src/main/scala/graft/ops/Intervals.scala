@@ -73,4 +73,47 @@ object Intervals {
         count(lit(1)).as("n_islands"),
         max(col("n_spans")).as("max_island_spans"))
       .orderBy(col(keyCol))
+
+  /** Point-in-interval join by BINNING — the shape that scales when the
+    * interval side is too large to broadcast. A plain `p >= lo AND
+    * p < hi` join plans as a nested-loop (broadcast at best, cartesian
+    * at worst: O(|points|·|intervals|) comparisons). Here each interval
+    * explodes into the fixed-width bins it covers and each point
+    * computes its single bin, so the join is an EQUI-join on bin (plus
+    * `extraKeys`, when matches must also share e.g. a tenant id) that
+    * shuffles by bin and compares only co-binned pairs. The exact
+    * half-open predicate re-filters after the join, so bin-edge
+    * over-coverage never leaks a wrong pair — binning is purely a
+    * pruning strategy, results are EXACTLY the predicate's.
+    *
+    * Each matching pair survives in exactly ONE bin (the point's), so
+    * no dedup pass is needed. Pick `binSize` near the typical interval
+    * width: bins per interval ≈ width/binSize + 1 rows of explode
+    * (guarded by `maxBinsPerInterval`), comparisons per point ≈
+    * intervals overlapping its bin. The classic bin-join described for
+    * interval/range joins in the literature (e.g. the "range join
+    * optimization" in Spark-ecosystem engines), built from explode +
+    * equi-join so Catalyst plans a plain shuffled hash/sort-merge join.
+    */
+  def binnedPointJoin(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binSize: Double, extraKeys: Seq[String] = Seq.empty,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binSize > 0, "binnedPointJoin: binSize must be positive")
+    val ivb = intervals
+      .withColumn("__b0", floor(col(loCol) / binSize).cast("long"))
+      .withColumn("__b1", floor(col(hiCol) / binSize).cast("long"))
+      .withColumn("__guard",
+        when(col("__b1") - col("__b0") < maxBinsPerInterval, lit(true))
+          .otherwise(raise_error(concat(lit("binnedPointJoin: interval ["),
+            col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+            lit(s") covers more than $maxBinsPerInterval bins — raise binSize")))))
+      .where(col("__guard"))
+      .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1", "__guard")
+    val pb = points.withColumn("__bin", floor(col(pointCol) / binSize).cast("long"))
+    pb.join(ivb, Seq("__bin") ++ extraKeys)
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Intervals
 
 class IntervalsSpec extends SparkSpec {
@@ -78,6 +80,54 @@ class IntervalsSpec extends SparkSpec {
       val want = merged.map { case (s, e) => e - s }.sum
       val got = islands.filter(_._1 == k).map(_._5).sum
       assert(got === want, s"key $k union length")
+    }
+  }
+
+  test("binnedPointJoin == plain theta join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 200 - 100))
+      .toDF("pid", "p")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 180 - 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 60) // widths 0..60, many bins at w=7
+    }.toDF("iid", "lo", "hi")
+    val viaBins = graft.ops.Intervals
+      .binnedPointJoin(points, "p", ivs, "lo", "hi", binSize = 7.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = points.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaBins.sorted == plain.sorted)
+    assert(viaBins.distinct.size == viaBins.size, "pair emitted more than once")
+  }
+
+  test("binnedPointJoin edges: lo inclusive, hi exclusive, negatives") {
+    import spark.implicits._
+    val points = Seq((1L, -10.0), (2L, 0.0), (3L, 9.999), (4L, 10.0)).toDF("pid", "p")
+    val ivs = Seq((1L, -10.0, 10.0)).toDF("iid", "lo", "hi")
+    val got = graft.ops.Intervals
+      .binnedPointJoin(points, "p", ivs, "lo", "hi", binSize = 3.0)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // 10.0 == hi excluded
+  }
+
+  test("binnedPointJoin honors extraKeys") {
+    import spark.implicits._
+    val points = Seq(("a", 5.0, 1L), ("b", 5.0, 2L)).toDF("tenant", "p", "pid")
+    val ivs = Seq(("a", 0.0, 10.0, 10L)).toDF("tenant", "lo", "hi", "iid")
+    val got = graft.ops.Intervals
+      .binnedPointJoin(points, "p", ivs, "lo", "hi", 5.0, extraKeys = Seq("tenant"))
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L)) // tenant b must not match tenant a's interval
+  }
+
+  test("binnedPointJoin guards runaway interval width") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivs = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    intercept[Exception] {
+      graft.ops.Intervals.binnedPointJoin(points, "p", ivs, "lo", "hi", 1.0,
+        maxBinsPerInterval = 100L).count()
     }
   }
 }
