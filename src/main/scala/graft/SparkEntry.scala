@@ -801,6 +801,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_psi_drift" -> ((s, d) => {
+      // distribution drift (PSI) of late-period order values against
+      // the early period, over the early period's own decile bins —
+      // the retrain/alert trigger of a production feature pipeline
+      val o = t(s, d, "orders")
+      val cut = lit("1996-01-01")
+      graft.ops.Validate.psiDrift(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_totalprice", nBins = 10)
+        .orderBy("bin")
+    }),
+
     "q_binned_range_join" -> ((s, d) =>
       // the SCALE form of q_range_join: when the interval side is too
       // big to broadcast, intervals explode into fixed-width bins and
@@ -2510,6 +2523,38 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // PSI replay: base-decile edges via quantile_cont (== Spark exact
+    // percentile), same bin comparison sum, 1e-6 empty-bin clamp, same
+    // (pc-pb)*ln(pc/pb) op order, decimal total
+    "q_psi_drift" ->
+      """WITH base AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1996-01-01'),
+        |e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM base),
+        |bb AS (
+        |  SELECT 1 + list_sum(list_transform(e.edges, x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS bin, count(*) AS n
+        |  FROM base, e GROUP BY 1),
+        |cc AS (
+        |  SELECT 1 + list_sum(list_transform(e.edges, x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS bin, count(*) AS n
+        |  FROM cur, e GROUP BY 1),
+        |spine AS (SELECT unnest(range(1, 11)) AS bin),
+        |j AS (
+        |  SELECT CAST(s.bin AS INTEGER) AS bin, coalesce(bb.n, 0) AS n_base, coalesce(cc.n, 0) AS n_cur
+        |  FROM spine s LEFT JOIN bb ON s.bin = bb.bin LEFT JOIN cc ON s.bin = cc.bin),
+        |p AS (
+        |  SELECT bin, n_base, n_cur,
+        |    CASE WHEN n_base = 0 THEN 1e-6
+        |         ELSE CAST(n_base AS DOUBLE) / CAST(sum(n_base) OVER () AS DOUBLE) END AS pb,
+        |    CASE WHEN n_cur = 0 THEN 1e-6
+        |         ELSE CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) END AS pc
+        |  FROM j),
+        |c AS (
+        |  SELECT bin, n_base, n_cur, round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+        |    round((pc - pb) * ln(pc / pb), 6) AS psi_contrib
+        |  FROM p)
+        |SELECT bin, n_base, n_cur, p_base, p_cur, psi_contrib,
+        |  round(CAST(sum(CAST(psi_contrib AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS psi_total
+        |FROM c ORDER BY bin""".stripMargin,
 
     "q_binned_range_join" ->
       """SELECT c_custkey, s_suppkey, c_acctbal

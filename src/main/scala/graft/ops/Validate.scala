@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse integrity checks — the constraints the reference declares
@@ -174,6 +175,61 @@ object Validate {
         when(col("bin") === 1, lit(null).cast("double"))
           .otherwise(element_at(col("__edges"), col("bin") - 1)))
       .drop("__edges")
+  }
+
+  /** Distribution-drift report: Population Stability Index of
+    * `current` against `base`, over `nBins` quantile bins OF THE BASE
+    * (the convention that makes PSI comparable across checks — the
+    * reference distribution defines the bins, the current one is
+    * scored into them). One row per bin with counts, fractions, and
+    * the bin's PSI contribution `(p_cur - p_base)·ln(p_cur/p_base)`;
+    * `psi_total` rides on every row. Rules of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Empty bins substitute p = 1e-6 (the standard clamp — PSI is
+    * undefined at zero). Scale shape: one exact-percentile aggregate
+    * over the base broadcast as a 1-row frame; each side then
+    * aggregates to nBins rows with map-side combine — the data itself
+    * never shuffles. Deterministic: fractions are single IEEE
+    * divisions of exact counts; contributions round to 6 before the
+    * decimal total.
+    */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "psiDrift: nBins in [2, 1000]")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = base.agg(
+      expr(s"percentile($valueCol, array(${qs.mkString(",")}))").as("__edges"))
+    def binCounts(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          (lit(1) + (0 until nBins - 1)
+            .map(i => when(col(valueCol) > col("__edges").getItem(i), 1).otherwise(0))
+            .reduce(_ + _)).cast("int"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    val nb = binCounts(base).withColumnRenamed("n", "n_base")
+    val nc = binCounts(current).withColumnRenamed("n", "n_cur")
+    val spine = edges.select(explode(sequence(lit(1), lit(nBins))).as("bin"))
+    val w = Window.partitionBy()
+    val joined = spine
+      .join(nb, Seq("bin"), "left").join(nc, Seq("bin"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("__tb", sum(col("n_base")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
+    val pb = when(col("n_base") === 0, lit(1e-6))
+      .otherwise(col("n_base").cast("double") / col("__tb").cast("double"))
+    val pc = when(col("n_cur") === 0, lit(1e-6))
+      .otherwise(col("n_cur").cast("double") / col("__tc").cast("double"))
+    joined
+      .withColumn("p_base", round(pb, 6))
+      .withColumn("p_cur", round(pc, 6))
+      .withColumn("psi_contrib", round((pc - pb) * log(pc / pb), 6))
+      .withColumn("psi_total",
+        round(sum(col("psi_contrib").cast("decimal(18,6)")).over(w)
+          .cast("double"), 6))
+      .select("bin", "n_base", "n_cur", "p_base", "p_cur",
+        "psi_contrib", "psi_total")
   }
 
   /** Winsorization: clip a numeric column to its [lo, hi] exact

@@ -134,4 +134,22 @@ class ValidateSpec extends SparkSpec {
     assert(!binned.queryExecution.executedPlan.toString.contains("Window"),
       "quantileBins must not plan a window")
   }
+
+  test("psiDrift: identical distributions score ~0") {
+    val df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val out = Validate.psiDrift(df, df, "v", nBins = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getDouble(6) == 0.0), "psi_total should be 0")
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-6) // fractions sum to 1
+  }
+
+  test("psiDrift: a shifted distribution scores above the 0.25 alarm") {
+    val base = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val cur = spark.range(1000).selectExpr("CAST(id + 800 AS DOUBLE) AS v")
+    val out = Validate.psiDrift(base, cur, "v", nBins = 5).collect()
+    val psi = out.head.getDouble(6)
+    assert(psi > 0.25, s"expected alarm-level psi, got $psi")
+    // bins the current distribution vacated use the 1e-6 clamp, not NaN
+    assert(out.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
 }
