@@ -125,7 +125,7 @@ final class PagedTable(dir: String, prefix: String)
   override def name(): String = s"graft-paged:$dir/$prefix"
   override def schema(): StructType = PagedV2.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(dir, prefix)
 }
@@ -198,6 +198,9 @@ final class PagedScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(dir, prefix, required.fieldNames, keepPage)
   override def description(): String =
     s"graft-paged dir=$dir prefix=$prefix pages=${planned.size} " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -217,6 +220,63 @@ final class PagedScan(
 }
 
 final case class PagedInputPartition(page: Int, path: String) extends InputPartition
+
+/** Streaming form of the paged scan: the page number IS the offset.
+  * Each trigger picks up page files in [start, end) where `end` is the
+  * highest page present + 1 — so an extract that keeps appending
+  * `<prefix>-<n>.json` dumps becomes a structured stream with
+  * exactly-once batches (offsets checkpoint like any source's; a
+  * restart replans the same page range). This is the reference's
+  * incremental re-extract loop (`run-et-etl.py`'s cron cadence)
+  * expressed as a Spark stream instead of an external scheduler.
+  *
+  * Pages must be appended in order (gaps stall the watermark at the
+  * first missing number — the same contract the batch stop-on-empty
+  * protocol has). The pushed page predicate still applies per batch.
+  */
+final class PagedMicroBatchStream(
+    dir: String, prefix: String, fields: Array[String], keep: Int => Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class PageOffset(page: Int) extends Offset {
+    override def json(): String = s"""{"page":$page}"""
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+
+  override def latestOffset(): Offset = {
+    // contiguous high-water mark: first gap stops the offset so a
+    // late-materializing page is never skipped
+    val present = PagedV2.listPages(dir, prefix).map(_._1).toSet
+    var hi = 0
+    while (present.contains(hi)) hi += 1
+    PageOffset(hi)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"page":(\d+)\}""".r
+    json.trim match {
+      case m(n) => PageOffset(n.toInt)
+      case other => throw new IllegalArgumentException(s"bad paged offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[PageOffset].page
+    val hi = end.asInstanceOf[PageOffset].page
+    PagedV2.listPages(dir, prefix)
+      .filter { case (n, _) => n >= lo && n < hi && keep(n) }
+      .map { case (n, path) => PagedInputPartition(n, path) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 final class PagedReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -114,6 +114,59 @@ class PagedV2Spec extends SparkSpec {
     assert(viaV2.map(_.toSeq).toSeq == viaLoop.map(_.toSeq).toSeq)
   }
 
+  test("streaming: pages appended between triggers arrive exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-paged-ckpt").toString
+    def page(i: Int, body: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, s"s-$i.json"), body)
+    val out = java.nio.file.Files.createTempDirectory("graft-paged-out").toString
+    page(0, """[{"id":1},{"id":2}]""")
+    page(1, """[{"id":3}]""")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-paged")
+        .option("dir", dir).option("prefix", "s").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    // new pages appear; a restart from the checkpoint reads ONLY them
+    page(2, """[{"id":4},{"id":5}]""")
+    runOnce()
+    val rows = spark.read.parquet(out).orderBy("page", "payload").collect()
+    assert(rows.length == 5, s"expected exactly-once append, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 0, 1, 2, 2))
+  }
+
+  test("streaming offset stalls at a page gap, resumes when it fills") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-gap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-paged-gapc").toString
+    def page(i: Int, body: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, s"g-$i.json"), body)
+    val out = java.nio.file.Files.createTempDirectory("graft-paged-gapo").toString
+    page(0, """[{"id":1}]""")
+    page(2, """[{"id":9}]""") // gap at 1 — must NOT be read yet
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-paged")
+        .option("dir", dir).option("prefix", "g").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1) // only page 0
+    page(1, """[{"id":5}]""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3) // 1 and 2 arrive in order
+  }
+
   test("nested objects and arrays survive element splitting") {
     val parts = PagedV2.splitTopLevelArray(
       """[{"a":{"b":[1,2,{"c":"}]"}]},"s":"x,y"},{"a":null}]""")
