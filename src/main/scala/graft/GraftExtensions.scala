@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv, SpaceSavingAgg}
+import graft.functions.{DotProductFloat, Fnv1a64, HashPermute, ShingleFnv, SpaceSavingAgg, UnicodeNormalize}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so
@@ -66,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShingleFnv(children.head, n)
       }))
+    for ((name, form) <- Seq("unicode_nfc" -> "NFC", "unicode_nfkc" -> "NFKC")) {
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name(s) takes exactly 1 argument")
+          UnicodeNormalize(children.head, form)
+        }))
+    }
     ext.injectFunction((
       FunctionIdentifier("space_saving_topk"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving_topk"),

@@ -801,6 +801,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_skew_profile" -> ((s, d) =>
+      // join-key skew diagnostics on the fact's supplier key: top-5
+      // heaviest keys + max/avg factor + entropy — the numbers that
+      // decide between a plain shuffle and saltedJoin
+      graft.ops.Validate.skewProfile(t(s, d, "lineitem"), "l_suppkey", topK = 5)),
+
     "q_psi_drift" -> ((s, d) => {
       // distribution drift (PSI) of late-period order values against
       // the early period, over the early period's own decile bins —
@@ -2523,6 +2529,18 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt FROM c),
+        |e AS (
+        |  SELECT round(-CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / g.n_rows) * ln(CAST(cnt AS DOUBLE) / g.n_rows), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+        |  FROM c, g),
+        |t AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank FROM c)
+        |SELECT rank, key, cnt, round(CAST(cnt AS DOUBLE) / g.n_rows, 6) AS frac,
+        |  g.n_rows, g.n_keys, round(CAST(g.max_cnt AS DOUBLE) * g.n_keys / g.n_rows, 6) AS skew,
+        |  e.entropy
+        |FROM t, g, e WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // PSI replay: base-decile edges via quantile_cont (== Spark exact
     // percentile), same bin comparison sum, 1e-6 empty-bin clamp, same

@@ -177,6 +177,41 @@ object Validate {
       .drop("__edges")
   }
 
+  /** Key-skew profile — the decision input for [[Enrich.saltedJoin]]:
+    * the top-k heaviest keys with their share, plus the global shape
+    * (max/avg skew factor, Shannon entropy of the key distribution).
+    * A skew factor near 1 and entropy near ln(n_keys) mean a plain
+    * shuffle is fine; a few keys holding double-digit shares mean the
+    * join on this key needs salting or AQE skew handling.
+    *
+    * One count shuffle on the key; everything downstream reduces to
+    * 1-row broadcast frames and a top-k (TakeOrdered) — profiling a
+    * 100 TB fact costs one aggregate pass. Deterministic: fractions
+    * are single divisions of exact counts; entropy terms round to 9
+    * before the decimal sum.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val p = col("cnt").cast("double") / col("n_rows")
+    val ent = counts.crossJoin(broadcast(g))
+      .agg(round(-sum(round(p * log(p), 9).cast("decimal(18,9)")).cast("double"), 6)
+        .as("entropy"))
+    val ord = Seq(col("cnt").desc, col("key").asc)
+    val top = counts.orderBy(ord: _*).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+    top.crossJoin(broadcast(g)).crossJoin(broadcast(ent))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(p, 6).as("frac"),
+        col("n_rows"), col("n_keys"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew"),
+        col("entropy"))
+      .orderBy(col("rank"))
+  }
+
   /** Distribution-drift report: Population Stability Index of
     * `current` against `base`, over `nBins` quantile bins OF THE BASE
     * (the convention that makes PSI comparable across checks — the

@@ -49,6 +49,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT shingle_fnv('a b c', 2) AS sh, array(fnv1a64('a b'), fnv1a64('b c')) AS ref")
         .collect()(0)
       assert(sv.getSeq[Long](0) === sv.getSeq[Long](1))
+      // unicode normalization from SQL: NFD composes, NFKC folds the ligature
+      val un = spark.sql(
+        "SELECT unicode_nfc('café') AS c, unicode_nfkc('ﬁle') AS kc")
+        .collect()(0)
+      assert(un.getString(0) === "café")
+      assert(un.getString(1) === "file")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

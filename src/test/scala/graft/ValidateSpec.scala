@@ -135,6 +135,20 @@ class ValidateSpec extends SparkSpec {
       "quantileBins must not plan a window")
   }
 
+  test("skewProfile: uniform keys score ~1, dominant key surfaces on top") {
+    val uniform = spark.range(1000).selectExpr("CAST(id % 10 AS STRING) AS k")
+    val u = Validate.skewProfile(uniform, "k", topK = 3).collect()
+    assert(u.length == 3)
+    assert(u.head.getDouble(6) == 1.0) // max/avg == 1 exactly at 100 each
+    assert(math.abs(u.head.getDouble(7) - math.log(10)) < 1e-3) // entropy ≈ ln 10
+    // 90% of rows on one key
+    val skewed = spark.range(1000)
+      .selectExpr("CASE WHEN id < 900 THEN 'hot' ELSE CAST(id AS STRING) END AS k")
+    val s = Validate.skewProfile(skewed, "k", topK = 2).collect()
+    assert(s.head.getString(1) == "hot" && s.head.getLong(2) == 900L)
+    assert(s.head.getDouble(6) > 50, "skew factor should scream") // 900/(1000/101)
+  }
+
   test("psiDrift: identical distributions score ~0") {
     val df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
     val out = Validate.psiDrift(df, df, "v", nBins = 5).collect()
