@@ -1189,6 +1189,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "x_chunks" -> ((s, d) =>
+      // context-window chunking (40 tokens, 10 overlap — sized so the
+      // synthetic 10-99-token docs split into 1-3 chunks): shuffle-free
+      // explode+slice; chunks ship as portable FNV hashes so the
+      // oracle can audit exact boundaries without dumping text
+      graft.ext.TextOps.chunkTokens(t(s, d, "documents"), "text", "doc_id",
+          chunkTokens = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          graft.functions.VectorExpressions.fnv1a64(col("chunk_text")).as("chunk_fnv"))
+        .orderBy("doc_id", "chunk_id")),
+
     "x_kmeans" -> ((s, d) => {
       // auditable clustering: one FNV-seeded Lloyd step over the
       // embedding corpus (k=8), summarized as per-cluster size + mean
@@ -3603,6 +3614,29 @@ object SparkEntry {
     // the oracle replays the kernel's exact left-to-right double
     // accumulation (list_transform + list_sum), so the threshold
     // decision is bit-identical — same pattern as x_embed_neardup
+    // chunk-boundary replay: same whitespace split, same integer chunk
+    // count, same 1-based 40-token slices at stride 30
+    "x_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM d),
+         |k AS (
+         |  SELECT doc_id, w, n,
+         |    CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS nk
+         |  FROM n),
+         |ch AS (SELECT doc_id, w, unnest(range(0, nk)) AS chunk_id FROM k),
+         |sl AS (
+         |  SELECT doc_id, chunk_id,
+         |    w[chunk_id * 30 + 1 : chunk_id * 30 + 40] AS cw
+         |  FROM ch),
+         |o AS (
+         |  SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tok,
+         |    ${fnvSql("(array_to_string(cw, ' '))")} AS hu
+         |  FROM sl)
+         |SELECT doc_id, chunk_id, n_tok, ${signedSql("hu")} AS chunk_fnv
+         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+
     // k-means single-Lloyd-step replay: FNV cell seeding (8 | 2⁶⁴, so
     // unsigned %8 == Spark's signed pmod), engine-agnostic centroid
     // means, same kernel accumulation order as the engine's zip_with

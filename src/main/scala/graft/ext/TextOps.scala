@@ -115,6 +115,47 @@ object TextOps {
     * robust to whitespace/case jitter, reproducible outside the engine
     * (see [[graft.functions.Fnv1a64]]).
     */
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * every RAG index and pretraining tokenizer pipeline runs before
+    * embedding/packing. Chunk k covers whitespace tokens
+    * [k·stride, k·stride + chunkTokens) where stride = chunkTokens −
+    * overlap; the last chunk clamps at the document end, and a doc
+    * shorter than one chunk still yields its single (short) chunk.
+    * Returns (id, chunk_id, n_tok, chunk_text).
+    *
+    * Scale shape: one narrow map — tokenize, compute the chunk count
+    * arithmetically, explode exactly that many rows, slice. No shuffle
+    * at all; output order within a doc is the chunk index. Every step
+    * (regex split, integer chunk count, 1-based slice) replays exactly
+    * in SQL engines, so chunk boundaries are auditable outside the
+    * engine.
+    */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, chunkTokens: Int,
+                  overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, "chunkTokens: chunk size must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "chunkTokens: overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      // K = 1 for n ≤ chunk; else 1 + ceil((n - chunk)/stride), as
+      // exact integer arithmetic (floor of (n - chunk + stride - 1)/stride)
+      .withColumn("__k",
+        when(col("__n") <= chunkTokens, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("__n") - lit(chunkTokens.toLong) + lit(stride - 1L)) / lit(stride.toLong))
+              .cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__k") - 1)))
+      .withColumn("__c",
+        slice(col("__w"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tok"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   def fingerprint(text: Column): Column =
     graft.functions.VectorExpressions.fnv1a64(
       lower(regexp_replace(trim(text), "\\s+", " ")))

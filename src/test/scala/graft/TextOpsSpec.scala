@@ -158,4 +158,31 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int, Int, Option[Double])].collect().map(r => r._1 -> r._4).toMap
     assert(re === out.view.mapValues(_._4).toMap)
   }
+
+  test("chunkTokens: boundaries, overlap, tail clamp, degenerate docs") {
+    // 10 tokens t0..t9, chunk 4, overlap 1 → stride 3:
+    // starts 0,3,6 cover through t9 (start 6 + 4 = 10); K = 1+ceil(6/3) = 3
+    val docs = Seq(
+      (1L, (0 until 10).map("t" + _).mkString(" ")),
+      (2L, "a b"),          // shorter than one chunk → single short chunk
+      (3L, "   "),          // whitespace-only → dropped
+      (4L, "")              // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),   // t3 overlaps
+      (1L, 2L, 4L, "t6 t7 t8 t9"),   // t6 overlaps, exact cover
+      (2L, 0L, 2L, "a b")))
+  }
+
+  test("chunkTokens: zero overlap partitions exactly, tail is short") {
+    val docs = Seq((1L, (0 until 7).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "text", "doc_id", chunkTokens = 3, overlap = 0)
+      .orderBy("chunk_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._4) == Seq("w0 w1 w2", "w3 w4 w5", "w6"))
+    assert(out.map(_._3) == Seq(3L, 3L, 1L))
+  }
 }
