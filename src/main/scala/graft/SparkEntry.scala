@@ -801,6 +801,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_auc" -> ((s, d) =>
+      // exact ROC AUC of value as a purchase predictor — Mann-Whitney
+      // over DISTINCT-score groups (the window never sees row volume),
+      // integral until one final division
+      graft.ext.Eval.auc(
+        events(s, d).select((col("event_type") === "purchase").as("y"),
+          col("value")),
+        "y", "value")),
+
+    "q_standardize" -> ((s, d) =>
+      // per-type z-scores from exact decimal moments (the feature-
+      // scaling step), null for degenerate groups
+      graft.ops.Validate.standardize(
+        events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .orderBy("event_id")),
+
     "q_skew_profile" -> ((s, d) =>
       // join-key skew diagnostics on the fact's supplier key: top-5
       // heaviest keys + max/avg factor + entropy — the numbers that
@@ -2540,6 +2557,41 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Mann-Whitney replay: distinct-score groups, negatives-below
+    // window, doubled half-tie credit in HUGEINT (== the engine's
+    // decimal), one double division
+    "q_auc" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, value AS s FROM events),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
+        |  FROM e GROUP BY s),
+        |a AS (
+        |  SELECT s, np_s, nn_s,
+        |    coalesce(sum(nn_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(np_s) AS BIGINT) AS n_pos, CAST(sum(nn_s) AS BIGINT) AS n_neg,
+        |    sum(CAST(np_s AS HUGEINT) * (2 * nb + nn_s)) AS c2
+        |  FROM a)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc
+        |FROM t""".stripMargin,
+
+    "q_standardize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN g.n > 1 AND (g.n * g.sxx - g.sx * g.sx) > 0 THEN
+        |    round((e.value - g.sx / g.n) / sqrt((g.n * g.sxx - g.sx * g.sx) / (g.n * (g.n - 1))), 6)
+        |  END AS value_z
+        |FROM e JOIN g USING (event_type) ORDER BY event_id""".stripMargin,
 
     "q_skew_profile" ->
       """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt FROM lineitem GROUP BY 1),

@@ -177,6 +177,30 @@ object Validate {
       .drop("__edges")
   }
 
+  /** Per-group z-score standardization — the feature-scaling step
+    * before model training, as exact arithmetic: group moments (Σx,
+    * Σx²) accumulate in DECIMAL over a window on the group key (no
+    * join-back, one shuffle), sample std comes out of one sqrt, and
+    * z = (v − mean)/std is a fixed scalar sequence — bit-stable under
+    * any partitioning, unlike avg/stddev(double) whose streaming
+    * merge order varies. Groups with n ≤ 1 or zero variance yield a
+    * null z.
+    */
+  def standardize(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,4)")
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w).cast("double"))
+      .withColumn("__sxx", sum((x * x).cast("decimal(30,8)")).over(w).cast("double"))
+      .withColumn(s"${valueCol}_z", round(
+        when(col("__n") > 1 &&
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")) > 0,
+          (col(valueCol) - col("__sx") / col("__n")) /
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+              (col("__n") * (col("__n") - 1)))), 6))
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Key-skew profile — the decision input for [[Enrich.saltedJoin]]:
     * the top-k heaviest keys with their share, plus the global shape
     * (max/avg skew factor, Shannon entropy of the key distribution).

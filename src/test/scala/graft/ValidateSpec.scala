@@ -135,6 +135,21 @@ class ValidateSpec extends SparkSpec {
       "quantileBins must not plan a window")
   }
 
+  test("standardize: known z-scores, degenerate groups null") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), // mean 2, sample std 1
+      ("b", 4L, 7.0),                                  // n=1 → null
+      ("c", 5L, 4.0), ("c", 6L, 4.0)                   // zero variance → null
+    ).toDF("k", "id", "v")
+    val out = Validate.standardize(df, "k", "v").orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    assert(out == Seq(-1.0, 0.0, 1.0, null, null, null))
+    // invariant under repartitioning (decimal moments)
+    val re = Validate.standardize(df.repartition(5), "k", "v").orderBy("id")
+      .collect().map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    assert(re == out)
+  }
+
   test("skewProfile: uniform keys score ~1, dominant key surfaces on top") {
     val uniform = spark.range(1000).selectExpr("CAST(id % 10 AS STRING) AS k")
     val u = Validate.skewProfile(uniform, "k", topK = 3).collect()
