@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -550,6 +550,60 @@ object Soak {
       val sizes = binned.map(_.getLong(1))
       println(s"[soak] bin sizes min=${sizes.min} max=${sizes.max} " +
         s"(equal-frequency within ${(sizes.max - sizes.min) * 100.0 / 1000000}%)")
+    }
+
+    section("r6") {
+      // --- pagerank at 10M edges / 1M nodes ---
+      val edges = time("gen 10M edges") {
+        val df = spark.range(10000000).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("src"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("dst"))
+        df.write.mode("overwrite").parquet(s"$base/edges")
+        spark.read.parquet(s"$base/edges")
+      }
+      val pr = time("pagerank 3 iters, 10M edges (pinned)") {
+        // at this depth×volume the pinned path wins: lazy would carry a
+        // 10M-edge triple-reference lineage through 3 iterations
+        graft.ext.Graph.pagerank(edges, "src", "dst", iterations = 3,
+          checkpointEach = true)
+      }
+      val mass = pr.agg(sum("rank")).as[Double].head()
+      println(f"[soak] pagerank mass=$mass%.6f over ${pr.count()} nodes (expect ~1.0)")
+
+      // --- binned range join: 10M points vs 100k intervals ---
+      val pts = time("gen 10M points") {
+        spark.range(10000000).select(col("id").as("pid"),
+          (pmod(xxhash64(col("id")), lit(1000000)) / lit(100.0)).as("p"))
+      }
+      val ivs = spark.range(100000).select(col("id").as("iid"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(990000)) / lit(100.0)).as("lo"))
+        .withColumn("hi", col("lo") + lit(50.0))
+      val nPairs = time("binnedPointJoin 10M x 100k (width 50, bin 50)") {
+        graft.ops.Intervals.binnedPointJoin(pts, "p", ivs, "lo", "hi", binSize = 50.0)
+          .count()
+      }
+      // each interval covers width 50 of a ~9900-unit space holding 10M
+      // points → ~50.5k pairs/interval × 100k intervals ≈ 5.05e9
+      println(s"[soak] binned join pairs: $nPairs (expect ~5.05e9)")
+
+      // --- chunking 510k docs ---
+      val docs =
+        if (new java.io.File(s"$base/docs").exists()) spark.read.parquet(s"$base/docs")
+        else genDocs()
+      val nChunks = time("chunkTokens 510k docs (40 tok / 10 overlap)") {
+        graft.ext.TextOps.chunkTokens(docs, "text", "doc_id", 40, 10).count()
+      }
+      println(s"[soak] chunks: $nChunks from ${docs.count()} docs (60-61 tokens → 2 each)")
+
+      // --- AUC on 10M scored rows ---
+      val scored = spark.range(10000000).select(
+        (pmod(xxhash64(col("id")), lit(100)) < 30).as("y"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / lit(100.0) +
+          when(pmod(xxhash64(col("id")), lit(100)) < 30, 20.0).otherwise(0.0)).as("s"))
+      val aucRow = time("exact AUC over 10M rows") {
+        graft.ext.Eval.auc(scored, "y", "s").collect()(0)
+      }
+      println(s"[soak] auc=${aucRow.getDouble(2)} (positives shifted +20 of 100-wide noise → ~0.68)")
     }
     spark.stop()
   }
