@@ -801,6 +801,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_cdc_apply" -> ((s, d) => {
+      // CDC round-trip law as a driver-checked row: corrupt a snapshot
+      // (drop every 7th order, overprice every 5th, inject aliens),
+      // diffFull against the truth, applyChanges — the result must BE
+      // the truth, which is exactly what the oracle selects
+      val truth = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val corrupted = truth
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(s.range(3).select((col("id") + 900000000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit("X").as("o_orderstatus"),
+          lit(0.0).as("o_totalprice")))
+      val feed = graft.ops.Snapshot.diffFull(corrupted, truth, Seq("o_orderkey"))
+      graft.ops.Snapshot.applyChanges(corrupted, feed, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_auc" -> ((s, d) =>
       // exact ROC AUC of value as a purchase predictor — Mann-Whitney
       // over DISTINCT-score groups (the window never sees row volume),
@@ -2557,6 +2577,11 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // the CDC round-trip law: apply(diffFull(corrupted, truth)) == truth
+    "q_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // Mann-Whitney replay: distinct-score groups, negatives-below
     // window, doubled half-tie credit in HUGEINT (== the engine's

@@ -65,4 +65,59 @@ object Snapshot {
   def diffSummary(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame =
     diff(oldDf, newDf, keys)
       .groupBy(col("op")).agg(count(lit(1)).as("n")).orderBy("op")
+
+  /** Full-row change feed: [[diff]] plus the payload needed to REPLAY
+    * each change downstream — new-side values for I/U (what the row
+    * becomes), old-side values for D (what vanished). Output: the
+    * snapshot schema + `op`. Same one-full-outer-shuffle profile as
+    * diff.
+    */
+  def diffFull(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffFull needs at least one key column")
+    val cols = oldDf.columns.toSeq
+    require(newDf.columns.toSeq == cols,
+      s"diffFull: schemas differ (old=${cols.mkString(",")} new=${newDf.columns.mkString(",")})")
+    val payload = cols.filterNot(keys.contains)
+    val o = oldDf.select(cols.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(cols.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val joined = o.join(n,
+      keys.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _),
+      "full_outer")
+    val inOld = col("__in_old").isNotNull
+    val inNew = col("__in_new").isNotNull
+    val anyChange =
+      if (payload.isEmpty) lit(false)
+      else payload.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    joined
+      .withColumn("op",
+        when(inOld && !inNew, lit("D"))
+          .when(!inOld && inNew, lit("I"))
+          .when(anyChange, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(cols.map(c =>
+        when(col("op") === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("op"): _*)
+  }
+
+  /** Apply a [[diffFull]]-shaped change feed to a snapshot: delete the
+    * D keys, replace the U rows, add the I rows. By construction
+    * `applyChanges(old, diffFull(old, new), keys)` reproduces `new`
+    * exactly — the round-trip law the spec pins. Apply a feed ONCE:
+    * the operation is a transition, not idempotent (re-applying an I
+    * duplicates the row).
+    *
+    * Scale shape: one anti-join on the (small) changed-key set + a
+    * union — the snapshot never rewrites rows the feed doesn't touch.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(changes.columns.contains("op"),
+      "applyChanges: changes must carry the diffFull op column")
+    val removeKeys = changes.filter(col("op").isin("D", "U"))
+      .select(keys.map(col): _*).distinct()
+    snapshot.join(removeKeys, keys, "left_anti")
+      .unionByName(changes.filter(col("op").isin("I", "U")).drop("op"))
+  }
 }

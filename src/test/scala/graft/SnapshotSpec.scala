@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, when}
+
 import graft.ops.Snapshot
 
 class SnapshotSpec extends SparkSpec {
@@ -51,5 +53,31 @@ class SnapshotSpec extends SparkSpec {
     val got = Snapshot.diffSummary(old, nw, Seq("k"))
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("D", 1L), ("I", 1L), ("U", 1L)))
+  }
+
+  test("diffFull carries replay payload: new side for I/U, old for D") {
+    val old = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val nw = Seq((2L, "z"), (3L, "w")).toDF("k", "s")
+    val got = Snapshot.diffFull(old, nw, Seq("k"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "x", "D"), (2L, "z", "U"), (3L, "w", "I")))
+  }
+
+  test("round-trip law: applyChanges(old, diffFull(old, new)) == new") {
+    val rnd = new scala.util.Random(19)
+    val old = (1 to 500).map(i => (i.toLong, rnd.nextInt(100), rnd.nextBoolean()))
+      .toDF("k", "v", "f")
+    // mutate: delete ~10%, update ~20%, insert 50 fresh
+    val nw = old.filter(col("k") % 10 =!= 0)
+      .withColumn("v", when(col("k") % 5 === 0, col("v") + 1000).otherwise(col("v")))
+      .unionByName((1001 to 1050).map(i => (i.toLong, i, false)).toDF("k", "v", "f"))
+    val feed = Snapshot.diffFull(old, nw, Seq("k"))
+    val replayed = Snapshot.applyChanges(old, feed, Seq("k"))
+    assert(replayed.orderBy("k").collect().map(_.toSeq).toSeq ==
+      nw.orderBy("k").collect().map(_.toSeq).toSeq)
+    // and an empty feed is the identity
+    val idFeed = Snapshot.diffFull(old, old, Seq("k"))
+    assert(idFeed.count() == 0)
+    assert(Snapshot.applyChanges(old, idFeed, Seq("k")).count() == old.count())
   }
 }
