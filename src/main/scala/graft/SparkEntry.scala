@@ -1226,6 +1226,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "x_bigram_lp" -> ((s, d) =>
+      // corpus-self-trained bigram predictability score (exact KenLM-
+      // style quality cut) — boilerplate scores high, noise low
+      graft.ext.TextOps.bigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
     "x_chunks" -> ((s, d) =>
       // context-window chunking (40 tokens, 10 overlap — sized so the
       // synthetic 10-99-token docs split into 1-3 chunks): shuffle-free
@@ -3691,6 +3697,24 @@ object SparkEntry {
     // the oracle replays the kernel's exact left-to-right double
     // accumulation (list_transform + list_sum), so the threshold
     // decision is bit-identical — same pattern as x_embed_neardup
+    // bigram-LM replay: same lowercased shingles, c(w1 w2)/c(w1·) MLE,
+    // ln rounded to 9 before the decimal mean
+    "x_bigram_lp" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+        |  FROM d),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |cu AS (SELECT string_split(b, ' ')[1] AS w1, count(*) AS cu FROM bg GROUP BY 1),
+        |t AS (
+        |  SELECT bg.doc_id, round(ln(CAST(cb.cb AS DOUBLE) / cu.cu), 9) AS term
+        |  FROM bg JOIN cb ON bg.b = cb.b
+        |  JOIN cu ON string_split(bg.b, ' ')[1] = cu.w1)
+        |SELECT doc_id AS id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS mean_lp
+        |FROM t GROUP BY doc_id ORDER BY id""".stripMargin,
+
     // chunk-boundary replay: same whitespace split, same integer chunk
     // count, same 1-based 40-token slices at stride 30
     "x_chunks" ->

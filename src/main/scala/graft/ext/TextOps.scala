@@ -115,6 +115,39 @@ object TextOps {
     * robust to whitespace/case jitter, reproducible outside the engine
     * (see [[graft.functions.Fnv1a64]]).
     */
+  /** Corpus-self-trained bigram log-probability score — the
+    * "predictability" quality signal (the exact-arithmetic cousin of
+    * KenLM perplexity filtering à la CCNet): train bigram MLE counts on
+    * the corpus itself, score each doc by the mean log-probability of
+    * its bigrams, `p(w2|w1) = c(w1 w2) / c(w1 ·)`. Templated/boilerplate
+    * text scores high (its transitions repeat corpus-wide), rare noisy
+    * text scores low. Self-scoring needs no smoothing: every doc bigram
+    * has corpus count ≥ 1 by construction.
+    *
+    * Returns (id, n_bigrams, mean_lp) for docs with ≥ 2 tokens.
+    * Shuffles: bigram count, first-token count, the score join keyed by
+    * bigram, the per-doc mean — all keyed by token-stream-sized frames,
+    * never a pair space. Deterministic: each term is one division and
+    * one ln (correctly-rounded libm on every engine we replay against),
+    * rounded to 9 before the decimal mean.
+    */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), 2)).as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val cu = bg.select(element_at(split(col("b"), " "), 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bg.join(cb, "b")
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .join(cu, "w1")
+      .withColumn("term", round(log(col("cb").cast("double") / col("cu")), 9))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term").cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("mean_lp"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window prep
     * every RAG index and pretraining tokenizer pipeline runs before
     * embedding/packing. Chunk k covers whitespace tokens

@@ -159,6 +159,20 @@ class TextOpsSpec extends SparkSpec {
     assert(re === out.view.mapValues(_._4).toMap)
   }
 
+  test("bigramLogProb: hand-computed MLE, repeated text outscores rare text") {
+    // corpus: "a b" x3 docs and one "a c" doc →
+    // c(a b)=3, c(a c)=1, c(a·)=4: lp("a b") = ln(3/4), lp("a c") = ln(1/4)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, "text", "doc_id")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.map(_._2) == Seq(1L, 1L, 1L, 1L))
+    assert(out(0)._3 == r6(math.rint(math.log(3.0 / 4) * 1e9) / 1e9))
+    assert(out(3)._3 == r6(math.rint(math.log(1.0 / 4) * 1e9) / 1e9))
+    assert(out(0)._3 > out(3)._3) // common transition scores higher
+  }
+
   test("chunkTokens: boundaries, overlap, tail clamp, degenerate docs") {
     // 10 tokens t0..t9, chunk 4, overlap 1 → stride 3:
     // starts 0,3,6 cover through t9 (start 6 + 4 = 10); K = 1+ceil(6/3) = 3
