@@ -801,6 +801,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    "q_corrupt_records" -> ((s, d) => {
+      // ingest robustness: a feed where every 7th payload is truncated
+      // mid-JSON parses in PERMISSIVE mode — corrupt rows land intact
+      // in the capture column instead of failing the batch, and the
+      // summary splits clean/corrupt per lang
+      val feed = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("""{"n":"""), col("n_chars"), lit(""", "truncat""")))
+          .otherwise(concat(lit("""{"n":"""), col("n_chars"), lit("}")))
+          .as("payload"))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+      feed.select(col("doc_id"), col("lang"),
+          from_json(col("payload"), sch,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_bad")).as("r"))
+        .select(col("doc_id"), col("lang"), col("r.n").as("n"),
+          col("r._bad").isNotNull.as("corrupt"))
+        .groupBy("lang", "corrupt")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("n_sum"))
+        .orderBy("lang", "corrupt")
+    }),
+
     "q_cdc_apply" -> ((s, d) => {
       // CDC round-trip law as a driver-checked row: corrupt a snapshot
       // (drop every 7th order, overprice every 5th, inject aliens),
@@ -2583,6 +2607,11 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_corrupt_records" ->
+      """SELECT lang, (doc_id % 7 = 0) AS corrupt, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS n_sum
+        |FROM documents GROUP BY lang, corrupt ORDER BY lang, corrupt""".stripMargin,
 
     // the CDC round-trip law: apply(diffFull(corrupted, truth)) == truth
     "q_cdc_apply" ->
