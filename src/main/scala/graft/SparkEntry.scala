@@ -570,28 +570,24 @@ object SparkEntry {
     }),
 
     "q_paged_scan_v2" -> ((s, d) => {
-      // the SAME extract-dump round-trip through the DataSource V2
-      // connector (graft.sources.PagedSourceProvider): pages become
-      // input partitions read in PARALLEL on executors (the driver-loop
-      // form above fetches sequentially), and the `page` predicate is
-      // pushed into the scan so the terminating empty page's file is
-      // pruned at planning time and never opened.
-      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars").orderBy("doc_id")
-      val rows = docs.toJSON.collect()
+      // the extract-dump round-trip ENTIRELY through the DataSource V2
+      // connector (graft.sources.PagedSourceProvider): the dump is
+      // PUBLISHED by the connector's atomic write path (per-task page
+      // temps, commit renames + terminator page), then read back as a
+      // parallel page scan with the `page` predicate pushed so the
+      // terminator's file is pruned at planning time and never opened.
       val dir = java.nio.file.Files.createTempDirectory("graft-paged-v2").toString
-      val pages = rows.grouped(200).toSeq :+ Array.empty[String]
-      pages.zipWithIndex.foreach { case (page, i) =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(dir, s"documents-$i.json"),
-          page.mkString("[", ",", "]"))
-      }
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .toJSON.toDF("payload").repartition(3)
+        .write.format("graft-paged")
+        .option("dir", dir).option("prefix", "documents").mode("append").save()
       val sch = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
       s.read.format("graft-paged")
         .option("dir", dir).option("prefix", "documents").load()
-        .filter(col("page") < pages.size - 1)
+        .filter(col("page") < 3)
         .select(from_json(col("payload"), sch).as("r"))
         .select("r.doc_id", "r.lang", "r.n_chars")
         .orderBy("doc_id")

@@ -55,6 +55,9 @@ final class PagedSourceProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedV2.schema
 
+  // writes present their own (payload-only) schema; reads infer ours
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -62,7 +65,7 @@ final class PagedSourceProvider extends TableProvider
     val dir = properties.get("dir")
     val prefix = Option(properties.get("prefix")).getOrElse("page")
     require(dir != null, "graft-paged: option 'dir' is required")
-    new PagedTable(dir, prefix)
+    new PagedTable(dir, prefix, schema)
   }
 }
 
@@ -120,14 +123,24 @@ object PagedV2 {
   val pagesOpened = new AtomicLong(0)
 }
 
-final class PagedTable(dir: String, prefix: String)
-    extends Table with SupportsRead {
+final class PagedTable(dir: String, prefix: String,
+                       providedSchema: StructType = PagedV2.schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-paged:$dir/$prefix"
-  override def schema(): StructType = PagedV2.schema
+  // reads always expose the connector schema; a write presents the
+  // incoming frame's schema (validated payload-only in the builder)
+  override def schema(): StructType = providedSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(dir, prefix)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new PagedWriteBuilder(dir, prefix, info.schema())
 }
 
 final class PagedScanBuilder(dir: String, prefix: String)
@@ -220,6 +233,103 @@ final class PagedScan(
 }
 
 final case class PagedInputPartition(page: Int, path: String) extends InputPartition
+
+/** Write path: publish a DataFrame AS a page dump — the inverse of the
+  * scan, closing the connector loop (extract dumps in, page dumps
+  * out, both ends Spark jobs). Input must carry a `payload` string
+  * column (one JSON element per row; any other columns are rejected so
+  * nothing silently drops). Each task serializes its partition to ONE
+  * page file under a hidden temp name; the driver commit renames tasks'
+  * temps to contiguous page numbers in partition order and appends the
+  * terminating empty page — so readers (the batch scan, the stream
+  * tailer, the reference's own stop-on-empty loop) never observe a
+  * half-written dump. Task retries are safe: temps are uniquely named
+  * and only the committed attempt's files are renamed; abort deletes
+  * temps.
+  *
+  * Overwrite (`.mode("overwrite")` → TRUNCATE capability) removes the
+  * prefix's existing pages inside the same commit, after the new temps
+  * are in place.
+  */
+final class PagedWriteBuilder(dir: String, prefix: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        require(schema.fieldNames.toSeq == Seq("payload") &&
+          schema.fields.head.dataType == StringType,
+          s"graft-paged write expects a single `payload` string column, got ${schema.simpleString}")
+        new PagedBatchWrite(dir, prefix, doTruncate)
+      }
+    }
+}
+
+final case class PagedWriteMessage(partitionId: Int, tmpPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.DataWriterFactory =
+    new PagedDataWriterFactory(dir, prefix)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[PagedWriteMessage]).sortBy(_.partitionId)
+    if (truncate)
+      PagedV2.listPages(dir, prefix).foreach { case (_, p) => new java.io.File(p).delete() }
+    msgs.zipWithIndex.foreach { case (m, page) =>
+      val dst = java.nio.file.Paths.get(dir, s"$prefix-$page.json")
+      java.nio.file.Files.move(java.nio.file.Paths.get(m.tmpPath), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // the terminating empty page — the reference's stop condition
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"$prefix-${msgs.length}.json"), "[]")
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PagedWriteMessage(_, tmp) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+final class PagedDataWriterFactory(dir: String, prefix: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      // hidden temp (leading dot): invisible to listPages until renamed
+      private val tmp = java.nio.file.Paths.get(dir,
+        s".$prefix-part$partitionId-task$taskId-${java.util.UUID.randomUUID()}.tmp")
+      private val w = {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.newBufferedWriter(tmp)
+      }
+      private var first = true
+      w.write("[")
+      override def write(record: InternalRow): Unit = {
+        if (!first) w.write(",")
+        first = false
+        w.write(record.getUTF8String(0).toString)
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        w.write("]"); w.close()
+        PagedWriteMessage(partitionId, tmp.toString)
+      }
+      override def abort(): Unit = { w.close(); java.nio.file.Files.deleteIfExists(tmp) }
+      override def close(): Unit = ()
+    }
+}
 
 /** Streaming form of the paged scan: the page number IS the offset.
   * Each trigger picks up page files in [start, end) where `end` is the
