@@ -949,6 +949,20 @@ object SparkEntry {
         "event_type", "es", "value", 3600L)
         .orderBy("event_type", "slot")),
 
+    "q_ts_anomaly" -> ((s, d) => {
+      // rolling anomaly flags over the hourly grid: each slot scored
+      // against the trailing day's mean/std (exclusive window, so a
+      // spike can't inflate its own baseline)
+      val rs = graft.ops.TimeSeries.resample(
+        events(s, d).select(col("event_type"),
+          expr("ts div 1000000000").as("es"), col("value")),
+        "event_type", "es", "value", 3600L)
+      graft.ops.TimeSeries.rollingAnomalies(rs, "event_type", "slot",
+          "value_avg", window = 24, k = 3.0)
+        .select("event_type", "slot", "value_avg", "z", "is_anomaly")
+        .orderBy("event_type", "slot")
+    }),
+
     "q_interpolate" -> ((s, d) => {
       // gap repair over the resampled grid: linear interpolation
       // between the nearest observed neighbors, then forward-fill for
@@ -2781,6 +2795,34 @@ object SparkEntry {
         |  coalesce(o.n, 0) AS n
         |FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.slot = o.slot
         |ORDER BY s.event_type, s.slot""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS slot, value FROM events),
+        |obs AS (
+        |  SELECT event_type, slot, sum(CAST(value AS DECIMAL(18,2))) AS vs, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS slot FROM b),
+        |rs AS (
+        |  SELECT s.event_type, s.slot, round(CAST(o.vs AS DOUBLE) / o.n, 6) AS v
+        |  FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.slot = o.slot),
+        |m AS (
+        |  SELECT event_type, slot, v,
+        |    count(v) OVER win AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(18,4))) OVER win AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4)) AS DECIMAL(30,8))) OVER win AS DOUBLE) AS sxx
+        |  FROM rs
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY slot ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zc AS (
+        |  SELECT event_type, slot, v,
+        |    CASE WHEN v IS NOT NULL AND n > 1 AND (n * sxx - sx * sx) > 0 THEN
+        |      round((v - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6)
+        |    END AS z
+        |  FROM m)
+        |SELECT event_type, slot, v AS value_avg, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM zc ORDER BY event_type, slot""".stripMargin,
 
     "q_interpolate" ->
       """WITH e AS (

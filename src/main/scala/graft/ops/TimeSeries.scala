@@ -79,6 +79,32 @@ object TimeSeries {
     cols.foldLeft(df)((acc, c) => acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** Rolling anomaly detection: each point scores against the mean/std
+    * of the PREVIOUS `window` rows of its key (exclusive — a spike must
+    * not inflate the baseline that judges it). Adds `z` (null while the
+    * trailing window lacks ≥ 2 observations or has zero variance) and
+    * `is_anomaly` (|z| > k). Window-only over the key shuffle; moments
+    * accumulate in decimal, so flags are byte-stable at any
+    * parallelism.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, ordCol: String,
+                       valueCol: String, window: Int = 24,
+                       k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-window, -1)
+    val x = col(valueCol).cast("decimal(18,4)")
+    df.withColumn("__n", count(col(valueCol)).over(w))
+      .withColumn("__sx", sum(x).over(w).cast("double"))
+      .withColumn("__sxx", sum((x * x).cast("decimal(30,8)")).over(w).cast("double"))
+      .withColumn("z", round(
+        when(col(valueCol).isNotNull && col("__n") > 1 &&
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")) > 0,
+          (col(valueCol) - col("__sx") / col("__n")) /
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+              (col("__n") * (col("__n") - 1)))), 6))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > k, lit(false)))
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Linear interpolation: nulls in `valueCol` take the straight line
     * between the nearest preceding and following non-null observations
     * (in `ordCol`, which must be numeric — e.g. the resample slot).

@@ -64,6 +64,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(0.0, 1.0, 2.0, 3.0, 8.0, null, 1.0, null))
   }
 
+  test("rollingAnomalies flags a planted spike against the trailing baseline") {
+    // steady 10.0 with tiny alternation (so std > 0), one 100.0 spike
+    val rows = (1 to 30).map { i =>
+      val v = if (i == 25) 100.0 else if (i % 2 == 0) 10.1 else 9.9
+      ("k", i.toLong, v)
+    }
+    val out = graft.ops.TimeSeries.rollingAnomalies(
+        rows.toDF("k", "t", "v"), "k", "t", "v", window = 10, k = 3.0)
+      .orderBy("t").collect()
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(1)).toSeq
+    assert(flagged == Seq(25L), s"expected only the spike, got $flagged")
+    // warm-up rows (fewer than 2 trailing obs) carry null z, not flags
+    assert(out.head.isNullAt(3) && !out.head.getBoolean(4))
+  }
+
+  test("rollingAnomalies: exclusive window keeps the spike out of its own baseline") {
+    // after the spike, values return to baseline: the spike sits IN the
+    // trailing window of rows 26..35 and inflates std — those rows must
+    // not flag, and by row 36 the window is clean again
+    val rows = (1 to 40).map { i =>
+      val v = if (i == 25) 100.0 else if (i % 2 == 0) 10.1 else 9.9
+      ("k", i.toLong, v)
+    }
+    val out = graft.ops.TimeSeries.rollingAnomalies(
+        rows.toDF("k", "t", "v"), "k", "t", "v", window = 10, k = 3.0)
+      .orderBy("t").collect()
+    assert(out.filter(_.getBoolean(4)).map(_.getLong(1)).toSeq == Seq(25L))
+  }
+
   test("interpolation then forward-fill repairs trailing edge only") {
     val df = Seq(
       ("a", 0L, Some(2.0)), ("a", 10L, None), ("a", 20L, Some(4.0)), ("a", 30L, None)
