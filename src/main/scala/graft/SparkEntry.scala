@@ -593,6 +593,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_stream_paged" -> ((s, d) => {
+      // STREAMING the paged connector end to end, oracle-gated: publish
+      // the documents extract as a page dump through the connector's
+      // WRITE path, tail it as a stream (page number = offset), parse
+      // payloads per micro-batch into a parquet sink, read back — the
+      // result must BE the documents table. Proves dump → stream →
+      // typed rows with no loss, duplication, or half-read pages.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-paged").toString
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .toJSON.toDF("payload").repartition(4)
+        .write.format("graft-paged")
+        .option("dir", s"$tmp/pages").option("prefix", "documents")
+        .mode("append").save()
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val q = ss.readStream.format("graft-paged")
+        .option("dir", s"$tmp/pages").option("prefix", "documents").load()
+        .select(from_json(col("payload"), sch).as("r"))
+        .select("r.doc_id", "r.lang", "r.n_chars")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
     "q_stream_windowed_counts" -> ((s, d) => {
       // STREAMING execution of the tumbling-window incremental protocol
       // (Q50's streaming form): file-stream the orders table →
@@ -2449,6 +2481,9 @@ object SparkEntry {
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
 
     "q_paged_scan_v2" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q_stream_paged" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
 
     // repetition replay: same tokenizer; n-gram counts over the shingle

@@ -16,7 +16,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_stream_windowed_counts", // executes a stream in the builder
     "q_stream_running_stats",   // executes a stream in the builder
     "q_stream_dedup",           // executes a stream in the builder
-    "q_stream_interval_join"    // executes a stream in the builder
+    "q_stream_interval_join",   // executes a stream in the builder
+    "q_stream_paged"            // executes a stream in the builder
   )
 
   // same resolution as Bench: env override first, driver layout as the
