@@ -925,6 +925,27 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_interval_overlap_join" -> ((s, d) => {
+      // interval×interval overlap at scale: 14-day activity windows of
+      // a customer's FILLED orders overlapping windows of their OPEN
+      // orders — both sides explode into week bins, equi-join on
+      // (bin, custkey), canonical-bin predicate dedups each pair
+      // without a distinct shuffle
+      def win(status: String, keyAs: String) =
+        t(s, d, "orders").filter(col("o_orderstatus") === status)
+          .select(col("o_custkey"),
+            col("o_orderkey").as(keyAs),
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+              .cast("double").as(s"${keyAs}_lo"))
+          .withColumn(s"${keyAs}_hi", col(s"${keyAs}_lo") + 14.0)
+      graft.ops.Intervals.binnedIntervalJoin(
+          win("F", "f_order"), "f_order_lo", "f_order_hi",
+          win("O", "o_order"), "o_order_lo", "o_order_hi",
+          binSize = 7.0, extraKeys = Seq("o_custkey"))
+        .select(col("o_custkey"), col("f_order"), col("o_order"))
+        .orderBy("o_custkey", "f_order", "o_order")
+    }),
+
     "q_tpch1" -> ((s, d) =>
       // TPC-H Q1 (pricing summary): the canonical wide-aggregate scan
       // — decimal-exact sums, averages as one division over exact
@@ -2785,6 +2806,20 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_interval_overlap_join" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderkey AS f_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS lo
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (
+        |  SELECT o_custkey, o_orderkey AS o_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS lo
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT f.o_custkey, f.f_order, o.o_order
+        |FROM f JOIN o ON f.o_custkey = o.o_custkey
+        |  AND f.lo < o.lo + 14.0 AND o.lo < f.lo + 14.0
+        |ORDER BY f.o_custkey, f.f_order, o.o_order""".stripMargin,
 
     "q_tpch1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -95,6 +95,44 @@ object Intervals {
     * optimization" in Spark-ecosystem engines), built from explode +
     * equi-join so Catalyst plans a plain shuffled hash/sort-merge join.
     */
+  /** Interval×interval OVERLAP join by binning — same scale rationale
+    * as [[binnedPointJoin]], for the case where BOTH sides are spans
+    * (meeting-overlap detection, session×incident correlation,
+    * genomic-style range intersection). Overlap means
+    * `a.lo < b.hi AND b.lo < a.hi` (half-open spans). Both sides
+    * explode into covered bins and equi-join on (bin, extraKeys); an
+    * overlapping pair co-occurs in EVERY shared bin, so the join keeps
+    * only the CANONICAL bin — the one holding `greatest(a.lo, b.lo)`,
+    * the overlap's start — which each pair has exactly once: exact
+    * dedup with a codegen'd comparison instead of a distinct shuffle
+    * over the (potentially huge) pair set.
+    */
+  def binnedIntervalJoin(left: DataFrame, leftLo: String, leftHi: String,
+                         right: DataFrame, rightLo: String, rightHi: String,
+                         binSize: Double, extraKeys: Seq[String] = Seq.empty,
+                         maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binSize > 0, "binnedIntervalJoin: binSize must be positive")
+    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .withColumn("__b0", floor(col(lo) / binSize).cast("long"))
+      .withColumn("__b1", floor(col(hi) / binSize).cast("long"))
+      .withColumn("__guard",
+        when(col("__b1") - col("__b0") < maxBinsPerInterval, lit(true))
+          .otherwise(raise_error(concat(lit("binnedIntervalJoin: interval ["),
+            col(lo).cast("string"), lit(", "), col(hi).cast("string"),
+            lit(s") covers more than $maxBinsPerInterval bins — raise binSize")))))
+      .where(col("__guard"))
+      .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1", "__guard")
+    val l = explodeBins(left, leftLo, leftHi)
+    val r = explodeBins(right, rightLo, rightHi)
+    l.join(r, Seq("__bin") ++ extraKeys)
+      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      // canonical bin: the one containing the overlap's start
+      .where(col("__bin") ===
+        floor(greatest(col(leftLo), col(rightLo)) / binSize).cast("long"))
+      .drop("__bin")
+  }
+
   def binnedPointJoin(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binSize: Double, extraKeys: Seq[String] = Seq.empty,

@@ -121,6 +121,37 @@ class IntervalsSpec extends SparkSpec {
     assert(got == Seq(1L)) // tenant b must not match tenant a's interval
   }
 
+  test("binnedIntervalJoin == plain overlap theta join, each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = (1 to 120).map { i =>
+      val lo = rnd.nextDouble() * 150 - 70
+      (i.toLong, lo, lo + rnd.nextDouble() * 40)
+    }.toDF("aid", "alo", "ahi")
+    val b = (1 to 90).map { i =>
+      val lo = rnd.nextDouble() * 150 - 70
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF("bid", "blo", "bhi")
+    val viaBins = graft.ops.Intervals
+      .binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", binSize = 9.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaBins.sorted == plain.sorted)
+    assert(viaBins.distinct.size == viaBins.size,
+      "canonical-bin dedup must emit each overlapping pair exactly once")
+  }
+
+  test("binnedIntervalJoin: touching half-open spans do not overlap") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 10.0)).toDF("aid", "alo", "ahi")
+    val b = Seq((1L, 10.0, 20.0), (2L, 9.999, 12.0)).toDF("bid", "blo", "bhi")
+    val got = graft.ops.Intervals
+      .binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", 4.0)
+      .select("bid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L)) // [0,10) meets [10,20) only at the open edge
+  }
+
   test("binnedPointJoin guards runaway interval width") {
     import spark.implicits._
     val points = Seq((1L, 5.0)).toDF("pid", "p")
