@@ -925,6 +925,15 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_coocurrence" -> ((s, d) =>
+      // market-basket association: supplier pairs sharing an order,
+      // top-20 by support — the pair space is per-basket-bounded
+      // (self-join on the order key, never |items|²)
+      graft.ext.Behavior.coOccurrence(
+          t(s, d, "lineitem"), "l_orderkey", "l_suppkey")
+        .orderBy(col("cab").desc, col("lift").desc, col("ia").asc, col("ib").asc)
+        .limit(20)),
+
     "q_interval_overlap_join" -> ((s, d) => {
       // interval×interval overlap at scale: 14-day activity windows of
       // a customer's FILLED orders overlapping windows of their OPEN
@@ -2806,6 +2815,21 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_coocurrence" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+        |sized AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 1000),
+        |inb AS (SELECT it.b, it.i FROM it JOIN sized ON it.b = sized.b),
+        |nb AS (SELECT count(*) AS n_baskets FROM sized),
+        |ci AS (SELECT i, count(*) AS ci FROM inb GROUP BY i),
+        |pr AS (
+        |  SELECT a.i AS ia, c.i AS ib, count(*) AS cab
+        |  FROM inb a JOIN inb c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY a.i, c.i)
+        |SELECT pr.ia, pr.ib, pr.cab, ca.ci AS ca, cb.ci AS cb,
+        |  round(CAST(pr.cab AS DOUBLE) * nb.n_baskets / (CAST(ca.ci AS DOUBLE) * cb.ci), 6) AS lift
+        |FROM pr JOIN ci ca ON pr.ia = ca.i JOIN ci cb ON pr.ib = cb.i, nb
+        |ORDER BY cab DESC, lift DESC, ia ASC, ib ASC LIMIT 20""".stripMargin,
 
     "q_interval_overlap_join" ->
       """WITH f AS (

@@ -286,6 +286,41 @@ object Behavior {
       .orderBy(col(groupCol))
   }
 
+  /** Market-basket co-occurrence: for every unordered item pair that
+    * shares a basket, the pair support and the lift
+    * `N·c(a,b) / (c(a)·c(b))` — the "bought X also bought Y"
+    * associator. Lift > 1 means the pair co-occurs more than
+    * independence predicts.
+    *
+    * Scale shape: items dedup within basket (one shuffle on basket),
+    * pairs come from a SELF-JOIN ON THE BASKET KEY with `a < b` — the
+    * pair space is Σ_b |basket_b|² , bounded by basket size (retail
+    * baskets are tens of items), never |items|². Counts are exact
+    * integers; lift is one double expression replayed verbatim by the
+    * oracle. `maxBasketSize` drops degenerate mega-baskets (a crawler
+    * session with 10k "items" would alone contribute 10⁸ pairs).
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   maxBasketSize: Int = 1000): DataFrame = {
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val sized = items.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBasketSize).select(col("b"))
+    val inB = items.join(sized, "b")
+    val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
+    val ci = inB.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val pairs = inB.select(col("b"), col("i").as("ia"))
+      .join(inB.select(col("b"), col("i").as("ib")), "b")
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("cab"))
+    pairs
+      .join(ci.select(col("i").as("ia"), col("ci").as("ca")), "ia")
+      .join(ci.select(col("i").as("ib"), col("ci").as("cb")), "ib")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ia"), col("ib"), col("cab"), col("ca"), col("cb"),
+        round(col("cab").cast("double") * col("n_baskets") /
+          (col("ca").cast("double") * col("cb")), 6).as("lift"))
+  }
+
   /** Two-variant experiment readout: per-user conversion (any row with
     * the flag) aggregated per variant, then rate lift and the pooled
     * two-proportion z statistic. One row out: ns, conversions, rates,

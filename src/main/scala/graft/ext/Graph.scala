@@ -37,7 +37,8 @@ object Graph {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, damping: Double = 0.85,
                checkpointEach: Boolean = false,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "pagerank: need at least one iteration")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // Lazy by default ON PURPOSE: although ranks_i is referenced 3× by
@@ -52,11 +53,19 @@ object Graph {
       if (!checkpointEach) identity
       else if (checkpointDir.isDefined) _.checkpoint(true)
       else _.localCheckpoint(true)
+    // weighted form: rank flows proportionally to edge weight instead
+    // of uniformly — weights round to 6dp decimals so the per-src
+    // totals are exact, and each contribution stays one multiply + one
+    // divide on deterministic inputs
+    val w = weightCol.map(c => col(c).cast("decimal(18,6)"))
+      .getOrElse(lit(1).cast("decimal(18,6)"))
     val e = pin(edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")))
+      col(dstCol).cast("string").as("dst"), w.as("w")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val outdeg = e.groupBy(col("src"))
+      .agg(sum(col("w")).cast("double").as("od"))
+      .where(col("od") > 0)
     val nn = nodes.agg(count(lit(1)).as("n"))
     // IEEE 1-d, not a pre-simplified constant: the oracle writes the
     // same subtraction, so both sides hold the identical double
@@ -70,7 +79,8 @@ object Graph {
       val contribs = e.join(ranks.select(col("node").as("src"), col("rank")), "src")
         .join(outdegPinned, "src")
         .select(col("dst").as("node"),
-          round(col("rank") / col("od"), 12).cast("decimal(24,12)").as("cd"))
+          round(col("rank") * col("w").cast("double") / col("od"), 12)
+            .cast("decimal(24,12)").as("cd"))
         .groupBy(col("node")).agg(sum(col("cd")).as("csum"))
       val dangling = ranks
         .join(outdegPinned, ranks("node") === outdegPinned("src"), "left_anti")

@@ -50,6 +50,24 @@ class GraphSpec extends SparkSpec {
     assert(r1.map(_.toSeq) == r2.map(_.toSeq))
   }
 
+  test("weighted: uniform weights reproduce the unweighted ranks exactly") {
+    val e = Seq(("a", "b", 2.5), ("a", "c", 2.5), ("b", "c", 2.5), ("c", "a", 2.5))
+      .toDF("s", "t", "w")
+    val un = Graph.pagerank(e, "s", "t").orderBy("node").collect().toSeq
+    val wt = Graph.pagerank(e, "s", "t", weightCol = Some("w"))
+      .orderBy("node").collect().toSeq
+    assert(un.map(_.toSeq) == wt.map(_.toSeq)) // equal weights cancel
+  }
+
+  test("weighted: rank flows proportionally to edge weight") {
+    // a splits 3:1 between b and c
+    val e = Seq(("a", "b", 3.0), ("a", "c", 1.0)).toDF("s", "t", "w")
+    val r = Graph.pagerank(e, "s", "t", iterations = 1, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // contribs: b = r0*0.75, c = r0*0.25 → b-c gap = 0.85 * r0/2
+    assert(math.abs((r("b") - r("c")) - 0.85 * (1.0 / 3) / 2) < 1e-9, r.toString)
+  }
+
   test("multi-edges contribute multiply") {
     // a sends BOTH its half-shares to b when the a→b edge is doubled
     // vs a graph where a splits between b and c
