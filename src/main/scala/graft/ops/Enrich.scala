@@ -111,6 +111,32 @@ object Enrich {
       .drop("__salt")
   }
 
+  /** Skew join that salts ONLY the hot keys: the fact splits on
+    * membership in `hotKeys` (from [[Validate.skewProfile]]); the hot
+    * slice runs through [[saltedJoin]] — replicating only the hot
+    * keys' dim rows, `saltBuckets` copies of a HANDFUL of rows instead
+    * of the whole dim — and the cold slice joins plain. Soak-measured:
+    * full-dim salting loses to a plain SMJ on one box (the 32×
+    * replication of a 2M-row dim costs more than the skew), while the
+    * hot-only form pays ~nothing for the cold 99.99% of keys and still
+    * splits the hot partition 32 ways. Same join-type restriction as
+    * saltedJoin (no right/full joins — unmatched right rows would
+    * duplicate per bucket).
+    */
+  def skewJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               hotKeys: Seq[Any], saltBuckets: Int,
+               how: String = "inner"): DataFrame = {
+    require(hotKeys.nonEmpty, "skewJoin: pass the hot keys (from skewProfile)")
+    val hotL = coalesce(col(leftKey).isin(hotKeys: _*), lit(false))
+    val hotR = coalesce(col(rightKey).isin(hotKeys: _*), lit(false))
+    val hot = saltedJoin(left.where(hotL), right.where(hotR),
+      leftKey, rightKey, saltBuckets, how)
+    val cold = left.where(!hotL).join(right.where(!hotR),
+      left(leftKey) === right(rightKey), how)
+    hot.unionByName(cold)
+  }
+
   /** Default-row injection: append `defaults` rows whose key is absent
     * from `df` — the synthetic "Ender Turing" user id=0
     * (Transform.py:20-27,117-127). Scale shape: semi-join the TABLE

@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -604,6 +604,39 @@ object Soak {
         graft.ext.Eval.auc(scored, "y", "s").collect()(0)
       }
       println(s"[soak] auc=${aucRow.getDouble(2)} (positives shifted +20 of 100-wide noise → ~0.68)")
+    }
+
+    section("r6b") {
+      // skew mitigation A/B/C: 10M-row fact with 90% of rows on ONE key
+      // joining a 2M-row dim (too big to broadcast) — plain SMJ with
+      // AQE skew-join ON, OFF, and saltedJoin. Run on a cloned session
+      // so conf flips can't leak.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.{broadcast => _}
+      val fact = ss.range(10000000).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(2000000))).as("k"),
+        col("id").as("v"))
+      val dim = ss.range(2000000).select(col("id").as("dk"),
+        (col("id") % 7).as("dv"))
+      def plain() = fact.join(dim, fact("k") === dim("dk")).agg(
+        count(lit(1)), sum(col("dv"))).collect()(0)
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val a = time("skewed join, AQE skew-join ON")(plain())
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val b = time("skewed join, AQE skew-join OFF")(plain())
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val c = time("saltedJoin(32), FULL dim replicated") {
+        graft.ops.Enrich.saltedJoin(fact, dim, "k", "dk", saltBuckets = 32)
+          .agg(count(lit(1)), sum(col("dv"))).collect()(0)
+      }
+      val hd = time("skewJoin(32), hot key only") {
+        graft.ops.Enrich.skewJoin(fact, dim, "k", "dk",
+            hotKeys = Seq(0L), saltBuckets = 32)
+          .agg(count(lit(1)), sum(col("dv"))).collect()(0)
+      }
+      println(s"[soak] results equal: ${a == b && b == c && c == hd} ($a)")
     }
     spark.stop()
   }

@@ -72,4 +72,20 @@ class EnrichSpec extends SparkSpec {
       assert(salted === plain, s"salted $how join diverged")
     }
   }
+
+  test("skewJoin (hot-only salting) equals plain join, null keys survive left") {
+    import spark.implicits._
+    val left = (1 to 200).map(i =>
+      (i.toLong, if (i <= 150) 0 else i % 7, s"v$i")).toDF("id", "k", "v")
+      .unionByName(Seq((999L, -1, "nokey")).toDF("id", "k", "v"))
+    val right = (0 to 6).map(i => (i, s"dim$i")).toDF("rk", "name")
+    for (how <- Seq("inner", "left")) {
+      val plain = left.join(right, left("k") === right("rk"), how)
+        .select("id", "k", "v", "name").orderBy("id", "name").collect()
+      val skew = Enrich.skewJoin(left, right, "k", "rk",
+          hotKeys = Seq(0), saltBuckets = 8, how = how)
+        .select("id", "k", "v", "name").orderBy("id", "name").collect()
+      assert(skew === plain, s"skewJoin $how diverged")
+    }
+  }
 }
