@@ -925,6 +925,17 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_skew_join" -> ((s, d) =>
+      // hot-key-only salted join (the soak-measured winner among skew
+      // mitigations): results must equal the plain join exactly —
+      // which is precisely what the oracle computes
+      graft.ops.Enrich.skewJoin(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+          t(s, d, "supplier").select("s_suppkey", "s_name"),
+          "l_suppkey", "s_suppkey", hotKeys = Seq(1L, 2L, 3L), saltBuckets = 8)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "s_name")
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "s_name")),
+
     "q_coocurrence" -> ((s, d) =>
       // market-basket association: supplier pairs sharing an order,
       // top-20 by support — the pair space is per-basket-bounded
@@ -2815,6 +2826,11 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name""".stripMargin,
 
     "q_coocurrence" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),

@@ -205,6 +205,19 @@ class PagedV2Spec extends SparkSpec {
       .option("dir", dir).option("prefix", "t").load().count() == 3)
   }
 
+  test("write path: a failed job leaves no pages and no temps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-abort").toString
+    intercept[Exception] {
+      spark.range(10).selectExpr(
+          "CASE WHEN id = 7 THEN raise_error('boom') ELSE to_json(struct(id)) END AS payload")
+        .repartition(2).write.format("graft-paged")
+        .option("dir", dir).option("prefix", "a").mode("append").save()
+    }
+    val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    assert(left.isEmpty,
+      s"aborted write must clean up, found: ${left.map(_.getName).mkString(", ")}")
+  }
+
   test("write path rejects schemas that would silently drop columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-paged-bad").toString
     val e = intercept[Exception] {

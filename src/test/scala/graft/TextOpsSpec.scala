@@ -192,6 +192,26 @@ class TextOpsSpec extends SparkSpec {
       (2L, 0L, 2L, "a b")))
   }
 
+  test("chunkTokens property: dropping each chunk's first `overlap` tokens " +
+      "(after chunk 0) reconstructs the document exactly") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(60)
+      val chunk = 2 + rnd.nextInt(10)
+      val overlap = rnd.nextInt(chunk) // 0 until chunk
+      val toks = (0 until n).map("t" + _)
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkTokens(docs, "text", "doc_id", chunk, overlap)
+        .orderBy("chunk_id").as[(Long, Long, Long, String)].collect()
+      val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, _, txt), i) =>
+        val ws = txt.split(" ").toSeq
+        if (i == 0) ws else ws.drop(overlap)
+      }
+      assert(rebuilt.toSeq == toks,
+        s"n=$n chunk=$chunk overlap=$overlap: reconstruction diverged")
+    }
+  }
+
   test("chunkTokens: zero overlap partitions exactly, tail is short") {
     val docs = Seq((1L, (0 until 7).map("w" + _).mkString(" "))).toDF("doc_id", "text")
     val out = TextOps.chunkTokens(docs, "text", "doc_id", chunkTokens = 3, overlap = 0)
