@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b", "r6c") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -637,6 +637,37 @@ object Soak {
           .agg(count(lit(1)), sum(col("dv"))).collect()(0)
       }
       println(s"[soak] results equal: ${a == b && b == c && c == hd} ($a)")
+    }
+
+    section("r6c") {
+      // paged connector at dump scale: 2M records published as a
+      // 1000-page dump through the write path, scanned back in
+      // parallel, and page-predicate pruning measured
+      val dir = s"$base/pagedump"
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+        f.delete()
+      }
+      rmrf(new java.io.File(dir))
+      time("publish 2M records as 1000 pages (connector write)") {
+        spark.range(2000000)
+          .selectExpr("to_json(struct(id, id % 97 AS g)) AS payload")
+          .repartition(1000)
+          .write.format("graft-paged")
+          .option("dir", dir).option("prefix", "dump").mode("append").save()
+      }
+      val n = time("full parallel scan + parse (1001 page partitions)") {
+        spark.read.format("graft-paged")
+          .option("dir", dir).option("prefix", "dump").load()
+          .selectExpr("get_json_object(payload, '$.id') AS id").count()
+      }
+      println(s"[soak] scanned $n records (expect 2000000)")
+      val pruned = time("pruned scan: page < 10") {
+        spark.read.format("graft-paged")
+          .option("dir", dir).option("prefix", "dump").load()
+          .where(col("page") < 10).count()
+      }
+      println(s"[soak] pruned scan rows: $pruned (10 of 1001 pages opened)")
     }
     spark.stop()
   }
