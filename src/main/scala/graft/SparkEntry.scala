@@ -925,6 +925,20 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_expectations" -> ((s, d) => {
+      // declarative data contract over orders: row rules fold into ONE
+      // aggregate pass, uniqueness adds its groupBy — the per-rule
+      // violations frame a CI gate diffs
+      import graft.ops.Validate._
+      expect(t(s, d, "orders"), Seq(
+        ExpectNotNull("custkey_not_null", "o_custkey"),
+        ExpectUnique("orderkey_unique", Seq("o_orderkey")),
+        ExpectInRange("price_range", "o_totalprice", 0.0, 1e6),
+        ExpectInSet("status_domain", "o_orderstatus", Seq("F", "O", "P")),
+        ExpectMatches("priority_shape", "o_orderpriority", "^[1-5]-[A-Z]+$"),
+        ExpectSatisfies("dates_sane", "o_orderdate >= DATE'1992-01-01' AND o_orderdate < DATE'1999-01-01'")))
+    }),
+
     "q_skew_join" -> ((s, d) =>
       // hot-key-only salted join (the soak-measured winner among skew
       // mitigations): results must equal the plain join exactly —
@@ -2826,6 +2840,19 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_expectations" ->
+      """WITH rowrules AS (
+        |  SELECT * FROM (VALUES
+        |    ('custkey_not_null', (SELECT count(*) FROM orders WHERE o_custkey IS NULL)),
+        |    ('price_range', (SELECT count(*) FROM orders WHERE NOT (o_totalprice >= 0.0 AND o_totalprice <= 1e6) OR o_totalprice IS NULL)),
+        |    ('status_domain', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), false))),
+        |    ('priority_shape', (SELECT count(*) FROM orders WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$'), false))),
+        |    ('dates_sane', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderdate >= DATE '1992-01-01' AND o_orderdate < DATE '1999-01-01', false))),
+        |    ('orderkey_unique', (SELECT coalesce(sum(c - 1), 0) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)))
+        |  ) AS t(rule, violations))
+        |SELECT rule, CAST(violations AS BIGINT) AS violations, violations = 0 AS passed
+        |FROM rowrules ORDER BY rule""".stripMargin,
 
     "q_skew_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name

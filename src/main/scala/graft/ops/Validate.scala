@@ -177,6 +177,68 @@ object Validate {
       .drop("__edges")
   }
 
+  /** Declarative data-contract suite (the Deequ/Great-Expectations
+    * shape): a list of named expectations evaluated over a frame,
+    * one row per rule with its violation count and pass flag. Row-wise
+    * rules (notNull / inRange / inSet / matches / satisfies) all fold
+    * into ONE aggregate pass — conditional counts over a single scan;
+    * `unique` adds the one groupBy its semantics require. The result
+    * is tiny (|rules| rows) and ORDER BY name — the frame a CI gate
+    * diffs against yesterday's.
+    */
+  sealed trait Expectation { def name: String }
+  final case class ExpectNotNull(name: String, column: String) extends Expectation
+  final case class ExpectInRange(name: String, column: String,
+                                 lo: Double, hi: Double) extends Expectation
+  final case class ExpectInSet(name: String, column: String,
+                               values: Seq[String]) extends Expectation
+  final case class ExpectMatches(name: String, column: String,
+                                 regex: String) extends Expectation
+  /** arbitrary boolean SQL over the row, e.g. "o_totalprice >= 0" */
+  final case class ExpectSatisfies(name: String, predicate: String) extends Expectation
+  final case class ExpectUnique(name: String, columns: Seq[String]) extends Expectation
+
+  def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expect: need at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expect: rule names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowRules = rules.collect {
+      case ExpectNotNull(n, c) => n -> col(c).isNull
+      case ExpectInRange(n, c, lo, hi) =>
+        n -> !(col(c) >= lo && col(c) <= hi) // null → violation
+      case ExpectInSet(n, c, vs) => n -> !coalesce(col(c).isin(vs: _*), lit(false))
+      case ExpectMatches(n, c, re) =>
+        n -> !coalesce(col(c).rlike(re), lit(false))
+      case ExpectSatisfies(n, p) => n -> !coalesce(expr(p), lit(false))
+    }
+    val rowPart: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else Some {
+        val aggs = rowRules.map { case (n, bad) =>
+          sum(when(bad, 1L).otherwise(0L)).as(n)
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(rowRules.map { case (n, _) =>
+            struct(lit(n).as("rule"), col(n).as("violations")).as(n)
+          }: _*)
+          .select(explode(array(rowRules.map(r => col(r._1)): _*)).as("r"))
+          .select(col("r.rule"), col("r.violations"))
+      }
+    val uniqueParts = rules.collect {
+      case ExpectUnique(n, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+          .where(col("__c") > 1)
+          .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+    }
+    (rowPart.toSeq ++ uniqueParts)
+      .reduce(_.unionByName(_))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("rule")
+  }
+
   /** Per-group z-score standardization — the feature-scaling step
     * before model training, as exact arithmetic: group moments (Σx,
     * Σx²) accumulate in DECIMAL over a window on the group key (no

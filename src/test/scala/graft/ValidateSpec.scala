@@ -135,6 +135,35 @@ class ValidateSpec extends SparkSpec {
       "quantileBins must not plan a window")
   }
 
+  test("expect: per-rule violation counts over one pass") {
+    import Validate._
+    val df = Seq(
+      (1L, Some("a"), 5.0, "F"),
+      (2L, None, 50.0, "O"),     // null name
+      (2L, Some("b"), -1.0, "X"), // dup key, out of range, bad status
+      (3L, Some("zz"), 5.0, "F")
+    ).toDF("k", "name", "v", "st")
+    val out = expect(df, Seq(
+      ExpectNotNull("name_not_null", "name"),
+      ExpectUnique("k_unique", Seq("k")),
+      ExpectInRange("v_range", "v", 0.0, 10.0),
+      ExpectInSet("st_domain", "st", Seq("F", "O")),
+      ExpectMatches("name_short", "name", "^.$"),
+      ExpectSatisfies("v_nonneg", "v >= 0")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("name_not_null") == ((1L, false)))
+    assert(out("k_unique") == ((1L, false)))      // one extra row beyond first
+    assert(out("v_range") == ((2L, false)))       // -1.0 and 50.0
+    assert(out("st_domain") == ((1L, false)))     // X
+    assert(out("name_short") == ((2L, false)))    // null and "zz" both fail
+    assert(out("v_nonneg") == ((1L, false)))
+    // all-green contract passes
+    val clean = expect(df.where(col("k") === 1), Seq(
+      ExpectNotNull("n", "name"), ExpectUnique("u", Seq("k"))))
+      .collect()
+    assert(clean.forall(_.getBoolean(2)))
+  }
+
   test("standardize: known z-scores, degenerate groups null") {
     val df = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), // mean 2, sample std 1
