@@ -925,6 +925,25 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_window_suite" -> ((s, d) => {
+      // ranking-function breadth on one partition spec: rank,
+      // dense_rank, percent_rank, cume_dist, ntile(4), lag/lead —
+      // fully tie-broken ordering so every engine agrees row-for-row
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
     "q_expectations" -> ((s, d) => {
       // declarative data contract over orders: row rules fold into ONE
       // aggregate pass, uniqueness adds its groupBy — the per-rule
@@ -2840,6 +2859,19 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_expectations" ->
       """WITH rowrules AS (

@@ -65,6 +65,14 @@ final class PagedSourceProvider extends TableProvider
     val dir = properties.get("dir")
     val prefix = Option(properties.get("prefix")).getOrElse("page")
     require(dir != null, "graft-paged: option 'dir' is required")
+    // the only externally-provided schema we accept is the write
+    // path's payload-only frame; a custom READ schema would desync
+    // from what the scan produces — reject it instead of mis-binding
+    require(schema == PagedV2.schema ||
+      (schema.fieldNames.toSeq == Seq("payload") &&
+        schema.fields.head.dataType == StringType),
+      s"graft-paged: reads use the fixed (page INT, payload STRING) schema; " +
+        s"got ${schema.simpleString}")
     new PagedTable(dir, prefix, schema)
   }
 }
