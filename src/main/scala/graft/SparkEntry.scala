@@ -925,6 +925,19 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "c_acctbal")
         .orderBy("c_custkey", "s_suppkey")),
 
+    "q_hierarchy_levels" -> ((s, d) =>
+      // recursive-CTE workload without a recursive CTE: depth of each
+      // node in a synthetic referral forest (customer c's parent is
+      // c div 10) via bounded synchronous BFS — the org-chart /
+      // category-tree unroll, matched against DuckDB's actual
+      // WITH RECURSIVE
+      graft.ext.Graph.hierarchyLevels(
+        t(s, d, "customer").filter(col("c_custkey") >= 10)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey div 10").as("parent")),
+        "child", "parent", maxDepth = 6)
+        .orderBy("node")),
+
     "q_window_suite" -> ((s, d) => {
       // ranking-function breadth on one partition spec: rank,
       // dense_rank, percent_rank, cume_dist, ntile(4), lag/lead —
@@ -2859,6 +2872,21 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_hierarchy_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(child AS VARCHAR) AS child, CAST(parent AS VARCHAR) AS parent
+        |  FROM (SELECT c_custkey AS child, c_custkey // 10 AS parent
+        |        FROM customer WHERE c_custkey >= 10)),
+        |nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+        |roots AS (SELECT node FROM nodes WHERE node NOT IN (SELECT child FROM e)),
+        |lv(node, lvl) AS (
+        |  SELECT node, 0 FROM roots
+        |  UNION ALL
+        |  SELECT e.child, lv.lvl + 1 FROM e JOIN lv ON e.parent = lv.node
+        |  WHERE lv.lvl < 6)
+        |SELECT node, CAST(min(lvl) AS INTEGER) AS level
+        |FROM lv GROUP BY node ORDER BY node""".stripMargin,
 
     "q_window_suite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -97,4 +97,38 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Hierarchy levels over a parent-child forest (child → parent
+    * edges): each node's depth below its root — the org-chart /
+    * category-tree / BOM unroll a warehouse does with a recursive CTE,
+    * expressed as bounded synchronous BFS (Spark has no recursive
+    * CTE). Roots (nodes never appearing as a child) are level 0; each
+    * pass joins the frontier against the edge list, so the work per
+    * pass is one shuffle keyed by parent and the total is
+    * O(depth · |edges|). Nodes deeper than `maxDepth` — or on a cycle
+    * — simply don't appear (same contract as a depth-bounded CTE).
+    *
+    * Returns (node, level) for every node within `maxDepth`.
+    */
+  def hierarchyLevels(edges: DataFrame, childCol: String, parentCol: String,
+                      maxDepth: Int = 20): DataFrame = {
+    require(maxDepth >= 1, "hierarchyLevels: maxDepth must be >= 1")
+    val e = edges.select(col(childCol).cast("string").as("child"),
+      col(parentCol).cast("string").as("parent"))
+    val nodes = e.select(col("child").as("node"))
+      .union(e.select(col("parent").as("node"))).distinct()
+    val roots = nodes.join(e.select(col("child").as("node")), Seq("node"), "left_anti")
+      .withColumn("level", lit(0))
+    var levels = roots
+    var frontier = roots
+    for (d <- 1 to maxDepth) {
+      frontier = e.join(frontier.select(col("node").as("parent")), "parent")
+        .select(col("child").as("node"), lit(d).as("level"))
+      levels = levels.unionByName(frontier)
+    }
+    // a forest gives each node one level; min() keeps the contract
+    // stable if callers pass a DAG (shortest depth wins, like the
+    // UNION-dedup of a recursive CTE)
+    levels.groupBy(col("node")).agg(min(col("level")).as("level"))
+  }
 }

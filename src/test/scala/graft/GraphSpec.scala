@@ -68,6 +68,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs((r("b") - r("c")) - 0.85 * (1.0 / 3) / 2) < 1e-9, r.toString)
   }
 
+  test("hierarchyLevels: forest depths, cycles vanish, DAG takes min depth") {
+    val forest = Seq(("b", "a"), ("c", "a"), ("d", "b"), ("e", "d")).toDF("c", "p")
+    val lv = Graph.hierarchyLevels(forest, "c", "p")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lv == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+    // a 2-cycle has no root: neither node gets a level
+    val cyc = Seq(("x", "y"), ("y", "x"), ("z", "x")).toDF("c", "p")
+    val lc = Graph.hierarchyLevels(cyc, "c", "p").collect()
+    assert(lc.isEmpty)
+    // DAG: a node reachable at depths 1 and 2 reports the SHORTER
+    val dag = Seq(("b", "a"), ("c", "a"), ("c", "b")).toDF("c", "p")
+    val ld = Graph.hierarchyLevels(dag, "c", "p")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ld == Map("a" -> 0, "b" -> 1, "c" -> 1))
+  }
+
   test("multi-edges contribute multiply") {
     // a sends BOTH its half-shares to b when the a→b edge is doubled
     // vs a graph where a splits between b and c
