@@ -982,6 +982,15 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "s_name")
         .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "s_name")),
 
+    "q_assoc_rules" -> ((s, d) =>
+      // directional rules: top-20 supplier associations by confidence
+      // ("orders containing A also contain B"), noise-pruned
+      graft.ext.Behavior.associationRules(
+          t(s, d, "lineitem"), "l_orderkey", "l_suppkey", minPairCount = 3L)
+        .orderBy(col("confidence").desc, col("cab").desc,
+          col("antecedent").asc, col("consequent").asc)
+        .limit(20)),
+
     "q_coocurrence" -> ((s, d) =>
       // market-basket association: supplier pairs sharing an order,
       // top-20 by support — the pair space is per-basket-bounded
@@ -2918,6 +2927,30 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+        |sized AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 1000),
+        |inb AS (SELECT it.b, it.i FROM it JOIN sized ON it.b = sized.b),
+        |nb AS (SELECT count(*) AS n_baskets FROM sized),
+        |ci AS (SELECT i, count(*) AS ci FROM inb GROUP BY i),
+        |pr AS (
+        |  SELECT a.i AS ia, c.i AS ib, count(*) AS cab
+        |  FROM inb a JOIN inb c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY a.i, c.i HAVING count(*) >= 3),
+        |pl AS (
+        |  SELECT pr.ia, pr.ib, pr.cab, ca.ci AS ca, cb.ci AS cb,
+        |    round(CAST(pr.cab AS DOUBLE) * nb.n_baskets / (CAST(ca.ci AS DOUBLE) * cb.ci), 6) AS lift
+        |  FROM pr JOIN ci ca ON pr.ia = ca.i JOIN ci cb ON pr.ib = cb.i, nb),
+        |dir AS (
+        |  SELECT ia AS antecedent, ib AS consequent, cab, ca AS c_ante, lift FROM pl
+        |  UNION ALL
+        |  SELECT ib, ia, cab, cb, lift FROM pl)
+        |SELECT antecedent, consequent, cab, c_ante,
+        |  round(CAST(cab AS DOUBLE) / c_ante, 6) AS confidence, lift
+        |FROM dir
+        |ORDER BY confidence DESC, cab DESC, antecedent ASC, consequent ASC
+        |LIMIT 20""".stripMargin,
 
     "q_coocurrence" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),

@@ -321,6 +321,27 @@ object Behavior {
           (col("ca").cast("double") * col("cb")), 6).as("lift"))
   }
 
+  /** Directional association rules over [[coOccurrence]]'s pairs: each
+    * unordered pair yields both `a ⇒ b` and `b ⇒ a` with confidence
+    * `c(a,b)/c(antecedent)` — the actionable "customers who bought X
+    * then buy Y with p=..." form. `minPairCount` prunes noise rules
+    * before the (cheap) direction explode.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2L,
+                       maxBasketSize: Int = 1000): DataFrame = {
+    val pairs = coOccurrence(df, basketCol, itemCol, maxBasketSize)
+      .where(col("cab") >= minPairCount)
+    val ab = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"),
+      col("cab"), col("ca").as("c_ante"), col("lift"))
+    val ba = pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"),
+      col("cab"), col("cb").as("c_ante"), col("lift"))
+    ab.unionByName(ba)
+      .withColumn("confidence",
+        round(col("cab").cast("double") / col("c_ante"), 6))
+      .select("antecedent", "consequent", "cab", "c_ante", "confidence", "lift")
+  }
+
   /** Two-variant experiment readout: per-user conversion (any row with
     * the flag) aggregated per variant, then rate lift and the pooled
     * two-proportion z statistic. One row out: ns, conversions, rates,

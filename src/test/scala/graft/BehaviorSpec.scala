@@ -273,4 +273,33 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect().toSeq
     assert(got === Seq((1L, 15.0, 2L), (2L, 4.0, 1L)))
   }
+
+  test("coOccurrence + associationRules: hand-computed support/confidence/lift") {
+    // 4 baskets: {x,y} {x,y} {x,z} {y} → c(x)=3 c(y)=3 c(z)=1,
+    // c(x,y)=2, c(x,z)=1; within-basket duplicates collapse
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("b", "i")
+    val co = Behavior.coOccurrence(df, "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(co(("x", "y")) == ((2L, 3L, 3L, math.rint(2.0 * 4 / 9 * 1e6) / 1e6)))
+    assert(co(("x", "z"))._1 == 1L)
+    val rules = Behavior.associationRules(df, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(rules.size == 2) // only the x,y pair survives the prune
+    assert(rules(("x", "y")) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(rules(("y", "x")) == math.rint(2.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("coOccurrence: mega-baskets are excluded entirely") {
+    val big = (1 to 20).map(i => (1L, s"i$i")) ++ Seq((2L, "a"), (2L, "b"))
+    val out = Behavior.coOccurrence(big.toDF("b", "i"), "b", "i", maxBasketSize = 10)
+      .collect()
+    assert(out.length == 1) // only basket 2's single pair
+    assert(out.head.getString(0) == "a" && out.head.getString(1) == "b")
+  }
 }
