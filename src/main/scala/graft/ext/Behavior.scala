@@ -362,6 +362,14 @@ object Behavior {
       .agg(max(when(col(convertedCol), 1L).otherwise(0L)).as("__c"))
     val perVariant = perUser.groupBy(col("__v"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("conv"))
+    // a two-proportion readout is only defined for exactly two arms:
+    // with 3+ the lexicographic min/max picks would silently drop the
+    // middle arms, and with 1 the frame would compare A against itself.
+    // perVariant is a per-arm aggregate (a handful of rows), so the
+    // guard count is a bounded action, not a scale concern.
+    val arms = perVariant.count()
+    require(arms == 2L,
+      s"abTest requires exactly 2 variants in '$variantCol', found $arms")
     val variants = perVariant.orderBy("__v")
     val a = variants.limit(1).select(
       col("__v").as("variant_a"), col("n").as("n_a"), col("conv").as("conv_a"))

@@ -114,6 +114,11 @@ object PagedV2 {
         "graft-paged: page payload must be a top-level JSON array")
       val w = new java.io.StringWriter()
       val gen = factory.createGenerator(w)
+      // the generator treats each copied element as a root value and
+      // would prepend its root-value separator (a space) from the
+      // second element on — that leading space would make payload
+      // bytes position-dependent and break exact-match/hash dedup
+      gen.setRootValueSeparator(null)
       while (p.nextToken() != com.fasterxml.jackson.core.JsonToken.END_ARRAY) {
         w.getBuffer.setLength(0)
         gen.copyCurrentStructure(p)
@@ -291,16 +296,37 @@ final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[PagedWriteMessage]).sortBy(_.partitionId)
-    if (truncate)
-      PagedV2.listPages(dir, prefix).foreach { case (_, p) => new java.io.File(p).delete() }
-    msgs.zipWithIndex.foreach { case (m, page) =>
-      val dst = java.nio.file.Paths.get(dir, s"$prefix-$page.json")
+    val existing = PagedV2.listPages(dir, prefix)
+    val start =
+      if (truncate) {
+        existing.foreach { case (_, p) => new java.io.File(p).delete() }
+        0
+      } else {
+        // true append: continue numbering from the contiguous high-water
+        // mark (the same protocol the stream tailer uses), replacing the
+        // old empty-terminator page so the dump stays one unbroken
+        // stop-on-empty sequence
+        val present = existing.toMap
+        var hi = 0
+        while (present.contains(hi)) hi += 1
+        val base =
+          if (hi > 0 && java.nio.file.Files
+              .readString(java.nio.file.Paths.get(present(hi - 1))).trim == "[]") hi - 1
+          else hi
+        // anything at or past the insertion point — the old terminator and
+        // any stale pages beyond it — would interleave with the new pages
+        // in a later scan; remove them before publishing
+        existing.filter(_._1 >= base).foreach { case (_, p) => new java.io.File(p).delete() }
+        base
+      }
+    msgs.zipWithIndex.foreach { case (m, i) =>
+      val dst = java.nio.file.Paths.get(dir, s"$prefix-${start + i}.json")
       java.nio.file.Files.move(java.nio.file.Paths.get(m.tmpPath), dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     // the terminating empty page — the reference's stop condition
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, s"$prefix-${msgs.length}.json"), "[]")
+      java.nio.file.Paths.get(dir, s"$prefix-${start + msgs.length}.json"), "[]")
   }
 
   override def abort(

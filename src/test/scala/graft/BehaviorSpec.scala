@@ -263,6 +263,20 @@ class BehaviorSpec extends SparkSpec {
     assert(d === Array(None))
   }
 
+  test("abTest rejects experiments without exactly two arms") {
+    val one = Seq(("A", 1L, true), ("A", 2L, false)).toDF("variant", "user_id", "converted")
+    val e1 = intercept[IllegalArgumentException] {
+      Behavior.abTest(one, "variant", "user_id", "converted")
+    }
+    assert(e1.getMessage.contains("found 1"))
+    val three = Seq(("A", 1L, true), ("B", 2L, false), ("C", 3L, true))
+      .toDF("variant", "user_id", "converted")
+    val e3 = intercept[IllegalArgumentException] {
+      Behavior.abTest(three, "variant", "user_id", "converted")
+    }
+    assert(e3.getMessage.contains("found 3"))
+  }
+
   test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
     val events = Seq(
       (1L, ts("2024-01-03 09:00:00"), 10.0), // age 0: weight 1

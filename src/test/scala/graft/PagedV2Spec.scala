@@ -228,6 +228,37 @@ class PagedV2Spec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("write path: append continues from the high-water mark, replacing the terminator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-app").toString
+    spark.range(10).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(3).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "t").mode("append").save()
+    // second batch must NOT clobber pages 0..2 — it continues at 3
+    spark.range(10, 15).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(2).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "t").mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files == (0 to 5).map(i => s"t-$i.json"), files)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "t-5.json")) == "[]")
+    val back = spark.read.format("graft-paged")
+      .option("dir", dir).option("prefix", "t").load()
+      .select(get_json_object(col("payload"), "$.id").cast("long").as("id"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(back == (0L until 15L))
+    // the stop-on-empty driver loop also sees one unbroken dump
+    assert(graft.sources.PagedExtract.read(spark,
+      new graft.sources.PagedExtract.LocalDirFetcher(dir, "t")).count() == 15)
+  }
+
+  test("element splitting is byte-exact — no root-value separator leaks in") {
+    val parts = PagedV2.splitTopLevelArray("""[{"a":1},{"b":2},{"c":3}]""")
+    assert(parts == Seq("""{"a":1}""", """{"b":2}""", """{"c":3}"""), parts)
+    // scalars and strings too (raw element text, position-independent)
+    assert(PagedV2.splitTopLevelArray("""[1,"x",null,true]""") ==
+      Seq("1", "\"x\"", "null", "true"))
+  }
+
   test("nested objects and arrays survive element splitting") {
     val parts = PagedV2.splitTopLevelArray(
       """[{"a":{"b":[1,2,{"c":"}]"}]},"s":"x,y"},{"a":null}]""")
