@@ -1604,11 +1604,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "x_multimodal_frames" -> ((s, d) => {
-      // rows-only: frame-sampling plumbing (stub decode kernel) over
-      // text-as-blob with synthetic durations — row-per-frame shape,
-      // offsets, and null/zero-duration semantics are the real contract
+      // rows-only: frame sampling over REAL decoded stills (each doc's
+      // blob is a deterministic executor-rendered PNG; per-frame feature
+      // = the javax.imageio-decoded luminance profile shifted by offset
+      // — the JDK has no video codec, so the frame GRAB is the one
+      // remaining stub). Row-per-frame shape, offsets, and
+      // null/zero-duration semantics are the oracle-facing contract
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
       val blobs = t(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"),
+        .select(col("doc_id"), render(col("doc_id")).as("blob"),
           (col("n_chars") % 5 * 1000).as("duration_ms"))
       graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
           everyMs = 1000, dim = 4)
@@ -1618,34 +1622,47 @@ object SparkEntry {
     }),
 
     "x_multimodal_neardup" -> ((s, d) => {
-      // rows-only: perceptual near-dup over binary media — stub hash
-      // kernel, REAL Charikar rotation banding + hamming verify (the
-      // shared Dedup.signatureNearDups core, spec-proven). The corpus
-      // has no byte-level near-dups, so every 7th doc gets a planted
-      // one-char-tweaked twin — the pairs the banding must find
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      // rows-only: perceptual near-dup over REAL images — javax.imageio
+      // decode + true dHash signatures through the shared Charikar
+      // rotation banding (Dedup.signatureNearDups, spec-proven). Every
+      // 7th doc gets a planted 2-pixel-noised twin — the pairs the
+      // banding must find; x_multimodal_selfcheck asserts it finds
+      // exactly them, oracle-gated
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
+      val renderNoisy = udf((id: Long) =>
+        graft.ext.Multimodal.renderPng(id, noisePixels = 2))
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+      val base = docs.select(col("doc_id"), render(col("doc_id")).as("blob"))
       val twins = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text").substr(lit(1), lit(5)), lit("X"),
-            col("text").substr(lit(7), length(col("text"))))
-            .cast("binary").as("blob"))
+          renderNoisy(col("doc_id")).as("blob"))
       graft.ext.Multimodal.imageNearDups(base.unionByName(twins), "blob", "doc_id",
-          maxHamming = 4, prefixBits = 10)
+          maxHamming = 8, prefixBits = 10)
         .orderBy("id_a", "id_b")
     }),
 
     "x_multimodal_features" -> ((s, d) => {
-      // rows-only: binary-column feature plumbing over text-as-blob (the
-      // container has no media codecs; the decode kernel is a
-      // deterministic stub, the schema/partition plumbing is real)
+      // rows-only: REAL javax.imageio decode over executor-rendered PNG
+      // blobs — media kind, true raster dimensions, and the pixel
+      // luminance profile all come out of the actual codec
+      // (x_multimodal_selfcheck carries the oracle-gated verdicts)
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
       val blobs = t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"), render(col("doc_id")).as("blob"))
       graft.ext.Multimodal.extractFeatures(blobs, "blob", dim = 8)
-        .select(col("doc_id"), col("byte_len"),
+        .select(col("doc_id"), col("media_kind"), col("width"), col("height"),
           round(element_at(col("feature"), 1), 6).as("f0"))
         .orderBy("doc_id")
     }),
+
+    "x_multimodal_selfcheck" -> ((s, d) =>
+      // ORACLE-GATED media-kernel verdicts: decode dims, independent
+      // feature replay, dHash locality, resize round-trip, WAV decode,
+      // planted-twin near-dup recall — each boolean computed ON the
+      // engine over executor-rendered fixtures; the oracle hash-matches
+      // the literal expected verdicts, so the driver gate sees pass/fail
+      graft.ext.Multimodal.selfCheck(
+        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id")),
 
     "x_keyterms" -> ((s, d) =>
       // per-doc top-3 distinctive terms by smoothed TF-IDF — the
@@ -3274,6 +3291,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the media kernels run codecs a SQL engine doesn't have — the
+    // self-check computes every invariant ENGINE-side and the oracle
+    // hash-matches the literal expected verdicts
+    "x_multimodal_selfcheck" ->
+      """SELECT * FROM (VALUES
+        |  ('decoded_all', TRUE), ('dhash_locality', TRUE),
+        |  ('features_match', TRUE), ('neardup_planted_twins', TRUE),
+        |  ('resize_roundtrip', TRUE), ('wav_decode', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents

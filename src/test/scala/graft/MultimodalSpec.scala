@@ -14,21 +14,130 @@ class MultimodalSpec extends SparkSpec {
       (3L, "img", null.asInstanceOf[Array[Byte]])
     ).toDF("media_id", "kind", "blob")
     val out = Multimodal.extractFeatures(df, "blob", dim = 4)
-    assert(out.columns === Array("media_id", "kind", "byte_len", "sha_prefix", "feature"))
+    assert(out.columns === Array("media_id", "kind", "byte_len", "sha_prefix",
+      "media_kind", "width", "height", "feature"))
     val rows = out.orderBy("media_id").collect()
     assert(rows(0).getAs[Long]("byte_len") === 5L)
-    // determinism: same bytes -> same stub feature
+    // raw non-media bytes take the opaque fallback path
+    assert(rows(0).getAs[String]("media_kind") === "opaque")
+    // determinism: same bytes -> same feature
     assert(rows(0).getSeq[Float](rows(0).fieldIndex("feature")) ===
       rows(1).getSeq[Float](rows(1).fieldIndex("feature")))
     // null blob -> null features, row preserved
     assert(rows(2).isNullAt(rows(2).fieldIndex("feature")))
   }
 
-  test("stubDecode folds bytes deterministically into dim buckets") {
-    val f = Multimodal.stubDecode(Array[Byte](0, 1, 2, 3), dim = 2)
+  test("byteFoldFeature folds bytes deterministically into dim buckets") {
+    val f = Multimodal.byteFoldFeature(Array[Byte](0, 1, 2, 3), dim = 2)
     assert(f.length === 2)
     assert(math.abs(f(0) - (0 + 2) / 255.0f) < 1e-6)
     assert(math.abs(f(1) - (1 + 3) / 255.0f) < 1e-6)
+  }
+
+  test("real decode: PNG blobs report image kind, true dimensions, luminance profile") {
+    val png = Multimodal.renderPng(seed = 5L, w = 48, h = 24)
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3))).toDF("media_id", "blob")
+    val rows = Multimodal.extractFeatures(df, "blob", dim = 4)
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[String]("media_kind") === "image")
+    assert(rows(0).getAs[Int]("width") === 48)
+    assert(rows(0).getAs[Int]("height") === 24)
+    val feat = rows(0).getSeq[Float](rows(0).fieldIndex("feature"))
+    assert(feat.length === 4)
+    // executor-side decode matches a local decode of the same bytes:
+    // the pipeline really ran the codec, not a fold of the PNG stream
+    val local = Multimodal.imageFeature(Multimodal.decodeImage(png).get, 4)
+    assert(feat === local.toSeq)
+    assert(feat.forall(v => v >= 0f && v <= 1f))
+    assert(rows(1).getAs[String]("media_kind") === "opaque")
+  }
+
+  test("dHash64 produces the known signature for analytic gradients") {
+    def gradient(ascending: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val lum = if (ascending) x * 4 - 1 max 0 else 255 - x * 4 + 1 min 255
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      img
+    }
+    // brightness strictly increases left→right: no left-cell is ever
+    // brighter → all 64 dHash bits clear
+    assert(Multimodal.dHash64(gradient(ascending = true)) === 0L)
+    // strictly decreasing: every bit set
+    assert(Multimodal.dHash64(gradient(ascending = false)) === -1L)
+  }
+
+  test("dHash64 is resize-invariant and locality-preserving on rendered PNGs") {
+    def hash(bytes: Array[Byte]): Long =
+      Multimodal.dHash64(Multimodal.decodeImage(bytes).get)
+    val base = hash(Multimodal.renderPng(seed = 11L))
+    // byte-identical render → identical hash
+    assert(base === hash(Multimodal.renderPng(seed = 11L)))
+    // a few flipped pixels → few flipped bits
+    val noisy = hash(Multimodal.renderPng(seed = 11L, noisePixels = 3))
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 8,
+      s"noise moved hash ${java.lang.Long.bitCount(base ^ noisy)} bits")
+    // resize of the same image → hash survives for content the smaller
+    // raster can still resolve (16px blocks stay 4px after a 4× shrink;
+    // a 4px-block mosaic would alias away — that's physics, not dHash)
+    val img = Multimodal.decodeImage(
+      Multimodal.renderPng(seed = 11L, w = 64, h = 64, blockPx = 16)).get
+    val small = Multimodal.decodeImage(Multimodal.resizeImagePng(img, 16, 16)).get
+    assert(java.lang.Long.bitCount(Multimodal.dHash64(img) ^ Multimodal.dHash64(small)) <= 8)
+  }
+
+  test("resizeImagePng box-averages exactly and round-trips through the codec") {
+    // 2×2 blocks of known gray values → 2×2 resize must equal block means
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val blocks = Seq(Seq(10, 20, 30, 40), Seq(50, 60, 70, 80)) // per-quadrant 2×2 values
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val q = (y / 2) * 2 + (x / 2)
+      val v = blocks(q / 2)(q % 2 * 2 + (y % 2)) + (x % 2) // distinct but mean-known
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = Multimodal.decodeImage(Multimodal.resizeImagePng(img, 2, 2)).get
+    assert(out.getWidth === 2 && out.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      // recompute the expected integer box mean from the source
+      var sum = 0
+      for (sy <- y * 2 until y * 2 + 2; sx <- x * 2 until x * 2 + 2)
+        sum += img.getRGB(sx, sy) & 0xff
+      assert((out.getRGB(x, y) & 0xff) === sum / 4)
+    }
+  }
+
+  test("real WAV decode: samples, energy profile, and feature routing") {
+    val wav = Multimodal.renderWav(seed = 4L, nSamples = 8000)
+    val samples = Multimodal.decodeWav(wav).get
+    assert(samples.length === 8000)
+    assert(math.abs(samples.max) <= 12001f / 32768f)
+    // constant-amplitude sine: RMS per segment ≈ amp/sqrt(2)
+    val prof = Multimodal.audioEnergyProfile(samples, dim = 4)
+    val expect = 12000f / 32768f / math.sqrt(2).toFloat
+    prof.foreach(p => assert(math.abs(p - expect) < 0.02f, s"profile $p vs $expect"))
+    // pipeline routing: wav blob → media_kind=audio, no dimensions
+    val row = Multimodal.extractFeatures(
+        Seq((1L, wav)).toDF("media_id", "blob"), "blob", dim = 4)
+      .collect().head
+    assert(row.getAs[String]("media_kind") === "audio")
+    assert(row.isNullAt(row.fieldIndex("width")))
+  }
+
+  test("imageNearDups pairs a noised PNG twin via real dHash, not unrelated images") {
+    val df = Seq(
+      (1L, Multimodal.renderPng(seed = 21L)),
+      (2L, Multimodal.renderPng(seed = 21L, noisePixels = 2)), // near twin
+      (3L, Multimodal.renderPng(seed = 1234567L))              // unrelated gradient
+    ).toDF("media_id", "blob")
+    val pairs = Multimodal.imageNearDups(df, "blob", "media_id",
+        maxHamming = 8, prefixBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"noised twin must pair, got $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated image must not pair, got $pairs")
   }
 
   test("resize: blob replaced partition-wise, dims recorded, null-safe") {
@@ -94,6 +203,15 @@ class MultimodalSpec extends SparkSpec {
     val h6 = Dedup.signatureNearDups(sigs, maxHamming = 6, prefixBits = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(h6 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("selfCheck: every media-kernel invariant verdict is true") {
+    val ids = spark.range(30).toDF("doc_id")
+    val rows = Multimodal.selfCheck(ids, "doc_id")
+      .as[(String, Boolean)].collect().toSeq
+    assert(rows.map(_._1) === Seq("decoded_all", "dhash_locality",
+      "features_match", "neardup_planted_twins", "resize_roundtrip", "wav_decode"))
+    rows.foreach { case (name, ok) => assert(ok, s"check $name failed") }
   }
 
   test("frameSampleOffsets: every Nms within duration, empty for null/zero") {
