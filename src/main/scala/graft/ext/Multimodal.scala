@@ -544,8 +544,11 @@ object Multimodal {
     val twins = seeds.filter(col("seed") % 7 === 0)
       .select((col("seed") + 1000000L).as("mid"), renderNoisy(col("seed")).as("blob"))
     val planted = seeds.filter(col("seed") % 7 === 0).count()
+    // rotations=8 × prefixBits=8 = the pigeonhole-exact regime: every
+    // pair within hamming 4 is GUARANTEED found, so the verdict can't
+    // flake on banding luck (2 noise pixels flip ≤ 2 dHash cells ≤ 4 bits)
     val pairs = imageNearDups(baseImgs.unionByName(twins), "blob", "mid",
-      maxHamming = 8, prefixBits = 8)
+      maxHamming = 4, prefixBits = 8, rotations = 8)
     val neardupOk = pairs
       .agg((count(lit(1)) === lit(planted) &&
         count(when(col("id_b") - col("id_a") === 1000000L &&
@@ -564,7 +567,8 @@ object Multimodal {
     * verify are shared and spec-exact.
     */
   def imageNearDups(df: DataFrame, blobCol: String, idCol: String,
-                    maxHamming: Int = 6, prefixBits: Int = 12): DataFrame = {
+                    maxHamming: Int = 6, prefixBits: Int = 12,
+                    rotations: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val sigs = {
       val inSchema = df.schema
@@ -582,6 +586,6 @@ object Multimodal {
       }
       spark.createDataFrame(rdd, outSchema)
     }
-    Dedup.signatureNearDups(sigs, maxHamming, prefixBits)
+    Dedup.signatureNearDups(sigs, maxHamming, prefixBits, rotations)
   }
 }
