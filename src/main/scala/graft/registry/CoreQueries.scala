@@ -1,0 +1,743 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Cleanse, Enrich, Flatten, Upsert}
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.registry.Fixtures._
+
+/** SURVEY.md §2 parity queries (Q01–Q52): scans, flattens,
+  * cleansing, upsert, incremental sync — the reference-ETL surface.
+  * Pure relocation of the former SparkEntry map entries — no query or
+  * oracle text changed in the split.
+  */
+private[graft] object CoreQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans / sources ----
+    "q01_scan_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    "q02_halfday_scan" -> ((s, d) => {
+      // half-day interval scan (utils.py:94-105): two adjacent windows
+      val li = t(s, d, "lineitem")
+      val w1 = li.filter(col("l_shipdate") >= lit("1995-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-03-01 12:00:00").cast("timestamp"))
+      val w2 = li.filter(col("l_shipdate") >= lit("1995-03-01 12:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-03-02 00:00:00").cast("timestamp"))
+      w1.union(w2).select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q03_filter_pushdown" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice") > 50000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "q04_count_filtered" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q05_detail_join" -> ((s, d) => {
+      // N+1 detail fetch → one left join against pre-aggregated details
+      val o = t(s, d, "orders")
+      val det = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      o.join(det, o("o_orderkey") === det("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q06_semi_guard" -> ((s, d) => {
+      // guarded detail fetch (Extract.py:87-94) = left-semi join
+      val o = t(s, d, "orders")
+      val r = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      o.join(r, o("o_orderkey") === r("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "q07_dim_scan" -> ((s, d) => {
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+    }),
+
+    // ---- §2.2 projections / filters / row transforms ----
+    "q08_projection_drop" -> ((s, d) =>
+      Cleanse.strictDrop(t(s, d, "part"), Seq("p_type", "p_retailprice"))
+        .orderBy("p_partkey")),
+
+    "q09_select_reorder" -> ((s, d) =>
+      t(s, d, "customer").select("c_mktsegment", "c_name", "c_custkey")
+        .orderBy("c_custkey")),
+
+    "q10_rename" -> ((s, d) =>
+      t(s, d, "supplier")
+        .withColumnRenamed("s_name", "supplier_name")
+        .withColumnRenamed("s_acctbal", "balance")
+        .select("s_suppkey", "supplier_name", "balance").orderBy("s_suppkey")),
+
+    "q11_ts_filter" -> ((s, d) =>
+      // watermark predicate (run-et-etl.py:99-100)
+      t(s, d, "orders")
+        .filter(col("o_orderdate") > lit("2000-06-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")),
+
+    "q12_in_subquery" -> ((s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000.0).select("c_custkey")
+      val o = t(s, d, "orders")
+      o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+
+    "q13_cast" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("long").as("ln_big"),
+        floor(col("l_quantity")).cast("int").as("qty_floor"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q14_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q15_default_row" -> ((s, d) => {
+      // default-row injection (Transform.py:117-127)
+      val r = t(s, d, "region").select("r_regionkey", "r_name")
+      val default = s.range(1).select(
+        lit(-1).cast("int").as("r_regionkey"), lit("UNASSIGNED").as("r_name"))
+      Enrich.withDefaultRows(r, default, "r_regionkey").orderBy("r_regionkey")
+    }),
+
+    "q16_empty_shortcircuit" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_totalprice") < 0.0).agg(count(lit(1)).as("cnt"))),
+
+    // ---- §2.3 flatten (nest→explode roundtrips prove both directions) ----
+    "q17_flatten_roundtrip" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      val nested = Flatten.nestChild(o, li, "o_orderkey", "l_orderkey", "lines")
+      Flatten.explodeChild(nested, "lines", Seq("o_orderkey" -> "l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    }),
+
+    "q18_flatten_prefix" -> ((s, d) => {
+      // meta-carry + child-prefix (json_normalize meta_prefix, Transform.py:79-89)
+      // half sample: nest construction is the test harness, not the operator
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+      val nested = Flatten.nestChild(o, li, "o_orderkey", "l_orderkey", "items")
+      Flatten.explodeChild(nested, "items",
+          Seq("o_orderkey" -> "o_orderkey", "o_orderdate" -> "o_orderdate"),
+          childPrefix = "li_")
+        .orderBy("o_orderkey", "o_orderdate", "li_l_linenumber", "li_l_partkey")
+    }),
+
+    "q19_flatten_outer" -> ((s, d) => {
+      // outer flatten: customers WITHOUT orders keep a null-order row
+      // (LEFT-join semantics; inner explode would drop them)
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val nested = Flatten.nestChild(c, o, "c_custkey", "o_custkey", "ords")
+      Flatten.explodeChildOuter(nested, "ords", Seq("c_custkey" -> "c_custkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    "q20_flatten_two_level" -> ((s, d) => {
+      // two-level explode chain (sessions.scores[].point_scores[], Transform.py:205-218)
+      // quarter sample: the nest construction (test-harness inverse of
+      // flatten) is O(rows); the flatten under test is scale-invariant
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ordersNested = Flatten.nestChild(o, li, "o_orderkey", "l_orderkey", "lines")
+      val customersNested = Flatten.nestChild(
+        c, ordersNested, "c_custkey", "o_custkey", "orders")
+      Flatten.explodeChild2(customersNested, "orders", "lines",
+          parentKeys = Seq("c_custkey" -> "c_custkey"),
+          childCarry = Seq("o_orderkey" -> "o_orderkey", "o_totalprice" -> "o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity")
+    }),
+
+    // ---- §2.3b per-site flatten coverage: the remaining Transform call
+    // sites (Q21–Q27), each through pipeline.Transform on a nested
+    // fixture built from the driver tables (nestChild is the harness
+    // inverse, as in q17–q20) ----
+    "q21_tag_labels" -> ((s, d) => {
+      // tags.labels (Transform.py:103-115): id→label_id rename under an
+      // id→tag_id parent carry — the collision path a shared-operator
+      // test can't catch
+      val partBase = t(s, d, "part").select(col("p_partkey").as("id"),
+        col("p_name").as("name"))
+      val labels = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey").as("id")).distinct()
+      val raw = Flatten.nestChild(partBase, labels, "id", "l_partkey", "labels")
+      val (_, tagLabels) = graft.pipeline.Transform.tags(raw)
+      tagLabels.get.orderBy("tag_id", "label_id")
+    }),
+
+    "q22_session_tags" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).tags
+        .orderBy("session_id", "tag_id", "l_linenumber", "l_quantity")),
+
+    "q23_session_categories" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).categories
+        .orderBy("session_id", "category_id", "score")),
+
+    "q24_session_reviewers" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).reviewers
+        .orderBy("session_id", "reviewer_id", "last_reviewed_at")),
+
+    "q25_session_scores" -> ((s, d) =>
+      // scores[].point_scores[] with the 3-key carry (Transform.py:205-218)
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).scores.get
+        .orderBy("session_id", "scorecard_id", "reviewer_id", "point_id", "value")),
+
+    "q26_session_comments" -> ((s, d) =>
+      // comment_pos is dropped: the fixture nests via collect_list, so
+      // array positions are arbitrary (the load-side last-wins dedup is
+      // spec-tested on ordered JSON fixtures instead)
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).comments
+        .select("session_id", "author_id", "text")
+        .orderBy("session_id", "author_id", "text")),
+
+    "q27_session_summary" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).summaries
+        .orderBy("session_id", "text")),
+
+    "q27b_session_crm" -> ((s, d) =>
+      graft.pipeline.Transform.sessions(sessionsRaw(s, d)).crmStatuses
+        .orderBy("session_id", "crm_status")),
+
+    // ---- §2.4 joins / enrichment ----
+    "q28_broadcast_enrich" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier"); val nat = t(s, d, "nation")
+      Enrich.dimJoin(
+          Enrich.dimJoin(li, sup, "l_suppkey", "s_suppkey",
+            select = Seq("s_name" -> "s_name", "s_nationkey" -> "s_nationkey")),
+          nat, "s_nationkey", "n_nationkey", select = Seq("n_name" -> "n_name"))
+        .select("l_orderkey", "l_linenumber", "s_name", "n_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q29_left_join_detail" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q30_star_agg" -> ((s, d) => {
+      // flagship: 5-table star join + monthly revenue rollup (§7.2)
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          (sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name", "month")
+    }),
+
+    // ---- §2.5 aggregations / sorts / set ops ----
+    "q31_conditional_agg" -> ((s, d) =>
+      // automated-vs-manual score split (schema.py:327) → conditional agg
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("sum_f"),
+          sum(when(col("o_orderstatus") =!= "F", dec(col("o_totalprice")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("sum_other"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")),
+
+    "q32_ratio_rollup" -> ((s, d) =>
+      // category-level score rollup shape: sum(score)/sum(max_score)
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .withColumn("qty_per_price", col("sum_qty") / col("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q33_channel_agg" -> ((s, d) =>
+      // channel-keyed aggregates (duration_details per channel)
+      events(s, d).groupBy("event_type")
+        .agg(dsum(col("value")).as("total_value"),
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    "q34_topk" -> ((s, d) =>
+      // TakeOrderedAndProject: top-k by aggregate
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("total_spent").desc, col("o_custkey").asc)
+        .limit(10)),
+
+    // ---- §2.6 scalar functions ----
+    "q35_ts_round" -> ((s, d) => {
+      // sub-second synth + round-to-second (pandas dt.round('s') analog)
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+      val withMs = li.withColumn("ts_ms",
+        expr("timestampadd(MILLISECOND, cast(pmod(l_orderkey * 7919 + l_linenumber, 86400000) as int), l_shipdate)"))
+      withMs.select(col("l_orderkey"), col("l_linenumber"),
+          Cleanse.tsRoundSec(col("ts_ms")).as("ts_rounded"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q36_sentinel_date" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val withStr = o.withColumn("dt_str",
+        when(col("o_orderkey") % 100 === 0, lit("0001-01-01T00:00:00"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")))
+      withStr.select(col("o_orderkey"),
+          Cleanse.sentinelDate(col("dt_str")).as("dt_clean"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q37_regex_salvage" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val withStr = o.withColumn("dt_str",
+        when(col("o_orderkey") % 10 === 0,
+          concat(lit("corrupted>>"), date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"), lit("<<")))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")))
+      withStr.select(col("o_orderkey"),
+          Cleanse.tsParseSalvaged(col("dt_str")).as("dt_parsed"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q38_split_datetime" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("dt_str",
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+      o.select(col("o_orderkey"),
+          Cleanse.splitDate(col("dt_str")).as("d_date"),
+          Cleanse.splitTimeHHMM(col("dt_str")).as("d_time"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q39_make_link" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          Cleanse.makeLink("https://app.example.com/main/conversations/view?session_id=",
+            col("o_orderkey")).as("et_link"))
+        .orderBy("o_orderkey")),
+
+    "q40_json_extract" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+          Cleanse.jsonFieldInt(col("props"), "$.k").as("k_val"))
+        .orderBy("event_id")),
+
+    "q41_unicode_unescape" -> ((s, d) =>
+      // escape sequences synthesized onto real text (the corpus itself
+      // is backslash-free), so the decode path runs and the expected
+      // output is exactly expressible in the oracle
+      t(s, d, "documents").select(col("doc_id"),
+          Cleanse.unicodeUnescape(
+            concat(lit("\\u0041\\u00e9\\t"), col("text"))).as("unescaped"))
+        .orderBy("doc_id")),
+
+    "q42_nan_to_null" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("v",
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN)).otherwise(col("l_tax")))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Cleanse.nanToNull(col("v")).as("v_clean"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q43_date_arith" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("prev_day"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))
+        .orderBy("o_orderkey")),
+
+    "q44_iso_format" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          Cleanse.isoFormat(col("o_orderdate")).as("iso_dt"))
+        .orderBy("o_orderkey")),
+
+    // ---- §2.7 upsert / load ----
+    "q45_upsert" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      Upsert.upsert(target, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    "q46_upsert_dedup" -> ((s, d) => {
+      // in-batch duplicate keys: last (highest seq) wins
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0).withColumn("seq", lit(1))
+      val v2 = o.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0).withColumn("seq", lit(2))
+      val deduped = Upsert.dedupLastWins(v1.unionByName(v2), Seq("o_orderkey"), "seq")
+      val target = o.filter(col("o_orderkey") % 3 === 0).withColumn("seq", lit(0))
+      Upsert.upsert(target, deduped, Seq("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "seq").orderBy("o_orderkey")
+    }),
+
+    "q47_schema_reconcile" -> ((s, d) => {
+      // incoming frame has extra cols + misses one target col → project+report
+      val incoming = t(s, d, "supplier").withColumn("junk", lit("x"))
+      val rec = Upsert.reconcileSchema(incoming,
+        targetCols = Seq("s_suppkey", "s_name", "s_acctbal", "not_present"),
+        keys = Seq("s_suppkey"))
+      rec.df.orderBy("s_suppkey")
+    }),
+
+    // ---- §2.8 incremental / temporal ----
+    "q50_tumbling_agg" -> ((s, d) =>
+      // tumbling calendar windows (daily cadence utils.py:60-79)
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("w")),
+
+    "q51_late_window_resync" -> ((s, d) =>
+      // 30-day late-data re-extract with is_scored,manual analog filter
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2001-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    "q52_changed_dim_facts" -> ((s, d) => {
+      // dimension-driven fact invalidation (run-et-etl.py:95-106)
+      val changedDims = t(s, d, "customer").filter(col("c_nationkey").isin(1, 2, 3))
+      val o = t(s, d, "orders")
+      o.join(broadcast(changedDims.select(col("c_custkey"))),
+          o("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q02_halfday_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE (l_shipdate >= TIMESTAMP '1995-03-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-03-01 12:00:00')
+        |   OR (l_shipdate >= TIMESTAMP '1995-03-01 12:00:00' AND l_shipdate < TIMESTAMP '1995-03-02 00:00:00')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_count_filtered" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'O'",
+
+    "q05_detail_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  COALESCE(d.n_lines, 0) AS n_lines, COALESCE(d.sum_qty, 0.0) AS sum_qty
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey) d ON o.o_orderkey = d.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q06_semi_guard" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_dim_scan" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q08_projection_drop" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+
+    "q09_select_reorder" ->
+      "SELECT c_mktsegment, c_name, c_custkey FROM customer ORDER BY c_custkey",
+
+    "q10_rename" ->
+      "SELECT s_suppkey, s_name AS supplier_name, s_acctbal AS balance FROM supplier ORDER BY s_suppkey",
+
+    "q11_ts_filter" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate > TIMESTAMP '2000-06-01 00:00:00' ORDER BY o_orderkey""".stripMargin,
+
+    "q12_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS ln_big,
+        |  CAST(floor(l_quantity) AS INTEGER) AS qty_floor
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q14_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+
+    "q15_default_row" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT CAST(-1 AS INTEGER) AS r_regionkey, 'UNASSIGNED' AS r_name
+        |WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = -1)
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "q16_empty_shortcircuit" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_totalprice < 0.0",
+
+    "q17_flatten_roundtrip" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    "q18_flatten_prefix" ->
+      """SELECT o.o_orderkey, o.o_orderdate, l.l_partkey AS li_l_partkey, l.l_linenumber AS li_l_linenumber
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 2 = 0
+        |ORDER BY o.o_orderkey, o.o_orderdate, li_l_linenumber, li_l_partkey""".stripMargin,
+
+    "q19_flatten_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q20_flatten_two_level" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0
+        |ORDER BY c.c_custkey, o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity""".stripMargin,
+
+    "q21_tag_labels" ->
+      """SELECT DISTINCT l.l_partkey AS tag_id, l.l_suppkey AS label_id
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |ORDER BY tag_id, label_id""".stripMargin,
+
+    "q22_session_tags" ->
+      """SELECT l.l_orderkey AS session_id, l.l_partkey AS tag_id, l.l_linenumber, l.l_quantity
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, tag_id, l_linenumber, l_quantity""".stripMargin,
+
+    "q23_session_categories" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS category_id,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS score
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1, 2 ORDER BY session_id, category_id, score""".stripMargin,
+
+    "q24_session_reviewers" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS reviewer_id,
+        |  max(l.l_shipdate) AS last_reviewed_at
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1, 2 ORDER BY session_id, reviewer_id, last_reviewed_at""".stripMargin,
+
+    "q25_session_scores" ->
+      """SELECT l.l_orderkey AS session_id, l.l_partkey % 5 AS scorecard_id,
+        |  l.l_suppkey % 7 AS reviewer_id, l.l_linenumber AS point_id, l.l_quantity AS value
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, scorecard_id, reviewer_id, point_id, value""".stripMargin,
+
+    "q26_session_comments" ->
+      """SELECT l.l_orderkey AS session_id, l.l_suppkey AS author_id,
+        |  l.l_returnflag || '-' || l.l_linestatus AS text
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, author_id, text""".stripMargin,
+
+    "q27_session_summary" ->
+      """SELECT l.l_orderkey AS session_id, max(l.l_returnflag) AS text
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY session_id, text""".stripMargin,
+
+    "q27b_session_crm" ->
+      """SELECT DISTINCT l.l_orderkey AS session_id, l.l_linestatus AS crm_status
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 4 = 0 AND l.l_orderkey % 4 = 0
+        |ORDER BY session_id, crm_status""".stripMargin,
+
+    "q28_broadcast_enrich" ->
+      """SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q29_left_join_detail" ->
+      """SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q30_star_agg" ->
+      """SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+        |ORDER BY n_name, month""".stripMargin,
+
+    "q31_conditional_agg" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |  CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_other,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q32_ratio_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_per_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q33_channel_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_topk" ->
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "q35_ts_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  make_timestamp(((epoch_us(l_shipdate + ((l_orderkey * 7919 + l_linenumber) % 86400000) * INTERVAL 1 MILLISECOND) + 500000) // 1000000) * 1000000) AS ts_rounded
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q36_sentinel_date" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN '0001-01-01T00:00:00'
+        |         ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS dt_str
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN dt_str IS NOT NULL AND TRY_CAST(dt_str AS TIMESTAMP) IS NULL THEN TIMESTAMP '1900-01-01 00:00:00'
+        |       WHEN TRY_CAST(dt_str AS TIMESTAMP) < TIMESTAMP '1677-09-22 00:00:00' THEN TIMESTAMP '1900-01-01 00:00:00'
+        |       ELSE TRY_CAST(dt_str AS TIMESTAMP) END AS dt_clean
+        |FROM src ORDER BY o_orderkey""".stripMargin,
+
+    "q37_regex_salvage" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'corrupted>>' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '<<'
+        |         ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS dt_str
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  COALESCE(TRY_CAST(dt_str AS TIMESTAMP),
+        |    try_strptime(regexp_extract(dt_str, '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})', 1), '%Y-%m-%dT%H:%M:%S')) AS dt_parsed
+        |FROM src ORDER BY o_orderkey""".stripMargin,
+
+    "q38_split_datetime" ->
+      """SELECT o_orderkey,
+        |  split_part(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), 'T', 1) AS d_date,
+        |  substr(split_part(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), 'T', 2), 1, 5) AS d_time
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q39_make_link" ->
+      """SELECT o_orderkey,
+        |  'https://app.example.com/main/conversations/view?session_id=' || CAST(o_orderkey AS VARCHAR) AS et_link
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q40_json_extract" ->
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // A → 'A', é → 'é', \t → tab, prefixed onto the raw text
+    "q41_unicode_unescape" ->
+      """SELECT doc_id, 'Aé' || chr(9) || text AS unescaped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_nan_to_null" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE) ELSE l_tax END AS v
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN isnan(v) THEN NULL ELSE v END AS v_clean
+        |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q43_date_arith" ->
+      """SELECT o_orderkey, o_orderdate - INTERVAL 1 DAY AS prev_day,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q44_iso_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_dt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q45_upsert" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT t.* FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+        |UNION ALL SELECT u.* FROM upd u
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q46_upsert_dedup" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |batch AS (
+        |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 1 AS seq FROM base WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 2.0 AS o_totalprice, 2 AS seq FROM base WHERE o_orderkey % 8 = 0),
+        |deduped AS (
+        |  SELECT o_orderkey, o_totalprice, seq FROM batch
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+        |tgt AS (SELECT o_orderkey, o_totalprice, 0 AS seq FROM base WHERE o_orderkey % 3 = 0)
+        |SELECT t.* FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM deduped u WHERE u.o_orderkey = t.o_orderkey)
+        |UNION ALL SELECT u.* FROM deduped u
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q47_schema_reconcile" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "q50_tumbling_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS w, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY w""".stripMargin,
+
+    "q51_late_window_resync" ->
+      """SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-07-01 00:00:00' AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q52_changed_dim_facts" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey IN (1,2,3))
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

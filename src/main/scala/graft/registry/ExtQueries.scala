@@ -1,0 +1,1707 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Cleanse, Enrich, Flatten, Upsert}
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.registry.Fixtures._
+
+/** LLM-pipeline extensions: dedup families, ANN, text quality,
+  * corpus ops, multimodal, search.
+  * Pure relocation of the former SparkEntry map entries — no query or
+  * oracle text changed in the split.
+  */
+private[graft] object ExtQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split" -> ((s, d) =>
+      // deterministic train/val/test assignment (growth-stable FNV
+      // membership, seed 13), summarized per split × lang
+      graft.ext.Corpus.assignSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("split", "lang")),
+
+    "x_nfc" -> ((s, d) => {
+      // unicode canonicalization (codegen'd java.text.Normalizer): NFD
+      // text synthesized by suffixing e + COMBINING ACUTE composes to
+      // é — length drops by one, content diverges from the raw form
+      val syn = concat(col("text"), lit("e\u0301"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(syn).cast("long").as("n_raw"),
+          length(graft.functions.TextNormalize.nfc(syn)).cast("long").as("n_nfc"),
+          (syn =!= graft.functions.TextNormalize.nfc(syn)).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    "x_sessionize_batch" -> ((s, d) =>
+      // session_window in batch mode: 30-min inactivity gap per user
+      events(s, d)
+        .withColumn("tss", date_trunc("second", col("ts_us")))
+        .groupBy(session_window(col("tss"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
+    "x_approx_distinct" -> ((s, d) =>
+      // ORACLE-GATED sketch verdict: the HLL estimates are engine-
+      // specific, but the 5% error contract is not — both the sketch
+      // and the exact distinct count run engine-side and the driver
+      // gate hash-matches the literal bound verdicts
+      // rsd=0.02: the sketch's own std error sits well inside the 5%
+      // verdict bound at every scale factor (the default 0.05 rsd can
+      // legitimately exceed 5% on one given dataset)
+      t(s, d, "lineitem").agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct(col("l_orderkey")).as("eo"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"))
+        .select(explode(array(
+          struct(lit("orders_hll_err_lt_5pct").as("check_name"),
+            (abs(col("ao") - col("eo")).cast("double") / col("eo") < 0.05).as("ok")),
+          struct(lit("parts_hll_err_lt_5pct").as("check_name"),
+            (abs(col("ap") - col("ep")).cast("double") / col("ep") < 0.05).as("ok")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+        .orderBy("check_name")),
+
+    // ---- ext: dedup ----
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+
+    "x_dedup_exact_best" -> ((s, d) =>
+      // quality-first representative: keep the LONGEST duplicate (by
+      // n_chars), ties to min doc_id
+      Dedup.exactKeepBest(t(s, d, "documents"), "text", "doc_id", "n_chars")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+
+    "x_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "x_dedup_clusters" -> ((s, d) => {
+      // near-dup CLUSTER resolution: pairs (n-gram jaccard) → connected
+      // components (min-label propagation) → per-doc cluster id + size.
+      // The step that turns pairwise similarity into deduplicatable
+      // groups (transitive: A~B, B~C clusters A,B,C together even when
+      // A≁C). The oracle replays it with a recursive CTE.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)
+      val cc = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"))
+      import org.apache.spark.sql.expressions.Window
+      cc.select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    }),
+
+    "x_dedup_minhash" -> ((s, d) =>
+      // portable FNV-1a signatures — the oracle replays the FULL LSH
+      // pipeline (signatures, banding, bucket join, est_jaccard)
+      Dedup.minhashNearDups(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "x_dedup_incremental" -> ((s, d) => {
+      // cross-run near-dedup: an incoming batch (doc_id 200–299)
+      // LSH-joined against the existing corpus store (doc_id < 200) —
+      // the daily-ingest shape; no store self-join
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+          docs.filter(col("doc_id") < 200),
+          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_new", "id_store")
+    }),
+
+    "x_dedup_simhash" -> ((s, d) =>
+      // rotations=8 × prefixBits=8 = 8 disjoint blocks → EXACT for
+      // hamming ≤ 7 (pigeonhole), so the oracle is brute-force all-pairs
+      Dedup.simhashNearDups(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", shingleSize = 3, maxHamming = 7, prefixBits = 8,
+          rotations = 8)
+        .orderBy("id_a", "id_b")),
+
+    "x_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "x_bm25_search" -> ((s, d) =>
+      // BM25 relevance ranking for a bag-of-terms query — corpus
+      // slicing by keyword relevance; fixed-order score assembly keeps
+      // the float sum deterministic (see Search.bm25)
+      graft.ext.Search.bm25(t(s, d, "documents"), "text", "doc_id",
+          Seq("spark", "vector", "merge"), topK = 20)
+        .select(col("id").as("doc_id"), col("score"), col("rank"))
+        .orderBy("rank")),
+
+    // ---- ext: similarity search ----
+    "x_ann_bruteforce" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_bigram_lp" -> ((s, d) =>
+      // corpus-self-trained bigram predictability score (exact KenLM-
+      // style quality cut) — boilerplate scores high, noise low
+      graft.ext.TextOps.bigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
+    "x_chunks" -> ((s, d) =>
+      // context-window chunking (40 tokens, 10 overlap — sized so the
+      // synthetic 10-99-token docs split into 1-3 chunks): shuffle-free
+      // explode+slice; chunks ship as portable FNV hashes so the
+      // oracle can audit exact boundaries without dumping text
+      graft.ext.TextOps.chunkTokens(t(s, d, "documents"), "text", "doc_id",
+          chunkTokens = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          graft.functions.VectorExpressions.fnv1a64(col("chunk_text")).as("chunk_fnv"))
+        .orderBy("doc_id", "chunk_id")),
+
+    "x_kmeans" -> ((s, d) => {
+      // auditable clustering: one FNV-seeded Lloyd step over the
+      // embedding corpus (k=8), summarized as per-cluster size + mean
+      // cosine-to-centroid. Every step — seeding hash, decimal-exact
+      // centroid means, kernel accumulation order, tie-break — replays
+      // in the DuckDB oracle byte-for-byte (unlike the xxhash-seeded
+      // IVF rows, which are rows-only by design).
+      val e = t(s, d, "embeddings")
+      Similarity.kmeansAssign(e, "embedding", "vec_id", k = 8)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_cos"))
+        .orderBy("cell")
+    }),
+
+    "x_ann_ivf" -> ((s, d) => {
+      // rows-only: approximate (IVF probe) — no exact oracle by design
+      val e = t(s, d, "embeddings")
+      val centroids = Similarity.materializeCentroids(
+        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16))
+      val assigned = Similarity.assignCells(e, centroids, "embedding", "vec_id")
+      Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_ivf_recall" -> ((s, d) => {
+      // ORACLE-GATED quality bound for the approximate ANN paths: mean
+      // recall@10 vs the exact brute force, computed ENGINE-side for
+      // both the IVF probe path and the FAISS-style IVF-PQ residual
+      // path (deterministic: hash-seeded centroids, deterministic
+      // ties), returned as literal bound verdicts the driver can gate
+      // on. The synthetic embeddings are near-UNIFORM — ANN's worst
+      // case, where top-10 neighbors scatter across cells — so the
+      // bounds are what these probe budgets actually deliver on that
+      // data family, measured at sf0.001/0.01/0.1 with margin:
+      // IVF nProbe=8/16 → 0.78–0.80 (bound 0.70); IVF-PQ nProbe=12,
+      // shortlist=200 → 0.72–0.93 (bound 0.65). On clustered real
+      // corpora the same configs clear 0.9 (SimilaritySpec/PqSpec).
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val cents = Similarity.refineCentroids(e,
+        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16),
+        "embedding", "vec_id", iterations = 1)
+      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
+      val ivf = Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
+        k = 10, nProbe = 8)
+      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+      val ivfOk = Similarity.recallAtK(ivf, brute)
+        .agg((avg(col("recall")) >= 0.7).as("ok"))
+        .select(lit("ivf_mean_recall10_ge_070").as("check_name"), col("ok"))
+      // IVF-PQ on normalized vectors, same residual index as x_ann_ivfpq
+      val en = e.select(col("vec_id").as("id"),
+        graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val qn = en.filter(col("id") < 20)
+      val centsN = Similarity.refineCentroids(en,
+        Similarity.coarseCentroids(en, "v", "id", nCells = 16),
+        "v", "id", iterations = 1)
+      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(en, centsN, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 1)
+      val ivfpq = graft.ext.Pq.ivfPqRerankTopK(enc, centsN, rcb, qn, en,
+        "v", "id", k = 10, shortlistK = 200, nProbe = 12,
+        dim = 64, m = 8, ksub = 16)
+      val bruteN = Similarity.bruteForceTopK(en, qn, "v", "id", k = 10)
+      val ivfpqOk = Similarity.recallAtK(ivfpq, bruteN)
+        .agg((avg(col("recall")) >= 0.65).as("ok"))
+        .select(lit("ivfpq_mean_recall10_ge_065").as("check_name"), col("ok"))
+      ivfOk.unionByName(ivfpqOk).orderBy("check_name")
+    }),
+
+    "x_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(
+          t(s, d, "embeddings").filter(col("vec_id") < 300),
+          "embedding", "vec_id", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "x_embed_neardup_incr" -> ((s, d) => {
+      // ORACLE-GATED quality verdict for the incremental path: an
+      // incoming embedding batch (vec_id ≥ 400) probed against the
+      // corpus store (vec_id < 400). The exact batch×store pair set is
+      // recomputed engine-side on a bounded slice (store capped by
+      // construction, batch capped at 300 ids) and the IVF-probed pairs
+      // must reach 90% recall with zero false positives on that slice
+      val e = t(s, d, "embeddings")
+      val batch = e.filter(col("vec_id") >= 400 && col("vec_id") < 700)
+      val store = e.filter(col("vec_id") < 400)
+      val got = Dedup.embeddingNearDupsAgainst(
+          batch, store, "embedding", "vec_id",
+          threshold = 0.4, nCells = 16, nProbe = 10)
+        .select(col("id_new"), col("id_store"))
+      // exact pairs: broadcast the bounded store side, verify with the
+      // same codegen cosine — a BNL join over ≤400 stored vectors
+      val exact = batch.select(col("vec_id").as("id_new"), col("embedding").as("vn"))
+        .crossJoin(broadcast(
+          store.select(col("vec_id").as("id_store"), col("embedding").as("vs"))))
+        .filter(graft.functions.VectorExpressions.cosineF(col("vn"), col("vs")) >= 0.4)
+        .select(col("id_new"), col("id_store"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nGot = got.agg(count(lit(1)).as("n_got"))
+      val nInter = got.join(exact, Seq("id_new", "id_store")).agg(count(lit(1)).as("n_inter"))
+      nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
+        .select(explode(array(
+          struct(lit("incr_recall_ge_090").as("check_name"),
+            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
+          struct(lit("incr_no_false_positives").as("check_name"),
+            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+        .orderBy("check_name")
+    }),
+
+    "x_embed_neardup_bucketed" -> ((s, d) => {
+      // ORACLE-GATED quality verdict for the bucketed near-dup path:
+      // runs the FULL embeddings table (no cap) through IVF cell
+      // bucketing, then grades the found pairs on a bounded slice
+      // (both ids < 300) against the exact all-pairs operator — 90%
+      // recall, zero false positives (the exact-verify stage makes
+      // precision 1.0 by construction; the verdict proves it)
+      val e = t(s, d, "embeddings")
+      val got = Dedup.embeddingNearDupsBucketed(
+          e, "embedding", "vec_id", threshold = 0.4, nCells = 16, nProbe = 4)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.embeddingNearDups(
+          e.filter(col("vec_id") < 300), "embedding", "vec_id", threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nGot = got.agg(count(lit(1)).as("n_got"))
+      val nInter = got.join(exact, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_inter"))
+      nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
+        .select(explode(array(
+          struct(lit("bucketed_recall_ge_090").as("check_name"),
+            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
+          struct(lit("bucketed_no_false_positives").as("check_name"),
+            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+        .orderBy("check_name")
+    }),
+
+    // ---- ext: text analysis ----
+    "x_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_tokens"),
+          TextOps.charCount(col("text")).as("n_chars_m"),
+          round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
+        .orderBy("doc_id")),
+
+    "x_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextOps.langIdGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    "x_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "x_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters: top-token / top-bigram /
+      // duplicate-bigram fractions per doc
+      TextOps.repetitionStats(t(s, d, "documents"), "text", "doc_id", n = 2)
+        .select(col("id").as("doc_id"), col("top_token_frac"),
+          col("top_ngram_frac"), col("dup_ngram_frac"))
+        .orderBy("doc_id")),
+
+    "x_pii_redact" -> ((s, d) =>
+      // PII scrub over text with synthesized (deterministic) email /
+      // phone / IPv4 — both sides inject the same PII, so the redaction
+      // semantics are fully oracle-checked (same recipe as q41's
+      // synthesized escapes)
+      t(s, d, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
+          col("doc_id"), lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+        .select(col("doc_id"), TextOps.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+
+    "x_bpe_tokens" -> ((s, d) =>
+      // the lookaround boundary-split equals maximal-run extraction on
+      // ASCII text, which the oracle can express without lookarounds
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
+        .orderBy("doc_id")),
+
+    "x_decontaminate" -> ((s, d) => {
+      // n-gram benchmark decontamination: docs sharing any 5-gram with
+      // the "benchmark" slice (doc_id < 20) are removed
+      val docs = t(s, d, "documents")
+      graft.ext.Corpus.decontaminate(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 5)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "x_curation_e2e" -> ((s, d) => {
+      // the COMPOSED curation pipeline: quality gate → benchmark
+      // decontamination → exact dedup → near-dup cluster dedup. Every
+      // stage is individually oracle-proven; this row verifies the
+      // stage WIRING end-to-end against one composed DuckDB replay.
+      val docs = t(s, d, "documents")
+      graft.ext.CurationPipeline.curate(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", minQuality = 0.5, ngram = 5,
+          shingleSize = 3, jaccardThreshold = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "x_sample_stratified" -> ((s, d) =>
+      // portable FNV sample buckets — the oracle replays the exact
+      // per-row membership decision
+      graft.ext.Corpus.stratifiedSample(t(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "x_mixture_budget" -> ((s, d) =>
+      // token-budget mixture assembly: en capped at 5000 tokens, de at
+      // 2000, other strata dropped — deterministic hash order, so the
+      // oracle replays the exact cutoff
+      graft.ext.Corpus.tokenBudgetSample(t(s, d, "documents"), "doc_id", "lang",
+          TextOps.tokenCountWs(col("text")), Map("en" -> 5000L, "de" -> 2000L),
+          seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "x_pack_offsets" -> ((s, d) =>
+      // sequence-packing layout: deterministic concatenation order +
+      // token offsets + 2048-token bin per doc, in 8 parallel buckets
+      graft.ext.Corpus.packingOffsets(t(s, d, "documents"), "doc_id",
+          TextOps.tokenCountWs(col("text")), binTokens = 2048, nBuckets = 8,
+          seed = 7L)
+        .select(col("doc_id"), col("pack_bucket"), col("pack_offset"), col("bin_id"))
+        .orderBy("doc_id")),
+
+    "x_multimodal_frames" -> ((s, d) => {
+      // ORACLE-GATED frame sampling over REAL decoded stills (each doc's
+      // blob is a deterministic executor-rendered PNG; the JDK has no
+      // video codec, so the frame GRAB is the one remaining stub). The
+      // oracle replays the row-per-frame shape, offsets, and zero-
+      // duration inner semantics; the decoded feature rides along as a
+      // range verdict (profile ∈ [0,1] + normalized shift ∈ [0,1))
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
+      val blobs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), render(col("doc_id")).as("blob"),
+          (col("n_chars") % 5 * 1000).cast("long").as("duration_ms"))
+      graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
+          everyMs = 1000, dim = 4)
+        .select(col("doc_id"), col("duration_ms"), col("frame_ms"),
+          (element_at(col("frame_feature"), 1) >= 0 &&
+            element_at(col("frame_feature"), 1) < 2).as("f0_ok"))
+        .orderBy("doc_id", "frame_ms")
+    }),
+
+    "x_multimodal_neardup" -> ((s, d) => {
+      // ORACLE-GATED perceptual near-dup over REAL images: javax.imageio
+      // decode + true dHash through the shared Charikar banding in its
+      // pigeonhole-EXACT regime (rotations=8 × prefixBits=8 finds every
+      // pair within hamming ≤ 4 deterministically). Every 7th doc gets a
+      // planted 2-pixel-noised twin (≤ 4 flipped bits), and distinct
+      // mosaic seeds sit ~32 bits apart — so the found pairs are EXACTLY
+      // the planted ones, which the oracle enumerates in SQL
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
+      val renderNoisy = udf((id: Long) =>
+        graft.ext.Multimodal.renderPng(id, noisePixels = 2))
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+      val base = docs.select(col("doc_id"), render(col("doc_id")).as("blob"))
+      val twins = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          renderNoisy(col("doc_id")).as("blob"))
+      graft.ext.Multimodal.imageNearDups(base.unionByName(twins), "blob", "doc_id",
+          maxHamming = 4, prefixBits = 8, rotations = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x_multimodal_features" -> ((s, d) => {
+      // ORACLE-GATED: REAL javax.imageio decode over executor-rendered
+      // PNG blobs — media_kind/width/height only come out 'image'/32/32
+      // if the codec actually decoded every blob, which is exactly what
+      // the oracle asserts row by row (the luminance profile itself is
+      // verified by x_multimodal_selfcheck's independent replay)
+      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
+      val blobs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("blob"))
+      graft.ext.Multimodal.extractFeatures(blobs, "blob", dim = 8)
+        .select(col("doc_id"), col("media_kind"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
+    "x_multimodal_selfcheck" -> ((s, d) =>
+      // ORACLE-GATED media-kernel verdicts: decode dims, independent
+      // feature replay, dHash locality, resize round-trip, WAV decode,
+      // planted-twin near-dup recall — each boolean computed ON the
+      // engine over executor-rendered fixtures; the oracle hash-matches
+      // the literal expected verdicts, so the driver gate sees pass/fail
+      graft.ext.Multimodal.selfCheck(
+        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id")),
+
+    "x_keyterms" -> ((s, d) =>
+      // per-doc top-3 distinctive terms by smoothed TF-IDF — the
+      // document-labeling complement of x_bm25_search; df computed as a
+      // window over the tf frame (explode runs once — see Search.bm25)
+      graft.ext.Search.keyTerms(t(s, d, "documents"), "text", "doc_id", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
+        .orderBy("doc_id", "rank")),
+
+    "x_unigram_logprob" -> ((s, d) =>
+      // model-free LM quality signal: per-doc mean unigram log-prob
+      // under the corpus' own distribution (decimal-accumulated ln —
+      // deterministic at any parallelism)
+      graft.ext.Corpus.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
+    "x_gopher_filter" -> ((s, d) =>
+      // composite Gopher quality verdict (Rae et al. 2021 Table A1):
+      // per-rule metrics + all-rules pass flag, all codegen'd column
+      // arithmetic — the inline quality cut of a pre-training ingest
+      TextOps.gopherFilter(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "x_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary: top-100 words with rank + cumulative
+      // coverage — tokenizer-training prep; ties rank by word
+      graft.ext.Corpus.vocabulary(t(s, d, "documents"), "text", topK = 100)
+        .orderBy("rank")),
+
+    "x_dup_passages" -> ((s, d) =>
+      // cross-doc duplicate-passage profile: per doc, how many of its
+      // 5-token windows appear in other docs (inverted-index shape —
+      // no pair join); the oracle replays it over shingle strings
+      Dedup.duplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
+        .orderBy("id")),
+
+    "x_dup_passages_removed" -> ((s, d) =>
+      // the passage-dedup TREATMENT: docs rewritten with every token
+      // inside a cross-doc 5-token window removed — whole-doc dedup
+      // can't do this (the boilerplate hides inside unique pages)
+      Dedup.removeDuplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
+        .orderBy("id")),
+
+    "x_dup_passages_incr" -> ((s, d) => {
+      // cross-run passage profiling: an incoming batch (doc_id 200–299)
+      // scored against the corpus window store (doc_id < 200) — the
+      // daily-ingest shape; the corpus text is never re-scanned
+      val docs = t(s, d, "documents")
+      val store = Dedup.windowStore(
+        docs.filter(col("doc_id") < 200), "text", "doc_id", n = 5)
+      Dedup.duplicatePassagesAgainst(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+          store, "text", "doc_id", n = 5)
+        .orderBy("id")
+    }),
+
+    "x_zorder_layout" -> ((s, d) =>
+      // Morton z-value over (custkey, days-since-epoch) — the write-
+      // time clustering key for two-dimensional data skipping; pure
+      // bit arithmetic, replayed bit-for-bit by the oracle
+      t(s, d, "orders").select(col("o_orderkey"),
+          graft.ops.Layout.zValue(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+            .as("zval"))
+        .orderBy("o_orderkey")),
+
+    "x_skew_report" -> ((s, d) =>
+      // join-key skew diagnostic over the fact table's supplier key —
+      // the pre-salting inspection; deterministic tie order
+      graft.ops.Validate.skewReport(t(s, d, "lineitem"), "l_suppkey", topK = 10)
+        .orderBy("rank")),
+
+    "x_zorder3" -> ((s, d) => {
+      // three-dimensional Morton code (custkey, day index, priority
+      // class) — the clustering key for a fact queried by key AND date
+      // AND category; bit i of column k lands at position 3i+k
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val pri = substring(col("o_orderpriority"), 1, 1).cast("long")
+      t(s, d, "orders").select(col("o_orderkey"),
+          graft.ops.Layout.zValueN(
+            Seq(col("o_custkey"), day, pri), bits = 16).as("zval"))
+        .orderBy("o_orderkey")
+    }),
+
+    "x_zrange_scan" -> ((s, d) => {
+      // read-side z-probe: a (custkey, day) box answered through the
+      // quadtree z-range cover + residual predicate — must equal the
+      // plain box filter (the oracle IS the plain box filter); on a
+      // z-sorted table each range is one contiguous scan
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val o = t(s, d, "orders").withColumn("zval",
+        graft.ops.Layout.zValue(col("o_custkey"), day, bits = 12))
+      graft.ops.Layout.scanZBox(o, col("o_custkey"), day, col("zval"),
+          100L, 299L, 1200L, 2399L, bits = 12, maxRanges = 64)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "x_sample_weighted" -> ((s, d) =>
+      // weighted priority sample (Duffield et al.): P(keep) ∝ n_chars;
+      // portable-FNV uniforms + a single IEEE division per row — the
+      // oracle replays the exact priority order
+      graft.ext.Corpus.prioritySample(t(s, d, "documents"), "doc_id",
+          col("n_chars"), k = 100, seed = 7L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "x_ann_pq" -> ((s, d) => {
+      // rows-only by design (the k-means shortlist is not SQL-
+      // replayable; PqSpec gates recall and proves ADC == dot-on-
+      // decoded). Full production pipeline: train 8×16 codebooks,
+      // encode 64-dim floats to 8 byte codes (32× compression), ADC-
+      // shortlist 30 per query from the codes, exact-rerank to top-10
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val queries = e.filter(col("id") < 5)
+      val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 1)
+      val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
+      graft.ext.Pq.adcRerankTopK(enc, cb, queries, e, "v", "id",
+          k = 10, shortlistK = 30, dim = 64, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_ann_ivfpq" -> ((s, d) => {
+      // rows-only by design. FAISS-style IVF-PQ: coarse cells → PQ on
+      // RESIDUALS (codes quantize local offsets, not the global
+      // spread) → probe + ADC shortlist → exact re-rank. The scale
+      // path for ANN over a corpus whose full vectors don't fit hot
+      // storage: the scan side holds cell + 8 bytes per vector
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          graft.ext.Pq.normalized(col("embedding")).as("v"))
+      // lean build settings for the per-round driver run: quality knobs
+      // (Lloyd depth, refine) are gated in PqSpec + the 202k soak; an
+      // index is built ONCE and searched many times in production, not
+      // rebuilt per query as this end-to-end row does
+      val cents = graft.ext.Similarity.refineCentroids(e,
+        graft.ext.Similarity.coarseCentroids(e, "v", "id", nCells = 16),
+        "v", "id", iterations = 1)
+      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(e, cents, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 1)
+      graft.ext.Pq.ivfPqRerankTopK(enc, cents, rcb, e.filter(col("id") < 5), e,
+          "v", "id", k = 10, shortlistK = 30, nProbe = 4,
+          dim = 64, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_active_trailing_hll" -> ((s, d) => {
+      // ORACLE-GATED sketch verdict: the per-day HLL trailing-actives
+      // estimates (shuffle independent of user count) must each land
+      // within 5% of the exact operator's count — both frames computed
+      // engine-side, joined on day, worst-case error checked
+      val appr = graft.ext.Behavior.activeUsersTrailingApprox(events(s, d),
+          "user_id", "ts_us", windowDays = 7)
+        .withColumnRenamed("active_users_est", "a_est")
+      val exact = graft.ext.Behavior.activeUsersTrailing(events(s, d),
+          "user_id", "ts_us", windowDays = 7)
+        .withColumnRenamed("active_users", "a_exact")
+      appr.join(exact, Seq("day"), "full")
+        .agg(
+          (count(when(col("a_est").isNull || col("a_exact").isNull, 1)) === 0)
+            .as("days_align"),
+          (max(abs(col("a_est") - col("a_exact")).cast("double") / col("a_exact")) < 0.05)
+            .as("err_ok"))
+        .select(explode(array(
+          struct(lit("hll_day_sets_align").as("check_name"), col("days_align").as("ok")),
+          struct(lit("hll_trailing_err_lt_5pct").as("check_name"), col("err_ok").as("ok"))))
+          .as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+        .orderBy("check_name")
+    }),
+
+    "x_compression_ratio" -> ((s, d) =>
+      // zlib quality signal over the documents table: boilerplate
+      // compresses away, entropy soup doesn't (rows-only: a JVM codec
+      // has no SQL replay; TextOpsSpec pins the ordering properties
+      // and partitioning determinism)
+      graft.ext.TextOps.compressionRatio(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id")
+        .orderBy("id")),
+
+    "x_decontaminate_semantic" -> ((s, d) => {
+      // paraphrase-level decontamination: corpus embeddings vs a
+      // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") % 100 === 0)
+      val corpus = e.filter(col("vec_id") % 100 =!= 0)
+      graft.ext.Corpus.decontaminateSemantic(corpus, bench,
+        "embedding", "vec_id", threshold = 0.30)
+    }),
+
+    "x_heavy_hitters" -> ((s, d) =>
+      // SpaceSaving heavy hitters over event_type with capacity >>
+      // distinct keys: no counter evicts, so the sketch is provably
+      // EXACT (err=0) and the full oracle hash-match applies — the
+      // custom TypedImperativeAggregate shuffles O(capacity) summaries,
+      // never raw keys
+      events(s, d)
+        .agg(graft.functions.VectorExpressions
+          .spaceSavingTopK(col("event_type"), 64).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.est").as("n"),
+          col("h.err").as("err"), col("h.total").as("total"))
+        .orderBy(col("n").desc, col("key"))),
+
+    "x_heavy_hitters_approx" -> ((s, d) => {
+      // ORACLE-GATED sketch verdict for the eviction regime (150+ users
+      // against 32 counters — the surviving tail set legitimately
+      // depends on merge order, so the ROWS can't be oracled, but the
+      // SpaceSaving GUARANTEES can): engine-side exact counts prove
+      // (a) the total is exact, (b) every key with freq > N/capacity
+      // survived, (c) every estimate brackets its true count
+      // (est − err ≤ true ≤ est)
+      val hh = events(s, d)
+        .agg(graft.functions.VectorExpressions
+          .spaceSavingTopK(col("user_id").cast("string"), 32).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("key"), col("h.est").as("est"),
+          col("h.err").as("err"), col("h.total").as("total"))
+      val exact = events(s, d).groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = events(s, d).agg(count(lit(1)).as("n"))
+      val totalOk = hh.crossJoin(broadcast(n))
+        .agg((count(when(col("total") =!= col("n"), 1)) === 0).as("ok"))
+        .select(lit("total_is_exact_count").as("check_name"), col("ok"))
+      val heavyPresent = exact.crossJoin(broadcast(n))
+        .filter(col("cnt") > col("n") / 32)
+        .join(hh.select(col("key"), lit(1).as("__in")), Seq("key"), "left")
+        .agg((count(when(col("__in").isNull, 1)) === 0).as("ok"))
+        .select(lit("all_heavy_keys_survive").as("check_name"), col("ok"))
+      val bracketOk = hh.join(exact, Seq("key"), "left")
+        .agg((count(when(col("cnt").isNull ||
+          col("est") < col("cnt") || col("est") - col("err") > col("cnt"), 1)) === 0)
+          .as("ok"))
+        .select(lit("estimates_bracket_truth").as("check_name"), col("ok"))
+      totalOk.unionByName(heavyPresent).unionByName(bracketOk)
+        .orderBy("check_name")
+    }),
+
+    "x_fuzzy_join" -> ((s, d) => {
+      // record linkage: entity names = part name + key suffix (unique,
+      // like real master-list entities; the bare p_name vocabulary is
+      // ~56 strings, which would make every blocking segment hot AND
+      // the true answer itself quadratic-sized). Corrupt a third of
+      // them by one key-derived char deletion, re-link at edit
+      // distance <= 1 via PassJoin segment blocking — candidate space
+      // is the blocking join, never |L|x|R|; the oracle replays the
+      // same corruption + levenshtein exactly
+      val part = t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
+      val pos = (col("p_partkey") % 5 + 1).cast("int")
+      val dirty = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("dirty_key"),
+          concat(col("ename").substr(lit(1), pos),
+            col("ename").substr(pos + lit(2), length(col("ename")))).as("dname"))
+      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
+      graft.ext.Linkage.editDistanceJoin(dirty, clean, "dname", "ename", k = 1)
+        .select("dirty_key", "clean_key", "dname", "ename", "dist")
+        .orderBy("dirty_key", "clean_key")
+    }),
+
+    "x_compact" -> ((s, d) => {
+      // compaction round-trip: fragment documents into 32 small files,
+      // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
+      // oracle computes the same aggregate over the original table, so
+      // a full hash match proves compaction preserved every row byte-
+      // for-byte while the emitted file count collapsed
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+        .resolve("documents").toString
+      t(s, d, "documents").repartition(32).write
+        .mode("overwrite").parquet(tmp)
+      val rep = graft.ops.Layout.compact(s, tmp, targetBytes = 256L * 1024 * 1024)
+      val fnvB = graft.functions.VectorExpressions.fnv1a64(col("text"))
+      s.read.parquet(tmp).agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(pmod(fnvB, lit(1000000L))).as("text_fnv_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+        .withColumn("compacted", lit(rep.filesAfter < rep.filesBefore))
+    }),
+
+    "x_approx_quantiles" -> ((s, d) => {
+      // ORACLE-GATED sketch verdict: each approximate quantile's true
+      // rank (fraction of values at or below it, computed engine-side)
+      // must sit within ±1% of the target percentile — the documented
+      // accuracy of the sketch at 10000, checked without ever exposing
+      // the engine-specific quantile values to the oracle
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val qs = t(s, d, "lineitem")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(ps.map(lit): _*), lit(10000)).as("qs"))
+      t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+        .crossJoin(broadcast(qs))
+        .select(col("v"), posexplode(col("qs")).as(Seq("i", "q")))
+        .groupBy(col("i"))
+        .agg(avg(when(col("v") <= col("q"), 1.0).otherwise(0.0)).as("frac"))
+        .select(col("i"),
+          element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+          (abs(col("frac") - element_at(array(ps.map(lit): _*), col("i") + 1)) <= 0.01)
+            .as("ok"))
+        .orderBy("i")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // repetition replay: same tokenizer; n-gram counts over the shingle
+    // STRINGS (count-equivalent to the engine's shingle hashes)
+    "x_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t),
+        |toks AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+        |  FROM tokc GROUP BY doc_id),
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |ngr AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS s
+        |  FROM d),
+        |ngrc AS (SELECT doc_id, s, count(*) AS c FROM ngr GROUP BY doc_id, s),
+        |ngrs AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+        |  FROM ngrc GROUP BY doc_id)
+        |SELECT doc.doc_id, toks.top_token_frac, ngrs.top_ngram_frac, ngrs.dup_ngram_frac
+        |FROM documents doc
+        |LEFT JOIN toks ON doc.doc_id = toks.doc_id
+        |LEFT JOIN ngrs ON doc.doc_id = ngrs.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    // same deterministic PII injection, same RE2-safe patterns with 'g'
+    "x_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1 555 01' || doc_id
+        |      || ' at 10.0.' || (doc_id % 256) || '.7' AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // the boundary-split tokens ARE the maximal alnum / non-alnum-non-
+    // space runs (exact on ASCII; lookarounds not needed to count runs)
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replay of the deterministic packing layout (seed 7, 8 buckets)
+    "x_pack_offsets" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, toks, ${signedSql("hu")} AS h,
+         |    ((${signedSql("hu")} % 8) + 8) % 8 AS pack_bucket
+         |  FROM hx),
+         |c AS (
+         |  SELECT doc_id, pack_bucket,
+         |    CAST(sum(toks) OVER (PARTITION BY pack_bucket ORDER BY h ASC, doc_id ASC
+         |                         ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS pack_offset
+         |  FROM m)
+         |SELECT doc_id, pack_bucket, pack_offset, pack_offset // 2048 AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replay of the deterministic-order cumulative token cutoff (seed 7)
+    "x_mixture_budget" ->
+      s"""WITH hx AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    sum(toks) OVER (PARTITION BY lang ORDER BY ${signedSql("hu")} ASC, doc_id ASC
+         |                    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hx)
+         |SELECT doc_id, lang FROM c
+         |WHERE (CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END) > 0
+         |  AND cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // composed replay of the full curation chain: quality (x_quality's
+    // scoring) → 5-gram decontamination vs doc_id<20 → exact dedup
+    // (normalized-text min-id) → jaccard pairs → recursive-CTE cluster
+    // resolution → cluster minima
+    "x_curation_e2e" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+        |  FROM base),
+        |qd AS (
+        |  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN parts p ON d.doc_id = p.doc_id
+        |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
+        |g1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM qd),
+        |grams AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                         FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM g1),
+        |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 20),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                          FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM bw),
+        |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b ON g.s = b.s),
+        |clean AS (
+        |  SELECT doc_id, text, lang FROM qd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ex AS (
+        |  SELECT doc_id, text, lang FROM clean WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM clean
+        |    GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        |shw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM ex),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+        |    FROM shw)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM prs p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM ex
+        |  UNION
+        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT ex.doc_id, ex.lang FROM ex JOIN cc ON ex.doc_id = cc.doc_id
+        |WHERE cc.doc_id = cc.cluster_id
+        |ORDER BY ex.doc_id""".stripMargin,
+
+    // replay of the FNV sample-bucket membership decision (seed 7)
+    "x_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
+         |  FROM h)
+         |SELECT doc_id, lang FROM m
+         |WHERE b < CAST((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.0 END) * 1000000.0 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
+    // split-band membership replay (seed 13; bands on millionth
+    // boundaries: train < 800000 ≤ val < 900000 ≤ test)
+    "x_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':13')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, n_chars,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
+         |  FROM h)
+         |SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM m GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "x_nfc" ->
+      """SELECT doc_id,
+        |  length(text || 'e' || chr(769)) AS n_raw,
+        |  length(nfc_normalize(text || 'e' || chr(769))) AS n_nfc,
+        |  (text || 'e' || chr(769)) != nfc_normalize(text || 'e' || chr(769)) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, tss, value,
+        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, min(tss) AS session_start,
+        |  max(tss) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // ---- sketch/approx quality-bound verdicts: the estimates are
+    // engine-specific by design, but their documented error contracts
+    // are not — each query computes BOTH the sketch and the exact
+    // reference engine-side and returns literal bound verdicts the
+    // oracle hash-matches, so the driver gate shows pass/fail ----
+    "x_approx_distinct" ->
+      """SELECT * FROM (VALUES ('orders_hll_err_lt_5pct', TRUE),
+        |  ('parts_hll_err_lt_5pct', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_approx_quantiles" ->
+      """SELECT i, CAST(p AS DOUBLE) AS p, ok FROM (VALUES
+        |  (0, 0.25, TRUE), (1, 0.5, TRUE), (2, 0.75, TRUE), (3, 0.95, TRUE))
+        |AS t(i, p, ok) ORDER BY i""".stripMargin,
+
+    "x_active_trailing_hll" ->
+      """SELECT * FROM (VALUES ('hll_day_sets_align', TRUE),
+        |  ('hll_trailing_err_lt_5pct', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_heavy_hitters_approx" ->
+      """SELECT * FROM (VALUES ('all_heavy_keys_survive', TRUE),
+        |  ('estimates_bracket_truth', TRUE), ('total_is_exact_count', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_ann_ivf_recall" ->
+      """SELECT * FROM (VALUES ('ivf_mean_recall10_ge_070', TRUE),
+        |  ('ivfpq_mean_recall10_ge_065', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_embed_neardup_incr" ->
+      """SELECT * FROM (VALUES ('incr_no_false_positives', TRUE),
+        |  ('incr_recall_ge_090', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_embed_neardup_bucketed" ->
+      """SELECT * FROM (VALUES ('bucketed_no_false_positives', TRUE),
+        |  ('bucketed_recall_ge_090', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    // the decoded dims/kind are only 'image'/32/32 when the codec
+    // really decoded each rendered blob — the oracle asserts that per row
+    "x_multimodal_features" ->
+      """SELECT doc_id, 'image' AS media_kind, 32 AS width, 32 AS height
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // frame offsets replay in SQL (range list per doc, inner semantics:
+    // zero duration → no rows); the decoded-feature range rides as f0_ok
+    "x_multimodal_frames" ->
+      """SELECT doc_id, duration_ms, unnest(range(0, duration_ms, 1000)) AS frame_ms,
+        |       TRUE AS f0_ok
+        |FROM (SELECT doc_id, CAST(n_chars % 5 * 1000 AS BIGINT) AS duration_ms
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id, frame_ms""".stripMargin,
+
+    // pigeonhole-exact banding + ~32-bit seed separation ⇒ the pair set
+    // is exactly the planted twins, enumerable in SQL
+    "x_multimodal_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id < 2000 AND doc_id % 7 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the media kernels run codecs a SQL engine doesn't have — the
+    // self-check computes every invariant ENGINE-side and the oracle
+    // hash-matches the literal expected verdicts
+    "x_multimodal_selfcheck" ->
+      """SELECT * FROM (VALUES
+        |  ('decoded_all', TRUE), ('dhash_locality', TRUE),
+        |  ('features_match', TRUE), ('neardup_planted_twins', TRUE),
+        |  ('resize_roundtrip', TRUE), ('wav_decode', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_exact_best" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+        |    FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // jaccard pairs (same CTE chain as x_dedup_jaccard) → undirected
+    // edges → recursive min-label reachability → min reachable id per
+    // node = cluster id (singletons label themselves)
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+        |    FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // full LSH replay: FNV-1a shingle hashes → 64 permuted mins → 16
+    // band buckets → bucket self-join → positional signature agreement
+    "x_dedup_minhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
+         |perm AS (
+         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
+         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
+         |bs AS (
+         |  SELECT doc_id, band,
+         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
+         |  FROM sig CROSS JOIN range(16) t(band)),
+         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cand JOIN sig s1 ON cand.id_a = s1.doc_id JOIN sig s2 ON cand.id_b = s2.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // same LSH replay, asymmetric: store (doc_id < 200) × incoming
+    // (200–299) instead of a self-join
+    "x_dedup_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
+         |perm AS (
+         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
+         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
+         |bs AS (
+         |  SELECT doc_id, band,
+         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
+         |  FROM sig CROSS JOIN range(16) t(band)),
+         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_store
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < 200 AND b.doc_id >= 200),
+         |est AS (
+         |  SELECT id_new, id_store,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cand JOIN sig s1 ON cand.id_new = s1.doc_id JOIN sig s2 ON cand.id_store = s2.doc_id)
+         |SELECT id_new, id_store, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_store""".stripMargin,
+
+    // rotations=8/prefixBits=8 is exact for hamming ≤ 7 (8 disjoint
+    // blocks, pigeonhole) → oracle is brute-force all-pairs hamming
+    "x_dedup_simhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM d),
+         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
+         |bits(bit, p) AS (VALUES $bitRowsSql),
+         |votes AS (
+         |  SELECT doc_id, bit, p, sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN bits GROUP BY doc_id, bit, p),
+         |shu AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u FROM votes GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ${fnvSql("nt")} AS hu FROM n)
+         |SELECT doc_id, ${signedSql("hu")} AS fp FROM hh ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: same tokenizer, same idf form, same fixed-order
+    // per-term score assembly (max-of-CASE per term, summed left to
+    // right) so the double math is bit-identical
+    "x_bm25_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS len
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark' THEN s END) AS s0,
+        |    max(CASE WHEN term = 'vector' THEN s END) AS s1,
+        |    max(CASE WHEN term = 'merge' THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score FROM agg),
+        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "x_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        |  FROM c, q WHERE c.corpus_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "x_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 300),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                         FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM c),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE doc_id < 20),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.s = b.s)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    (length(t) - length(replace(t, ' the ', ''))) / 5 + (length(t) - length(replace(t, ' and ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4 + (length(t) - length(replace(t, ' is ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' to ', ''))) / 4 AS s_en,
+        |    (length(t) - length(replace(t, ' der ', ''))) / 5 + (length(t) - length(replace(t, ' die ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' und ', ''))) / 5 + (length(t) - length(replace(t, ' ist ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' das ', ''))) / 5 AS s_de,
+        |    (length(t) - length(replace(t, ' le ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' et ', ''))) / 4 + (length(t) - length(replace(t, ' est ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' les ', ''))) / 5 AS s_fr,
+        |    (length(t) - length(replace(t, ' el ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' y ', ''))) / 3 + (length(t) - length(replace(t, ' es ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' los ', ''))) / 5 AS s_es,
+        |    (length(t) - length(replace(t, '的', ''))) / 1 + (length(t) - length(replace(t, '是', ''))) / 1
+        |      + (length(t) - length(replace(t, '了', ''))) / 1 + (length(t) - length(replace(t, '在', ''))) / 1
+        |      + (length(t) - length(replace(t, '我', ''))) / 1 AS s_zh
+        |  FROM p)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en) THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "x_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+        |  FROM base)
+        |SELECT doc_id, round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
+        |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "x_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ln matches Java bit-for-bit; the mean accumulates ln values in
+    // DECIMAL on both sides (partial-agg order independence)
+    "x_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |j AS (
+        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
+        |  FROM tk JOIN c USING (term), t),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id AS id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  per.mean_lnp
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
+    // by the bm25 oracle); ties rank by term on both sides
+    "x_keyterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
+        |  FROM tf JOIN d USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // full Gopher-rule replay: same tokenizer, same regex counters
+    // (RE2-safe patterns — identical counts under Java regex and RE2)
+    "x_gopher_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nsc,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS ells,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(regexp_extract_all(text, '(^|\n)[ \t]*[-•*]')) AS bullet_lines,
+        |    len(regexp_extract_all(text, '(\.\.\.|…)[ \t]*(\n|$)')) AS ell_lines,
+        |    len(regexp_extract_all(text, '(^|\s)\S*\p{L}\S*')) AS alpha_words,
+        |    CAST(len(list_intersect(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(nsc AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN (hashes + ells) / n_words END AS symbol_ratio,
+        |    CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        |    CAST(ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        |    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
+        |    stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_frac, 6) AS bullet_frac,
+        |  round(ellipsis_frac, 6) AS ellipsis_frac,
+        |  round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+        |  coalesce(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio < 0.1
+        |    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+        |    AND alpha_word_frac > 0.8 AND stop_hits >= 2, false) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x_vocab_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (
+        |  SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT word, cnt, rank,
+        |  round(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_frac
+        |FROM r, t WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // window strings stand in for the engine's window hashes
+    // (count-equivalent, as in x_repetition)
+    "x_dup_passages" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |            FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM d),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_windows,
+        |    sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+        |  FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id)
+        |SELECT doc.doc_id AS id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
+        |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // full surgical replay: windows and tokens with positions (struct
+    // comprehensions), covered positions fan out 0..4, survivors
+    // re-aggregate in position order
+    "x_dup_passages_removed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ot,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, u.p AS wpos, u.s FROM (
+        |    SELECT doc_id, unnest([{'p': i - 1, 's': w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]}
+        |                           FOR i IN range(1, len(w) - 3)]) AS u
+        |    FROM d)),
+        |duph AS (
+        |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM wins GROUP BY s) WHERE df >= 2),
+        |covered AS (
+        |  SELECT DISTINCT wins.doc_id, wins.wpos + o.o AS pos
+        |  FROM wins JOIN duph USING (s), unnest([0,1,2,3,4]) AS o(o)),
+        |toks AS (
+        |  SELECT doc_id, u.p AS pos, u.t FROM (
+        |    SELECT doc_id, unnest([{'p': i - 1, 't': ot[i]} FOR i IN range(1, len(ot) + 1)]) AS u
+        |    FROM d)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.t FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept_tokens
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // store windows replayed as strings (count-equivalent, as in
+    // x_dup_passages); a batch window is dup if it's in the store or
+    // in another batch doc
+    "x_dup_passages_incr" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sw AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                   FOR i IN range(1, len(w) - 3)]) AS s
+        |    FROM d WHERE doc_id < 200)),
+        |bw AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |            FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 300),
+        |bdf AS (SELECT s, count(DISTINCT doc_id) AS bdocs FROM bw GROUP BY s),
+        |per AS (
+        |  SELECT bw.doc_id, count(*) AS n_windows,
+        |    sum(CASE WHEN sw.s IS NOT NULL OR bdf.bdocs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM bw JOIN bdf ON bw.s = bdf.s LEFT JOIN sw ON bw.s = sw.s
+        |  GROUP BY bw.doc_id)
+        |SELECT doc.doc_id AS id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(per.n_dup AS DOUBLE) / per.n_windows, 6) AS dup_frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 200 AND doc_id < 300) doc
+        |LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // the z-probe must be SEMANTICALLY the box filter — the oracle is
+    // the box filter itself, no z replay needed
+    "x_zrange_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 299
+        |  AND datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) BETWEEN 1200 AND 2399
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "x_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c),
+        |r AS (
+        |  SELECT key, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT key, cnt, rank,
+        |  round(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
+        |  round(CAST(cnt AS DOUBLE) / (CAST(t.total AS DOUBLE) / CAST(t.nkeys AS DOUBLE)), 6) AS skew
+        |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // three-way interleave replay: bit i of column k at position 3i+k
+    "x_zorder3" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (3*i))
+        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (3*i+1))
+        |    + (((CAST(substring(o_orderpriority, 1, 1) AS BIGINT) >> i) & 1) << (3*i+2))
+        |  )) AS BIGINT) AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // bit-for-bit Morton replay: even bits custkey, odd bits day index
+    "x_zorder_layout" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 31), i ->
+        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
+        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1))
+        |  )) AS BIGINT) AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle replays the kernel's exact left-to-right double
+    // accumulation (list_transform + list_sum), so the threshold
+    // decision is bit-identical — same pattern as x_embed_neardup
+    // bigram-LM replay: same lowercased shingles, c(w1 w2)/c(w1·) MLE,
+    // ln rounded to 9 before the decimal mean
+    "x_bigram_lp" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+        |  FROM d),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |cu AS (SELECT string_split(b, ' ')[1] AS w1, count(*) AS cu FROM bg GROUP BY 1),
+        |t AS (
+        |  SELECT bg.doc_id, round(ln(CAST(cb.cb AS DOUBLE) / cu.cu), 9) AS term
+        |  FROM bg JOIN cb ON bg.b = cb.b
+        |  JOIN cu ON string_split(bg.b, ' ')[1] = cu.w1)
+        |SELECT doc_id AS id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS mean_lp
+        |FROM t GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // chunk-boundary replay: same whitespace split, same integer chunk
+    // count, same 1-based 40-token slices at stride 30
+    "x_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM d),
+         |k AS (
+         |  SELECT doc_id, w, n,
+         |    CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS nk
+         |  FROM n),
+         |ch AS (SELECT doc_id, w, unnest(range(0, nk)) AS chunk_id FROM k),
+         |sl AS (
+         |  SELECT doc_id, chunk_id,
+         |    w[chunk_id * 30 + 1 : chunk_id * 30 + 40] AS cw
+         |  FROM ch),
+         |o AS (
+         |  SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tok,
+         |    ${fnvSql("(array_to_string(cw, ' '))")} AS hu
+         |  FROM sl)
+         |SELECT doc_id, chunk_id, n_tok, ${signedSql("hu")} AS chunk_fnv
+         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // k-means single-Lloyd-step replay: FNV cell seeding (8 | 2⁶⁴, so
+    // unsigned %8 == Spark's signed pmod), engine-agnostic centroid
+    // means, same kernel accumulation order as the engine's zip_with
+    // fold, same (cos desc, cell asc) tie-break
+    "x_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |cells AS (
+        |  SELECT CAST(${fnvSql("(CAST(vec_id AS VARCHAR))")} % 8 AS BIGINT) AS cell, v FROM e),
+        |d AS (
+        |  SELECT cell, unnest([{'dim': i, 'x': CAST(v[i] AS DOUBLE)} FOR i IN range(1, len(v) + 1)]) AS s
+        |  FROM cells),
+        |dx AS (SELECT cell, s.dim AS dim, s.x AS x FROM d),
+        |cent AS (
+        |  SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+        |  FROM dx GROUP BY cell, dim),
+        |centv AS (SELECT cell, list(m ORDER BY dim) AS c FROM cent GROUP BY cell),
+        |scored AS (
+        |  SELECT e.vec_id, centv.cell,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * centv.c[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(centv.c) + 1), i -> centv.c[i] * centv.c[i])))), 6) AS cos
+        |  FROM e, centv),
+        |assigned AS (
+        |  SELECT vec_id, cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+        |  FROM scored)
+        |SELECT cell, count(*) AS n,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_cos
+        |FROM assigned WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "x_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |b AS (SELECT v FROM e WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 != 0),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    max(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))))) AS mc
+        |  FROM c, b GROUP BY c.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_benchmark_cos
+        |FROM scored WHERE mc >= 0.30 ORDER BY vec_id""".stripMargin,
+
+    // exact regime: err is identically 0 and counts are true counts
+    "x_heavy_hitters" ->
+      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT c.key, c.n, CAST(0 AS BIGINT) AS err, t.total
+        |FROM c, t ORDER BY c.n DESC, c.key""".stripMargin,
+
+    "x_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_key,
+        |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
+        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
+        |  FROM p WHERE p_partkey % 3 = 0),
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p)
+        |SELECT dirty_key, clean_key, dname, ename,
+        |  CAST(levenshtein(dname, ename) AS INTEGER) AS dist
+        |FROM dirty, clean
+        |WHERE abs(length(dname) - length(ename)) <= 1
+        |  AND levenshtein(dname, ename) <= 1
+        |ORDER BY dirty_key, clean_key""".stripMargin,
+
+    // content checksum over the ORIGINAL table — must equal the
+    // engine's checksum of the compacted rewrite
+    "x_compact" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum((((${signedSql("hu")} % 1000000) + 1000000) % 1000000)) AS BIGINT) AS text_fnv_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  TRUE AS compacted
+         |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
+
+    // replay of the priority order: pri = w / ((fnvBucket+1)/10⁶)
+    "x_sample_weighted" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(n_chars AS DOUBLE)
+         |      / (CAST((((${signedSql("hu")} % 1000000) + 1000000) % 1000000) + 1 AS DOUBLE) / 1000000.0) AS pri
+         |  FROM h)
+         |SELECT doc_id, lang, n_chars FROM
+         |  (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,264 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Cleanse, Enrich, Flatten, Upsert}
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.registry.Fixtures._
+
+/** Structured Streaming rows (paged tailer, windowed aggs,
+  * stateful running stats).
+  * Pure relocation of the former SparkEntry map entries — no query or
+  * oracle text changed in the split.
+  */
+private[graft] object StreamingQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_paged" -> ((s, d) => {
+      // STREAMING the paged connector end to end, oracle-gated: publish
+      // the documents extract as a page dump through the connector's
+      // WRITE path, tail it as a stream (page number = offset), parse
+      // payloads per micro-batch into a parquet sink, read back — the
+      // result must BE the documents table. Proves dump → stream →
+      // typed rows with no loss, duplication, or half-read pages.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-paged").toString
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .toJSON.toDF("payload").repartition(4)
+        .write.format("graft-paged")
+        .option("dir", s"$tmp/pages").option("prefix", "documents")
+        .mode("append").save()
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val q = ss.readStream.format("graft-paged")
+        .option("dir", s"$tmp/pages").option("prefix", "documents").load()
+        .select(from_json(col("payload"), sch).as("r"))
+        .select("r.doc_id", "r.lang", "r.n_chars")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
+    "q_stream_windowed_counts" -> ((s, d) => {
+      // STREAMING execution of the tumbling-window incremental protocol
+      // (Q50's streaming form): file-stream the orders table →
+      // watermarked windowed counts → upsert sink per micro-batch →
+      // read the merged table back. The oracle is plain batch SQL, so
+      // this row proves stream results == batch results. value sums
+      // accumulate in decimal (order-independent under any micro-batch
+      // schedule).
+      //
+      // State partitions are sized to the STATEFUL KEY LOAD, not the
+      // session's scan parallelism: each shuffle partition of a
+      // stateful query carries a state-store instance (open, snapshot,
+      // commit per micro-batch), so a handful of window×type keys on
+      // 32 stores is pure per-store overhead. The stream runs on a
+      // CLONED session (own conf, shared SparkContext) so the override
+      // never touches the caller's session — Verify plans queries from
+      // 4 threads concurrently, and a set/restore on the shared conf
+      // would race. At production scale this is the
+      // `spark.sql.shuffle.partitions` the STREAMING job is launched
+      // with (sized to keys/throughput), independent of batch jobs.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      // the file source streams a DIRECTORY of drops — stage the table
+      // file as one arriving drop
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+        .select(col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
+          col("o_orderstatus").as("event_type"),
+          col("o_totalprice").cast("decimal(18,2)").as("value"))
+      val counts = graft.streaming.StreamSync.windowedCounts(stream, "ts", "1 day", "1 day")
+      val out = counts.select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .withColumn("wyear", to_date(date_trunc("year", col("window_start"))))
+      val q = graft.streaming.StreamSync.upsertSink(out, s"$tmp/table",
+        keys = Seq("window_start", "event_type"), partitionCol = "wyear",
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/table")
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "q_stream_running_stats" -> ((s, d) => {
+      // CUSTOM STREAMING STATE, driver-visible: transformWithState
+      // (StatefulProcessor + RocksDB state store) keeping running
+      // per-user stats — the arbitrary-state upgrade of Q50's windowed
+      // protocol. One AvailableNow micro-batch means the emitted state
+      // equals the batch aggregate, so the oracle is plain SQL; the
+      // projection keeps only order-independent fields (count, max-ts)
+      // — the double running sum is exercised in StreamSyncSpec.
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      // cloned session (own conf, shared context): the RocksDB provider
+      // and the state-partition override stay invisible to the caller's
+      // session — Verify plans queries concurrently. State partitions
+      // are sized to the stateful key THROUGHPUT: per-row encoder +
+      // RocksDB work dominates this query (150k rows), so use more
+      // stores than the windowed row's key-bound 8 — but still not the
+      // scan parallelism.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss.conf.set("spark.sql.shuffle.partitions", "16")
+      locally {
+        import ss.implicits._
+        val stream = graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/in", sch)
+          .select(col("o_custkey").cast("long").as("userId"),
+            col("o_orderdate").cast("timestamp").as("ts"),
+            col("o_totalprice").cast("double").as("value"))
+          .as[graft.streaming.StreamSync.UserEvent]
+        val stats = graft.streaming.StreamSync.runningUserStats(stream)
+        val q = stats.toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$tmp/out")
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("lastSeen").as("last_seen"))
+        .orderBy("user_id")
+    }),
+
+    "q_stream_dedup" -> ((s, d) => {
+      // STREAMING EXACT DEDUP with bounded state: the input directory
+      // receives the same orders drop TWICE (the at-least-once
+      // re-delivery / backfill-replay shape) — dropDuplicatesWithin-
+      // Watermark keeps one row per key and evicts state as the
+      // watermark passes, so the output equals the batch distinct and
+      // the oracle is plain SQL. Contrast: dropDuplicates would hold
+      // every key forever.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders_drop1.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/orders_drop2.parquet"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
+          col("o_orderstatus"), col("o_totalprice"))
+      val deduped = graft.streaming.StreamSync
+        .dedupWithinWatermark(stream, "ts", "30 days", Seq("o_orderkey"))
+      val q = deduped.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("ts"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_stream_interval_join" -> ((s, d) => {
+      // STREAM-STREAM INTERVAL JOIN, driver-visible: two order streams
+      // (finished vs open) joined per customer within ±30 days — state
+      // on both sides bounded by the watermark. One AvailableNow pass
+      // over fully-arrived inputs emits every match, so the oracle is
+      // the plain batch non-equi join.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val sch = t(s, d, "orders").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      for (sub <- Seq("f", "o")) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/$sub"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/orders.parquet"),
+          java.nio.file.Paths.get(s"$tmp/$sub/orders.parquet"))
+      }
+      def side(sub: String, status: String, tsName: String, idName: String) =
+        graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/$sub", sch)
+          .filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("user_id"),
+            col("o_orderdate").cast("timestamp").as(tsName),
+            col("o_orderkey").as(idName))
+      val joined = graft.streaming.StreamSync.streamIntervalJoin(
+        side("f", "F", "c_ts", "click_id"),
+        side("o", "O", "v_ts", "view_id"),
+        "user_id", "c_ts", "v_ts", tolerance = "30 days", lateness = "30 days")
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .orderBy("user_id", "click_id", "view_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // single-batch transformWithState == batch aggregate per user
+    "q_stream_running_stats" ->
+      """SELECT o_custkey AS user_id, count(*) AS n_events,
+        |  max(CAST(o_orderdate AS TIMESTAMP)) AS last_seen
+        |FROM orders GROUP BY o_custkey ORDER BY user_id""".stripMargin,
+
+    "q_stream_paged" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q_stream_windowed_counts" ->
+      """SELECT date_trunc('day', o_orderdate) AS window_start,
+        |  o_orderstatus AS event_type, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // full-arrival AvailableNow pass ⇒ the interval join emits exactly
+    // the batch non-equi join
+    "q_stream_interval_join" ->
+      """SELECT f.o_custkey AS user_id, f.o_orderkey AS click_id, o.o_orderkey AS view_id
+        |FROM orders f JOIN orders o
+        |  ON f.o_custkey = o.o_custkey
+        |  AND o.o_orderdate >= f.o_orderdate - INTERVAL 30 DAY
+        |  AND o.o_orderdate <= f.o_orderdate + INTERVAL 30 DAY
+        |WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'
+        |ORDER BY user_id, click_id, view_id""".stripMargin,
+
+    // the stream ingests the same drop twice; the dedup output must be
+    // the plain batch table (orderkey is the key and is unique)
+    "q_stream_dedup" ->
+      """SELECT o_orderkey, o_orderdate AS ts, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
