@@ -12,6 +12,21 @@ import graft.ext.{Dedup, Similarity, TextOps}
   * registry family (split out of the former monolithic SparkEntry).
   */
 private[graft] object Fixtures {
+  /** Stage a source file into a stream-input directory WITHOUT copying:
+    * the file-stream source needs a directory of drops, but duplicating
+    * a multi-MB parquet per bench run is pure I/O overhead — a symlink
+    * is the same drop to the source's lister (copy fallback for
+    * filesystems without symlink support).
+    */
+  def stageDrop(srcFile: String, destDir: String, dropName: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    val dst = java.nio.file.Paths.get(destDir, dropName)
+    try java.nio.file.Files.createSymbolicLink(dst, java.nio.file.Paths.get(srcFile))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), dst)
+    }
+  }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

@@ -68,15 +68,12 @@ private[graft] object StreamingQueries {
       // `spark.sql.shuffle.partitions` the STREAMING job is launched
       // with (sized to keys/throughput), independent of batch jobs.
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
       // the file source streams a DIRECTORY of drops — stage the table
       // file as one arriving drop
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/orders.parquet"),
-        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
       val stream = graft.streaming.StreamSync
         .readParquetStream(ss, s"$tmp/in", sch)
         .select(col("o_orderdate").cast("timestamp").as("ts"), // NTZ → event-time
@@ -107,10 +104,7 @@ private[graft] object StreamingQueries {
       // — the double running sum is exercised in StreamSyncSpec.
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/orders.parquet"),
-        java.nio.file.Paths.get(s"$tmp/in/orders.parquet"))
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
       // cloned session (own conf, shared context): the RocksDB provider
       // and the state-partition override stay invisible to the caller's
       // session — Verify plans queries concurrently. State partitions
@@ -121,7 +115,7 @@ private[graft] object StreamingQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      ss.conf.set("spark.sql.shuffle.partitions", "16")
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
       locally {
         import ss.implicits._
         val stream = graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/in", sch)
@@ -155,16 +149,11 @@ private[graft] object StreamingQueries {
       // the oracle is plain SQL. Contrast: dropDuplicates would hold
       // every key forever.
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/orders.parquet"),
-        java.nio.file.Paths.get(s"$tmp/in/orders_drop1.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/orders.parquet"),
-        java.nio.file.Paths.get(s"$tmp/in/orders_drop2.parquet"))
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders_drop1.parquet")
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders_drop2.parquet")
       val stream = graft.streaming.StreamSync
         .readParquetStream(ss, s"$tmp/in", sch)
         .select(col("o_orderkey"),
@@ -177,7 +166,10 @@ private[graft] object StreamingQueries {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+          // unconditional write: probing isEmpty first would RE-EXECUTE
+          // the stateful batch plan (foreachBatch frames re-run per
+          // action) — the no-data flush batch writes only a footer
+          batch.write.mode("append").parquet(s"$tmp/out")
         }
         .start()
       q.awaitTermination()
@@ -194,15 +186,11 @@ private[graft] object StreamingQueries {
       // over fully-arrived inputs emits every match, so the oracle is
       // the plain batch non-equi join.
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
-      for (sub <- Seq("f", "o")) {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/$sub"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/orders.parquet"),
-          java.nio.file.Paths.get(s"$tmp/$sub/orders.parquet"))
-      }
+      for (sub <- Seq("f", "o"))
+        stageDrop(s"$d/orders.parquet", s"$tmp/$sub", "orders.parquet")
       def side(sub: String, status: String, tsName: String, idName: String) =
         graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/$sub", sch)
           .filter(col("o_orderstatus") === status)
@@ -218,7 +206,10 @@ private[graft] object StreamingQueries {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(s"$tmp/out")
+          // unconditional write: probing isEmpty first would RE-EXECUTE
+          // the stateful batch plan (foreachBatch frames re-run per
+          // action) — the no-data flush batch writes only a footer
+          batch.write.mode("append").parquet(s"$tmp/out")
         }
         .start()
       q.awaitTermination()
