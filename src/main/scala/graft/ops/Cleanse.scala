@@ -112,6 +112,22 @@ object Cleanse {
   def urlEncode(c: Column): Column = url_encode(c)
   def urlDecode(c: Column): Column = url_decode(c)
 
+  /** Credential-mask a DB connection URL for logs/lineage columns
+    * (utils.py:256-266 `anonymize_database_url`): the userinfo becomes
+    * `user:****` — always with the `:****` suffix, password present or
+    * not, exactly like the reference. URLs without a userinfo `@` pass
+    * through unchanged. Pure `regexp_replace` column expression —
+    * codegen'd, no UDF; the match is anchored to the netloc (no `/`
+    * before the `@`), so an `@` later in a path never masks.
+    */
+  def maskDbUrl(c: Column): Column =
+    regexp_replace(c, "^([^@/]*://)?([^:@/]*)[^@/]*@", "$1$2:****@")
+
+  /** Driver-side convenience over [[maskDbUrl]] for log lines. */
+  def maskDbUrl(url: String): String =
+    if (url == null) null
+    else url.replaceFirst("^([^@/]*://)?([^:@/]*)[^@/]*@", "$1$2:****@")
+
   /** Unicode-escape decode (utils.py:208-213). Dead code in the reference
     * but a declared capability; the only UDF in the library.
     */

@@ -15,6 +15,53 @@ import graft.registry.Fixtures._
   */
 private[graft] object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- pure-SQL surface: the same engine through spark.sql over
+    // temp views (north star: "DataFrame ops + Spark SQL"). The SQL
+    // text is dialect-shared — the DuckDB oracle runs the IDENTICAL
+    // statement, so these rows prove the SQL path end-to-end ----
+    "q_sql_star_agg" -> ((s, d) => {
+      // the Q30 flagship star join expressed as one SQL statement;
+      // Catalyst plans the same broadcast star shape it gives the
+      // DataFrame form
+      registerViews(s, d)
+      s.sql("""
+        SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+          CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+        ORDER BY n_name, month""")
+    }),
+
+    "q_sql_running_total" -> ((s, d) => {
+      // SQL window function through the SQL surface: per-customer
+      // running revenue, decimal-accumulated, full deterministic
+      // tie-break on the order key
+      registerViews(s, d)
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+            AS running_total
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    }),
+
+    "q_sql_topk_users" -> ((s, d) => {
+      // nested aggregate + ranked-window top-k per event type, pure SQL
+      registerViews(s, d)
+      s.sql("""
+        SELECT event_type, user_id, n, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT event_type, user_id, n,
+            row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+          FROM (SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY 1, 2))
+        WHERE rk <= 5 ORDER BY event_type, rk""")
+    }),
+
     "q_union_pages" -> ((s, d) => {
       // union-of-pages accumulation (Extract.py:52)
       val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
@@ -880,6 +927,35 @@ private[graft] object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the q_sql_* oracles are the IDENTICAL statements the engine runs
+    // through spark.sql — one text, two engines, one hash
+    "q_sql_star_agg" ->
+      """SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+        |ORDER BY n_name, month""".stripMargin,
+
+    "q_sql_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sql_topk_users" ->
+      """SELECT event_type, user_id, n, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+        |  FROM (SELECT event_type, user_id, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
     "q_union_pages" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 <> 0

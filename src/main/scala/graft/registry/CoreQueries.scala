@@ -377,6 +377,24 @@ private[graft] object CoreQueries {
           Cleanse.isoFormat(col("o_orderdate")).as("iso_dt"))
         .orderBy("o_orderkey")),
 
+    "q53_mask_db_url" -> ((s, d) =>
+      // §2.6 close-out: credential masking of DB connection URLs
+      // (utils.py:256-266) over the three shapes the reference
+      // distinguishes — user:password (masked), user-only (still gets
+      // ':****', matching the reference exactly), no userinfo (passes
+      // through untouched)
+      t(s, d, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("postgresql://user"), col("c_custkey"),
+              lit(":pw"), col("c_custkey"), lit("@db.host:5432/etl")))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("mysql://svc"), col("c_custkey"), lit("@replica/dw")))
+          .otherwise(concat(lit("sqlite:///local"), col("c_custkey"), lit(".db")))
+          .as("url"))
+        .withColumn("masked", Cleanse.maskDbUrl(col("url")))
+        .orderBy("c_custkey")),
+
     // ---- §2.7 upsert / load ----
     "q45_upsert" -> ((s, d) => {
       val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -697,6 +715,18 @@ private[graft] object CoreQueries {
     "q44_iso_format" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_dt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q53_mask_db_url" ->
+      """SELECT c_custkey, url,
+        |       regexp_replace(url, '^([^@/]*://)?([^:@/]*)[^@/]*@', '\1\2:****@') AS masked
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 3 = 0
+        |               THEN 'postgresql://user' || c_custkey || ':pw' || c_custkey || '@db.host:5432/etl'
+        |             WHEN c_custkey % 3 = 1
+        |               THEN 'mysql://svc' || c_custkey || '@replica/dw'
+        |             ELSE 'sqlite:///local' || c_custkey || '.db' END AS url
+        |      FROM customer WHERE c_custkey <= 100)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q45_upsert" ->
       """WITH tgt AS (

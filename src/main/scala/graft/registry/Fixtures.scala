@@ -12,6 +12,18 @@ import graft.ext.{Dedup, Similarity, TextOps}
   * registry family (split out of the former monolithic SparkEntry).
   */
 private[graft] object Fixtures {
+  /** Register the DWH parquet tables as temp views on `s`, opening the
+    * pure-SQL surface (`spark.sql`) over the same data the DataFrame
+    * queries read. Idempotent per session; `events` carries its ns→µs
+    * timestamp normalization into the view.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   /** Stage a source file into a stream-input directory WITHOUT copying:
     * the file-stream source needs a directory of drops, but duplicating
     * a multi-MB parquet per bench run is pure I/O overhead — a symlink

@@ -25,15 +25,29 @@ class PlanGuardSpec extends SparkSpec {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-  test("no registered query plans a CartesianProduct at sf0.001") {
-    assume(new java.io.File(sfDir).isDirectory, s"testdata absent: $sfDir")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+  private def offendersAt(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded.contains(name) }
       .flatMap { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) Some(name) else None
       }
+
+  test("no registered query plans a CartesianProduct at sf0.001") {
+    assume(new java.io.File(sfDir).isDirectory, s"testdata absent: $sfDir")
+    val offenders = offendersAt(sfDir)
     assert(offenders.isEmpty,
       s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query plans a CartesianProduct at sf0.1") {
+    // plan shapes can flip with statistics (a small side that fit the
+    // broadcast threshold at sf0.001 may not at sf0.1, turning an
+    // intentional BNL join into a cartesian) — guard the bigger SF too
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(big).isDirectory, s"testdata absent: $big")
+    val offenders = offendersAt(big)
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct at sf0.1: ${offenders.mkString(", ")}")
   }
 }
