@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b", "r6c") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b", "r6c", "r7") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -668,6 +668,58 @@ object Soak {
           .where(col("page") < 10).count()
       }
       println(s"[soak] pruned scan rows: $pruned (10 of 1001 pages opened)")
+    }
+
+    section("r7") {
+      // --- association rules over 10M basket rows (1M baskets, 1k vocab) ---
+      val baskets = spark.range(10000000).select(
+        (col("id") / 10).cast("long").as("basket"),
+        pmod(xxhash64(col("id")), lit(1000)).as("item"))
+      val nRules = time("associationRules 10M rows / 1M baskets / 1k items") {
+        // mean pair support ≈ 45M basket-pairs / 500k pair types ≈ 90
+        graft.ext.Behavior.associationRules(baskets, "basket", "item",
+          minPairCount = 100L).count()
+      }
+      println(s"[soak] assoc rules: $nRules (pair space bounded per basket ≤ C(10,2))")
+
+      // --- hierarchy levels over a 10M-node tree (fan-out 10, depth 7) ---
+      val edges10 = spark.range(1, 10000000).select(
+        col("id").as("child"), (col("id") / 10).cast("long").as("parent"))
+      val maxLv = time("hierarchyLevels 10M-edge tree, maxDepth 10") {
+        graft.ext.Graph.hierarchyLevels(edges10, "child", "parent", maxDepth = 10)
+          .agg(max("level"), count(lit(1))).collect()(0)
+      }
+      println(s"[soak] hierarchy: maxLevel=${maxLv.get(0)} nodes=${maxLv.get(1)} (expect 7 / 10M)")
+
+      // --- CDC diff + apply round-trip at 10M rows ---
+      val truth10 = spark.range(10000000).select(col("id").as("k"),
+        (col("id") % 97).as("v"), pmod(xxhash64(col("id")), lit(1000)).as("w"))
+      val corrupted10 = truth10.filter(col("k") % 7 =!= 0)
+        .withColumn("v", when(col("k") % 5 === 0, col("v") + 1).otherwise(col("v")))
+        .unionByName(spark.range(3).select((col("id") + 20000000L).as("k"),
+          lit(-1L).as("v"), lit(-1L).as("w")))
+      val delta = time("CDC diffFull + applyChanges + verify, 10M-row snapshot") {
+        val feed = graft.ops.Snapshot.diffFull(corrupted10, truth10, Seq("k"))
+        val healed = graft.ops.Snapshot.applyChanges(corrupted10, feed, Seq("k"))
+        healed.unionByName(truth10).groupBy("k", "v", "w")
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      }
+      println(s"[soak] CDC round-trip asymmetric-diff rows: $delta (expect 0)")
+
+      // --- interval-overlap join: 5M x 200k intervals, binned ---
+      val left10 = spark.range(5000000).select(col("id").as("lid"),
+        (pmod(xxhash64(col("id")), lit(1000000)) / lit(10.0)).as("llo"))
+        .withColumn("lhi", col("llo") + lit(5.0))
+      val right10 = spark.range(200000).select(col("id").as("rid"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000000)) / lit(10.0)).as("rlo"))
+        .withColumn("rhi", col("rlo") + lit(20.0))
+      val nOver = time("binnedIntervalJoin 5M x 200k (widths 5/20, bin 25)") {
+        graft.ops.Intervals.binnedIntervalJoin(left10, "llo", "lhi",
+          right10, "rlo", "rhi", binSize = 25.0).count()
+      }
+      // overlap prob per pair ≈ (5+20)/100000-unit space → ~25/1e5;
+      // 5e6 × 2e5 × 2.5e-4 ≈ 2.5e8 pairs
+      println(s"[soak] interval overlaps: $nOver (expect ~2.5e8)")
     }
     spark.stop()
   }
