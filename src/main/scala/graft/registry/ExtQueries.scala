@@ -233,8 +233,10 @@ private[graft] object ExtQueries {
       val ivfpq = graft.ext.Pq.ivfPqRerankTopK(enc, centsN, rcb, qn, en,
         "v", "id", k = 10, shortlistK = 200, nProbe = 12,
         dim = 64, m = 8, ksub = 16)
-      val bruteN = Similarity.bruteForceTopK(en, qn, "v", "id", k = 10)
-      val ivfpqOk = Similarity.recallAtK(ivfpq, bruteN)
+      // cosine ranking is normalization-invariant: the raw-vector brute
+      // force IS the normalized-vector ground truth — one exact pass
+      // grades both paths
+      val ivfpqOk = Similarity.recallAtK(ivfpq, brute)
         .agg((avg(col("recall")) >= 0.65).as("ok"))
         .select(lit("ivfpq_mean_recall10_ge_065").as("check_name"), col("ok"))
       ivfOk.unionByName(ivfpqOk).orderBy("check_name")
