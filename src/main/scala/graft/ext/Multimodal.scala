@@ -265,6 +265,88 @@ object Multimodal {
     out
   }
 
+  /** Audio perceptual signature: 64 bits from the RMS energy envelope —
+    * bit b set when segment b is louder than segment b+1 (the dHash
+    * difference shape over TIME instead of space; 65 segments → 64
+    * comparisons). Invariant to uniform gain, locality-preserving for
+    * localized edits: retouching one segment flips at most its two
+    * adjacent comparisons.
+    */
+  def audioSignature64(samples: Array[Float]): Long = {
+    val prof = audioEnergyProfile(samples, 65)
+    var sig = 0L; var i = 0
+    while (i < 64) {
+      if (prof(i) > prof(i + 1)) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate audio detection: per-blob envelope signature (real
+    * WAV decode, byte-walk fallback for undecodable blobs) through the
+    * same Charikar banding the image dHash and text SimHash share.
+    */
+  def audioNearDups(df: DataFrame, blobCol: String, idCol: String,
+                    maxHamming: Int = 4, prefixBits: Int = 8,
+                    rotations: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", inSchema(idIdx).dataType),
+      StructField("sh", LongType, nullable = false)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val sig = decodeWav(bytes) match {
+          case Some(samples) => audioSignature64(samples)
+          case None          => byteSignature64(bytes)
+        }
+        Row(r.get(idIdx), sig)
+      }
+    }
+    Dedup.signatureNearDups(spark.createDataFrame(rdd, outSchema),
+      maxHamming, prefixBits, rotations)
+  }
+
+  /** Deterministic amplitude-MODULATED synthetic WAV: 65 blocks of 100
+    * samples, each block a 440 Hz sine at a seeded amplitude in
+    * [3000, 12000), plus `noiseSegs` seeded single-block gain changes
+    * (×1.5, the "retouched segment" edit). The modulation gives the
+    * envelope signature real structure — a constant-amplitude sine has
+    * a FLAT envelope whose comparisons are all near-ties. A noised
+    * re-render differs in at most 2·noiseSegs signature bits.
+    */
+  def renderWavMod(seed: Long, noiseSegs: Int = 0): Array[Byte] = {
+    val blocks = 65; val per = 100
+    val amps = Array.tabulate(blocks) { b =>
+      (3000 + (mix64(seed ^ (b.toLong * 0x9e3779b9L)) & 0x7fffffff) % 9000).toInt
+    }
+    var k = 0
+    while (k < noiseSegs) {
+      val b = ((mix64(seed * 31 + k + 1) & 0x7fffffff) % blocks).toInt
+      amps(b) = math.min(16000, amps(b) * 3 / 2)
+      k += 1
+    }
+    val n = blocks * per
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * amps(i / per)).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Deterministic synthetic 16-bit mono WAV: a seeded sine at 8 kHz.
     * Executor-side fixture generator for the real WAV decode path.
     */

@@ -457,6 +457,27 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_audio_neardup" -> ((s, d) => {
+      // ORACLE-GATED perceptual audio near-dup: real javax.sound WAV
+      // decode → RMS envelope signature → the shared Charikar banding
+      // in its pigeonhole-exact regime. Every 7th doc gets a planted
+      // one-segment-retouched twin (≤ 2 flipped bits of 64); distinct
+      // amplitude-walk seeds sit ~32 bits apart — the found pairs are
+      // exactly the planted ones, enumerated by the oracle in SQL
+      val render = udf((id: Long) => graft.ext.Multimodal.renderWavMod(id))
+      val renderNoisy = udf((id: Long) =>
+        graft.ext.Multimodal.renderWavMod(id, noiseSegs = 1))
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      val base = docs.select(col("doc_id"), render(col("doc_id")).as("blob"))
+      val twins = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          renderNoisy(col("doc_id")).as("blob"))
+      graft.ext.Multimodal.audioNearDups(base.unionByName(twins), "blob", "doc_id",
+          maxHamming = 4, prefixBits = 8, rotations = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_multimodal_selfcheck" -> ((s, d) =>
       // ORACLE-GATED media-kernel verdicts: decode dims, independent
       // feature replay, dHash locality, resize round-trip, WAV decode,
@@ -1037,6 +1058,13 @@ private[graft] object ExtQueries {
         |FROM (SELECT doc_id, CAST(n_chars % 5 * 1000 AS BIGINT) AS duration_ms
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id, frame_ms""".stripMargin,
+
+    // pigeonhole-exact banding + ~32-bit envelope-seed separation ⇒ the
+    // audio pair set is exactly the planted retouched twins
+    "x_audio_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id < 1000 AND doc_id % 7 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // pigeonhole-exact banding + ~32-bit seed separation ⇒ the pair set
     // is exactly the planted twins, enumerable in SQL

@@ -205,6 +205,33 @@ class MultimodalSpec extends SparkSpec {
     assert(h6 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("audioSignature64: gain-invariant, localized edits flip at most 2 bits per segment") {
+    def sig(seed: Long, noise: Int = 0): Long =
+      Multimodal.audioSignature64(
+        Multimodal.decodeWav(Multimodal.renderWavMod(seed, noise)).get)
+    // identical render → identical signature
+    assert(sig(3L) === sig(3L))
+    // one retouched segment → at most 2 flipped comparisons
+    assert(java.lang.Long.bitCount(sig(3L) ^ sig(3L, noise = 1)) <= 2)
+    // unrelated amplitude walks → far apart (expected ~32 of 64)
+    assert(java.lang.Long.bitCount(sig(3L) ^ sig(77L)) > 8)
+    // uniform gain invariance: scale every sample by one factor
+    val samples = Multimodal.decodeWav(Multimodal.renderWavMod(3L)).get
+    val scaled = samples.map(x => x * 0.5f)
+    assert(Multimodal.audioSignature64(samples) === Multimodal.audioSignature64(scaled))
+  }
+
+  test("audioNearDups pairs a retouched WAV twin, not unrelated audio") {
+    val df = Seq(
+      (1L, Multimodal.renderWavMod(40L)),
+      (2L, Multimodal.renderWavMod(40L, noiseSegs = 1)),
+      (3L, Multimodal.renderWavMod(888L))
+    ).toDF("media_id", "blob")
+    val pairs = Multimodal.audioNearDups(df, "blob", "media_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
   test("selfCheck: every media-kernel invariant verdict is true") {
     val ids = spark.range(30).toDF("doc_id")
     val rows = Multimodal.selfCheck(ids, "doc_id")
