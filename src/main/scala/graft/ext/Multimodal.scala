@@ -211,6 +211,101 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Decode ALL frames of an animated image with their display offsets
+    * (ms). GIF is the one multi-frame container the JDK ships a codec
+    * for; per-frame delays come from the GraphicControlExtension
+    * (1/100 s units, 100 ms default when absent, matching browsers).
+    * Frames are decoded standalone (no disposal compositing — the
+    * synthetic fixtures and most screen-capture GIFs write full
+    * frames; partial-frame GIFs would need a compositing pass here).
+    * A still image comes back as one frame at offset 0.
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[(Long, Long, java.awt.image.BufferedImage)] = {
+    if (bytes == null) return Seq.empty
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var offset = 0L
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val delayMs = try {
+            val md = reader.getImageMetadata(i)
+            val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val gces = tree.getElementsByTagName("GraphicControlExtension")
+            if (gces.getLength > 0)
+              gces.item(0).asInstanceOf[org.w3c.dom.Element]
+                .getAttribute("delayTime").toLong * 10L
+            else 100L
+          } catch { case _: Exception => 100L }
+          val start = offset
+          offset += math.max(10L, delayMs)
+          (start, offset, img)
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  /** Render a deterministic animated GIF: `frames` mosaic frames (one
+    * [[renderPng]]-style pattern per frame, seeded by `seed + frame`),
+    * each displayed for `delayMs`. The gray mosaic uses ≤ 256 distinct
+    * levels, so GIF's palette quantization is LOSSLESS here — a decoded
+    * frame is pixel-identical to the equivalent mosaic, which is what
+    * lets specs assert frame-exact dHash values.
+    */
+  def renderGif(seed: Long, frames: Int = 4, w: Int = 32, h: Int = 32,
+                delayMs: Int = 500): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until frames) {
+        val img = decodeImage(renderPng(seed + f, w, h)).get
+        val params = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), params)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        // default metadata may already carry a GraphicControlExtension —
+        // mutate it in place if so (a second one would be ignored by
+        // readers); otherwise insert one at its DTD position (after
+        // ImageDescriptor / LocalColorTable). Nodes must be
+        // IIOMetadataNode instances — the IIOMetadata tree has no owner
+        // Document to create elements from.
+        val existing = tree.getElementsByTagName("GraphicControlExtension")
+        val gce =
+          if (existing.getLength > 0) existing.item(0).asInstanceOf[org.w3c.dom.Element]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            var ref: org.w3c.dom.Node = tree.getFirstChild
+            while (ref != null && (ref.getNodeName == "ImageDescriptor" ||
+                   ref.getNodeName == "LocalColorTable")) ref = ref.getNextSibling
+            tree.insertBefore(n, ref)
+            n
+          }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", (delayMs / 10).toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), params)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
   // ===== real audio kernel (javax.sound.sampled — PCM WAV, in the JDK) =====
 
   /** Decode a 16-bit PCM WAV blob to channel-mixed samples in [-1, 1].
@@ -480,12 +575,16 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled offset of each video
     * blob — (input columns minus the blob) + `frame_ms` + the frame's
-    * feature vector. The JDK has no video codec, so the per-frame grab
-    * is the one remaining stub: a still image blob contributes its REAL
-    * decoded feature shifted by normalized offset (distinct per frame,
-    * deterministic); opaque blobs use the byte-fold. A parent with
-    * null/zero duration contributes no frames (inner-explode semantics,
-    * like the flatten family).
+    * feature vector. The frame grab is REAL for multi-frame containers
+    * the JDK can decode (animated GIF): the sampled offset selects the
+    * frame displayed at that instant (looping past the animation end,
+    * as GIFs do) and the feature is that frame's decoded luminance
+    * profile. Still images contribute their decoded feature shifted by
+    * normalized offset (distinct per sample, deterministic); opaque
+    * blobs use the byte-fold. A parent with null/zero duration
+    * contributes no frames (inner-explode semantics, like the flatten
+    * family). MP4/WebM would need an external codec — the dispatch
+    * point is this per-partition kernel, nothing upstream changes.
     */
   def sampleFrames(df: DataFrame, blobCol: String, durationMsCol: String,
                    everyMs: Int, dim: Int = 8): DataFrame = {
@@ -506,14 +605,24 @@ object Multimodal {
         else {
           val kept = keptIdx.map(r.get)
           // decode ONCE per blob, not once per frame
-          val base = decodeImage(bytes) match {
-            case Some(img) => imageFeature(img, dim)
-            case None      => byteFoldFeature(bytes, dim)
-          }
-          (0L until dur by everyMs.toLong).iterator.map { ms =>
-            val shifted = base.indices.map(i =>
-              base(i) + (ms.toFloat / math.max(1L, dur))).toArray
-            Row.fromSeq(kept ++ Seq(ms, shifted.toSeq))
+          val frames = decodeFrames(bytes)
+          if (frames.size > 1) {
+            // REAL multi-frame grab: offset → displayed frame (looping)
+            val total = frames.last._2
+            val feats = frames.map { case (a, b, img) => (a, b, imageFeature(img, dim)) }
+            (0L until dur by everyMs.toLong).iterator.map { ms =>
+              val m = ms % total
+              val f = feats.find(fr => fr._1 <= m && m < fr._2).getOrElse(feats.last)
+              Row.fromSeq(kept ++ Seq(ms, f._3.toSeq))
+            }
+          } else {
+            val base = frames.headOption.map { case (_, _, img) => imageFeature(img, dim) }
+              .getOrElse(byteFoldFeature(bytes, dim))
+            (0L until dur by everyMs.toLong).iterator.map { ms =>
+              val shifted = base.indices.map(i =>
+                base(i) + (ms.toFloat / math.max(1L, dur))).toArray
+              Row.fromSeq(kept ++ Seq(ms, shifted.toSeq))
+            }
           }
         }
       }
@@ -637,8 +746,25 @@ object Multimodal {
           col("id_a") % 7 === 0, 1)) === lit(planted)).as("ok"))
       .select(lit("neardup_planted_twins").as("check_name"), col("ok"))
 
+    // 7. animated-GIF frame decode: 4 frames at their declared offsets,
+    //    each pixel-faithful to its source mosaic (gray ≤256 levels ⇒
+    //    palette quantization is lossless ⇒ dHash matches exactly)
+    val gifOk = udf { (id: Long) =>
+      val frames = decodeFrames(renderGif(id, frames = 4, delayMs = 500))
+      frames.size == 4 &&
+        frames.map(f => (f._1, f._2)) == Seq((0L, 500L), (500L, 1000L),
+          (1000L, 1500L), (1500L, 2000L)) &&
+        frames.zipWithIndex.forall { case ((_, _, img), f) =>
+          dHash64(img) == dHash64(decodeImage(renderPng(id + f)).get)
+        }
+    }
+    val gifCheck = seeds.select(gifOk(col("seed")).as("o"))
+      .agg((count(lit(1)) === count(when(col("o"), 1))).as("ok"))
+      .select(lit("gif_frames_real").as("check_name"), col("ok"))
+
     decodedAll.unionByName(featsMatch).unionByName(dhashLocal)
       .unionByName(resizeOk).unionByName(wavCheck).unionByName(neardupOk)
+      .unionByName(gifCheck)
       .orderBy("check_name")
   }
 

@@ -457,6 +457,31 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_gif_frames" -> ((s, d) => {
+      // ORACLE-GATED real frame grab: each doc's blob is a 4-frame
+      // animated GIF (500 ms/frame); sampleFrames selects the frame
+      // DISPLAYED at each 500 ms offset and its decoded feature must
+      // equal an independent decode of that frame's source mosaic —
+      // byte-for-byte float equality, folded into a verdict column the
+      // oracle replays alongside the offsets
+      val render = udf((id: Long) =>
+        graft.ext.Multimodal.renderGif(id, frames = 4, delayMs = 500))
+      val replay = udf { (id: Long, ms: Long) =>
+        graft.ext.Multimodal.imageFeature(
+          graft.ext.Multimodal.decodeImage(
+            graft.ext.Multimodal.renderPng(id + ms / 500)).get, 4).toSeq
+      }
+      val blobs = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), render(col("doc_id")).as("blob"),
+          lit(2000L).as("duration_ms"))
+      graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
+          everyMs = 500, dim = 4)
+        .select(col("doc_id"), col("frame_ms"),
+          (col("frame_feature") === replay(col("doc_id"), col("frame_ms")))
+            .as("frame_matches_still"))
+        .orderBy("doc_id", "frame_ms")
+    }),
+
     "x_audio_neardup" -> ((s, d) => {
       // ORACLE-GATED perceptual audio near-dup: real javax.sound WAV
       // decode → RMS envelope signature → the shared Charikar banding
@@ -1059,6 +1084,14 @@ private[graft] object ExtQueries {
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id, frame_ms""".stripMargin,
 
+    // real per-frame GIF decode: offsets replay in SQL, frame fidelity
+    // rides as the engine-computed equality verdict
+    "x_gif_frames" ->
+      """SELECT doc_id, unnest(range(0, 2000, 500)) AS frame_ms,
+        |       TRUE AS frame_matches_still
+        |FROM documents WHERE doc_id < 60
+        |ORDER BY doc_id, frame_ms""".stripMargin,
+
     // pigeonhole-exact banding + ~32-bit envelope-seed separation ⇒ the
     // audio pair set is exactly the planted retouched twins
     "x_audio_neardup" ->
@@ -1079,8 +1112,9 @@ private[graft] object ExtQueries {
     "x_multimodal_selfcheck" ->
       """SELECT * FROM (VALUES
         |  ('decoded_all', TRUE), ('dhash_locality', TRUE),
-        |  ('features_match', TRUE), ('neardup_planted_twins', TRUE),
-        |  ('resize_roundtrip', TRUE), ('wav_decode', TRUE))
+        |  ('features_match', TRUE), ('gif_frames_real', TRUE),
+        |  ('neardup_planted_twins', TRUE), ('resize_roundtrip', TRUE),
+        |  ('wav_decode', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_dedup_exact" ->

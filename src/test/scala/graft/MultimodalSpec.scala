@@ -232,12 +232,31 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), s"got $pairs")
   }
 
+  test("sampleFrames grabs REAL frames from an animated GIF, looping past the end") {
+    val gif = Multimodal.renderGif(seed = 9L, frames = 4, delayMs = 500)
+    val df = Seq((1L, gif, 3000L)).toDF("media_id", "blob", "duration_ms")
+    val rows = Multimodal.sampleFrames(df, "blob", "duration_ms", everyMs = 500, dim = 4)
+      .orderBy("frame_ms").collect()
+    assert(rows.map(_.getLong(2)).toSeq === Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L))
+    def feat(i: Int) = rows(i).getSeq[Float](3)
+    // four distinct frames, each matching an independent decode of its
+    // source mosaic
+    for (f <- 0 until 4)
+      assert(feat(f) === Multimodal.imageFeature(
+        Multimodal.decodeImage(Multimodal.renderPng(9L + f)).get, 4).toSeq)
+    assert(feat(0) !== feat(1))
+    // the animation is 2000ms long: sampling at 2000/2500 loops back
+    assert(feat(4) === feat(0))
+    assert(feat(5) === feat(1))
+  }
+
   test("selfCheck: every media-kernel invariant verdict is true") {
     val ids = spark.range(30).toDF("doc_id")
     val rows = Multimodal.selfCheck(ids, "doc_id")
       .as[(String, Boolean)].collect().toSeq
     assert(rows.map(_._1) === Seq("decoded_all", "dhash_locality",
-      "features_match", "neardup_planted_twins", "resize_roundtrip", "wav_decode"))
+      "features_match", "gif_frames_real", "neardup_planted_twins",
+      "resize_roundtrip", "wav_decode"))
     rows.foreach { case (name, ok) => assert(ok, s"check $name failed") }
   }
 
