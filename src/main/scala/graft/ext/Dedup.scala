@@ -326,6 +326,46 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS local-fingerprinting algorithm): hash every k-word
+    * shingle, then in each window of `window` consecutive shingle
+    * hashes keep the MINIMUM (rightmost position on ties). The
+    * guarantee whole-document hashing can't give: any shared run of at
+    * least `window + shingleSize - 1` words produces at least one
+    * SHARED fingerprint, so partial plagiarism/quotation is detectable
+    * by a plain equi-join on `fp` (inverted-index shape, like
+    * [[jaccardPairs]]) — no pair space, no all-pairs scan.
+    *
+    * Scale shape: one explode to (doc, pos, hash), two window
+    * functions over the doc partition (no shuffle beyond the one
+    * partitioning), one distinct. Document length bounds the partition,
+    * not corpus size.
+    *
+    * Output: (id, fp_pos, fp) — selected fingerprints with the shingle
+    * position they cover. Documents with fewer than `window` shingles
+    * contribute their single global minimum (the whole doc is one
+    * window).
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 1, "winnowingFingerprints: window must be >= 1")
+    val sh = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.shingleHashes(col(textCol), shingleSize)).as(Seq("pos", "h")))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    val whole = Window.partitionBy(col("id"))
+    sh
+      // struct min = (hash asc, -pos asc) → smallest hash, rightmost tie
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("n", count(lit(1)).over(whole))
+      // a start row defines a window only when `window` shingles exist
+      // from it; shorter docs keep their one whole-doc window at pos 0
+      .filter(col("cnt") === window || (col("n") < window && col("pos") === 0))
+      .select(col("id"), (-col("sel.np")).as("fp_pos"), col("sel.h").as("fp"))
+      .distinct()
+  }
+
   // ---- exact-verified n-gram Jaccard ----
 
   /** True Jaccard similarity between the distinct word-shingle sets of

@@ -457,6 +457,17 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_winnow" -> ((s, d) =>
+      // MOSS winnowing fingerprints (SIGMOD'03): window-min over shingle
+      // hashes with rightmost tie-break — the local-fingerprint
+      // guarantee (any shared ≥ w+k−1-word run shares a fingerprint)
+      // that whole-doc hashing can't give. The oracle replays the FNV
+      // shingle hashes and the windowed argmin exactly
+      Dedup.winnowingFingerprints(t(s, d, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", shingleSize = 3, window = 4)
+        .select(col("id").as("doc_id"), col("fp_pos"), col("fp"))
+        .orderBy("doc_id", "fp_pos", "fp")),
+
     "x_gif_frames" -> ((s, d) => {
       // ORACLE-GATED real frame grab: each doc's blob is a 4-frame
       // animated GIF (500 ms/frame); sampleFrames selects the frame
@@ -1083,6 +1094,34 @@ private[graft] object ExtQueries {
         |FROM (SELECT doc_id, CAST(n_chars % 5 * 1000 AS BIGINT) AS duration_ms
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id, frame_ms""".stripMargin,
+
+    // winnowing replay: signed FNV shingle hashes, (hash, pos) packed
+    // into one HUGEINT key so the window min carries the rightmost-tie
+    // argmin, then decoded back to (pos, fp)
+    "x_winnow" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE doc_id < 300),
+         |shg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
+         |  FROM d),
+         |sh AS (SELECT doc_id, e.pos AS pos, ${signedSql(fnvSql("e.s"))} AS h FROM shg),
+         |enc AS (SELECT doc_id, pos,
+         |  (CAST(h AS HUGEINT) + 9223372036854775808) * 4294967296
+         |    + (4294967295 - pos) AS key FROM sh),
+         |win AS (SELECT doc_id, pos,
+         |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+         |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+         |  count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM enc)
+         |SELECT DISTINCT doc_id,
+         |  CAST(4294967295 - (mk % 4294967296) AS INTEGER) AS fp_pos,
+         |  CAST(mk // 4294967296 - 9223372036854775808 AS BIGINT) AS fp
+         |FROM win WHERE cnt = 4 OR (n < 4 AND pos = 0)
+         |ORDER BY doc_id, fp_pos, fp""".stripMargin,
 
     // real per-frame GIF decode: offsets replay in SQL, frame fidelity
     // rides as the engine-computed equality verdict

@@ -362,4 +362,43 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("winnowingFingerprints: window-min selection, rightmost ties, shared-run guarantee") {
+    // doc 1 and 2 share the 6-word run "a b c d e f" (>= w+k-1 = 6
+    // words) inside different surroundings -> MUST share a fingerprint
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 z1 q1"),
+      (2L, "p2 r2 a b c d e f t2"),
+      (3L, "u3 v3 w3 x3 y3 z3 p3 q3"), // unrelated
+      (4L, "s t u")                     // 1 shingle < window: global min only
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "text", "doc_id",
+      shingleSize = 3, window = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+    // short doc: exactly one fingerprint at pos 0
+    assert(byDoc(4L).map(r => (r.getInt(1), r.getLong(2))).toSeq.length === 1)
+    assert(byDoc(4L).head.getInt(1) === 0)
+    // the shared-run guarantee
+    val f1 = byDoc(1L).map(_.getLong(2)).toSet
+    val f2 = byDoc(2L).map(_.getLong(2)).toSet
+    val f3 = byDoc(3L).map(_.getLong(2)).toSet
+    assert((f1 & f2).nonEmpty, s"shared 6-word run must share a fingerprint: $f1 vs $f2")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty, "unrelated doc must not collide")
+    // selection replay: hand-winnow doc 1's hash sequence
+    val hs = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select(graft.ext.TextOps.shingleHashes(
+        org.apache.spark.sql.functions.col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    val expect = (0 to hs.length - 4).map { s0 =>
+      val win = (s0 until s0 + 4).map(p => (hs(p), p))
+      // min hash, rightmost position on ties
+      val m = win.minBy { case (h, p) => (h, -p) }
+      (m._2, m._1)
+    }.toSet
+    assert(byDoc(1L).map(r => (r.getInt(1), r.getLong(2))).toSet === expect)
+    // determinism across partitionings
+    val again = Dedup.winnowingFingerprints(docs.repartition(7), "text", "doc_id",
+      shingleSize = 3, window = 4).collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+    assert(again === fps.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+  }
 }
