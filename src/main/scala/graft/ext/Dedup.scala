@@ -366,6 +366,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — the partial-copy/quotation detector built on
+    * [[winnowingFingerprints]]. Inverted-index shape: the equi-join on
+    * `fp` IS the candidate filter (shuffle on fingerprint, never the
+    * pair space), with the same hot-key degeneracy cap the other
+    * index joins carry (`maxFpDf` drops boilerplate fingerprints
+    * appearing in more docs than the cap before the join fans out).
+    */
+  def winnowingOverlapPairs(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, window: Int = 4,
+                            minShared: Int = 2,
+                            maxFpDf: Option[Int] = None): DataFrame = {
+    val fps = winnowingFingerprints(docs, textCol, idCol, shingleSize, window)
+      .select(col("id"), col("fp")).distinct()
+    val inv = maxFpDf match {
+      case None => fps
+      case Some(cap) =>
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("fp"))
+        fps.join(hot, Seq("fp"), "left_anti")
+    }
+    inv.as("a")
+      .join(inv.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ---- exact-verified n-gram Jaccard ----
 
   /** True Jaccard similarity between the distinct word-shingle sets of

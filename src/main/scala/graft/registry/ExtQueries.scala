@@ -468,6 +468,22 @@ private[graft] object ExtQueries {
         .select(col("id").as("doc_id"), col("fp_pos"), col("fp"))
         .orderBy("doc_id", "fp_pos", "fp")),
 
+    "x_winnow_pairs" -> ((s, d) => {
+      // the winnowing APPLICATION: partial-copy detection by shared
+      // local fingerprints. Every 9th doc gets a planted partial copy
+      // (its text with a few words appended) — the copies share the
+      // original's fingerprints and must pair with it through the
+      // inverted-index join; the oracle replays construction, winnow,
+      // and join
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+      val partials = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz tail marker")).as("text"))
+      Dedup.winnowingOverlapPairs(docs.select("doc_id", "text").unionByName(partials),
+          "text", "doc_id", shingleSize = 3, window = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_gif_frames" -> ((s, d) => {
       // ORACLE-GATED real frame grab: each doc's blob is a 4-frame
       // animated GIF (500 ms/frame); sampleFrames selects the frame
@@ -1122,6 +1138,40 @@ private[graft] object ExtQueries {
          |  CAST(mk // 4294967296 - 9223372036854775808 AS BIGINT) AS fp
          |FROM win WHERE cnt = 4 OR (n < 4 AND pos = 0)
          |ORDER BY doc_id, fp_pos, fp""".stripMargin,
+
+    // winnowing overlap replay: same construction + winnow + self-join
+    "x_winnow_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |aug AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zz tail marker' AS text
+         |  FROM base WHERE doc_id % 9 = 0),
+         |d AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM aug),
+         |shg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
+         |  FROM d),
+         |sh AS (SELECT doc_id, e.pos AS pos, ${signedSql(fnvSql("e.s"))} AS h FROM shg),
+         |enc AS (SELECT doc_id, pos,
+         |  (CAST(h AS HUGEINT) + 9223372036854775808) * 4294967296
+         |    + (4294967295 - pos) AS key FROM sh),
+         |win AS (SELECT doc_id, pos,
+         |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+         |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+         |  count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM enc),
+         |fps AS (SELECT DISTINCT doc_id,
+         |  CAST(mk // 4294967296 - 9223372036854775808 AS BIGINT) AS fp
+         |FROM win WHERE cnt = 4 OR (n < 4 AND pos = 0))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // real per-frame GIF decode: offsets replay in SQL, frame fidelity
     // rides as the engine-computed equality verdict

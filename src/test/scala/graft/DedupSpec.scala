@@ -401,4 +401,30 @@ class DedupSpec extends SparkSpec {
       shingleSize = 3, window = 4).collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
     assert(again === fps.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
   }
+
+  test("winnowingOverlapPairs finds partial copies, honors the hot-fingerprint cap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // partial copy: a 6-word run of doc 1 (= w+k-1, the guarantee
+      // threshold) inside new surroundings
+      (2L, "one two gamma delta epsilon zeta eta theta three four"),
+      (3L, "unrelated words entirely different content here now ok fine yes")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlapPairs(docs, "text", "doc_id",
+        shingleSize = 3, window = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"partial copy must pair, got $pairs")
+    // boilerplate cap: a fingerprint present in EVERY doc gets dropped
+    val boiler = Seq(
+      (1L, "common shared boiler plate line alpha"),
+      (2L, "common shared boiler plate line beta"),
+      (3L, "common shared boiler plate line gamma")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.winnowingOverlapPairs(boiler, "text", "doc_id",
+      shingleSize = 3, window = 4, minShared = 1, maxFpDf = Some(2))
+    val uncapped = Dedup.winnowingOverlapPairs(boiler, "text", "doc_id",
+      shingleSize = 3, window = 4, minShared = 1)
+    assert(uncapped.count() > 0)
+    assert(capped.count() < uncapped.count())
+  }
 }
