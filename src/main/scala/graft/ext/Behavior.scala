@@ -360,16 +360,25 @@ object Behavior {
              convertedCol: String): DataFrame = {
     val perUser = df.groupBy(col(variantCol).as("__v"), col(userCol))
       .agg(max(when(col(convertedCol), 1L).otherwise(0L)).as("__c"))
-    val perVariant = perUser.groupBy(col("__v"))
+    val perVariant0 = perUser.groupBy(col("__v"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("conv"))
     // a two-proportion readout is only defined for exactly two arms:
     // with 3+ the lexicographic min/max picks would silently drop the
     // middle arms, and with 1 the frame would compare A against itself.
-    // perVariant is a per-arm aggregate (a handful of rows), so the
-    // guard count is a bounded action, not a scale concern.
-    val arms = perVariant.count()
-    require(arms == 2L,
-      s"abTest requires exactly 2 variants in '$variantCol', found $arms")
+    // The guard stays LAZY — an eager count here would execute the full
+    // per-user dedup as a blocking job at frame-CONSTRUCTION time (plan
+    // inspection, PlanGuard sweeps). Folding the raise_error into `n`
+    // (a column every downstream consumer reads) keeps it un-prunable,
+    // evaluated exactly when the readout itself runs.
+    val armsW = org.apache.spark.sql.expressions.Window.partitionBy()
+    val perVariant = perVariant0
+      .withColumn("__arms", count(lit(1)).over(armsW))
+      .withColumn("n",
+        when(col("__arms") =!= 2, raise_error(concat(
+          lit(s"abTest requires exactly 2 variants in '$variantCol', found "),
+          col("__arms"))).cast("long"))
+        .otherwise(col("n")))
+      .drop("__arms")
     val variants = perVariant.orderBy("__v")
     val a = variants.limit(1).select(
       col("__v").as("variant_a"), col("n").as("n_a"), col("conv").as("conv_a"))

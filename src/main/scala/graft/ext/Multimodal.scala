@@ -246,7 +246,9 @@ object Multimodal {
             else 100L
           } catch { case _: Exception => 100L }
           val start = offset
-          offset += math.max(10L, delayMs)
+          // browsers render delayTime=0 GIFs at ~100 ms/frame (the
+          // legacy screen-capture convention) — match that, not 10 ms
+          offset += (if (delayMs <= 0) 100L else math.max(10L, delayMs))
           (start, offset, img)
         }
       } finally reader.dispose()
@@ -734,16 +736,22 @@ object Multimodal {
     val baseImgs = seeds.select(col("seed").as("mid"), render(col("seed")).as("blob"))
     val twins = seeds.filter(col("seed") % 7 === 0)
       .select((col("seed") + 1000000L).as("mid"), renderNoisy(col("seed")).as("blob"))
-    val planted = seeds.filter(col("seed") % 7 === 0).count()
+    // lazy planted count: an eager .count() here would run a job at
+    // frame-construction time (plan-only sweeps included) — ride it in
+    // as a broadcast 1-row frame instead
+    val plantedDf = seeds.filter(col("seed") % 7 === 0)
+      .agg(count(lit(1)).as("planted"))
     // rotations=8 × prefixBits=8 = the pigeonhole-exact regime: every
     // pair within hamming 4 is GUARANTEED found, so the verdict can't
     // flake on banding luck (2 noise pixels flip ≤ 2 dHash cells ≤ 4 bits)
     val pairs = imageNearDups(baseImgs.unionByName(twins), "blob", "mid",
       maxHamming = 4, prefixBits = 8, rotations = 8)
-    val neardupOk = pairs
-      .agg((count(lit(1)) === lit(planted) &&
+    val neardupOk = pairs.crossJoin(broadcast(plantedDf))
+      // empty pair set ⇒ the crossJoin is empty and min(planted) is
+      // null — coalesce pins the verdict to an explicit false
+      .agg(coalesce(count(lit(1)) === min(col("planted")) &&
         count(when(col("id_b") - col("id_a") === 1000000L &&
-          col("id_a") % 7 === 0, 1)) === lit(planted)).as("ok"))
+          col("id_a") % 7 === 0, 1)) === min(col("planted")), lit(false)).as("ok"))
       .select(lit("neardup_planted_twins").as("check_name"), col("ok"))
 
     // 7. animated-GIF frame decode: 4 frames at their declared offsets,

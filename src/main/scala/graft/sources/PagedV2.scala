@@ -309,10 +309,16 @@ final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
         val present = existing.toMap
         var hi = 0
         while (present.contains(hi)) hi += 1
-        val base =
-          if (hi > 0 && java.nio.file.Files
-              .readString(java.nio.file.Paths.get(present(hi - 1))).trim == "[]") hi - 1
+        val base = {
+          // size gate before reading: the terminator is 2 bytes ("[]");
+          // without it a crashed previous write's last DATA page — one
+          // partition's whole JSON array — would be pulled into a
+          // driver String just to fail a 2-char comparison
+          val last = java.nio.file.Paths.get(present.getOrElse(hi - 1, ""))
+          if (hi > 0 && java.nio.file.Files.size(last) <= 8 &&
+              java.nio.file.Files.readString(last).trim == "[]") hi - 1
           else hi
+        }
         // anything at or past the insertion point — the old terminator and
         // any stale pages beyond it — would interleave with the new pages
         // in a later scan; remove them before publishing

@@ -263,18 +263,18 @@ class BehaviorSpec extends SparkSpec {
     assert(d === Array(None))
   }
 
-  test("abTest rejects experiments without exactly two arms") {
+  test("abTest rejects experiments without exactly two arms (lazily, at execution)") {
     val one = Seq(("A", 1L, true), ("A", 2L, false)).toDF("variant", "user_id", "converted")
-    val e1 = intercept[IllegalArgumentException] {
-      Behavior.abTest(one, "variant", "user_id", "converted")
-    }
-    assert(e1.getMessage.contains("found 1"))
+    // construction alone must NOT run a job — the guard fires on action
+    val frame1 = Behavior.abTest(one, "variant", "user_id", "converted")
+    val e1 = intercept[Exception] { frame1.collect() }
+    assert(e1.getMessage.contains("found 1"), e1.getMessage)
     val three = Seq(("A", 1L, true), ("B", 2L, false), ("C", 3L, true))
       .toDF("variant", "user_id", "converted")
-    val e3 = intercept[IllegalArgumentException] {
-      Behavior.abTest(three, "variant", "user_id", "converted")
+    val e3 = intercept[Exception] {
+      Behavior.abTest(three, "variant", "user_id", "converted").collect()
     }
-    assert(e3.getMessage.contains("found 3"))
+    assert(e3.getMessage.contains("found 3"), e3.getMessage)
   }
 
   test("decayedEngagement weights by 1/(1+age_days) against the stream max day") {
