@@ -232,6 +232,12 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), s"got $pairs")
   }
 
+  test("decodeFrames renders zero-delay GIFs at the 100ms browser convention") {
+    val gif = Multimodal.renderGif(seed = 2L, frames = 3, delayMs = 0)
+    val frames = Multimodal.decodeFrames(gif)
+    assert(frames.map(f => (f._1, f._2)) === Seq((0L, 100L), (100L, 200L), (200L, 300L)))
+  }
+
   test("sampleFrames grabs REAL frames from an animated GIF, looping past the end") {
     val gif = Multimodal.renderGif(seed = 9L, frames = 4, delayMs = 500)
     val df = Seq((1L, gif, 3000L)).toDF("media_id", "blob", "duration_ms")
