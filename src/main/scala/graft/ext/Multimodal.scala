@@ -466,6 +466,30 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Magic-number content sniffing — the CHEAP first-pass router for
+    * mixed media ingest: pure codegen'd byte comparisons (no codec, no
+    * UDF), so a 100 TB blob scan can partition by type BEFORE any
+    * expensive try-decode runs. Recognizes the containers the JDK
+    * kernels here handle (PNG/JPEG/GIF/WAV) plus ZIP; everything else
+    * is `application/octet-stream`. Sniffing is advisory — the decode
+    * kernels remain the authority (they tolerate lying extensions and
+    * truncated headers by falling back).
+    */
+  def sniffMediaType(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def magic(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    when(blob.isNull, lit(null).cast("string"))
+      .when(substring(blob, 1, 8) === lit(magic(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+        lit("image/png"))
+      .when(substring(blob, 1, 3) === lit(magic(0xFF, 0xD8, 0xFF)), lit("image/jpeg"))
+      .when(substring(blob, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+        substring(blob, 1, 6) === lit("GIF89a".getBytes("US-ASCII")), lit("image/gif"))
+      .when(substring(blob, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(blob, 9, 4) === lit("WAVE".getBytes("US-ASCII")), lit("audio/wav"))
+      .when(substring(blob, 1, 4) === lit(magic(0x50, 0x4B, 0x03, 0x04)),
+        lit("application/zip"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
   // ===== fallback kernel for opaque/corrupt blobs =====
 
   /** Byte-fold feature for blobs no JDK codec accepts: deterministic

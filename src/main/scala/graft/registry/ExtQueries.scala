@@ -457,6 +457,26 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_sniff_media" -> ((s, d) => {
+      // ORACLE-GATED magic-number routing: blobs rendered per doc as
+      // PNG / animated GIF / WAV / raw text bytes by doc_id mod 4 — the
+      // codegen'd sniffer must label every one correctly, which the
+      // oracle enumerates as the expected CASE per row. The cheap
+      // pre-filter a 100 TB mixed-media scan runs BEFORE any try-decode
+      val render = udf { (id: Long) =>
+        (id % 4) match {
+          case 0 => graft.ext.Multimodal.renderPng(id)
+          case 1 => graft.ext.Multimodal.renderGif(id, frames = 2)
+          case 2 => graft.ext.Multimodal.renderWav(id, nSamples = 800)
+          case _ => s"plain text payload $id".getBytes("UTF-8")
+        }
+      }
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ext.Multimodal.sniffMediaType(render(col("doc_id"))).as("media_type"))
+        .orderBy("doc_id")
+    }),
+
     "x_winnow" -> ((s, d) =>
       // MOSS winnowing fingerprints (SIGMOD'03): window-min over shingle
       // hashes with rightmost tie-break — the local-fingerprint
@@ -1110,6 +1130,13 @@ private[graft] object ExtQueries {
         |FROM (SELECT doc_id, CAST(n_chars % 5 * 1000 AS BIGINT) AS duration_ms
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id, frame_ms""".stripMargin,
+
+    // the sniffer's verdict per rendered container type, row by row
+    "x_sniff_media" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream' END AS media_type
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // winnowing replay: signed FNV shingle hashes, (hash, pos) packed
     // into one HUGEINT key so the window min carries the rightmost-tie

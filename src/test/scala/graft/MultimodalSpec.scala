@@ -232,6 +232,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), s"got $pairs")
   }
 
+  test("sniffMediaType routes by magic numbers without decoding") {
+    val cases = Seq(
+      Multimodal.renderPng(1L) -> "image/png",
+      Multimodal.renderGif(2L, frames = 2) -> "image/gif",
+      Multimodal.renderWav(3L, nSamples = 100) -> "audio/wav",
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) -> "image/jpeg",
+      "PKrest".getBytes("ISO-8859-1") -> "application/zip",
+      "hello world".getBytes("UTF-8") -> "application/octet-stream",
+      // truncated header: shorter than any magic → octet-stream
+      Array[Byte]('G', 'I') -> "application/octet-stream")
+    val got = cases.map(_._1).zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "blob")
+      .select(col("i"), Multimodal.sniffMediaType(col("blob")).as("t"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got === cases.map(_._2))
+    // null blob → null label
+    val n = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("i", "blob")
+      .select(Multimodal.sniffMediaType(col("blob"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("decodeFrames renders zero-delay GIFs at the 100ms browser convention") {
     val gif = Multimodal.renderGif(seed = 2L, frames = 3, delayMs = 0)
     val frames = Multimodal.decodeFrames(gif)
