@@ -64,26 +64,42 @@ object Multimodal {
   def grayGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Float](gw * gh)
+    // bulk row fetches: per-pixel getRGB goes through the color-model
+    // conversion path on every call and dominates per-image cost on
+    // non-tiny images; one getRGB per ROW amortizes it. Long sums keep
+    // the math identical to the per-pixel form (associative adds), so
+    // signatures are bit-for-bit unchanged.
+    val rowBuf = new Array[Int](w)
+    val sums = new Array[Long](gw)
+    val ns = new Array[Int](gw)
     var gy = 0
     while (gy < gh) {
       val y0 = (gy.toLong * h / gh).toInt
-      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt)
+      val y1 = math.min(math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt), h)
+      java.util.Arrays.fill(sums, 0L)
+      java.util.Arrays.fill(ns, 0)
+      var y = y0
+      while (y < y1) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = (gx.toLong * w / gw).toInt
+          val x1 = math.min(math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt), w)
+          var s = 0L
+          var x = x0
+          while (x < x1) {
+            val p = rowBuf(x)
+            s += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+            x += 1
+          }
+          sums(gx) += s; ns(gx) += x1 - x0
+          gx += 1
+        }
+        y += 1
+      }
       var gx = 0
       while (gx < gw) {
-        val x0 = (gx.toLong * w / gw).toInt
-        val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt)
-        var sum = 0L; var n = 0
-        var y = y0
-        while (y < math.min(y1, h)) {
-          var x = x0
-          while (x < math.min(x1, w)) {
-            val p = img.getRGB(x, y)
-            sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
-            n += 1; x += 1
-          }
-          y += 1
-        }
-        out(gy * gw + gx) = if (n == 0) 0f else sum.toFloat / n
+        out(gy * gw + gx) = if (ns(gx) == 0) 0f else sums(gx).toFloat / ns(gx)
         gx += 1
       }
       gy += 1
@@ -130,28 +146,42 @@ object Multimodal {
   def resizeImagePng(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
     val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val sw = img.getWidth; val sh = img.getHeight
+    // bulk row fetches, as in [[grayGrid]]: one color-model conversion
+    // per source ROW instead of per pixel; Long channel sums keep the
+    // averages bit-identical to the per-pixel form
+    val rowBuf = new Array[Int](sw)
+    val rsums = new Array[Long](w); val gsums = new Array[Long](w)
+    val bsums = new Array[Long](w); val ns = new Array[Int](w)
     var y = 0
     while (y < h) {
       val y0 = (y.toLong * sh / h).toInt
-      val y1 = math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt)
+      val y1 = math.min(math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt), sh)
+      java.util.Arrays.fill(rsums, 0L); java.util.Arrays.fill(gsums, 0L)
+      java.util.Arrays.fill(bsums, 0L); java.util.Arrays.fill(ns, 0)
+      var yy = y0
+      while (yy < y1) {
+        img.getRGB(0, yy, sw, 1, rowBuf, 0, sw)
+        var x = 0
+        while (x < w) {
+          val x0 = (x.toLong * sw / w).toInt
+          val x1 = math.min(math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt), sw)
+          var xx = x0
+          while (xx < x1) {
+            val p = rowBuf(xx)
+            rsums(x) += (p >> 16) & 0xff; gsums(x) += (p >> 8) & 0xff
+            bsums(x) += p & 0xff
+            xx += 1
+          }
+          ns(x) += x1 - x0
+          x += 1
+        }
+        yy += 1
+      }
       var x = 0
       while (x < w) {
-        val x0 = (x.toLong * sw / w).toInt
-        val x1 = math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt)
-        var rs = 0L; var gs = 0L; var bs = 0L; var n = 0
-        var yy = y0
-        while (yy < math.min(y1, sh)) {
-          var xx = x0
-          while (xx < math.min(x1, sw)) {
-            val p = img.getRGB(xx, yy)
-            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-            n += 1; xx += 1
-          }
-          yy += 1
-        }
-        if (n == 0) n = 1
+        val n = if (ns(x) == 0) 1 else ns(x)
         out.setRGB(x, y,
-          ((rs / n).toInt << 16) | ((gs / n).toInt << 8) | (bs / n).toInt)
+          ((rsums(x) / n).toInt << 16) | ((gsums(x) / n).toInt << 8) | (bsums(x) / n).toInt)
         x += 1
       }
       y += 1
@@ -226,32 +256,34 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return Seq.empty
-      val reader = readers.next()
       try {
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        var offset = 0L
-        (0 until n).map { i =>
-          val img = reader.read(i)
-          val delayMs = try {
-            val md = reader.getImageMetadata(i)
-            val tree = md.getAsTree("javax_imageio_gif_image_1.0")
-              .asInstanceOf[org.w3c.dom.Element]
-            val gces = tree.getElementsByTagName("GraphicControlExtension")
-            if (gces.getLength > 0)
-              gces.item(0).asInstanceOf[org.w3c.dom.Element]
-                .getAttribute("delayTime").toLong * 10L
-            else 100L
-          } catch { case _: Exception => 100L }
-          val start = offset
-          // browsers render delayTime=0 GIFs at ~100 ms/frame (the
-          // legacy screen-capture convention) — match that, not 10 ms
-          offset += (if (delayMs <= 0) 100L else math.max(10L, delayMs))
-          (start, offset, img)
-        }
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var offset = 0L
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            val delayMs = try {
+              val md = reader.getImageMetadata(i)
+              val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              val gces = tree.getElementsByTagName("GraphicControlExtension")
+              if (gces.getLength > 0)
+                gces.item(0).asInstanceOf[org.w3c.dom.Element]
+                  .getAttribute("delayTime").toLong * 10L
+              else 100L
+            } catch { case _: Exception => 100L }
+            val start = offset
+            // browsers render delayTime=0 GIFs at ~100 ms/frame (the
+            // legacy screen-capture convention) — match that, not 10 ms
+            offset += (if (delayMs <= 0) 100L else math.max(10L, delayMs))
+            (start, offset, img)
+          }
+        } finally reader.dispose()
+      } finally iis.close() // the reader does NOT close its input stream
     } catch { case _: Exception => Seq.empty }
   }
 

@@ -242,6 +242,42 @@ private[graft] object ExtQueries {
       ivfOk.unionByName(ivfpqOk).orderBy("check_name")
     }),
 
+    "x_ann_pq_recall" -> ((s, d) => {
+      // ORACLE-GATED quality bound for the PURE-PQ path (closes the one
+      // component x_ann_pq left rows-only): mean recall@10 of the
+      // ADC-shortlist+exact-rerank pipeline vs brute force, computed
+      // engine-side and returned as literal bound verdicts. The whole
+      // path is deterministic (FNV-seeded codebooks, deterministic
+      // ties), so per-SF recall is a constant — any drop is a code
+      // regression, not noise. Bounds measured via
+      // tools/PqRecallProbe at sf0.001/0.01/0.1 on the near-uniform
+      // synthetic embeddings (ANN worst case):
+      //   shortlist=200 → 0.935 / 0.940 / 0.765  (bound 0.70)
+      //   shortlist=30  → 0.555 / 0.435 / 0.255  (bound 0.15; random
+      //     chance is k/n ≤ 0.02, so 0.15 still proves the codes rank)
+      // shortlist=30 gates the exact x_ann_pq production budget;
+      // shortlist=200 gates the headroom config at the IVF-PQ budget.
+      val raw = t(s, d, "embeddings")
+      val e = raw.select(col("vec_id").as("id"),
+        graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val q = e.filter(col("id") < 20)
+      val brute = Similarity.bruteForceTopK(
+        raw, raw.filter(col("vec_id") < 20), "embedding", "vec_id", k = 10)
+      val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
+        dim = 64, m = 8, ksub = 16, iterations = 1)
+      val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
+      def check(shortlist: Int, name: String, bound: Double) =
+        Similarity.recallAtK(
+            graft.ext.Pq.adcRerankTopK(enc, cb, q, e, "v", "id",
+              k = 10, shortlistK = shortlist, dim = 64, m = 8, ksub = 16),
+            brute)
+          .agg((avg(col("recall")) >= bound).as("ok"))
+          .select(lit(name).as("check_name"), col("ok"))
+      check(200, "pq_adc200_mean_recall10_ge_070", 0.70)
+        .unionByName(check(30, "pq_adc30_mean_recall10_ge_015", 0.15))
+        .orderBy("check_name")
+    }),
+
     "x_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(
           t(s, d, "embeddings").filter(col("vec_id") < 300),
@@ -742,6 +778,51 @@ private[graft] object ExtQueries {
         "text", "doc_id")
         .orderBy("id")),
 
+    "x_compression_ratio_check" -> ((s, d) => {
+      // ORACLE-GATED verdict companion to x_compression_ratio (which is
+      // rows-only because a JVM zlib codec has no SQL replay): the
+      // ordering and determinism properties TextOpsSpec pins are
+      // re-derived engine-side as boolean checks the driver can gate.
+      //  - crafted fixture: repeated boilerplate must compress away
+      //    (< 0.1), seeded random noise must not (> 0.5), varied prose
+      //    strictly between — the separations are wide (≈0.04 / 0.5 /
+      //    1.0) so the bounds are structural, not tuned
+      //  - determinism: ratios over the real documents table must be
+      //    byte-identical at 1 vs 7 input partitions (one Deflater is
+      //    re-init'd per partition — any partition-coupled state leak
+      //    breaks this)
+      import s.implicits._
+      val rnd = new scala.util.Random(8)
+      val fixture = Seq(
+        (1L, "the same line repeats here\n" * 50),
+        (2L, "a reasonably varied prose paragraph about spark engines " +
+          "discussing partitions shuffles and the optimizer in detail " +
+          "with enough distinct words to resist the dictionary" * 3),
+        (3L, Seq.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString)
+      ).toDF("doc_id", "text")
+      val w = graft.ext.TextOps.compressionRatio(fixture, "text", "doc_id")
+        .groupBy()
+        .agg(
+          max(when(col("id") === 1L, col("compression_ratio"))).as("boiler"),
+          max(when(col("id") === 2L, col("compression_ratio"))).as("prose"),
+          max(when(col("id") === 3L, col("compression_ratio"))).as("noise"))
+      val real = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val a = graft.ext.TextOps.compressionRatio(real.repartition(1), "text", "doc_id")
+      val b = graft.ext.TextOps.compressionRatio(real.repartition(7), "text", "doc_id")
+      val det = a.exceptAll(b).unionAll(b.exceptAll(a))
+        .agg((count(lit(1)) === 0).as("det_ok"))
+      w.crossJoin(broadcast(det))
+        .select(explode(array(
+          struct(lit("ratio_orders_boiler_prose_noise").as("check_name"),
+            (col("boiler") < col("prose") && col("prose") < col("noise")).as("ok")),
+          struct(lit("ratio_bounds_structural").as("check_name"),
+            (col("boiler") < 0.1 && col("noise") > 0.5).as("ok")),
+          struct(lit("ratio_partition_deterministic").as("check_name"),
+            col("det_ok").as("ok")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+        .orderBy("check_name")
+    }),
+
     "x_decontaminate_semantic" -> ((s, d) => {
       // paraphrase-level decontamination: corpus embeddings vs a
       // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
@@ -1104,6 +1185,17 @@ private[graft] object ExtQueries {
     "x_ann_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_mean_recall10_ge_070', TRUE),
         |  ('ivfpq_mean_recall10_ge_065', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_ann_pq_recall" ->
+      """SELECT * FROM (VALUES ('pq_adc200_mean_recall10_ge_070', TRUE),
+        |  ('pq_adc30_mean_recall10_ge_015', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_compression_ratio_check" ->
+      """SELECT * FROM (VALUES ('ratio_bounds_structural', TRUE),
+        |  ('ratio_orders_boiler_prose_noise', TRUE),
+        |  ('ratio_partition_deterministic', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_embed_neardup_incr" ->

@@ -42,6 +42,22 @@ private[graft] object Fixtures {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch directory for streaming drops/checkpoints/sinks: prefer
+    * tmpfs (/dev/shm) over java.io.tmpdir — a micro-batch checkpoint is
+    * dozens of small fsync'd files (offsets, commits, state snapshots),
+    * which on a disk-backed /tmp costs more than the batch itself at
+    * test scale. Durability is irrelevant for these self-contained
+    * AvailableNow rows; production deployments point checkpoints at
+    * durable storage via their own conf.
+    */
+  def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects — read ns as long and convert to micros ourselves.
     */

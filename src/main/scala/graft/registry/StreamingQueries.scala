@@ -24,7 +24,7 @@ private[graft] object StreamingQueries {
       // typed rows with no loss, duplication, or half-read pages.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-paged").toString
+      val tmp = scratchDir("graft-stream-paged")
       t(s, d, "documents").select("doc_id", "lang", "n_chars")
         .toJSON.toDF("payload").repartition(4)
         .write.format("graft-paged")
@@ -70,7 +70,7 @@ private[graft] object StreamingQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val tmp = scratchDir("graft-stream")
       // the file source streams a DIRECTORY of drops — stage the table
       // file as one arriving drop
       stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
@@ -103,7 +103,7 @@ private[graft] object StreamingQueries {
       // projection keeps only order-independent fields (count, max-ts)
       // — the double running sum is exercised in StreamSyncSpec.
       val sch = t(s, d, "orders").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      val tmp = scratchDir("graft-tws")
       stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
       // cloned session (own conf, shared context): the RocksDB provider
       // and the state-partition override stay invisible to the caller's
@@ -116,6 +116,13 @@ private[graft] object StreamingQueries {
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // commit writes a small changelog instead of a full RocksDB
+      // snapshot per micro-batch (snapshots move to async maintenance) —
+      // the right default for high-frequency-commit stateful jobs. Note
+      // it does NOT shrink THIS one-shot row much: version-1 commits
+      // still upload the baseline snapshot; the win arrives from batch 2
+      // onward on long-lived streams.
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       locally {
         import ss.implicits._
         val stream = graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/in", sch)
@@ -151,7 +158,7 @@ private[graft] object StreamingQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      val tmp = scratchDir("graft-sdedup")
       stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders_drop1.parquet")
       stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders_drop2.parquet")
       val stream = graft.streaming.StreamSync
@@ -188,7 +195,7 @@ private[graft] object StreamingQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val sch = t(s, d, "orders").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val tmp = scratchDir("graft-ssj")
       for (sub <- Seq("f", "o"))
         stageDrop(s"$d/orders.parquet", s"$tmp/$sub", "orders.parquet")
       def side(sub: String, status: String, tsName: String, idName: String) =

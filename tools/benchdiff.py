@@ -1,27 +1,126 @@
 #!/usr/bin/env python3
 """Compare two BENCH_FULL.json dumps and flag per-query regressions.
 
-Usage: python3 tools/benchdiff.py OLD.json NEW.json [threshold]
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [threshold] [--since REF]
 
 Prints queries slower than `threshold`x (default 1.5) their old time,
 new queries, and removed queries. Bench noise on a busy box is 10-30%;
-re-run idle before believing anything under 2x.
+the bench reports median-of-3 per query (BENCH_REPS.json has raw reps),
+which removes most single-run blips — but still re-run idle before
+believing anything under 2x.
+
+With --since REF, each flagged query is classified by git paths:
+  code-change : its registry definition file, or a graft module its
+                builder references, changed in REF..HEAD — a real
+                suspect, investigate the diff.
+  no-diff     : no referenced source changed — contention, environment,
+                or a shared-fixture/harness shift; adjudicate with
+                BENCH_REPS.json medians, not single runs.
 """
 import json
+import os
+import re
+import subprocess
 import sys
 
-old_path, new_path = sys.argv[1], sys.argv[2]
-thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-old = json.load(open(old_path))
-new = json.load(open(new_path))
+args = [a for a in sys.argv[1:] if a != "--since"]
+since = None
+if "--since" in sys.argv:
+    i = sys.argv.index("--since")
+    since = sys.argv[i + 1]
+    args = [a for a in sys.argv[1:] if a not in ("--since", since)]
+old_path, new_path = args[0], args[1]
+thr = float(args[2]) if len(args) > 2 else 1.5
+def load(path):
+    d = json.load(open(path))
+    # driver BENCH_rN wrapper: the parsed stdout line sits under "parsed"
+    # (None when the driver's 2KB tail clipped it — use BENCH_FULL.json)
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        sys.exit(f"{path}: no per-query map (clipped driver tail?) — "
+                 "diff BENCH_FULL.json dumps instead")
+    return d
+
+
+old = load(old_path)
+new = load(new_path)
 oq, nq = old["queries"], new["queries"]
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REG_DIR = os.path.join(ROOT, "src/main/scala/graft/registry")
+
+
+def module_files():
+    """Map graft object/class simple names -> defining source paths."""
+    out = {}
+    for dirpath, _, names in os.walk(os.path.join(ROOT, "src/main/scala/graft")):
+        for n in names:
+            if not n.endswith(".scala"):
+                continue
+            p = os.path.join(dirpath, n)
+            for m in re.finditer(r"^\s*(?:private\[\w+\]\s+)?(?:object|class|trait)\s+(\w+)",
+                                 open(p).read(), re.M):
+                out.setdefault(m.group(1), os.path.relpath(p, ROOT))
+    return out
+
+
+def query_spans():
+    """Map query name -> (registry file, builder text span)."""
+    spans = {}
+    if not os.path.isdir(REG_DIR):
+        return spans
+    entry_re = re.compile(r'^\s*"([a-zA-Z0-9_]+)" ->', re.M)
+    for n in sorted(os.listdir(REG_DIR)):
+        if not n.endswith(".scala"):
+            continue
+        p = os.path.join(REG_DIR, n)
+        text = open(p).read()
+        marks = list(entry_re.finditer(text))
+        for i, m in enumerate(marks):
+            end = marks[i + 1].start() if i + 1 < len(marks) else len(text)
+            # first definition wins (query map precedes the oracle map)
+            spans.setdefault(m.group(1), (os.path.relpath(p, ROOT),
+                                          text[m.start():end]))
+    return spans
+
+
+def classify(names):
+    """Return {query: (verdict, evidence)} using git paths since REF."""
+    changed = set(subprocess.run(
+        ["git", "diff", "--name-only", f"{since}..HEAD", "--", "src/main"],
+        cwd=ROOT, capture_output=True, text=True).stdout.split())
+    mods = module_files()
+    spans = query_spans()
+    out = {}
+    for q in names:
+        if q not in spans:
+            out[q] = ("unknown", "no registry definition found")
+            continue
+        reg_file, body = spans[q]
+        refs = {reg_file}
+        for t in re.findall(r"\b([A-Z]\w+)\s*[.(]", body):
+            if t in mods:
+                refs.add(mods[t])
+        hits = sorted(refs & changed)
+        if hits:
+            out[q] = ("code-change", ", ".join(hits))
+        else:
+            out[q] = ("no-diff", f"none of {len(refs)} referenced files changed")
+    return out
+
 
 print(f"total: {old['value']}s ({old.get('n', len(oq))} queries) -> "
       f"{new['value']}s ({new.get('n', len(nq))} queries)")
 regressed = [(k, oq[k], nq[k]) for k in sorted(oq.keys() & nq.keys())
              if nq[k] > thr * oq[k] and nq[k] - oq[k] > 0.2]
+verdicts = classify([k for k, _, _ in regressed]) if since else {}
 for k, a, b in sorted(regressed, key=lambda t: t[1] - t[2]):
-    print(f"  REGRESSED {k}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+    tag = ""
+    if k in verdicts:
+        v, ev = verdicts[k]
+        tag = f"  [{v}: {ev}]"
+    print(f"  REGRESSED {k}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x){tag}")
 for k in sorted(nq.keys() - oq.keys()):
     print(f"  NEW       {k}: {nq[k]:.2f}s")
 for k in sorted(oq.keys() - nq.keys()):
