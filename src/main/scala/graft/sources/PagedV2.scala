@@ -82,6 +82,16 @@ object PagedV2 {
     StructField("page", IntegerType, nullable = false),
     StructField("payload", StringType, nullable = true)))
 
+  /** Per-(dir, prefix) monitors serializing same-JVM committers — see
+    * [[PagedBatchWrite.commit]]. Canonical path so two spellings of the
+    * same dir share a monitor.
+    */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def commitMonitor(dir: String, prefix: String): Object =
+    commitMonitors.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath + "#" + prefix, _ => new Object)
+
   /** Page files under `dir` named `<prefix>-<n>.json`, as (n, path),
     * page order. Listing is driver-side planning work, like any file
     * source's; the FILE CONTENTS never touch the driver.
@@ -294,6 +304,32 @@ final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
     new PagedDataWriterFactory(dir, prefix)
 
   override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    // serialize the whole list → rename → terminator sequence against
+    // OTHER committers of the same prefix: two concurrent appends would
+    // otherwise read the same high-water mark and clobber each other's
+    // pages. An exclusive lock on a sidecar file is the correct
+    // primitive here because commit() runs once, on the driver of each
+    // writing job — writer concurrency is job concurrency, not task
+    // concurrency (task retries are already safe via unique temps). On
+    // a shared POSIX/NFS mount the OS lock arbitrates across JVMs; an
+    // object-store deployment would swap this for a conditional-put
+    // commit marker.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // intra-JVM monitor first: concurrent local-mode jobs share one JVM,
+    // where a second FileChannel.lock() on the same file throws
+    // OverlappingFileLockException rather than blocking
+    PagedV2.commitMonitor(dir, prefix).synchronized {
+      val lockPath = java.nio.file.Paths.get(dir, s".$prefix.commitlock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock() // blocks until the competing commit finishes
+      try commitLocked(messages)
+      finally { lock.release(); ch.close() }
+    }
+  }
+
+  private def commitLocked(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[PagedWriteMessage]).sortBy(_.partitionId)
     val existing = PagedV2.listPages(dir, prefix)

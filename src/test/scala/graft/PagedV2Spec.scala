@@ -173,11 +173,14 @@ class PagedV2Spec extends SparkSpec {
     docs.repartition(3).write.format("graft-paged")
       .option("dir", dir).option("prefix", "out").mode("append").save()
     // contiguous pages 0..2 plus the terminating empty page at 3
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val all = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val files = all.filterNot(_.startsWith("."))
     assert(files.toSeq == Seq("out-0.json", "out-1.json", "out-2.json", "out-3.json"), files.toSeq)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "out-3.json")) == "[]")
-    assert(files.forall(!_.startsWith(".")), "no temp files may survive commit")
+    // the only hidden file is the commit lock — no temps survive commit
+    assert(all.filter(_.startsWith(".")).toSeq == Seq(".out.commitlock"),
+      all.filter(_.startsWith(".")).toSeq)
     // the batch scan reads exactly the written elements
     val back = spark.read.format("graft-paged")
       .option("dir", dir).option("prefix", "out").load()
@@ -195,11 +198,13 @@ class PagedV2Spec extends SparkSpec {
     spark.range(20).selectExpr("to_json(struct(id)) AS payload")
       .repartition(5).write.format("graft-paged")
       .option("dir", dir).option("prefix", "t").mode("append").save()
-    assert(new java.io.File(dir).listFiles().length == 6) // 5 + terminator
+    assert(new java.io.File(dir).listFiles()
+      .count(!_.getName.startsWith(".")) == 6) // 5 + terminator
     spark.range(3).selectExpr("to_json(struct(id)) AS payload")
       .repartition(1).write.format("graft-paged")
       .option("dir", dir).option("prefix", "t").mode("overwrite").save()
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
     assert(files == Seq("t-0.json", "t-1.json"), files)
     assert(spark.read.format("graft-paged")
       .option("dir", dir).option("prefix", "t").load().count() == 3)
@@ -237,7 +242,8 @@ class PagedV2Spec extends SparkSpec {
     spark.range(10, 15).selectExpr("to_json(struct(id)) AS payload")
       .repartition(2).write.format("graft-paged")
       .option("dir", dir).option("prefix", "t").mode("append").save()
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
     assert(files == (0 to 5).map(i => s"t-$i.json"), files)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "t-5.json")) == "[]")
@@ -249,6 +255,103 @@ class PagedV2Spec extends SparkSpec {
     // the stop-on-empty driver loop also sees one unbroken dump
     assert(graft.sources.PagedExtract.read(spark,
       new graft.sources.PagedExtract.LocalDirFetcher(dir, "t")).count() == 15)
+  }
+
+  test("concurrent appends to one prefix interleave without page clobber") {
+    // two writers race the SAME prefix: without the commit lock both
+    // would read the same high-water mark, rename onto the same page
+    // numbers, and one writer's pages would vanish. The lock serializes
+    // the list → rename → terminator sequence, so whatever order wins,
+    // the dump stays one unbroken stop-on-empty sequence holding every
+    // row from every committed write exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-conc").toString
+    spark.range(6).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(2).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "c").mode("append").save()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq((100L, 3), (200L, 2)).map { case (base, parts) =>
+      new Thread(() => {
+        try {
+          gate.await()
+          spark.range(base, base + 4).selectExpr("to_json(struct(id)) AS payload")
+            .repartition(parts).write.format("graft-paged")
+            .option("dir", dir).option("prefix", "c").mode("append").save()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    val n = files.size // seed 2 + 3 + 2 data pages + 1 terminator = 8
+    assert(files == (0 until n).map(i => s"c-$i.json"), files)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, s"c-${n - 1}.json")) == "[]")
+    assert((0 until n - 1).forall(i => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"c-$i.json")).trim != "[]"),
+      "no interior terminator may survive interleaved appends")
+    // every row from the seed and BOTH appends, exactly once
+    val back = spark.read.format("graft-paged")
+      .option("dir", dir).option("prefix", "c").load()
+      .select(get_json_object(col("payload"), "$.id").cast("long").as("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == ((0L until 6L) ++ (100L until 104L) ++ (200L until 204L)), back)
+    // and the reference's own stop-on-empty loop agrees
+    assert(graft.sources.PagedExtract.read(spark,
+      new graft.sources.PagedExtract.LocalDirFetcher(dir, "c")).count() == 14)
+  }
+
+  test("interleaved commits keep the terminator (stream watermark) monotonic") {
+    // unit-level interleave with the commit entry points called
+    // directly: both committers' temps exist BEFORE either commit runs
+    // (the worst ordering a scheduler can produce), then the commits
+    // race. The stream tailer's offset is the page number, so the
+    // terminator index must only ever move FORWARD — a backward move
+    // would re-deliver pages to a checkpointed reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-mono").toString
+    def tempPage(name: String, body: String): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.writeString(p, body)
+      p.toString
+    }
+    def terminatorIdx(): Int = {
+      val pages = graft.sources.PagedV2.listPages(dir, "m")
+      pages.collectFirst { case (i, p)
+        if java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim == "[]" => i
+      }.getOrElse(-1)
+    }
+    def commit(msgs: (Int, String)*): Unit = {
+      val bw = new graft.sources.PagedBatchWrite(dir, "m", truncate = false)
+      bw.commit(msgs.map { case (pid, tmp) =>
+        graft.sources.PagedWriteMessage(pid, tmp)
+          .asInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage]
+      }.toArray)
+    }
+    commit(0 -> tempPage(".m-seed0.tmp", """[{"id":1}]"""),
+           1 -> tempPage(".m-seed1.tmp", """[{"id":2}]"""))
+    val t0 = terminatorIdx()
+    assert(t0 == 2, s"seed terminator at $t0")
+    // both racers' temps staged up front, then concurrent commits
+    val a = Seq(0 -> tempPage(".m-a0.tmp", """[{"id":10}]"""),
+                1 -> tempPage(".m-a1.tmp", """[{"id":11}]"""))
+    val b = Seq(0 -> tempPage(".m-b0.tmp", """[{"id":20}]"""))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(a, b).map(m => new Thread(() => {
+      try { gate.await(); commit(m: _*) }
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val t1 = terminatorIdx()
+    assert(t1 == 5, s"terminator must land past ALL committed pages, got $t1")
+    assert(t1 > t0, "watermark moved backward")
+    val ids = spark.read.format("graft-paged")
+      .option("dir", dir).option("prefix", "m").load()
+      .select(get_json_object(col("payload"), "$.id").cast("long").as("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 10L, 11L, 20L), ids)
   }
 
   test("element splitting is byte-exact — no root-value separator leaks in") {
