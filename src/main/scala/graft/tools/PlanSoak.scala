@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-stability soak: run registered queries against an SF dir and
+  * print wall time plus a join-strategy fingerprint of the FINAL
+  * (post-AQE) physical plan. Diffing the fingerprints between sf0.1 and
+  * a 10× [[ScaleUp]] dir surfaces broadcast→SMJ flips, AQE re-plans,
+  * and any CartesianProduct that only appears with real statistics at
+  * scale — the failure class PlanGuardSpec's small SFs cannot see.
+  *
+  * usage: runMain graft.tools.PlanSoak <sfDir> <query> [query ...]
+  */
+object PlanSoak {
+  private val marks = Seq(
+    "bhj" -> "BroadcastHashJoin", "smj" -> "SortMergeJoin",
+    "shj" -> "ShuffledHashJoin", "bnl" -> "BroadcastNestedLoopJoin",
+    "cart" -> "CartesianProduct", "aqe" -> "AdaptiveSparkPlan")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanSoak <sfDir> <query> [query ...]")
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-plansoak").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try graft.registry.Fixtures.sessionsRaw(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    for (q <- args.drop(1)) {
+      try {
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // AQE mutates the plan during execution — read it AFTER count()
+        // so the fingerprint reflects what actually ran
+        val plan = df.queryExecution.executedPlan.toString
+        val fp = marks.map { case (k, m) =>
+          s"$k=${m.r.findAllMatchIn(plan).size}"
+        }.mkString(" ")
+        println(f"[plansoak] sf=$sfDir q=$q sec=$sec%.2f $fp")
+      } catch {
+        case t: Throwable =>
+          println(s"[plansoak] sf=$sfDir q=$q FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
