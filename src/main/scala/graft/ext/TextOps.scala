@@ -390,4 +390,49 @@ object TextOps {
     when(count < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
   }
+
+  /** CCNet-style line-level dedup: a line (split on `\n`) is BOILERPLATE
+    * when its trimmed form occurs in more than `maxDf` distinct
+    * documents — nav bars, cookie banners, "subscribe" footers dominate
+    * web corpora at the LINE level, below what document-level dedup can
+    * see. Boilerplate lines are dropped and each document is rebuilt
+    * from its surviving lines in original order; whitespace-only lines
+    * are structure, not content — they are always kept and never
+    * counted.
+    *
+    * Output: `id`, `n_lines`, `n_kept`, `text_kept` (null when every
+    * content line was boilerplate and no blank line remained).
+    *
+    * Scale shape: explode is narrow; the line-frequency aggregate and
+    * the line⋈frequency join shuffle on the trimmed line text (popular
+    * short lines are exactly the hot keys AQE's skew join splits); the
+    * rebuild groups by doc id — per-group state is one document's
+    * lines, the same bound the original text already met. Nothing is
+    * all-pairs and no frame is driver-materialized. For corpora where
+    * long lines dominate the shuffle, hash the key (`fnv1a64`) before
+    * the join — kept as raw text here so the DuckDB oracle replays the
+    * join byte-for-byte.
+    */
+  def dedupLines(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, maxDf: Int = 1): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", trim(col("line")))
+    val lineDf = lines.filter(length(col("k")) > 0)
+      .select("id", "k").distinct()
+      .groupBy("k").agg(count(lit(1)).as("line_df"))
+    val kept = lines.join(lineDf, Seq("k"), "left")
+      .filter(length(col("k")) === 0 || col("line_df") <= maxDf)
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text_kept"))
+    val totals = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text_kept"))
+  }
 }

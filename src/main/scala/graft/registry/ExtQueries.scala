@@ -365,6 +365,51 @@ private[graft] object ExtQueries {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "x_line_dedup" -> ((s, d) => {
+      // CCNet-style LINE-level boilerplate removal, oracle-replayed end
+      // to end. The synthetic corpus is single-line, so multi-line PAGES
+      // are synthesized engine-side — 5 consecutive docs joined by
+      // newlines between an injected nav header and copyright footer
+      // (both engines replay the construction, the synthesized-PII
+      // recipe) — then dedupLines(maxDf=1) must strip the header/footer
+      // from EVERY page plus any content line whose doc text repeats
+      // across pages (the corpus's planted exact dups). Kept text ships
+      // as a portable FNV so the oracle audits exact reassembly
+      // (order, blank handling) without dumping page text.
+      val pages = t(s, d, "documents")
+        .groupBy((col("doc_id") / lit(5)).cast("long").as("page_id"))
+        .agg(concat_ws("\n",
+          lit("SITE NAV HEADER"),
+          concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text"))),
+          lit("COPYRIGHT FOOTER")).as("text"))
+      TextOps.dedupLines(pages, "text", "page_id", maxDf = 1)
+        .select(col("id").as("page_id"), col("n_lines"), col("n_kept"),
+          graft.functions.VectorExpressions
+            .fnv1a64(coalesce(col("text_kept"), lit(""))).as("kept_fnv"))
+        .orderBy("page_id")
+    }),
+
+    "x_domain_quality" -> ((s, d) =>
+      // per-source curation rollup: the keep/review decision table a
+      // corpus curator reads per domain — doc counts, exact decimal-
+      // accumulated mean quality, char volume. The per-doc score is the
+      // same expression x_quality replays; scores are multiples of
+      // 0.05, so the decimal sum is exact and the mean is one IEEE
+      // division on both engines.
+      t(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("q").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+            .as("avg_quality"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("verdict",
+          when(col("avg_quality") >= 0.5, lit("keep")).otherwise(lit("review")))
+        .orderBy("source")),
+
     "x_repetition" -> ((s, d) =>
       // Gopher-style repetition filters: top-token / top-bigram /
       // duplicate-bigram fractions per doc
@@ -1606,6 +1651,66 @@ private[graft] object ExtQueries {
         |  FROM base)
         |SELECT doc_id, round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
         |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "x_line_dedup" ->
+      s"""WITH pages AS (
+        |  SELECT doc_id // 5 AS page_id,
+        |    'SITE NAV HEADER' || chr(10) ||
+        |    string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+        |    'COPYRIGHT FOOTER' AS text
+        |  FROM documents GROUP BY 1),
+        |ln AS (
+        |  SELECT page_id, ls, unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)),
+        |l AS (SELECT page_id, pos, trim(ls[pos]) AS k, ls[pos] AS line FROM ln),
+        |df AS (
+        |  SELECT k, count(DISTINCT page_id) AS line_df
+        |  FROM l WHERE length(k) > 0 GROUP BY k),
+        |kept AS (
+        |  SELECT l.page_id, l.pos, l.line FROM l LEFT JOIN df ON l.k = df.k
+        |  WHERE length(l.k) = 0 OR df.line_df <= 1),
+        |reb AS (
+        |  SELECT page_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_kept
+        |  FROM kept GROUP BY page_id),
+        |tot AS (SELECT page_id, count(*) AS n_lines FROM l GROUP BY page_id),
+        |fin AS (
+        |  SELECT t.page_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+        |    ${fnvSql("(coalesce(r.text_kept, ''))")} AS hu
+        |  FROM tot t LEFT JOIN reb r USING (page_id))
+        |SELECT page_id, n_lines, n_kept, ${signedSql("hu")} AS kept_fnv
+        |FROM fin ORDER BY page_id""".stripMargin,
+
+    "x_domain_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars, length(text) AS len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+        |  FROM base),
+        |q AS (
+        |  SELECT source, n_chars,
+        |    round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
+        |  FROM parts),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    round(CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM q GROUP BY source)
+        |SELECT source, n_docs, avg_quality, total_chars,
+        |  CASE WHEN avg_quality >= 0.5 THEN 'keep' ELSE 'review' END AS verdict
+        |FROM agg ORDER BY source""".stripMargin,
 
     "x_text_stats" ->
       """SELECT doc_id,

@@ -131,6 +131,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out._4 === 0.571429)                  // 4 of 7 words have a letter
   }
 
+  test("dedupLines drops cross-doc boilerplate lines, keeps content in order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha content\n\nmore alpha text\nfooter promo"),
+      (2L, "COOKIE BANNER\nunique beta content\nfooter promo"),
+      (3L, "  COOKIE BANNER  \nunique gamma content"), // trims to the same key
+      (4L, "standalone doc with one line")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, "text", "doc_id", maxDf = 1)
+      .as[(Long, Long, Long, Option[String])].collect().map(r => r._1 -> r).toMap
+    // banner (3 docs) and footer (2 docs) dropped everywhere; blank kept
+    assert(out(1L) === ((1L, 5L, 3L, Some("unique alpha content\n\nmore alpha text"))))
+    assert(out(2L) === ((2L, 3L, 1L, Some("unique beta content"))))
+    assert(out(3L) === ((3L, 2L, 1L, Some("unique gamma content"))))
+    assert(out(4L) === ((4L, 1L, 1L, Some("standalone doc with one line"))))
+  }
+
+  test("dedupLines: round-trip at high maxDf, null when all content is boilerplate") {
+    val docs = Seq(
+      (1L, "same line\nsame line2"),
+      (2L, "same line\nsame line2"),
+      (3L, "same line")
+    ).toDF("doc_id", "text")
+    // maxDf high: nothing is boilerplate — exact round-trip
+    val loose = TextOps.dedupLines(docs, "text", "doc_id", maxDf = 10)
+      .as[(Long, Long, Long, Option[String])].collect().map(r => r._1 -> r._4).toMap
+    assert(loose === Map(1L -> Some("same line\nsame line2"),
+      2L -> Some("same line\nsame line2"), 3L -> Some("same line")))
+    // maxDf=1: every line is shared — docs lose ALL lines
+    val strict = TextOps.dedupLines(docs, "text", "doc_id", maxDf = 1)
+      .as[(Long, Long, Long, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(strict(3L) === ((3L, 1L, 0L, None)))
+    // deterministic across partitionings
+    val re = TextOps.dedupLines(docs.repartition(4), "text", "doc_id", maxDf = 1)
+      .as[(Long, Long, Long, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(re === strict)
+  }
+
   test("compressionRatio orders boilerplate < prose < noise") {
     val rnd = new scala.util.Random(8)
     val docs = Seq(
