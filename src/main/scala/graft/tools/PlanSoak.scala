@@ -32,7 +32,15 @@ object PlanSoak {
     try graft.registry.Fixtures.sessionsRaw(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    for (q <- args.drop(1)) {
+    // "ALL" expands to the full registry minus the streaming rows
+    // (their work happens inside foreachBatch — there is no single
+    // final batch plan to fingerprint, and their scale story is the
+    // state-store probe, not a join-strategy diff)
+    val names =
+      if (args.drop(1).toSeq == Seq("ALL"))
+        graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream"))
+      else args.drop(1).toSeq
+    for (q <- names) {
       try {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         val t0 = System.nanoTime()
