@@ -95,6 +95,35 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: dedupLines == driver reference on random corpora") {
+    // docs of 0-6 lines drawn from a small line pool (forcing cross-doc
+    // repeats), plus blanks/whitespace: the Spark operator must agree
+    // with a direct driver implementation of the contract — lines kept
+    // iff blank OR trimmed-form df <= maxDf, rebuilt in order, null
+    // when nothing survives
+    val lineGen = Gen.oneOf("shared nav", "shared footer", "alpha", "beta",
+      "gamma one", "", "  ", "\tdelta")
+    val docGen = Gen.listOfN(4, Gen.zip(Gen.choose(1L, 6L), Gen.listOf(lineGen)))
+    check("dedup-lines-vs-driver", Prop.forAll(docGen, Gen.choose(1, 2)) { (docs0, maxDf) =>
+      val docs = docs0.zipWithIndex.map { case ((_, ls), i) => (i.toLong, ls.mkString("\n")) }
+      val expected = {
+        val lines = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+        val df = lines.flatMap { case (id, ls) =>
+          ls.map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+        lines.map { case (id, ls) =>
+          val kept = ls.filter(l => l.trim.isEmpty || df(l.trim) <= maxDf)
+          id -> ((id, ls.size.toLong, kept.size.toLong,
+            if (kept.isEmpty) None else Some(kept.mkString("\n"))))
+        }.toMap
+      }
+      val got = TextOps.dedupLines(docs.toDF("doc_id", "text"), "text", "doc_id", maxDf)
+        .as[(Long, Long, Long, Option[String])].collect()
+        .map(r => r._1 -> ((r._1, r._2, r._3, r._4))).toMap
+      got == expected
+    })
+  }
+
   test("property: connectedComponents == driver union-find on random graphs") {
     val edgeGen = Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L)))
     check("cc-vs-union-find", Prop.forAll(edgeGen) { edges0 =>
