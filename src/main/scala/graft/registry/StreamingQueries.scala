@@ -223,6 +223,66 @@ private[graft] object StreamingQueries {
       s.read.parquet(s"$tmp/out")
         .select(col("user_id"), col("click_id"), col("view_id"))
         .orderBy("user_id", "click_id", "view_id")
+    }),
+
+    "q_stream_sessionize" -> ((s, d) => {
+      // STREAMING SESSIONIZATION (session_window + watermark), the
+      // gap-islands row's streaming form: append-mode session aggs only
+      // emit once the WATERMARK passes a session's end, so a stream
+      // that simply stops would withhold every user's final session
+      // forever. The production fix is demonstrated, not worked around:
+      // a HEARTBEAT drop (one punctuation event per user, far in the
+      // future) arrives last and advances the watermark past every real
+      // session. The heartbeat sessions themselves stay open at
+      // termination and are never emitted, so the output equals the
+      // batch gap-islands oracle exactly.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = scratchDir("graft-ssess")
+      stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
+      // heartbeat drop: same raw schema (ts is nanos-as-long), one
+      // 2100-01-01 row per user — written through the same reader conf
+      val raw = ss.read.parquet(s"$d/events.parquet")
+      raw.select(col("user_id")).distinct()
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(4102444800000000000L)) // 2100-01-01 in ns
+        .withColumn("event_type", lit("heartbeat"))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(null).cast("string"))
+        .select(raw.columns.map(col): _*)
+        .coalesce(1).write.parquet(s"$tmp/in2")
+      new java.io.File(s"$tmp/in2").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => stageDrop(f.getAbsolutePath, s"$tmp/in", "zz_heartbeat.parquet"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", raw.schema)
+        .select(col("user_id"),
+          date_trunc("second", expr("timestamp_micros(ts div 1000)")).as("tss"),
+          // decimal BEFORE the session agg: the in-session sum must be
+          // order-independent under any micro-batch/partial-agg order
+          col("value").cast("decimal(18,2)").as("value"))
+      val sessions = graft.streaming.StreamSync
+        .sessionize(stream, "tss", "user_id", gap = "30 minutes", lateness = "0 seconds")
+      val q = sessions.select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events").as("n"), col("total_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        // guard against a flush-batch emit of the heartbeat sessions —
+        // semantics must not depend on exactly when the engine flushes
+        .filter(col("session_start") < lit("2099-01-01").cast("timestamp"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n"), col("total_value").cast("double").as("total_value"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -252,6 +312,29 @@ private[graft] object StreamingQueries {
         |  AND o.o_orderdate <= f.o_orderdate + INTERVAL 30 DAY
         |WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'
         |ORDER BY user_id, click_id, view_id""".stripMargin,
+
+    // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
+    // batch gap islands (the same SQL the batch sessionize row uses;
+    // heartbeat rows are engine-side punctuation, not data, and their
+    // own sessions are never emitted)
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, tss, value,
+        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, min(tss) AS session_start,
+        |  max(tss) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the stream ingests the same drop twice; the dedup output must be
     // the plain batch table (orderkey is the key and is unique)

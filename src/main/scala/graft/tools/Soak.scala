@@ -10,7 +10,7 @@ object Soak {
     import org.apache.spark.sql.functions._
     // optional section filter: docs | fact | embs | boiler (default all)
     val sections =
-      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b", "r6c", "r7") else args.toSet
+      if (args.isEmpty) Set("docs", "fact", "load", "embs", "boiler", "r4", "r5", "r5b", "r5c", "r5d", "r6", "r6b", "r6c", "r7", "r7b") else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
@@ -718,8 +718,31 @@ object Soak {
           right10, "rlo", "rhi", binSize = 25.0).count()
       }
       // overlap prob per pair ≈ (5+20)/100000-unit space → ~25/1e5;
-      // 5e6 × 2e5 × 2.5e-4 ≈ 2.5e8 pairs
+      // 5e6 × 2e5 × 2.5e-8 ≈ 2.5e8 pairs
       println(s"[soak] interval overlaps: $nOver (expect ~2.5e8)")
+    }
+
+    section("r7b") {
+      // --- line-level (CCNet) dedup over a 500k-page web-corpus shape ---
+      // each page: 8 unique content lines + 3 boilerplate lines shared
+      // across ~all pages of its "site" (1000 sites) → ~27% of lines
+      // must drop, line-df table has 4M unique + 3k hot keys
+      val pages = spark.range(500000).select(col("id").as("page_id"),
+        concat_ws("\n",
+          (Seq(concat(lit("NAV site"), pmod(col("id"), lit(1000)))) ++
+            (0 until 8).map(j => concat_ws(" ", (0 until 10).map(k =>
+              concat(lit("tok"), pmod(xxhash64(col("id"), lit(j * 10 + k)), lit(500000)))): _*)) ++
+            Seq(concat(lit("FOOTER site"), pmod(col("id"), lit(1000))),
+              lit("COPYRIGHT 2026 ALL RIGHTS RESERVED"))): _*).as("text"))
+        .localCheckpoint(true)
+      val out = time("dedupLines 500k pages / 5.5M lines (maxDf=3)") {
+        graft.ext.TextOps.dedupLines(pages, "text", "page_id", maxDf = 3)
+          .agg(sum("n_lines"), sum("n_kept")).collect()(0)
+      }
+      // 11 lines/page; NAV+FOOTER (500/site) + COPYRIGHT (500k) exceed
+      // df 3 → exactly 8 content lines survive per page (modulo rare
+      // cross-page content-line hash collisions)
+      println(s"[soak] line dedup: lines=${out.get(0)} kept=${out.get(1)} (expect 5.5M -> ~4M)")
     }
     spark.stop()
   }
