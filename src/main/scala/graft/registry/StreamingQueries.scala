@@ -225,6 +225,39 @@ private[graft] object StreamingQueries {
         .orderBy("user_id", "click_id", "view_id")
     }),
 
+    "q_stream_enrich" -> ((s, d) => {
+      // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
+      // a fact stream joined per micro-batch against a static dimension
+      // snapshot. The dimension is BROADCAST per batch (it re-plans
+      // each micro-batch, so a dim refresh between batches is picked up
+      // automatically — the streaming analog of Q28's broadcast dict).
+      // Stateless: no watermark, no state store. One AvailableNow pass
+      // == the batch left join, so the oracle is plain SQL.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "orders").schema
+      val tmp = scratchDir("graft-senrich")
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
+      val dim = t(ss, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val joined = stream
+        .join(broadcast(dim), stream("o_custkey") === dim("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_stream_sessionize" -> ((s, d) => {
       // STREAMING SESSIONIZATION (session_window + watermark), the
       // gap-islands row's streaming form: append-mode session aggs only
@@ -312,6 +345,12 @@ private[graft] object StreamingQueries {
         |  AND o.o_orderdate <= f.o_orderdate + INTERVAL 30 DAY
         |WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'
         |ORDER BY user_id, click_id, view_id""".stripMargin,
+
+    // stateless stream-static join ⇒ exactly the batch left join
+    "q_stream_enrich" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
     // batch gap islands (the same SQL the batch sessionize row uses;
