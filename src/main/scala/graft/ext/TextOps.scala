@@ -432,7 +432,9 @@ object TextOps {
     docs.select(col(idCol).as("id"))
       .join(totals, Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), col("n_lines"),
+      // a null-text doc explodes to no rows at all: both counts are 0
+      // (not one NULL and one 0 — the columns must agree for ratios)
+      .select(col("id"), coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text_kept"))
   }
 }

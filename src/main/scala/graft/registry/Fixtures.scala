@@ -50,12 +50,30 @@ private[graft] object Fixtures {
     * AvailableNow rows; production deployments point checkpoints at
     * durable storage via their own conf.
     */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val scratchCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      scratchDirs.forEach(d => rm(new java.io.File(d)))
+    }))
   def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+    val dir = java.nio.file.Files.createTempDirectory(root, prefix).toString
+    // RAM-backed scratch must not outlive the JVM: a bench run creates
+    // ~20 of these (7 streaming rows × up to 3 reps + warm-up), each
+    // holding checkpoint state + a table-sized parquet sink — leaked
+    // across runs they would eat /dev/shm. Deletion happens at JVM
+    // exit because the returned dir is read LAZILY by the caller's
+    // result frame; nothing can clean earlier.
+    scratchCleanup
+    scratchDirs.add(dir)
+    dir
   }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -43,12 +43,17 @@ object PlanSoak {
     for (q <- names) {
       try {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val qe = df.queryExecution
         val t0 = System.nanoTime()
-        df.count()
+        // execute THIS QueryExecution: df.count() would build a fresh
+        // one for the groupBy().count() dataset and leave qe's
+        // AdaptiveSparkPlanExec un-executed, so its toString would show
+        // the INITIAL plan — exactly the pre-AQE view this tool exists
+        // to see through. toRdd.count() runs qe's own physical plan to
+        // completion; the fingerprint below is then the FINAL plan.
+        qe.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // AQE mutates the plan during execution — read it AFTER count()
-        // so the fingerprint reflects what actually ran
-        val plan = df.queryExecution.executedPlan.toString
+        val plan = qe.executedPlan.toString
         val fp = marks.map { case (k, m) =>
           s"$k=${m.r.findAllMatchIn(plan).size}"
         }.mkString(" ")

@@ -47,7 +47,11 @@ object ScaleUp {
         extra(shifted, i)
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
-      println(s"[scaleup] $table: ${base.count()} -> ${out.count()} rows")
+      // count the WRITTEN files (metadata-only), not `out` — re-running
+      // the N-copy union just to print a count would double the most
+      // expensive table's scale-up time
+      val written = spark.read.parquet(s"$dst/$table.parquet").count()
+      println(s"[scaleup] $table: ${base.count()} -> $written rows")
     }
 
     // dims TPC-H keeps constant with SF

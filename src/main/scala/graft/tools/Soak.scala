@@ -718,7 +718,7 @@ object Soak {
           right10, "rlo", "rhi", binSize = 25.0).count()
       }
       // overlap prob per pair ≈ (5+20)/100000-unit space → ~25/1e5;
-      // 5e6 × 2e5 × 2.5e-8 ≈ 2.5e8 pairs
+      // 5e6 × 2e5 × 2.5e-4 ≈ 2.5e8 pairs
       println(s"[soak] interval overlaps: $nOver (expect ~2.5e8)")
     }
 

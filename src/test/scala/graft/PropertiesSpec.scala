@@ -102,17 +102,23 @@ class PropertiesSpec extends SparkSpec {
     // iff blank OR trimmed-form df <= maxDf, rebuilt in order, null
     // when nothing survives
     val lineGen = Gen.oneOf("shared nav", "shared footer", "alpha", "beta",
-      "gamma one", "", "  ", "\tdelta")
+      "gamma one", "", "  ", "\t", "\tdelta")
     val docGen = Gen.listOfN(4, Gen.zip(Gen.choose(1L, 6L), Gen.listOf(lineGen)))
+    // the driver reference must use SPARK's trim semantics (ASCII space
+    // only — matching DuckDB's default trim, which is why the operator
+    // keys on it); Java String.trim strips every char <= U+0020, so a
+    // "\t" line would be blank to Java but content to the engine
+    def sparkTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     check("dedup-lines-vs-driver", Prop.forAll(docGen, Gen.choose(1, 2)) { (docs0, maxDf) =>
       val docs = docs0.zipWithIndex.map { case ((_, ls), i) => (i.toLong, ls.mkString("\n")) }
       val expected = {
         val lines = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
         val df = lines.flatMap { case (id, ls) =>
-          ls.map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id)
+          ls.map(sparkTrim).filter(_.nonEmpty).distinct.map(_ -> id)
         }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
         lines.map { case (id, ls) =>
-          val kept = ls.filter(l => l.trim.isEmpty || df(l.trim) <= maxDf)
+          val kept = ls.filter(l => sparkTrim(l).isEmpty || df(sparkTrim(l)) <= maxDf)
           id -> ((id, ls.size.toLong, kept.size.toLong,
             if (kept.isEmpty) None else Some(kept.mkString("\n"))))
         }.toMap

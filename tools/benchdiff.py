@@ -23,12 +23,21 @@ import re
 import subprocess
 import sys
 
-args = [a for a in sys.argv[1:] if a != "--since"]
+argv = sys.argv[1:]
 since = None
-if "--since" in sys.argv:
-    i = sys.argv.index("--since")
-    since = sys.argv[i + 1]
-    args = [a for a in sys.argv[1:] if a not in ("--since", since)]
+args = []
+i = 0
+while i < len(argv):
+    if argv[i] == "--since":
+        if i + 1 >= len(argv):
+            sys.exit("--since requires a git ref")
+        since = argv[i + 1]
+        i += 2
+    else:
+        args.append(argv[i])
+        i += 1
+if len(args) < 2:
+    sys.exit(__doc__)
 old_path, new_path = args[0], args[1]
 thr = float(args[2]) if len(args) > 2 else 1.5
 def load(path):
