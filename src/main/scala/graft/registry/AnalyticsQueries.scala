@@ -142,6 +142,22 @@ private[graft] object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    "q_paged_manifest" -> ((s, d) => {
+      // extract-completeness verdicts (the count check Extract.py:158
+      // left as a TODO): publish a dump through the connector, then
+      // verifyDump re-derives page structure + row count from the
+      // published files and compares against the commit-written
+      // manifest — contiguity, terminator, page count, row count
+      val tmp = graft.registry.Fixtures.scratchDir("graft-paged-man")
+      t(s, d, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"))).as("payload"))
+        .repartition(4).write.format("graft-paged")
+        .option("dir", s"$tmp/pages").option("prefix", "docs")
+        .mode("append").save()
+      graft.sources.PagedV2.verifyDump(s, s"$tmp/pages", "docs")
+        .orderBy("check_name")
+    }),
+
     "q_events_daily" -> ((s, d) =>
       // event-time daily rollup over the ns-timestamp stream table
       events(s, d)
@@ -997,6 +1013,12 @@ private[graft] object AnalyticsQueries {
 
     "q_paged_scan_v2" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q_paged_manifest" ->
+      """SELECT * FROM (VALUES ('manifest_pages_match', TRUE),
+        |  ('manifest_rows_match', TRUE), ('pages_contiguous', TRUE),
+        |  ('terminator_present', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "q_events_daily" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users

@@ -144,6 +144,63 @@ object PagedV2 {
     * OPENED by readers — partition pruning shows up as fewer opens.
     */
   val pagesOpened = new AtomicLong(0)
+
+  private[sources] def manifestPath(dir: String, prefix: String) =
+    java.nio.file.Paths.get(dir, s".$prefix.manifest.json")
+
+  /** (data pages, rows) from the commit-written manifest; rows = -1
+    * when the dump was appended onto pre-manifest pages whose count is
+    * unknowable.
+    */
+  def readManifest(dir: String, prefix: String): Option[(Long, Long)] = {
+    val p = manifestPath(dir, prefix)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Some((m.get("pages").asLong, m.get("rows").asLong))
+    }
+  }
+
+  /** Extract-completeness verdicts for a committed dump — the check the
+    * reference planned against its count endpoint but never implemented
+    * (`Extract.py:158` TODO). The connector's write side IS the count
+    * authority here: commit records how many rows its tasks serialized,
+    * and this re-derives the count from the published pages and
+    * compares. Returns driver-gateable (check_name, ok) rows; the row
+    * count is computed lazily by the returned frame (one parallel scan),
+    * only the page listing and the tiny manifest read happen at build
+    * time — the same planning-time file metadata any file source reads.
+    */
+  def verifyDump(s: org.apache.spark.sql.SparkSession, dir: String,
+                 prefix: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pages = listPages(dir, prefix)
+    val contiguous = pages.map(_._1) == pages.indices.toList
+    val termOk = pages.nonEmpty && {
+      val last = java.nio.file.Paths.get(pages.last._2)
+      java.nio.file.Files.size(last) <= 8 &&
+        java.nio.file.Files.readString(last).trim == "[]"
+    }
+    val manifest = readManifest(dir, prefix)
+    val nData = (pages.size - 1).toLong
+    s.read.format("graft-paged")
+      .option("dir", dir).option("prefix", prefix).load()
+      .agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("pages_contiguous").as("check_name"),
+          lit(contiguous).as("ok")),
+        struct(lit("terminator_present").as("check_name"),
+          lit(termOk).as("ok")),
+        struct(lit("manifest_pages_match").as("check_name"),
+          lit(manifest.exists(_._1 == nData)).as("ok")),
+        struct(lit("manifest_rows_match").as("check_name"),
+          (manifest match {
+            case Some((_, rows)) if rows >= 0 => col("n") === rows
+            case _ => lit(false)
+          }).as("ok")))).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+  }
 }
 
 final class PagedTable(dir: String, prefix: String,
@@ -292,7 +349,8 @@ final class PagedWriteBuilder(dir: String, prefix: String, schema: StructType)
     }
 }
 
-final case class PagedWriteMessage(partitionId: Int, tmpPath: String)
+final case class PagedWriteMessage(partitionId: Int, tmpPath: String,
+                                   rows: Long = 0L)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
@@ -369,12 +427,23 @@ final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
     // the terminating empty page — the reference's stop condition
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, s"$prefix-${start + msgs.length}.json"), "[]")
+    // count manifest (the completeness check Extract.py:158 planned):
+    // cumulative data pages + rows across connector commits. Appending
+    // onto a pre-manifest dump makes the historical row count
+    // unknowable — record rows=-1 so verification reports, not lies.
+    val priorRows: Long =
+      if (start == 0) 0L
+      else PagedV2.readManifest(dir, prefix).map(_._2).getOrElse(-1L)
+    val totalRows =
+      if (priorRows < 0) -1L else priorRows + msgs.map(_.rows).sum
+    java.nio.file.Files.writeString(PagedV2.manifestPath(dir, prefix),
+      s"""{"pages":${start + msgs.length},"rows":$totalRows}""")
   }
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     messages.foreach {
-      case PagedWriteMessage(_, tmp) => new java.io.File(tmp).delete()
+      case PagedWriteMessage(_, tmp, _) => new java.io.File(tmp).delete()
       case _ => ()
     }
 }
@@ -392,15 +461,17 @@ final class PagedDataWriterFactory(dir: String, prefix: String)
         java.nio.file.Files.newBufferedWriter(tmp)
       }
       private var first = true
+      private var nRows = 0L
       w.write("[")
       override def write(record: InternalRow): Unit = {
         if (!first) w.write(",")
         first = false
+        nRows += 1
         w.write(record.getUTF8String(0).toString)
       }
       override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
         w.write("]"); w.close()
-        PagedWriteMessage(partitionId, tmp.toString)
+        PagedWriteMessage(partitionId, tmp.toString, nRows)
       }
       override def abort(): Unit = { w.close(); java.nio.file.Files.deleteIfExists(tmp) }
       override def close(): Unit = ()

@@ -178,8 +178,10 @@ class PagedV2Spec extends SparkSpec {
     assert(files.toSeq == Seq("out-0.json", "out-1.json", "out-2.json", "out-3.json"), files.toSeq)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "out-3.json")) == "[]")
-    // the only hidden file is the commit lock — no temps survive commit
-    assert(all.filter(_.startsWith(".")).toSeq == Seq(".out.commitlock"),
+    // the only hidden files are the commit lock and the count manifest
+    // — no temps survive commit
+    assert(all.filter(_.startsWith(".")).toSeq.sorted ==
+      Seq(".out.commitlock", ".out.manifest.json"),
       all.filter(_.startsWith(".")).toSeq)
     // the batch scan reads exactly the written elements
     val back = spark.read.format("graft-paged")
@@ -352,6 +354,51 @@ class PagedV2Spec extends SparkSpec {
       .select(get_json_object(col("payload"), "$.id").cast("long").as("id"))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 10L, 11L, 20L), ids)
+  }
+
+  test("count manifest accumulates across appends and verifyDump passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-man").toString
+    spark.range(10).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(3).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "m").mode("append").save()
+    assert(PagedV2.readManifest(dir, "m").contains((3L, 10L)))
+    spark.range(10, 17).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(2).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "m").mode("append").save()
+    assert(PagedV2.readManifest(dir, "m").contains((5L, 17L)))
+    val verdicts = PagedV2.verifyDump(spark, dir, "m")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts == Map("pages_contiguous" -> true, "terminator_present" -> true,
+      "manifest_pages_match" -> true, "manifest_rows_match" -> true), verdicts)
+    // truncate resets the manifest
+    spark.range(4).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(1).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "m").mode("overwrite").save()
+    assert(PagedV2.readManifest(dir, "m").contains((1L, 4L)))
+    // a corrupted dump is CAUGHT: drop a data page behind the manifest's back
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "m-0.json"))
+    val broken = PagedV2.verifyDump(spark, dir, "m")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!broken("pages_contiguous") && !broken("manifest_pages_match") &&
+      !broken("manifest_rows_match"), broken)
+  }
+
+  test("append onto a pre-manifest dump reports unknown rows, not a lie") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paged-prem").toString
+    // hand-made legacy dump with no manifest
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "p-0.json"), """[{"id":1},{"id":2}]""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "p-1.json"), "[]")
+    spark.range(3).selectExpr("to_json(struct(id)) AS payload")
+      .repartition(1).write.format("graft-paged")
+      .option("dir", dir).option("prefix", "p").mode("append").save()
+    // pages are known (2 data pages), rows are not (-1 sentinel)
+    assert(PagedV2.readManifest(dir, "p").contains((2L, -1L)))
+    val verdicts = PagedV2.verifyDump(spark, dir, "p")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts("pages_contiguous") && verdicts("manifest_pages_match"))
+    assert(!verdicts("manifest_rows_match"), "unknown rows must not verify")
   }
 
   test("element splitting is byte-exact — no root-value separator leaks in") {
