@@ -302,6 +302,10 @@ class PagedV2Spec extends SparkSpec {
     // and the reference's own stop-on-empty loop agrees
     assert(graft.sources.PagedExtract.read(spark,
       new graft.sources.PagedExtract.LocalDirFetcher(dir, "c")).count() == 14)
+    // the lock serializes manifest accumulation too: whichever commit
+    // ran second read the first's manifest — totals, not last-wins
+    assert(PagedV2.readManifest(dir, "c").contains((7L, 14L)),
+      PagedV2.readManifest(dir, "c"))
   }
 
   test("interleaved commits keep the terminator (stream watermark) monotonic") {
