@@ -32,11 +32,23 @@ private[graft] object Fixtures {
     */
   def stageDrop(srcFile: String, destDir: String, dropName: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
-    val dst = java.nio.file.Paths.get(destDir, dropName)
-    try java.nio.file.Files.createSymbolicLink(dst, java.nio.file.Paths.get(srcFile))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), dst)
-    }
+    def link(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      try java.nio.file.Files.createSymbolicLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+    val src = java.nio.file.Paths.get(srcFile)
+    if (java.nio.file.Files.isDirectory(src)) {
+      // a Spark-WRITTEN table is a directory of part files (unlike the
+      // driver's single-file dumps); the file-stream source lists plain
+      // files without recursing, so a linked subdirectory would look
+      // like an empty stream — link each part as its own drop instead
+      Option(src.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          link(f.toPath, java.nio.file.Paths.get(destDir,
+            s"${dropName.stripSuffix(".parquet")}-p$i.parquet"))
+        }
+    } else link(src, java.nio.file.Paths.get(destDir, dropName))
   }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -54,7 +66,12 @@ private[graft] object Fixtures {
   private lazy val scratchCleanup: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        // NEVER traverse a symlink: scratch dirs hold links to source
+        // tables (stageDrop), and listFiles on a dir-symlink returns
+        // the TARGET's children — recursing would delete the staged
+        // table's real files through the link
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
       scratchDirs.forEach(d => rm(new java.io.File(d)))

@@ -10,9 +10,15 @@ import duckdb, pandas as pd, numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+def _pq_source(p):
+    # driver testdata tables are single files; Spark-written tables
+    # (e.g. a ScaleUp 10x dir) are DIRECTORIES of part files
+    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+
+
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{_pq_source(p)}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = ok = skip = 0
