@@ -426,7 +426,7 @@ private[graft] object AnalyticsQueries {
       // n=0. 34-53 real gaps per type at sf0.01.
       graft.ops.TimeSeries.resample(
         events(s, d).select(col("event_type"),
-          expr("ts div 1000000000").as("es"), col("value")),
+          expr("unix_micros(ts_us) div 1000000").as("es"), col("value")),
         "event_type", "es", "value", 3600L)
         .orderBy("event_type", "slot")),
 
@@ -436,7 +436,7 @@ private[graft] object AnalyticsQueries {
       // spike can't inflate its own baseline)
       val rs = graft.ops.TimeSeries.resample(
         events(s, d).select(col("event_type"),
-          expr("ts div 1000000000").as("es"), col("value")),
+          expr("unix_micros(ts_us) div 1000000").as("es"), col("value")),
         "event_type", "es", "value", 3600L)
       graft.ops.TimeSeries.rollingAnomalies(rs, "event_type", "slot",
           "value_avg", window = 24, k = 3.0)
@@ -450,7 +450,7 @@ private[graft] object AnalyticsQueries {
       // the trailing edge. Window-only after the resample shuffle.
       val rs = graft.ops.TimeSeries.resample(
         events(s, d).select(col("event_type"),
-          expr("ts div 1000000000").as("es"), col("value")),
+          expr("unix_micros(ts_us) div 1000000").as("es"), col("value")),
         "event_type", "es", "value", 3600L)
       val interp = graft.ops.TimeSeries.interpolateLinear(
         rs.withColumn("value_interp", col("value_avg")),
@@ -722,7 +722,7 @@ private[graft] object AnalyticsQueries {
       // until the next one — the summary a plain AVG gets wrong under
       // irregular sampling
       graft.ext.Behavior.twap(
-        events(s, d).select(col("user_id"), expr("ts div 1000").as("tus"),
+        events(s, d).select(col("user_id"), expr("unix_micros(ts_us)").as("tus"),
           col("value")),
         "user_id", "tus", "value")),
 
@@ -845,8 +845,8 @@ private[graft] object AnalyticsQueries {
       // floor(value*10) seconds; overlapping/touching spans stitch
       // into islands (one shuffle + two windows, no self-join)
       val iv = events(s, d).select(col("user_id"),
-        expr("ts div 1000000000").as("s"),
-        (expr("ts div 1000000000") +
+        expr("unix_micros(ts_us) div 1000000").as("s"),
+        (expr("unix_micros(ts_us) div 1000000") +
           floor(col("value") * 10).cast("long")).as("e"))
       graft.ops.Intervals.mergeOverlapping(iv, "user_id", "s", "e")
     }),
@@ -854,8 +854,8 @@ private[graft] object AnalyticsQueries {
     "q_interval_coverage" -> ((s, d) => {
       // per-user coverage rollup over the merged islands
       val iv = events(s, d).select(col("user_id"),
-        expr("ts div 1000000000").as("s"),
-        (expr("ts div 1000000000") +
+        expr("unix_micros(ts_us) div 1000000").as("s"),
+        (expr("unix_micros(ts_us) div 1000000") +
           floor(col("value") * 10).cast("long")).as("e"))
       graft.ops.Intervals.coverage(iv, "user_id", "s", "e")
     }),

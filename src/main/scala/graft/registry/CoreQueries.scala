@@ -231,7 +231,10 @@ private[graft] object CoreQueries {
             select = Seq("s_name" -> "s_name", "s_nationkey" -> "s_nationkey")),
           nat, "s_nationkey", "n_nationkey", select = Seq("n_name" -> "n_name"))
         .select("l_orderkey", "l_linenumber", "s_name", "n_name")
-        .orderBy("l_orderkey", "l_linenumber")
+        // s_name in the sort: (l_orderkey, l_linenumber) is NOT unique
+        // in the synthetic lineitem, and a dup pair with two suppliers
+        // leaves the tie order engine-specific (bit us at the 10x soak)
+        .orderBy("l_orderkey", "l_linenumber", "s_name")
     }),
 
     "q29_left_join_detail" -> ((s, d) => {
@@ -603,7 +606,7 @@ private[graft] object CoreQueries {
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, s.s_name""".stripMargin,
 
     "q29_left_join_detail" ->
       """SELECT o.o_orderkey, c.c_name, c.c_mktsegment

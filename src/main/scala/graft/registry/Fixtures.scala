@@ -98,7 +98,14 @@ private[graft] object Fixtures {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val df = t(s, dir, "events")
+    // driver testdata carries TIMESTAMP(NANOS) (surfaced as long by the
+    // conf); Spark-written copies (ScaleUp) carry a real timestamp —
+    // normalize either to the µs event-time column every query uses
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _        => df.withColumn("ts_us", col("ts"))
+    }
   }
 
   /** Exact sum of a 2-decimal double column: accumulate in decimal

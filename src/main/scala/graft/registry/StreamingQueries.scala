@@ -274,12 +274,19 @@ private[graft] object StreamingQueries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = scratchDir("graft-ssess")
       stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
-      // heartbeat drop: same raw schema (ts is nanos-as-long), one
-      // 2100-01-01 row per user — written through the same reader conf
+      // heartbeat drop: same raw schema, one 2100-01-01 row per user —
+      // written through the same reader conf. ts is nanos-as-long in
+      // the driver testdata and a real timestamp in Spark-written
+      // copies; emit the sentinel in whichever the table carries
       val raw = ss.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val sentinel =
+        if (tsIsLong) lit(4102444800000000000L) // 2100-01-01 in ns
+        else lit("2100-01-01 00:00:00").cast(raw.schema("ts").dataType)
       raw.select(col("user_id")).distinct()
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts", lit(4102444800000000000L)) // 2100-01-01 in ns
+        .withColumn("ts", sentinel)
         .withColumn("event_type", lit("heartbeat"))
         .withColumn("value", lit(0.0))
         .withColumn("props", lit(null).cast("string"))
@@ -288,10 +295,12 @@ private[graft] object StreamingQueries {
       new java.io.File(s"$tmp/in2").listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .foreach(f => stageDrop(f.getAbsolutePath, s"$tmp/in", "zz_heartbeat.parquet"))
+      val eventTime =
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")
       val stream = graft.streaming.StreamSync
         .readParquetStream(ss, s"$tmp/in", raw.schema)
         .select(col("user_id"),
-          date_trunc("second", expr("timestamp_micros(ts div 1000)")).as("tss"),
+          date_trunc("second", eventTime).as("tss"),
           // decimal BEFORE the session agg: the in-session sum must be
           // order-independent under any micro-batch/partial-agg order
           col("value").cast("decimal(18,2)").as("value"))

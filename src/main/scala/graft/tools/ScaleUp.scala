@@ -65,7 +65,13 @@ object ScaleUp {
     replicate("part", Map("p_partkey" -> PK))
     replicate("orders", Map("o_orderkey" -> OK, "o_custkey" -> CK))
     replicate("lineitem", Map("l_orderkey" -> OK, "l_partkey" -> PK, "l_suppkey" -> SK))
-    replicate("events", Map("event_id" -> ID, "user_id" -> ID))
+    // ts arrives as nanos-as-long (the reader conf above); write it
+    // back as a real timestamp — oracles bind epoch_ns/date_trunc
+    // against a timestamp column, and the engine's events() reader
+    // adapts to either representation. µs truncation is lossless here:
+    // every engine query already normalizes through timestamp_micros.
+    replicate("events", Map("event_id" -> ID, "user_id" -> ID), (df, _) =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     // distinct text per copy: suffix a copy token (keeps n_chars honest)
     replicate("documents", Map("doc_id" -> ID), (df, i) =>
       if (i == 0) df
