@@ -63,19 +63,22 @@ private[graft] object Fixtures {
     * durable storage via their own conf.
     */
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Recursive delete that NEVER traverses a symlink: scratch dirs hold
+    * links to source tables (stageDrop), and `listFiles` on a
+    * dir-symlink returns the TARGET's children — recursing would delete
+    * the staged table's real files through the link (this bit the 10×
+    * scratch dataset once; spec-pinned since).
+    */
+  private[graft] def deleteNoFollow(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteNoFollow)
+    f.delete(); ()
+  }
+
   private lazy val scratchCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        // NEVER traverse a symlink: scratch dirs hold links to source
-        // tables (stageDrop), and listFiles on a dir-symlink returns
-        // the TARGET's children — recursing would delete the staged
-        // table's real files through the link
-        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      scratchDirs.forEach(d => rm(new java.io.File(d)))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach(d => deleteNoFollow(new java.io.File(d)))))
   def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root =
