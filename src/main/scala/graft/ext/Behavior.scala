@@ -310,10 +310,15 @@ object Behavior {
     * input-sized. Measured at the 6M-row soak: ~15% off the query.
     * Callers with a genuinely unbounded item space are the same callers
     * who must already cap it for Σ|basket|² — vocab is the operator's
-    * scale contract.
+    * scale contract — but the contract is now a PARAMETER, not a
+    * comment: pass `broadcastItemCounts = false` and the count joins
+    * degrade to sort-merge instead of an executor OOM.
     */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-                   maxBasketSize: Int = 1000): DataFrame = {
+                   maxBasketSize: Int = 1000,
+                   broadcastItemCounts: Boolean = true): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastItemCounts) broadcast(_) else identity
     val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
     val sized = items.groupBy(col("b")).agg(count(lit(1)).as("bn"))
       .where(col("bn") <= maxBasketSize).select(col("b"))
@@ -325,8 +330,8 @@ object Behavior {
       .where(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("cab"))
     pairs
-      .join(broadcast(ci.select(col("i").as("ia"), col("ci").as("ca"))), "ia")
-      .join(broadcast(ci.select(col("i").as("ib"), col("ci").as("cb"))), "ib")
+      .join(hint(ci.select(col("i").as("ia"), col("ci").as("ca"))), "ia")
+      .join(hint(ci.select(col("i").as("ib"), col("ci").as("cb"))), "ib")
       .crossJoin(broadcast(nBaskets))
       .select(col("ia"), col("ib"), col("cab"), col("ca"), col("cb"),
         round(col("cab").cast("double") * col("n_baskets") /
@@ -341,8 +346,10 @@ object Behavior {
     */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minPairCount: Long = 2L,
-                       maxBasketSize: Int = 1000): DataFrame = {
-    val pairs = coOccurrence(df, basketCol, itemCol, maxBasketSize)
+                       maxBasketSize: Int = 1000,
+                       broadcastItemCounts: Boolean = true): DataFrame = {
+    val pairs = coOccurrence(df, basketCol, itemCol, maxBasketSize,
+        broadcastItemCounts)
       .where(col("cab") >= minPairCount)
     val ab = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"),
       col("cab"), col("ca").as("c_ante"), col("lift"))

@@ -721,7 +721,7 @@ private[graft] object CoreQueries {
 
     "q53_mask_db_url" ->
       """SELECT c_custkey, url,
-        |       regexp_replace(url, '^([^@/]*://)?([^:@/?#]*)[^/?#]*@', '\1\2:****@') AS masked
+        |       regexp_replace(url, '^([^@/]*://)?([^:@/?#]*)[^/]*@', '\1\2:****@') AS masked
         |FROM (SELECT c_custkey,
         |        CASE WHEN c_custkey % 3 = 0
         |               THEN 'postgresql://user' || c_custkey || ':pw' || c_custkey || '@db.host:5432/etl'

@@ -150,16 +150,23 @@ object PagedV2 {
 
   /** (data pages, rows) from the commit-written manifest; rows = -1
     * when the dump was appended onto pre-manifest pages whose count is
-    * unknowable.
+    * unknowable. Unreadable/unparseable content degrades to None (same
+    * as absent) rather than throwing — commit publishes the manifest
+    * atomically (temp + rename), but a reader racing a non-atomic
+    * filesystem, or a torn file from a crashed pre-fix writer, should
+    * report "no manifest", not a Jackson stack trace.
     */
   def readManifest(dir: String, prefix: String): Option[(Long, Long)] = {
     val p = manifestPath(dir, prefix)
     if (!java.nio.file.Files.exists(p)) None
-    else {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      Some((m.get("pages").asLong, m.get("rows").asLong))
-    }
+    else
+      try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        val (pg, rw) = (m.get("pages"), m.get("rows"))
+        if (pg == null || rw == null) None
+        else Some((pg.asLong, rw.asLong))
+      } catch { case _: Exception => None }
   }
 
   /** Extract-completeness verdicts for a committed dump — the check the
@@ -436,8 +443,24 @@ final class PagedBatchWrite(dir: String, prefix: String, truncate: Boolean)
       else PagedV2.readManifest(dir, prefix).map(_._2).getOrElse(-1L)
     val totalRows =
       if (priorRows < 0) -1L else priorRows + msgs.map(_.rows).sum
-    java.nio.file.Files.writeString(PagedV2.manifestPath(dir, prefix),
+    // publish via dot-temp + move — the same rename protocol the pages
+    // use. An in-place truncate-then-write would let a concurrent
+    // readManifest (verifyDump, or another committer's prior-rows read)
+    // observe a partial/empty file.
+    val mdst = PagedV2.manifestPath(dir, prefix)
+    val mtmp = mdst.resolveSibling(
+      s"${mdst.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.writeString(mtmp,
       s"""{"pages":${start + msgs.length},"rows":$totalRows}""")
+    try
+      java.nio.file.Files.move(mtmp, mdst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(mtmp, mdst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   override def abort(

@@ -316,4 +316,24 @@ class BehaviorSpec extends SparkSpec {
     assert(out.length == 1) // only basket 2's single pair
     assert(out.head.getString(0) == "a" && out.head.getString(1) == "b")
   }
+
+  test("coOccurrence: broadcastItemCounts=false degrades the count joins " +
+       "to non-broadcast (unbounded-vocab escape hatch)") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y")).toDF("b", "i")
+    // functions.broadcast attaches a ResolvedHint(strategy=broadcast)
+    def hints(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      plan.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.toString.toLowerCase.contains("broadcast") => h
+      }.size
+    // default keeps the vocab-bounded pin: 2 count-frame hints + the
+    // 1-row n_baskets hint
+    assert(hints(Behavior.coOccurrence(df, "b", "i").queryExecution.logical) === 3)
+    // gated off: only the always-safe 1-row n_baskets hint remains
+    val off = Behavior.coOccurrence(df, "b", "i", broadcastItemCounts = false)
+    assert(hints(off.queryExecution.logical) === 1)
+    // and the results are identical either way
+    val on = Behavior.coOccurrence(df, "b", "i").collect().map(_.toString).sorted
+    assert(off.collect().map(_.toString).sorted === on)
+  }
 }

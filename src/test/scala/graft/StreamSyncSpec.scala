@@ -201,4 +201,54 @@ class StreamSyncSpec extends SparkSpec {
       assert(out === Array((1L, 2L), (1L, 1L)))
     } finally q.stop()
   }
+
+  test("session_window MERGES two events exactly gap apart — pins the " +
+       "q_stream_sessionize oracle's <= boundary") {
+    // The lag-based gap-islands oracle merges when
+    // `tss - lag(tss) <= gap`. Spark's session_window treats the
+    // half-open windows [t, t+gap) and [t+gap, t+2gap) as mergeable
+    // (end-touching counts as overlap), so an event at exactly
+    // last_event + gap EXTENDS the session. ts in the events table is
+    // second-truncated, so an exact 1800 s gap is reachable in real
+    // data — this boundary must stay aligned on both sides of the
+    // differential. Measured on Spark 4.1.2; if an upgrade flips this
+    // to a split, the oracle must move from <= to <.
+    import spark.implicits._
+    val two = Seq(
+      ("u", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("u", Timestamp.valueOf("2024-01-01 10:30:00"), 1.0))
+      .toDF("user_id", "tss", "value")
+    val engine = two
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(count("*").as("n"))
+      .select(col("session_window.start").cast("string").as("s"),
+        col("session_window.end").cast("string").as("e"), col("n"))
+      .collect()
+    assert(engine.length === 1, "session_window must merge an exact-gap event")
+    assert(engine(0).getString(0) === "2024-01-01 10:00:00")
+    assert(engine(0).getString(1) === "2024-01-01 11:00:00")
+    assert(engine(0).getLong(2) === 2L)
+    // the oracle replayed in Spark SQL (same <= the DuckDB side uses)
+    two.createOrReplaceTempView("boundary_events")
+    val oracle = spark.sql(
+      """WITH flagged AS (
+        |  SELECT user_id, tss,
+        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
+        |              <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM boundary_events),
+        |numbered AS (
+        |  SELECT user_id, tss,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT CAST(min(tss) AS STRING) AS s,
+        |  CAST(max(tss) + INTERVAL 30 MINUTE AS STRING) AS e,
+        |  count(*) AS n
+        |FROM numbered GROUP BY user_id, sess_id""".stripMargin).collect()
+    assert(oracle.length === 1)
+    assert(oracle(0).getString(0) === engine(0).getString(0))
+    assert(oracle(0).getString(1) === engine(0).getString(1))
+    assert(oracle(0).getLong(2) === engine(0).getLong(2))
+  }
 }
