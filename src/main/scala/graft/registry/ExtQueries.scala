@@ -868,6 +868,27 @@ private[graft] object ExtQueries {
         .orderBy("check_name")
     }),
 
+    // ---- determinism-hash pins for the rows-only rows ----
+    // The four no-oracle outputs (3 approximate ANN top-k + the zlib
+    // ratio) are deterministic BY CONSTRUCTION (FNV/xxhash seeding,
+    // deterministic ties, per-partition codec re-init), so their
+    // content hash at a given SF is a constant: any changed hash is a
+    // code regression, never noise. Each pin re-runs its raw row and
+    // compares an order-insensitive engine-side hash against the
+    // constant measured at sf0.001/0.01/0.1 (tools/HashPinProbe).
+    // Quality stays bounded by the recall/ordering verdict rows; these
+    // convert "rows-only" into a regression detector at the gate SFs.
+    // Unpinned dirs (scaled soak datasets are regenerated with varying
+    // perturbation) pass trivially by design.
+    "x_ann_ivf_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_ivf")),
+
+    "x_ann_pq_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_pq")),
+
+    "x_ann_ivfpq_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_ivfpq")),
+
+    "x_compression_ratio_hash" -> ((s, d) =>
+      hashPinVerdict(s, d, "x_compression_ratio")),
+
     "x_decontaminate_semantic" -> ((s, d) => {
       // paraphrase-level decontamination: corpus embeddings vs a
       // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
@@ -1242,6 +1263,22 @@ private[graft] object ExtQueries {
         |  ('ratio_orders_boiler_prose_noise', TRUE),
         |  ('ratio_partition_deterministic', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_ann_ivf_hash" ->
+      """SELECT * FROM (VALUES ('x_ann_ivf_content_hash_pinned', TRUE))
+        |AS t(check_name, ok)""".stripMargin,
+
+    "x_ann_pq_hash" ->
+      """SELECT * FROM (VALUES ('x_ann_pq_content_hash_pinned', TRUE))
+        |AS t(check_name, ok)""".stripMargin,
+
+    "x_ann_ivfpq_hash" ->
+      """SELECT * FROM (VALUES ('x_ann_ivfpq_content_hash_pinned', TRUE))
+        |AS t(check_name, ok)""".stripMargin,
+
+    "x_compression_ratio_hash" ->
+      """SELECT * FROM (VALUES ('x_compression_ratio_content_hash_pinned', TRUE))
+        |AS t(check_name, ok)""".stripMargin,
 
     "x_embed_neardup_incr" ->
       """SELECT * FROM (VALUES ('incr_no_false_positives', TRUE),
@@ -2081,4 +2118,50 @@ private[graft] object ExtQueries {
          |  (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
          |ORDER BY doc_id""".stripMargin
   )
+
+  /** Order-insensitive 64-bit content hash of a frame: bit_xor of
+    * per-row xxhash64 over all columns (fixed seed), mixed with the
+    * row count driver-side (xor alone would let even-multiplicity
+    * duplicate rows cancel; a wrapping sum would trip ANSI overflow).
+    * Partitioning- and row-order-independent; any per-row value or
+    * row-set change moves it. Used by the `*_hash` determinism pins
+    * and tools/HashPinProbe.
+    */
+  private[graft] def contentHash64(df: DataFrame): Long = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(expr("bit_xor(__h)").as("x"), count(lit(1)).as("n")).head()
+    val x = if (r.isNullAt(0)) 0L else r.getLong(0)
+    x * 1000003L + r.getLong(1)
+  }
+
+  /** Measured content hashes of the deterministic rows-only outputs,
+    * keyed by (query, sf-dir basename). Re-measure with
+    * `runMain graft.tools.HashPinProbe` after any INTENDED change to
+    * these paths and update here — an unintended change fails the
+    * driver gate, which is the point.
+    */
+  private[graft] val contentHashPins: Map[(String, String), Long] = Map(
+    ("x_ann_ivf", "sf0.001") -> 8315399022556153783L,
+    ("x_ann_ivf", "sf0.01") -> 3251015057284628761L,
+    ("x_ann_ivf", "sf0.1") -> -254393116093193605L,
+    ("x_ann_pq", "sf0.001") -> -7502188247379019912L,
+    ("x_ann_pq", "sf0.01") -> -7402432719977774432L,
+    ("x_ann_pq", "sf0.1") -> 3546076473341213L,
+    ("x_ann_ivfpq", "sf0.001") -> -1007162510402788868L,
+    ("x_ann_ivfpq", "sf0.01") -> -3205306026331243888L,
+    ("x_ann_ivfpq", "sf0.1") -> 6125289958358660389L,
+    ("x_compression_ratio", "sf0.001") -> -3413277655601523733L,
+    ("x_compression_ratio", "sf0.01") -> -8380364903344526422L,
+    ("x_compression_ratio", "sf0.1") -> -7567299456518738542L
+  )
+
+  private def hashPinVerdict(s: SparkSession, d: String,
+                             q: String): DataFrame = {
+    import s.implicits._
+    val ok = contentHashPins.get((q, new java.io.File(d).getName)) match {
+      case Some(pin) => contentHash64(queries(q)(s, d)) == pin
+      case None      => true // unpinned dir: trivially green, by design
+    }
+    Seq((s"${q}_content_hash_pinned", ok)).toDF("check_name", "ok")
+  }
 }
