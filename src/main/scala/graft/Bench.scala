@@ -20,6 +20,11 @@ object Bench {
     // build cost should not land on whichever consumer runs first
     try graft.registry.Fixtures.sessionsRaw(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // warm the sessionize heartbeat fixture (staged once per
+    // session+dir; the distinct+write is harness cost that must not
+    // land on q_stream_sessionize's measured reps)
+    try graft.registry.Fixtures.sessionizeHeartbeatDir(spark, sfDir)
+    catch { case _: Throwable => () }
     // warm the STREAMING machinery (micro-batch engine, file-stream
     // source, stateful exec, both state-store providers, checkpoint IO):
     // first-use class loading + JIT otherwise lands on the first

@@ -128,6 +128,38 @@ private[graft] object Fixtures {
     * query re-enters through it. Quarter sample — the nest construction
     * is the harness; the flatten under test is scale-invariant.
     */
+  /** Heartbeat-punctuation drop for q_stream_sessionize: one far-future
+    * row per user, same raw schema as the events table. Building it
+    * needs a distinct over events plus a parquet write — harness cost,
+    * not session_window work — so it is staged ONCE per (session, dir)
+    * (the r7 bench charged the distinct+write to every rep of the most
+    * expensive streaming row). Returns the directory of the written
+    * parquet; callers stageDrop-link it into each run's input dir.
+    */
+  private val heartbeatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def sessionizeHeartbeatDir(s: SparkSession, d: String): String =
+    heartbeatCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      // self-contained conf: the events table may carry TIMESTAMP(NANOS)
+      val b = s.newSession()
+      b.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = b.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType == LongType
+      val sentinel =
+        if (tsIsLong) lit(4102444800000000000L) // 2100-01-01 in ns
+        else lit("2100-01-01 00:00:00").cast(raw.schema("ts").dataType)
+      val out = s"${scratchDir("graft-heartbeat")}/hb"
+      raw.select(col("user_id")).distinct()
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", sentinel)
+        .withColumn("event_type", lit("heartbeat"))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(null).cast("string"))
+        .select(raw.columns.map(col): _*)
+        .coalesce(1).write.parquet(out)
+      out
+    })
+
   val sessionsRawCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def sessionsRaw(s: SparkSession, d: String): DataFrame =

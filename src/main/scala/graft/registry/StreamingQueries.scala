@@ -116,13 +116,14 @@ private[graft] object StreamingQueries {
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      // commit writes a small changelog instead of a full RocksDB
-      // snapshot per micro-batch (snapshots move to async maintenance) —
-      // the right default for high-frequency-commit stateful jobs. Note
-      // it does NOT shrink THIS one-shot row much: version-1 commits
-      // still upload the baseline snapshot; the win arrives from batch 2
-      // onward on long-lived streams.
-      ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // changelog checkpointing (commit a small changelog instead of a
+      // full RocksDB snapshot per micro-batch) is the right default for
+      // long-lived high-frequency-commit streams, but for THIS one-shot
+      // row it is pure overhead: version-1 commits still upload the
+      // baseline snapshot, plus the changelog write on top. Env knob for
+      // A/B measurement; default measured per SCALE.md round 8.
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKS_CHANGELOG", "true"))
       locally {
         import ss.implicits._
         val stream = graft.streaming.StreamSync.readParquetStream(ss, s"$tmp/in", sch)
@@ -274,27 +275,15 @@ private[graft] object StreamingQueries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = scratchDir("graft-ssess")
       stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
-      // heartbeat drop: same raw schema, one 2100-01-01 row per user —
-      // written through the same reader conf. ts is nanos-as-long in
-      // the driver testdata and a real timestamp in Spark-written
-      // copies; emit the sentinel in whichever the table carries
+      // heartbeat drop: same raw schema, one 2100-01-01 row per user.
+      // Built ONCE per (session, dir) by the shared fixture (the
+      // distinct + parquet write is harness, not session_window work)
+      // and linked in as the lexically-last drop
       val raw = ss.read.parquet(s"$d/events.parquet")
       val tsIsLong = raw.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
-      val sentinel =
-        if (tsIsLong) lit(4102444800000000000L) // 2100-01-01 in ns
-        else lit("2100-01-01 00:00:00").cast(raw.schema("ts").dataType)
-      raw.select(col("user_id")).distinct()
-        .withColumn("event_id", lit(-1L))
-        .withColumn("ts", sentinel)
-        .withColumn("event_type", lit("heartbeat"))
-        .withColumn("value", lit(0.0))
-        .withColumn("props", lit(null).cast("string"))
-        .select(raw.columns.map(col): _*)
-        .coalesce(1).write.parquet(s"$tmp/in2")
-      new java.io.File(s"$tmp/in2").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => stageDrop(f.getAbsolutePath, s"$tmp/in", "zz_heartbeat.parquet"))
+      stageDrop(graft.registry.Fixtures.sessionizeHeartbeatDir(ss, d),
+        s"$tmp/in", "zz_heartbeat.parquet")
       val eventTime =
         if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")
       val stream = graft.streaming.StreamSync
