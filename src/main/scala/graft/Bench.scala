@@ -86,10 +86,22 @@ object Bench {
     // explicit ROOT locale: the f-interpolator honors the JVM default
     // locale, which on comma-decimal locales would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // environment header: a bench number without the load it ran under
+    // is unadjudicable — r7's official artifact disagreed with the
+    // quiet-JVM close by 43% because the final run shared the sandbox
+    // with a 10x dataset build, and nothing recorded that
+    val loadAvg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val shmFreeGb =
+      try new java.io.File("/dev/shm").getUsableSpace / 1e9
+      catch { case _: Throwable => -1.0 }
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+        s""""load_avg":$loadAvg,"shm_free_gb":${fmt(shmFreeGb)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query map (medians) → file; all raw rep timings → a
     // second file for noise adjudication. (The driver's stdout capture

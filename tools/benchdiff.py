@@ -16,6 +16,13 @@ With --since REF, each flagged query is classified by git paths:
   no-diff     : no referenced source changed — contention, environment,
                 or a shared-fixture/harness shift; adjudicate with
                 BENCH_REPS.json medians, not single runs.
+
+With --reps REPS.json (defaults to BENCH_REPS.json beside NEW.json when
+present), any row whose median exceeds its best rep by >2x is flagged
+`environment — rerun`: that spread means the run shared the box with
+something heavy, and the number is not evidence about the code. The
+new file's load_avg / shm_free_gb header (written by graft.Bench) is
+echoed for the same reason.
 """
 import json
 import os
@@ -25,6 +32,7 @@ import sys
 
 argv = sys.argv[1:]
 since = None
+reps_path = None
 args = []
 i = 0
 while i < len(argv):
@@ -32,6 +40,11 @@ while i < len(argv):
         if i + 1 >= len(argv):
             sys.exit("--since requires a git ref")
         since = argv[i + 1]
+        i += 2
+    elif argv[i] == "--reps":
+        if i + 1 >= len(argv):
+            sys.exit("--reps requires a path")
+        reps_path = argv[i + 1]
         i += 2
     else:
         args.append(argv[i])
@@ -121,6 +134,29 @@ def classify(names):
 
 print(f"total: {old['value']}s ({old.get('n', len(oq))} queries) -> "
       f"{new['value']}s ({new.get('n', len(nq))} queries)")
+if "load_avg" in new or "shm_free_gb" in new:
+    print(f"new-run environment: load_avg={new.get('load_avg', '?')} "
+          f"shm_free_gb={new.get('shm_free_gb', '?')}")
+
+# environment flag: median > 2x best rep means the run was contended —
+# the row's number is about the box, not the code
+if reps_path is None:
+    cand = os.path.join(os.path.dirname(os.path.abspath(new_path)) or ".",
+                        "BENCH_REPS.json")
+    reps_path = cand if os.path.exists(cand) else None
+env_rows = []
+if reps_path:
+    try:
+        reps = json.load(open(reps_path))
+        for k, ts in sorted(reps.items()):
+            ts = [t for t in ts if t >= 0]
+            if len(ts) >= 2 and sorted(ts)[len(ts) // 2] > 2 * min(ts):
+                env_rows.append((k, sorted(ts)[len(ts) // 2], min(ts)))
+    except Exception as e:
+        print(f"  (reps file {reps_path} unreadable: {e})")
+for k, med, best in env_rows:
+    print(f"  ENVIRONMENT — rerun {k}: median {med:.2f}s > 2x best rep "
+          f"{best:.2f}s")
 regressed = [(k, oq[k], nq[k]) for k in sorted(oq.keys() & nq.keys())
              if nq[k] > thr * oq[k] and nq[k] - oq[k] > 0.2]
 verdicts = classify([k for k, _, _ in regressed]) if since else {}
