@@ -76,9 +76,16 @@ private[graft] object Fixtures {
     f.delete(); ()
   }
 
+  /** The shutdown-hook reaper body, factored out so a spec can run it
+    * against its own dir list: symlink-staged source tables must
+    * survive the reap (FixturesSpec pins this contract directly on
+    * this method, not just on deleteNoFollow).
+    */
+  private[graft] def reap(dirs: java.lang.Iterable[String]): Unit =
+    dirs.forEach(d => deleteNoFollow(new java.io.File(d)))
+
   private lazy val scratchCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchDirs.forEach(d => deleteNoFollow(new java.io.File(d)))))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reap(scratchDirs)))
   def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root =

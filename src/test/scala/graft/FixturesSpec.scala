@@ -34,6 +34,40 @@ class FixturesSpec extends AnyFunSuite {
     Files.deleteIfExists(victimFile)
   }
 
+  test("shutdown-hook reaper body: staged source tables survive the reap") {
+    // end-to-end over the HOOK's own code path (reap), not just the
+    // recursive-delete helper: build a scratch dir the way the
+    // streaming rows do — stageDrop a fake source table in as a
+    // dir-symlink plus per-part links — then reap it and assert the
+    // table is intact. This is the exact shape of the bug that once
+    // emptied the 10x orders/events tables.
+    import java.nio.file.{Files, Paths}
+    val table = Files.createTempDirectory("graft-reap-table")
+    Files.writeString(table.resolve("part-00000.snappy.parquet"), "rows")
+    val scratch1 = Files.createTempDirectory("graft-reap-s1")
+    val scratch2 = Files.createTempDirectory("graft-reap-s2")
+    // per-part links (stageDrop directory layout) in one scratch dir…
+    Fixtures.stageDrop(table.toString, s"$scratch1/in", "events.parquet")
+    // …and a raw dir-symlink (worst case) in the other, plus own state
+    Files.createSymbolicLink(scratch2.resolve("table-link"), table)
+    Files.createDirectories(scratch2.resolve("ckpt"))
+    Files.writeString(scratch2.resolve("ckpt").resolve("offsets"), "0")
+
+    val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    dirs.add(scratch1.toString)
+    dirs.add(scratch2.toString)
+    Fixtures.reap(dirs)
+
+    // both scratch trees are gone…
+    assert(!Files.exists(scratch1, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    assert(!Files.exists(scratch2, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    // …and the staged table survives with its bytes
+    assert(Files.exists(table.resolve("part-00000.snappy.parquet")),
+      "reaper deleted the staged source table through a link")
+    assert(Files.readString(table.resolve("part-00000.snappy.parquet")) == "rows")
+    Fixtures.deleteNoFollow(table.toFile)
+  }
+
   test("stageDrop links a single file as one drop, a directory as per-part drops") {
     import java.nio.file.{Files, Paths}
     val destA = Files.createTempDirectory("graft-stage-a").toString
