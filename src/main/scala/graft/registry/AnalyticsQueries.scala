@@ -361,7 +361,16 @@ private[graft] object AnalyticsQueries {
       // TPC-H Q1 (pricing summary): the canonical wide-aggregate scan
       // — decimal-exact sums, averages as one division over exact
       // sums. disc_price/charge products of 2-dp decimals are exact
-      // 4/6-dp decimals before accumulation.
+      // 4/6-dp decimals before accumulation. The two wide money sums
+      // are rounded to 2 dp IN DECIMAL before the double cast — TPC-H's
+      // own answer precision: at 10x data their scale-6 exact sums
+      // carry 17 significant digits, past double's 15.95, so the
+      // decimal→double conversion itself diverges by 1 ulp between
+      // engines (both sides held the identical exact decimal). A 2-dp
+      // decimal of that magnitude converts exactly. Spark's decimal
+      // downscale cast rounds HALF_UP; DuckDB's TRUNCATES (1.556 →
+      // 1.55), so the oracle must use round(x, 2) — its half-up —
+      // never a decimal cast.
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -369,10 +378,10 @@ private[graft] object AnalyticsQueries {
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .cast("decimal(30,4)")).cast("double").as("sum_disc_price"),
+            .cast("decimal(30,4)")).cast("decimal(38,2)").cast("double").as("sum_disc_price"),
           sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
             * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))).cast("decimal(30,6)"))
-            .cast("double").as("sum_charge"),
+            .cast("decimal(38,2)").cast("double").as("sum_charge"),
           round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
           round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
           round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
@@ -1222,8 +1231,8 @@ private[graft] object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,

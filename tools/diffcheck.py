@@ -10,6 +10,14 @@ import duckdb, pandas as pd, numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Heavy oracles (the 3-iteration recursive-CTE pagerank over 60M edge
+# rows at the 10x dataset) need to spill: give DuckDB an explicit
+# disk-backed temp dir (default is cwd-relative and at 10x once
+# exhausted it mid-replay) and most of RAM before spilling.
+_tmp = os.environ.get("DIFFCHECK_TMP", "/tmp/duckdb_spill")
+os.makedirs(_tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{_tmp}'")
+con.execute("SET memory_limit='90GB'")
 def _pq_source(p):
     # driver testdata tables are single files; Spark-written tables
     # (e.g. a ScaleUp 10x dir) are DIRECTORIES of part files
