@@ -1265,12 +1265,16 @@ private[graft] object AnalyticsQueries {
     // DOUBLE) - 0.85), the same runtime subtraction the engine does —
     // NOT a pre-simplified 0.15, which is a different double)
     "q_pagerank" ->
-      """WITH e AS (
+      // e/nodes/od are MATERIALIZED: DuckDB inlines plain CTEs, so the
+      // 6M-row join+distinct would otherwise re-evaluate once per
+      // reference (~6x) — at the 10x dataset the concurrent copies
+      // exhausted the spill disk; materialized once they fit easily
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |nn AS (SELECT count(*) AS n FROM nodes),
-        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
         |c1 AS (SELECT e.dst AS node, sum(CAST(round(r.rank / od.od, 12) AS DECIMAL(24,12))) AS csum
         |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),

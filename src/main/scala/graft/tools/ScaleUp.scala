@@ -63,33 +63,39 @@ object ScaleUp {
     replicate("customer", Map("c_custkey" -> CK))
     replicate("supplier", Map("s_suppkey" -> SK))
     replicate("part", Map("p_partkey" -> PK))
-    // o_totalprice gets a deterministic sub-cent jitter per copy
+    // o_totalprice gets a deterministic WHOLE-CENT jitter per copy
     // (copy 0 untouched): byte-identical value multisets made the
     // quantile edges of the psi/decile oracles land ON tied values,
     // where Spark's and DuckDB's interpolation legitimately differ —
     // de-tied values make both engines agree without any tolerance.
-    // Relative size ~1e-6: invisible to every 2-dp money aggregate.
+    // The jitter must preserve the column's 2-dp granularity: the
+    // source columns are 2-dp doubles, and every downstream
+    // DECIMAL(18,2) cast is exact for those on both engines — a
+    // finer-grained jitter creates .xx5-boundary doubles where Spark
+    // (shortest-decimal-repr HALF_UP) and DuckDB (binary scaling)
+    // legitimately round differently (measured: q31/q34/q50 broke).
     replicate("orders", Map("o_orderkey" -> OK, "o_custkey" -> CK), (df, i) =>
       if (i == 0) df
       else df.withColumn("o_totalprice",
         col("o_totalprice") +
-          pmod(xxhash64(col("o_orderkey"), lit(i)), lit(997)).cast("double") / 1e4))
+          pmod(xxhash64(col("o_orderkey"), lit(i)), lit(97)).cast("double") / 100.0))
     replicate("lineitem", Map("l_orderkey" -> OK, "l_partkey" -> PK, "l_suppkey" -> SK))
     // ts arrives as nanos-as-long (the reader conf above); write it
     // back as a real timestamp — oracles bind epoch_ns/date_trunc
     // against a timestamp column, and the engine's events() reader
     // adapts to either representation. µs truncation is lossless here:
     // every engine query already normalizes through timestamp_micros.
-    // value gets the same per-copy jitter: averaging 10 IDENTICAL
-    // copies produced exact round-half ties in the resample/
-    // interpolate/anomaly means (.5-ulp divergence between engines);
-    // distinct addends leave nothing sitting on a rounding boundary.
+    // value gets the same per-copy whole-cent jitter (it is a 2-dp
+    // double too): averaging 10 IDENTICAL copies produced exact
+    // round-half ties in the resample/interpolate/anomaly means
+    // (.5-ulp divergence between engines); distinct same-granularity
+    // addends leave nothing sitting on a rounding boundary.
     replicate("events", Map("event_id" -> ID, "user_id" -> ID), (df, i) => {
       val ts = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       if (i == 0) ts
       else ts.withColumn("value",
         col("value") +
-          pmod(xxhash64(col("event_id"), lit(i)), lit(997)).cast("double") / 1e6)
+          pmod(xxhash64(col("event_id"), lit(i)), lit(97)).cast("double") / 100.0)
     })
     // distinct text per copy: suffix a copy token (keeps n_chars honest)
     replicate("documents", Map("doc_id" -> ID), (df, i) =>
