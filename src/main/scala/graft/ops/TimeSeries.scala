@@ -62,9 +62,18 @@ object TimeSeries {
       .where(col("guard"))
       .select(col(keyCol),
         explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("slot"))
+    // the 6-dp mean is rounded IN INTEGER SPACE (micro-units,
+    // half-away-from-zero), doubles only after: the exact rational
+    // sum/n of 2-dp inputs can terminate with a 5 exactly at the 7th
+    // decimal (e.g. n=16 → /1600), where double round() legitimately
+    // differs across engines (shortest-decimal-repr half-up vs binary
+    // scaling) — the oracle replays this integer formula verbatim
     spine.join(observed, Seq(keyCol, "slot"), "left")
+      .withColumn("__cents", (col("vsum_d") * 100).cast("long"))
       .select(col(keyCol), col("slot"),
-        round(col("vsum_d").cast("double") / col("n"), 6).as("value_avg"),
+        (expr("(CASE WHEN __cents < 0 THEN -1L ELSE 1L END) * " +
+            "((abs(__cents) * 20000 + n) div (2 * n))").cast("double") / 1e6)
+          .as("value_avg"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 

@@ -1311,7 +1311,7 @@ private[graft] object AnalyticsQueries {
         |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
         |spine AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS slot FROM b)
         |SELECT s.event_type, s.slot,
-        |  round(CAST(o.vs AS DOUBLE) / o.n, 6) AS value_avg,
+        |  CAST((CASE WHEN o.vs < 0 THEN -1 ELSE 1 END) * ((abs(CAST(o.vs * 100 AS BIGINT)) * 20000 + o.n) // (2 * o.n)) AS DOUBLE) / 1e6 AS value_avg,
         |  coalesce(o.n, 0) AS n
         |FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.slot = o.slot
         |ORDER BY s.event_type, s.slot""".stripMargin,
@@ -1325,7 +1325,7 @@ private[graft] object AnalyticsQueries {
         |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
         |spine AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS slot FROM b),
         |rs AS (
-        |  SELECT s.event_type, s.slot, round(CAST(o.vs AS DOUBLE) / o.n, 6) AS v
+        |  SELECT s.event_type, s.slot, CAST((CASE WHEN o.vs < 0 THEN -1 ELSE 1 END) * ((abs(CAST(o.vs * 100 AS BIGINT)) * 20000 + o.n) // (2 * o.n)) AS DOUBLE) / 1e6 AS v
         |  FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.slot = o.slot),
         |m AS (
         |  SELECT event_type, slot, v,
@@ -1353,7 +1353,7 @@ private[graft] object AnalyticsQueries {
         |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
         |spine AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS slot FROM b),
         |rs AS (
-        |  SELECT s.event_type, s.slot, round(CAST(o.vs AS DOUBLE) / o.n, 6) AS v
+        |  SELECT s.event_type, s.slot, CAST((CASE WHEN o.vs < 0 THEN -1 ELSE 1 END) * ((abs(CAST(o.vs * 100 AS BIGINT)) * 20000 + o.n) // (2 * o.n)) AS DOUBLE) / 1e6 AS v
         |  FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.slot = o.slot),
         |nb AS (
         |  SELECT event_type, slot, v,

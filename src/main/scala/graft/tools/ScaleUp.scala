@@ -74,11 +74,17 @@ object ScaleUp {
     // finer-grained jitter creates .xx5-boundary doubles where Spark
     // (shortest-decimal-repr HALF_UP) and DuckDB (binary scaling)
     // legitimately round differently (measured: q31/q34/q50 broke).
+    // jitter in INTEGER cent space and divide back: `x + k*0.01` in
+    // double yields non-canonical doubles (11.09+0.58 =
+    // 11.670000000000002) whose ULP distance from the native cent
+    // value makes quantile-edge interpolation engine-ambiguous;
+    // `(round(x*100)+k)/100.0` lands on the identical canonical double
+    // the source data uses for that cent.
     replicate("orders", Map("o_orderkey" -> OK, "o_custkey" -> CK), (df, i) =>
       if (i == 0) df
       else df.withColumn("o_totalprice",
-        col("o_totalprice") +
-          pmod(xxhash64(col("o_orderkey"), lit(i)), lit(97)).cast("double") / 100.0))
+        (round(col("o_totalprice") * 100, 0).cast("long") +
+          pmod(xxhash64(col("o_orderkey"), lit(i)), lit(97))).cast("double") / 100.0))
     replicate("lineitem", Map("l_orderkey" -> OK, "l_partkey" -> PK, "l_suppkey" -> SK))
     // ts arrives as nanos-as-long (the reader conf above); write it
     // back as a real timestamp — oracles bind epoch_ns/date_trunc
@@ -94,8 +100,8 @@ object ScaleUp {
       val ts = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       if (i == 0) ts
       else ts.withColumn("value",
-        col("value") +
-          pmod(xxhash64(col("event_id"), lit(i)), lit(97)).cast("double") / 100.0)
+        (round(col("value") * 100, 0).cast("long") +
+          pmod(xxhash64(col("event_id"), lit(i)), lit(97))).cast("double") / 100.0)
     })
     // distinct text per copy: suffix a copy token (keeps n_chars honest)
     replicate("documents", Map("doc_id" -> ID), (df, i) =>
