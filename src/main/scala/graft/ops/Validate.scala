@@ -163,9 +163,30 @@ object Validate {
     */
   def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, "quantileBins: nBins in [2, 1000]")
-    val qs = (1 until nBins).map(i => i.toDouble / nBins)
-    val edges = df.agg(
-      expr(s"percentile($valueCol, array(${qs.mkString(",")}))").as("__edges"))
+    // DISCRETE (type-1) quantile edges: edge_i = the ceil(i*n/nBins)-th
+    // smallest value — an ACTUAL data value selected by pure integer
+    // rank logic, which any engine replays byte-for-byte. Interpolated
+    // edges (percentile / quantile_cont) are engine-ambiguous at
+    // tied-run boundaries — (1-f)a+f·b vs a+f·(b-a) differ by 1 ulp,
+    // and a row whose value equals the edge flips bins (measured at the
+    // 10x differential). Cumulative counts run over DISTINCT values:
+    // one aggregate plus a window over the distinct-value frame — the
+    // same distinct-bounded memory class as the exact-percentile
+    // aggregate this replaces (which buffered every value per group).
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", max(col("__cum")).over(
+        Window.orderBy("__v").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val edges = cum.agg(
+      array((1 until nBins).map(i =>
+        min(when(col("__cum") >=
+          expr(s"(${i}L * __n + ${nBins - 1}L) div ${nBins}L"), col("__v")))): _*)
+        .as("__edges"))
     df.crossJoin(broadcast(edges))
       .withColumn("bin",
         (lit(1) + (0 until nBins - 1)

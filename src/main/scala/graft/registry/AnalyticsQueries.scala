@@ -1688,11 +1688,19 @@ private[graft] object AnalyticsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_quantile_bins" -> {
-      val qs = (1 until 10).map(i => i / 10.0).mkString(",")
+      // discrete (type-1) edges selected by INTEGER rank — replays the
+      // engine's exact arithmetic; interpolated quantile_cont is
+      // ulp-ambiguous vs Spark's percentile at tied-run boundaries
+      val edgeList = (1 to 9)
+        .map(i => s"min(CASE WHEN cum >= ($i * nn.n + 9) // 10 THEN v END)")
+        .mkString("[", ", ", "]")
       val caseSum = (1 to 9)
         .map(i => s"(CASE WHEN value > edges[$i] THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH e AS (SELECT event_id, value FROM events),
-         |ed AS (SELECT quantile_cont(value, [$qs]) AS edges FROM e),
+         |cnt AS (SELECT value AS v, count(*) AS c FROM e WHERE value IS NOT NULL GROUP BY 1),
+         |cum0 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cnt),
+         |nn AS (SELECT max(cum) AS n FROM cum0),
+         |ed AS (SELECT $edgeList AS edges FROM cum0, nn),
          |b AS (SELECT event_id, value, edges, 1 + $caseSum AS bin FROM e, ed)
          |SELECT event_id, value, CAST(bin AS INTEGER) AS bin,
          |  CASE WHEN bin = 1 THEN NULL ELSE round(edges[bin - 1], 6) END AS bin_lower

@@ -123,16 +123,26 @@ class ValidateSpec extends SparkSpec {
     val sizes = binned.groupBy("bin").count()
       .as[(Int, Long)].collect().toMap
     assert(sizes.keySet === Set(1, 2, 3, 4))
-    // exact percentile edges on 1..1000 quarter the range; ties go low
-    assert(sizes.values.forall(n => n >= 249 && n <= 251), sizes.toString)
-    // known edge values: p25 of 1..1000 = 250.75 etc; value 250 -> bin 1,
-    // value 251 -> bin 2
+    // discrete (type-1) edges on 1..1000 quarter the range exactly:
+    // edge_i = value at rank ceil(i*1000/4) = 250/500/750
+    assert(sizes.values.forall(_ == 250), sizes.toString)
+    // value 250 IS the bin-1 edge (ties go low), 251 starts bin 2
     val got = binned.filter(col("id").isin(250L, 251L, 1000L))
       .select("id", "bin").as[(Long, Int)].collect().toMap
     assert(got === Map(250L -> 1, 251L -> 2, 1000L -> 4))
-    // no partitionless window in the plan (the ntile trap)
-    assert(!binned.queryExecution.executedPlan.toString.contains("Window"),
-      "quantileBins must not plan a window")
+    // discrete edges are actual data values
+    val lowers = binned.filter(col("bin") > 1).select("bin_lower")
+      .distinct().as[Double].collect().sorted
+    assert(lowers.toSeq == Seq(250.0, 500.0, 750.0))
+    // the only window runs over the DISTINCT-VALUE aggregate (tiny),
+    // never the raw row stream (the ntile trap)
+    val wins = binned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "discrete edges need the cum-count window")
+    assert(wins.forall(_.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined), "quantileBins windows must sit above the distinct-value aggregate")
   }
 
   test("expect: per-rule violation counts over one pass") {
