@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,12 +66,22 @@ object Bench {
     // benchdiff flag floor (+0.2s) already.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val minRepSec = 0.25
+    // a query that throws must NOT be timed as a success — in r8 six
+    // broken queries silently benched at the ~0.06s harness no-op floor
+    // and read as 10x speedups. Record the failure, report it in the
+    // JSON, and bench the row as absent rather than fast.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val detail = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              failed.getOrElseUpdate(name,
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         val first = once()
@@ -79,6 +90,7 @@ object Bench {
           else first +: Seq.fill(reps - 1)(once())
         name -> times
       }
+      .filter { case (name, _) => !failed.contains(name) }
     val results = detail.map { case (name, times) =>
       name -> times.sorted.apply(times.size / 2)
     }
@@ -99,8 +111,9 @@ object Bench {
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val fails = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-        s""""load_avg":$loadAvg,"shm_free_gb":${fmt(shmFreeGb)},""" +
+        s""""failed":$fails,"load_avg":$loadAvg,"shm_free_gb":${fmt(shmFreeGb)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query map (medians) → file; all raw rep timings → a

@@ -29,6 +29,11 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // a failed query must leave a durable trace, not just a stderr line:
+    // in r8 six queries threw, vanished from the correctness suite
+    // without any recorded failure, and the gap was only caught by the
+    // judge diffing round-over-round coverage
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -36,6 +41,8 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failures.put(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -59,6 +66,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val failJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (!failures.isEmpty)
+      System.err.println(s"[verify] ${failures.size} QUERIES FAILED — " +
+        s"see $outDir/verify_failures.json")
     spark.stop()
   }
 }

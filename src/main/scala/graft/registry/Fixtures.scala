@@ -103,18 +103,24 @@ private[graft] object Fixtures {
     dir
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects — read ns as long and convert to micros ourselves.
+  /** events.parquet's `ts` physical type has changed across testdata
+    * generations — TIMESTAMP(NANOS) (vectorized reader rejects it; read
+    * as long via the nanosAsLong conf), then TIMESTAMP(MICROS) without
+    * the UTC flag (surfaces as TIMESTAMP_NTZ, which `unix_micros` and
+    * friends reject). Normalize every variant to one µs-precision
+    * session-local TIMESTAMP column `ts_us` so downstream queries never
+    * see the storage type. All entry points pin the session timezone to
+    * UTC, so the NTZ→LTZ cast is an identity on the instant and matches
+    * DuckDB's naive-timestamp `epoch_ns(ts)` byte-for-byte.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
-    // driver testdata carries TIMESTAMP(NANOS) (surfaced as long by the
-    // conf); Spark-written copies (ScaleUp) carry a real timestamp —
-    // normalize either to the µs event-time column every query uses
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-      case _        => df.withColumn("ts_us", col("ts"))
+      case _: TimestampNTZType =>
+        df.withColumn("ts_us", col("ts").cast(TimestampType))
+      case _ => df.withColumn("ts_us", col("ts"))
     }
   }
 

@@ -31,6 +31,7 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .appName("graft-scaleup").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS): surface as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -97,7 +98,16 @@ object ScaleUp {
     // (.5-ulp divergence between engines); distinct same-granularity
     // addends leave nothing sitting on a rounding boundary.
     replicate("events", Map("event_id" -> ID, "user_id" -> ID), (df, i) => {
-      val ts = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // adapt to the source's ts storage flavor (ns-as-long through r7
+      // testdata, TIMESTAMP_NTZ micros from r8) — write a session-local
+      // TIMESTAMP either way, which events() passes through unchanged
+      val ts = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
       if (i == 0) ts
       else ts.withColumn("value",
         (round(col("value") * 100, 0).cast("long") +
