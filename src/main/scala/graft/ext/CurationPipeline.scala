@@ -38,7 +38,17 @@ object CurationPipeline {
              // embeddings, cosine threshold) with (idCol, vecCol)
              // schemas — drops docs whose embedding is too close to
              // any benchmark embedding (catches what n-grams miss)
-             semantic: Option[(DataFrame, DataFrame, String, Double)] = None): DataFrame = {
+             semantic: Option[(DataFrame, DataFrame, String, Double)] = None,
+             // hot-shingle df cap for the near-dup pair stage. The
+             // uncapped inverted-index pair join is O(Σ df²) over
+             // shingles — fine when duplication is sparse, but a
+             // replica-heavy corpus (every doc near-duplicated m times
+             // pushes every shingle's df to m) makes the intermediate
+             // quadratic in m: measured at the 100× soak, 500k docs
+             // with m=100 spilled >80 GB and died. Production corpus
+             // builds MUST set this (or use minhashNearDups, whose
+             // banded buckets bound candidates per band instead).
+             maxShingleDf: Option[Int] = None): DataFrame = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val ngramClean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
     val clean = semantic match {
@@ -62,7 +72,8 @@ object CurationPipeline {
         exactLazy.checkpoint(true)
       case None => exactLazy.localCheckpoint(true)
     }
-    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize, jaccardThreshold)
+    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize,
+      jaccardThreshold, maxShingleDf)
     Dedup.keepClusterRepresentatives(exact, pairs, idCol, checkpointDir)
   }
 
@@ -72,11 +83,13 @@ object CurationPipeline {
   def curateWithReport(docs: DataFrame, benchmark: DataFrame, textCol: String,
                        idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
                        shingleSize: Int = 3,
-                       jaccardThreshold: Double = 0.5): (DataFrame, StageCounts) = {
+                       jaccardThreshold: Double = 0.5,
+                       maxShingleDf: Option[Int] = None): (DataFrame, StageCounts) = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
     val exact = Dedup.exact(clean, textCol, idCol)
-    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize, jaccardThreshold)
+    val pairs = Dedup.jaccardPairs(exact, textCol, idCol, shingleSize,
+      jaccardThreshold, maxShingleDf)
     val fin = Dedup.keepClusterRepresentatives(exact, pairs, idCol)
     (fin, StageCounts(docs.count(), quality.count(), clean.count(),
       exact.count(), fin.count()))

@@ -458,6 +458,24 @@ private[graft] object ExtQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "x_curation_e2e_capped" -> ((s, d) => {
+      // the SCALE configuration of the same pipeline: hot-shingle df
+      // cap wired into the near-dup pair stage, bounding the inverted-
+      // index join at Σ min(df,cap)² — the shape that survives a
+      // replica-heavy corpus where uncapped exact jaccard is quadratic
+      // in the duplication factor (100× soak: uncapped spilled >80 GB
+      // and died; capped completes). cap=4 genuinely triggers at gate
+      // scale (shingle df reaches 7), so the capped jaccard semantics
+      // — lower-bound similarity over the thinned shingle space — are
+      // what the oracle replays, not a no-op.
+      val docs = t(s, d, "documents")
+      graft.ext.CurationPipeline.curate(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", minQuality = 0.5, ngram = 5,
+          shingleSize = 3, jaccardThreshold = 0.5,
+          maxShingleDf = Some(4))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "x_sample_stratified" -> ((s, d) =>
       // portable FNV sample buckets — the oracle replays the exact
       // per-row membership decision
@@ -1148,6 +1166,78 @@ private[graft] object ExtQueries {
         |  SELECT DISTINCT doc_id, s FROM (
         |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
         |    FROM shw)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM prs p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM ex
+        |  UNION
+        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT ex.doc_id, ex.lang FROM ex JOIN cc ON ex.doc_id = cc.doc_id
+        |WHERE cc.doc_id = cc.cluster_id
+        |ORDER BY ex.doc_id""".stripMargin,
+
+    // same chain with the hot-shingle df cap (maxShingleDf=4) replayed:
+    // shingles held by more than 4 surviving docs are dropped BEFORE
+    // sizes/pairs, so jaccard is computed over the thinned space on
+    // both engines
+    "x_curation_e2e_capped" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+        |  FROM base),
+        |qd AS (
+        |  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN parts p ON d.doc_id = p.doc_id
+        |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
+        |g1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM qd),
+        |grams AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                         FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM g1),
+        |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 20),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                          FOR i IN range(1, len(w) - 3)]) AS s
+        |  FROM bw),
+        |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b ON g.s = b.s),
+        |clean AS (
+        |  SELECT doc_id, text, lang FROM qd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |ex AS (
+        |  SELECT doc_id, text, lang FROM clean WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM clean
+        |    GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        |shw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM ex),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+        |    FROM shw)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 4)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -57,4 +57,26 @@ class CurationPipelineSpec extends SparkSpec {
     // baseline survivors were {1, 2}; the semantic gate removes 2
     assert(out.select("doc_id").as[Long].collect().sorted === Array(1L))
   }
+
+  test("maxShingleDf reaches the near-dup stage: capping hot shingles splits a boilerplate cluster") {
+    // six docs that are pairwise near-dups ONLY through a shared
+    // boilerplate body (every shared shingle has df=6); each has a
+    // distinct tail. Uncapped, all six collapse to one representative;
+    // with the cap below 6 the shared shingles are dropped, no pair
+    // survives, and all six come back. The driver's sf0.01 gate cannot
+    // distinguish capped from uncapped (no pair crosses the threshold
+    // either way there), so THIS is the pin that the parameter is
+    // actually wired through curate -> jaccardPairs.
+    val boiler = "the common license header text is repeated on every page of this corpus and " +
+      "it keeps being the dominant content for all of them"
+    val six = (1 to 6).map(i => (i.toLong, s"$boiler unique tail $i")).toDF("doc_id", "text")
+    val noBench = Seq((100L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val uncapped = CurationPipeline.curate(six, noBench, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5)
+    val capped = CurationPipeline.curate(six, noBench, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5,
+      maxShingleDf = Some(4))
+    assert(uncapped.count() === 1L, "uncapped: boilerplate cluster collapses to one rep")
+    assert(capped.count() === 6L, "capped: hot shingles dropped, no pairs form")
+  }
 }
