@@ -70,6 +70,22 @@ object Verify {
     val failJson = failures.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    // input-schema manifest: the driver regenerates the testdata between
+    // rounds and physical types have already rotated once (events.ts
+    // TIMESTAMP(NANOS) → NTZ micros, which silently broke six queries in
+    // r8). Recording what this run actually read makes the next rotation
+    // a visible artifact diff instead of an archaeology exercise.
+    val manifest = new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val tbl = f.getName.stripSuffix(".parquet")
+        val schema =
+          try spark.read.parquet(f.getAbsolutePath).schema.simpleString
+          catch { case e: Throwable => s"unreadable: ${e.getMessage}" }
+        s"${q(tbl)}: ${q(schema)}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schema_manifest.json"), manifest)
     if (!failures.isEmpty)
       System.err.println(s"[verify] ${failures.size} QUERIES FAILED — " +
         s"see $outDir/verify_failures.json")
