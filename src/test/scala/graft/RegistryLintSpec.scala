@@ -77,4 +77,21 @@ class RegistryLintSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("every query without an oracle is on the explicit rows-only allowlist") {
+    // the driver records a weaker rows-only check for these — each one
+    // must be a deliberate decision with a paired quality/hash verdict
+    // row, never an oversight. The four current members are the raw
+    // approximate outputs (3 ANN top-k + the zlib ratio), each gated by
+    // oracle-green recall/ordering verdicts and a determinism hash pin.
+    // Adding a query here without its compensating verdict rows would
+    // silently weaken the correctness gate; this lint makes that an
+    // explicit, reviewed edit instead.
+    val rowsOnlyAllowed = Set(
+      "x_ann_ivf", "x_ann_pq", "x_ann_ivfpq", "x_compression_ratio")
+    val unOracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unOracled == rowsOnlyAllowed,
+      s"unexpected rows-only queries: ${unOracled -- rowsOnlyAllowed}; " +
+        s"allowlisted but now oracled (prune the list): ${rowsOnlyAllowed -- unOracled}")
+  }
 }
