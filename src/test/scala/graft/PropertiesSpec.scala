@@ -221,6 +221,47 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: resample spine is gapless per key and means replay the integer formula") {
+    // targets the r8/r9 breakage family: whatever the input distribution,
+    // the resampled grid per key must (a) run contiguously in step
+    // multiples from the key's first to last observed slot, (b) account
+    // for every input row in the n column with n=0 exactly on null-mean
+    // gap slots, and (c) produce means equal to the half-away-from-zero
+    // integer micro-unit rounding of the exact 2-dp-decimal sum / n —
+    // recomputed here independently with BigInt, the same formula the
+    // DuckDB oracles replay
+    val step = 3600L
+    val evGen = for {
+      key <- Gen.oneOf("a", "b", "c")
+      es <- Gen.choose(0L, 12L * step)
+      cents <- Gen.choose(-10000L, 10000L)
+    } yield (key, es, cents / 100.0)
+    check("resample", Prop.forAll(Gen.nonEmptyListOf(evGen)) { rows =>
+      val df = rows.toDF("k", "es", "v")
+      val out = graft.ops.TimeSeries.resample(df, "k", "es", "v", step)
+        .select("k", "slot", "value_avg", "n")
+        .as[(String, Long, Option[Double], Long)].collect()
+      val byKey = rows.groupBy(_._1)
+      byKey.forall { case (k, rs) =>
+        val slots = rs.map(r => r._2 - r._2 % step)
+        val expectSpine = (slots.min to slots.max by step).toSeq
+        val got = out.filter(_._1 == k).sortBy(_._2)
+        val obs = rs.groupBy(r => r._2 - r._2 % step)
+        got.map(_._2).toSeq == expectSpine &&
+          got.map(_._4).sum == rs.size &&
+          got.forall { case (_, slot, avg, n) =>
+            obs.get(slot) match {
+              case None => n == 0L && avg.isEmpty
+              case Some(hits) =>
+                val cents = hits.map(h => BigInt(math.round(h._3 * 100))).sum
+                val micro = (cents.abs * 20000 + hits.size) / (2 * hits.size) * cents.signum
+                n == hits.size && avg.contains(micro.toDouble / 1e6)
+            }
+          }
+      }
+    })
+  }
+
   test("property: dedupLastWins output is key-unique, keeps max-seq row") {
     val seqRowGen = for {
       id <- Gen.choose(1, 5); v <- Gen.choose(0, 50); seq <- Gen.choose(1, 20)
