@@ -262,6 +262,45 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: interpolateLinear touches only interior gaps, exactly on the line") {
+    // observed values pass through untouched; a null with observed
+    // neighbors on both sides lands on the 6-dp-rounded line between
+    // them; leading/trailing nulls (no neighbor on one side) stay null
+    val cellGen = Gen.option(Gen.choose(-5000L, 5000L).map(_ / 100.0))
+    val gridGen = for {
+      key <- Gen.oneOf("a", "b")
+      cells <- Gen.nonEmptyListOf(cellGen)
+    } yield (key, cells)
+    check("interpolate", Prop.forAll(Gen.nonEmptyListOf(gridGen)) { grids0 =>
+      // one grid per key ("last wins" like a Map, mirroring real input)
+      val grids = grids0.toMap
+      val rows = grids.toSeq.flatMap { case (k, cells) =>
+        cells.zipWithIndex.map { case (v, i) => (k, i.toLong * 3600L, v) }
+      }
+      val df = rows.toDF("k", "slot", "v")
+      val out = graft.ops.TimeSeries.interpolateLinear(df, "k", "slot", "v")
+        .as[(String, Long, Option[Double])].collect()
+        .map { case (k, slot, v) => (k, slot) -> v }.toMap
+      grids.forall { case (k, cells) =>
+        val obs = cells.zipWithIndex.collect { case (Some(v), i) => (i, v) }
+        cells.zipWithIndex.forall { case (cell, i) =>
+          val got = out((k, i.toLong * 3600L))
+          cell match {
+            case Some(v) => got.contains(v)
+            case None =>
+              (obs.filter(_._1 < i).lastOption, obs.find(_._1 > i)) match {
+                case (Some((pi, pv)), Some((ni, nv))) =>
+                  val expect = BigDecimal(pv + (nv - pv) * (i - pi).toDouble / (ni - pi))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  got.contains(expect)
+                case _ => got.isEmpty
+              }
+          }
+        }
+      }
+    })
+  }
+
   test("property: dedupLastWins output is key-unique, keeps max-seq row") {
     val seqRowGen = for {
       id <- Gen.choose(1, 5); v <- Gen.choose(0, 50); seq <- Gen.choose(1, 20)
