@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the "[info] " prefix sbt adds is exactly what made the driver's bench
+// tail-parse fail round after round ("parsed": null in BENCH_r*.json) —
+// Bench's one JSON line must arrive unprefixed to be machine-readable.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

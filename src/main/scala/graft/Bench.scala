@@ -71,6 +71,17 @@ object Bench {
     // and read as 10x speedups. Record the failure, report it in the
     // JSON, and bench the row as absent rather than fast.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // shuffle-disk attribution: local shuffle spill goes to java.io.tmpdir
+    // on the ROOT disk. A row whose intermediate floods it (the r9
+    // uncapped-curation lesson: >80 GB spill) degrades every LATER row in
+    // the same JVM until ContextCleaner reaps the files — which reads as
+    // a regression in innocent neighbors. Record free headroom after each
+    // row and warn loudly when a row eats a big slice of it or leaves the
+    // disk near-full, so soak numbers carry their own contamination flag.
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    def diskFreeGb: Double = tmpDir.getUsableSpace / 1e9
+    val diskAfter = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val diskWarnGb = sys.env.getOrElse("SPARK_GRAFT_BENCH_DISK_WARN_GB", "20").toDouble
     val detail = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -84,10 +95,21 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
+        val freeBefore = diskFreeGb
         val first = once()
+        // a failed first attempt (however slow — e.g. an OOM/spill death)
+        // is already recorded; re-running it reps-1 more times only burns
+        // wall-clock and hammers the shared JVM
         val times =
-          if (reps <= 1 || first < minRepSec) Seq(first)
+          if (reps <= 1 || first < minRepSec || failed.contains(name)) Seq(first)
           else first +: Seq.fill(reps - 1)(once())
+        val freeAfter = diskFreeGb
+        diskAfter.put(name, freeAfter)
+        if (freeBefore - freeAfter > diskWarnGb || freeAfter < diskWarnGb)
+          System.err.println(f"[bench] DISK WARNING after $name: " +
+            f"free $freeAfter%.1f GB (was $freeBefore%.1f GB) — rows after " +
+            "this one run under shuffle-disk contention; re-bench them in " +
+            "a fresh JVM before believing their numbers")
         name -> times
       }
       .filter { case (name, _) => !failed.contains(name) }
@@ -130,6 +152,14 @@ object Bench {
         "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
       }.mkString("{", ",", "}") + "\n")
       fr.close()
+      // per-row free-disk trace (same order the rows ran): lets a soak
+      // reviewer attribute a slow row to its own work vs a neighbor's
+      // leftover spill without re-running the whole suite
+      val fd = new java.io.FileWriter("BENCH_DISK.json")
+      fd.write(diskAfter.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v)
+      }.mkString("{", ",", "}") + "\n")
+      fd.close()
     } catch { case _: Throwable => () }
     val budget = 1600
     var top = results.sortBy(-_._2)

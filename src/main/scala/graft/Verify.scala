@@ -38,6 +38,14 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
+        // clear any previous run's output FIRST: overwrite only happens on
+        // success, so a reused out-dir would otherwise leave stale parquet
+        // that downstream compares mistake for current output
+        val dest = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (dest.exists()) rm(dest)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
@@ -75,7 +83,8 @@ object Verify {
     // TIMESTAMP(NANOS) → NTZ micros, which silently broke six queries in
     // r8). Recording what this run actually read makes the next rotation
     // a visible artifact diff instead of an archaeology exercise.
-    val manifest = new java.io.File(sfDir).listFiles()
+    val observed = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
       .map { f =>
@@ -83,9 +92,27 @@ object Verify {
         val schema =
           try spark.read.parquet(f.getAbsolutePath).schema.simpleString
           catch { case e: Throwable => s"unreadable: ${e.getMessage}" }
-        s"${q(tbl)}: ${q(schema)}"
-      }.mkString("{", ",", "}")
+        tbl -> schema
+      }.toSeq
+    val manifest = observed
+      .map { case (tbl, schema) => s"${q(tbl)}: ${q(schema)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/schema_manifest.json"), manifest)
+    // GATE the manifest against the pinned expectation (warn-level): the
+    // r8 testdata type rotation broke six queries silently; a drift row
+    // here catches the next one at round start instead of judge review
+    val drift = graft.registry.ExpectedSchemas.drift(observed.toMap)
+    val driftJson = drift.map { case (tbl, got, accepted) =>
+      s"${q(tbl)}: {${q("observed")}: ${q(got)}, ${q("accepted")}: " +
+        accepted.toSeq.sorted.map(q).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schema_drift.json"), driftJson)
+    drift.foreach { case (tbl, got, accepted) =>
+      System.err.println(s"[verify] SCHEMA DRIFT: table '$tbl' observed " +
+        s"'$got' but pinned variants are ${accepted.mkString("{", " | ", "}")}" +
+        " — the driver's testdata generation changed physical types; " +
+        "triage Fixtures normalization before trusting this round")
+    }
     if (!failures.isEmpty)
       System.err.println(s"[verify] ${failures.size} QUERIES FAILED — " +
         s"see $outDir/verify_failures.json")

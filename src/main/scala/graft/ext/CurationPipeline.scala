@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** Default hot-shingle df cap for the near-dup pair stage. The
+    * uncapped inverted-index pair join is O(Σ df²) over shingles; a
+    * replica-heavy corpus (the common web-crawl shape — measured at the
+    * 100× soak: 500k docs, every doc duplicated ~100×) drives that to
+    * tens of billions of intermediate rows and kills the job on shuffle
+    * spill. 64 is a stop-phrase threshold: shingles shared by more than
+    * 64 surviving docs carry no discriminating signal and are dropped
+    * before the join, bounding it at Σ min(df,64)² — linear in corpus
+    * size. Pass `maxShingleDf = None` to explicitly opt out (exact
+    * jaccard; only safe when duplication is known-sparse).
+    */
+  val DefaultMaxShingleDf = 64
+
   /** Per-stage survivor counts, for the curation report. */
   final case class StageCounts(input: Long, afterQuality: Long,
                                afterDecontamination: Long, afterExactDedup: Long,
@@ -39,16 +52,15 @@ object CurationPipeline {
              // schemas — drops docs whose embedding is too close to
              // any benchmark embedding (catches what n-grams miss)
              semantic: Option[(DataFrame, DataFrame, String, Double)] = None,
-             // hot-shingle df cap for the near-dup pair stage. The
-             // uncapped inverted-index pair join is O(Σ df²) over
-             // shingles — fine when duplication is sparse, but a
-             // replica-heavy corpus (every doc near-duplicated m times
-             // pushes every shingle's df to m) makes the intermediate
-             // quadratic in m: measured at the 100× soak, 500k docs
-             // with m=100 spilled >80 GB and died. Production corpus
-             // builds MUST set this (or use minhashNearDups, whose
-             // banded buckets bound candidates per band instead).
-             maxShingleDf: Option[Int] = None): DataFrame = {
+             // hot-shingle df cap for the near-dup pair stage — scale-
+             // safe by DEFAULT (see [[DefaultMaxShingleDf]]): the
+             // uncapped join is O(Σ df²) over shingles and provably
+             // dies on a replica-heavy corpus (100× soak: >80 GB spill,
+             // job dead). `None` is the explicit opt-out for corpora
+             // with known-sparse duplication; for corpora whose true
+             // near-dup clusters exceed the cap, use minhashNearDups,
+             // whose banded buckets bound candidates per band instead.
+             maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val ngramClean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
     val clean = semantic match {
@@ -84,7 +96,7 @@ object CurationPipeline {
                        idCol: String, minQuality: Double = 0.5, ngram: Int = 5,
                        shingleSize: Int = 3,
                        jaccardThreshold: Double = 0.5,
-                       maxShingleDf: Option[Int] = None): (DataFrame, StageCounts) = {
+                       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): (DataFrame, StageCounts) = {
     val quality = docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val clean = Corpus.decontaminate(quality, benchmark, textCol, idCol, ngram)
     val exact = Dedup.exact(clean, textCol, idCol)

@@ -165,6 +165,29 @@ final class EtlPipeline(spark: SparkSession, warehouseDir: String) {
     // abort the merge, not silently replace the table with the batch
     val existing =
       if (pathExists(path)) Some(spark.read.parquet(path)) else None
+    // GUARDRAIL: a full-table rewrite is O(table), not O(delta) — at
+    // warehouse scale a daily sync through this path rewrites the whole
+    // table every day. Tables above the size threshold REFUSE the
+    // rewrite (register a partition column in Schemas.partitionedFacts,
+    // which routes through the O(delta) loadPartitioned) unless the
+    // caller explicitly forces it (a deliberate one-off, e.g. a schema
+    // backfill). Threshold on the EXISTING table's on-disk bytes —
+    // known before any work starts, no extra Spark job.
+    existing.foreach { _ =>
+      val bytes = hadoopFs.getContentSummary(
+        new org.apache.hadoop.fs.Path(path)).getLength
+      val maxBytes = spark.conf
+        .get("spark.graft.etl.maxFullRewriteBytes", (64L << 30).toString).toLong
+      val forced = spark.conf
+        .get("spark.graft.etl.forceFullRewrite", "false").toBoolean
+      if (bytes > maxBytes && !forced)
+        throw new IllegalStateException(
+          s"loadTable($name): full-table rewrite of $bytes bytes exceeds " +
+            s"spark.graft.etl.maxFullRewriteBytes=$maxBytes. Register " +
+            s"'$name' in Schemas.partitionedFacts for the O(delta) " +
+            "partitioned merge, or set " +
+            "spark.graft.etl.forceFullRewrite=true for a deliberate one-off.")
+    }
     val merged = existing match {
       case Some(t) if t.columns.sameElements(reconciled.columns) =>
         Upsert.upsert(t, reconciled, keys)

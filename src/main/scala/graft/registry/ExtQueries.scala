@@ -67,6 +67,31 @@ private[graft] object ExtQueries {
         .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
         .orderBy("check_name")),
 
+    "x_profile_approx" -> ((s, d) => {
+      // ORACLE-GATED verdicts for the documented 100 TB profile
+      // configuration: `exactDistinct = false` swaps the one genuinely
+      // heavy metric (multi-countDistinct plans via EXPAND — ~5× input
+      // replication pre-shuffle) for one-pass HLL. The estimates are
+      // engine-specific; the contract is not: per column the HLL
+      // n_distinct must sit within 10% of the engine-side exact count
+      // (HLL default rsd 0.05 → 2σ), and EVERY other metric
+      // (n/nulls/min/max/mean) must be bit-identical between the two
+      // configurations — so a regression in the approx path fails the
+      // driver gate, not just prose in SCALE.md
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val exact = graft.ops.Validate.profile(base)
+      val approx = graft.ops.Validate.profile(base, exactDistinct = false)
+      exact.as("e").join(approx.as("a"), Seq("column"))
+        .select(col("column"),
+          (abs(col("a.n_distinct") - col("e.n_distinct")).cast("double")
+            / col("e.n_distinct") < 0.10).as("hll_err_lt_10pct"),
+          (col("a.n") === col("e.n") && col("a.nulls") === col("e.nulls") &&
+            col("a.min_s") <=> col("e.min_s") && col("a.max_s") <=> col("e.max_s") &&
+            col("a.mean") <=> col("e.mean")).as("other_metrics_exact"))
+        .orderBy("column")
+    }),
+
     // ---- ext: dedup ----
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id")
@@ -447,10 +472,15 @@ private[graft] object ExtQueries {
     }),
 
     "x_curation_e2e" -> ((s, d) => {
-      // the COMPOSED curation pipeline: quality gate → benchmark
-      // decontamination → exact dedup → near-dup cluster dedup. Every
-      // stage is individually oracle-proven; this row verifies the
-      // stage WIRING end-to-end against one composed DuckDB replay.
+      // the COMPOSED curation pipeline AT ITS DEFAULTS: quality gate →
+      // benchmark decontamination → exact dedup → near-dup cluster
+      // dedup with the scale-safe default hot-shingle cap
+      // (DefaultMaxShingleDf=64 — the uncapped join provably dies on a
+      // replica-heavy 100× corpus). Every stage is individually
+      // oracle-proven; this row verifies the stage WIRING end-to-end
+      // against one composed DuckDB replay that includes the default
+      // cap's thinning (HAVING count(*) > 64), so the oracle replays
+      // default semantics exactly whatever the data's df distribution.
       val docs = t(s, d, "documents")
       graft.ext.CurationPipeline.curate(docs, docs.filter(col("doc_id") < 20),
           "text", "doc_id", minQuality = 0.5, ngram = 5,
@@ -1118,10 +1148,12 @@ private[graft] object ExtQueries {
          |  AND cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
 
-    // composed replay of the full curation chain: quality (x_quality's
-    // scoring) → 5-gram decontamination vs doc_id<20 → exact dedup
-    // (normalized-text min-id) → jaccard pairs → recursive-CTE cluster
-    // resolution → cluster minima
+    // composed replay of the full curation chain AT ITS DEFAULTS:
+    // quality (x_quality's scoring) → 5-gram decontamination vs
+    // doc_id<20 → exact dedup (normalized-text min-id) → jaccard pairs
+    // over the default-capped shingle space (DefaultMaxShingleDf=64 →
+    // HAVING count(*) > 64) → recursive-CTE cluster resolution →
+    // cluster minima
     "x_curation_e2e" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, length(text) AS len,
@@ -1162,10 +1194,13 @@ private[graft] object ExtQueries {
         |    SELECT min(doc_id) FROM clean
         |    GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
         |shw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM ex),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, s FROM (
         |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
         |    FROM shw)),
+        |sh AS (
+        |  SELECT doc_id, s FROM sh0
+        |  WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 64)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -1322,6 +1357,16 @@ private[graft] object ExtQueries {
       """SELECT * FROM (VALUES ('orders_hll_err_lt_5pct', TRUE),
         |  ('parts_hll_err_lt_5pct', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    // the documented 100 TB profile configuration (exactDistinct=false):
+    // HLL n_distinct within 10% of engine-side exact per column, every
+    // other metric bit-identical between the two configurations
+    "x_profile_approx" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderdate', TRUE, TRUE), ('o_orderkey', TRUE, TRUE),
+        |  ('o_orderstatus', TRUE, TRUE), ('o_totalprice', TRUE, TRUE))
+        |AS t("column", hll_err_lt_10pct, other_metrics_exact)
+        |ORDER BY "column"""".stripMargin,
 
     "x_approx_quantiles" ->
       """SELECT i, CAST(p AS DOUBLE) AS p, ok FROM (VALUES

@@ -72,11 +72,37 @@ class CurationPipelineSpec extends SparkSpec {
     val six = (1 to 6).map(i => (i.toLong, s"$boiler unique tail $i")).toDF("doc_id", "text")
     val noBench = Seq((100L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
     val uncapped = CurationPipeline.curate(six, noBench, "text", "doc_id",
-      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5)
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5,
+      maxShingleDf = None)
     val capped = CurationPipeline.curate(six, noBench, "text", "doc_id",
       minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5,
       maxShingleDf = Some(4))
     assert(uncapped.count() === 1L, "uncapped: boilerplate cluster collapses to one rep")
     assert(capped.count() === 6L, "capped: hot shingles dropped, no pairs form")
+    // df=6 is under the scale-safe default cap (64), so the DEFAULT path
+    // must behave like the uncapped one here
+    val default = CurationPipeline.curate(six, noBench, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5)
+    assert(default.count() === 1L, "default: cap is a no-op below 64 df")
+  }
+
+  test("the DEFAULT maxShingleDf is a real cap: a df>64 boilerplate cluster does not explode") {
+    // 70 docs sharing the same boilerplate body: every shared shingle's
+    // df is 70 > DefaultMaxShingleDf, so with the DEFAULT arguments the
+    // hot shingles are dropped before the pair join and no pair forms —
+    // the exact shape (replica-heavy corpus) that killed the uncapped
+    // join at the 100x soak. Explicit None still collapses the cluster.
+    val boiler = "the common license header text is repeated on every page of this corpus and " +
+      "it keeps being the dominant content for all of them"
+    val many = (1 to 70).map(i => (i.toLong, s"$boiler unique tail $i")).toDF("doc_id", "text")
+    val noBench = Seq((100L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    assert(CurationPipeline.DefaultMaxShingleDf === 64)
+    val default = CurationPipeline.curate(many, noBench, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5)
+    assert(default.count() === 70L, "default cap drops df>64 shingles; no pairs form")
+    val optOut = CurationPipeline.curate(many, noBench, "text", "doc_id",
+      minQuality = 0.5, ngram = 5, shingleSize = 3, jaccardThreshold = 0.5,
+      maxShingleDf = None)
+    assert(optOut.count() === 1L, "explicit None restores exact jaccard collapse")
   }
 }

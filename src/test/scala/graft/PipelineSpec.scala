@@ -128,6 +128,31 @@ class PipelineSpec extends SparkSpec {
     assert(com(0).getAs[String]("text") === "follow-up done")
   }
 
+  test("full-table rewrite above the size threshold refuses unless forced") {
+    val wh = Files.createTempDirectory("graft-wh-guard").toString
+    val pipe = new EtlPipeline(spark, wh)
+    val batch = readApi("agents")
+    pipe.loadTable("agents", batch) // first write: no existing table, no guard
+    try {
+      // existing table (a few KB) now exceeds a 1-byte threshold: the
+      // O(table) rewrite must refuse and point at partitionedFacts
+      spark.conf.set("spark.graft.etl.maxFullRewriteBytes", "1")
+      val e = intercept[IllegalStateException] { pipe.loadTable("agents", batch) }
+      assert(e.getMessage.contains("partitionedFacts"))
+      assert(e.getMessage.contains("forceFullRewrite"))
+      // explicit force: the deliberate one-off goes through unchanged
+      spark.conf.set("spark.graft.etl.forceFullRewrite", "true")
+      pipe.loadTable("agents", batch)
+      assert(pipe.readTable("agents").count() === 3)
+    } finally {
+      spark.conf.unset("spark.graft.etl.maxFullRewriteBytes")
+      spark.conf.unset("spark.graft.etl.forceFullRewrite")
+    }
+    // default threshold (64 GiB): small-table daily sync is untouched
+    pipe.loadTable("agents", batch)
+    assert(pipe.readTable("agents").count() === 3)
+  }
+
   test("partitioned sessions load rewrites only touched date partitions") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh-part").toString

@@ -29,10 +29,26 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{_pq_source(p)}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+# Queries that THREW in Verify either have no output dir (silently absent
+# from this compare) or — with a reused out-dir — stale parquet from a
+# prior run that would count as ok. Surface each as a FAIL and skip any
+# leftover dir so the totals reflect Verify's real outcome.
+vf_path = os.path.join(out_dir, "verify_failures.json")
+verify_failed = json.load(open(vf_path)) if os.path.exists(vf_path) else {}
+# warn-level: input-table schema drift vs the pinned expectation
+# (graft.registry.ExpectedSchemas) — the r8 type-rotation failure class
+sd_path = os.path.join(out_dir, "schema_drift.json")
+schema_drift = json.load(open(sd_path)) if os.path.exists(sd_path) else {}
+for tbl, rec in sorted(schema_drift.items()):
+    print(f"  [WARN-SCHEMA-DRIFT] {tbl}: observed {rec['observed']!r}, "
+          f"accepted {rec['accepted']}")
 fail = ok = skip = 0
+for name, msg in sorted(verify_failed.items()):
+    print(f"  [FAIL-VERIFY] {name}: {msg[:160]}")
+    fail += 1
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
-    if not os.path.isdir(d):
+    if not os.path.isdir(d) or name in verify_failed:
         continue
     files = glob.glob(os.path.join(d, "*.parquet"))
     spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
