@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for pre-training corpus curation: hashed
+  * n-gram importance weighting (DSIR), per-source document caps, and
+  * URL canonicalization — the "which documents do we keep" layer that
+  * sits between raw-crawl ingest and the dedup/quality stages.
+  *
+  * Public references:
+  *  - Xie et al. 2023, "Data Selection for Language Models via
+  *    Importance Resampling" (DSIR), arXiv:2302.03169 — hashed n-gram
+  *    bag features; bucket unigram models fit on a target subset vs
+  *    the raw pool; per-document importance weight
+  *    log p_target(doc) − log p_raw(doc).
+  *  - Penedo et al. 2023, "The RefinedWeb Dataset" §3 — per-domain
+  *    caps and URL canonicalization as first-class crawl-curation
+  *    steps.
+  */
+object Selection {
+
+  /** DSIR importance weights over hashed word-unigram features.
+    *
+    * Every token hashes (portable FNV-1a, the engine-wide dedup hash)
+    * into one of `nBuckets` buckets; two Laplace-smoothed bucket
+    * unigram models are fit — `target` on the rows where `isTarget`
+    * holds, `raw` on the whole pool — and each document scores
+    *
+    *   weight = Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]
+    *
+    * Positive weight ⇒ the document "looks like" the target subset.
+    * Deterministic at any parallelism: per-bucket log-ratios round to
+    * 9 dp before the per-doc sum, which accumulates in DECIMAL
+    * (order-independent) and rounds to 6 dp — the same discipline as
+    * the unigram/bigram LM rows.
+    *
+    * Scale shape (100 TB): one explode→(id,bucket) map-side-combined
+    * aggregation sized by the token stream; both bucket models are
+    * ≤ `nBuckets` rows and ride into the scorer as a broadcast join;
+    * the per-doc sum is one more hash aggregation on id. No windows,
+    * no pair joins, nothing keyed finer than the document id.
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+                        isTarget: Column, nBuckets: Int = 256): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("bucket",
+        pmod(graft.functions.VectorExpressions.fnv1a64(col("term")), b))
+    val perDocBucket = toks.groupBy(col("id"), col("tgt"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val rawB = perDocBucket.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgtB = perDocBucket.filter(col("tgt")).groupBy(col("bucket"))
+      .agg(sum(col("c")).as("ct"))
+    val totals = rawB.join(tgtB, Seq("bucket"), "left")
+      .agg(sum(col("cr")).as("rTot"), sum(coalesce(col("ct"), lit(0L))).as("tTot"))
+    // both models live on the observed-bucket frame (≤ nBuckets rows);
+    // Laplace(+1 over nBuckets) keeps target-absent buckets finite
+    val bucketLr = rawB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+              (col("tTot").cast("double") + lit(nBuckets.toDouble))) -
+          log((col("cr").cast("double") + lit(1.0)) /
+              (col("rTot").cast("double") + lit(nBuckets.toDouble))), 9)
+          .as("lr"))
+    val perDoc = perDocBucket.groupBy(col("id"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .join(broadcast(bucketLr), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum((col("c").cast("double") * col("lr"))
+          .cast("decimal(28,12)")).cast("double"), 6).as("weight"))
+    docs.select(col(idCol).as("id"), isTarget.as("is_target"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("weight"))
+  }
+
+  /** The selection step on top of [[importanceWeights]]: keep the `k`
+    * documents with the highest importance weight (ties break on id).
+    * This is the temperature→0 limit of DSIR's Gumbel-top-k resampling
+    * — for the stochastic variant feed `exp(weight)` to
+    * [[Corpus.prioritySample]], which runs the same deterministic
+    * exponential race the samplers use. Plans as
+    * TakeOrderedAndProject: per-partition top-k, no global sort.
+    */
+  def selectByImportance(docs: DataFrame, textCol: String, idCol: String,
+                         isTarget: Column, k: Int,
+                         nBuckets: Int = 256): DataFrame =
+    importanceWeights(docs, textCol, idCol, isTarget, nBuckets)
+      .filter(col("weight").isNotNull)
+      .orderBy(col("weight").desc, col("id").asc)
+      .limit(k)
+
+  /** Per-source document cap: keep at most `k` documents per `sourceCol`
+    * value, preferring the highest `orderCol` (ties break on id) — the
+    * RefinedWeb-style guard against any one domain dominating the
+    * corpus mix.
+    *
+    * Scale shape: one shuffle keyed on source for the rank window.
+    * Per-source partitions at crawl scale are bounded by the crawler's
+    * own per-host politeness budget; for a pathological megadomain,
+    * pre-thin with [[Corpus.deterministicSample]] at fraction
+    * ≈ k / count(source) before ranking — the cap's semantics compose
+    * (sample-then-cap keeps exactly k with the same preference order
+    * among survivors).
+    */
+  def capPerSource(docs: DataFrame, sourceCol: String, idCol: String,
+                   orderCol: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(orderCol.desc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** URL canonicalization for crawl dedup: two URLs that render the
+    * same page should compare equal. Lowercases scheme and host (path
+    * case is significant and preserved), strips a leading `www.`, the
+    * scheme-default port (`:80` http / `:443` https), the fragment,
+    * and tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`);
+    * sorts the surviving query params; drops a trailing slash on a
+    * non-root path and an empty `?`. Pure codegen'd column arithmetic
+    * (regex + array ops) — runs inside whole-stage codegen, no UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // split at the first ?: authority+path vs query
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    // lowercase scheme://host[:port] only; keep the path's case
+    val prefixRaw = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    val path = base.substr(length(prefixRaw) + 1, lit(1 << 24))
+    val prefix = regexp_replace(
+      regexp_replace(lower(prefixRaw), "^(https?://)www\\.", "$1"),
+      "^(http://[^/:]+):80$|^(https://[^/:]+):443$", "$1$2")
+    val cleanPath = when(path === "", path)
+      .otherwise(regexp_replace(path, "(.)/$", "$1"))
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))))
+    val queryOut = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(prefix, cleanPath, queryOut)
+  }
+}

@@ -1058,6 +1058,58 @@ private[graft] object ExtQueries {
           (abs(col("frac") - element_at(array(ps.map(lit): _*), col("i") + 1)) <= 0.01)
             .as("ok"))
         .orderBy("i")
+    }),
+
+    "x_importance_weights" -> ((s, d) =>
+      // DSIR (Xie et al. 2023): hashed word-unigram bucket models fit
+      // on the target subset (lang='en') vs the raw pool; per-doc
+      // importance weight = Σ ln(p_target/p_raw) over token buckets.
+      // Bucket models are ≤256 rows (broadcast); one explode pass
+      graft.ext.Selection.importanceWeights(t(s, d, "documents"),
+          "text", "doc_id", col("lang") === "en", nBuckets = 256)
+        .orderBy("id")),
+
+    "x_importance_select" -> ((s, d) =>
+      // the selection step: top-60 docs by DSIR weight (deterministic
+      // temperature→0 resample; ties break on id), lang joined back to
+      // show the shift toward the target distribution
+      graft.ext.Selection.selectByImportance(t(s, d, "documents"),
+          "text", "doc_id", col("lang") === "en", k = 60, nBuckets = 256)
+        .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
+          Seq("id"))
+        .select(col("id"), col("lang"), col("n_tokens"), col("weight"))
+        .orderBy("id")),
+
+    "x_source_cap" -> ((s, d) =>
+      // RefinedWeb-style per-domain cap: keep at most 5 docs per
+      // source, preferring the longest (ties on id) — one rank window
+      // keyed on source
+      graft.ext.Selection.capPerSource(t(s, d, "documents"),
+          "source", "doc_id", col("n_chars"), k = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "x_url_canon" -> ((s, d) => {
+      // URL canonicalization for crawl dedup: scheme/host lowercased
+      // (path case preserved), www. + default port + fragment +
+      // tracking params stripped, surviving params sorted, trailing
+      // slash dropped. URLs are synthesized deterministically from
+      // (doc_id, source) — identically in the oracle — to cover the
+      // http:80 / https:443 / query / bare-path variants
+      val pre = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW."))
+        .otherwise(lit("HTTPS://"))
+      val hostPort = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit(".Example.COM:80/Docs/")).otherwise(lit(".Example.COM:443/Docs/"))
+      val tail = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("/?b=2&utm_source=x&a=1#frag"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("/"))
+        .otherwise(lit("?z=9&utm_campaign=c&a=1"))
+      val url = concat(pre, col("source"), hostPort,
+        col("doc_id").cast("string"), tail)
+      t(s, d, "documents")
+        .select(col("doc_id"), url.as("url_raw"),
+          graft.ext.Selection.canonicalizeUrl(url).as("url_canon"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2251,7 +2303,127 @@ private[graft] object ExtQueries {
          |  FROM h)
          |SELECT doc_id, lang, n_chars FROM
          |  (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: same tokenizer, same FNV bucket (signed pmod
+    // emulation), same Laplace smoothing; per-bucket log-ratio rounds
+    // to 9 dp, per-doc sum accumulates in DECIMAL, rounds to 6 dp
+    "x_importance_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
+         |hb AS (
+         |  SELECT doc_id, tgt,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM tk),
+         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
+         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(cr) AS rtot,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
+         |  FROM rawb),
+         |lrs AS (
+         |  SELECT rawb.bucket,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
+         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
+         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
+         |per AS (
+         |  SELECT doc_id, sum(c) AS n_tokens,
+         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
+         |  JOIN lrs USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id AS id, (d.lang = 'en') AS is_target,
+         |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "x_importance_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
+         |hb AS (
+         |  SELECT doc_id, tgt,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM tk),
+         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
+         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(cr) AS rtot,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
+         |  FROM rawb),
+         |lrs AS (
+         |  SELECT rawb.bucket,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
+         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
+         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
+         |per AS (
+         |  SELECT doc_id, sum(c) AS n_tokens,
+         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
+         |  JOIN lrs USING (bucket) GROUP BY doc_id),
+         |sel AS (
+         |  SELECT doc_id, n_tokens, weight FROM per
+         |  WHERE weight IS NOT NULL
+         |  ORDER BY weight DESC, doc_id ASC LIMIT 60)
+         |SELECT sel.doc_id AS id, d.lang,
+         |  CAST(sel.n_tokens AS BIGINT) AS n_tokens, sel.weight
+         |FROM sel JOIN documents d ON sel.doc_id = d.doc_id
+         |ORDER BY id""".stripMargin,
+
+    "x_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // same synthesized URLs, same canonicalization steps (RE2-safe
+    // patterns — no backrefs in the MATCH side; \\1\\2 only in the
+    // replacement, which DuckDB spells \\1 where Spark spells $1)
+    "x_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'HTTPS://' END)
+        |    || source
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80/Docs/'
+        |             ELSE '.Example.COM:443/Docs/' END)
+        |    || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/?b=2&utm_source=x&a=1#frag'
+        |             WHEN doc_id % 3 = 1 THEN '/'
+        |             ELSE '?z=9&utm_campaign=c&a=1' END) AS url_raw
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url_raw,
+        |    regexp_replace(trim(url_raw), '#.*$', '') AS nofrag FROM u),
+        |s2 AS (SELECT doc_id, url_raw,
+        |    regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+        |    regexp_extract(nofrag, '^[^?]*\?(.*)$', 1) AS query FROM s1),
+        |s3 AS (SELECT doc_id, url_raw, base, query,
+        |    regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS pr
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, url_raw, query,
+        |    regexp_replace(
+        |      regexp_replace(lower(pr), '^(https?://)www\.', '\1'),
+        |      '^(http://[^/:]+):80$|^(https://[^/:]+):443$', '\1\2') AS prefix,
+        |    substr(base, length(pr) + 1) AS pth
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, url_raw, prefix,
+        |    CASE WHEN pth = '' THEN pth
+        |         ELSE regexp_replace(pth, '(.)/$', '\1') END AS cpath,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) AS kept
+        |  FROM s4)
+        |SELECT doc_id, url_raw,
+        |  prefix || cpath ||
+        |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |          ELSE '' END) AS url_canon
+        |FROM s5 ORDER BY doc_id""".stripMargin
   )
 
   /** Order-insensitive 64-bit content hash of a frame: bit_xor of

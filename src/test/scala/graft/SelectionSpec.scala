@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Selection
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // enough token mass that the Laplace prior (+1 per bucket over
+  // nBuckets) doesn't drown the distribution signal
+  private def docs = Seq(
+    // target-ish vocabulary: "alpha beta"
+    (0L, ("alpha beta " * 30).trim, "en", "s0", true),
+    (1L, ("alpha beta " * 20).trim, "en", "s0", true),
+    // off-target vocabulary: "gamma delta"
+    (2L, ("gamma delta " * 30).trim, "de", "s1", false),
+    (3L, ("gamma delta " * 20).trim, "de", "s1", false),
+    // mixed doc, not in target set
+    (4L, ("alpha beta gamma delta " * 10).trim, "fr", "s1", false),
+    // empty doc
+    (5L, "", "en", "s0", true)
+  ).toDF("doc_id", "text", "lang", "source", "tgt")
+
+  test("importanceWeights scores target-vocabulary docs above off-target") {
+    val w = Selection.importanceWeights(docs, "text", "doc_id",
+        col("lang") === "en", nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 0/1 share the target subset's vocabulary -> positive weight;
+    // docs 2/3 are pure off-target vocabulary -> negative weight
+    assert(w(0L).getDouble(3) > 0.0 && w(1L).getDouble(3) > 0.0)
+    assert(w(2L).getDouble(3) < 0.0 && w(3L).getDouble(3) < 0.0)
+    // the mixed doc sits strictly between the pure cases
+    assert(w(4L).getDouble(3) < w(0L).getDouble(3))
+    assert(w(4L).getDouble(3) > w(2L).getDouble(3))
+    // token counts are exact; the empty doc keeps a row with 0 tokens
+    assert(w(0L).getLong(2) == 60L && w(4L).getLong(2) == 40L)
+    assert(w(5L).getLong(2) == 0L && w(5L).isNullAt(3))
+    assert(w.size == 6)
+  }
+
+  test("importanceWeights is partitioning-invariant") {
+    def run(parts: Int) =
+      Selection.importanceWeights(docs.repartition(parts), "text", "doc_id",
+          col("lang") === "en", nBuckets = 64)
+        .orderBy("id").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("selectByImportance keeps the k most target-like docs") {
+    val sel = Selection.selectByImportance(docs, "text", "doc_id",
+        col("lang") === "en", k = 2, nBuckets = 64)
+      .select("id").as[Long].collect().toSet
+    assert(sel == Set(0L, 1L))
+  }
+
+  test("capPerSource keeps at most k per source, preferring the order col") {
+    val d = Seq(
+      (0L, "a", 10L), (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = Selection.capPerSource(d, "source", "doc_id", col("n_chars"), k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // source a: n_chars 30 (ids 1,3 — tie broken by id, both fit), id 0/2 dropped
+    assert(kept == Set(1L, 3L, 4L))
+    val kept1 = Selection.capPerSource(d, "source", "doc_id", col("n_chars"), k = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 4L))
+  }
+
+  test("canonicalizeUrl normalizes scheme/host/port/params/fragment") {
+    val cases = Seq(
+      // scheme+host lowercase, www strip, default port strip, param sort,
+      // tracking strip, fragment strip, trailing slash strip
+      ("HTTP://WWW.Ex.COM:80/Docs/1/?b=2&utm_source=x&a=1#frag",
+       "http://ex.com/Docs/1?a=1&b=2"),
+      ("HTTPS://Ex.COM:443/p/", "https://ex.com/p"),
+      // non-default port survives; path case survives
+      ("http://ex.com:8080/A/B", "http://ex.com:8080/A/B"),
+      // root slash survives; bare host unchanged
+      ("http://Ex.com/", "http://ex.com/"),
+      ("http://ex.com", "http://ex.com"),
+      // only tracking params -> no '?'
+      ("http://ex.com/x?utm_a=1&gclid=z&fbclid=1&ref=nav", "http://ex.com/x"),
+      // non-http(s) scheme: no www/port special-casing beyond lowercase
+      ("FTP://Host/File", "ftp://host/File")
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(Selection.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+}
