@@ -48,4 +48,48 @@ object Eval {
         round(col("c2").cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
+
+  /** Expected Calibration Error over `nBins` equal-width score bins
+    * (Naeini et al. 2015; Guo et al. 2017): a probability-calibrated
+    * scorer's mean score within a bin should equal the bin's positive
+    * rate. ECE = Σ_b (n_b/N)·|conf_b − acc_b|; MCE = max_b of the
+    * same gap. Scores are expected in [0,1]; values outside clamp
+    * into the edge bins (floor + least/greatest), so a stray 1.0 or
+    * an un-squashed logit can't open an unreachable bin.
+    *
+    * Determinism: per-bin score mass accumulates in DECIMAL at 6 dp
+    * (order-independent; 6-dp score precision is far inside any
+    * probability scorer's meaningful resolution, and it keeps the
+    * decimal→double conversion of a 100 TB bin's mass under double's
+    * 15.95 exact digits — the q_tpch1 lesson), each bin's gap rounds
+    * to 9 dp before the weighted DECIMAL re-aggregation, and the
+    * single final division rounds to 6 dp — fully oracle-replayable,
+    * like [[auc]].
+    *
+    * Scale shape: one hash aggregation to ≤ `nBins` rows, then a
+    * scalar reduce. Nothing keyed finer than the bin id.
+    */
+  def ece(df: DataFrame, labelCol: String, scoreCol: String,
+          nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"ece: nBins must be >= 1, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val perBin = df
+      .select(greatest(lit(0),
+          least(floor(s * nBins).cast("int"), lit(nBins - 1))).as("bin"),
+        s.cast("decimal(18,6)").as("sd"), y.as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sd")).as("ssum"),
+        sum(col("y")).as("ypos"))
+    perBin
+      .withColumn("gap",
+        round(abs(col("ssum").cast("double") / col("n") -
+          col("ypos").cast("double") / col("n")), 9))
+      .agg(sum(col("n")).as("n"),
+        count(lit(1)).cast("long").as("n_bins_used"),
+        round(sum((col("gap").cast("decimal(18,9)") * col("n"))
+            .cast("decimal(38,9)")).cast("double") /
+          sum(col("n")), 6).as("ece"),
+        round(max(col("gap")), 6).as("mce"))
+  }
 }

@@ -147,4 +147,80 @@ object Selection {
       concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
     concat(prefix, cleanPath, queryOut)
   }
+
+  /** Lowercased host of a URL: the authority with userinfo (`user@`)
+    * and port stripped. Empty string (not null) for a URL with no
+    * `scheme://` authority, so downstream joins/filters see a value.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(trim(url)),
+        "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      "^.*@|:[0-9]*$", "")
+
+  /** Tag each document with the blocklist domain it falls under, or
+    * null — the CCNet/RefinedWeb URL-blocklist curation stage (Penedo
+    * et al. 2023 §3.1 filter blocklists; Wenzek et al. 2019).
+    * Matching is registrable-domain style: a blocked `example.com`
+    * blocks the host itself AND every subdomain (`a.b.example.com`),
+    * but NOT lookalikes (`notexample.com`). When a domain and its
+    * parent are both listed, the LONGEST (most specific) rule names
+    * the tag.
+    *
+    * Scale shape (100 TB): ZERO corpus shuffle. Blocklist matching is
+    * row-local in spirit, so it must not repartition 100 TB of text:
+    * instead of exploding suffixes and re-grouping (which would
+    * shuffle the full rows), the host probes the broadcast blocklist
+    * once per suffix DEPTH — `maxDepth` chained broadcast hash joins
+    * (the broadcast exchange is identical across them, so it plans as
+    * one build + ReusedExchange) — and `coalesce(deepest..shallowest)`
+    * picks the longest match. A blocklist is dimension-sized (even
+    * the public megalists are a few million rows — broadcast
+    * territory). Hosts with more than `maxDepth` labels still match
+    * any rule of ≤ `maxDepth` labels (real blocklist entries are
+    * registrable domains, 2-4 labels).
+    */
+  def markBlocklisted(docs: DataFrame, urlCol: Column,
+                      blocklist: DataFrame,
+                      domainCol: String = "domain",
+                      maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 1, s"markBlocklisted: maxDepth must be >= 1, got $maxDepth")
+    val block =
+      blocklist.select(lower(trim(col(domainCol))).as("__blocked")).distinct()
+    val tagged = docs.withColumn("__host", urlHost(urlCol))
+      .withColumn("__labels", split(col("__host"), "\\."))
+    // deepest (longest) suffix first, so the first coalesce hit is the
+    // most specific listed rule. Each depth's build side holds ONLY
+    // the rules with exactly d labels (a d-label rule can only equal
+    // the depth-d suffix), so total broadcast volume across the chain
+    // is ONE copy of the blocklist, not maxDepth copies.
+    val joined = (maxDepth to 1 by -1).foldLeft(tagged) { (acc, d) =>
+      val key = when(size(col("__labels")) >= d,
+        array_join(slice(col("__labels"),
+          size(col("__labels")) - d + 1, lit(d)), "."))
+      val b = broadcast(
+        block.filter(size(split(col("__blocked"), "\\.")) === d)
+          .withColumnRenamed("__blocked", s"__b$d"))
+      acc.join(b, key === b(s"__b$d"), "left")
+    }
+    joined
+      .withColumn("blocked_by",
+        coalesce((maxDepth to 1 by -1).map(d => col(s"__b$d")): _*))
+      .drop((1 to maxDepth).map(d => s"__b$d"): _*)
+      .drop("__labels")
+      .withColumnRenamed("__host", "host")
+  }
+
+  /** The filter form of [[markBlocklisted]]: documents whose host does
+    * NOT fall under any blocklist domain. `host`/`blocked_by` columns
+    * are dropped — output schema == input schema. Same zero-shuffle
+    * plan (the left joins become the anti side of a filter).
+    */
+  def filterByBlocklist(docs: DataFrame, urlCol: Column,
+                        blocklist: DataFrame,
+                        domainCol: String = "domain",
+                        maxDepth: Int = 6): DataFrame =
+    markBlocklisted(docs, urlCol, blocklist, domainCol, maxDepth)
+      .filter(col("blocked_by").isNull)
+      .drop("host", "blocked_by")
 }

@@ -218,6 +218,19 @@ private[graft] object AnalyticsQueries {
           col("value")),
         "y", "value")),
 
+    "q_ece" -> ((s, d) =>
+      // expected/max calibration error of a synthesized [0,1) scorer
+      // against the return flag — per-bin decimal score mass, 9-dp
+      // gaps, one final division. The score is a deterministic
+      // integer-mod ramp (replayed exactly by the oracle): the
+      // METRIC's arithmetic is what's gated, not a model
+      graft.ext.Eval.ece(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score", nBins = 10)),
+
     "q_standardize" -> ((s, d) =>
       // per-type z-scores from exact decimal moments (the feature-
       // scaling step), null for degenerate groups
@@ -402,6 +415,53 @@ private[graft] object AnalyticsQueries {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
+    }),
+
+    "q_tpch5" -> ((s, d) => {
+      // TPC-H Q5 shape (regional supplier revenue): the canonical
+      // 6-table star join — region→nation filter broadcast up the dim
+      // chain into the lineitem⋈orders fact join. Graded on the
+      // SUPPLIER side: the synthetic FK graph never co-locates
+      // customer and supplier nations, so the classical
+      // c_nationkey = s_nationkey local-supplier predicate selects
+      // zero rows on this data; customer still joins in to keep the
+      // full 6-table shape.
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("decimal(30,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q_tpch18" -> ((s, d) => {
+      // TPC-H Q18 (large-volume customer): HAVING-filtered
+      // re-aggregation of the fact feeding a semi-join — the semi
+      // filter lands on orders BEFORE the detail join, so only
+      // qualifying orders' lineitems flow into the final aggregate
+      val l = t(s, d, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 300).select(col("l_orderkey").as("bk"))
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
     }),
 
     "q_unpivot" -> ((s, d) =>
@@ -1065,6 +1125,31 @@ private[graft] object AnalyticsQueries {
         |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc
         |FROM t""".stripMargin,
 
+    // calibration replay: same bin clamp, same 6-dp decimal score
+    // mass, same 9-dp gap rounding, same single final division
+    "q_ece" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS s
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT greatest(0, least(CAST(floor(s * 10) AS INTEGER), 9)) AS bin,
+        |    CAST(s AS DECIMAL(18,6)) AS sd, y
+        |  FROM e),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(sd) AS ssum,
+        |    CAST(sum(y) AS BIGINT) AS ypos
+        |  FROM b GROUP BY bin),
+        |p AS (
+        |  SELECT n,
+        |    round(abs(CAST(ssum AS DOUBLE) / n - CAST(ypos AS DOUBLE) / n), 9) AS gap
+        |  FROM g)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  round(CAST(sum(CAST(CAST(gap AS DECIMAL(18,9)) * n AS DECIMAL(38,9))) AS DOUBLE) / sum(n), 6) AS ece,
+        |  round(max(gap), 6) AS mce
+        |FROM p""".stripMargin,
+
     "q_standardize" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |g AS (
@@ -1250,6 +1335,34 @@ private[graft] object AnalyticsQueries {
         |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    // sum of DECIMAL(30,4) revenue is ~8 integer digits at gate scale
+    // (≤ 12 significant digits with the 4-dp scale) — exact in double,
+    // no rounding needed on either side
+    "q_tpch5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
 
     "q_unpivot" ->
       """SELECT * FROM (

@@ -1110,6 +1110,33 @@ private[graft] object ExtQueries {
         .select(col("doc_id"), url.as("url_raw"),
           graft.ext.Selection.canonicalizeUrl(url).as("url_canon"))
         .orderBy("doc_id")
+    }),
+
+    "x_blocklist" -> ((s, d) => {
+      // URL domain-blocklist curation stage (RefinedWeb §3.1 / CCNet):
+      // subdomain-aware suffix match against a broadcast blocklist,
+      // zero corpus shuffle. Hosts synthesized deterministically from
+      // (doc_id, source) — identically in the oracle — to cover the
+      // subdomain / case+port / dot-boundary-lookalike / exact cases;
+      // the blocklist holds a domain AND its more specific subdomain
+      // (longest rule must win) plus an untrimmed uppercase entry.
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("ads."), col("source"), lit(".example.com")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("WWW."), col("source"), lit(".Example.COM:8080")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("shop"), col("source"), lit(".example.com")))
+          .otherwise(lit("cdn.tracker.net")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val block = Seq("src1.example.com", "src3.example.com",
+        "ads.src1.example.com", "tracker.net", " SRC5.EXAMPLE.COM ")
+        .toDF("domain")
+      graft.ext.Selection.markBlocklisted(
+          t(s, d, "documents").withColumn("url", url), col("url"), block)
+        .select(col("doc_id"), col("host"), col("blocked_by"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2423,7 +2450,43 @@ private[graft] object ExtQueries {
         |  prefix || cpath ||
         |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
         |          ELSE '' END) AS url_canon
-        |FROM s5 ORDER BY doc_id""".stripMargin
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // same synthesized hosts; suffix match replayed via the host's
+    // dot-suffix list, longest listed rule wins (a deeper matching
+    // suffix of the same host is always strictly longer, so length
+    // orders specificity); 'g' flag on the strip because Spark's
+    // regexp_replace is global
+    "x_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE doc_id % 4
+        |      WHEN 0 THEN 'ads.' || source || '.example.com'
+        |      WHEN 1 THEN 'WWW.' || source || '.Example.COM:8080'
+        |      WHEN 2 THEN 'shop' || source || '.example.com'
+        |      ELSE 'cdn.tracker.net' END)
+        |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_extract(lower(trim(url)),
+        |                     '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^.*@|:[0-9]*$', '', 'g') AS host
+        |  FROM u),
+        |b AS (SELECT lower(trim(dom)) AS dom FROM (VALUES
+        |  ('src1.example.com'), ('src3.example.com'),
+        |  ('ads.src1.example.com'), ('tracker.net'),
+        |  (' SRC5.EXAMPLE.COM ')) AS t(dom)),
+        |s AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+        |m AS (
+        |  SELECT s.doc_id, s.host, b.dom
+        |  FROM s LEFT JOIN b
+        |    ON list_contains(
+        |      [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)],
+        |      b.dom))
+        |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
+        |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin
   )
 
   /** Order-insensitive 64-bit content hash of a frame: bit_xor of

@@ -36,4 +36,41 @@ class EvalSpec extends SparkSpec {
     val b = Eval.auc(rows.toDF("y", "s").repartition(7), "y", "s").collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  private def eceOf(rows: Seq[(Boolean, Double)], nBins: Int = 10) = {
+    val r = Eval.ece(rows.toDF("y", "s"), "y", "s", nBins).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  test("ece: perfectly calibrated bins score 0") {
+    // bin [0.2,0.3): two rows at 0.25, one positive -> conf 0.25 vs
+    // acc 0.5... use 4 rows at 0.25 with exactly 1 positive: conf
+    // 0.25 == acc 0.25 -> gap 0; same in a second bin
+    val rows = Seq((true, 0.25), (false, 0.25), (false, 0.25), (false, 0.25),
+      (true, 0.75), (true, 0.75), (true, 0.75), (false, 0.75))
+    assert(eceOf(rows) == ((8L, 2L, 0.0, 0.0)))
+  }
+
+  test("ece: hand-computed miscalibration across three bins") {
+    // bin0: {0.0,T}  conf 0.0  acc 1 -> gap 1.0,  n 1
+    // bin1: {0.1,T}  conf 0.1  acc 1 -> gap 0.9,  n 1
+    // bin9: {0.9,F},{1.0->clamped,F} conf 0.95 acc 0 -> gap 0.95, n 2
+    // ece = (1.0 + 0.9 + 2*0.95)/4 = 0.95; mce = 1.0
+    val rows = Seq((true, 0.0), (true, 0.1), (false, 0.9), (false, 1.0))
+    assert(eceOf(rows) == ((4L, 3L, 0.95, 1.0)))
+  }
+
+  test("ece: out-of-range scores clamp into the edge bins") {
+    val rows = Seq((false, -0.5), (true, 1.7))
+    val (n, bins, _, _) = eceOf(rows)
+    assert(n == 2L && bins == 2L) // one row in bin 0, one in bin 9
+  }
+
+  test("ece is byte-identical under repartitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextDouble()))
+    val a = Eval.ece(rows.toDF("y", "s"), "y", "s").collect()(0)
+    val b = Eval.ece(rows.toDF("y", "s").repartition(7), "y", "s").collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -88,4 +88,61 @@ class SelectionSpec extends SparkSpec {
       .select(Selection.canonicalizeUrl(col("u"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("urlHost strips case, userinfo and port; empty for authority-less") {
+    val cases = Seq(
+      ("HTTPS://User:Pw@WWW.Ex.COM:8443/a/b?q=1#f", "www.ex.com"),
+      ("http://ex.com", "ex.com"),
+      ("http://ex.com:80/", "ex.com"),
+      ("not a url", ""),
+      ("/relative/path", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(Selection.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  private def blockedDocs = Seq(
+    (0L, "https://ads.bad.com/x"),        // subdomain of a blocked domain
+    (1L, "https://bad.com/y"),            // exact blocked domain
+    (2L, "https://notbad.com/z"),         // lookalike: no dot boundary
+    (3L, "https://deep.ads.bad.com/w"),   // sub-sub: longest listed rule wins
+    (4L, "http://GOOD.org:8080/ok"),      // clean
+    (5L, null.asInstanceOf[String])       // null url -> empty host, kept
+  ).toDF("doc_id", "url")
+
+  private def blocklist = Seq("bad.com", "ads.bad.com", " TRACKER.net ")
+    .toDF("domain")
+
+  test("markBlocklisted: subdomain-aware suffix match, longest rule wins") {
+    val got = Selection.markBlocklisted(blockedDocs, col("url"), blocklist)
+      .select("doc_id", "blocked_by").as[(Long, String)].collect().toMap
+    assert(got(0L) == "ads.bad.com")   // more specific than bad.com
+    assert(got(1L) == "bad.com")
+    assert(got(2L) == null)            // notbad.com is NOT *.bad.com
+    assert(got(3L) == "ads.bad.com")   // deep subdomain, longest rule
+    assert(got(4L) == null)
+    assert(got(5L) == null)
+  }
+
+  test("filterByBlocklist keeps schema and drops only blocked hosts") {
+    val kept = Selection.filterByBlocklist(blockedDocs, col("url"), blocklist)
+    assert(kept.columns.toSeq == Seq("doc_id", "url"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L))
+  }
+
+  test("markBlocklisted plans with zero corpus shuffle") {
+    // blocklist matching is row-local: the corpus side must reach the
+    // broadcast probes without an Exchange that repartitions the docs
+    val plan = Selection.markBlocklisted(blockedDocs, col("url"), blocklist)
+      .queryExecution.executedPlan.toString
+    // the only shuffles allowed are the blocklist's own distinct
+    // (keyed on __blocked, dimension-sized); the corpus side must
+    // reach the broadcast probes with no Exchange of the doc rows
+    val shuffles = "hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(shuffles.forall(_.startsWith("__blocked")),
+      s"unexpected corpus shuffle on ${shuffles.mkString(", ")} in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"unexpected sort shuffle in:\n$plan")
+  }
 }
