@@ -1137,6 +1137,57 @@ private[graft] object ExtQueries {
           t(s, d, "documents").withColumn("url", url), col("url"), block)
         .select(col("doc_id"), col("host"), col("blocked_by"))
         .orderBy("doc_id")
+    }),
+
+    "x_sq_quantize" -> ((s, d) =>
+      // SQ8 embedding codec readout: per-vector scale, code checksum,
+      // max code magnitude, max reconstruction error. Every step is
+      // single-IEEE-op deterministic (no training state), so unlike
+      // the PQ rows this codec replays EXACTLY in the oracle
+      graft.ext.Sq.quantize(t(s, d, "embeddings"), "embedding", "vec_id",
+          keepVec = true)
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale9"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => a + c.cast("long")).as("sum_codes"),
+          array_max(transform(col("codes"), c => abs(c))).as("max_code"),
+          round(array_max(zip_with(col("embedding"), col("codes"),
+            (x, c) => abs(x.cast("double") - c.cast("double") * col("scale")))),
+            9).as("max_err9"))
+        .orderBy("vec_id")),
+
+    "x_sq_recall" -> ((s, d) => {
+      // ORACLE-GATED quality + contract bounds for the SQ8 tier: mean
+      // recall@10 of exact search over RECONSTRUCTED vectors vs the
+      // full-precision brute force (the whole point of SQ8: ~4× less
+      // scan IO at near-exact recall — tools/SqRecallProbe measured
+      // 1.000 / 0.990 / 0.985 at sf0.001/0.01/0.1 on the near-uniform
+      // synthetic embeddings; bound 0.95 leaves margin),
+      // plus the codec's own guarantees: per-element reconstruction
+      // error ≤ scale/2 and codes within ±127.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val enc = graft.ext.Sq.quantize(e, "embedding", "vec_id")
+      val sq = graft.ext.Sq.sqTopK(enc, q, "embedding", "vec_id", k = 10)
+      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+      val recOk = Similarity.recallAtK(sq, brute)
+        .agg((avg(col("recall")) >= 0.95).as("ok"))
+        .select(lit("sq8_mean_recall10_ge_095").as("check_name"), col("ok"))
+      val contract = graft.ext.Sq
+        .quantize(e, "embedding", "vec_id", keepVec = true)
+        .select(
+          (array_max(zip_with(col("embedding"), col("codes"),
+            (x, c) => abs(x.cast("double") - c.cast("double") * col("scale"))))
+            <= col("scale") * 0.5 + lit(1e-12)).as("b"),
+          (array_max(transform(col("codes"), c => abs(c))) <= 127).as("r"))
+        .agg(expr("bool_and(b)").as("bOk"), expr("bool_and(r)").as("rOk"))
+        .select(explode(array(
+          struct(lit("sq8_err_le_half_scale").as("check_name"),
+            col("bOk").as("ok")),
+          struct(lit("sq8_codes_in_range").as("check_name"),
+            col("rOk").as("ok")))).as("s"))
+        .select(col("s.check_name").as("check_name"), col("s.ok").as("ok"))
+      recOk.unionByName(contract).orderBy("check_name")
     })
   )
 
@@ -2486,7 +2537,37 @@ private[graft] object ExtQueries {
         |      [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)],
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
-        |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin
+        |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // SQ8 codec replay: same float→double casts, same single division
+    // per element, same round-half-away-from-zero (both engines), same
+    // code×scale reconstruction — bit-for-bit, no training state
+    "x_sq_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id,
+        |  round(scale, 9) AS scale9,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
+        |  list_max(list_transform(codes, c -> abs(c))) AS max_code,
+        |  round(list_max([abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
+        |                  FOR i IN range(1, len(embedding) + 1)]), 9) AS max_err9
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "x_sq_recall" ->
+      """SELECT * FROM (VALUES
+        |  ('sq8_codes_in_range', TRUE),
+        |  ('sq8_err_le_half_scale', TRUE),
+        |  ('sq8_mean_recall10_ge_095', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin
   )
 
   /** Order-insensitive 64-bit content hash of a frame: bit_xor of
