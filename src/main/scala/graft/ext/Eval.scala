@@ -92,4 +92,72 @@ object Eval {
           sum(col("n")), 6).as("ece"),
         round(max(col("gap")), 6).as("mce"))
   }
+
+  /** Confusion counts and P/R/F1 at each decision threshold, in ONE
+    * aggregation pass: the threshold list is known at plan time, so
+    * every tp/fp/fn/tn is a conditional sum in a single scalar
+    * aggregate (no per-threshold scan, no join), unpacked to one row
+    * per threshold afterwards. Predicted positive ⇔ score ≥ t.
+    * Ratios are one integer division each, rounded to 6 dp; null when
+    * the denominator is 0 (no predicted / no actual positives).
+    */
+  def confusionAtThresholds(df: DataFrame, labelCol: String,
+                            scoreCol: String,
+                            thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "confusionAtThresholds: empty threshold list")
+    val s = col(scoreCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val base = df.select(s.as("s"), y.as("y"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("s") >= t, col("y")).otherwise(0L)).as(s"tp$i"),
+        sum(when(col("s") >= t, lit(1L) - col("y")).otherwise(0L)).as(s"fp$i"),
+        sum(when(col("s") < t, col("y")).otherwise(0L)).as(s"fn$i"),
+        sum(when(col("s") < t, lit(1L) - col("y")).otherwise(0L)).as(s"tn$i"))
+    }
+    val one = base.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"tp$i"), lit(0L)).as("tp"),
+        coalesce(col(s"fp$i"), lit(0L)).as("fp"),
+        coalesce(col(s"fn$i"), lit(0L)).as("fn"),
+        coalesce(col(s"tn$i"), lit(0L)).as("tn"))
+    }
+    one.select(explode(array(rows.toIndexedSeq: _*)).as("r")).select(col("r.*"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")), 6)))
+  }
+
+  /** Mean binary cross-entropy (log loss) with probability clamp
+    * `eps`: −mean[y·ln p + (1−y)·ln(1−p)], p clamped into
+    * [eps, 1−eps] so a confident-and-wrong 0/1 stays finite.
+    *
+    * Scale + determinism via the [[auc]] trick: rows first reduce to
+    * one row per DISTINCT (p, y) — with bounded-precision scores that
+    * is thousands of groups, not corpus rows — so `ln` evaluates
+    * O(distinct) times (cross-engine libm parity risk shrinks with
+    * it), each group's 9-dp-rounded term scales by its exact count in
+    * DECIMAL, and ONE final division closes. Returns (n, log_loss).
+    */
+  def logLoss(df: DataFrame, labelCol: String, scoreCol: String,
+              eps: Double = 1e-15): DataFrame = {
+    val p0 = col(scoreCol).cast("double")
+    val p = least(greatest(p0, lit(eps)), lit(1.0 - eps))
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    df.select(p.as("p"), y.as("y"))
+      .groupBy(col("p"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term", round(
+        when(col("y") === 1L, -log(col("p"))).otherwise(-log(lit(1.0) - col("p"))),
+        9))
+      .agg(sum(col("c")).as("n"),
+        round(sum((col("term").cast("decimal(18,9)") * col("c"))
+            .cast("decimal(38,9)")).cast("double") /
+          sum(col("c")), 6).as("log_loss"))
+  }
 }

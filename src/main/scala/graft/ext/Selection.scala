@@ -148,15 +148,18 @@ object Selection {
     concat(prefix, cleanPath, queryOut)
   }
 
-  /** Lowercased host of a URL: the authority with userinfo (`user@`)
-    * and port stripped. Empty string (not null) for a URL with no
-    * `scheme://` authority, so downstream joins/filters see a value.
+  /** Lowercased host of a URL: the authority with userinfo (`user@`),
+    * port, and the FQDN root dot (`example.com.`) stripped. Empty
+    * string (not null) for a URL with no `scheme://` authority, so
+    * downstream joins/filters see a value.
     */
   def urlHost(url: Column): Column =
     regexp_replace(
-      regexp_extract(lower(trim(url)),
-        "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
-      "^.*@|:[0-9]*$", "")
+      regexp_replace(
+        regexp_extract(lower(trim(url)),
+          "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+        "^.*@|:[0-9]*$", ""),
+      "\\.$", "")
 
   /** Tag each document with the blocklist domain it falls under, or
     * null — the CCNet/RefinedWeb URL-blocklist curation stage (Penedo

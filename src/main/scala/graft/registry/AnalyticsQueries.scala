@@ -231,6 +231,29 @@ private[graft] object AnalyticsQueries {
             .as("score")),
         "y", "score", nBins = 10)),
 
+    "q_confusion" -> ((s, d) =>
+      // threshold sweep readout (the operating-point picker): all
+      // tp/fp/fn/tn counts in ONE conditional-sum aggregate pass,
+      // unpacked to a row per threshold; same ramp scorer as q_ece
+      graft.ext.Eval.confusionAtThresholds(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score", Seq(0.25, 0.5, 0.75))
+        .orderBy("threshold")),
+
+    "q_logloss" -> ((s, d) =>
+      // mean binary cross-entropy with the distinct-(p,y) reduction:
+      // ln evaluates O(distinct scores) times (997 ramp values), each
+      // term scales by its exact count in decimal, one final division
+      graft.ext.Eval.logLoss(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score")),
+
     "q_standardize" -> ((s, d) =>
       // per-type z-scores from exact decimal moments (the feature-
       // scaling step), null for degenerate groups
@@ -1149,6 +1172,42 @@ private[graft] object AnalyticsQueries {
         |  round(CAST(sum(CAST(CAST(gap AS DECIMAL(18,9)) * n AS DECIMAL(38,9))) AS DOUBLE) / sum(n), 6) AS ece,
         |  round(max(gap), 6) AS mce
         |FROM p""".stripMargin,
+
+    "q_confusion" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS s
+        |  FROM lineitem),
+        |th AS (SELECT unnest([0.25, 0.5, 0.75]) AS threshold),
+        |c AS (
+        |  SELECT th.threshold,
+        |    CAST(sum(CASE WHEN e.s >= th.threshold THEN e.y ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN e.s >= th.threshold THEN 1 - e.y ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN e.s < th.threshold THEN e.y ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN e.s < th.threshold THEN 1 - e.y ELSE 0 END) AS BIGINT) AS tn
+        |  FROM e CROSS JOIN th GROUP BY th.threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+        |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        |FROM c ORDER BY threshold""".stripMargin,
+
+    // log-loss replay: same clamp, same distinct-(p,y) reduction, same
+    // 9-dp term rounding and decimal count-weighted sum
+    "q_logloss" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    least(greatest(CAST(l_partkey % 997 AS DOUBLE) / 997.0, 1e-15),
+        |          1.0 - 1e-15) AS p
+        |  FROM lineitem),
+        |g AS (SELECT p, y, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY p, y),
+        |m AS (
+        |  SELECT c,
+        |    round(CASE WHEN y = 1 THEN -ln(p) ELSE -ln(1.0 - p) END, 9) AS term
+        |  FROM g)
+        |SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(CAST(term AS DECIMAL(18,9)) * c AS DECIMAL(38,9))) AS DOUBLE) / sum(c), 6) AS log_loss
+        |FROM m""".stripMargin,
 
     "q_standardize" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

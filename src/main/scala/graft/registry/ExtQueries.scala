@@ -2521,9 +2521,11 @@ private[graft] object ExtQueries {
         |h AS (
         |  SELECT doc_id,
         |    regexp_replace(
-        |      regexp_extract(lower(trim(url)),
-        |                     '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^.*@|:[0-9]*$', '', 'g') AS host
+        |      regexp_replace(
+        |        regexp_extract(lower(trim(url)),
+        |                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |        '^.*@|:[0-9]*$', '', 'g'),
+        |      '\.$', '') AS host
         |  FROM u),
         |b AS (SELECT lower(trim(dom)) AS dom FROM (VALUES
         |  ('src1.example.com'), ('src3.example.com'),

@@ -73,4 +73,40 @@ class EvalSpec extends SparkSpec {
     val b = Eval.ece(rows.toDF("y", "s").repartition(7), "y", "s").collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("confusionAtThresholds: hand-computed counts and ratios") {
+    // scores: pos {0.9, 0.6, 0.2}, neg {0.8, 0.3}
+    val rows = Seq((true, 0.9), (true, 0.6), (true, 0.2),
+      (false, 0.8), (false, 0.3))
+    val got = Eval.confusionAtThresholds(rows.toDF("y", "s"), "y", "s",
+        Seq(0.5, 0.95)).orderBy("threshold").collect()
+    // t=0.5: predicted pos {0.9,0.6,0.8} -> tp 2, fp 1, fn 1, tn 1
+    //   precision 2/3, recall 2/3, f1 2*2/(4+1+1) = 2/3
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 1 &&
+      got(0).getLong(3) == 1 && got(0).getLong(4) == 1)
+    assert(got(0).getDouble(5) == 0.666667 && got(0).getDouble(6) == 0.666667 &&
+      got(0).getDouble(7) == 0.666667)
+    // t=0.95: nothing predicted positive -> precision null, recall 0
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0)
+    assert(got(1).isNullAt(5) && got(1).getDouble(6) == 0.0)
+  }
+
+  test("logLoss: hand-computed and clamp keeps wrong-confident finite") {
+    // y=1 @ p=0.5 and y=0 @ p=0.5: loss = ln 2 = 0.693147
+    val r1 = Eval.logLoss(Seq((true, 0.5), (false, 0.5)).toDF("y", "s"),
+      "y", "s").collect()(0)
+    assert(r1.getLong(0) == 2L && r1.getDouble(1) == 0.693147)
+    // confident and wrong at exactly 0.0/1.0: clamped, finite, huge
+    val r2 = Eval.logLoss(Seq((true, 0.0), (false, 1.0)).toDF("y", "s"),
+      "y", "s").collect()(0)
+    assert(r2.getDouble(1) > 30.0 && !r2.getDouble(1).isInfinite)
+  }
+
+  test("logLoss is byte-identical under repartitioning") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextInt(100) / 100.0))
+    val a = Eval.logLoss(rows.toDF("y", "s"), "y", "s").collect()(0)
+    val b = Eval.logLoss(rows.toDF("y", "s").repartition(9), "y", "s").collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
 }

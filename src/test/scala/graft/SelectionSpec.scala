@@ -94,6 +94,7 @@ class SelectionSpec extends SparkSpec {
       ("HTTPS://User:Pw@WWW.Ex.COM:8443/a/b?q=1#f", "www.ex.com"),
       ("http://ex.com", "ex.com"),
       ("http://ex.com:80/", "ex.com"),
+      ("http://ex.com./x", "ex.com"), // FQDN root dot
       ("not a url", ""),
       ("/relative/path", ""))
     val got = cases.map(_._1).toDF("u")
