@@ -1139,6 +1139,37 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_selection_e2e" -> ((s, d) => {
+      // end-to-end SELECTION pipeline (RefinedWeb §3 order): blocklist
+      // → quality ≥ 0.5 → cap 15/source (binds: ~25 docs/source at
+      // sf0.01) → DSIR top-50 toward lang='en'. Same synthesized URLs
+      // and blocklist as x_blocklist; the oracle replays the WHOLE
+      // chain, pinning the stage wiring — including that the DSIR raw
+      // model is fit on the CAPPED pool, not upstream
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("ads."), col("source"), lit(".example.com")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("WWW."), col("source"), lit(".Example.COM:8080")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("shop"), col("source"), lit(".example.com")))
+          .otherwise(lit("cdn.tracker.net")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val block = Seq("src1.example.com", "src3.example.com",
+        "ads.src1.example.com", "tracker.net", " SRC5.EXAMPLE.COM ")
+        .toDF("domain")
+      graft.ext.SelectionPipeline.select(
+          t(s, d, "documents").withColumn("url", url), col("url"), block,
+          "text", "doc_id", "source", capOrder = col("n_chars"),
+          isTarget = col("lang") === "en", minQuality = 0.5,
+          maxPerSource = 15, k = 50, nBuckets = 256)
+        .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
+          Seq("id"))
+        .select(col("id"), col("lang"), col("n_tokens"), col("weight"))
+        .orderBy("id")
+    }),
+
     "x_sq_quantize" -> ((s, d) =>
       // SQ8 embedding codec readout: per-vector scale, code checksum,
       // max code magnitude, max reconstruction error. Every step is
@@ -2540,6 +2571,101 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // whole-chain replay: blocklist anti-filter → quality score →
+    // source-cap window → DSIR (models fit on the CAPPED pool) → top-50
+    "x_selection_e2e" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || (CASE doc_id % 4
+         |      WHEN 0 THEN 'ads.' || source || '.example.com'
+         |      WHEN 1 THEN 'WWW.' || source || '.Example.COM:8080'
+         |      WHEN 2 THEN 'shop' || source || '.example.com'
+         |      ELSE 'cdn.tracker.net' END)
+         |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_extract(lower(trim(url)),
+         |                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+         |        '^.*@|:[0-9]*$$', '', 'g'),
+         |      '\\.$$', '') AS host
+         |  FROM u),
+         |bl AS (SELECT lower(trim(dom)) AS dom FROM (VALUES
+         |  ('src1.example.com'), ('src3.example.com'),
+         |  ('ads.src1.example.com'), ('tracker.net'),
+         |  (' SRC5.EXAMPLE.COM ')) AS t(dom)),
+         |blocked AS (
+         |  SELECT DISTINCT hs.doc_id
+         |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM h) hs
+         |  JOIN bl ON list_contains(
+         |    [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)],
+         |    bl.dom)),
+         |surv0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+         |base AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+         |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0) AS stop
+         |  FROM surv0),
+         |parts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
+         |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
+         |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+         |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+         |  FROM base),
+         |qd AS (
+         |  SELECT s0.doc_id, s0.text, s0.lang, s0.source, s0.n_chars
+         |  FROM surv0 s0 JOIN parts p ON s0.doc_id = p.doc_id
+         |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
+         |pool AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT qd.*, row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM qd)
+         |  WHERE rn <= 15),
+         |tok AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM pool),
+         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
+         |hb AS (
+         |  SELECT doc_id, tgt,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM tk),
+         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
+         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(cr) AS rtot,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
+         |  FROM rawb),
+         |lrs AS (
+         |  SELECT rawb.bucket,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
+         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
+         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
+         |per AS (
+         |  SELECT doc_id, sum(c) AS n_tokens,
+         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
+         |  JOIN lrs USING (bucket) GROUP BY doc_id),
+         |sel AS (
+         |  SELECT doc_id, n_tokens, weight FROM per
+         |  WHERE weight IS NOT NULL
+         |  ORDER BY weight DESC, doc_id ASC LIMIT 50)
+         |SELECT sel.doc_id AS id, d.lang,
+         |  CAST(sel.n_tokens AS BIGINT) AS n_tokens, sel.weight
+         |FROM sel JOIN documents d ON sel.doc_id = d.doc_id
+         |ORDER BY id""".stripMargin,
 
     // SQ8 codec replay: same float→double casts, same single division
     // per element, same round-half-away-from-zero (both engines), same
