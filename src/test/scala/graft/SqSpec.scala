@@ -84,6 +84,25 @@ class SqSpec extends SparkSpec {
     assert(rec >= 0.9, s"SQ8 recall on spread vectors was $rec")
   }
 
+  test("randomized: error bound and full-range codes hold on 200 vectors") {
+    val rnd = new scala.util.Random(17)
+    val many = (0 until 200).map { i =>
+      val scale = math.pow(10, rnd.nextInt(7) - 3).toFloat // 1e-3 .. 1e3
+      (i.toLong, Array.fill(32)((rnd.nextFloat() - 0.5f) * 2f * scale))
+    }.toDF("vec_id", "embedding")
+    val enc = Sq.quantize(many, "embedding", "vec_id", keepVec = true)
+    val bad = enc.select(
+        array_max(zip_with(col("embedding"), col("codes"),
+          (x, c) => abs(x.cast("double") - c.cast("double") * col("scale"))))
+          .as("err"),
+        array_max(transform(col("codes"), c => abs(c))).as("mc"),
+        col("scale"))
+      .filter(col("err") > col("scale") * 0.5 + lit(1e-12) ||
+        col("mc") > 127 || (col("scale") > 0 && col("mc") =!= 127))
+    // every nonzero vector's max element must map to exactly +-127
+    assert(bad.count() == 0)
+  }
+
   test("quantize is byte-identical under repartitioning") {
     val a = Sq.quantize(vecs.repartition(5), "embedding", "vec_id")
       .orderBy("vec_id").collect().toSeq
