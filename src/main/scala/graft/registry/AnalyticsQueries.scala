@@ -37,6 +37,27 @@ private[graft] object AnalyticsQueries {
         ORDER BY n_name, month""")
     }),
 
+    "q_sql_exists" -> ((s, d) => {
+      // TPC-H Q21 shape on the SQL surface: correlated EXISTS (another
+      // supplier in the same order) + correlated NOT EXISTS (none
+      // shipped later) — Catalyst decorrelates both into semi/anti
+      // joins on l_orderkey; no per-row subquery execution survives in
+      // the plan. "Last-to-ship supplier in multi-supplier orders."
+      registerViews(s, d)
+      s.sql("""
+        SELECT s_name, count(*) AS n
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND EXISTS (SELECT * FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY n DESC, s_name LIMIT 20""")
+    }),
+
     "q_sql_running_total" -> ((s, d) => {
       // SQL window function through the SQL surface: per-customer
       // running revenue, decimal-accumulated, full deterministic
@@ -1048,6 +1069,21 @@ private[graft] object AnalyticsQueries {
         |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
         |ORDER BY n_name, month""".stripMargin,
+
+    // one text, two engines: the correlated EXISTS/NOT EXISTS pair runs
+    // verbatim in DuckDB
+    "q_sql_exists" ->
+      """SELECT s_name, count(*) AS n
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND EXISTS (SELECT * FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT * FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY n DESC, s_name LIMIT 20""".stripMargin,
 
     "q_sql_running_total" ->
       """SELECT o_custkey, o_orderkey,
