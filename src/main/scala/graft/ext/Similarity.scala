@@ -108,6 +108,18 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
 
+  /** Mean-pool chunk embeddings into ONE vector per `groupCol` — the
+    * long-document embedding pattern (chunk → embed per chunk → pool
+    * to a document vector). Same memory-bounded, engine-agnostic
+    * machinery as [[meanVectors]]: posexplode to one dim per row,
+    * per-(group, dim) decimal-exact mean with map-side combine,
+    * reassemble ordered — never a whole group's vectors in one
+    * aggregation buffer, so a 10k-chunk book pools in bounded memory.
+    */
+  def meanPool(df: DataFrame, vecCol: String, groupCol: Column): DataFrame =
+    meanVectors(df.select(groupCol.as("cell"), col(vecCol).as("v")))
+      .select(col("cell").as("group"), col("centroid").as("pooled"))
+
   /** One deterministic k-means (Lloyd) step with auditable seeding:
     * seed cells by [[hashCells]], center each cell on its
     * [[meanVectors]] mean, re-assign every vector to the nearest

@@ -1139,6 +1139,16 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_embed_meanpool" -> ((s, d) =>
+      // chunk→document embedding pooling: groups of 10 chunk vectors
+      // mean-pool to one doc vector (decimal-exact per-dim means,
+      // 9 dp), emitted as (doc, dim, m) rows for the replay
+      Similarity.meanPool(t(s, d, "embeddings"), "embedding",
+          expr("vec_id div 10"))
+        .select(col("group").as("doc"),
+          posexplode(col("pooled")).as(Seq("dim", "m")))
+        .orderBy("doc", "dim")),
+
     "x_selection_e2e" -> ((s, d) => {
       // end-to-end SELECTION pipeline (RefinedWeb §3 order): blocklist
       // → quality ≥ 0.5 → cap 15/source (binds: ~25 docs/source at
@@ -2571,6 +2581,19 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // mean-pool replay: same struct-unnest explode as the x_kmeans
+    // centroid fragment, same decimal(28,10) per-dim mean, 9 dp
+    "x_embed_meanpool" ->
+      """WITH e AS (SELECT vec_id // 10 AS doc, embedding AS v FROM embeddings),
+        |d AS (
+        |  SELECT doc, unnest([{'dim': CAST(i - 1 AS INTEGER), 'x': CAST(v[i] AS DOUBLE)}
+        |                      FOR i IN range(1, len(v) + 1)]) AS s
+        |  FROM e),
+        |dx AS (SELECT doc, s.dim AS dim, s.x AS x FROM d)
+        |SELECT doc, dim,
+        |  round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+        |FROM dx GROUP BY doc, dim ORDER BY doc, dim""".stripMargin,
 
     // whole-chain replay: blocklist anti-filter → quality score →
     // source-cap window → DSIR (models fit on the CAPPED pool) → top-50

@@ -116,4 +116,17 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
+
+  test("meanPool: hand-computed per-group per-dim means") {
+    import spark.implicits._
+    val chunks = Seq(
+      (0L, Array(1.0f, 3.0f)), (0L, Array(3.0f, 5.0f)),  // doc 0 -> [2, 4]
+      (1L, Array(10.0f, -2.0f))                          // doc 1 -> itself
+    ).toDF("doc", "embedding")
+    val got = Similarity.meanPool(chunks, "embedding", col("doc"))
+      .orderBy("group")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(got(0) == ((0L, Seq(2.0, 4.0))))
+    assert(got(1) == ((1L, Seq(10.0, -2.0))))
+  }
 }
