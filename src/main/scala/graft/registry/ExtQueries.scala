@@ -1018,6 +1018,24 @@ private[graft] object ExtQueries {
         .orderBy("dirty_key", "clean_key")
     }),
 
+    "x_orc_roundtrip" -> ((s, d) => {
+      // columnar-format breadth: write documents as ORC (Spark's other
+      // built-in columnar format), read it back, checksum. DuckDB
+      // cannot read ORC, so — like x_compact — the oracle computes the
+      // same aggregate over the parquet ORIGINAL; a full match proves
+      // the ORC round trip preserved every row byte-for-byte.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        .resolve("documents").toString
+      graft.sink.Sinks.write(t(s, d, "documents"), tmp, "orc")
+      val fnvB = graft.functions.VectorExpressions.fnv1a64(col("text"))
+      s.read.orc(tmp).agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(pmod(fnvB, lit(1000000L))).as("text_fnv_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+        .withColumn("format", lit("orc"))
+    }),
+
     "x_compact" -> ((s, d) => {
       // compaction round-trip: fragment documents into 32 small files,
       // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
@@ -2398,6 +2416,16 @@ private[graft] object ExtQueries {
         |WHERE abs(length(dname) - length(ename)) <= 1
         |  AND levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
+
+    // content checksum over the ORIGINAL parquet — must equal the
+    // engine's checksum of the ORC read-back
+    "x_orc_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum((((${signedSql("hu")} % 1000000) + 1000000) % 1000000)) AS BIGINT) AS text_fnv_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  'orc' AS format
+         |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
 
     // content checksum over the ORIGINAL table — must equal the
     // engine's checksum of the compacted rewrite

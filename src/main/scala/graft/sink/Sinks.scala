@@ -61,6 +61,7 @@ object Sinks {
   def write(df: DataFrame, path: String, format: String,
             mode: SaveMode = SaveMode.Overwrite): Unit = format match {
     case "parquet" => df.write.mode(mode).parquet(path)
+    case "orc" => df.write.mode(mode).orc(path)
     case "json" => df.write.mode(mode).json(path)
     case "csv" =>
       flattenForText(df).write.mode(mode).option("header", "true").csv(path)
@@ -70,7 +71,8 @@ object Sinks {
       writeXlsx(df, if (path.endsWith(".xlsx")) path else s"$path.xlsx", mode = mode)
     case other =>
       throw new IllegalArgumentException(
-        s"Unsupported sink format: $other (reference's pickle/looker are out of scope)")
+        s"Unsupported sink format: $other (reference's pickle/looker are out " +
+          "of scope; avro needs the spark-avro module, absent from this build)")
   }
 
   /** xlsx export (Load.py:210-213's `to_excel`): a BI handoff file, so —

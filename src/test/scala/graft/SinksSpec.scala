@@ -15,14 +15,15 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.dimFileName("agents") === "dict-agents")
   }
 
-  test("parquet/json/csv/tsv sinks round-trip with atomic _SUCCESS marker") {
+  test("parquet/orc/json/csv/tsv sinks round-trip with atomic _SUCCESS marker") {
     val base = Files.createTempDirectory("graft-sinks").toString
-    for (fmt <- Seq("parquet", "json", "csv", "tsv")) {
+    for (fmt <- Seq("parquet", "orc", "json", "csv", "tsv")) {
       val path = s"$base/$fmt"
       Sinks.write(df, path, fmt)
       assert(new java.io.File(s"$path/_SUCCESS").exists(), s"$fmt missing commit marker")
       val back = fmt match {
         case "parquet" => spark.read.parquet(path)
+        case "orc" => spark.read.orc(path)
         case "json" => spark.read.json(path)
         case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
         case "tsv" => spark.read.option("header", "true").option("sep", "\t")
@@ -72,6 +73,9 @@ class SinksSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Sinks.write(df, "/tmp/nope", "pickle"))
     assert(e.getMessage.contains("pickle"))
+    val a = intercept[IllegalArgumentException](
+      Sinks.write(df, "/tmp/nope", "avro"))
+    assert(a.getMessage.contains("spark-avro"))
   }
 
   test("xlsx sink: valid minimal OOXML package with typed cells") {
