@@ -226,4 +226,24 @@ object Selection {
     markBlocklisted(docs, urlCol, blocklist, domainCol, maxDepth)
       .filter(col("blocked_by").isNull)
       .drop("host", "blocked_by")
+
+  /** URL-level dedup — the CCNet/RefinedWeb step that runs BEFORE any
+    * content dedup: two fetches of the same page (tracking params,
+    * http/https, trailing slash) collapse to one document, keyed on
+    * [[canonicalizeUrl]]. Keeps the highest-`prefer` row per canonical
+    * URL (ties break on id) — e.g. the longest fetch, or the newest.
+    * One rank window keyed on the canonical URL: same shuffle shape as
+    * [[capPerSource]], with near-unique keys (skew impossible unless
+    * one URL dominates the crawl, which the crawler's own politeness
+    * prevents).
+    */
+  def dedupByCanonicalUrl(docs: DataFrame, urlCol: Column, idCol: String,
+                          prefer: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(canonicalizeUrl(urlCol))
+      .orderBy(prefer.desc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

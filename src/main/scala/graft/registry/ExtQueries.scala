@@ -1157,6 +1157,31 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_url_dedup" -> ((s, d) => {
+      // URL-level dedup (the CCNet step BEFORE content dedup): three
+      // synthesized fetch-variants of the same page — www+default-port
+      // +tracking+fragment+trailing-slash, bare, case+port+tracking —
+      // collapse onto one canonical URL per doc_id%50 group; keep the
+      // longest fetch (ties on id). The oracle asserts the EXPECTED
+      // canonical literal, so the engine's canonicalization of every
+      // messy variant is what's under test
+      val grp = pmod(col("doc_id"), lit(50)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("HTTPS://WWW.Site.COM:443/P/"), grp,
+            lit("/?utm_source=x#f")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://site.com/P/"), grp))
+        .otherwise(concat(lit("https://Site.com:443/P/"), grp,
+          lit("?gclid=1&ref=nav")))
+      graft.ext.Selection.dedupByCanonicalUrl(
+          t(s, d, "documents").withColumn("url", url), col("url"),
+          "doc_id", col("n_chars"))
+        .select(col("doc_id"),
+          graft.ext.Selection.canonicalizeUrl(col("url")).as("url_canon"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "x_embed_meanpool" -> ((s, d) =>
       // chunk→document embedding pooling: groups of 10 chunk vectors
       // mean-pool to one doc vector (decimal-exact per-dim means,
@@ -2609,6 +2634,22 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // the oracle asserts the EXPECTED canonical form as a literal — if
+    // the engine's canonicalization of any messy variant deviates, the
+    // group membership or the emitted canon string mismatches
+    "x_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://site.com/P/' || CAST(doc_id % 50 AS VARCHAR) AS url_canon
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, url_canon, n_chars,
+        |    row_number() OVER (PARTITION BY url_canon
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, url_canon, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // mean-pool replay: same struct-unnest explode as the x_kmeans
     // centroid fragment, same decimal(28,10) per-dim mean, 9 dp

@@ -102,6 +102,22 @@ class EvalSpec extends SparkSpec {
     assert(r2.getDouble(1) > 30.0 && !r2.getDouble(1).isInfinite)
   }
 
+  test("randomized: logLoss's distinct-group reduction equals the naive per-row mean") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map(_ => (rnd.nextBoolean(), rnd.nextInt(50) / 50.0))
+    val got = Eval.logLoss(rows.toDF("y", "s"), "y", "s").collect()(0).getDouble(1)
+    // naive reference: per-row 9-dp-rounded term, exact mean
+    val eps = 1e-15
+    val terms = rows.map { case (y, s) =>
+      val p = math.min(math.max(s, eps), 1.0 - eps)
+      val t = if (y) -math.log(p) else -math.log(1.0 - p)
+      BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = (terms.sum / terms.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"engine $got vs naive $want")
+  }
+
   test("logLoss is byte-identical under repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextInt(100) / 100.0))

@@ -131,6 +131,42 @@ class SelectionSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L))
   }
 
+  test("dedupByCanonicalUrl collapses tracking/slash/case/port variants") {
+    val d = Seq(
+      (0L, "HTTP://WWW.Ex.COM:80/a/?utm_source=1#f", 10L), // same page as 1
+      (1L, "http://ex.com/a", 30L),                        // longest -> kept
+      (2L, "http://ex.com/b", 5L),                         // distinct page
+      (3L, "http://ex.com/a?gclid=2", 30L)                 // ties 1 -> id wins
+    ).toDF("doc_id", "url", "n_chars")
+    val kept = Selection.dedupByCanonicalUrl(d, col("url"), "doc_id", col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("randomized: blocklist matching agrees with a reference implementation") {
+    val rnd = new scala.util.Random(23)
+    val labels = Seq("a", "b", "c", "co", "com", "net")
+    def randHost() =
+      (0 to rnd.nextInt(4)).map(_ => labels(rnd.nextInt(labels.size))).mkString(".")
+    val hosts = (0 until 300).map(i => (i.toLong, s"https://${randHost()}/p"))
+    val domains = (0 until 12).map(_ => randHost()).distinct
+    def refMatch(host: String): Option[String] = {
+      val ls = host.split("\\.")
+      val sufs = ls.indices.map(i => ls.drop(i).mkString("."))
+      val hits = sufs.filter(domains.contains)
+      if (hits.isEmpty) None else Some(hits.maxBy(h => (h.length, h)))
+    }
+    val got = Selection.markBlocklisted(hosts.toDF("doc_id", "url"),
+        col("url"), domains.toDF("domain"))
+      .select("doc_id", "host", "blocked_by")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    for ((id, host, blocked) <- got)
+      assert(blocked == refMatch(host),
+        s"host $host: engine=$blocked ref=${refMatch(host)} (domains=$domains)")
+    assert(got.size == hosts.size)
+  }
+
   test("markBlocklisted plans with zero corpus shuffle") {
     // blocklist matching is row-local: the corpus side must reach the
     // broadcast probes without an Exchange that repartitions the docs
