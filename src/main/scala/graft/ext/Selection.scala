@@ -43,40 +43,81 @@ object Selection {
     */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
                         isTarget: Column, nBuckets: Int = 256): DataFrame = {
-    val b = lit(nBuckets.toLong)
+    val model = fitImportanceModel(docs, textCol, idCol, isTarget, nBuckets)
+    docs.select(col(idCol).as("id"), isTarget.as("is_target"))
+      .join(scoreImportance(docs, textCol, idCol, model, nBuckets), Seq("id"))
+      .select(col("id"), col("is_target"), col("n_tokens"), col("weight"))
+  }
+
+  /** The tokenize→hash-bucket step shared by fit and score. */
+  private def tokenBuckets(docs: DataFrame, textCol: String, idCol: String,
+                           nBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("bucket",
+        pmod(graft.functions.VectorExpressions.fnv1a64(col("term")),
+          lit(nBuckets.toLong)))
+      .select(col("id"), col("bucket"))
+
+  /** Fit the DSIR bucket log-ratio model ALONE: `nBuckets` rows of
+    * (bucket, lr) — the persist-once / score-every-batch deployment
+    * shape. At 100 TB the target-vs-raw fit runs ONCE on a reference
+    * pool; each new crawl batch is then scored against the tiny
+    * persisted model ([[scoreImportance]]) with no refit and no pool
+    * rescan. The model enumerates ALL buckets (not just those the fit
+    * pool observed): a batch token hashing into a fit-unseen bucket
+    * scores the Laplace-default ratio instead of silently dropping.
+    */
+  def fitImportanceModel(docs: DataFrame, textCol: String, idCol: String,
+                         isTarget: Column, nBuckets: Int = 256): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .withColumn("bucket",
-        pmod(graft.functions.VectorExpressions.fnv1a64(col("term")), b))
-    val perDocBucket = toks.groupBy(col("id"), col("tgt"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val rawB = perDocBucket.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
-    val tgtB = perDocBucket.filter(col("tgt")).groupBy(col("bucket"))
-      .agg(sum(col("c")).as("ct"))
+        pmod(graft.functions.VectorExpressions.fnv1a64(col("term")),
+          lit(nBuckets.toLong)))
+    val rawB = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtB = toks.filter(col("tgt")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
     val totals = rawB.join(tgtB, Seq("bucket"), "left")
       .agg(sum(col("cr")).as("rTot"), sum(coalesce(col("ct"), lit(0L))).as("tTot"))
-    // both models live on the observed-bucket frame (≤ nBuckets rows);
     // Laplace(+1 over nBuckets) keeps target-absent buckets finite
-    val bucketLr = rawB.join(tgtB, Seq("bucket"), "left")
+    val allBuckets = docs.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    allBuckets
+      .join(rawB, Seq("bucket"), "left")
+      .join(tgtB, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(
           log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
               (col("tTot").cast("double") + lit(nBuckets.toDouble))) -
-          log((col("cr").cast("double") + lit(1.0)) /
+          log((coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
               (col("rTot").cast("double") + lit(nBuckets.toDouble))), 9)
           .as("lr"))
-    val perDoc = perDocBucket.groupBy(col("id"), col("bucket"))
-      .agg(sum(col("c")).as("c"))
-      .join(broadcast(bucketLr), Seq("bucket"))
+  }
+
+  /** Score a batch against a fitted (possibly parquet-persisted)
+    * model: one explode pass over the batch, a broadcast join on the
+    * `nBuckets`-row model, one per-doc aggregation — O(batch), never
+    * O(pool). Every batch doc keeps a row (0 tokens / null weight for
+    * empty text), like [[importanceWeights]]. `nBuckets` must match
+    * the fit.
+    */
+  def scoreImportance(docs: DataFrame, textCol: String, idCol: String,
+                      model: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val perDoc = tokenBuckets(docs, textCol, idCol, nBuckets)
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("bucket"))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_tokens"),
         round(sum((col("c").cast("double") * col("lr"))
           .cast("decimal(28,12)")).cast("double"), 6).as("weight"))
-    docs.select(col(idCol).as("id"), isTarget.as("is_target"))
+    docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("is_target"),
+      .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("weight"))
   }
 

@@ -1157,6 +1157,22 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_importance_incr" -> ((s, d) => {
+      // production DSIR shape: fit ONCE on a reference pool
+      // (doc_id < 400), persist the 256-row model, score each new
+      // crawl batch (doc_id >= 400) against it — O(batch) per batch,
+      // no refit, no pool rescan. Fit-unseen buckets score the
+      // Laplace-default ratio (the model enumerates ALL buckets)
+      val docs = t(s, d, "documents")
+      val model = graft.ext.Selection.fitImportanceModel(
+        docs.filter(col("doc_id") < 400), "text", "doc_id",
+        col("lang") === "en", nBuckets = 256)
+      graft.ext.Selection.scoreImportance(
+          docs.filter(col("doc_id") >= 400), "text", "doc_id", model,
+          nBuckets = 256)
+        .orderBy("id")
+    }),
+
     "x_url_dedup" -> ((s, d) => {
       // URL-level dedup (the CCNet step BEFORE content dedup): three
       // synthesized fetch-variants of the same page — www+default-port
@@ -2634,6 +2650,50 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // incremental-DSIR replay: model fit restricted to the reference
+    // pool (ALL 256 buckets, Laplace default for fit-unseen), batch
+    // scored against it — same FNV buckets, same 9-dp log-ratios,
+    // same decimal count-weighted sums
+    "x_importance_incr" ->
+      s"""WITH ftok AS (
+         |  SELECT (lang = 'en') AS tgt,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE doc_id < 400),
+         |fhb AS (
+         |  SELECT tgt,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM ftok WHERE term <> ''),
+         |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fhb GROUP BY 1),
+         |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM fhb WHERE tgt GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT coalesce(sum(cr), 0) FROM rawb) AS rtot,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot),
+         |allb AS (SELECT unnest(range(0, 256)) AS bucket),
+         |lrs AS (
+         |  SELECT allb.bucket,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
+         |        - ln((coalesce(cr, 0) + 1.0) / (rtot + 256.0)), 9) AS lr
+         |  FROM allb LEFT JOIN rawb USING (bucket)
+         |    LEFT JOIN tgtb USING (bucket), tot),
+         |btok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE doc_id >= 400),
+         |bhb AS (
+         |  SELECT doc_id,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM btok WHERE term <> ''),
+         |pb AS (SELECT doc_id, bucket, count(*) AS c FROM bhb GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, sum(c) AS n_tokens,
+         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM pb JOIN lrs USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |WHERE d.doc_id >= 400
+         |ORDER BY id""".stripMargin,
 
     // the oracle asserts the EXPECTED canonical form as a literal — if
     // the engine's canonicalization of any messy variant deviates, the

@@ -46,6 +46,32 @@ class SelectionSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("fit + score on the same pool equals importanceWeights exactly") {
+    val model = Selection.fitImportanceModel(docs, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64)
+    assert(model.count() == 64) // ALL buckets enumerated
+    val scored = Selection.scoreImportance(docs, "text", "doc_id", model,
+        nBuckets = 64).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val direct = Selection.importanceWeights(docs, "text", "doc_id",
+        col("lang") === "en", nBuckets = 64).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(scored == direct)
+  }
+
+  test("scoreImportance: fit-unseen tokens score the Laplace default, not dropped") {
+    // fit only on the alpha/beta docs; the batch is pure unseen vocab
+    val model = Selection.fitImportanceModel(docs.filter(col("doc_id") < 2),
+      "text", "doc_id", col("lang") === "en", nBuckets = 64)
+    val batch = Seq((9L, "zzz qqq vvv")).toDF("doc_id", "text")
+    val r = Selection.scoreImportance(batch, "text", "doc_id", model,
+      nBuckets = 64).collect()(0)
+    assert(r.getLong(1) == 3L, "unseen tokens must still count")
+    assert(!r.isNullAt(2), "unseen buckets carry the Laplace-default ratio")
+  }
+
   test("selectByImportance keeps the k most target-like docs") {
     val sel = Selection.selectByImportance(docs, "text", "doc_id",
         col("lang") === "en", k = 2, nBuckets = 64)
