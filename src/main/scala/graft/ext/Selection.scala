@@ -107,18 +107,53 @@ object Selection {
     */
   def scoreImportance(docs: DataFrame, textCol: String, idCol: String,
                       model: DataFrame, nBuckets: Int = 256): DataFrame = {
+    // integer×decimal product — EXACT (no double intermediate), which
+    // makes the sum per-token associative: Σ_bucket c·lr ≡ Σ_token lr
+    // in decimal, so [[scoreImportanceNarrow]] is bit-equal to this
     val perDoc = tokenBuckets(docs, textCol, idCol, nBuckets)
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_tokens"),
-        round(sum((col("c").cast("double") * col("lr"))
-          .cast("decimal(28,12)")).cast("double"), 6).as("weight"))
+        round(sum(col("c").cast("decimal(10,0)") *
+          col("lr").cast("decimal(18,12)")).cast("double"), 6).as("weight"))
     docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("weight"))
+  }
+
+  /** Per-ROW (narrow, stateless) scorer: the `nBuckets`-row model
+    * collects to a map literal — bounded by construction, the same
+    * budget as the IVF centroid pins — and the weight computes as ONE
+    * expression over the token array: no explode, no shuffle, no
+    * state. This is the Structured-Streaming deployment shape (score
+    * each arriving document against the persisted model inside a
+    * stateless micro-batch) and is BIT-EQUAL to [[scoreImportance]]:
+    * the batch form's per-bucket c·lr products are exact decimals, so
+    * summing per token in decimal reaches the identical value.
+    */
+  def scoreImportanceNarrow(docs: DataFrame, textCol: String, idCol: String,
+                            model: DataFrame,
+                            nBuckets: Int = 256): DataFrame = {
+    val entries = model.collect() // ≤ nBuckets rows by construction
+    val kv = entries.flatMap(r => Seq(lit(r.getLong(0)), lit(r.getDouble(1))))
+    val m = map(kv.toIndexedSeq: _*)
+    val toks = when(col(textCol).isNull, array())
+      .otherwise(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0))
+    // accumulator stays DECIMAL(32,12): each add yields (33,12) which
+    // re-casts exactly back (|sum| << 1e20) — keeping every step at
+    // 12-dp exact, so the fold reaches the batch scorer's value
+    val lrSum = aggregate(toks, lit(0).cast("decimal(32,12)"),
+      (acc, t) => (acc +
+        element_at(m, pmod(graft.functions.VectorExpressions.fnv1a64(t),
+          lit(nBuckets.toLong))).cast("decimal(18,12)"))
+        .cast("decimal(32,12)"))
+    docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(toks) > 0, round(lrSum.cast("double"), 6)).as("weight"))
   }
 
   /** The selection step on top of [[importanceWeights]]: keep the `k`

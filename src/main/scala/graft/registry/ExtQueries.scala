@@ -2520,7 +2520,7 @@ private[graft] object ExtQueries {
          |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
          |per AS (
          |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
          |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
          |  JOIN lrs USING (bucket) GROUP BY doc_id)
          |SELECT d.doc_id AS id, (d.lang = 'en') AS is_target,
@@ -2552,7 +2552,7 @@ private[graft] object ExtQueries {
          |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
          |per AS (
          |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
          |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
          |  JOIN lrs USING (bucket) GROUP BY doc_id),
          |sel AS (
@@ -2687,7 +2687,7 @@ private[graft] object ExtQueries {
          |pb AS (SELECT doc_id, bucket, count(*) AS c FROM bhb GROUP BY 1, 2),
          |per AS (
          |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
          |  FROM pb JOIN lrs USING (bucket) GROUP BY doc_id)
          |SELECT d.doc_id AS id,
          |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
@@ -2807,7 +2807,7 @@ private[graft] object ExtQueries {
          |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
          |per AS (
          |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
          |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
          |  JOIN lrs USING (bucket) GROUP BY doc_id),
          |sel AS (

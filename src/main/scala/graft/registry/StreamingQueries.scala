@@ -226,6 +226,38 @@ private[graft] object StreamingQueries {
         .orderBy("user_id", "click_id", "view_id")
     }),
 
+    "q_stream_score" -> ((s, d) => {
+      // STATELESS STREAMING SCORING: each arriving document scores
+      // against the persisted DSIR model as ONE narrow expression
+      // inside the micro-batch (scoreImportanceNarrow: model collapsed
+      // to a 256-entry map literal, weight = decimal fold over the
+      // token array) — no explode, no shuffle, no state store, no
+      // watermark. The 100 TB deployment shape for "score the crawl as
+      // it lands". One AvailableNow pass == the batch scorer bit-for-
+      // bit, so the oracle is the plain batch replay.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "documents").schema
+      val tmp = scratchDir("graft-sscore")
+      stageDrop(s"$d/documents.parquet", s"$tmp/in", "documents.parquet")
+      val model = graft.ext.Selection.fitImportanceModel(
+        t(ss, d, "documents").filter(col("doc_id") < 400), "text", "doc_id",
+        col("lang") === "en", nBuckets = 256)
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      val scored = graft.ext.Selection.scoreImportanceNarrow(
+        stream, "text", "doc_id", model, nBuckets = 256)
+      val q = scored.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("id")
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -349,6 +381,48 @@ private[graft] object StreamingQueries {
       """SELECT o_orderkey, c_mktsegment, o_totalprice
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // batch replay of the streaming scorer: model fit on doc_id < 400,
+    // EVERY document scored — same FNV buckets, 9-dp log-ratios,
+    // exact integer×decimal count-weighted sums
+    "q_stream_score" ->
+      s"""WITH ftok AS (
+         |  SELECT (lang = 'en') AS tgt,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE doc_id < 400),
+         |fhb AS (
+         |  SELECT tgt,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM ftok WHERE term <> ''),
+         |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fhb GROUP BY 1),
+         |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM fhb WHERE tgt GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT coalesce(sum(cr), 0) FROM rawb) AS rtot,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot),
+         |allb AS (SELECT unnest(range(0, 256)) AS bucket),
+         |lrs AS (
+         |  SELECT allb.bucket,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
+         |        - ln((coalesce(cr, 0) + 1.0) / (rtot + 256.0)), 9) AS lr
+         |  FROM allb LEFT JOIN rawb USING (bucket)
+         |    LEFT JOIN tgtb USING (bucket), tot),
+         |btok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |bhb AS (
+         |  SELECT doc_id,
+         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
+         |  FROM btok WHERE term <> ''),
+         |pb AS (SELECT doc_id, bucket, count(*) AS c FROM bhb GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, sum(c) AS n_tokens,
+         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
+         |  FROM pb JOIN lrs USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
 
     // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
     // batch gap islands (the same SQL the batch sessionize row uses;

@@ -61,6 +61,24 @@ class SelectionSpec extends SparkSpec {
     assert(scored == direct)
   }
 
+  test("scoreImportanceNarrow is bit-equal to the batch scorer") {
+    val model = Selection.fitImportanceModel(docs, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val narrow = rows(Selection.scoreImportanceNarrow(docs, "text", "doc_id",
+      model, nBuckets = 64))
+    val batch = rows(Selection.scoreImportance(docs, "text", "doc_id",
+      model, nBuckets = 64))
+    assert(narrow == batch)
+    // null text scores like empty text
+    val n = Selection.scoreImportanceNarrow(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "text", "doc_id", model, nBuckets = 64).collect()(0)
+    assert(n.getLong(1) == 0L && n.isNullAt(2))
+  }
+
   test("scoreImportance: fit-unseen tokens score the Laplace default, not dropped") {
     // fit only on the alpha/beta docs; the batch is pure unseen vocab
     val model = Selection.fitImportanceModel(docs.filter(col("doc_id") < 2),
