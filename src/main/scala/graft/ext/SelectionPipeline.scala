@@ -31,15 +31,19 @@ object SelectionPipeline {
     * survivors. NOTE the DSIR raw model is fit on the CAPPED pool —
     * fitting it upstream of the cap would let a megadomain's token
     * distribution define "raw" and bias every weight toward it.
+    * `urlDedupPrefer` switches on the RefinedWeb stage between
+    * blocklist and quality: collapse same-canonical-URL fetches to the
+    * highest-`prefer` row ([[Selection.dedupByCanonicalUrl]]).
     */
   def select(docs: DataFrame, urlCol: Column, blocklist: DataFrame,
              textCol: String, idCol: String, sourceCol: String,
              capOrder: Column, isTarget: Column,
              minQuality: Double = 0.5, maxPerSource: Int = 1000,
-             k: Int = 1000, nBuckets: Int = 256): DataFrame =
+             k: Int = 1000, nBuckets: Int = 256,
+             urlDedupPrefer: Option[Column] = None): DataFrame =
     Selection.selectByImportance(
       cappedPool(docs, urlCol, blocklist, textCol, idCol, sourceCol,
-        capOrder, minQuality, maxPerSource),
+        capOrder, minQuality, maxPerSource, urlDedupPrefer),
       textCol, idCol, isTarget, k, nBuckets)
 
   /** The chain with per-stage counts (each stage evaluated once more —
@@ -66,9 +70,16 @@ object SelectionPipeline {
                          blocklist: DataFrame, textCol: String,
                          idCol: String, sourceCol: String,
                          capOrder: Column, minQuality: Double,
-                         maxPerSource: Int): DataFrame =
+                         maxPerSource: Int,
+                         urlDedupPrefer: Option[Column] = None): DataFrame = {
+    val unblocked = Selection.filterByBlocklist(docs, urlCol, blocklist)
+    val urlDeduped = urlDedupPrefer match {
+      case Some(prefer) =>
+        Selection.dedupByCanonicalUrl(unblocked, urlCol, idCol, prefer)
+      case None => unblocked
+    }
     Selection.capPerSource(
-      Selection.filterByBlocklist(docs, urlCol, blocklist)
-        .filter(TextOps.qualityScore(col(textCol)) >= minQuality),
+      urlDeduped.filter(TextOps.qualityScore(col(textCol)) >= minQuality),
       sourceCol, idCol, capOrder, maxPerSource)
+  }
 }

@@ -41,6 +41,22 @@ class SelectionPipelineSpec extends SparkSpec {
     assert(!ids.contains(0L) && !ids.contains(4L))
   }
 
+  test("urlDedupPrefer collapses same-canonical-URL fetches before quality") {
+    // doc 2 is a tracking-param refetch of doc 1's page; prefer length
+    // keeps doc 1 (400 > 300)
+    val d = docs.withColumn("url",
+      when(col("doc_id") === 2, lit("https://ok.org/b?utm_source=x"))
+        .otherwise(when(col("doc_id") === 1, lit("https://ok.org/b"))
+          .otherwise(col("url"))))
+    val sel = SelectionPipeline.select(
+      d, col("url"), blocklist, "text", "doc_id", "source",
+      capOrder = col("n_chars"), isTarget = col("lang") === "en",
+      minQuality = 0.5, maxPerSource = 10, k = 10, nBuckets = 64,
+      urlDedupPrefer = Some(col("n_chars")))
+    val ids = sel.select("id").as[Long].collect().toSet
+    assert(!ids.contains(2L) && ids.contains(1L))
+  }
+
   test("k caps the selection by importance weight") {
     val sel = SelectionPipeline.select(
       docs, col("url"), blocklist, "text", "doc_id", "source",
