@@ -2712,7 +2712,18 @@ private[graft] object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // mean-pool replay: same struct-unnest explode as the x_kmeans
-    // centroid fragment, same decimal(28,10) per-dim mean, 9 dp
+    // centroid fragment, same decimal(28,10) per-dim mean, 9 dp.
+    // ROUNDING PARITY: Spark's round(double, 9) is HALF_UP on
+    // BigDecimal.valueOf(d) — the SHORTEST decimal representation of
+    // the double, not its exact binary expansion. DuckDB's plain
+    // round(double, 9) multiplies by 1e9 in floating point, which can
+    // mis-tie within ~1 ulp of a half boundary (hit once in 320k
+    // samples at the 10× soak). The faithful replay rounds the
+    // shortest round-trip form: VARCHAR cast (shortest repr, same
+    // unique digits Java's Double.toString emits) → DECIMAL(38,30)
+    // (captures all ≤17 significant digits of any value near a 9-dp
+    // half boundary — scale 18 truncated 19-digit reprs back onto the
+    // boundary) → round half-away-from-zero (== HALF_UP).
     "x_embed_meanpool" ->
       """WITH e AS (SELECT vec_id // 10 AS doc, embedding AS v FROM embeddings),
         |d AS (
@@ -2721,7 +2732,7 @@ private[graft] object ExtQueries {
         |  FROM e),
         |dx AS (SELECT doc, s.dim AS dim, s.x AS x FROM d)
         |SELECT doc, dim,
-        |  round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+        |  CAST(round(CAST(CAST(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,30)), 9) AS DOUBLE) AS m
         |FROM dx GROUP BY doc, dim ORDER BY doc, dim""".stripMargin,
 
     // whole-chain replay: blocklist anti-filter → quality score →
