@@ -315,8 +315,13 @@ object Selection {
     */
   def dedupByCanonicalUrl(docs: DataFrame, urlCol: Column, idCol: String,
                           prefer: Column): DataFrame = {
+    // a null URL canonicalizes to null — those rows must each survive
+    // (no URL ≠ same URL), so null-canon docs key on their own id
+    // instead of collapsing into one all-null group
+    val key = coalesce(canonicalizeUrl(urlCol),
+      concat(lit(" noUrl:"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(canonicalizeUrl(urlCol))
+      .partitionBy(key)
       .orderBy(prefer.desc, col(idCol).asc)
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -187,6 +187,17 @@ class SelectionSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("dedupByCanonicalUrl: null-URL docs each survive (no URL != same URL)") {
+    val d = Seq(
+      (0L, null.asInstanceOf[String], 10L),
+      (1L, null.asInstanceOf[String], 20L),
+      (2L, "http://ex.com/a", 5L)
+    ).toDF("doc_id", "url", "n_chars")
+    val kept = Selection.dedupByCanonicalUrl(d, col("url"), "doc_id", col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L))
+  }
+
   test("randomized: blocklist matching agrees with a reference implementation") {
     val rnd = new scala.util.Random(23)
     val labels = Seq("a", "b", "c", "co", "com", "net")
