@@ -294,4 +294,53 @@ object Corpus {
     graft.functions.VectorExpressions.fnv1a64(
       concat(coalesce(key.cast("string"), lit("\u0000null")),
         lit(":"), lit(seed.toString)))
+
+  /** Corpus datasheet (Gebru et al. 2021, "Datasheets for Datasets"):
+    * the standard release-notes numbers in one uniform
+    * (section, key, n, v) frame — totals, per-language and per-source
+    * composition with fractions, and discrete length percentiles
+    * (lowest value whose ascending rank ≥ ⌈p·N⌉, ties on id — the
+    * engine-agnostic definition, like quantileBins). A report call,
+    * not a hot-path operator: a handful of aggregations over the
+    * corpus, each map-side-combined; the percentile lookup is one
+    * global rank over (len, id).
+    */
+  def datasheet(docs: DataFrame, textCol: String, idCol: String,
+                langCol: String, sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(t).cast("long")).as("n_chars"),
+      sum(TextOps.tokenCountWs(t).cast("long")).as("n_tokens"))
+    val corpus = totals.select(explode(array(
+        struct(lit("corpus").as("section"), lit("n_docs").as("key"),
+          col("n_docs").as("n"), lit(null).cast("double").as("v")),
+        struct(lit("corpus").as("section"), lit("n_chars").as("key"),
+          col("n_chars").as("n"), lit(null).cast("double").as("v")),
+        struct(lit("corpus").as("section"), lit("n_tokens_ws").as("key"),
+          col("n_tokens").as("n"), lit(null).cast("double").as("v"))))
+        .as("r"))
+      .select(col("r.*"))
+    def composition(section: String, c: Column) = docs
+      .groupBy(c.as("key")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals.select(col("n_docs").as("__tot"))))
+      .select(lit(section).as("section"), col("key").cast("string").as("key"),
+        col("n"), round(col("n").cast("double") / col("__tot"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len").asc, col(idCol).asc)
+    val ranked = docs
+      .select(length(t).cast("long").as("len"), col(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(totals.select(col("n_docs").as("__tot"))))
+    val pcts = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val lengthRows = pcts.map { case (p, name) =>
+      ranked.filter(col("__rk") === ceil(lit(p) * col("__tot")).cast("int"))
+        .select(lit("length_chars").as("section"), lit(name).as("key"),
+          col("len").as("n"), lit(null).cast("double").as("v"))
+    }.reduce(_.unionByName(_))
+    corpus
+      .unionByName(composition("lang", col(langCol)))
+      .unionByName(composition("source", col(sourceCol)))
+      .unionByName(lengthRows)
+  }
 }

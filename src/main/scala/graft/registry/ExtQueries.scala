@@ -1157,6 +1157,14 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_datasheet" -> ((s, d) =>
+      // corpus release datasheet: totals, per-lang/source composition
+      // with fractions, discrete length percentiles — one uniform
+      // (section, key, n, v) frame
+      graft.ext.Corpus.datasheet(t(s, d, "documents"),
+          "text", "doc_id", "lang", "source")
+        .orderBy("section", "key")),
+
     "x_importance_incr" -> ((s, d) => {
       // production DSIR shape: fit ONCE on a reference pool
       // (doc_id < 400), persist the 256-row model, score each new
@@ -2650,6 +2658,45 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // datasheet replay: same whitespace token count as x_text_stats,
+    // same ⌈p·N⌉ discrete-rank percentile definition (ties on doc_id)
+    "x_datasheet" ->
+      """WITH tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS n,
+        |    CAST(NULL AS DOUBLE) AS v FROM tot
+        |  UNION ALL SELECT 'corpus', 'n_chars', n_chars, NULL FROM tot
+        |  UNION ALL SELECT 'corpus', 'n_tokens_ws', n_tokens, NULL FROM tot),
+        |langs AS (
+        |  SELECT 'lang' AS section, lang AS key, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS v
+        |  FROM documents GROUP BY lang),
+        |sources AS (
+        |  SELECT 'source' AS section, source AS key, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS v
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS len,
+        |    row_number() OVER (ORDER BY length(text) ASC, doc_id ASC) AS rk
+        |  FROM documents),
+        |pct AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+        |        unnest(['p25', 'p50', 'p75', 'p95']) AS key),
+        |lens AS (
+        |  SELECT 'length_chars' AS section, pct.key AS key, r.len AS n,
+        |    CAST(NULL AS DOUBLE) AS v
+        |  FROM pct JOIN ranked r
+        |    ON r.rk = CAST(ceil(pct.p * (SELECT n_docs FROM tot)) AS INTEGER))
+        |SELECT * FROM corpus
+        |UNION ALL SELECT * FROM langs
+        |UNION ALL SELECT * FROM sources
+        |UNION ALL SELECT * FROM lens
+        |ORDER BY section, key""".stripMargin,
 
     // incremental-DSIR replay: model fit restricted to the reference
     // pool (ALL 256 buckets, Laplace default for fit-unseen), batch

@@ -185,4 +185,30 @@ class CorpusSpec extends SparkSpec {
       Corpus.assignSplit(docs, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("datasheet: hand-computed totals, composition, percentiles") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b", "en", "s0"),     // 3 chars, 2 tokens
+      (1L, "abcde", "en", "s0"),   // 5 chars, 1 token
+      (2L, "x y z w", "de", "s1"), // 7 chars, 4 tokens
+      (3L, "", "de", "s1")         // 0 chars, 0 tokens
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Corpus.datasheet(docs, "text", "doc_id", "lang", "source")
+      .orderBy("section", "key").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(rows(("corpus", "n_docs")) == ((4L, None)))
+    assert(rows(("corpus", "n_chars")) == ((15L, None)))
+    assert(rows(("corpus", "n_tokens_ws")) == ((7L, None)))
+    assert(rows(("lang", "en")) == ((2L, Some(0.5))))
+    assert(rows(("source", "s1")) == ((2L, Some(0.5))))
+    // ascending lens 0,3,5,7: p25->rank ceil(1)=1 -> 0; p50->rank 2 -> 3;
+    // p75->rank 3 -> 5; p95->rank ceil(3.8)=4 -> 7
+    assert(rows(("length_chars", "p25"))._1 == 0L)
+    assert(rows(("length_chars", "p50"))._1 == 3L)
+    assert(rows(("length_chars", "p75"))._1 == 5L)
+    assert(rows(("length_chars", "p95"))._1 == 7L)
+    assert(rows.size == 3 + 2 + 2 + 4)
+  }
 }
