@@ -144,6 +144,26 @@ object Eval {
     * it), each group's 9-dp-rounded term scales by its exact count in
     * DECIMAL, and ONE final division closes. Returns (n, log_loss).
     */
+  /** Brier score — mean squared error of the probability forecast,
+    * −∂-free companion to [[logLoss]] (bounded [0,1], no clamp
+    * needed). Same distinct-(p,y) reduction and rounding discipline:
+    * per-group 9-dp term × exact count in decimal, one division.
+    * Returns (n, brier).
+    */
+  def brier(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val p = col(scoreCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    df.select(p.as("p"), y.as("y"))
+      .groupBy(col("p"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term", round(
+        (col("p") - col("y")) * (col("p") - col("y")), 9))
+      .agg(sum(col("c")).as("n"),
+        round(sum(col("c").cast("decimal(10,0)") *
+            col("term").cast("decimal(18,9)")).cast("double") /
+          sum(col("c")), 6).as("brier"))
+  }
+
   def logLoss(df: DataFrame, labelCol: String, scoreCol: String,
               eps: Double = 1e-15): DataFrame = {
     val p0 = col(scoreCol).cast("double")

@@ -264,6 +264,16 @@ private[graft] object AnalyticsQueries {
         "y", "score", Seq(0.25, 0.5, 0.75))
         .orderBy("threshold")),
 
+    "q_brier" -> ((s, d) =>
+      // Brier score of the same ramp scorer — distinct-(p,y) groups,
+      // 9-dp squared-error terms, exact integer×decimal weighted mean
+      graft.ext.Eval.brier(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score")),
+
     "q_logloss" -> ((s, d) =>
       // mean binary cross-entropy with the distinct-(p,y) reduction:
       // ln evaluates O(distinct scores) times (997 ramp values), each
@@ -485,6 +495,23 @@ private[graft] object AnalyticsQueries {
           (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("decimal(30,4)"))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q_tpch14" -> ((s, d) => {
+      // TPC-H Q14 (promotion effect): one-month fact slice ⋈ part dim,
+      // conditional revenue share — both revenue sums exact decimal,
+      // cast to double while far under 15.95 digits, ONE division
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("decimal(30,4)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(30,4)"))).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_revenue_pct"))
     }),
 
     "q_tpch18" -> ((s, d) => {
@@ -1228,6 +1255,17 @@ private[graft] object AnalyticsQueries {
         |  CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c ORDER BY threshold""".stripMargin,
 
+    "q_brier" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS p
+        |  FROM lineitem),
+        |g AS (SELECT p, y, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY p, y),
+        |m AS (SELECT c, round((p - y) * (p - y), 9) AS term FROM g)
+        |SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(term AS DECIMAL(18,9))) AS DOUBLE) / sum(c), 6) AS brier
+        |FROM m""".stripMargin,
+
     // log-loss replay: same clamp, same distinct-(p,y) reduction, same
     // 9-dp term rounding and decimal count-weighted sum
     "q_logloss" ->
@@ -1446,6 +1484,16 @@ private[graft] object AnalyticsQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch14" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+        |      ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin,
 
     "q_tpch18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -118,6 +118,17 @@ class EvalSpec extends SparkSpec {
     assert(got == want, s"engine $got vs naive $want")
   }
 
+  test("brier: hand-computed and perfect/worst forecasts") {
+    // y=1 @ p=0.8 -> 0.04; y=0 @ p=0.3 -> 0.09; mean 0.065
+    val r = Eval.brier(Seq((true, 0.8), (false, 0.3)).toDF("y", "s"),
+      "y", "s").collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 0.065)
+    assert(Eval.brier(Seq((true, 1.0), (false, 0.0)).toDF("y", "s"),
+      "y", "s").collect()(0).getDouble(1) == 0.0)
+    assert(Eval.brier(Seq((true, 0.0), (false, 1.0)).toDF("y", "s"),
+      "y", "s").collect()(0).getDouble(1) == 1.0)
+  }
+
   test("logLoss is byte-identical under repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextInt(100) / 100.0))
