@@ -36,10 +36,18 @@ object Sq {
     */
   def quantize(df: DataFrame, vecCol: String, idCol: String,
                keepVec: Boolean = false): DataFrame = {
+    // a NaN/Inf element (upstream bug) must surface as an explicit
+    // null encoding, not as silently-garbage codes: maxAbs propagates
+    // the non-finite value, and the guard nulls scale+codes for the
+    // whole vector (SqSpec pins it)
+    val rawScale = maxAbs(col("__v")) / lit(127.0)
     val enc = df.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("scale", maxAbs(col("__v")) / lit(127.0))
+      .withColumn("scale",
+        when(isnan(rawScale) || rawScale === Double.PositiveInfinity,
+          lit(null).cast("double")).otherwise(rawScale))
       .withColumn("codes",
-        when(col("scale") === 0.0,
+        when(col("scale").isNull, lit(null).cast("array<int>"))
+          .when(col("scale") === 0.0,
             transform(col("__v"), _ => lit(0)))
           .otherwise(transform(col("__v"),
             x => round(x.cast("double") / col("scale")).cast("int"))))

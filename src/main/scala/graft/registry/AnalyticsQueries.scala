@@ -497,6 +497,27 @@ private[graft] object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    "q_tpch19" -> ((s, d) => {
+      // TPC-H Q19 shape (discounted revenue, OR-of-ANDs predicate):
+      // the disjunctive join filter — Catalyst extracts the common
+      // l_partkey = p_partkey equi-key so the OR bands evaluate as a
+      // post-join filter on a hash join, never a nested loop
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("decimal(30,4)")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(rev).cast("double").as("revenue"))
+    }),
+
     "q_tpch14" -> ((s, d) => {
       // TPC-H Q14 (promotion effect): one-month fact slice ⋈ part dim,
       // conditional revenue share — both revenue sums exact decimal,
@@ -1484,6 +1505,14 @@ private[graft] object AnalyticsQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch19" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
 
     "q_tpch14" ->
       """SELECT round(100.0 *

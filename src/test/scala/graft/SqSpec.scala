@@ -103,6 +103,18 @@ class SqSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("non-finite elements null the whole encoding instead of silent garbage") {
+    val weird = Seq(
+      (0L, Array(1.0f, Float.NaN, 0.5f, 0.0f)),
+      (1L, Array(Float.PositiveInfinity, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, -0.5f, 0.25f, 0.0f)) // finite neighbor unaffected
+    ).toDF("vec_id", "embedding")
+    val got = Sq.quantize(weird, "embedding", "vec_id").orderBy("vec_id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(!got(2).isNullAt(1) && got(2).getSeq[Int](2) == Seq(127, -64, 32, 0))
+  }
+
   test("quantize is byte-identical under repartitioning") {
     val a = Sq.quantize(vecs.repartition(5), "embedding", "vec_id")
       .orderBy("vec_id").collect().toSeq
