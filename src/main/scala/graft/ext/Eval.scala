@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,44 @@ object Eval {
     * it), each group's 9-dp-rounded term scales by its exact count in
     * DECIMAL, and ONE final division closes. Returns (n, log_loss).
     */
+  /** nDCG@k — graded ranking quality of `results` (query_id, doc_id,
+    * rank) against `relevance` (query_id, doc_id, rel): DCG =
+    * Σ_{rank≤k} rel/log₂(rank+1), normalized by the ideal DCG of the
+    * k best relevance grades (ties on doc_id — deterministic).
+    * Unjudged result docs score rel 0 (the standard IR convention).
+    * Per-rank terms round to 9 dp and accumulate in DECIMAL, so the
+    * per-query sums are order-independent; ndcg divides the two 6-dp
+    * readouts (null when a query has no relevant docs at all).
+    *
+    * Scale shape: one bounded join of the k·|queries| result rows
+    * against relevance, plus one rank window over relevance keyed by
+    * query — nothing pairs corpus×corpus.
+    */
+  def ndcgAtK(results: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    val log2 = (c: Column) => log(c) / log(lit(2.0))
+    val dcg = results.filter(col("rank") <= k)
+      .join(relevance, Seq("query_id", "doc_id"), "left")
+      .withColumn("term", round(
+        coalesce(col("rel").cast("double"), lit(0.0)) /
+          log2(col("rank") + lit(1.0)), 9))
+      .groupBy(col("query_id"))
+      .agg(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+        .as("dcg"))
+    val iw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = relevance.withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .withColumn("term", round(col("rel").cast("double") /
+        log2(col("irank") + lit(1.0)), 9))
+      .groupBy(col("query_id"))
+      .agg(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+        .as("idcg"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .withColumn("idcg", coalesce(col("idcg"), lit(0.0)))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
   /** Brier score — mean squared error of the probability forecast,
     * −∂-free companion to [[logLoss]] (bounded [0,1], no clamp
     * needed). Same distinct-(p,y) reduction and rounding discipline:

@@ -1157,6 +1157,27 @@ private[graft] object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "x_ndcg" -> ((s, d) => {
+      // ranking-quality readout for the similarity tier: nDCG@10 of
+      // exact cosine neighbors against label-match relevance (doc
+      // relevant ⇔ it shares the query's label) — the eval that says
+      // whether embedding geometry aligns with the labels, graded by
+      // position. Ranks from the oracle-proven brute force; ideal
+      // ranking over the full judged pool, ties on doc_id.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val res = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      val ql = q.select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val rel = e.select(col("vec_id").as("doc_id"), col("label"))
+        .crossJoin(broadcast(ql))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("label") === col("qlab"), lit(1.0)).otherwise(lit(0.0))
+            .as("rel"))
+      graft.ext.Eval.ndcgAtK(res, rel, k = 10).orderBy("query_id")
+    }),
+
     "x_datasheet" -> ((s, d) =>
       // corpus release datasheet: totals, per-lang/source composition
       // with fractions, discrete length percentiles — one uniform
@@ -2658,6 +2679,52 @@ private[graft] object ExtQueries {
         |      b.dom))
         |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
         |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+
+    // nDCG replay: the brute-force cosine ranking CTEs (as in
+    // x_ann_bruteforce), label-match relevance, same 9-dp terms /
+    // decimal sums / 6-dp readouts, same ln-ratio log₂
+    "x_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        |  FROM c, q WHERE c.corpus_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored),
+        |res AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+        |ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings WHERE vec_id < 5),
+        |rel AS (
+        |  SELECT ql.query_id, e.vec_id AS doc_id,
+        |    CASE WHEN e.label = ql.qlab THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM embeddings e, ql WHERE e.vec_id <> ql.query_id),
+        |dt AS (
+        |  SELECT r.query_id,
+        |    round(coalesce(rel.rel, 0) / (ln(r.rank + 1.0) / ln(2.0)), 9) AS term
+        |  FROM res r LEFT JOIN rel
+        |    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id),
+        |dcg AS (
+        |  SELECT query_id,
+        |    round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS dcg
+        |  FROM dt GROUP BY query_id),
+        |ideal AS (
+        |  SELECT query_id, rel,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+        |  FROM rel),
+        |it AS (
+        |  SELECT query_id, round(rel / (ln(irank + 1.0) / ln(2.0)), 9) AS term
+        |  FROM ideal WHERE irank <= 10),
+        |idcg AS (
+        |  SELECT query_id,
+        |    round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS idcg
+        |  FROM it GROUP BY query_id)
+        |SELECT d.query_id, d.dcg, coalesce(i.idcg, 0.0) AS idcg,
+        |  CASE WHEN coalesce(i.idcg, 0) > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
+        |FROM dcg d LEFT JOIN idcg i USING (query_id) ORDER BY d.query_id""".stripMargin,
 
     // datasheet replay: same whitespace token count as x_text_stats,
     // same ⌈p·N⌉ discrete-rank percentile definition (ties on doc_id)

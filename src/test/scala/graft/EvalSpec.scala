@@ -118,6 +118,27 @@ class EvalSpec extends SparkSpec {
     assert(got == want, s"engine $got vs naive $want")
   }
 
+  test("ndcgAtK: perfect ranking scores 1, inverted scores less") {
+    val rel = Seq((1L, 10L, 1.0), (1L, 11L, 1.0), (1L, 12L, 0.0))
+      .toDF("query_id", "doc_id", "rel")
+    val perfect = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val p = Eval.ndcgAtK(perfect, rel, k = 3).collect()(0)
+    assert(p.getDouble(3) == 1.0)
+    // relevant docs pushed to ranks 2,3: dcg = 1/log2(3)+1/log2(4)
+    //   = 0.630930+0.5 = 1.13093; idcg = 1+1/log2(3) = 1.630930
+    val inverted = Seq((1L, 12L, 1), (1L, 10L, 2), (1L, 11L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val i = Eval.ndcgAtK(inverted, rel, k = 3).collect()(0)
+    assert(i.getDouble(1) == 1.13093 && i.getDouble(2) == 1.63093)
+    assert(i.getDouble(3) == 0.693426)
+    // unjudged result doc scores 0; all-zero relevance -> null ndcg
+    val nr = Seq((2L, 10L, 0.0)).toDF("query_id", "doc_id", "rel")
+    val r2 = Eval.ndcgAtK(Seq((2L, 10L, 1)).toDF("query_id", "doc_id", "rank"),
+      nr, k = 3).collect()(0)
+    assert(r2.getDouble(1) == 0.0 && r2.isNullAt(3))
+  }
+
   test("brier: hand-computed and perfect/worst forecasts") {
     // y=1 @ p=0.8 -> 0.04; y=0 @ p=0.3 -> 0.09; mean 0.065
     val r = Eval.brier(Seq((true, 0.8), (false, 0.3)).toDF("y", "s"),
