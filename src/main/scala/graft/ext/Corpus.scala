@@ -302,8 +302,10 @@ object Corpus {
     * (lowest value whose ascending rank ≥ ⌈p·N⌉, ties on id — the
     * engine-agnostic definition, like quantileBins). A report call,
     * not a hot-path operator: a handful of aggregations over the
-    * corpus, each map-side-combined; the percentile lookup is one
-    * global rank over (len, id).
+    * corpus, each map-side-combined; ALL percentile targets resolve in
+    * ONE cumulative pass whose window sees distinct length VALUES
+    * (never document rows), so even the report path is corpus-scale
+    * safe.
     */
   def datasheet(docs: DataFrame, textCol: String, idCol: String,
                 langCol: String, sourceCol: String): DataFrame = {
@@ -326,18 +328,29 @@ object Corpus {
       .crossJoin(broadcast(totals.select(col("n_docs").as("__tot"))))
       .select(lit(section).as("section"), col("key").cast("string").as("key"),
         col("n"), round(col("n").cast("double") / col("__tot"), 6).as("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("len").asc, col(idCol).asc)
-    val ranked = docs
-      .select(length(t).cast("long").as("len"), col(idCol))
-      .withColumn("__rk", row_number().over(w))
-      .crossJoin(broadcast(totals.select(col("n_docs").as("__tot"))))
+    // ONE pass for all four percentiles, and the window runs over
+    // DISTINCT length values (the q_auc trick), not corpus rows: the
+    // value at ascending (len, id)-rank r is the smallest len whose
+    // cumulative count reaches r, so prev_cum < ceil(p*N) <= cum picks
+    // each target without ever ranking individual documents
     val pcts = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-    val lengthRows = pcts.map { case (p, name) =>
-      ranked.filter(col("__rk") === ceil(lit(p) * col("__tot")).cast("int"))
-        .select(lit("length_chars").as("section"), lit(name).as("key"),
-          col("len").as("n"), lit(null).cast("double").as("v"))
-    }.reduce(_.unionByName(_))
+    val wl = org.apache.spark.sql.expressions.Window.orderBy(col("len").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = docs.select(length(t).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wl))
+      .crossJoin(broadcast(totals.select(col("n_docs").as("__tot"))))
+    val targets = pcts.map { case (p, name) =>
+      struct(ceil(lit(p) * col("__tot")).cast("long").as("rk"),
+        lit(name).as("key"))
+    }
+    val lengthRows = cum
+      .select(col("len"), col("__c"), col("__cum"),
+        explode(array(targets: _*)).as("__t"))
+      .filter(col("__cum") >= col("__t.rk") &&
+        col("__cum") - col("__c") < col("__t.rk"))
+      .select(lit("length_chars").as("section"), col("__t.key").as("key"),
+        col("len").as("n"), lit(null).cast("double").as("v"))
     corpus
       .unionByName(composition("lang", col(langCol)))
       .unionByName(composition("source", col(sourceCol)))

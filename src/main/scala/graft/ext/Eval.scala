@@ -12,26 +12,65 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Exact ROC AUC via the Mann–Whitney statistic, computed WITHOUT a
-    * global row sort: scores first reduce to one row per DISTINCT
-    * score (the only shuffle that touches data volume), then a window
-    * over the score groups accumulates negatives-below; AUC =
-    * Σ_s nPos_s·(negBelow_s + nNeg_s/2) / (nPos·nNeg), ties counting
-    * half. The window runs over |distinct scores| rows, not |rows| —
-    * at 100 TB with bounded-precision scores that's the difference
-    * between sorting the fact table and sorting a few thousand group
-    * rows. All terms stay integral (doubled to absorb the half-tie)
-    * until the single final division.
+  /** Exact-to-6-dp ROC AUC via the Mann–Whitney statistic, computed
+    * WITHOUT a global row sort: scores first reduce to one row per
+    * DISTINCT score (the only shuffle that touches data volume), then
+    * a window over the score groups accumulates negatives-below;
+    * AUC = Σ_s nPos_s·(negBelow_s + nNeg_s/2) / (nPos·nNeg), ties
+    * counting half. All terms stay integral (doubled to absorb the
+    * half-tie) until the single final division.
+    *
+    * DOCUMENTED CONTRACT — bounded distinct-score domain: scores are
+    * rounded to 6 dp BEFORE grouping, so the Mann–Whitney window sees
+    * at most 1e6·range(score)+1 group rows — for probability scores in
+    * [0,1] (the LLM-pipeline use) that is <= 1e6+1, independent of row
+    * count, even when the input is raw continuous model probabilities
+    * where distinct would otherwise ≈ |rows|.
+    * Merging scores within 1e-6 converts strict wins to half-tie
+    * credit for pairs closer than 1e-6 apart, perturbing AUC by less
+    * than 1e-6 per such pair fraction — far inside the 6-dp readout.
+    * For a sketch-shaped companion with O(nBins) mergeable state, see
+    * [[aucBinned]].
     *
     * Returns one row: (n_pos, n_neg, auc). Degenerate inputs (no
     * positives or no negatives) yield a null auc.
     */
-  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val byScore = df
-      .select(col(scoreCol).cast("double").as("s"),
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    mannWhitney(df
+      .select(round(col(scoreCol).cast("double"), 6).as("s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
       .groupBy(col("s"))
-      .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s"))
+      .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s")),
+      "auc")
+
+  /** Binned approximate ROC AUC — the sketch companion to [[auc]] for
+    * probability-shaped scores: scores clamp into [0,1] and bin into
+    * `nBins` equal-width buckets, and the exact Mann–Whitney runs over
+    * the BINS (within-bin pairs count as half-ties). State is O(nBins)
+    * per-bin (pos, neg) counts — mergeable across any partitioning, a
+    * streaming-friendly shape — and |auc_binned − auc_exact| is
+    * bounded by the probability mass of cross-label pairs falling in
+    * the same bin (≲ 1/nBins for smooth score distributions; EvalSpec
+    * checks the bound empirically). Returns (n_pos, n_neg, auc_binned).
+    */
+  def aucBinned(df: DataFrame, labelCol: String, scoreCol: String,
+                nBins: Int = 1024): DataFrame = {
+    require(nBins >= 2, s"aucBinned: nBins must be >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    mannWhitney(df
+      .select(greatest(lit(0),
+          least(floor(s * nBins).cast("int"), lit(nBins - 1))).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s")),
+      "auc_binned")
+  }
+
+  /** The shared Mann–Whitney reduce over per-score-group (s, np_s,
+    * nn_s) rows: the window sees GROUP rows only — callers guarantee
+    * the group domain is bounded (6-dp rounding / nBins binning).
+    */
+  private def mannWhitney(byScore: DataFrame, outCol: String): DataFrame = {
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val acc = byScore
@@ -46,7 +85,39 @@ object Eval {
     acc.select(col("n_pos"), col("n_neg"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
         round(col("c2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as(outCol))
+  }
+
+  /** Average precision (area under the precision-recall curve, step
+    * interpolation — the sklearn `average_precision_score` definition):
+    * AP = Σ_t (R_t − R_{t−1})·P_t with one operating point per
+    * distinct threshold, descending. Same bounded-domain contract as
+    * [[auc]]: scores round to 6 dp before grouping, the cumulative
+    * window runs over distinct-score GROUPS; per-group terms round to
+    * 9 dp and accumulate in DECIMAL, one final division at 6 dp.
+    * Returns (n_pos, n_neg, ap); null ap when there are no positives.
+    */
+  def averagePrecision(df: DataFrame, labelCol: String,
+                       scoreCol: String): DataFrame = {
+    val byScore = df
+      .select(round(col(scoreCol).cast("double"), 6).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_tp", sum(col("np_s")).over(w))
+      .withColumn("cum_all", sum(col("np_s") + col("nn_s")).over(w))
+      // ΔR_t·P_t · nPos = np_s · cumTP/cumAll — the /nPos factors out
+      // of the sum, so it applies ONCE at the end (exact)
+      .withColumn("term", round(
+        col("np_s").cast("double") * col("cum_tp") / col("cum_all"), 9))
+      .agg(sum(col("np_s")).as("n_pos"), sum(col("nn_s")).as("n_neg"),
+        sum(col("term").cast("decimal(38,9)")).as("tsum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(col("tsum").cast("double") / col("n_pos"), 6)).as("ap"))
   }
 
   /** Expected Calibration Error over `nBins` equal-width score bins
@@ -74,10 +145,14 @@ object Eval {
     require(nBins >= 1, s"ece: nBins must be >= 1, got $nBins")
     val s = col(scoreCol).cast("double")
     val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    // the VALUE clamps too, not just the bin id: an un-squashed logit
+    // (say 7.3) lands in the edge bin, and its raw value must not drag
+    // the bin's mean confidence outside [0,1] and fake a huge gap
+    val sClamped = least(greatest(s, lit(0.0)), lit(1.0))
     val perBin = df
       .select(greatest(lit(0),
           least(floor(s * nBins).cast("int"), lit(nBins - 1))).as("bin"),
-        s.cast("decimal(18,6)").as("sd"), y.as("y"))
+        sClamped.cast("decimal(18,6)").as("sd"), y.as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("sd")).as("ssum"),
         sum(col("y")).as("ypos"))
@@ -176,10 +251,35 @@ object Eval {
       .groupBy(col("query_id"))
       .agg(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
         .as("idcg"))
-    dcg.join(idcg, Seq("query_id"), "left")
+    // full outer: a query present in relevance but with ZERO result
+    // rows must surface as dcg 0 (it scores 0), not vanish from the
+    // readout and silently inflate any averaged nDCG
+    dcg.join(idcg, Seq("query_id"), "full_outer")
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
       .withColumn("idcg", coalesce(col("idcg"), lit(0.0)))
       .select(col("query_id"), col("dcg"), col("idcg"),
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
+  /** Mean-reciprocal-rank readout: per query, the rank of the FIRST
+    * relevant (`rel` > 0) result within the top `k`, and its
+    * reciprocal (0.0 when no relevant doc was retrieved — including
+    * queries judged in `relevance` that returned no results at all:
+    * the readout is driven from the union of query ids, the
+    * [[ndcgAtK]] convention). One bounded semi-shaped join of the
+    * k·|queries| result rows against relevance, one min per query —
+    * nothing pairs corpus×corpus. Callers average `rr` for MRR@k.
+    */
+  def mrrAtK(results: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    val hits = results.filter(col("rank") <= k)
+      .join(relevance.filter(col("rel") > 0), Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+    val qids = results.select(col("query_id"))
+      .union(relevance.select(col("query_id"))).distinct()
+    qids.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0)).as("rr"))
   }
 
   /** Brier score — mean squared error of the probability forecast,

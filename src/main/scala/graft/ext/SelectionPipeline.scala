@@ -21,10 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object SelectionPipeline {
 
-  /** Per-stage survivor counts, for the selection report. */
+  /** Per-stage survivor counts, for the selection report.
+    * `afterUrlDedup` == `afterBlocklist` when the URL-dedup stage is
+    * off (no `urlDedupPrefer`).
+    */
   final case class StageCounts(input: Long, afterBlocklist: Long,
-                               afterQuality: Long, afterCap: Long,
-                               selected: Long)
+                               afterUrlDedup: Long, afterQuality: Long,
+                               afterCap: Long, selected: Long)
+
+  /** The intermediate frames of the stage chain -- ONE definition of
+    * the wiring, shared by [[select]] (hot path) and
+    * [[selectWithReport]] (report path), so the two can never drift.
+    */
+  private final case class Stages(unblocked: DataFrame, urlDeduped: DataFrame,
+                                  quality: DataFrame, capped: DataFrame)
 
   /** Run the chain; returns [[Selection.selectByImportance]]'s output
     * (id, is_target, n_tokens, weight) for the `k` highest-importance
@@ -46,24 +56,40 @@ object SelectionPipeline {
         capOrder, minQuality, maxPerSource, urlDedupPrefer),
       textCol, idCol, isTarget, k, nBuckets)
 
-  /** The chain with per-stage counts (each stage evaluated once more —
-    * report use, not the hot path).
+  /** The chain with per-stage counts (each stage evaluated once more --
+    * report use, not the hot path). Runs the SAME staged chain as
+    * [[select]] -- including the optional URL-dedup stage -- built from
+    * one shared definition, so report and hot path cannot drift.
     */
   def selectWithReport(docs: DataFrame, urlCol: Column, blocklist: DataFrame,
                        textCol: String, idCol: String, sourceCol: String,
                        capOrder: Column, isTarget: Column,
                        minQuality: Double = 0.5, maxPerSource: Int = 1000,
-                       k: Int = 1000,
-                       nBuckets: Int = 256): (DataFrame, StageCounts) = {
-    val unblocked = Selection.filterByBlocklist(docs, urlCol, blocklist)
-    val quality = unblocked.filter(
-      TextOps.qualityScore(col(textCol)) >= minQuality)
-    val capped = Selection.capPerSource(quality, sourceCol, idCol,
-      capOrder, maxPerSource)
-    val sel = Selection.selectByImportance(capped, textCol, idCol,
+                       k: Int = 1000, nBuckets: Int = 256,
+                       urlDedupPrefer: Option[Column] = None): (DataFrame, StageCounts) = {
+    val st = stages(docs, urlCol, blocklist, textCol, idCol, sourceCol,
+      capOrder, minQuality, maxPerSource, urlDedupPrefer)
+    val sel = Selection.selectByImportance(st.capped, textCol, idCol,
       isTarget, k, nBuckets)
-    (sel, StageCounts(docs.count(), unblocked.count(), quality.count(),
-      capped.count(), sel.count()))
+    (sel, StageCounts(docs.count(), st.unblocked.count(),
+      st.urlDeduped.count(), st.quality.count(), st.capped.count(),
+      sel.count()))
+  }
+
+  private def stages(docs: DataFrame, urlCol: Column, blocklist: DataFrame,
+                     textCol: String, idCol: String, sourceCol: String,
+                     capOrder: Column, minQuality: Double, maxPerSource: Int,
+                     urlDedupPrefer: Option[Column]): Stages = {
+    val unblocked = Selection.filterByBlocklist(docs, urlCol, blocklist)
+    val urlDeduped = urlDedupPrefer match {
+      case Some(prefer) =>
+        Selection.dedupByCanonicalUrl(unblocked, urlCol, idCol, prefer)
+      case None => unblocked
+    }
+    val quality = urlDeduped.filter(
+      TextOps.qualityScore(col(textCol)) >= minQuality)
+    Stages(unblocked, urlDeduped, quality,
+      Selection.capPerSource(quality, sourceCol, idCol, capOrder, maxPerSource))
   }
 
   private def cappedPool(docs: DataFrame, urlCol: Column,
@@ -71,15 +97,7 @@ object SelectionPipeline {
                          idCol: String, sourceCol: String,
                          capOrder: Column, minQuality: Double,
                          maxPerSource: Int,
-                         urlDedupPrefer: Option[Column] = None): DataFrame = {
-    val unblocked = Selection.filterByBlocklist(docs, urlCol, blocklist)
-    val urlDeduped = urlDedupPrefer match {
-      case Some(prefer) =>
-        Selection.dedupByCanonicalUrl(unblocked, urlCol, idCol, prefer)
-      case None => unblocked
-    }
-    Selection.capPerSource(
-      urlDeduped.filter(TextOps.qualityScore(col(textCol)) >= minQuality),
-      sourceCol, idCol, capOrder, maxPerSource)
-  }
+                         urlDedupPrefer: Option[Column] = None): DataFrame =
+    stages(docs, urlCol, blocklist, textCol, idCol, sourceCol, capOrder,
+      minQuality, maxPerSource, urlDedupPrefer).capped
 }

@@ -231,10 +231,32 @@ private[graft] object AnalyticsQueries {
     }),
 
     "q_auc" -> ((s, d) =>
-      // exact ROC AUC of value as a purchase predictor — Mann-Whitney
-      // over DISTINCT-score groups (the window never sees row volume),
-      // integral until one final division
+      // ROC AUC of value as a purchase predictor — Mann-Whitney over
+      // 6-dp-rounded DISTINCT-score groups (the bounded-domain
+      // contract: the window never sees row volume even for raw
+      // continuous scores), integral until one final division
       graft.ext.Eval.auc(
+        events(s, d).select((col("event_type") === "purchase").as("y"),
+          col("value")),
+        "y", "value")),
+
+    "q_auc_binned" -> ((s, d) =>
+      // the sketch companion to q_auc for probability scores: 256
+      // equal-width bins, exact Mann-Whitney over the BINS — O(nBins)
+      // mergeable state, streaming-friendly; EvalSpec pins the
+      // |binned - exact| error bound
+      graft.ext.Eval.aucBinned(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score", nBins = 256)),
+
+    "q_avg_precision" -> ((s, d) =>
+      // average precision (step-interpolated PR-AUC, the sklearn
+      // definition): one operating point per 6-dp-rounded distinct
+      // score, cumulative window over GROUP rows, decimal term sums
+      graft.ext.Eval.averagePrecision(
         events(s, d).select((col("event_type") === "purchase").as("y"),
           col("value")),
         "y", "value")),
@@ -1210,12 +1232,16 @@ private[graft] object AnalyticsQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
-    // Mann-Whitney replay: distinct-score groups, negatives-below
-    // window, doubled half-tie credit in HUGEINT (== the engine's
-    // decimal), one double division
+    // Mann-Whitney replay: 6-dp-rounded distinct-score groups (the
+    // engine's bounded-domain contract; VARCHAR->DECIMAL(38,30) is the
+    // faithful replay of Spark's shortest-repr HALF_UP round),
+    // negatives-below window, doubled half-tie credit in HUGEINT
+    // (== the engine's decimal), one double division
     "q_auc" ->
       """WITH e AS (
-        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, value AS s FROM events),
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
+        |  FROM events),
         |g AS (
         |  SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
         |  FROM e GROUP BY s),
@@ -1232,6 +1258,55 @@ private[graft] object AnalyticsQueries {
         |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc
         |FROM t""".stripMargin,
 
+    // binned-AUC replay: clamp->bin, then the identical Mann-Whitney
+    // over bin ids (integer math end to end, one double division)
+    "q_auc_binned" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS s
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT greatest(0, least(CAST(floor(s * 256) AS INTEGER), 255)) AS b,
+        |    CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
+        |  FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT b, np_s, nn_s,
+        |    coalesce(sum(nn_s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(np_s) AS BIGINT) AS n_pos, CAST(sum(nn_s) AS BIGINT) AS n_neg,
+        |    sum(CAST(np_s AS HUGEINT) * (2 * nb + nn_s)) AS c2
+        |  FROM a)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc_binned
+        |FROM t""".stripMargin,
+
+    // average-precision replay: same 6-dp score groups as q_auc, one
+    // cumulative window DESC over the groups, 9-dp terms in decimal,
+    // /n_pos factored out to the single final division
+    "q_avg_precision" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
+        |  FROM events),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
+        |  FROM e GROUP BY s),
+        |a AS (
+        |  SELECT np_s, nn_s,
+        |    sum(np_s) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    sum(np_s + nn_s) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM g),
+        |m AS (
+        |  SELECT np_s, nn_s,
+        |    round(CAST(np_s AS DOUBLE) * cum_tp / cum_all, 9) AS term
+        |  FROM a)
+        |SELECT CAST(sum(np_s) AS BIGINT) AS n_pos, CAST(sum(nn_s) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np_s) > 0
+        |       THEN round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / sum(np_s), 6) END AS ap
+        |FROM m""".stripMargin,
+
     // calibration replay: same bin clamp, same 6-dp decimal score
     // mass, same 9-dp gap rounding, same single final division
     "q_ece" ->
@@ -1241,7 +1316,7 @@ private[graft] object AnalyticsQueries {
         |  FROM lineitem),
         |b AS (
         |  SELECT greatest(0, least(CAST(floor(s * 10) AS INTEGER), 9)) AS bin,
-        |    CAST(s AS DECIMAL(18,6)) AS sd, y
+        |    CAST(least(greatest(s, 0), 1) AS DECIMAL(18,6)) AS sd, y
         |  FROM e),
         |g AS (
         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(sd) AS ssum,

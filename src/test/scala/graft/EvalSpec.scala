@@ -150,6 +150,87 @@ class EvalSpec extends SparkSpec {
       "y", "s").collect()(0).getDouble(1) == 1.0)
   }
 
+  test("auc: 6-dp rounding contract merges sub-1e-6 score splits") {
+    // two scores 1e-9 apart round to the SAME 6-dp group: the pair
+    // becomes a half-tie instead of a strict win
+    val rows = Seq((true, 0.5000000001), (false, 0.5))
+    assert(aucOf(rows) == ((1L, 1L, Some(0.5))))
+    // and a >1e-6 split stays a strict win
+    assert(aucOf(Seq((true, 0.500002), (false, 0.5))) == ((1L, 1L, Some(1.0))))
+  }
+
+  test("aucBinned equals exact auc when scores sit on bin boundaries") {
+    // scores k/16 with nBins=16 bin exactly: same groups as Eval.auc's
+    // tie case -> 0.625
+    val rows = Seq((true, 3.0 / 16), (true, 1.0 / 16),
+      (false, 2.0 / 16), (false, 1.0 / 16))
+    val r = Eval.aucBinned(rows.toDF("y", "s"), "y", "s", nBins = 16)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.625)))
+  }
+
+  test("aucBinned tracks exact auc within ~1/nBins on random scores") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 2000).map { _ =>
+      val s = rnd.nextDouble()
+      (rnd.nextDouble() < s, s) // label correlates with score: auc ~0.8
+    }
+    val exact = Eval.auc(rows.toDF("y", "s"), "y", "s").collect()(0).getDouble(2)
+    val binned = Eval.aucBinned(rows.toDF("y", "s"), "y", "s", nBins = 1024)
+      .collect()(0).getDouble(2)
+    assert(math.abs(exact - binned) <= 0.01,
+      s"binned $binned drifted from exact $exact")
+    assert(exact > 0.7) // sanity: the fixture is actually separable
+  }
+
+  test("averagePrecision: hand-computed step PR curve and edge cases") {
+    // pos {0.9, 0.2}, neg {0.8}: points P=1@R=.5, P=2/3@R=1 -> 0.833333
+    val r = Eval.averagePrecision(
+      Seq((true, 0.9), (false, 0.8), (true, 0.2)).toDF("y", "s"), "y", "s")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.833333)
+    // perfect ranking -> 1.0; no positives -> null
+    assert(Eval.averagePrecision(
+      Seq((true, 1.0), (true, 0.9), (false, 0.1)).toDF("y", "s"), "y", "s")
+      .collect()(0).getDouble(2) == 1.0)
+    assert(Eval.averagePrecision(
+      Seq((false, 1.0), (false, 0.5)).toDF("y", "s"), "y", "s")
+      .collect()(0).isNullAt(2))
+  }
+
+  test("ece: an un-squashed logit's VALUE clamps, not just its bin") {
+    // (false, 7.3) -> bin 9, clamped conf 1.0, acc 0 -> gap exactly 1.0
+    // (without the value clamp the bin's mean confidence would be 7.3
+    // and the gap a nonsense 7.3)
+    val (_, _, eceV, mceV) = eceOf(Seq((false, 7.3)))
+    assert(eceV == 1.0 && mceV == 1.0)
+  }
+
+  test("mrrAtK: first relevant rank, zero-result and no-hit queries score 0") {
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (3L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 11L, 1.0), (1L, 12L, 1.0),
+      (2L, 20L, 1.0), (3L, 31L, 1.0)).toDF("query_id", "doc_id", "rel")
+    val got = Eval.mrrAtK(results, rel, k = 3).orderBy("query_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 0.5)
+    // query 2: judged but returned NO results -> present, rr 0
+    assert(got(1).isNullAt(1) && got(1).getDouble(2) == 0.0)
+    // query 3: results but none relevant -> rr 0
+    assert(got(2).isNullAt(1) && got(2).getDouble(2) == 0.0)
+  }
+
+  test("ndcgAtK: a judged query with zero result rows surfaces as dcg 0") {
+    val rel = Seq((1L, 10L, 1.0), (9L, 90L, 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val results = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Eval.ndcgAtK(results, rel, k = 3).orderBy("query_id").collect()
+    assert(got.length == 2)
+    assert(got(1).getLong(0) == 9L && got(1).getDouble(1) == 0.0 &&
+      got(1).getDouble(3) == 0.0) // idcg 1.0, ndcg 0 — not absent
+  }
+
   test("logLoss is byte-identical under repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextInt(100) / 100.0))

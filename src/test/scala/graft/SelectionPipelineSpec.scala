@@ -32,9 +32,9 @@ class SelectionPipelineSpec extends SparkSpec {
       docs, col("url"), blocklist, "text", "doc_id", "source",
       capOrder = col("n_chars"), isTarget = col("lang") === "en",
       minQuality = 0.5, maxPerSource = 2, k = 3, nBuckets = 64)
-    // 6 in; doc 0 blocked; doc 4 junk; cap 2/source drops doc 3
-    // (s1 keeps n_chars 400, 300)
-    assert(counts == SelectionPipeline.StageCounts(6, 5, 4, 3, 3))
+    // 6 in; doc 0 blocked; url dedup off (= afterBlocklist); doc 4
+    // junk; cap 2/source drops doc 3 (s1 keeps n_chars 400, 300)
+    assert(counts == SelectionPipeline.StageCounts(6, 5, 5, 4, 3, 3))
     val ids = sel.select("id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 5L))
     // the blocked and junk docs can never appear regardless of weight
@@ -55,6 +55,15 @@ class SelectionPipelineSpec extends SparkSpec {
       urlDedupPrefer = Some(col("n_chars")))
     val ids = sel.select("id").as[Long].collect().toSet
     assert(!ids.contains(2L) && ids.contains(1L))
+    // the report path runs the SAME chain: the dedup stage count shows
+    // the collapse (5 unblocked -> 4 after url dedup)
+    val (selR, counts) = SelectionPipeline.selectWithReport(
+      d, col("url"), blocklist, "text", "doc_id", "source",
+      capOrder = col("n_chars"), isTarget = col("lang") === "en",
+      minQuality = 0.5, maxPerSource = 10, k = 10, nBuckets = 64,
+      urlDedupPrefer = Some(col("n_chars")))
+    assert(counts == SelectionPipeline.StageCounts(6, 5, 4, 3, 3, 3))
+    assert(selR.select("id").as[Long].collect().toSet == ids)
   }
 
   test("k caps the selection by importance weight") {

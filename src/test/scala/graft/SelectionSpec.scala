@@ -175,6 +175,33 @@ class SelectionSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L))
   }
 
+  test("markBlocklisted: blank blocklist entries never match, and " +
+    "authority-less hosts match nothing") {
+    // a whitespace-only entry used to normalize to "" (one empty
+    // label) and block every URL-less document
+    val dirty = Seq("bad.com", "   ", "").toDF("domain")
+    val got = Selection.markBlocklisted(blockedDocs, col("url"), dirty)
+      .select("doc_id", "blocked_by").as[(Long, String)].collect().toMap
+    assert(got(5L) == null) // null url -> "" host: must stay unblocked
+    assert(got(2L) == null && got(4L) == null)
+    assert(got(1L) == "bad.com") // real entries still match
+  }
+
+  test("markBlocklisted refuses input columns named host/blocked_by; " +
+    "filterByBlocklist tolerates them") {
+    val withHost = blockedDocs.withColumn("host", lit("pre-existing"))
+    val e = intercept[IllegalArgumentException] {
+      Selection.markBlocklisted(withHost, col("url"), blocklist)
+    }
+    assert(e.getMessage.contains("host"))
+    // the filter form uses internal names: the caller's host column
+    // passes through untouched
+    val kept = Selection.filterByBlocklist(withHost, col("url"), blocklist)
+    assert(kept.columns.toSeq == Seq("doc_id", "url", "host"))
+    assert(kept.select("host").as[String].collect().toSet == Set("pre-existing"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L))
+  }
+
   test("dedupByCanonicalUrl collapses tracking/slash/case/port variants") {
     val d = Seq(
       (0L, "HTTP://WWW.Ex.COM:80/a/?utm_source=1#f", 10L), // same page as 1
