@@ -1,0 +1,93 @@
+package graft
+
+/** Plan-shape regression guard #2: no registered query may plan a
+  * partition-less WindowExec over an UNBOUNDED frame — the window
+  * shape that moves the whole dataset onto one partition and cannot
+  * survive a 100x scale-up (`WindowExec: No Partition Defined`).
+  *
+  * A partition-less window IS legitimate when the frame it sorts is
+  * structurally bounded — distinct values of a rounded/binned domain,
+  * a post-aggregate handful of groups, or a post-limit top-K — so the
+  * guard pins an explicit allowlist, each entry with the reason its
+  * frame is bounded. Adding a new global window means either bounding
+  * it or consciously extending the list: an unbounded one can no
+  * longer slip in silently (the cartesian-guard discipline, applied
+  * to windows).
+  *
+  * Detection parses the physical-plan string: a `Window [...]` line
+  * has 3 top-level bracket groups (exprs, partitionSpec, orderSpec)
+  * when partitioned; 2 groups whose second carries ASC/DESC (exprs,
+  * orderSpec — ordered, unpartitioned) or a single group (global
+  * unordered frame) mean no partitioning. A 2-group line WITHOUT
+  * ASC/DESC is (exprs, partitionSpec) — partitioned, unordered — and
+  * is fine.
+  */
+class WindowGuardSpec extends SparkSpec {
+
+  /** Queries whose partition-less window frames are PROVABLY bounded. */
+  private val allowlist: Map[String, String] = Map(
+    "q_auc" -> "Mann-Whitney over 6-dp-rounded DISTINCT-score groups (Eval.auc contract)",
+    "q_auc_binned" -> "Mann-Whitney over <= nBins bin rows (Eval.aucBinned)",
+    "q_avg_precision" -> "cumulative PR window over 6-dp distinct-score groups",
+    "q_funnel" -> "first-over-step window over |steps| rows (3 here; post-agg)",
+    "q_funnel_windowed" -> "same |steps|-row frame as q_funnel",
+    "q_ab_test" -> "global count over the post-agg per-arm frame (|variants| rows)",
+    "q_psi_drift" -> "global sums over the post-agg drift-bin frame (|bins| rows)",
+    "q_quantile_bins" -> "cumulative counts over DISTINCT values (Validate.quantileBins, exact-percentile class)",
+    "q_share_of_total" -> "global sum over the post-agg per-segment frame",
+    "q_skew_profile" -> "rank over the distinct-key count frame (key cardinality, never rows)",
+    "x_skew_report" -> "same distinct-key frame as q_skew_profile",
+    "x_vocab_topk" -> "rank+coverage over the distinct-word count frame (vocabulary-bounded)",
+    "x_bm25_search" -> "rank AFTER .limit(topK): frame is <= topK rows",
+    "x_datasheet" -> "percentile cumsum over DISTINCT length values (Corpus.datasheet)"
+  )
+
+  private val excluded = Set(
+    "q_stream_windowed_counts", // executes a stream in the builder
+    "q_stream_running_stats",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_paged"
+  )
+
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  /** Window plan lines with no partition spec (see class doc). */
+  private def unpartitionedWindowLines(plan: String): Seq[String] =
+    plan.linesIterator
+      .map(_.dropWhile(c => !c.isLetter))
+      .filter(_.startsWith("Window ["))
+      .filter { l =>
+        var depth = 0; var groups = 0
+        l.foreach { c =>
+          if (c == '[') { if (depth == 0) groups += 1; depth += 1 }
+          else if (c == ']') depth -= 1
+        }
+        groups <= 1 || (groups == 2 && {
+          val tail = l.substring(l.indexOf("], ["))
+          tail.contains(" ASC") || tail.contains(" DESC")
+        })
+      }
+      .toSeq
+
+  test("partition-less WindowExec only in allowlisted (bounded-frame) queries") {
+    assume(new java.io.File(sfDir).isDirectory, s"testdata absent: $sfDir")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => excluded.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (unpartitionedWindowLines(plan).nonEmpty) Some(name) else None
+      }
+    val unexpected = offenders.filterNot(allowlist.contains)
+    assert(unexpected.isEmpty,
+      "UNBOUNDED-RISK global window in: " + unexpected.mkString(", ") +
+        " — bound the frame (distinct-value / binned / post-limit) or " +
+        "allowlist it with a boundedness proof")
+    // stale allowlist entries hide future regressions: the pin is exact
+    val stale = allowlist.keySet -- offenders.toSet
+    assert(stale.isEmpty,
+      s"allowlisted but no longer planning a global window: ${stale.mkString(", ")}" +
+        " — remove from the allowlist")
+  }
+}
