@@ -117,9 +117,12 @@ object Bench {
         // a failed first attempt (however slow — e.g. an OOM/spill death)
         // is already recorded; re-running it reps-1 more times only burns
         // wall-clock and hammers the shared JVM
+        // an explicitly filtered run (iteration / isolated soak) gets
+        // reps on every requested row; the full driver run only spends
+        // reps on the headline tier
         val times =
           if (reps <= 1 || first < minRepSec || failed.contains(name) ||
-            !headline.contains(name)) Seq(first)
+            (only.isEmpty && !headline.contains(name))) Seq(first)
           else first +: Seq.fill(reps - 1)(once())
         val freeAfter = diskFreeGb
         diskAfter.put(name, freeAfter)
