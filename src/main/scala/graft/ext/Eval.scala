@@ -302,6 +302,86 @@ object Eval {
           sum(col("c")), 6).as("brier"))
   }
 
+  /** Cohen's kappa -- chance-corrected inter-rater agreement between
+    * two categorical label columns (the label-quality readout of an
+    * annotation/RLHF pipeline: how much do two raters, or a model and
+    * a gold set, agree beyond chance). Fully INTEGRAL until one final
+    * division: with observed agreement po = agree/n and chance
+    * agreement pe = sum_k rowTot_k*colTot_k / n^2,
+    *
+    *   kappa = (po - pe) / (1 - pe) = (agree*n - peNum) / (n^2 - peNum)
+    *
+    * where peNum = sum_k rowTot_k*colTot_k -- every term a decimal
+    * integer (corpus-scale products can reach ~1e26, past long range),
+    * so the result is byte-stable at any parallelism.
+    *
+    * Scale shape: one hash agg to the contingency cells (bounded by
+    * |labels|^2), margin re-aggregations over the CELLS, a label-space
+    * join for peNum. Nothing keyed finer than a label pair. Returns
+    * (n, po, pe, kappa); kappa null when pe = 1 (both raters constant
+    * -- agreement beyond chance is undefined).
+    */
+  def cohenKappa(df: DataFrame, raterACol: String,
+                 raterBCol: String): DataFrame = {
+    val ct = df.select(col(raterACol).cast("string").as("a"),
+        col(raterBCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val rowT = ct.groupBy(col("a").as("lab")).agg(sum(col("c")).as("ra"))
+    val colT = ct.groupBy(col("b").as("lab")).agg(sum(col("c")).as("cb"))
+    val peNum = rowT.join(colT, Seq("lab"))
+      .agg(coalesce(sum(col("ra").cast("decimal(19,0)") *
+        col("cb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("pe_num"))
+    val tot = ct.agg(sum(col("c")).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("agree"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"),
+        round(col("agree").cast("double") / col("n"), 6).as("po"),
+        round(col("pe_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
+        when(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+            =!= col("pe_num"),
+          round((col("agree").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+              - col("pe_num")).cast("double") /
+            (col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+              - col("pe_num")).cast("double"), 6)).as("kappa"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns -- the drift/association readout (is the event mix
+    * independent of the cohort?). Statistic over the FULL margin cross
+    * product (observed-zero cells with positive margins contribute
+    * their expected mass): chi2 = sum_cells (o - e)^2 / e with
+    * e = rowTot*colTot/n. Per-cell terms round to 9 dp and accumulate
+    * in DECIMAL; dof = (|rows|-1)*(|cols|-1). The cross join is
+    * label-space x label-space -- broadcast territory by construction.
+    * Returns (n, dof, chi2).
+    */
+  def chi2Independence(df: DataFrame, xCol: String,
+                       yCol: String): DataFrame = {
+    val ct = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val rowT = ct.groupBy(col("x")).agg(sum(col("c")).as("rx"))
+    val colT = ct.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = ct.agg(sum(col("c")).as("n"))
+    val cells = rowT.crossJoin(broadcast(colT))
+      .join(ct, Seq("x", "y"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rx").cast("double") * col("cy").cast("double") /
+          col("n").cast("double"))
+      .withColumn("o", coalesce(col("c"), lit(0L)).cast("double"))
+      .withColumn("term",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9))
+    cells.agg(first(col("n")).as("n"),
+      ((countDistinct(col("x")) - 1) * (countDistinct(col("y")) - 1))
+        .as("dof"),
+      round(sum(col("term").cast("decimal(38,9)")).cast("double"), 6)
+        .as("chi2"))
+  }
+
   def logLoss(df: DataFrame, labelCol: String, scoreCol: String,
               eps: Double = 1e-15): DataFrame = {
     val p0 = col(scoreCol).cast("double")

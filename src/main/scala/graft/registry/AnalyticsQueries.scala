@@ -261,6 +261,25 @@ private[graft] object AnalyticsQueries {
           col("value")),
         "y", "value")),
 
+    "q_kappa" -> ((s, d) =>
+      // Cohen's kappa between event_type and a deterministic noisy
+      // second "rater" (agrees 70% of the time, else says view) — the
+      // annotation-agreement readout; integral to ONE final division
+      graft.ext.Eval.cohenKappa(
+        events(s, d).select(col("event_type").as("rater_a"),
+          when(pmod(col("event_id"), lit(10)) < 7, col("event_type"))
+            .otherwise(lit("view")).as("rater_b")),
+        "rater_a", "rater_b")),
+
+    "q_chi2" -> ((s, d) =>
+      // chi-square independence of event mix vs user cohort — the
+      // categorical drift test; full margin cross product (zero cells
+      // contribute expected mass), 9-dp decimal term sums
+      graft.ext.Eval.chi2Independence(
+        events(s, d).select(col("event_type"),
+          pmod(col("user_id"), lit(4)).cast("string").as("cohort")),
+        "event_type", "cohort")),
+
     "q_ece" -> ((s, d) =>
       // expected/max calibration error of a synthesized [0,1) scorer
       // against the return flag — per-bin decimal score mass, 9-dp
@@ -1306,6 +1325,54 @@ private[graft] object AnalyticsQueries {
         |  CASE WHEN sum(np_s) > 0
         |       THEN round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / sum(np_s), 6) END AS ap
         |FROM m""".stripMargin,
+
+    // kappa replay: same contingency cells, margins, HUGEINT peNum;
+    // kappa = (agree*n - peNum)/(n^2 - peNum), exact to one division
+    "q_kappa" ->
+      """WITH e AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN event_id % 10 < 7 THEN event_type ELSE 'view' END AS b
+        |  FROM events),
+        |ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY a, b),
+        |rt AS (SELECT a AS lab, CAST(sum(c) AS BIGINT) AS ra FROM ct GROUP BY a),
+        |cl AS (SELECT b AS lab, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY b),
+        |pe AS (
+        |  SELECT coalesce(sum(CAST(ra AS HUGEINT) * cb), 0) AS pe_num
+        |  FROM rt JOIN cl USING (lab)),
+        |t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        |  FROM ct)
+        |SELECT n, round(CAST(agree AS DOUBLE) / n, 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(n AS HUGEINT) * n <> pe_num
+        |       THEN round(CAST(CAST(agree AS HUGEINT) * n - pe_num AS DOUBLE)
+        |                  / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 6) END AS kappa
+        |FROM t, pe""".stripMargin,
+
+    // chi2 replay: full margin cross product incl. observed-zero cells,
+    // identical e = rx*cy/n double arithmetic, 9-dp decimal term sums
+    "q_chi2" ->
+      """WITH e AS (
+        |  SELECT event_type AS x, CAST(user_id % 4 AS VARCHAR) AS y FROM events),
+        |ct AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY x, y),
+        |rt AS (SELECT x, CAST(sum(c) AS BIGINT) AS rx FROM ct GROUP BY x),
+        |cl AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM ct GROUP BY y),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        |cells AS (
+        |  SELECT rt.x, cl.y, rt.rx, cl.cy, coalesce(ct.c, 0) AS o, tot.n,
+        |    CAST(rt.rx AS DOUBLE) * CAST(cl.cy AS DOUBLE) / CAST(tot.n AS DOUBLE) AS ex
+        |  FROM rt CROSS JOIN cl
+        |  LEFT JOIN ct ON ct.x = rt.x AND ct.y = cl.y
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT n, x, y,
+        |    round((CAST(o AS DOUBLE) - ex) * (CAST(o AS DOUBLE) - ex) / ex, 9) AS term
+        |  FROM cells)
+        |SELECT max(n) AS n,
+        |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2
+        |FROM terms""".stripMargin,
 
     // calibration replay: same bin clamp, same 6-dp decimal score
     // mass, same 9-dp gap rounding, same single final division

@@ -231,6 +231,56 @@ class EvalSpec extends SparkSpec {
       got(1).getDouble(3) == 0.0) // idcg 1.0, ndcg 0 — not absent
   }
 
+  test("cohenKappa: textbook 2x2 case, perfect, and degenerate-constant") {
+    // cells (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po .7, pe .5, kappa .4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    // identical raters over >1 label: kappa 1
+    val p = Eval.cohenKappa(Seq(("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b"), "a", "b").collect()(0)
+    assert(p.getDouble(3) == 1.0)
+    // both raters constant: pe = 1, kappa undefined -> null
+    val d = Eval.cohenKappa(Seq(("x", "x"), ("x", "x")).toDF("a", "b"),
+      "a", "b").collect()(0)
+    assert(d.isNullAt(3))
+  }
+
+  test("chi2Independence: hand-computed tables incl. observed-zero cells") {
+    // (10,20 / 20,10): e=15 everywhere, chi2 = 4*(25/15) = 6.666667, dof 1
+    val rows = Seq.fill(10)(("a", "u")) ++ Seq.fill(20)(("a", "v")) ++
+      Seq.fill(20)(("b", "u")) ++ Seq.fill(10)(("b", "v"))
+    val r = Eval.chi2Independence(rows.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 6.666667)
+    // perfect separation WITH observed-zero cells: those cells still
+    // contribute their expected mass -> chi2 = n
+    val sep = Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))
+    val s2 = Eval.chi2Independence(sep.toDF("x", "y"), "x", "y").collect()(0)
+    assert(s2.getDouble(2) == 10.0)
+    // exact independence: chi2 0
+    val ind = for (x <- Seq("a", "b"); y <- Seq("u", "v")) yield (x, y)
+    assert(Eval.chi2Independence(ind.toDF("x", "y"), "x", "y")
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("cohenKappa and chi2 are byte-identical under repartitioning") {
+    val rnd = new scala.util.Random(17)
+    val labs = Seq("a", "b", "c", "d")
+    val rows = (1 to 600).map(_ =>
+      (labs(rnd.nextInt(4)), labs(rnd.nextInt(4))))
+    val k1 = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    val k2 = Eval.cohenKappa(rows.toDF("a", "b").repartition(7), "a", "b")
+      .collect()(0)
+    assert(k1.toSeq == k2.toSeq)
+    val c1 = Eval.chi2Independence(rows.toDF("x", "y"), "x", "y").collect()(0)
+    val c2 = Eval.chi2Independence(rows.toDF("x", "y").repartition(9), "x", "y")
+      .collect()(0)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
   test("logLoss is byte-identical under repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(_ => (rnd.nextBoolean(), rnd.nextInt(100) / 100.0))
