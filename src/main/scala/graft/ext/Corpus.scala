@@ -274,6 +274,41 @@ object Corpus {
         col("mean_lnp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.4,
+    * arXiv:1911.00359): split the corpus into head / middle / tail
+    * thirds by language-model quality — CCNet keeps "head" (lowest
+    * perplexity) for pretraining and drops or downweights "tail".
+    * The LM here is the corpus' own unigram distribution
+    * ([[unigramLogProb]]; higher mean ln p == lower perplexity ==
+    * head), so the operator is model-free and fully oracle-replayable.
+    *
+    * Tercile thresholds use the discrete-percentile definition
+    * (smallest value whose ascending cumulative count reaches
+    * ⌈p·N⌉) computed over DISTINCT 6-dp score values — the bounded
+    * global-window class (q_auc / datasheet), never a row sort.
+    * Token-less docs keep their row with a null bucket.
+    * Returns (id, n_tokens, mean_lnp, bucket).
+    */
+  def pplBuckets(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lp = unigramLogProb(docs, textCol, idCol)
+    val scored = lp.filter(col("mean_lnp").isNotNull)
+    val wl = org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = scored.select(col("mean_lnp").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wl))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+    val thresholds = cum.agg(
+      min(when(col("__cum") >= ceil(col("__n") / 3.0), col("v"))).as("t33"),
+      min(when(col("__cum") >= ceil(col("__n") * 2.0 / 3.0), col("v"))).as("t67"))
+    lp.crossJoin(broadcast(thresholds))
+      .select(col("id"), col("n_tokens"), col("mean_lnp"),
+        when(col("mean_lnp").isNull, lit(null).cast("string"))
+          .when(col("mean_lnp") <= col("t33"), lit("tail"))
+          .when(col("mean_lnp") <= col("t67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

@@ -56,6 +56,39 @@ object Similarity {
         col("rank"))
   }
 
+  /** Hard-negative mining for contrastive / quality-classifier
+    * training (the DPR recipe — Karpukhin et al. 2020,
+    * arXiv:2004.04906 §3.2: the most effective negatives are the
+    * highest-scoring passages that are NOT the answer): for each query
+    * vector, the `k` nearest corpus vectors carrying a DIFFERENT
+    * label — the negatives closest to the decision boundary. Same
+    * broadcast-query brute-force shape as [[bruteForceTopK]] with the
+    * label-mismatch predicate fused BEFORE ranking (a post-filter on
+    * plain top-k would under-fill k near label-dense regions). Null
+    * labels compare via null-safe equality, so an unlabeled corpus row
+    * is a valid negative for any labeled query. At 100 TB, swap the
+    * scorer for the IVF cell probe — the mining predicate composes
+    * identically.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        !(col("c_label") <=> col("q_label")))
+      .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("corpus_id"),
+        col("c_label").as("neg_label"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
+
   /** Deterministic coarse centroids for IVF: average the vectors of each
     * of `nCells` hash-assigned groups (a cheap stand-in for k-means that
     * needs one aggregation pass; swap in ml KMeans offline for real

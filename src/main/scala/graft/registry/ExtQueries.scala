@@ -703,6 +703,13 @@ private[graft] object ExtQueries {
       graft.ext.Corpus.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
         .orderBy("id")),
 
+    "x_ppl_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail perplexity split: tercile thresholds by
+      // the discrete-percentile rule over DISTINCT 6-dp scores (the
+      // bounded global-window class), bucket assignment broadcast
+      graft.ext.Corpus.pplBuckets(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
     "x_gopher_filter" -> ((s, d) =>
       // composite Gopher quality verdict (Rae et al. 2021 Table A1):
       // per-rule metrics + all-rules pass flag, all codegen'd column
@@ -1194,6 +1201,17 @@ private[graft] object ExtQueries {
           when(col("label") === col("qlab"), lit(1.0)).otherwise(lit(0.0))
             .as("rel"))
       graft.ext.Eval.mrrAtK(res, rel, k = 10).orderBy("query_id")
+    }),
+
+    "x_hard_negatives" -> ((s, d) => {
+      // DPR-style hard-negative mining: for each query embedding, the
+      // 10 nearest corpus vectors with a DIFFERENT label — the
+      // contrastive-training negatives closest to the decision
+      // boundary, predicate fused before ranking so k always fills
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "label", k = 10)
+        .orderBy("query_id", "rank")
     }),
 
     "x_datasheet" -> ((s, d) =>
@@ -2191,6 +2209,41 @@ private[graft] object ExtQueries {
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY id""".stripMargin,
 
+    // CCNet tercile replay: the unigram CTEs verbatim, then the same
+    // discrete-percentile thresholds over DISTINCT score values and
+    // the same boundary rule (<= t33 tail, <= t67 middle, else head)
+    "x_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |j AS (
+        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
+        |  FROM tk JOIN c USING (term), t),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
+        |  FROM j GROUP BY doc_id),
+        |g AS (SELECT mean_lnp AS v, CAST(count(*) AS BIGINT) AS cc FROM per GROUP BY mean_lnp),
+        |cum AS (
+        |  SELECT v, sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    (SELECT sum(cc) FROM g) AS n
+        |  FROM g),
+        |th AS (
+        |  SELECT min(CASE WHEN cm >= ceil(n / 3.0) THEN v END) AS t33,
+        |    min(CASE WHEN cm >= ceil(n * 2.0 / 3.0) THEN v END) AS t67
+        |  FROM cum)
+        |SELECT d.doc_id AS id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  per.mean_lnp,
+        |  CASE WHEN per.mean_lnp IS NULL THEN NULL
+        |       WHEN per.mean_lnp <= th.t33 THEN 'tail'
+        |       WHEN per.mean_lnp <= th.t67 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN th
+        |ORDER BY id""".stripMargin,
+
     // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
     // by the bm25 oracle); ties rank by term on both sides
     "x_keyterms" ->
@@ -2777,6 +2830,30 @@ private[graft] object ExtQueries {
         |SELECT qq.query_id, h.first_rel_rank,
         |  coalesce(round(CAST(1.0 AS DOUBLE) / h.first_rel_rank, 6), 0.0) AS rr
         |FROM qq LEFT JOIN hits h USING (query_id) ORDER BY qq.query_id""".stripMargin,
+
+    // hard-negative replay: the brute-force cosine CTE with the
+    // label-mismatch predicate fused before ranking (null-safe: an
+    // unlabeled corpus row negates any labeled query)
+    "x_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS c_label
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, q.q_label, c.corpus_id, c.c_label,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        |  FROM c, q
+        |  WHERE c.corpus_id <> q.query_id
+        |    AND c.c_label IS DISTINCT FROM q.q_label),
+        |ranked AS (
+        |  SELECT query_id, q_label, corpus_id, c_label, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, q_label, corpus_id, c_label AS neg_label,
+        |  round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // datasheet replay: same whitespace token count as x_text_stats,
     // same ⌈p·N⌉ discrete-rank percentile definition (ties on doc_id)

@@ -186,6 +186,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("pplBuckets: tercile split by unigram quality, empty doc keeps a null-bucket row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one token type per doc, corpus freqs 12/6/3 -> three distinct
+    // mean-lnp levels; ascending terciles: rare=tail, mid=middle,
+    // common=head (higher mean ln p == lower perplexity == head)
+    val docs = (
+      (0 to 2).map(i => (i.toLong, "z z z z")) ++
+      (3 to 5).map(i => (i.toLong, "m m")) ++
+      (6 to 8).map(i => (i.toLong, "r")) ++
+      Seq((9L, ""))
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Corpus.pplBuckets(docs, "text", "doc_id")
+      .orderBy("id").collect()
+    val buckets = got.map(r => if (r.isNullAt(3)) null else r.getString(3))
+    assert(buckets.toSeq == Seq("head", "head", "head",
+      "middle", "middle", "middle", "tail", "tail", "tail", null))
+    assert(got(9).getLong(1) == 0L && got(9).isNullAt(2))
+    // deterministic under repartitioning
+    val b2 = graft.ext.Corpus.pplBuckets(docs.repartition(5), "text", "doc_id")
+      .orderBy("id").collect().map(r => if (r.isNullAt(3)) null else r.getString(3))
+    assert(b2.toSeq == buckets.toSeq)
+  }
+
   test("datasheet: hand-computed totals, composition, percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

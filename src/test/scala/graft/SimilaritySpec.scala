@@ -32,6 +32,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._2).contains(0L))
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vectors, null label negates any") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), "A"),
+      (1L, Array(0.9f, 0.1f), "A"),              // same label: excluded
+      (2L, Array(0.0f, 1.0f), "B"),              // orthogonal negative
+      (3L, Array(0.8f, 0.2f), "B"),              // close negative
+      (4L, Array(1.0f, 0.05f), null.asInstanceOf[String]) // unlabeled: valid
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter(col("vec_id") === 0), "embedding", "vec_id", "label",
+        k = 2)
+      .orderBy("rank").collect()
+    // nearest non-A: 4 (cos ~0.99875) then 3 (cos ~0.97014); 1 is
+    // label A and must never appear even though it is the closest
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 3L))
+    assert(out.map(_.getInt(5)).toSeq == Seq(1, 2))
+    assert(out(0).getString(1) == "A" && out(0).isNullAt(3))
+    val all = Similarity.hardNegatives(labeled,
+      labeled.filter(col("vec_id") === 0), "embedding", "vec_id", "label",
+      k = 10).collect()
+    assert(!all.map(_.getLong(2)).contains(1L) &&
+      !all.map(_.getLong(2)).contains(0L))
+  }
+
   test("IVF recall@10 under partial probing meets the bound on clustered embeddings") {
     val rnd = new scala.util.Random(7)
     // 8 well-separated clusters × 40 points — the corpus shape IVF

@@ -39,7 +39,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_skew_report" -> "same distinct-key frame as q_skew_profile",
     "x_vocab_topk" -> "rank+coverage over the distinct-word count frame (vocabulary-bounded)",
     "x_bm25_search" -> "rank AFTER .limit(topK): frame is <= topK rows",
-    "x_datasheet" -> "percentile cumsum over DISTINCT length values (Corpus.datasheet)"
+    "x_datasheet" -> "percentile cumsum over DISTINCT length values (Corpus.datasheet)",
+    "x_ppl_buckets" -> "tercile cumsum over DISTINCT 6-dp mean-lnp values (Corpus.pplBuckets)"
   )
 
   private val excluded = Set(
