@@ -302,6 +302,82 @@ object Eval {
           sum(col("c")), 6).as("brier"))
   }
 
+  /** Per-bin reliability curve -- the calibration DIAGRAM behind
+    * [[ece]]'s aggregate readout: one row per occupied score bin with
+    * its count, mean (clamped) confidence, positive rate, and 9-dp
+    * gap. Same clamp/bin/rounding discipline as [[ece]] (the two must
+    * agree bin-for-bin), same ≤nBins scale shape.
+    */
+  def reliabilityBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"reliabilityBins: nBins must be >= 1, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val sClamped = least(greatest(s, lit(0.0)), lit(1.0))
+    df.select(greatest(lit(0),
+        least(floor(s * nBins).cast("int"), lit(nBins - 1))).as("bin"),
+      sClamped.cast("decimal(18,6)").as("sd"), y.as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sd")).as("__ssum"),
+        sum(col("y")).as("__ypos"))
+      .select(col("bin"), col("n"),
+        round(col("__ssum").cast("double") / col("n"), 9).as("conf"),
+        round(col("__ypos").cast("double") / col("n"), 9).as("acc"),
+        round(abs(col("__ssum").cast("double") / col("n") -
+          col("__ypos").cast("double") / col("n")), 9).as("gap"))
+  }
+
+  /** Spearman rank correlation -- the monotonic-association readout
+    * (does the model score ORDER documents like the labels do?),
+    * tie-aware via average ranks, with NO row-level rank window:
+    *
+    *  - both columns round to 6 dp (the [[auc]] bounded-domain
+    *    contract), so each column's rank table is a cumulative window
+    *    over DISTINCT values only;
+    *  - each row then joins its value's DOUBLED average rank
+    *    r2 = 2*cumCount - count + 1 (an exact integer; doubling both
+    *    rank columns leaves the correlation invariant, and integer
+    *    ranks make every moment exact);
+    *  - Pearson assembles from decimal(38,0) moments with ONE double
+    *    conversion at the end.
+    *
+    * Exactness bound: the n*Sxy cross term stays inside decimal(38,0)
+    * up to ~1e9 rows; past that, pre-aggregate (the 6-dp rounding
+    * already bins scores -- feed the per-value counts through a
+    * weighted variant) rather than feeding raw corpus rows. Returns
+    * (n, spearman); null when either column is constant.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(round(col(xCol).cast("double"), 6).as("x"),
+      round(col(yCol).cast("double"), 6).as("y"))
+    def rankTable(c: String) = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cm", sum(col("__c")).over(w))
+        .select(col(c),
+          (lit(2) * col("__cm") - col("__c") + 1).as(s"r_$c"))
+    }
+    val ranked = base.join(rankTable("x"), Seq("x"))
+      .join(rankTable("y"), Seq("y"))
+    val rx = col("r_x").cast("decimal(19,0)")
+    val ry = col("r_y").cast("decimal(19,0)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(rx).cast("decimal(38,0)").as("sx"),
+      sum(ry).cast("decimal(38,0)").as("sy"),
+      sum((rx * ry).cast("decimal(38,0)")).as("sxy"),
+      sum((rx * rx).cast("decimal(38,0)")).as("sxx"),
+      sum((ry * ry).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("decimal(19,0)")
+    m.select(col("n"),
+      when((nD * col("sxx") - col("sx") * col("sx")) > 0 &&
+           (nD * col("syy") - col("sy") * col("sy")) > 0,
+        round((nD * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+        .as("spearman"))
+  }
+
   /** Cohen's kappa -- chance-corrected inter-rater agreement between
     * two categorical label columns (the label-quality readout of an
     * annotation/RLHF pipeline: how much do two raters, or a model and

@@ -293,6 +293,27 @@ private[graft] object AnalyticsQueries {
             .as("score")),
         "y", "score", nBins = 10)),
 
+    "q_reliability" -> ((s, d) =>
+      // the calibration DIAGRAM behind q_ece: per-bin count, clamped
+      // mean confidence, positive rate, 9-dp gap — same clamp/bin
+      // discipline so the two readouts agree bin-for-bin
+      graft.ext.Eval.reliabilityBins(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("y"),
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score")),
+        "y", "score", nBins = 10)
+        .orderBy("bin")),
+
+    "q_spearman" -> ((s, d) =>
+      // Spearman rank correlation of quantity vs extended price —
+      // tie-aware average ranks from DISTINCT-value cumulative windows
+      // (no row-level rank), doubled-rank integer moments, one double
+      // conversion at the end
+      graft.ext.Eval.spearmanCorr(
+        t(s, d, "lineitem").select(col("l_quantity"), col("l_extendedprice")),
+        "l_quantity", "l_extendedprice")),
+
     "q_confusion" -> ((s, d) =>
       // threshold sweep readout (the operating-point picker): all
       // tp/fp/fn/tn counts in ONE conditional-sum aggregate pass,
@@ -1398,6 +1419,57 @@ private[graft] object AnalyticsQueries {
         |  round(CAST(sum(CAST(CAST(gap AS DECIMAL(18,9)) * n AS DECIMAL(38,9))) AS DOUBLE) / sum(n), 6) AS ece,
         |  round(max(gap), 6) AS mce
         |FROM p""".stripMargin,
+
+    // reliability-diagram replay: q_ece's clamp/bin CTEs, per-bin rows
+    "q_reliability" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS s
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT greatest(0, least(CAST(floor(s * 10) AS INTEGER), 9)) AS bin,
+        |    CAST(least(greatest(s, 0), 1) AS DECIMAL(18,6)) AS sd, y
+        |  FROM e),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(sd) AS ssum,
+        |    CAST(sum(y) AS BIGINT) AS ypos
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(bin AS INTEGER) AS bin, n,
+        |  round(CAST(ssum AS DOUBLE) / n, 9) AS conf,
+        |  round(CAST(ypos AS DOUBLE) / n, 9) AS acc,
+        |  round(abs(CAST(ssum AS DOUBLE) / n - CAST(ypos AS DOUBLE) / n), 9) AS gap
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // Spearman replay: same 6-dp parity rounding, same distinct-value
+    // doubled average ranks (2*cum - c + 1, exact integers), HUGEINT
+    // moments, one double conversion
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(round(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS x,
+        |    CAST(round(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS y
+        |  FROM lineitem),
+        |gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r_x
+        |  FROM gx),
+        |gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r_y
+        |  FROM gy),
+        |j AS (SELECT rx.r_x, ry.r_y FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(r_x AS HUGEINT)) AS sx, sum(CAST(r_y AS HUGEINT)) AS sy,
+        |    sum(CAST(r_x AS HUGEINT) * r_y) AS sxy,
+        |    sum(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+        |    sum(CAST(r_y AS HUGEINT) * r_y) AS syy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS spearman
+        |FROM m""".stripMargin,
 
     "q_confusion" ->
       """WITH e AS (

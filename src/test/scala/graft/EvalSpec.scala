@@ -231,6 +231,49 @@ class EvalSpec extends SparkSpec {
       got(1).getDouble(3) == 0.0) // idcg 1.0, ndcg 0 — not absent
   }
 
+  test("reliabilityBins agrees bin-for-bin with the ece fixture") {
+    val rows = Seq((true, 0.0), (true, 0.1), (false, 0.9), (false, 1.0))
+    val got = Eval.reliabilityBins(rows.toDF("y", "s"), "y", "s")
+      .orderBy("bin").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 1, 9))
+    assert(got(0).getDouble(2) == 0.0 && got(0).getDouble(3) == 1.0 &&
+      got(0).getDouble(4) == 1.0)
+    assert(got(2).getLong(1) == 2L && got(2).getDouble(2) == 0.95 &&
+      got(2).getDouble(4) == 0.95) // 1.0 clamps into bin 9's mass
+    // weighted mean of the gaps reproduces ece
+    val eceV = Eval.ece(rows.toDF("y", "s"), "y", "s").collect()(0).getDouble(2)
+    val wmean = got.map(r => r.getDouble(4) * r.getLong(1)).sum /
+      got.map(_.getLong(1)).sum
+    assert(math.abs(wmean - eceV) < 1e-6)
+  }
+
+  test("spearmanCorr: monotone 1, inverse -1 (with ties), hand 0.8, constant null") {
+    def sp(rows: Seq[(Double, Double)]): Option[Double] = {
+      val r = Eval.spearmanCorr(rows.toDF("x", "y"), "x", "y").collect()(0)
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    assert(sp(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0))) == Some(1.0))
+    // ties on both sides, perfectly inverse
+    assert(sp(Seq((1.0, 30.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)))
+      == Some(-1.0))
+    // classic: one transposition in 4 -> 1 - 6*2/60 = 0.8
+    assert(sp(Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0))) == Some(0.8))
+    assert(sp(Seq((5.0, 1.0), (5.0, 2.0))).isEmpty) // constant x
+  }
+
+  test("spearmanCorr is byte-identical under repartitioning") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 400).map { _ =>
+      val x = rnd.nextInt(30).toDouble
+      (x, x * 2 + rnd.nextInt(10)) // monotone-ish with ties
+    }
+    val a = Eval.spearmanCorr(rows.toDF("x", "y"), "x", "y").collect()(0)
+    val b = Eval.spearmanCorr(rows.toDF("x", "y").repartition(7), "x", "y")
+      .collect()(0)
+    assert(a.toSeq == b.toSeq)
+    assert(a.getDouble(1) > 0.9) // sanity: the fixture is monotone-ish
+  }
+
   test("cohenKappa: textbook 2x2 case, perfect, and degenerate-constant") {
     // cells (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po .7, pe .5, kappa .4
     val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++

@@ -40,7 +40,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_vocab_topk" -> "rank+coverage over the distinct-word count frame (vocabulary-bounded)",
     "x_bm25_search" -> "rank AFTER .limit(topK): frame is <= topK rows",
     "x_datasheet" -> "percentile cumsum over DISTINCT length values (Corpus.datasheet)",
-    "x_ppl_buckets" -> "tercile cumsum over DISTINCT 6-dp mean-lnp values (Corpus.pplBuckets)"
+    "x_ppl_buckets" -> "tercile cumsum over DISTINCT 6-dp mean-lnp values (Corpus.pplBuckets)",
+    "q_spearman" -> "average-rank cumsums over DISTINCT 6-dp values, one per column (Eval.spearmanCorr)"
   )
 
   private val excluded = Set(
