@@ -69,8 +69,11 @@ object Eval {
   /** The shared Mann–Whitney reduce over per-score-group (s, np_s,
     * nn_s) rows: the window sees GROUP rows only — callers guarantee
     * the group domain is bounded (6-dp rounding / nBins binning).
+    * `private[graft]` so the streaming registry can close a streamed
+    * bin-count aggregate (q_stream_auc_binned) with the identical
+    * reduce the batch path uses.
     */
-  private def mannWhitney(byScore: DataFrame, outCol: String): DataFrame = {
+  private[graft] def mannWhitney(byScore: DataFrame, outCol: String): DataFrame = {
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val acc = byScore

@@ -258,6 +258,43 @@ private[graft] object StreamingQueries {
       s.read.parquet(s"$tmp/out").orderBy("id")
     }),
 
+    "q_stream_auc_binned" -> ((s, d) => {
+      // MERGEABLE-SKETCH STREAMING EVAL: aucBinned's whole state is
+      // the per-bin (pos, neg) count table — exactly a streaming
+      // aggregate. The stream accumulates the 256 bins in COMPLETE
+      // mode across whatever micro-batch schedule the source picks
+      // (any schedule merges: the state is O(nBins) counts, the
+      // mergeability aucBinned's docstring claims — this row PROVES it
+      // end to end); the Mann-Whitney reduce then closes once on the
+      // sink. One AvailableNow pass == the batch binned AUC on the
+      // same rows, so the oracle is the plain batch replay.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "documents").schema
+      val tmp = scratchDir("graft-saucb")
+      stageDrop(s"$d/documents.parquet", s"$tmp/in", "documents.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      val nBins = 256
+      val score = pmod(col("doc_id"), lit(997)).cast("double") / lit(997.0)
+      val binned = stream.select(
+          greatest(lit(0),
+            least(floor(score * nBins).cast("int"), lit(nBins - 1))).as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy(col("s"))
+        .agg(sum(col("y")).as("np_s"),
+          (count(lit(1)) - sum(col("y"))).as("nn_s"))
+      val q = binned.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ext.Eval.mannWhitney(s.read.parquet(s"$tmp/out"), "auc_binned")
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -423,6 +460,31 @@ private[graft] object StreamingQueries {
          |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |ORDER BY id""".stripMargin,
+
+    // streamed bin counts == batch bin counts (mergeable O(nBins)
+    // state), then the identical Mann-Whitney closure — plain batch
+    // replay of the binned AUC
+    "q_stream_auc_binned" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(doc_id % 997 AS DOUBLE) / 997.0 AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT greatest(0, least(CAST(floor(s * 256) AS INTEGER), 255)) AS b,
+        |    CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
+        |  FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT b, np_s, nn_s,
+        |    coalesce(sum(nn_s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(np_s) AS BIGINT) AS n_pos, CAST(sum(nn_s) AS BIGINT) AS n_neg,
+        |    sum(CAST(np_s AS HUGEINT) * (2 * nb + nn_s)) AS c2
+        |  FROM a)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc_binned
+        |FROM t""".stripMargin,
 
     // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
     // batch gap islands (the same SQL the batch sessionize row uses;
