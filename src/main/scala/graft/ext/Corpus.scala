@@ -290,7 +290,13 @@ object Corpus {
     * Returns (id, n_tokens, mean_lnp, bucket).
     */
   def pplBuckets(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the per-doc score frame feeds BOTH the threshold computation and
+    // the final bucket assignment; unpersisted, Spark would re-execute
+    // the corpus token explode (the dominant cost) once per consumer —
+    // persist the O(docs)-row readout, not the token stream (the
+    // Fixtures.sessionsRaw budget class; ContextCleaner reaps it)
     val lp = unigramLogProb(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = lp.filter(col("mean_lnp").isNotNull)
     val wl = org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
