@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,37 @@ object TextOps {
       t => length(trim(t)) > 0)) // boundary splits can strand pure-whitespace tokens
 
   def charCount(text: Column): Column = length(text)
+
+  /** The counting step of BPE tokenizer TRAINING (Sennrich et al.
+    * 2016, arXiv:1508.07909 — each merge iteration picks the most
+    * frequent adjacent symbol pair): corpus-wide adjacent character
+    * pairs inside whitespace words, ranked by frequency. This is the
+    * first-iteration merge table (and the dominant cost of training —
+    * later iterations run over the same counts structure with merged
+    * symbols).
+    *
+    * Scale shape: one explode over words, one per-word transform to
+    * its length-2 substrings (no char-array materialization), one
+    * map-side-combined count keyed by pair (alphabet²-bounded
+    * cardinality), then top-K via TakeOrdered with the rank window
+    * over the ALREADY-LIMITED k rows (the bm25 pattern).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topK: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair").asc)))
+  }
 
   /** Punctuation / alpha / whitespace / digit ratios — standard quality
     * signals (C4/Gopher-style filters).

@@ -462,6 +462,13 @@ private[graft] object ExtQueries {
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
         .orderBy("doc_id")),
 
+    "x_bpe_merges" -> ((s, d) =>
+      // BPE TRAINING's counting step: corpus-wide adjacent char pairs
+      // inside words, top-50 merge candidates — alphabet²-bounded
+      // aggregation, rank window over the already-limited 50 rows
+      TextOps.bpePairCounts(t(s, d, "documents"), "text", topK = 50)
+        .orderBy("rank")),
+
     "x_decontaminate" -> ((s, d) => {
       // n-gram benchmark decontamination: docs sharing any 5-gram with
       // the "benchmark" slice (doc_id < 20) are removed
@@ -1404,6 +1411,26 @@ private[graft] object ExtQueries {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE pair-count replay: same word split, same per-word length-2
+    // substrings (substr is codepoint-based on both engines; the
+    // corpus is ASCII), same (cnt DESC, pair ASC) tie-break
+    "x_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM w2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair),
+        |r AS (
+        |  SELECT pair, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+        |  FROM c)
+        |SELECT pair, cnt, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // replay of the deterministic packing layout (seed 7, 8 buckets)
     "x_pack_offsets" ->

@@ -256,4 +256,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._4) == Seq("w0 w1 w2", "w3 w4 w5", "w6"))
     assert(out.map(_._3) == Seq(3L, 3L, 1L))
   }
+
+  test("bpePairCounts: hand-counted adjacent pairs, single-char words drop, topK caps") {
+    // words: abab (ab, ba, ab), ab (ab), x (dropped) -> ab:3, ba:1
+    val docs = Seq((1L, "ABab ab x"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, "text", topK = 10)
+      .orderBy("rank").as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("ab", 3L, 1), ("ba", 1L, 2)))
+    // topK caps and rank follows (cnt DESC, pair ASC)
+    val capped = TextOps.bpePairCounts(docs, "text", topK = 1)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(capped == Seq(("ab", 3L, 1)))
+  }
 }

@@ -42,7 +42,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_datasheet" -> "percentile cumsum over DISTINCT length values (Corpus.datasheet)",
     "x_ppl_buckets" -> "tercile cumsum over DISTINCT 6-dp mean-lnp values (Corpus.pplBuckets)",
     "q_spearman" -> "average-rank cumsums over DISTINCT 6-dp values, one per column (Eval.spearmanCorr)",
-    "q_stream_auc_binned" -> "Mann-Whitney closure over the streamed <=256-row bin sink"
+    "q_stream_auc_binned" -> "Mann-Whitney closure over the streamed <=256-row bin sink",
+    "x_bpe_merges" -> "rank AFTER .limit(topK): frame is <= topK rows (bm25 pattern)"
   )
 
   private val excluded = Set(
