@@ -315,6 +315,42 @@ object Corpus {
           .otherwise(lit("head")).as("bucket"))
   }
 
+  /** Per-GROUP [[pplBuckets]] — the form CCNet actually ships (§4.4
+    * computes the head/middle/tail cut per LANGUAGE, because "low
+    * perplexity" is only meaningful within one language's LM):
+    * tercile thresholds per `byCol` group. Better scale shape than the
+    * global form — the cumulative window is PARTITIONED by group and
+    * ordered over that group's distinct 6-dp scores, and thresholds
+    * ride back as a |groups|-row broadcast join. Docs whose group has
+    * no scored rows (or no tokens) keep a null bucket.
+    * Returns (id, by, n_tokens, mean_lnp, bucket).
+    */
+  def pplBucketsBy(docs: DataFrame, textCol: String, idCol: String,
+                   byCol: String): DataFrame = {
+    val lp = unigramLogProb(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("id"), col(byCol).as("by")), Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = lp.filter(col("mean_lnp").isNotNull)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("by")).orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val byV = scored.select(col("by"), col("mean_lnp").as("v"))
+      .groupBy(col("by"), col("v")).agg(count(lit(1)).as("__c"))
+    val tot = byV.groupBy(col("by")).agg(sum(col("__c")).as("__n"))
+    val thresholds = byV
+      .withColumn("__cum", sum(col("__c")).over(wl))
+      .join(tot, Seq("by"))
+      .groupBy(col("by"))
+      .agg(min(when(col("__cum") >= ceil(col("__n") / 3.0), col("v"))).as("t33"),
+        min(when(col("__cum") >= ceil(col("__n") * 2.0 / 3.0), col("v"))).as("t67"))
+    lp.join(broadcast(thresholds), Seq("by"), "left")
+      .select(col("id"), col("by"), col("n_tokens"), col("mean_lnp"),
+        when(col("mean_lnp").isNull, lit(null).cast("string"))
+          .when(col("mean_lnp") <= col("t33"), lit("tail"))
+          .when(col("mean_lnp") <= col("t67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

@@ -381,6 +381,56 @@ object Eval {
         .as("spearman"))
   }
 
+  /** ROUGE-N with clipped counts (Lin 2004, "ROUGE: A Package for
+    * Automatic Evaluation of Summaries") -- the n-gram overlap readout
+    * for generation/summarization eval at corpus scale: per (ref, hyp)
+    * pair, matched = sum over shared n-grams of min(refCount,
+    * hypCount) (the clip -- a hypothesis repeating one reference gram
+    * can't farm credit), precision = matched/|hyp grams|, recall =
+    * matched/|ref grams|, f1 = 2*matched/(|ref|+|hyp|) (all exact
+    * integer ratios, one 6-dp rounding each).
+    *
+    * Scale shape: n-grams are built per row with a codegen'd
+    * transform-over-sequence (no UDF), then ONE explode per side into
+    * (pair, gram) counts and an equi-join keyed by (pair, gram) --
+    * nothing ever pairs grams across different pairs. Pairs with fewer
+    * than n tokens on a side have zero grams there (precision/recall
+    * null when the denominator is 0).
+    */
+  def rougeN(pairs: DataFrame, idCol: String, refCol: String,
+             hypCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"rougeN: n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val g = pairs.select(col(idCol).as("id"),
+      grams(col(refCol)).as("rg"), grams(col(hypCol)).as("hg"))
+    val refCnt = g.select(col("id"), explode(col("rg")).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("rc"))
+    val hypCnt = g.select(col("id"), explode(col("hg")).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("hc"))
+    val matched = refCnt.join(hypCnt, Seq("id", "gram"))
+      .groupBy(col("id")).agg(sum(least(col("rc"), col("hc"))).as("m"))
+    g.select(col("id"), size(col("rg")).cast("long").as("n_ref"),
+        size(col("hg")).cast("long").as("n_hyp"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), lit(0L)).as("n_match"),
+        col("n_ref"), col("n_hyp"),
+        when(col("n_hyp") > 0, round(
+          coalesce(col("m"), lit(0L)).cast("double") / col("n_hyp"), 6))
+          .as("precision"),
+        when(col("n_ref") > 0, round(
+          coalesce(col("m"), lit(0L)).cast("double") / col("n_ref"), 6))
+          .as("recall"),
+        when(col("n_ref") + col("n_hyp") > 0, round(
+          lit(2.0) * coalesce(col("m"), lit(0L)) /
+            (col("n_ref") + col("n_hyp")), 6)).as("f1"))
+  }
+
   /** Cohen's kappa -- chance-corrected inter-rater agreement between
     * two categorical label columns (the label-quality readout of an
     * annotation/RLHF pipeline: how much do two raters, or a model and

@@ -717,6 +717,32 @@ private[graft] object ExtQueries {
       graft.ext.Corpus.pplBuckets(t(s, d, "documents"), "text", "doc_id")
         .orderBy("id")),
 
+    "x_ppl_buckets_lang" -> ((s, d) =>
+      // the per-LANGUAGE form CCNet ships (§4.4): terciles per lang —
+      // the cumulative window is PARTITIONED by group, thresholds ride
+      // back as a |langs|-row broadcast
+      graft.ext.Corpus.pplBucketsBy(t(s, d, "documents"), "text", "doc_id",
+          "lang")
+        .orderBy("id")),
+
+    "x_rouge" -> ((s, d) => {
+      // ROUGE-2 with clipped counts over three planted hypothesis
+      // regimes: tail-appended copy (recall 1, precision < 1), front
+      // half (precision 1, recall < 1), word-reversed (near-zero
+      // bigram overlap) — the generation-eval readout, one explode per
+      // side, equi-joined per (pair, gram)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" zz tail marker")))
+          .when(col("doc_id") % 3 === 1,
+            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
+          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
+      graft.ext.Eval.rougeN(pairs, "doc_id", "ref", "hyp", n = 2)
+        .orderBy("id")
+    }),
+
     "x_gopher_filter" -> ((s, d) =>
       // composite Gopher quality verdict (Rae et al. 2021 Table A1):
       // per-rule metrics + all-rules pass flag, all codegen'd column
@@ -2270,6 +2296,85 @@ private[graft] object ExtQueries {
         |       ELSE 'head' END AS bucket
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN th
         |ORDER BY id""".stripMargin,
+
+    // per-language tercile replay: the same unigram CTEs, cumulative
+    // counts PARTITIONED by lang, per-lang thresholds joined back
+    "x_ppl_buckets_lang" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |j AS (
+        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
+        |  FROM tk JOIN c USING (term), t),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
+        |  FROM j GROUP BY doc_id),
+        |pl AS (
+        |  SELECT d.lang AS by, per.mean_lnp AS v
+        |  FROM per JOIN documents d USING (doc_id)
+        |  WHERE per.mean_lnp IS NOT NULL),
+        |g AS (SELECT by, v, CAST(count(*) AS BIGINT) AS cc FROM pl GROUP BY by, v),
+        |cum AS (
+        |  SELECT by, v,
+        |    sum(cc) OVER (PARTITION BY by ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM g),
+        |tot AS (SELECT by, sum(cc) AS n FROM g GROUP BY by),
+        |th AS (
+        |  SELECT cum.by,
+        |    min(CASE WHEN cm >= ceil(n / 3.0) THEN v END) AS t33,
+        |    min(CASE WHEN cm >= ceil(n * 2.0 / 3.0) THEN v END) AS t67
+        |  FROM cum JOIN tot USING (by) GROUP BY cum.by)
+        |SELECT d.doc_id AS id, d.lang AS by,
+        |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.mean_lnp,
+        |  CASE WHEN per.mean_lnp IS NULL THEN NULL
+        |       WHEN per.mean_lnp <= th.t33 THEN 'tail'
+        |       WHEN per.mean_lnp <= th.t67 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |LEFT JOIN th ON th.by = d.lang
+        |ORDER BY id""".stripMargin,
+
+    // ROUGE-2 replay: same tokenization, same bigram construction
+    // (list_slice is 1-based inclusive), same clipped-count join, same
+    // exact integer ratios
+    "x_rouge" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS ref,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
+        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
+        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
+        |    END AS hyp
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '')) >= 2
+        |      THEN list_transform(range(1, len(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> ''))),
+        |        i -> array_to_string(list_slice(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> ''), i, i + 1), ' '))
+        |      ELSE [] END AS rg,
+        |    CASE WHEN len(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> '')) >= 2
+        |      THEN list_transform(range(1, len(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> ''))),
+        |        i -> array_to_string(list_slice(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> ''), i, i + 1), ' '))
+        |      ELSE [] END AS hg
+        |  FROM base),
+        |rc AS (SELECT doc_id, unnest(rg) AS gram FROM g),
+        |rcc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS rcn FROM rc GROUP BY doc_id, gram),
+        |hc AS (SELECT doc_id, unnest(hg) AS gram FROM g),
+        |hcc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS hcn FROM hc GROUP BY doc_id, gram),
+        |m AS (
+        |  SELECT rcc.doc_id, CAST(sum(least(rcn, hcn)) AS BIGINT) AS mm
+        |  FROM rcc JOIN hcc ON rcc.doc_id = hcc.doc_id AND rcc.gram = hcc.gram
+        |  GROUP BY rcc.doc_id),
+        |tots AS (SELECT doc_id, CAST(len(rg) AS BIGINT) AS n_ref, CAST(len(hg) AS BIGINT) AS n_hyp FROM g)
+        |SELECT t.doc_id AS id, coalesce(m.mm, 0) AS n_match, t.n_ref, t.n_hyp,
+        |  CASE WHEN t.n_hyp > 0 THEN round(CAST(coalesce(m.mm, 0) AS DOUBLE) / t.n_hyp, 6) END AS "precision",
+        |  CASE WHEN t.n_ref > 0 THEN round(CAST(coalesce(m.mm, 0) AS DOUBLE) / t.n_ref, 6) END AS recall,
+        |  CASE WHEN t.n_ref + t.n_hyp > 0
+        |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
+        |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
 
     // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
     // by the bm25 oracle); ties rank by term on both sides

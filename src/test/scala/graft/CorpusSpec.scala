@@ -210,6 +210,26 @@ class CorpusSpec extends SparkSpec {
     assert(b2.toSeq == buckets.toSeq)
   }
 
+  test("pplBucketsBy: terciles computed independently per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lang A reuses the global fixture's three levels; lang B is one
+    // uniform level (every B doc <= its own t33 -> all tail)
+    val docs = (
+      (0 to 2).map(i => (i.toLong, "z z z z", "A")) ++
+      (3 to 5).map(i => (i.toLong, "m m", "A")) ++
+      (6 to 8).map(i => (i.toLong, "r", "A")) ++
+      (9 to 11).map(i => (i.toLong, "q q q", "B"))
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.ext.Corpus.pplBucketsBy(docs, "text", "doc_id", "lang")
+      .orderBy("id").collect()
+    val buckets = got.map(_.getString(4))
+    assert(buckets.toSeq == Seq("head", "head", "head",
+      "middle", "middle", "middle", "tail", "tail", "tail",
+      "tail", "tail", "tail"))
+    assert(got.forall(r => r.getString(1) == (if (r.getLong(0) < 9) "A" else "B")))
+  }
+
   test("datasheet: hand-computed totals, composition, percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

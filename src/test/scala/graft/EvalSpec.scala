@@ -274,6 +274,27 @@ class EvalSpec extends SparkSpec {
     assert(a.getDouble(1) > 0.9) // sanity: the fixture is monotone-ish
   }
 
+  test("rougeN: clipped counts, identical/appended/short/disjoint regimes") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),          // identical: p=r=f1=1
+      (2L, "a b c d", "a b c d e"),        // appended: r=1, p=3/4
+      (3L, "a b c d", "x y"),              // disjoint: all 0
+      (4L, "a b a b", "a b"),              // clip: ref has {ab:2,ba:1}, hyp {ab:1} -> m=1
+      (5L, "a", "a b c")                   // ref too short: n_ref=0, recall null
+    ).toDF("id", "ref", "hyp")
+    val got = Eval.rougeN(pairs, "id", "ref", "hyp", n = 2)
+      .orderBy("id").collect()
+    assert(got(0).getDouble(6) == 1.0)
+    assert(got(1).getDouble(4) == 0.75 && got(1).getDouble(5) == 1.0 &&
+      got(1).getLong(1) == 3L) // 3 matched bigrams of 4 hyp grams
+    assert(got(2).getLong(1) == 0L && got(2).getDouble(6) == 0.0)
+    // clipped: hyp's single "a b" matches once, not twice
+    assert(got(3).getLong(1) == 1L && got(3).getDouble(4) == 1.0 &&
+      got(3).getDouble(5) == 0.333333)
+    assert(got(4).getLong(2) == 0L && got(4).isNullAt(5) &&
+      got(4).getDouble(6) == 0.0)
+  }
+
   test("cohenKappa: textbook 2x2 case, perfect, and degenerate-constant") {
     // cells (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po .7, pe .5, kappa .4
     val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
