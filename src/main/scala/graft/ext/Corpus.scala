@@ -351,6 +351,61 @@ object Corpus {
           .otherwise(lit("head")).as("bucket"))
   }
 
+  /** Jensen-Shannon divergence between two corpora's unigram term
+    * distributions -- the distribution-drift readout for text data
+    * (does this month's crawl / this source's slice look like the
+    * reference corpus?), complementing q_psi_drift's numeric-feature
+    * PSI. JS = 0.5*KL(P||M) + 0.5*KL(Q||M) with M = (P+Q)/2, in nats
+    * (bounded by ln 2); terms absent from one side contribute only the
+    * present side's mass, so no smoothing hack is needed (unlike raw
+    * KL, which is infinite off shared support).
+    *
+    * Determinism: each term's contribution rounds to 12 dp and
+    * accumulates in DECIMAL (order-independent across any
+    * partitioning), one final 6-dp rounding -- the mean_lnp pattern.
+    *
+    * Scale shape: two token hash-aggregations (vocabulary-sized, with
+    * map-side partial aggregation absorbing the token volume), one
+    * vocabulary-keyed full outer join, one scalar reduce. Nothing is
+    * keyed finer than a term; no windows, no pair joins.
+    *
+    * Returns one row: (vocab_a, vocab_b, vocab_shared, tokens_a,
+    * tokens_b, js). Both corpora empty => js null.
+    */
+  def termDivergence(a: DataFrame, b: DataFrame,
+                     textCol: String): DataFrame = {
+    // totals ride along via a 1-row broadcast, not a window
+    val ca0 = a.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("ca"))
+    val cb0 = b.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cb"))
+    val ta = ca0.agg(sum(col("ca")).as("__ta"))
+    val tb = cb0.agg(sum(col("cb")).as("__tb"))
+    val joined = ca0.join(cb0, Seq("term"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"), col("__ta"), col("__tb"))
+    val p = when(col("__ta") > 0, col("ca").cast("double") / col("__ta")).otherwise(lit(0.0))
+    val q = when(col("__tb") > 0, col("cb").cast("double") / col("__tb")).otherwise(lit(0.0))
+    val contrib =
+      when(col("ca") > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+        when(col("cb") > 0, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    joined
+      .agg(coalesce(sum(when(col("ca") > 0, 1L).otherwise(0L)), lit(0L)).as("vocab_a"),
+        coalesce(sum(when(col("cb") > 0, 1L).otherwise(0L)), lit(0L)).as("vocab_b"),
+        coalesce(sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)),
+          lit(0L)).as("vocab_shared"),
+        coalesce(max(col("__ta")), lit(0L)).as("tokens_a"),
+        coalesce(max(col("__tb")), lit(0L)).as("tokens_b"),
+        sum(round(contrib, 12).cast("decimal(28,12)")).as("__js2"))
+      .select(col("vocab_a"), col("vocab_b"), col("vocab_shared"),
+        col("tokens_a"), col("tokens_b"),
+        when(col("tokens_a") + col("tokens_b") > 0,
+          round(col("__js2").cast("double") / 2.0, 6)).as("js"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

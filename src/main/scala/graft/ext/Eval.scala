@@ -431,6 +431,83 @@ object Eval {
             (col("n_ref") + col("n_hyp")), 6)).as("f1"))
   }
 
+  /** Corpus-level BLEU (Papineni et al. 2002): geometric mean of
+    * clipped modified n-gram precisions for n = 1..maxN, times the
+    * brevity penalty BP = min(1, e^(1 - refLen/hypLen)) over CORPUS
+    * totals -- the standard machine-translation / generation readout,
+    * complementing [[rougeN]]'s recall orientation. Clipping is
+    * per-pair (a hypothesis gram matches at most its count in that
+    * pair's reference); precisions pool matched and total gram counts
+    * across the whole corpus before dividing (corpus BLEU, not a mean
+    * of sentence BLEUs). Zero matches at any order make the geometric
+    * mean -- and BLEU -- exactly 0.
+    *
+    * Scale shape: per-row gram construction for all maxN orders in one
+    * codegen'd pass (an (n, gram) struct array), ONE explode per side
+    * into (pair, n, gram) counts, an equi-join keyed by (pair, n,
+    * gram), then a conditional aggregation to ONE row of 2·maxN+2
+    * integral counters -- mergeable across any partitioning; the only
+    * floating math is the final ln/exp on that one row.
+    *
+    * Returns one row: (ref_len, hyp_len, p1..pmaxN at 6 dp, bp, bleu).
+    */
+  def bleu(pairs: DataFrame, idCol: String, refCol: String,
+           hypCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleu: maxN must be in [1,8], got $maxN")
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    // (n, gram) pairs for every order in one array, so each side pays
+    // ONE explode regardless of maxN
+    def grams(tk: Column): Column =
+      concat((1 to maxN).map { n =>
+        when(size(tk) >= n,
+          transform(sequence(lit(0), size(tk) - n),
+            i => struct(lit(n).as("n"),
+              array_join(slice(tk, i + 1, lit(n)), " ").as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }: _*)
+    val g = pairs.select(col(idCol).as("id"),
+        toks(col(refCol)).as("rt"), toks(col(hypCol)).as("ht"))
+      .select(col("id"),
+        size(col("rt")).cast("long").as("ref_len"),
+        size(col("ht")).cast("long").as("hyp_len"),
+        grams(col("rt")).as("rg"), grams(col("ht")).as("hg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refCnt = g.select(col("id"), explode(col("rg")).as("gr"))
+      .groupBy(col("id"), col("gr.n").as("n"), col("gr.gram").as("gram"))
+      .agg(count(lit(1)).as("rc"))
+    val hypCnt = g.select(col("id"), explode(col("hg")).as("gr"))
+      .groupBy(col("id"), col("gr.n").as("n"), col("gr.gram").as("gram"))
+      .agg(count(lit(1)).as("hc"))
+    // corpus-pooled clipped matches per order, as maxN counter columns
+    val mCols = (1 to maxN).map(n =>
+      coalesce(sum(when(col("n") === n, least(col("rc"), col("hc")))),
+        lit(0L)).as(s"m$n"))
+    val matched = refCnt.join(hypCnt, Seq("id", "n", "gram"))
+      .agg(mCols.head, mCols.tail: _*)
+    val tCols = sum(col("ref_len")).as("ref_len") +:
+      sum(col("hyp_len")).as("hyp_len") +:
+      (1 to maxN).map(n =>
+        sum(greatest(col("hyp_len") - lit(n - 1), lit(0L))).as(s"t$n"))
+    val totals = g.agg(tCols.head, tCols.tail: _*)
+    val one = totals.crossJoin(matched)
+    val lnPs = (1 to maxN).map(n =>
+      log(col(s"m$n").cast("double") / col(s"t$n").cast("double")))
+    val allPositive = (1 to maxN).map(n => col(s"m$n") > 0).reduce(_ && _)
+    val bp = when(col("hyp_len") >= col("ref_len") || col("hyp_len") === 0, lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("hyp_len").cast("double")))
+    one.select(
+      col("ref_len") +: col("hyp_len") +:
+        ((1 to maxN).map(n =>
+          when(col(s"t$n") > 0,
+            round(col(s"m$n").cast("double") / col(s"t$n"), 6)).as(s"p$n")) ++
+          Seq(round(bp, 6).as("bp"),
+            when(allPositive,
+              round(bp * exp(lnPs.reduce(_ + _) / maxN), 6))
+              .otherwise(lit(0.0)).as("bleu"))): _*)
+  }
+
   /** Cohen's kappa -- chance-corrected inter-rater agreement between
     * two categorical label columns (the label-quality readout of an
     * annotation/RLHF pipeline: how much do two raters, or a model and

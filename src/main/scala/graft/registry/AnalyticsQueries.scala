@@ -533,6 +533,27 @@ private[graft] object AnalyticsQueries {
         .limit(10)
     }),
 
+    "q_tpch10" -> ((s, d) => {
+      // TPC-H Q10 (returned item reporting): which customers returned
+      // the most revenue in one quarter — returnflag-filtered lineitem
+      // ⋈ quarter-filtered orders fact join, customer dim, broadcast
+      // nation, top-20 by lost revenue (exact decimal accumulation)
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("decimal(30,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "q_tpch5" -> ((s, d) => {
       // TPC-H Q5 shape (regional supplier revenue): the canonical
       // 6-table star join — region→nation filter broadcast up the dim
@@ -1703,6 +1724,17 @@ private[graft] object AnalyticsQueries {
         |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     // sum of DECIMAL(30,4) revenue is ~8 integer digits at gate scale
     // (≤ 12 significant digits with the 4-dp scale) — exact in double,

@@ -743,6 +743,35 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_bleu" -> ((s, d) => {
+      // corpus-level BLEU-4 over the same three planted hypothesis
+      // regimes as x_rouge: the identical-with-tail third supplies
+      // 4-gram mass (so the geometric mean is positive), the front-half
+      // third drags BP below 1, the word-reversed third dilutes the
+      // precisions — one explode per side for all four orders, ONE
+      // output row of pooled counters
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" zz tail marker")))
+          .when(col("doc_id") % 3 === 1,
+            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
+          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
+      graft.ext.Eval.bleu(pairs, "doc_id", "ref", "hyp", maxN = 4)
+    }),
+
+    "x_term_divergence" -> ((s, d) => {
+      // Jensen-Shannon drift between the English slice and the rest of
+      // the corpus — the text-side companion to q_psi_drift: two
+      // vocabulary-sized hash aggs, one vocabulary full-outer join,
+      // one scalar reduce
+      val docs = t(s, d, "documents")
+      graft.ext.Corpus.termDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
     "x_gopher_filter" -> ((s, d) =>
       // composite Gopher quality verdict (Rae et al. 2021 Table A1):
       // per-rule metrics + all-rules pass flag, all codegen'd column
@@ -2375,6 +2404,108 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // corpus BLEU-4 replay: tokenize once, build every order's grams
+    // via a CROSS JOIN over n in 1..4 (list_slice is 1-based
+    // inclusive), pool clipped matches and gram totals across the
+    // corpus, finish with the same ln/exp on one row (ln parity proven
+    // by the bm25 oracle)
+    "x_bleu" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS ref,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
+        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
+        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
+        |    END AS hyp
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '') AS rt,
+        |    list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> '') AS ht
+        |  FROM base),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN len(rt) >= n THEN list_transform(range(1, len(rt) - n + 2),
+        |      i -> array_to_string(list_slice(rt, i, i + n - 1), ' ')) ELSE [] END AS rg,
+        |    CASE WHEN len(ht) >= n THEN list_transform(range(1, len(ht) - n + 2),
+        |      i -> array_to_string(list_slice(ht, i, i + n - 1), ' ')) ELSE [] END AS hg
+        |  FROM tok CROSS JOIN ns),
+        |rcc AS (SELECT doc_id, n, unnest(rg) AS gram FROM g),
+        |rcn AS (SELECT doc_id, n, gram, count(*) AS rc FROM rcc GROUP BY ALL),
+        |hcc AS (SELECT doc_id, n, unnest(hg) AS gram FROM g),
+        |hcn AS (SELECT doc_id, n, gram, count(*) AS hc FROM hcc GROUP BY ALL),
+        |m AS (
+        |  SELECT n, sum(least(rc, hc)) AS mm
+        |  FROM rcn JOIN hcn USING (doc_id, n, gram) GROUP BY n),
+        |tots AS (SELECT n, sum(len(hg)) AS tt FROM g GROUP BY n),
+        |lens AS (
+        |  SELECT CAST(sum(len(rt)) AS BIGINT) AS ref_len,
+        |    CAST(sum(len(ht)) AS BIGINT) AS hyp_len FROM tok),
+        |wide AS (
+        |  SELECT lens.ref_len, lens.hyp_len,
+        |    CAST(coalesce(max(CASE WHEN t.n = 1 THEN m.mm END), 0) AS BIGINT) AS m1,
+        |    CAST(coalesce(max(CASE WHEN t.n = 2 THEN m.mm END), 0) AS BIGINT) AS m2,
+        |    CAST(coalesce(max(CASE WHEN t.n = 3 THEN m.mm END), 0) AS BIGINT) AS m3,
+        |    CAST(coalesce(max(CASE WHEN t.n = 4 THEN m.mm END), 0) AS BIGINT) AS m4,
+        |    CAST(coalesce(max(CASE WHEN t.n = 1 THEN t.tt END), 0) AS BIGINT) AS t1,
+        |    CAST(coalesce(max(CASE WHEN t.n = 2 THEN t.tt END), 0) AS BIGINT) AS t2,
+        |    CAST(coalesce(max(CASE WHEN t.n = 3 THEN t.tt END), 0) AS BIGINT) AS t3,
+        |    CAST(coalesce(max(CASE WHEN t.n = 4 THEN t.tt END), 0) AS BIGINT) AS t4
+        |  FROM lens CROSS JOIN tots t LEFT JOIN m USING (n)
+        |  GROUP BY lens.ref_len, lens.hyp_len),
+        |bpx AS (
+        |  SELECT *, CASE WHEN hyp_len >= ref_len OR hyp_len = 0 THEN 1.0
+        |    ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len) END AS bpraw
+        |  FROM wide)
+        |SELECT ref_len, hyp_len,
+        |  CASE WHEN t1 > 0 THEN round(CAST(m1 AS DOUBLE) / t1, 6) END AS p1,
+        |  CASE WHEN t2 > 0 THEN round(CAST(m2 AS DOUBLE) / t2, 6) END AS p2,
+        |  CASE WHEN t3 > 0 THEN round(CAST(m3 AS DOUBLE) / t3, 6) END AS p3,
+        |  CASE WHEN t4 > 0 THEN round(CAST(m4 AS DOUBLE) / t4, 6) END AS p4,
+        |  round(bpraw, 6) AS bp,
+        |  CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
+        |    round(bpraw * exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
+        |      + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 6)
+        |    ELSE 0.0 END AS bleu
+        |FROM bpx""".stripMargin,
+
+    // JS-divergence replay: identical per-side unigram counts, the
+    // same 12-dp-rounded per-term contributions summed in DECIMAL,
+    // one final 6-dp rounding
+    "x_term_divergence" ->
+      """WITH ta AS (
+        |  SELECT t.term FROM documents d,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+        |  WHERE d.lang = 'en' AND t.term <> ''),
+        |tb AS (
+        |  SELECT t.term FROM documents d,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+        |  WHERE d.lang <> 'en' AND t.term <> ''),
+        |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY term),
+        |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY term),
+        |tot AS (
+        |  SELECT (SELECT coalesce(sum(ca), 0) FROM ca) AS t_a,
+        |    (SELECT coalesce(sum(cb), 0) FROM cb) AS t_b),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb, t_a, t_b
+        |  FROM ca FULL OUTER JOIN cb USING (term) CROSS JOIN tot),
+        |c AS (
+        |  SELECT ca, cb, t_a, t_b,
+        |    CASE WHEN t_a > 0 THEN CAST(ca AS DOUBLE) / t_a ELSE 0.0 END AS p,
+        |    CASE WHEN t_b > 0 THEN CAST(cb AS DOUBLE) / t_b ELSE 0.0 END AS q
+        |  FROM j)
+        |SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+        |  CAST(max(t_a) AS BIGINT) AS tokens_a, CAST(max(t_b) AS BIGINT) AS tokens_b,
+        |  CASE WHEN max(t_a) + max(t_b) > 0 THEN
+        |    round(CAST(sum(CAST(round(
+        |      (CASE WHEN ca > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) +
+        |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
+        |FROM c""".stripMargin,
 
     // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
     // by the bm25 oracle); ties rank by term on both sides

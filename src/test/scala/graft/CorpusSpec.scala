@@ -230,6 +230,30 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall(r => r.getString(1) == (if (r.getLong(0) < 9) "A" else "B")))
   }
 
+  test("termDivergence: hand-computed JS, identical corpora, disjoint vocab") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val r = graft.ext.Corpus.termDivergence(a, b, "text").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 2L)
+    // x: p=2/3,q=1/2; y: p=1/3,q=0; z: q=1/2
+    val raw = (2.0 / 3 * math.log(2 * (2.0 / 3) / (2.0 / 3 + 0.5))
+      + 0.5 * math.log(2 * 0.5 / (2.0 / 3 + 0.5))
+      + 1.0 / 3 * math.log(2.0) + 0.5 * math.log(2.0)) / 2
+    assert(math.abs(r.getDouble(5) - raw) < 2e-6)
+
+    // identical corpora: js exactly 0
+    val same = graft.ext.Corpus.termDivergence(a, a, "text").collect()(0)
+    assert(same.getDouble(5) == 0.0 && same.getLong(2) == 2L)
+
+    // fully disjoint vocab: js = ln 2
+    val c = Seq((3L, "p q")).toDF("doc_id", "text")
+    val dis = graft.ext.Corpus.termDivergence(a, c, "text").collect()(0)
+    assert(dis.getLong(2) == 0L &&
+      math.abs(dis.getDouble(5) - math.log(2.0)) < 2e-6)
+  }
+
   test("datasheet: hand-computed totals, composition, percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

@@ -295,6 +295,33 @@ class EvalSpec extends SparkSpec {
       got(4).getDouble(6) == 0.0)
   }
 
+  test("bleu: hand-computed corpus pooling, brevity penalty, zero-order cutoff") {
+    // pair 1 identical (5 toks), pair 2 hyp = front half: pooled
+    // m1..m4 = 7,5,3,2 over t1..t4 = 7,5,3,2 -> every p_n = 1, BLEU
+    // = BP = exp(1 - 9/7)
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "a b c d", "a b")
+    ).toDF("id", "ref", "hyp")
+    val r = Eval.bleu(pairs, "id", "ref", "hyp", maxN = 4).collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 7L)
+    (2 to 5).foreach(i => assert(r.getDouble(i) == 1.0)) // p1..p4
+    val bp = BigDecimal(math.exp(1.0 - 9.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == bp && r.getDouble(7) == bp)
+
+    // hyp shorter than 4 tokens everywhere: t4 = 0 -> p4 null, bleu 0
+    val short = Seq((1L, "a b c", "a b c")).toDF("id", "ref", "hyp")
+    val s = Eval.bleu(short, "id", "ref", "hyp", maxN = 4).collect()(0)
+    assert(s.isNullAt(5) && s.getDouble(7) == 0.0 && s.getDouble(6) == 1.0)
+
+    // disjoint pair dilutes pooled precision: p1 = 7/9 with the extra
+    // "x y" hyp contributing 2 unmatched unigrams
+    val three = pairs.union(Seq((3L, "a b", "x y")).toDF("id", "ref", "hyp"))
+    val t3 = Eval.bleu(three, "id", "ref", "hyp", maxN = 1).collect()(0)
+    assert(t3.getDouble(2) == 0.777778)
+  }
+
   test("cohenKappa: textbook 2x2 case, perfect, and degenerate-constant") {
     // cells (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po .7, pe .5, kappa .4
     val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
