@@ -406,6 +406,60 @@ object Corpus {
           round(col("__js2").cast("double") / 2.0, 6)).as("js"))
   }
 
+  /** Per-source drift ranking: for every source s, the Jensen-Shannon
+    * divergence JS(P_s || P_rest) between that source's unigram
+    * distribution and the rest of the corpus -- the "which source is
+    * the outlier" readout a mixture curator runs before reweighting
+    * ([[termDivergence]] is the two-corpus primitive; this sweeps it
+    * across all sources in ONE pass over the tokens).
+    *
+    * Scale shape: one token explode into (source, term) counts (with
+    * map-side partial agg), a vocabulary re-aggregation, then an
+    * explicit |sources| x |vocab| grid (global counts cross-joined
+    * with the BROADCAST source-totals frame) left-joined with the
+    * per-source counts -- the expansion is bounded by the documented
+    * contract that the source column is low-cardinality (tens to
+    * thousands of sources, the mixture-curation shape), never by
+    * token volume. Determinism matches [[termDivergence]]: 12-dp
+    * rounded per-term contributions, DECIMAL accumulation, one final
+    * 6-dp rounding.
+    *
+    * Returns (source, vocab_source, tokens_source, js), most-drifted
+    * first; js is null when the corpus has a single source (no rest
+    * to compare against).
+    */
+  def termDivergenceBySource(docs: DataFrame, textCol: String,
+                             srcCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val bySrc = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val global = bySrc.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+    val total = srcTotals.agg(sum(col("ts")).as("__tot"))
+    val grid = global.crossJoin(broadcast(srcTotals))
+    val joined = grid.join(bySrc, Seq("source", "term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("ts"), col("__tot"),
+        coalesce(col("cs"), lit(0L)).as("cs"), col("cg"))
+    val p = col("cs").cast("double") / col("ts")
+    val qn = col("cg") - col("cs")
+    val q = when(col("__tot") > col("ts"),
+      qn.cast("double") / (col("__tot") - col("ts"))).otherwise(lit(0.0))
+    val contrib =
+      when(col("cs") > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+        when(qn > 0, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    joined.groupBy(col("source"))
+      .agg(sum(when(col("cs") > 0, 1L).otherwise(0L)).as("vocab_source"),
+        max(col("ts")).as("tokens_source"),
+        when(max(col("__tot")) > max(col("ts")),
+          round(sum(round(contrib, 12).cast("decimal(28,12)"))
+            .cast("double") / 2.0, 6)).as("js"))
+      .orderBy(col("js").desc, col("source").asc)
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

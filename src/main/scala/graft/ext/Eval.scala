@@ -508,6 +508,78 @@ object Eval {
               .otherwise(lit(0.0)).as("bleu"))): _*)
   }
 
+  /** Corpus-level chrF (Popović 2015, "chrF: character n-gram F-score
+    * for automatic MT evaluation"): whitespace is stripped, character
+    * n-grams for n = 1..maxN are pooled across the corpus with
+    * per-pair clipping (like [[bleu]]), precision / recall average the
+    * per-order ratios, and chrF_β = (1+β²)·P·R / (β²·P + R) weights
+    * recall β² times precision (β = 2 is the paper's
+    * best-correlating setting). Orders with zero grams on a side
+    * contribute 0 to that side's average -- a documented contract
+    * that only matters for near-empty corpora (a real corpus always
+    * has 6-gram mass).
+    *
+    * Scale shape: identical to [[bleu]] -- per-row gram construction
+    * for all orders in one codegen'd pass, ONE explode per side,
+    * (pair, n, gram) equi-join, conditional aggregation to one row of
+    * 3·maxN integral counters; floating math only on that final row.
+    *
+    * Returns one row: (ref_chars, hyp_chars, prec, recall, chrf).
+    */
+  def chrF(pairs: DataFrame, idCol: String, refCol: String,
+           hypCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"chrF: maxN must be in [1,10], got $maxN")
+    require(beta > 0, s"chrF: beta must be > 0, got $beta")
+    def chars(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", "")
+    def grams(ch: Column): Column =
+      concat((1 to maxN).map { n =>
+        when(length(ch) >= n,
+          transform(sequence(lit(0), length(ch) - n),
+            i => struct(lit(n).as("n"), ch.substr(i + 1, lit(n)).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }: _*)
+    val g = pairs.select(col(idCol).as("id"),
+        chars(col(refCol)).as("rch"), chars(col(hypCol)).as("hch"))
+      .select(col("id"),
+        length(col("rch")).cast("long").as("ref_chars"),
+        length(col("hch")).cast("long").as("hyp_chars"),
+        grams(col("rch")).as("rg"), grams(col("hch")).as("hg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refCnt = g.select(col("id"), explode(col("rg")).as("gr"))
+      .groupBy(col("id"), col("gr.n").as("n"), col("gr.gram").as("gram"))
+      .agg(count(lit(1)).as("rc"))
+    val hypCnt = g.select(col("id"), explode(col("hg")).as("gr"))
+      .groupBy(col("id"), col("gr.n").as("n"), col("gr.gram").as("gram"))
+      .agg(count(lit(1)).as("hc"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(sum(when(col("n") === n, least(col("rc"), col("hc")))),
+        lit(0L)).as(s"m$n"))
+    val matched = refCnt.join(hypCnt, Seq("id", "n", "gram"))
+      .agg(mCols.head, mCols.tail: _*)
+    val tCols = sum(col("ref_chars")).as("ref_chars") +:
+      sum(col("hyp_chars")).as("hyp_chars") +:
+      ((1 to maxN).map(n =>
+        sum(greatest(col("ref_chars") - lit(n - 1), lit(0L))).as(s"tr$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(col("hyp_chars") - lit(n - 1), lit(0L))).as(s"th$n")))
+    val totals = g.agg(tCols.head, tCols.tail: _*)
+    val one = totals.crossJoin(matched)
+    val pAvg = (1 to maxN).map(n =>
+      when(col(s"th$n") > 0,
+        col(s"m$n").cast("double") / col(s"th$n")).otherwise(lit(0.0)))
+      .reduce(_ + _) / maxN
+    val rAvg = (1 to maxN).map(n =>
+      when(col(s"tr$n") > 0,
+        col(s"m$n").cast("double") / col(s"tr$n")).otherwise(lit(0.0)))
+      .reduce(_ + _) / maxN
+    val b2 = beta * beta
+    one.select(col("ref_chars"), col("hyp_chars"),
+      round(pAvg, 6).as("prec"), round(rAvg, 6).as("recall"),
+      when(pAvg + rAvg > 0,
+        round(lit(1 + b2) * pAvg * rAvg / (lit(b2) * pAvg + rAvg), 6))
+        .otherwise(lit(0.0)).as("chrf"))
+  }
+
   /** Cohen's kappa -- chance-corrected inter-rater agreement between
     * two categorical label columns (the label-quality readout of an
     * annotation/RLHF pipeline: how much do two raters, or a model and

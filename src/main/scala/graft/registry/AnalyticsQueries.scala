@@ -533,6 +533,21 @@ private[graft] object AnalyticsQueries {
         .limit(10)
     }),
 
+    "q_tpch6" -> ((s, d) => {
+      // TPC-H Q6 (forecasting revenue change): pure scan-side
+      // predicate + one exact-decimal aggregate — every filter reaches
+      // the parquet scan, zero joins, zero shuffles past the partial agg
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          dec(col("l_discount")).between(lit(0.05).cast("decimal(18,2)"),
+            lit(0.07).cast("decimal(18,2)")) &&
+          col("l_quantity") < lit(24))
+        .agg(sum((dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("decimal(30,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     "q_tpch10" -> ((s, d) => {
       // TPC-H Q10 (returned item reporting): which customers returned
       // the most revenue in one quarter — returnflag-filtered lineitem
@@ -1724,6 +1739,15 @@ private[graft] object AnalyticsQueries {
         |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch6" ->
+      """SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -761,6 +761,30 @@ private[graft] object ExtQueries {
       graft.ext.Eval.bleu(pairs, "doc_id", "ref", "hyp", maxN = 4)
     }),
 
+    "x_chrf" -> ((s, d) => {
+      // corpus chrF (char 1..6-grams, beta=2) over the same planted
+      // regimes as x_rouge/x_bleu — character grams are robust to the
+      // word-reversal regime (every word's chars survive), so chrF
+      // lands well above BLEU on this fixture, the metric's selling
+      // point
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" zz tail marker")))
+          .when(col("doc_id") % 3 === 1,
+            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
+          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
+      graft.ext.Eval.chrF(pairs, "doc_id", "ref", "hyp", maxN = 6, beta = 2.0)
+    }),
+
+    "x_divergence_by_source" -> ((s, d) =>
+      // which source drifts most from the rest of the corpus: the
+      // one-pass JS sweep over all 20 sources — (source, term) counts,
+      // a vocabulary re-agg, a broadcast source-totals grid
+      graft.ext.Corpus.termDivergenceBySource(
+        t(s, d, "documents"), "text", "source")),
+
     "x_term_divergence" -> ((s, d) => {
       // Jensen-Shannon drift between the English slice and the rest of
       // the corpus — the text-side companion to q_psi_drift: two
@@ -2469,6 +2493,85 @@ private[graft] object ExtQueries {
         |      + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 6)
         |    ELSE 0.0 END AS bleu
         |FROM bpx""".stripMargin,
+
+    // chrF replay: whitespace-stripped char 1..6-grams (regexp_replace
+    // needs the 'g' flag — DuckDB replaces only the first match
+    // without it), pooled clipped matches kept in LONG form per order,
+    // per-order P/R ratios averaged, one F finish
+    "x_chrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS ref,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
+        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
+        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
+        |    END AS hyp
+        |  FROM documents WHERE doc_id < 200),
+        |ch AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(ref)), '\s+', '', 'g') AS rch,
+        |    regexp_replace(lower(trim(hyp)), '\s+', '', 'g') AS hch
+        |  FROM base),
+        |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN length(rch) >= n THEN list_transform(range(1, length(rch) - n + 2),
+        |      i -> substr(rch, CAST(i AS INTEGER), n)) ELSE [] END AS rg,
+        |    CASE WHEN length(hch) >= n THEN list_transform(range(1, length(hch) - n + 2),
+        |      i -> substr(hch, CAST(i AS INTEGER), n)) ELSE [] END AS hg
+        |  FROM ch CROSS JOIN ns),
+        |rcn AS (SELECT doc_id, n, unnest(rg) AS gram FROM g),
+        |rcc AS (SELECT doc_id, n, gram, count(*) AS rc FROM rcn GROUP BY ALL),
+        |hcn AS (SELECT doc_id, n, unnest(hg) AS gram FROM g),
+        |hcc AS (SELECT doc_id, n, gram, count(*) AS hc FROM hcn GROUP BY ALL),
+        |m AS (
+        |  SELECT n, sum(least(rc, hc)) AS mm
+        |  FROM rcc JOIN hcc USING (doc_id, n, gram) GROUP BY n),
+        |tots AS (SELECT n, sum(len(rg)) AS tr, sum(len(hg)) AS th FROM g GROUP BY n),
+        |lens AS (
+        |  SELECT CAST(sum(length(rch)) AS BIGINT) AS ref_chars,
+        |    CAST(sum(length(hch)) AS BIGINT) AS hyp_chars FROM ch),
+        |fin AS (
+        |  SELECT
+        |    sum(CASE WHEN t.th > 0 THEN CAST(coalesce(m.mm, 0) AS DOUBLE) / t.th ELSE 0.0 END) / 6.0 AS pavg,
+        |    sum(CASE WHEN t.tr > 0 THEN CAST(coalesce(m.mm, 0) AS DOUBLE) / t.tr ELSE 0.0 END) / 6.0 AS ravg
+        |  FROM tots t LEFT JOIN m USING (n))
+        |SELECT lens.ref_chars, lens.hyp_chars,
+        |  round(pavg, 6) AS prec, round(ravg, 6) AS recall,
+        |  CASE WHEN pavg + ravg > 0
+        |    THEN round(5.0 * pavg * ravg / (4.0 * pavg + ravg), 6)
+        |    ELSE 0.0 END AS chrf
+        |FROM lens CROSS JOIN fin""".stripMargin,
+
+    // per-source JS sweep replay: the same (source, term) counts,
+    // explicit source x vocab grid, 12-dp contributions in DECIMAL
+    "x_divergence_by_source" ->
+      """WITH tok AS (
+        |  SELECT d.source, t.term FROM documents d,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |bs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY ALL),
+        |g AS (SELECT term, sum(cs) AS cg FROM bs GROUP BY term),
+        |st AS (SELECT source, sum(cs) AS ts FROM bs GROUP BY source),
+        |tot AS (SELECT sum(ts) AS tt FROM st),
+        |grid AS (SELECT st.source, st.ts, g.term, g.cg FROM g CROSS JOIN st),
+        |j AS (
+        |  SELECT grid.source, grid.ts, grid.cg, coalesce(bs.cs, 0) AS cs, tt
+        |  FROM grid LEFT JOIN bs ON grid.source = bs.source AND grid.term = bs.term
+        |  CROSS JOIN tot),
+        |c AS (
+        |  SELECT source, ts, tt, cs, cg,
+        |    CAST(cs AS DOUBLE) / ts AS p,
+        |    CASE WHEN tt > ts THEN CAST(cg - cs AS DOUBLE) / (tt - ts) ELSE 0.0 END AS q
+        |  FROM j)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_source,
+        |  CAST(max(ts) AS BIGINT) AS tokens_source,
+        |  CASE WHEN max(tt) > max(ts) THEN
+        |    round(CAST(sum(CAST(round(
+        |      (CASE WHEN cs > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) +
+        |      (CASE WHEN cg - cs > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
+        |FROM c GROUP BY source ORDER BY js DESC, source ASC""".stripMargin,
 
     // JS-divergence replay: identical per-side unigram counts, the
     // same 12-dp-rounded per-term contributions summed in DECIMAL,

@@ -254,6 +254,29 @@ class CorpusSpec extends SparkSpec {
       math.abs(dis.getDouble(5) - math.log(2.0)) < 2e-6)
   }
 
+  test("termDivergenceBySource: matches pairwise JS of source vs rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y", "s1"), (2L, "x z", "s2"), (3L, "x z z", "s2")
+    ).toDF("doc_id", "text", "source")
+    val sweep = graft.ext.Corpus.termDivergenceBySource(docs, "text", "source")
+      .collect()
+    assert(sweep.map(_.getString(0)).toSeq.sorted == Seq("s1", "s2"))
+    // each source's js must equal the two-corpus primitive on the
+    // same split (the sweep is just the vectorized form)
+    for (src <- Seq("s1", "s2")) {
+      val ref = graft.ext.Corpus.termDivergence(
+        docs.filter(col("source") === src),
+        docs.filter(col("source") =!= src), "text").collect()(0).getDouble(5)
+      val got = sweep.find(_.getString(0) == src).get.getDouble(3)
+      assert(math.abs(got - ref) < 2e-6, s"$src: sweep $got vs pairwise $ref")
+    }
+    // single source: no rest, js null
+    val one = graft.ext.Corpus.termDivergenceBySource(
+      docs.filter(col("source") === "s1"), "text", "source").collect()(0)
+    assert(one.isNullAt(3))
+  }
+
   test("datasheet: hand-computed totals, composition, percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

@@ -322,6 +322,30 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("chrF: identical pair is 1.0, recall-weighting beats precision at beta=2") {
+    // identical: every order P = R = 1 -> chrF 1
+    val same = Seq((1L, "ab cd", "ab cd")).toDF("id", "ref", "hyp")
+    val r0 = Eval.chrF(same, "id", "ref", "hyp", maxN = 2).collect()(0)
+    assert(r0.getLong(0) == 4L && r0.getDouble(2) == 1.0 &&
+      r0.getDouble(3) == 1.0 && r0.getDouble(4) == 1.0)
+
+    // ref "abcd", hyp "ab": chars 4 vs 2. n=1: m=2, tr=4, th=2;
+    // n=2: m=1, tr=3, th=1 -> P=(1+1)/2=1, R=(1/2+1/3)/2=5/12
+    // chrF2 = 5*P*R/(4P+R) = 5*(5/12)/(4+5/12) = (25/12)/(53/12) = 25/53
+    val pr = Seq((1L, "a b c d", "a b")).toDF("id", "ref", "hyp")
+    val r1 = Eval.chrF(pr, "id", "ref", "hyp", maxN = 2).collect()(0)
+    assert(r1.getDouble(2) == 1.0)
+    assert(r1.getDouble(3) == BigDecimal(5.0 / 12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getDouble(4) == BigDecimal(25.0 / 53)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // disjoint: chrF exactly 0, not null
+    val dis = Seq((1L, "aa", "zz")).toDF("id", "ref", "hyp")
+    assert(Eval.chrF(dis, "id", "ref", "hyp", maxN = 2).collect()(0)
+      .getDouble(4) == 0.0)
+  }
+
   test("cohenKappa: textbook 2x2 case, perfect, and degenerate-constant") {
     // cells (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po .7, pe .5, kappa .4
     val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
