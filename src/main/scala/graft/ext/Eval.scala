@@ -431,6 +431,45 @@ object Eval {
             (col("n_ref") + col("n_hyp")), 6)).as("f1"))
   }
 
+  /** ROUGE-L (Lin 2004 §3): longest-common-subsequence recall /
+    * precision / F per (ref, hyp) pair -- order-sensitive overlap
+    * without [[rougeN]]'s contiguity requirement (a hypothesis that
+    * keeps the reference's word ORDER scores high even with gaps;
+    * a word-scrambled one does not). The LCS length itself is a
+    * custom codegen'd Catalyst expression
+    * ([[graft.functions.LcsLength]]) because the DP recurrence is
+    * sequential per row and cannot be built from Spark's parallel
+    * higher-order functions.
+    *
+    * Scale shape: pure narrow per-row map -- no explode, no join, no
+    * shuffle at all before whatever the caller aggregates. Per-row
+    * cost is |ref|·|hyp|; the metric's domain is sentence/summary
+    * pairs, so truncate document-scale inputs upstream.
+    *
+    * Returns (id, lcs, n_ref, n_hyp, precision, recall, f1) -- same
+    * ratio conventions as [[rougeN]] (null when a denominator is 0).
+    */
+  def rougeL(pairs: DataFrame, idCol: String, refCol: String,
+             hypCol: String): DataFrame = {
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    pairs.select(col(idCol).as("id"),
+        toks(col(refCol)).as("rt"), toks(col(hypCol)).as("ht"))
+      .select(col("id"),
+        graft.functions.TextAlign.lcsLength(col("rt"), col("ht"))
+          .cast("long").as("lcs"),
+        size(col("rt")).cast("long").as("n_ref"),
+        size(col("ht")).cast("long").as("n_hyp"))
+      .select(col("id"), col("lcs"), col("n_ref"), col("n_hyp"),
+        when(col("n_hyp") > 0,
+          round(col("lcs").cast("double") / col("n_hyp"), 6)).as("precision"),
+        when(col("n_ref") > 0,
+          round(col("lcs").cast("double") / col("n_ref"), 6)).as("recall"),
+        when(col("n_ref") + col("n_hyp") > 0,
+          round(lit(2.0) * col("lcs") / (col("n_ref") + col("n_hyp")), 6))
+          .as("f1"))
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002): geometric mean of
     * clipped modified n-gram precisions for n = 1..maxN, times the
     * brevity penalty BP = min(1, e^(1 - refLen/hypLen)) over CORPUS

@@ -743,6 +743,25 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_rouge_l" -> ((s, d) => {
+      // ROUGE-L over 12-token prefixes (sentence-level is the metric's
+      // real domain, and it bounds the oracle's cell-stepping
+      // recursive CTE): identical-with-tail ≈ 1, front-half keeps
+      // order (precision 1), word-reversed collapses to the longest
+      // palindromic subsequence — which the contiguity-free LCS still
+      // credits, unlike x_rouge's bigrams
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val toks12 = slice(
+        filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0),
+        1, 12)
+      val refStr = array_join(toks12, " ")
+      val pairs = docs.select(col("doc_id"), refStr.as("ref"),
+        when(col("doc_id") % 3 === 0, concat(refStr, lit(" zz tail")))
+          .when(col("doc_id") % 3 === 1, array_join(slice(toks12, 1, 6), " "))
+          .otherwise(array_join(reverse(toks12), " ")).as("hyp"))
+      graft.ext.Eval.rougeL(pairs, "doc_id", "ref", "hyp").orderBy("id")
+    }),
+
     "x_bleu" -> ((s, d) => {
       // corpus-level BLEU-4 over the same three planted hypothesis
       // regimes as x_rouge: the identical-with-tail third supplies
@@ -2428,6 +2447,49 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // ROUGE-L replay: the LCS DP re-run as a cell-stepping RECURSIVE
+    // CTE — each iteration fills ONE dp cell (the recurrence is
+    // sequential, so no set-based shortcut exists), state = (i, j,
+    // prev row, growing cur row); a row completes when j passes
+    // |hyp|, the answer is prev[|hyp|+1] once i passes |ref|.
+    // Bounded by the 12-token prefix: ≤ ~180 iterations
+    "x_rouge_l" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_slice(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1, 12) AS rt0
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT doc_id, rt0 AS rt,
+        |    CASE WHEN doc_id % 3 = 0 THEN list_concat(rt0, ['zz', 'tail'])
+        |         WHEN doc_id % 3 = 1 THEN list_slice(rt0, 1, 6)
+        |         ELSE list_reverse(rt0) END AS ht
+        |  FROM base),
+        |dp AS (
+        |  SELECT doc_id, rt, ht, 1 AS i, 1 AS j,
+        |    list_transform(range(0, len(ht) + 1), x -> 0) AS prev,
+        |    [0] AS cur
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT doc_id, rt, ht,
+        |    CASE WHEN j <= len(ht) THEN i ELSE i + 1 END,
+        |    CASE WHEN j <= len(ht) THEN j + 1 ELSE 1 END,
+        |    CASE WHEN j <= len(ht) THEN prev ELSE cur END,
+        |    CASE WHEN j <= len(ht)
+        |      THEN list_append(cur, CASE WHEN rt[i] = ht[j] THEN prev[j] + 1
+        |                                 ELSE greatest(cur[j], prev[j + 1]) END)
+        |      ELSE [0] END
+        |  FROM dp WHERE i <= len(rt)),
+        |sel AS (
+        |  SELECT doc_id, len(rt) AS n_ref, len(ht) AS n_hyp,
+        |    prev[len(ht) + 1] AS lcs
+        |  FROM dp WHERE i = len(rt) + 1 AND j = 1)
+        |SELECT doc_id AS id, CAST(lcs AS BIGINT) AS lcs,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
+        |  CASE WHEN n_hyp > 0 THEN round(CAST(lcs AS DOUBLE) / n_hyp, 6) END AS "precision",
+        |  CASE WHEN n_ref > 0 THEN round(CAST(lcs AS DOUBLE) / n_ref, 6) END AS recall,
+        |  CASE WHEN n_ref + n_hyp > 0 THEN round(2.0 * lcs / (n_ref + n_hyp), 6) END AS f1
+        |FROM sel ORDER BY id""".stripMargin,
 
     // corpus BLEU-4 replay: tokenize once, build every order's grams
     // via a CROSS JOIN over n in 1..4 (list_slice is 1-based

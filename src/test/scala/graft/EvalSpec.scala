@@ -322,6 +322,26 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("rougeL: textbook LCS, order-sensitivity vs rougeN, degenerate sides") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),      // identical: lcs 4, f1 1
+      (2L, "a b c b d a b", "b d c a b a"), // CLRS example: lcs 4
+      (3L, "a b c d", "a c d"),        // gapped subsequence: lcs 3 (bigram ROUGE would see only "c d")
+      (4L, "a b c d", "d c b a"),      // reversal: lcs 1 (any single token)
+      (5L, "a b", ""),                 // empty hyp: lcs 0, precision null
+      (6L, "", "x y")                  // empty ref: recall null
+    ).toDF("id", "ref", "hyp")
+    val got = Eval.rougeL(pairs, "id", "ref", "hyp").orderBy("id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L, 3L, 1L, 0L, 0L))
+    assert(got(0).getDouble(6) == 1.0)
+    assert(got(2).getDouble(4) == 1.0 && // precision 3/3
+      got(2).getDouble(5) == 0.75 &&     // recall 3/4
+      got(2).getDouble(6) == BigDecimal(6.0 / 7)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(4).isNullAt(4) && got(4).getDouble(5) == 0.0)
+    assert(got(5).isNullAt(5) && got(5).getDouble(4) == 0.0)
+  }
+
   test("chrF: identical pair is 1.0, recall-weighting beats precision at beta=2") {
     // identical: every order P = R = 1 -> chrF 1
     val same = Seq((1L, "ab cd", "ab cd")).toDF("id", "ref", "hyp")
