@@ -374,19 +374,28 @@ object Corpus {
     */
   def termDivergence(a: DataFrame, b: DataFrame,
                      textCol: String): DataFrame = {
-    // totals ride along via a 1-row broadcast, not a window
     val ca0 = a.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("ca"))
     val cb0 = b.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("cb"))
-    val ta = ca0.agg(sum(col("ca")).as("__ta"))
-    val tb = cb0.agg(sum(col("cb")).as("__tb"))
-    val joined = ca0.join(cb0, Seq("term"), "full_outer")
-      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    termDivergenceFromCounts(ca0.join(cb0, Seq("term"), "full_outer")
       .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"), col("__ta"), col("__tb"))
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  /** The JS finish over a pre-built per-term count table (term, ca,
+    * cb) -- `ca`/`cb` the term's count in corpus A / B. Split out (the
+    * mannWhitney pattern) so a STREAMED count table -- the whole
+    * divergence state is mergeable per-term counters -- can close with
+    * the identical reduce the batch path uses (q_stream_divergence).
+    * Same output contract as [[termDivergence]].
+    */
+  def termDivergenceFromCounts(counts: DataFrame): DataFrame = {
+    // totals ride along via a 1-row broadcast, not a window
+    val t = counts.agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    val joined = counts.crossJoin(broadcast(t))
     val p = when(col("__ta") > 0, col("ca").cast("double") / col("__ta")).otherwise(lit(0.0))
     val q = when(col("__tb") > 0, col("cb").cast("double") / col("__tb")).otherwise(lit(0.0))
     val contrib =

@@ -295,6 +295,40 @@ private[graft] object StreamingQueries {
       graft.ext.Eval.mannWhitney(s.read.parquet(s"$tmp/out"), "auc_binned")
     }),
 
+    "q_stream_divergence" -> ((s, d) => {
+      // STREAMING DRIFT MONITOR: termDivergence's whole state is a
+      // per-term (ca, cb) count table — mergeable counters, so the
+      // stream accumulates them in COMPLETE mode across any
+      // micro-batch schedule (state is vocabulary-sized: sublinear in
+      // the token volume by Heaps' law, the same boundedness class as
+      // a streamed word-count) and the JS reduce closes once on the
+      // sink. One AvailableNow pass == the batch en-vs-rest divergence
+      // on the same rows, so the oracle is the plain batch replay.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "documents").schema
+      val tmp = scratchDir("graft-sdiv")
+      stageDrop(s"$d/documents.parquet", s"$tmp/in", "documents.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      val counts = stream.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("isA"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(sum(col("isA")).as("ca"),
+          (count(lit(1)) - sum(col("isA"))).as("cb"))
+      val q = counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ext.Corpus.termDivergenceFromCounts(s.read.parquet(s"$tmp/out"))
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -485,6 +519,42 @@ private[graft] object StreamingQueries {
         |  CASE WHEN n_pos > 0 AND n_neg > 0
         |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg), 6) END AS auc_binned
         |FROM t""".stripMargin,
+
+    // one AvailableNow pass == the batch en-vs-rest divergence: the
+    // identical SQL x_term_divergence replays
+    "q_stream_divergence" ->
+      """WITH ta AS (
+        |  SELECT t.term FROM documents d,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+        |  WHERE d.lang = 'en' AND t.term <> ''),
+        |tb AS (
+        |  SELECT t.term FROM documents d,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+        |  WHERE d.lang <> 'en' AND t.term <> ''),
+        |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY term),
+        |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY term),
+        |tot AS (
+        |  SELECT (SELECT coalesce(sum(ca), 0) FROM ca) AS t_a,
+        |    (SELECT coalesce(sum(cb), 0) FROM cb) AS t_b),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb, t_a, t_b
+        |  FROM ca FULL OUTER JOIN cb USING (term) CROSS JOIN tot),
+        |c AS (
+        |  SELECT ca, cb, t_a, t_b,
+        |    CASE WHEN t_a > 0 THEN CAST(ca AS DOUBLE) / t_a ELSE 0.0 END AS p,
+        |    CASE WHEN t_b > 0 THEN CAST(cb AS DOUBLE) / t_b ELSE 0.0 END AS q
+        |  FROM j)
+        |SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+        |  CAST(max(t_a) AS BIGINT) AS tokens_a, CAST(max(t_b) AS BIGINT) AS tokens_b,
+        |  CASE WHEN max(t_a) + max(t_b) > 0 THEN
+        |    round(CAST(sum(CAST(round(
+        |      (CASE WHEN ca > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) +
+        |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
+        |FROM c""".stripMargin,
 
     // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
     // batch gap islands (the same SQL the batch sessionize row uses;
