@@ -470,6 +470,37 @@ object Eval {
           .as("f1"))
   }
 
+  /** Smith–Waterman local-alignment contamination score per (ref,
+    * hyp) pair -- the edit-TOLERANT companion to exact n-gram
+    * decontamination: a benchmark answer pasted into a document with a
+    * few token substitutions keeps a near-maximal local alignment,
+    * where exact 13-gram containment sees nothing. Uses the
+    * [[graft.functions.SwScore]] codegen'd kernel (+2 match, -1
+    * mismatch, -1 gap); `sw_norm` divides by the best possible score
+    * (2·min(|ref|,|hyp|)), so 1.0 == a verbatim copy of the shorter
+    * side and a flagging threshold transfers across lengths.
+    *
+    * Scale shape: pure narrow per-row map, O(|ref|·|hyp|) per row --
+    * truncate to windows upstream, as with [[rougeL]].
+    */
+  def localAlign(pairs: DataFrame, idCol: String, refCol: String,
+                 hypCol: String): DataFrame = {
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    pairs.select(col(idCol).as("id"),
+        toks(col(refCol)).as("rt"), toks(col(hypCol)).as("ht"))
+      .select(col("id"),
+        graft.functions.TextAlign.swScore(col("rt"), col("ht"))
+          .cast("long").as("sw"),
+        size(col("rt")).cast("long").as("n_ref"),
+        size(col("ht")).cast("long").as("n_hyp"))
+      .select(col("id"), col("sw"), col("n_ref"), col("n_hyp"),
+        when(least(col("n_ref"), col("n_hyp")) > 0,
+          round(col("sw").cast("double") /
+            (lit(2.0) * least(col("n_ref"), col("n_hyp"))), 6))
+          .as("sw_norm"))
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002): geometric mean of
     * clipped modified n-gram precisions for n = 1..maxN, times the
     * brevity penalty BP = min(1, e^(1 - refLen/hypLen)) over CORPUS

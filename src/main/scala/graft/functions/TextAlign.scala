@@ -88,9 +88,89 @@ case class LcsLength(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Smith–Waterman LOCAL alignment score (Smith & Waterman 1981) over
+  * two token sequences — the edit-tolerant span detector: a benchmark
+  * answer embedded in a document with a few token substitutions still
+  * aligns with a high score, where exact n-gram containment
+  * (x_decontaminate) misses it. H[i][j] = max(0, diag + s(aᵢ,bⱼ),
+  * up + gap, left + gap), answer = max cell; all-negative regions
+  * reset to 0, so the score reads "best locally-copied span".
+  *
+  * Same rolling two-row kernel and scale contract as [[LcsLength]]:
+  * O(n·m) per row, sentence/window-sized inputs.
+  */
+case class SwScore(left: Expression, right: Expression,
+                   matchScore: Int, mismatch: Int, gap: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sw_score expects (array<string>, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  def sw(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i)
+      j = 0
+      while (j < m) {
+        val diag = prev(j) + (if (ai == bs(j)) matchScore else mismatch)
+        val h = math.max(0,
+          math.max(diag, math.max(prev(j + 1) + gap, cur(j) + gap)))
+        cur(j + 1) = h
+        if (h > best) best = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    sw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("swKernel", this, classOf[SwScore].getName)
+      s"${ev.value} = $ref.sw($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SwScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextAlign {
   /** lcs_length(ref_tokens, hyp_tokens) over array<string>. */
   def lcsLength(a: Column, b: Column): Column =
     GraftBridge.column(LcsLength(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** sw_score(ref_tokens, hyp_tokens) — local alignment with the
+    * classic +2/−1/−1 scoring by default.
+    */
+  def swScore(a: Column, b: Column, matchScore: Int = 2,
+              mismatch: Int = -1, gap: Int = -1): Column =
+    GraftBridge.column(SwScore(
+      GraftBridge.expression(a), GraftBridge.expression(b),
+      matchScore, mismatch, gap))
 }

@@ -462,6 +462,28 @@ private[graft] object ExtQueries {
           TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
         .orderBy("doc_id")),
 
+    "x_fertility" -> ((s, d) =>
+      // tokenizer fertility per language (subword tokens per word +
+      // chars per token — the multilingual tokenizer-parity readout;
+      // high-fertility languages pay more context budget per word):
+      // one narrow map with the BPE-ish and whitespace kernels, one
+      // lang-keyed hash agg, exact integer ratios rounded once
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextOps.tokenCountBpeIsh(col("text")).cast("long").as("nb"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("bpe_tokens"), sum(col("nw")).as("words"),
+          when(sum(col("nw")) > 0,
+            round(sum(col("nb")).cast("double") / sum(col("nw")), 6))
+            .as("fertility"),
+          when(sum(col("nb")) > 0,
+            round(sum(col("nc")).cast("double") / sum(col("nb")), 6))
+            .as("chars_per_token"))
+        .orderBy("lang")),
+
     "x_bpe_merges" -> ((s, d) =>
       // BPE TRAINING's counting step: corpus-wide adjacent char pairs
       // inside words, top-50 merge candidates — alphabet²-bounded
@@ -741,6 +763,26 @@ private[graft] object ExtQueries {
           .otherwise(array_join(reverse(toks), " ")).as("hyp"))
       graft.ext.Eval.rougeN(pairs, "doc_id", "ref", "hyp", n = 2)
         .orderBy("id")
+    }),
+
+    "x_local_align" -> ((s, d) => {
+      // Smith–Waterman edit-tolerant contamination over 12-token
+      // prefixes: regime 0 plants a copy with ONE substituted token
+      // (exact n-gram misses it; SW stays near-max), regime 1 a
+      // verbatim half (sw_norm exactly 1), regime 2 word-reversed
+      // noise (near-zero)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val toks12 = slice(
+        filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0),
+        1, 12)
+      val edited = transform(toks12,
+        (tk, i) => when(i === 5, lit("qq")).otherwise(tk))
+      val pairs = docs.select(col("doc_id"),
+        array_join(toks12, " ").as("ref"),
+        when(col("doc_id") % 3 === 0, array_join(edited, " "))
+          .when(col("doc_id") % 3 === 1, array_join(slice(toks12, 1, 6), " "))
+          .otherwise(array_join(reverse(toks12), " ")).as("hyp"))
+      graft.ext.Eval.localAlign(pairs, "doc_id", "ref", "hyp").orderBy("id")
     }),
 
     "x_rouge_l" -> ((s, d) => {
@@ -1505,6 +1547,21 @@ private[graft] object ExtQueries {
 
     // the boundary-split tokens ARE the maximal alnum / non-alnum-non-
     // space runs (exact on ASCII; lookarounds not needed to count runs)
+    // fertility replay: the same ASCII maximal-run equivalence the
+    // x_bpe_tokens oracle uses, whitespace words, exact sum ratios
+    "x_fertility" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS BIGINT) AS nb,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS nw,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS bpe_tokens, CAST(sum(nw) AS BIGINT) AS words,
+        |  CASE WHEN sum(nw) > 0 THEN round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) END AS fertility,
+        |  CASE WHEN sum(nb) > 0 THEN round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) END AS chars_per_token
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
@@ -2447,6 +2504,53 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // Smith–Waterman replay: the same cell-stepping recursive CTE as
+    // x_rouge_l but carrying the running best cell; H = greatest(0,
+    // diag ± 2/1, up − 1, left − 1)
+    "x_local_align" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_slice(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1, 12) AS rt0
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT doc_id, rt0 AS rt,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           list_transform(range(1, len(rt0) + 1),
+        |             i -> CASE WHEN i = 6 THEN 'qq' ELSE rt0[i] END)
+        |         WHEN doc_id % 3 = 1 THEN list_slice(rt0, 1, 6)
+        |         ELSE list_reverse(rt0) END AS ht
+        |  FROM base),
+        |dp AS (
+        |  SELECT doc_id, rt, ht, 1 AS i, 1 AS j,
+        |    list_transform(range(0, len(ht) + 1), x -> 0) AS prev,
+        |    [0] AS cur, 0 AS best
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT doc_id, rt, ht,
+        |    CASE WHEN j <= len(ht) THEN i ELSE i + 1 END,
+        |    CASE WHEN j <= len(ht) THEN j + 1 ELSE 1 END,
+        |    CASE WHEN j <= len(ht) THEN prev ELSE cur END,
+        |    CASE WHEN j <= len(ht)
+        |      THEN list_append(cur, greatest(0,
+        |             prev[j] + CASE WHEN rt[i] = ht[j] THEN 2 ELSE -1 END,
+        |             prev[j + 1] - 1, cur[j] - 1))
+        |      ELSE [0] END,
+        |    CASE WHEN j <= len(ht)
+        |      THEN greatest(best, greatest(0,
+        |             prev[j] + CASE WHEN rt[i] = ht[j] THEN 2 ELSE -1 END,
+        |             prev[j + 1] - 1, cur[j] - 1))
+        |      ELSE best END
+        |  FROM dp WHERE i <= len(rt)),
+        |sel AS (
+        |  SELECT doc_id, len(rt) AS n_ref, len(ht) AS n_hyp, best
+        |  FROM dp WHERE i = len(rt) + 1 AND j = 1)
+        |SELECT doc_id AS id, CAST(best AS BIGINT) AS sw,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
+        |  CASE WHEN least(n_ref, n_hyp) > 0
+        |       THEN round(CAST(best AS DOUBLE) / (2.0 * least(n_ref, n_hyp)), 6)
+        |  END AS sw_norm
+        |FROM sel ORDER BY id""".stripMargin,
 
     // ROUGE-L replay: the LCS DP re-run as a cell-stepping RECURSIVE
     // CTE — each iteration fills ONE dp cell (the recurrence is

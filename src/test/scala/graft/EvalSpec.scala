@@ -322,6 +322,25 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("localAlign: substitution-tolerant spans, gaps, substrings, degenerate") {
+    val pairs = Seq(
+      (1L, "a b c", "a b c"),          // identical: 3 matches = 6, norm 1
+      (2L, "a b c d e", "a x c d e"),  // one substitution: 2-1+2+2+2 = 7
+      (3L, "a b c d", "c d"),          // substring: 4, norm 4/(2*2) = 1
+      (4L, "a b c d e", "a b d e"),    // one-token gap: 2+2-1+2+2 = 7
+      (5L, "a b", "x y"),              // disjoint: 0
+      (6L, "a b", "")                  // empty side: 0, norm null
+    ).toDF("id", "ref", "hyp")
+    val got = Eval.localAlign(pairs, "id", "ref", "hyp").orderBy("id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(6L, 7L, 4L, 7L, 0L, 0L))
+    assert(got(0).getDouble(4) == 1.0)
+    assert(got(1).getDouble(4) == 0.7)
+    assert(got(2).getDouble(4) == 1.0)
+    assert(got(3).getDouble(4) == 0.875)
+    assert(got(4).getDouble(4) == 0.0)
+    assert(got(5).isNullAt(4))
+  }
+
   test("rougeL: textbook LCS, order-sensitivity vs rougeN, degenerate sides") {
     val pairs = Seq(
       (1L, "a b c d", "a b c d"),      // identical: lcs 4, f1 1
