@@ -650,6 +650,57 @@ object Eval {
         .otherwise(lit(0.0)).as("chrf"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2011,
+    * "Computing Krippendorff's Alpha-Reliability") -- the
+    * inter-rater-agreement readout that [[cohenKappa]] cannot give an
+    * annotation pipeline in production: ANY number of raters per unit,
+    * MISSING ratings allowed (null labels drop; units with fewer than
+    * two ratings drop entirely, contributing no pairable values).
+    * Input is LONG form: one row per (unit, label) rating.
+    *
+    *   alpha = 1 - (n-1) * [Σ_u Σ_c o_uc(m_u - o_uc)/(m_u - 1)]
+    *               / [Σ_c n_c(n - n_c)]
+    *
+    * with o_uc the count of label c in unit u, m_u = Σ_c o_uc, n the
+    * total pairable values, n_c the label margin. Everything is
+    * integral except the per-unit /(m_u - 1) rational terms, which
+    * round to 12 dp and accumulate in DECIMAL (order-independent);
+    * margin products accumulate in DECIMAL(38,0) (corpus-scale n² can
+    * pass long range); one final 6-dp division.
+    *
+    * Scale shape: hash agg to (unit, label) cells, a unit-keyed margin
+    * join, two bounded re-aggregations. Nothing keyed finer than a
+    * rating cell. Returns (n_units, n_values, n_labels, alpha); alpha
+    * is null when every pairable rating is one label (no expected
+    * disagreement to correct against).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        labelCol: String): DataFrame = {
+    val o = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(labelCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("ouc"))
+    val m = o.groupBy(col("u")).agg(sum(col("ouc")).as("mu"))
+      .filter(col("mu") >= 2)
+    val kept = o.join(m, Seq("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = kept.agg(
+      countDistinct(col("u")).as("n_units"),
+      sum(col("ouc")).as("n"),
+      sum(round(col("ouc") * (col("mu") - col("ouc")).cast("double") /
+          (col("mu") - 1), 12).cast("decimal(28,12)")).as("do_num"))
+    kept.groupBy(col("c")).agg(sum(col("ouc")).as("nc"))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("n_units")).as("n_units"), max(col("n")).as("n_values"),
+        count(lit(1)).as("n_labels"), max(col("do_num")).as("do_num"),
+        sum(col("nc").cast("decimal(38,0)") *
+          (col("n") - col("nc")).cast("decimal(38,0)")).as("de_num"))
+      .select(col("n_units"), col("n_values"), col("n_labels"),
+        when(col("de_num") > 0,
+          round(lit(1.0) - (col("n_values") - 1).cast("double") *
+            col("do_num").cast("double") / col("de_num").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** Cohen's kappa -- chance-corrected inter-rater agreement between
     * two categorical label columns (the label-quality readout of an
     * annotation/RLHF pipeline: how much do two raters, or a model and

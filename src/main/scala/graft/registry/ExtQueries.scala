@@ -765,6 +765,20 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_krippendorff" -> ((s, d) => {
+      // 3 planted raters over the language label: rater 1 gold,
+      // rater 2 noisy every 7th doc, rater 3 MISSING every 5th doc —
+      // exercises >2 raters and missing ratings, the two shapes
+      // q_kappa structurally cannot take
+      val ratings = t(s, d, "documents").select(col("doc_id"),
+        explode(array(
+          col("lang"),
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))).as("label"))
+      graft.ext.Eval.krippendorffAlpha(ratings, "doc_id", "label")
+    }),
+
     "x_local_align" -> ((s, d) => {
       // Smith–Waterman edit-tolerant contamination over 12-token
       // prefixes: regime 0 plants a copy with ONE substituted token
@@ -2504,6 +2518,35 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // Krippendorff replay: same (unit, label) cells, units under two
+    // ratings dropped, 12-dp per-unit rational terms in DECIMAL,
+    // DECIMAL(38,0) margin products, one 6-dp division
+    "x_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id AS u, lang AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END FROM documents),
+        |o AS (
+        |  SELECT u, label AS c, CAST(count(*) AS BIGINT) AS ouc
+        |  FROM r WHERE label IS NOT NULL GROUP BY u, label),
+        |m AS (SELECT u, sum(ouc) AS mu FROM o GROUP BY u HAVING sum(ouc) >= 2),
+        |kept AS (SELECT o.u, o.c, o.ouc, m.mu FROM o JOIN m USING (u)),
+        |tot AS (
+        |  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+        |    CAST(sum(ouc) AS BIGINT) AS n,
+        |    sum(CAST(round(ouc * CAST(mu - ouc AS DOUBLE) / (mu - 1), 12) AS DECIMAL(28,12))) AS do_num
+        |  FROM kept),
+        |nc AS (SELECT c, CAST(sum(ouc) AS BIGINT) AS ncnt FROM kept GROUP BY c)
+        |SELECT max(n_units) AS n_units, max(n) AS n_values,
+        |  CAST(count(*) AS BIGINT) AS n_labels,
+        |  CASE WHEN sum(CAST(ncnt AS DECIMAL(38,0)) * CAST(n - ncnt AS DECIMAL(38,0))) > 0 THEN
+        |    round(1.0 - CAST(max(n) - 1 AS DOUBLE) * CAST(max(do_num) AS DOUBLE)
+        |      / CAST(sum(CAST(ncnt AS DECIMAL(38,0)) * CAST(n - ncnt AS DECIMAL(38,0))) AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM nc CROSS JOIN tot""".stripMargin,
 
     // Smith–Waterman replay: the same cell-stepping recursive CTE as
     // x_rouge_l but carrying the running best cell; H = greatest(0,

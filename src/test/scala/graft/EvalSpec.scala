@@ -322,6 +322,38 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("krippendorffAlpha: perfect, zero, systematic disagreement, missing data") {
+    import spark.implicits._
+    // perfect within-unit agreement incl. a 3-rating and a 2-rating
+    // unit: Do = 0 -> alpha 1 (margins differ, so De > 0)
+    val perfect = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("u", "label")
+    val p = Eval.krippendorffAlpha(perfect, "u", "label").collect()(0)
+    assert(p.getLong(0) == 2L && p.getLong(1) == 5L && p.getLong(2) == 2L &&
+      p.getDouble(3) == 1.0)
+
+    // unit1 (a,a), unit2 (a,b): Num=2, n=4, margins 3/1 -> De sum 6
+    // alpha = 1 - 3*2/6 = 0
+    val half = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("u", "label")
+    assert(Eval.krippendorffAlpha(half, "u", "label").collect()(0)
+      .getDouble(3) == 0.0)
+
+    // both units (a,b): systematic disagreement, alpha = 1 - 3*4/8 = -0.5
+    val dis = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("u", "label")
+    assert(Eval.krippendorffAlpha(dis, "u", "label").collect()(0)
+      .getDouble(3) == -0.5)
+
+    // nulls drop; a 1-rating unit contributes nothing (u3 vanishes)
+    val miss = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, null.asInstanceOf[String])).toDF("u", "label")
+    val ms = Eval.krippendorffAlpha(miss, "u", "label").collect()(0)
+    assert(ms.getLong(0) == 2L && ms.getLong(1) == 4L && ms.getDouble(3) == 1.0)
+
+    // single label everywhere: De = 0, alpha null
+    val const = Seq((1L, "a"), (1L, "a")).toDF("u", "label")
+    assert(Eval.krippendorffAlpha(const, "u", "label").collect()(0).isNullAt(3))
+  }
+
   test("localAlign: substitution-tolerant spans, gaps, substrings, degenerate") {
     val pairs = Seq(
       (1L, "a b c", "a b c"),          // identical: 3 matches = 6, norm 1
