@@ -469,6 +469,38 @@ object Corpus {
       .orderBy(col("js").desc, col("source").asc)
   }
 
+  /** Per-group label diversity: Shannon entropy (nats) of the label
+    * distribution inside each group plus its exponential -- the
+    * "effective number of labels" (a source with 5 languages at 99/
+    * 0.25/0.25/0.25/0.25 percent has ~1.07 effective languages, not
+    * 5) -- the composition-diversity readout of a corpus datasheet.
+    *
+    * Determinism: per-label -p·ln p terms round to 12 dp and
+    * accumulate in DECIMAL; entropy and its exp round once at 6 dp.
+    * Scale shape: one (group, label) hash agg, a broadcast
+    * group-totals join, one group re-agg -- nothing keyed finer than
+    * a (group, label) cell.
+    *
+    * Returns (group, n_rows, n_labels, entropy, effective_labels).
+    */
+  def labelDiversity(docs: DataFrame, groupCol: String,
+                     labelCol: String): DataFrame = {
+    val cells = docs.groupBy(col(groupCol).as("group"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("group")).agg(sum(col("c")).as("tot"))
+    val p = col("c").cast("double") / col("tot")
+    cells.join(broadcast(tot), Seq("group"))
+      .withColumn("pterm", round(-p * log(p), 12))
+      .groupBy(col("group"))
+      .agg(max(col("tot")).as("n_rows"), count(lit(1)).as("n_labels"),
+        sum(col("pterm").cast("decimal(28,12)")).cast("double").as("__h"))
+      .select(col("group"), col("n_rows"), col("n_labels"),
+        round(col("__h"), 6).as("entropy"),
+        round(exp(col("__h")), 6).as("effective_labels"))
+      .orderBy(col("group"))
+  }
+
   /** Portable per-row sample bucket in [0, 10⁶): FNV-1a over
     * "key:seed" — reproducible not just across runs and partitionings
     * but across ENGINES (the DuckDB oracle replays it exactly; same

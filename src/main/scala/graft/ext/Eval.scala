@@ -781,6 +781,37 @@ object Eval {
         .as("chi2"))
   }
 
+  /** Per-group log-loss with a worst-group flag -- the
+    * group-robustness readout (Sagawa et al. 2020, "Distributionally
+    * Robust Neural Networks for Group Shift"): average loss can hide a
+    * subpopulation the scorer fails on; the flagged row is the group a
+    * DRO-style reweighting would up-weight. Same distinct-(p, y)-cell
+    * reduction and rounding discipline as [[logLoss]], keyed by group.
+    * Returns (group, n, log_loss, is_worst), worst first.
+    */
+  def logLossByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                     scoreCol: String, eps: Double = 1e-15): DataFrame = {
+    val p0 = col(scoreCol).cast("double")
+    val p = least(greatest(p0, lit(eps)), lit(1.0 - eps))
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val per = df.select(col(groupCol).as("group"), p.as("p"), y.as("y"))
+      .groupBy(col("group"), col("p"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term", round(
+        when(col("y") === 1L, -log(col("p")))
+          .otherwise(-log(lit(1.0) - col("p"))), 9))
+      .groupBy(col("group"))
+      .agg(sum(col("c")).as("n"),
+        round(sum((col("term").cast("decimal(18,9)") * col("c"))
+            .cast("decimal(38,9)")).cast("double") /
+          sum(col("c")), 6).as("log_loss"))
+    val worst = per.agg(max(col("log_loss")).as("__worst"))
+    per.crossJoin(broadcast(worst))
+      .select(col("group"), col("n"), col("log_loss"),
+        (col("log_loss") === col("__worst")).as("is_worst"))
+      .orderBy(col("log_loss").desc, col("group").asc)
+  }
+
   def logLoss(df: DataFrame, labelCol: String, scoreCol: String,
               eps: Double = 1e-15): DataFrame = {
     val p0 = col(scoreCol).cast("double")

@@ -765,6 +765,27 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_worst_group" -> ((s, d) => {
+      // group-robustness readout: a scorer that is near-perfect on
+      // four languages and uninformative (p=0.5) on zh — the mean
+      // log-loss hides it, the per-group sweep flags zh as the worst
+      // group (the DRO up-weighting target)
+      val docs = t(s, d, "documents")
+      val label = col("doc_id") % 3 === 0
+      val score = when(col("lang") === "zh", lit(0.5))
+        .otherwise(when(label, lit(0.9)).otherwise(lit(0.1)))
+      graft.ext.Eval.logLossByGroup(
+        docs.select(col("lang"), label.as("y"), score.as("p")),
+        "lang", "y", "p")
+    }),
+
+    "x_diversity" -> ((s, d) =>
+      // per-source language diversity: entropy + effective language
+      // count — the datasheet composition readout (one (source, lang)
+      // cell agg, broadcast totals)
+      graft.ext.Corpus.labelDiversity(t(s, d, "documents"),
+        "source", "lang")),
+
     "x_krippendorff" -> ((s, d) => {
       // 3 planted raters over the language label: rater 1 gold,
       // rater 2 noisy every 7th doc, rater 3 MISSING every 5th doc —
@@ -2518,6 +2539,51 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // worst-group replay: same distinct-(p,y) cells per group, same
+    // 9-dp terms, max-join for the flag
+    "x_worst_group" ->
+      """WITH e AS (
+        |  SELECT lang AS grp, (doc_id % 3 = 0) AS y,
+        |    CASE WHEN lang = 'zh' THEN 0.5
+        |         WHEN doc_id % 3 = 0 THEN 0.9 ELSE 0.1 END AS p
+        |  FROM documents),
+        |cl AS (
+        |  SELECT grp, least(greatest(p, 1e-15), 1.0 - 1e-15) AS p,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY ALL),
+        |t AS (
+        |  SELECT grp, c,
+        |    round(CASE WHEN y = 1 THEN -ln(p) ELSE -ln(1.0 - p) END, 9) AS term
+        |  FROM cl),
+        |per AS (
+        |  SELECT grp AS "group", CAST(sum(c) AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(term AS DECIMAL(18,9)) * c) AS DOUBLE) / sum(c), 6) AS log_loss
+        |  FROM t GROUP BY grp),
+        |w AS (SELECT max(log_loss) AS worst FROM per)
+        |SELECT "group", n, log_loss, (log_loss = worst) AS is_worst
+        |FROM per CROSS JOIN w
+        |ORDER BY log_loss DESC, "group" ASC""".stripMargin,
+
+    // diversity replay: same (group, label) cells, 12-dp -p ln p in
+    // DECIMAL, entropy and exp rounded once
+    "x_diversity" ->
+      """WITH cells AS (
+        |  SELECT source AS "group", lang AS label, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY ALL),
+        |tot AS (SELECT "group", sum(c) AS tot FROM cells GROUP BY "group"),
+        |terms AS (
+        |  SELECT cells."group", cells.c, tot.tot,
+        |    round(-(CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot), 12) AS pterm
+        |  FROM cells JOIN tot USING ("group")),
+        |h AS (
+        |  SELECT "group", CAST(max(tot) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_labels,
+        |    CAST(sum(CAST(pterm AS DECIMAL(28,12))) AS DOUBLE) AS hh
+        |  FROM terms GROUP BY "group")
+        |SELECT "group", n_rows, n_labels, round(hh, 6) AS entropy,
+        |  round(exp(hh), 6) AS effective_labels
+        |FROM h ORDER BY "group"""".stripMargin,
 
     // Krippendorff replay: same (unit, label) cells, units under two
     // ratings dropped, 12-dp per-unit rational terms in DECIMAL,

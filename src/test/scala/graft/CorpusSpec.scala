@@ -277,6 +277,21 @@ class CorpusSpec extends SparkSpec {
     assert(one.isNullAt(3))
   }
 
+  test("labelDiversity: uniform-two gives ln 2 and effective 2, constant gives 0/1") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "en"), ("A", "en"), ("A", "de"), ("A", "de"),
+      ("B", "en"), ("B", "en"), ("B", "en")
+    ).toDF("source", "lang")
+    val got = graft.ext.Corpus.labelDiversity(docs, "source", "lang")
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(3) == 0.693147 && got(0).getDouble(4) == 2.0)
+    assert(got(1).getLong(2) == 1L && got(1).getDouble(3) == 0.0 &&
+      got(1).getDouble(4) == 1.0)
+  }
+
   test("datasheet: hand-computed totals, composition, percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

@@ -322,6 +322,18 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("logLossByGroup: flags the uninformative group the mean hides") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", true, 0.9), ("g1", true, 0.9), ("g1", false, 0.1), ("g1", false, 0.1),
+      ("g2", true, 0.5), ("g2", true, 0.5)
+    ).toDF("g", "y", "p")
+    val got = Eval.logLossByGroup(rows, "g", "y", "p").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("g2", "g1")) // worst first
+    assert(got(0).getDouble(2) == 0.693147 && got(0).getBoolean(3))
+    assert(got(1).getDouble(2) == 0.105361 && !got(1).getBoolean(3))
+  }
+
   test("krippendorffAlpha: perfect, zero, systematic disagreement, missing data") {
     import spark.implicits._
     // perfect within-unit agreement incl. a 3-rating and a 2-rating
