@@ -781,6 +781,72 @@ object Eval {
         .as("chi2"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy et
+    * al. 2012, "Estimating Uncertainty for Massive Data Streams" --
+    * the bootstrap that works at corpus scale): instead of B
+    * resampling PASSES, each row draws an independent Poisson(1)
+    * weight per replicate (the large-n limit of multinomial resample
+    * counts), so all B replicate means come out of ONE weighted
+    * aggregation. The CI is the percentile interval over the B means.
+    *
+    * Deterministic & portable BY CONSTRUCTION: the Poisson draw
+    * inverts the CDF on u = FNV-1a("id#b:seed") millionths -- the
+    * engine's portable sample-bucket construction -- against shared
+    * literal CDF constants, values round to 6 dp and accumulate in
+    * DECIMAL, each replicate mean is one rounded division, and both
+    * engines interpolate the same percentile definition (p·(n-1)
+    * linear). No RNG state anywhere.
+    *
+    * Scale shape: the explode multiplies volume by `reps` -- the
+    * Poisson trick removes the resampling passes, not the ×B
+    * arithmetic. At full corpus scale run it over the metric's
+    * already-aggregated inputs or a sampled frame; B itself needs no
+    * growth with data size.
+    *
+    * Returns one row: (n_rows, n_replicates, mean, ci_lo, ci_hi).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      reps: Int = 200, seed: Long = 101L,
+                      level: Double = 0.95): DataFrame = {
+    require(reps >= 10 && reps <= 10000,
+      s"bootstrapMeanCI: reps must be in [10,10000], got $reps")
+    require(level > 0 && level < 1,
+      s"bootstrapMeanCI: level must be in (0,1), got $level")
+    // quantize the tail probabilities so the percentile arguments are
+    // clean literals on both engines
+    val loQ = math.round((1.0 - level) / 2.0 * 1e6) / 1e6
+    val hiQ = 1.0 - loQ
+    val base = df.select(
+      coalesce(col(idCol).cast("string"), lit("\u0000null")).as("id"),
+      round(col(valueCol).cast("double"), 6).cast("decimal(28,6)").as("x"))
+    val rep = base.select(col("id"), col("x"),
+      explode(sequence(lit(1), lit(reps))).as("b"))
+    val u = pmod(graft.functions.VectorExpressions.fnv1a64(
+        concat(col("id"), lit("#"), col("b").cast("string"),
+          lit(":"), lit(seed.toString))),
+      lit(1000000L)).cast("double") / lit(1000000.0)
+    // Poisson(1) CDF: e^-1 * sum 1/k!; identical literals in the oracle
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033254)
+    val w = cdf.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (c, k)) => when(u < c, lit(k.toLong)).otherwise(acc)
+    }
+    val perRep = rep.withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("nw"), sum(col("x") * col("w")).as("sx"))
+      .filter(col("nw") > 0)
+      .select(round(col("sx").cast("double") / col("nw"), 6).as("m"))
+    val ci = perRep.agg(count(lit(1)).as("n_replicates"),
+      expr(s"percentile(m, array($loQ, $hiQ))").as("q"))
+    base.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("x")).cast("double") / count(lit(1)), 6).as("mean"))
+      .crossJoin(ci)
+      .select(col("n_rows"), col("n_replicates"), col("mean"),
+        round(element_at(col("q"), 1), 6).as("ci_lo"),
+        round(element_at(col("q"), 2), 6).as("ci_hi"))
+  }
+
   /** Per-group log-loss with a worst-group flag -- the
     * group-robustness readout (Sagawa et al. 2020, "Distributionally
     * Robust Neural Networks for Group Shift"): average loss can hide a

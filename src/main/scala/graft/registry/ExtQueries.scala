@@ -765,6 +765,14 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_bootstrap_ci" -> ((s, d) =>
+      // Poisson-bootstrap 95% CI for mean document length: 200
+      // deterministic replicates from ONE weighted aggregation — the
+      // massive-data bootstrap (no resampling passes), FNV-seeded so
+      // the oracle replays every Poisson draw exactly
+      graft.ext.Eval.bootstrapMeanCI(t(s, d, "documents"),
+        "doc_id", "n_chars", reps = 200, seed = 101L)),
+
     "x_worst_group" -> ((s, d) => {
       // group-robustness readout: a scorer that is near-perfect on
       // four languages and uninformative (p=0.5) on zh — the mean
@@ -2539,6 +2547,46 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // bootstrap replay: the identical FNV millionth-buckets invert the
+    // same Poisson(1) CDF literals, DECIMAL-weighted sums per
+    // replicate, quantile_cont == Spark percentile (both p·(n-1)
+    // linear interpolation)
+    "x_bootstrap_ci" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(28,6)) AS x
+         |  FROM documents),
+         |r AS (SELECT CAST(unnest(range(1, 201)) AS INTEGER) AS b),
+         |g AS (
+         |  SELECT x, b,
+         |    CAST(((${signedSql(fnvSql("(id || '#' || CAST(b AS VARCHAR) || ':101')"))} % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS u
+         |  FROM d CROSS JOIN r),
+         |ws AS (
+         |  SELECT b, x,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238462 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         WHEN u < 0.999916758850712 THEN 6
+         |         WHEN u < 0.9999897508033254 THEN 7
+         |         ELSE 8 END AS w
+         |  FROM g),
+         |per AS (SELECT b, sum(w) AS nw, sum(x * w) AS sx FROM ws GROUP BY b),
+         |m AS (SELECT round(CAST(sx AS DOUBLE) / nw, 6) AS m FROM per WHERE nw > 0),
+         |q AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         |    quantile_cont(m, 0.025) AS qlo, quantile_cont(m, 0.975) AS qhi
+         |  FROM m),
+         |o AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean
+         |  FROM d)
+         |SELECT n_rows, n_replicates, mean,
+         |  round(qlo, 6) AS ci_lo, round(qhi, 6) AS ci_hi
+         |FROM o CROSS JOIN q""".stripMargin,
 
     // worst-group replay: same distinct-(p,y) cells per group, same
     // 9-dp terms, max-join for the flag

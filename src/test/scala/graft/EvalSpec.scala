@@ -322,6 +322,23 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("bootstrapMeanCI: deterministic, degenerate-constant exact, sane interval") {
+    import spark.implicits._
+    // constant data: every replicate mean == the value, CI collapses
+    val const = (1L to 40L).map((_, 7.5)).toDF("id", "v")
+    val c = Eval.bootstrapMeanCI(const, "id", "v", reps = 50).collect()(0)
+    assert(c.getLong(0) == 40L && c.getLong(1) == 50L)
+    assert(c.getDouble(2) == 7.5 && c.getDouble(3) == 7.5 && c.getDouble(4) == 7.5)
+
+    // varied data: interval brackets sanely and is bit-stable across runs
+    val varied = (1L to 100L).map(i => (i, (i % 13).toDouble)).toDF("id", "v")
+    val r1 = Eval.bootstrapMeanCI(varied, "id", "v", reps = 100).collect()(0)
+    val r2 = Eval.bootstrapMeanCI(varied, "id", "v", reps = 100).collect()(0)
+    assert(r1 == r2)
+    assert(r1.getDouble(3) <= r1.getDouble(2) && r1.getDouble(2) <= r1.getDouble(4))
+    assert(r1.getDouble(4) - r1.getDouble(3) > 0) // non-degenerate spread
+  }
+
   test("logLossByGroup: flags the uninformative group the mean hides") {
     import spark.implicits._
     val rows = Seq(
