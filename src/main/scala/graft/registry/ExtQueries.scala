@@ -765,6 +765,21 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_multipattern" -> ((s, d) => {
+      // Aho–Corasick dictionary scan: one O(|text|) automaton walk per
+      // document regardless of dictionary size (a large blocklist as a
+      // regex alternation backtracks per-phrase; a contains-loop is
+      // O(|text|·|phrases|)) — overlapping phrases ("can" inside
+      // "scan") and multi-word phrases included deliberately
+      val dict = Seq("scan", "can", "fast key scan", "table part",
+        "agg row", "zz never zz")
+      t(s, d, "documents").select(col("doc_id").as("id"),
+          graft.functions.MultiPattern.acMatches(col("text"), dict).as("ac"))
+        .select(col("id"), size(col("ac")).cast("long").as("n_matched"),
+          array_join(col("ac"), "|").as("matched"))
+        .orderBy("id")
+    }),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -2547,6 +2562,20 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // multipattern replay: per-phrase contains == substring semantics
+    // of the automaton; list_sort's binary collation == Java's String
+    // ordering on these ASCII phrases
+    "x_multipattern" ->
+      """SELECT doc_id AS id,
+        |  CAST(len(l) AS BIGINT) AS n_matched,
+        |  coalesce(array_to_string(l, '|'), '') AS matched
+        |FROM (
+        |  SELECT doc_id, list_sort(list_filter(
+        |    ['scan', 'can', 'fast key scan', 'table part', 'agg row', 'zz never zz'],
+        |    p -> contains(text, p))) AS l
+        |  FROM documents)
+        |ORDER BY id""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per
