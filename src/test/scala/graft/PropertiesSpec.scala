@@ -30,6 +30,83 @@ class PropertiesSpec extends SparkSpec {
     v <- Gen.choose(0, 100)
   } yield (id, v)
 
+  // ---- alignment/matching kernels: checked directly against naive
+  // reference implementations (pure kernels — no Spark job per trial,
+  // so the trial count can be much higher than the job-driven props)
+
+  private val kernelParams = SCTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(Seed(42L))
+    .withMaxSize(30)
+
+  private def checkK(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(kernelParams, prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def arr(toks: Seq[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+
+  private val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c"))
+
+  private def naiveLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  private def naiveSw(a: Seq[String], b: Seq[String]): Int = {
+    var best = 0
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val s = if (a(i - 1) == b(j - 1)) 2 else -1
+      dp(i)(j) = math.max(0, math.max(dp(i - 1)(j - 1) + s,
+        math.max(dp(i - 1)(j) - 1, dp(i)(j - 1) - 1)))
+      if (dp(i)(j) > best) best = dp(i)(j)
+    }
+    best
+  }
+
+  test("property: LcsLength == full-matrix reference; symmetric; bounded; self = |a|") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val k = graft.functions.LcsLength(Literal("x"), Literal("x"))
+    checkK("lcs", Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val got = k.lcs(arr(a), arr(b))
+      got == naiveLcs(a, b) &&
+        got == k.lcs(arr(b), arr(a)) &&
+        got <= math.min(a.length, b.length) &&
+        k.lcs(arr(a), arr(a)) == a.length
+    })
+  }
+
+  test("property: SwScore == full-matrix reference; self = 2|a|; nonneg") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val k = graft.functions.SwScore(Literal("x"), Literal("x"), 2, -1, -1)
+    checkK("sw", Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val got = k.sw(arr(a), arr(b))
+      got == naiveSw(a, b) && got >= 0 &&
+        k.sw(arr(a), arr(a)) == 2 * a.length
+    })
+  }
+
+  test("property: AhoCorasick matches == naive contains filter, any dict") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val strGen = Gen.listOf(Gen.oneOf('a', 'b')).map(_.mkString)
+    checkK("ac", Prop.forAll(strGen, Gen.listOf(strGen)) { (text, dict0) =>
+      val dict = dict0.distinct
+      val k = graft.functions.AhoCorasickMatches(Literal("x"), dict)
+      val got = k.matchesFor(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val want = dict.filter(p => p.nonEmpty && text.contains(p)).sorted
+      got == want
+    })
+  }
+
   test("property: upsert idempotence — upsert(upsert(t,u),u) == upsert(t,u)") {
     check("idempotence", Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) { (t0, u0) =>
       val t = t0.distinctBy(_._1).toDF("id", "v")
