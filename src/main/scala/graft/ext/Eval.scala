@@ -847,6 +847,67 @@ object Eval {
         round(element_at(col("q"), 2), 6).as("ci_hi"))
   }
 
+  /** One-pass evaluation report: AUC, positive rate, Brier, log-loss,
+    * and the threshold confusion metrics (accuracy / precision /
+    * recall / F1) all from a SINGLE distinct-(p, y) cell reduction --
+    * the efficiency shape a production eval loop wants, where running
+    * [[auc]], [[brier]], [[logLoss]] and a confusion sweep separately
+    * means four scans of the scored corpus. One shuffle touches row
+    * volume (the cell hash-agg); everything downstream operates on
+    * cells.
+    *
+    * Contract: scores round to 6 dp before the cell grouping (the
+    * [[auc]] bounded-domain contract, here applied to every metric --
+    * Brier/log-loss on a probability scorer move by < 1e-5 absolute
+    * under 6-dp score rounding). Returns one row: (n, n_pos, pos_rate,
+    * auc, brier, log_loss, accuracy, precision, recall, f1).
+    */
+  def scoreReport(df: DataFrame, labelCol: String, scoreCol: String,
+                  threshold: Double = 0.5, eps: Double = 1e-15): DataFrame = {
+    val cells = df.select(round(col(scoreCol).cast("double"), 6).as("p"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("p"), col("y")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aucRow = mannWhitney(cells.groupBy(col("p").as("s"))
+      .agg(sum(when(col("y") === 1L, col("c")).otherwise(0L)).as("np_s"),
+        sum(when(col("y") === 0L, col("c")).otherwise(0L)).as("nn_s")),
+      "auc")
+    val pc = least(greatest(col("p"), lit(eps)), lit(1.0 - eps))
+    val scalars = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("y") === 1L, col("c")).otherwise(0L)).as("n_pos"),
+      sum((round((col("p") - col("y")) * (col("p") - col("y")), 9)
+          .cast("decimal(18,9)") * col("c")).cast("decimal(38,9)")).as("bsum"),
+      sum((round(when(col("y") === 1L, -log(pc))
+            .otherwise(-log(lit(1.0) - pc)), 9)
+          .cast("decimal(18,9)") * col("c")).cast("decimal(38,9)")).as("lsum"),
+      sum(when(col("y") === 1L && col("p") >= threshold, col("c"))
+        .otherwise(0L)).as("tp"),
+      sum(when(col("y") === 0L && col("p") >= threshold, col("c"))
+        .otherwise(0L)).as("fp"),
+      sum(when(col("y") === 1L && col("p") < threshold, col("c"))
+        .otherwise(0L)).as("fnn"),
+      sum(when(col("y") === 0L && col("p") < threshold, col("c"))
+        .otherwise(0L)).as("tn"))
+    scalars.crossJoin(aucRow.select(col("auc")))
+      .select(col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        col("auc"),
+        round(col("bsum").cast("double") / col("n"), 6).as("brier"),
+        round(col("lsum").cast("double") / col("n"), 6).as("log_loss"),
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6)
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fnn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fnn")), 6))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fnn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fnn")), 6)).as("f1"))
+  }
+
   /** Per-group log-loss with a worst-group flag -- the
     * group-robustness readout (Sagawa et al. 2020, "Distributionally
     * Robust Neural Networks for Group Shift"): average loss can hide a

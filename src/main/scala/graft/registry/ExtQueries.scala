@@ -765,6 +765,19 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_score_report" -> ((s, d) =>
+      // the one-pass eval report over a planted probability scorer
+      // (hash-spread scores, en-vs-rest labels): AUC + calibration +
+      // threshold metrics from a single distinct-(p,y) cell reduction
+      // — four registry rows' worth of readout, one scan
+      graft.ext.Eval.scoreReport(
+        t(s, d, "documents").select(
+          (col("lang") === "en").as("y"),
+          (pmod(col("doc_id"), lit(997)).cast("double") / lit(997.0) * lit(0.5)
+            + when(col("lang") === "en", lit(0.4)).otherwise(lit(0.1)))
+            .as("p")),
+        "y", "p")),
+
     "x_multipattern" -> ((s, d) => {
       // Aho–Corasick dictionary scan: one O(|text|) automaton walk per
       // document regardless of dictionary size (a large blocklist as a
@@ -2562,6 +2575,56 @@ private[graft] object ExtQueries {
         |  CASE WHEN t.n_ref + t.n_hyp > 0
         |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
         |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // score-report replay: the same cell reduction feeds the q_auc
+    // Mann-Whitney CTE and the scalar metrics; 6-dp rounding parity
+    // via the VARCHAR->DECIMAL(38,30) trick (the q_auc pattern)
+    "x_score_report" ->
+      """WITH cl AS (
+        |  SELECT CAST(round(CAST(CAST(
+        |      (CAST(doc_id % 997 AS DOUBLE) / 997.0 * 0.5 +
+        |       CASE WHEN lang = 'en' THEN 0.4 ELSE 0.1 END)
+        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS p,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |cells AS (SELECT p, y, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY p, y),
+        |g AS (
+        |  SELECT p AS s,
+        |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS np_s,
+        |    CAST(sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT) AS nn_s
+        |  FROM cells GROUP BY p),
+        |a AS (
+        |  SELECT s, np_s, nn_s,
+        |    coalesce(sum(nn_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g),
+        |auc_t AS (
+        |  SELECT CAST(sum(np_s) AS BIGINT) AS np, CAST(sum(nn_s) AS BIGINT) AS nn,
+        |    sum(CAST(np_s AS HUGEINT) * (2 * nb + nn_s)) AS c2
+        |  FROM a),
+        |sc AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS n_pos,
+        |    sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(18,9)) * c) AS bsum,
+        |    sum(CAST(round(CASE WHEN y = 1
+        |          THEN -ln(least(greatest(p, 1e-15), 1.0 - 1e-15))
+        |          ELSE -ln(1.0 - least(greatest(p, 1e-15), 1.0 - 1e-15)) END, 9)
+        |      AS DECIMAL(18,9)) * c) AS lsum,
+        |    CAST(sum(CASE WHEN y = 1 AND p >= 0.5 THEN c ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y = 0 AND p >= 0.5 THEN c ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y = 1 AND p < 0.5 THEN c ELSE 0 END) AS BIGINT) AS fnn,
+        |    CAST(sum(CASE WHEN y = 0 AND p < 0.5 THEN c ELSE 0 END) AS BIGINT) AS tn
+        |  FROM cells)
+        |SELECT n, n_pos, round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+        |  CASE WHEN np > 0 AND nn > 0
+        |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * np * nn), 6) END AS auc,
+        |  round(CAST(bsum AS DOUBLE) / n, 6) AS brier,
+        |  round(CAST(lsum AS DOUBLE) / n, 6) AS log_loss,
+        |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+        |  CASE WHEN tp + fnn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fnn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fnn > 0
+        |       THEN round(2.0 * tp / (2 * tp + fp + fnn), 6) END AS f1
+        |FROM sc CROSS JOIN auc_t""".stripMargin,
 
     // multipattern replay: per-phrase contains == substring semantics
     // of the automaton; list_sort's binary collation == Java's String

@@ -322,6 +322,26 @@ class EvalSpec extends SparkSpec {
     assert(t3.getDouble(2) == 0.777778)
   }
 
+  test("scoreReport: one-pass report agrees with the standalone metrics") {
+    import spark.implicits._
+    val rows = Seq((true, 0.9), (true, 0.9), (false, 0.1), (false, 0.1),
+      (true, 0.5), (false, 0.4)).toDF("y", "p")
+    val r = Eval.scoreReport(rows, "y", "p").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == Eval.auc(rows, "y", "p").collect()(0).getDouble(2))
+    assert(r.getDouble(4) == Eval.brier(rows, "y", "p").collect()(0).getDouble(1))
+    assert(r.getDouble(5) == Eval.logLoss(rows, "y", "p").collect()(0).getDouble(1))
+    // threshold 0.5 separates this fixture perfectly (0.5 counts as
+    // predicted-positive)
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 1.0 &&
+      r.getDouble(8) == 1.0 && r.getDouble(9) == 1.0)
+
+    // all-one-class degenerate: auc null, report still well-formed
+    val one = Seq((true, 0.7), (true, 0.6)).toDF("y", "p")
+    val o = Eval.scoreReport(one, "y", "p").collect()(0)
+    assert(o.isNullAt(3) && o.getDouble(8) == 1.0 && o.isNullAt(7) == false)
+  }
+
   test("bootstrapMeanCI: deterministic, degenerate-constant exact, sane interval") {
     import spark.implicits._
     // constant data: every replicate mean == the value, CI collapses

@@ -43,7 +43,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_ppl_buckets" -> "tercile cumsum over DISTINCT 6-dp mean-lnp values (Corpus.pplBuckets)",
     "q_spearman" -> "average-rank cumsums over DISTINCT 6-dp values, one per column (Eval.spearmanCorr)",
     "q_stream_auc_binned" -> "Mann-Whitney closure over the streamed <=256-row bin sink",
-    "x_bpe_merges" -> "rank AFTER .limit(topK): frame is <= topK rows (bm25 pattern)"
+    "x_bpe_merges" -> "rank AFTER .limit(topK): frame is <= topK rows (bm25 pattern)",
+    "x_score_report" -> "Mann-Whitney over 6-dp-rounded DISTINCT-score groups (Eval.scoreReport routes through the same mannWhitney reduce as q_auc, same bounded-domain contract)"
   )
 
   private val excluded = Set(
