@@ -654,6 +654,135 @@ private[graft] object AnalyticsQueries {
         .limit(100)
     }),
 
+    "q_tpch7" -> ((s, d) => {
+      // TPC-H Q7 shape (volume shipping): trade revenue between every
+      // (supplier nation, customer nation) pair by ship year — the
+      // nation dim joins TWICE under different roles, both broadcast.
+      // The classical two-nation filter is dropped: the synthetic FK
+      // graph spreads pairs uniformly, so the full ≤25×25×years pair
+      // matrix is the meaningful readout; top-20 by revenue.
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum((dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("decimal(30,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("supp_nation").asc,
+          col("cust_nation").asc, col("l_year").asc)
+        .limit(20)
+    }),
+
+    "q_tpch8" -> ((s, d) => {
+      // TPC-H Q8 (national market share): one supplier nation's share
+      // of ECONOMY-part revenue sold into AMERICA, per order year —
+      // numerator and denominator accumulate in ONE aggregate pass
+      // (conditional sum), never two scans; region→nation prune
+      // broadcasts up the customer dim chain
+      val amCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("decimal(30,4)")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(30,4)"))).cast("double") /
+          sum(rev).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year").asc)
+    }),
+
+    "q_tpch13" -> ((s, d) => {
+      // TPC-H Q13 (customer distribution): order count per customer
+      // INCLUDING zero-order customers (left outer preserves them),
+      // then the count-of-counts histogram — two shuffles total, the
+      // second over ≤ max(c_count) rows
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q_tpch17" -> ((s, d) => {
+      // TPC-H Q17 (small-quantity-order revenue): lines of one brand
+      // below 20% of their part's average quantity. The correlated avg
+      // decorrelates into a per-part aggregate join; the threshold
+      // compares CROSS-MULTIPLIED (qty·5·n < Σqty) so both engines
+      // decide ties in exact decimal/integer math — no division, no
+      // float threshold drift
+      val l = t(s, d, "lineitem")
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("nq"))
+      l.join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("nq") < col("sq"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"), count(lit(1)).as("n_lines"))
+    }),
+
+    "q_tpch22" -> ((s, d) => {
+      // TPC-H Q22 shape (global sales opportunity): high-balance
+      // customers dormant since 2000 (no recent orders), grouped by
+      // segment (the data has no phone country code). The
+      // above-average-balance test cross-multiplies against the
+      // one-row (Σbal, n) aggregate joined on a constant key — a
+      // broadcast hash join, not a nested-loop — and the dormancy
+      // test is a left anti join on the date-pruned orders scan
+      val c = t(s, d, "customer")
+      val pos = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("npos"))
+        .withColumn("k", lit(1))
+      c.withColumn("k", lit(1))
+        .join(broadcast(pos), Seq("k"))
+        .filter(dec(col("c_acctbal")) * col("npos") > col("tot"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment").asc)
+    }),
+
     "q_unpivot" -> ((s, d) =>
       // wide→long melt of the lineitem measures (the inverse of
       // q_pivot): Spark's Unpivot node — a zero-shuffle Expand
@@ -1805,6 +1934,73 @@ private[graft] object AnalyticsQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+
+    "q_tpch7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY n1.n_name, n2.n_name, CAST(extract(year FROM l_shipdate) AS INTEGER)
+        |ORDER BY revenue DESC, supp_nation ASC, cust_nation ASC, l_year ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch8" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+        |      ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE),
+        |  6) AS mkt_share,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY CAST(extract(year FROM o_orderdate) AS INTEGER)
+        |ORDER BY o_year ASC""".stripMargin,
+
+    "q_tpch13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch17" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |        count(*) AS nq
+        |      FROM lineitem GROUP BY l_partkey) ON pk = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq""".stripMargin,
+
+    "q_tpch22" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |JOIN (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS npos
+        |      FROM customer WHERE c_acctbal > 0)
+        |  ON CAST(c_acctbal AS DECIMAL(18,2)) * npos > tot
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
 
     "q_unpivot" ->
       """SELECT * FROM (
