@@ -793,6 +793,33 @@ private[graft] object ExtQueries {
         .orderBy("id")
     }),
 
+    "x_jaro_winkler" -> ((s, d) => {
+      // record-linkage scoring kernels over deterministically
+      // corrupted supplier names (synthesized identically in the
+      // oracle): one transposition / deletion / append / substitution
+      // per variant class, plus every name scored against a fixed
+      // reference for a similarity spread. jw/dl are the codegen'd
+      // byte-based kernels (functions.StringSimilarity); DuckDB
+      // replays them with its STOCK jaro_winkler_similarity /
+      // damerau_levenshtein — bit-exact by construction (same byte
+      // semantics, same left-associated float order), so the doubles
+      // compare raw, unrounded
+      import graft.functions.StringSimilarity.{damerauLevenshtein, jaroWinkler}
+      val n = col("s_name")
+      val v = pmod(col("s_suppkey"), lit(4))
+      val corrupted = when(v === 0,
+          concat(substring(n, 1, 16), substring(n, 18, 1), substring(n, 17, 1)))
+        .when(v === 1, concat(substring(n, 1, 11), substring(n, 13, 100)))
+        .when(v === 2, concat(n, lit("x")))
+        .otherwise(concat(lit("Z"), substring(n, 2, 100)))
+      t(s, d, "supplier")
+        .select(col("s_suppkey"), v.as("variant"), corrupted.as("corrupted"),
+          jaroWinkler(n, corrupted).as("jw_self"),
+          damerauLevenshtein(n, corrupted).cast("long").as("dl_self"),
+          jaroWinkler(n, lit("Supplier#000000000")).as("jw_ref"))
+        .orderBy("s_suppkey")
+    }),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -2639,6 +2666,26 @@ private[graft] object ExtQueries {
         |    p -> contains(text, p))) AS l
         |  FROM documents)
         |ORDER BY id""".stripMargin,
+
+    // linkage-kernel replay: DuckDB's stock jaro_winkler_similarity /
+    // damerau_levenshtein ARE the reference semantics the codegen'd
+    // kernels mirror (byte-based, 0.7 boost gate, unrestricted DL) —
+    // raw-double compare, no rounding
+    "x_jaro_winkler" ->
+      """WITH c AS (
+        |  SELECT s_suppkey, s_name, s_suppkey % 4 AS v,
+        |    CASE WHEN s_suppkey % 4 = 0
+        |           THEN substr(s_name,1,16) || substr(s_name,18,1) || substr(s_name,17,1)
+        |         WHEN s_suppkey % 4 = 1
+        |           THEN substr(s_name,1,11) || substr(s_name,13,100)
+        |         WHEN s_suppkey % 4 = 2 THEN s_name || 'x'
+        |         ELSE 'Z' || substr(s_name,2,100) END AS corrupted
+        |  FROM supplier)
+        |SELECT s_suppkey, CAST(v AS BIGINT) AS variant, corrupted,
+        |  jaro_winkler_similarity(s_name, corrupted) AS jw_self,
+        |  CAST(damerau_levenshtein(s_name, corrupted) AS BIGINT) AS dl_self,
+        |  jaro_winkler_similarity(s_name, 'Supplier#000000000') AS jw_ref
+        |FROM c ORDER BY s_suppkey""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per
