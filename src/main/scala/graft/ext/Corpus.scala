@@ -583,4 +583,44 @@ object Corpus {
       .unionByName(composition("source", col(sourceCol)))
       .unionByName(lengthRows)
   }
+
+  /** Lorenz curve + Gini coefficient of corpus mass concentration over
+    * a grouping key (how much of the training corpus the top sources
+    * own — the "is this corpus one megasite in a trenchcoat" readout;
+    * RefinedWeb's per-domain caps exist exactly because web corpora
+    * concentrate). One row per key, ascending by mass: rank,
+    * cumulative mass/share (the Lorenz curve points), and the
+    * population Gini G = Σ(2i−n−1)·mᵢ / (n·Σm) repeated as a constant
+    * column.
+    *
+    * Determinism/scale contract: one hash aggregate over the corpus
+    * (the only full-data pass), then partition-less windows over the
+    * POST-AGGREGATE per-key frame — bounded by the low-cardinality
+    * grouping-key contract (sources, langs), the
+    * [[termDivergenceBySource]] discipline. Every window sum is
+    * integer-exact (masses are counts); the only doubles are the two
+    * final divisions, identical in any replay. Ties order by key, so
+    * ranks are deterministic under any partitioning.
+    */
+  def concentration(df: DataFrame, keyCol: String, massCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMass = Window.orderBy(col("mass").asc, col("key").asc)
+    val all = Window.partitionBy()
+    df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(massCol)).as("mass"))
+      .withColumn("rank", row_number().over(byMass))
+      .withColumn("cum_mass",
+        sum(col("mass")).over(byMass.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_keys", count(lit(1)).over(all))
+      .withColumn("total", sum(col("mass")).over(all))
+      .withColumn("gnum",
+        sum((lit(2) * col("rank") - col("n_keys") - lit(1)) * col("mass")).over(all))
+      .select(col("key"), col("mass"), col("rank"), col("cum_mass"),
+        (col("cum_mass").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        (col("gnum").cast("double") /
+          (col("n_keys").cast("double") * col("total").cast("double")))
+          .as("gini"))
+      .orderBy("rank")
+  }
 }

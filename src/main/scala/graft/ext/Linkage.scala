@@ -163,4 +163,40 @@ object Linkage {
     val counts = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("n_merged"))
     golden.join(counts, Seq(clusterCol))
   }
+
+  /** Resolve each dirty record to its single BEST master match — the
+    * ranking half of entity resolution sitting between
+    * [[editDistanceJoin]] (candidates) and [[goldenRecord]] (merge).
+    *
+    * Candidates come from the k-bounded segment-blocked join (never
+    * |L|×|R|); each candidate pair is then scored with the codegen'd
+    * byte-based Jaro–Winkler kernel
+    * ([[graft.functions.StringSimilarity]]) — edit distance prunes,
+    * JW *ranks*, the standard linkage split (Levenshtein treats a
+    * first-character typo and a last-character typo alike; JW's prefix
+    * boost prefers the match that agrees on the name's head). Rank 1
+    * per dirty key wins, ties broken on the master key, so the pick is
+    * deterministic under any partitioning.
+    *
+    * Scale shape: candidate scoring is a narrow per-row map; the only
+    * additions over [[editDistanceJoin]] are the per-dirty-key
+    * row_number window, partitioned on the (near-unique) dirty key —
+    * no skew, no extra full-data shuffle. Dirty records with NO
+    * candidate within k are absent from the output (count them against
+    * the dirty side for a match-rate readout).
+    */
+  def resolveBest(dirty: DataFrame, master: DataFrame,
+                  dirtyCol: String, masterCol: String,
+                  dirtyKey: String, masterKey: String,
+                  k: Int, maxSegmentDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    editDistanceJoin(dirty, master, dirtyCol, masterCol, k, maxSegmentDf)
+      .withColumn("jw",
+        graft.functions.StringSimilarity.jaroWinkler(col(dirtyCol), col(masterCol)))
+      .withColumn("__rb_rk", row_number().over(
+        Window.partitionBy(col(dirtyKey))
+          .orderBy(col("jw").desc, col(masterKey).asc)))
+      .filter(col("__rb_rk") === 1)
+      .drop("__rb_rk")
+  }
 }

@@ -138,4 +138,50 @@ object TimeSeries {
           round(prevV + (nextV - prevV) * (col(ordCol).cast("double") - prevT)
             / (nextT - prevT), 6)))
   }
+
+  /** Additive seasonal decomposition of the DAILY event-count series:
+    * cnt = trend + seasonal + residual, with trend the centered 7-row
+    * moving average and seasonal the day-of-week mean deviation from
+    * the grand mean (the classical "seasonal naive" decomposition —
+    * the STL-shaped readout without iteration; Cleveland et al. 1990
+    * motivates the trend/seasonal split, this is its one-pass additive
+    * form). The weekly profile surfaces load cycles; the residual is
+    * the anomaly signal after calendar effects are removed.
+    *
+    * Determinism/scale contract: ONE full-data pass (the daily count
+    * aggregate); every window after it runs over the post-aggregate
+    * daily frame — calendar-bounded (365 rows/year), the
+    * [[graft.ext.Corpus.concentration]] discipline — with
+    * integer-exact sums. The only doubles are the final divisions/
+    * subtractions in a fixed shape, bit-identical in any replay.
+    * Assumes a gapless series (each row's 7-row frame = 7 calendar
+    * days); [[resample]] fills gaps upstream when the stream has dark
+    * days. Day-of-week numbering follows Spark's `dayofweek`
+    * (1 = Sunday … 7 = Saturday).
+    */
+  def seasonalDecomposeDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val byDay = Window.orderBy(col("day"))
+    val all = Window.partitionBy()
+    val daily = df
+      .groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")))
+    val dowAgg = daily.groupBy("dow")
+      .agg(sum("cnt").as("dow_sum"), count(lit(1)).as("dow_days"))
+    daily
+      .withColumn("t_sum", sum(col("cnt")).over(byDay.rowsBetween(-3, 3)))
+      .withColumn("t_n", count(lit(1)).over(byDay.rowsBetween(-3, 3)))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .withColumn("n_days", count(lit(1)).over(all))
+      .join(broadcast(dowAgg), Seq("dow"))
+      .withColumn("trend",
+        col("t_sum").cast("double") / col("t_n").cast("double"))
+      .withColumn("seasonal",
+        col("dow_sum").cast("double") / col("dow_days").cast("double") -
+          col("total").cast("double") / col("n_days").cast("double"))
+      .withColumn("residual",
+        col("cnt").cast("double") - col("trend") - col("seasonal"))
+      .select("day", "cnt", "dow", "trend", "seasonal", "residual")
+      .orderBy("day")
+  }
 }

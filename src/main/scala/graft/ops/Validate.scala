@@ -421,4 +421,57 @@ object Validate {
       .collect()(0)
     TableHealth(name, r.getLong(0), r.getLong(1), r.getLong(2))
   }
+
+  /** Benford's-law expected first-significant-digit shares, ×10⁶ as
+    * exact integer constants (ln(1+1/d)/ln 10 rounded to 6 dp — they
+    * sum to exactly 1.000000). Shared-literal constants so an oracle
+    * replays the chi-square terms without its own transcendental calls.
+    */
+  val benfordE6: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-significant-digit drift check over a positive
+    * amount column — the classic fraud / data-fabrication tripwire for
+    * financial measures (Benford 1938; Nigrini 1996). Returns one row
+    * per observed digit: count, observed share, expected share, and
+    * the chi-square contribution (n−N·e)²/(N·e).
+    *
+    * Determinism contract: the digit is extracted via
+    * ⌊value·100⌋ → integer → first character of its decimal rendering
+    * (first significant digit of any amount ≥ 0.01) — pure integer
+    * formatting, identical across engines, no log10 edge cases at
+    * powers of ten. Shares and chi-square terms are double arithmetic
+    * over integer counts and the ×10⁶ integer expectation constants in
+    * a fixed left-associated shape, so the doubles are bit-identical
+    * wherever the counts are. One hash aggregate over ≤9 groups — the
+    * scan dominates at any scale, zero risk past the partial agg.
+    *
+    * Rows with value < 0.01 (no cent digit) are excluded; digits with
+    * zero observations are absent (both conventions mirror exactly in
+    * a replay).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val e6 = benfordE6.foldLeft(lit(null).cast("long")) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val counts = df
+      .filter(col(valueCol) >= 0.01)
+      .select(substring(floor(col(valueCol) * lit(100.0)).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    val tot = sum(col("n")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())
+    counts
+      .withColumn("n_total", tot)
+      .withColumn("e", e6.cast("double") / lit(1000000.0))
+      .select(col("digit"), col("n"),
+        (nd / col("n_total").cast("double")).as("obs_share"),
+        col("e").as("exp_share"),
+        (((nd - col("n_total").cast("double") * col("e")) *
+          (nd - col("n_total").cast("double") * col("e"))) /
+          (col("n_total").cast("double") * col("e"))).as("chi2_term"))
+      .orderBy("digit")
+  }
 }

@@ -820,6 +820,55 @@ private[graft] object ExtQueries {
         .orderBy("s_suppkey")
     }),
 
+    "x_er_resolve" -> ((s, d) => {
+      // entity resolution end-to-end: candidates via PassJoin segment
+      // blocking (ed<=1, the x_fuzzy_join fixture verbatim), then the
+      // RANKING layer — codegen'd Jaro–Winkler orders each dirty
+      // record's candidates (edit distance prunes, JW ranks: its
+      // prefix boost prefers the match agreeing on the name's head)
+      // and rank 1 wins with a deterministic key tie-break. `correct`
+      // flags whether rank-1 recovered the true origin
+      val part = t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
+      val pos = (col("p_partkey") % 5 + 1).cast("int")
+      val dirty = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("dirty_key"),
+          concat(col("ename").substr(lit(1), pos),
+            col("ename").substr(pos + lit(2), length(col("ename")))).as("dname"))
+      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
+      graft.ext.Linkage.resolveBest(dirty, clean, "dname", "ename",
+          "dirty_key", "clean_key", k = 1)
+        .select(col("dirty_key"), col("dname"),
+          col("clean_key").as("matched_key"), col("ename"), col("dist"),
+          col("jw"), (col("dirty_key") === col("clean_key")).as("correct"))
+        .orderBy("dirty_key")
+    }),
+
+    "x_benford" -> ((s, d) =>
+      // Benford first-significant-digit drift over order amounts —
+      // the fraud/fabrication tripwire. Digit via integer formatting
+      // of floor(amount·100) (no log10 edge cases); chi-square terms
+      // from the shared ×10⁶ expectation constants in a fixed double
+      // shape, so the oracle's doubles are bit-identical
+      graft.ops.Validate.benford(t(s, d, "orders"), "o_totalprice")),
+
+    "x_gini" -> ((s, d) =>
+      // corpus concentration: Lorenz curve + Gini of character mass
+      // per source — the "one megasite in a trenchcoat" readout behind
+      // RefinedWeb-style per-domain caps. One corpus pass; windows run
+      // over the post-agg per-source frame only, every sum
+      // integer-exact
+      graft.ext.Corpus.concentration(
+        t(s, d, "documents"), "source", "n_chars")),
+
+    "x_seasonal" -> ((s, d) =>
+      // additive trend/weekly-seasonal/residual decomposition of the
+      // daily event-count series — load cycles out, anomalies left in
+      // the residual. One event pass; every window runs over the
+      // post-agg calendar-bounded daily frame with integer sums
+      graft.ops.TimeSeries.seasonalDecomposeDaily(events(s, d), "ts_us")),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -2686,6 +2735,102 @@ private[graft] object ExtQueries {
         |  CAST(damerau_levenshtein(s_name, corrupted) AS BIGINT) AS dl_self,
         |  jaro_winkler_similarity(s_name, 'Supplier#000000000') AS jw_ref
         |FROM c ORDER BY s_suppkey""".stripMargin,
+
+    // ER replay: cross-join candidates with the same length+lev
+    // pre-filter as x_fuzzy_join, stock jaro_winkler_similarity
+    // scores (bit-exact vs the kernel), QUALIFY rank-1 per dirty key
+    "x_er_resolve" ->
+      """WITH p AS (
+        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_key,
+        |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
+        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
+        |  FROM p WHERE p_partkey % 3 = 0),
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
+        |cand AS (
+        |  SELECT dirty_key, dname, clean_key, ename,
+        |    CAST(levenshtein(dname, ename) AS INTEGER) AS dist,
+        |    jaro_winkler_similarity(dname, ename) AS jw
+        |  FROM dirty, clean
+        |  WHERE abs(length(dname) - length(ename)) <= 1
+        |    AND levenshtein(dname, ename) <= 1)
+        |SELECT dirty_key, dname, clean_key AS matched_key, ename, dist, jw,
+        |  dirty_key = clean_key AS correct
+        |FROM cand
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY dirty_key ORDER BY jw DESC, clean_key ASC) = 1
+        |ORDER BY dirty_key""".stripMargin,
+
+    // Benford replay: identical integer digit extraction, the same
+    // ×10⁶ expectation literals, the same left-associated double shape
+    "x_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 0.01),
+        |counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS t(digit, e6))
+        |SELECT c.digit, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tt.n_total AS DOUBLE) AS obs_share,
+        |  CAST(e6 AS DOUBLE) / 1000000.0 AS exp_share,
+        |  ((CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) *
+        |   (CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0))) /
+        |  (CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) AS chi2_term
+        |FROM counts c JOIN e USING (digit)
+        |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
+        |ORDER BY digit""".stripMargin,
+
+    // Lorenz/Gini replay: same integer window sums over the per-source
+    // frame, same two final double divisions
+    "x_gini" ->
+      """WITH pk AS (
+        |  SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT key, mass,
+        |    CAST(row_number() OVER (ORDER BY mass ASC, key ASC) AS INTEGER) AS rank,
+        |    CAST(sum(mass) OVER (ORDER BY mass ASC, key ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_keys,
+        |    CAST(sum(mass) OVER () AS BIGINT) AS total
+        |  FROM pk),
+        |g AS (
+        |  SELECT *, CAST(sum((2 * CAST(rank AS BIGINT) - n_keys - 1) * mass)
+        |    OVER () AS BIGINT) AS gnum FROM r)
+        |SELECT key, mass, rank, cum_mass,
+        |  CAST(cum_mass AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+        |  CAST(gnum AS DOUBLE) / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+        |FROM g ORDER BY rank""".stripMargin,
+
+    // seasonal replay: same ROWS-framed integer window sums over the
+    // daily frame, dayofweek shifted to Spark's 1=Sunday convention,
+    // same double shapes
+    "x_seasonal" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, cnt, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS t_sum,
+        |    CAST(count(*) OVER w AS BIGINT) AS t_n,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_days
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |da AS (
+        |  SELECT dow, CAST(sum(cnt) AS BIGINT) AS dow_sum,
+        |    count(*) AS dow_days
+        |  FROM d2 GROUP BY dow)
+        |SELECT day, cnt, dow,
+        |  CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE) AS trend,
+        |  CAST(dow_sum AS DOUBLE) / CAST(dow_days AS DOUBLE) -
+        |    CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS seasonal,
+        |  CAST(cnt AS DOUBLE) -
+        |    (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE)) -
+        |    (CAST(dow_sum AS DOUBLE) / CAST(dow_days AS DOUBLE) -
+        |     CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS residual
+        |FROM d2 JOIN da USING (dow) ORDER BY day""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per

@@ -317,4 +317,23 @@ class CorpusSpec extends SparkSpec {
     assert(rows(("length_chars", "p95"))._1 == 7L)
     assert(rows.size == 3 + 2 + 2 + 4)
   }
+
+  test("concentration: hand-computed Lorenz points and Gini") {
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("d", 4L)).toDF("src", "m")
+    val out = Corpus.concentration(df, "src", "m")
+      .select("key", "rank", "cum_share", "gini").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    // cum shares 1/8, 2/8, 4/8, 8/8
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.125, 0.25, 0.5, 1.0))
+    // gnum = -3·1 + -1·1 + 1·2 + 3·4 = 10; gini = 10/(4·8)
+    assert(out.forall(_.getDouble(3) === 0.3125))
+  }
+
+  test("concentration: uniform masses score Gini 0") {
+    val df = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("src", "m")
+    val g = Corpus.concentration(df, "src", "m").select("gini")
+      .as[Double].collect()
+    assert(g.forall(_ === 0.0))
+  }
 }

@@ -120,4 +120,22 @@ class LinkageSpec extends SparkSpec {
     assert(capped2.contains((1L, 10L)), "clean pair must survive the cap")
     assert(!capped2.exists(_._2 >= 200L), "hot-block pairs are excluded by the cap")
   }
+
+  test("resolveBest ranks equal-edit-distance candidates by Jaro-Winkler") {
+    // "marthx" and "xartha" are BOTH ed=1 from "martha"; JW's prefix
+    // boost must prefer the head-agreeing "marthx" (0.933 vs 0.889)
+    val dirty = Seq((10L, "martha"), (11L, "zzzzzz")).toDF("dk", "dn")
+    val master = Seq((1L, "marthx"), (2L, "xartha")).toDF("mk", "mn")
+    val best = Linkage.resolveBest(dirty, master, "dn", "mn", "dk", "mk", k = 1)
+      .select("dk", "mk").as[(Long, Long)].collect().toSeq
+    assert(best === Seq((10L, 1L))) // 11 has no candidate: absent, not null
+  }
+
+  test("resolveBest breaks exact JW ties on the master key") {
+    val dirty = Seq((10L, "aaab")).toDF("dk", "dn")
+    val master = Seq((2L, "aaaa"), (1L, "aaaa")).toDF("mk", "mn")
+    val best = Linkage.resolveBest(dirty, master, "dn", "mn", "dk", "mk", k = 1)
+      .select("dk", "mk").as[(Long, Long)].collect().toSeq
+    assert(best === Seq((10L, 1L)))
+  }
 }

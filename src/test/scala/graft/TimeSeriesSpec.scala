@@ -102,4 +102,24 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("t").collect().map(_.getDouble(2)).toSeq
     assert(out == Seq(2.0, 3.0, 4.0, 4.0))
   }
+
+  test("seasonalDecomposeDaily: hand-computed trend/seasonal/residual") {
+    // 9 consecutive days starting 2024-01-01 (a Monday), day i has i events
+    val rows = (1 to 9).flatMap(i => Seq.fill(i)(f"2024-01-0$i 10:00:00"))
+    val df = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val out = TimeSeries.seasonalDecomposeDaily(df, "ts")
+      .select("cnt", "dow", "trend", "seasonal", "residual").collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 9L).toSeq)
+    // Spark dayofweek: 1=Sun; Jan 1 2024 is Monday (2), wraps after Sunday
+    assert(out.map(_.getInt(1)).toSeq === Seq(2, 3, 4, 5, 6, 7, 1, 2, 3))
+    // centered 7-ROW frames truncate at the edges
+    assert(out.map(_.getDouble(2)).toSeq ===
+      Seq(2.5, 3.0, 3.5, 4.0, 5.0, 6.0, 6.5, 7.0, 7.5))
+    // dow means: Mon (1+8)/2, Tue (2+9)/2, rest singletons; grand mean 5
+    assert(out.map(_.getDouble(3)).toSeq ===
+      Seq(-0.5, 0.5, -2.0, -1.0, 0.0, 1.0, 2.0, -0.5, 0.5))
+    // residual = cnt - trend - seasonal
+    assert(out.map(_.getDouble(4)).toSeq ===
+      Seq(-1.0, -1.5, 1.5, 1.0, 0.0, -1.0, -1.5, 1.5, 1.0))
+  }
 }

@@ -220,4 +220,22 @@ class ValidateSpec extends SparkSpec {
     // bins the current distribution vacated use the 1e-6 clamp, not NaN
     assert(out.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
   }
+
+  test("benford: digit extraction, shares, chi-square terms") {
+    // digits: 1.23→1, 19.99→1, 0.05→5, 123.0→1, 9.0→9; 0.009 excluded
+    val df = Seq(1.23, 19.99, 0.05, 123.0, 0.009, 9.0).toDF("v")
+    val out = Validate.benford(df, "v").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 3L), (5, 1L), (9, 1L)))
+    val d1 = out(0)
+    assert(d1.getDouble(2) === 0.6)       // 3/5 observed
+    assert(d1.getDouble(3) === 0.30103)   // expected literal
+    // chi2 term (3 - 5*0.30103)^2 / (5*0.30103)
+    val e = 5.0 * 0.30103
+    assert(math.abs(d1.getDouble(4) - (3.0 - e) * (3.0 - e) / e) < 1e-12)
+  }
+
+  test("benford: expectation constants sum to exactly one million") {
+    assert(Validate.benfordE6.values.sum === 1000000L)
+  }
 }

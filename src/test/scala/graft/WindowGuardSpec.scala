@@ -44,7 +44,10 @@ class WindowGuardSpec extends SparkSpec {
     "q_spearman" -> "average-rank cumsums over DISTINCT 6-dp values, one per column (Eval.spearmanCorr)",
     "q_stream_auc_binned" -> "Mann-Whitney closure over the streamed <=256-row bin sink",
     "x_bpe_merges" -> "rank AFTER .limit(topK): frame is <= topK rows (bm25 pattern)",
-    "x_score_report" -> "Mann-Whitney over 6-dp-rounded DISTINCT-score groups (Eval.scoreReport routes through the same mannWhitney reduce as q_auc, same bounded-domain contract)"
+    "x_score_report" -> "Mann-Whitney over 6-dp-rounded DISTINCT-score groups (Eval.scoreReport routes through the same mannWhitney reduce as q_auc, same bounded-domain contract)",
+    "x_benford" -> "global sum over the post-agg first-digit frame (<= 9 rows; Validate.benford)",
+    "x_gini" -> "ordered cumsum over the post-agg per-source frame (|sources| rows; Corpus.concentration)",
+    "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)"
   )
 
   private val excluded = Set(
