@@ -602,6 +602,57 @@ object Corpus {
     * final divisions, identical in any replay. Ties order by key, so
     * ranks are deterministic under any partitioning.
     */
+  /** PMI collocations (Church & Hanks 1990): adjacent word bigrams
+    * scoring high pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) — the "New York"-detector feeding
+    * tokenizer vocabularies and phrase-aware dedup. `minCount` guards
+    * the classic PMI pathology (hapax pairs score highest), topK rows
+    * return, ties ordered by the pair.
+    *
+    * Scale shape: bigrams are built NARROWLY with zip_with over each
+    * doc's own token array (no posexplode self-join); one hash
+    * aggregate each for unigram and bigram counts, two word-keyed
+    * joins to attach marginals (vocabulary-sized, Heaps-bounded), the
+    * two scalar totals ride in on a constant-key broadcast. PMI's
+    * argument is a ratio of exact integer counts evaluated in one
+    * fixed double shape with a single ln per surviving pair; the ln
+    * itself is presented at 6 dp (Java's and libm's ln differ in the
+    * last ulp for some arguments — measured on this corpus — so the
+    * raw double is NOT cross-engine-stable the way the argument is).
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   topK: Int = 50, minCount: Long = 5): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val base = df.select(toks.as("w"))
+    val uni = base.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    val bi = base
+      .filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum(col("c_w")).as("n_uni")).withColumn("k", lit(1))
+      .join(bi.agg(sum(col("c_ab")).as("n_bi")).withColumn("k", lit(1)), Seq("k"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c_w", "c_a"),
+        Seq("w1"))
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c_w", "c_b"),
+        Seq("w2"))
+      .withColumn("k", lit(1)).join(broadcast(totals), Seq("k")).drop("k")
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double")) /
+        (col("n_bi").cast("double") * col("c_a").cast("double") *
+          col("c_b").cast("double"))), 6))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   def concentration(df: DataFrame, keyCol: String, massCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byMass = Window.orderBy(col("mass").asc, col("key").asc)

@@ -185,6 +185,31 @@ object Linkage {
     * candidate within k are absent from the output (count them against
     * the dirty side for a match-rate readout).
     */
+  /** Transposition-tolerant fuzzy join: all (left, right) pairs with
+    * UNRESTRICTED Damerau–Levenshtein distance <= k — the typo-realist
+    * variant of [[editDistanceJoin]] (swapped adjacent characters are
+    * the most common keyboard error, and plain Levenshtein charges
+    * them 2, so an ed<=1 join silently misses every such pair).
+    *
+    * Completeness: a transposition costs at most two plain edits, so
+    * dl(s,r) <= k implies lev(s,r) <= 2k — candidates come from the
+    * segment blocking run at 2k (pigeonhole still exact), then the
+    * codegen'd DL kernel ([[graft.functions.StringSimilarity]])
+    * verifies each survivor. The candidate space grows with the looser
+    * blocking (O((2k)²) left-side substrings instead of O(k²)) but
+    * stays proportional to blocking-bucket volume, never |L|×|R|.
+    * Returns left.* ++ right.* ++ `dl_dist`.
+    */
+  def dlJoin(left: DataFrame, right: DataFrame,
+             leftCol: String, rightCol: String, k: Int,
+             maxSegmentDf: Option[Int] = None): DataFrame =
+    editDistanceJoin(left, right, leftCol, rightCol, 2 * k, maxSegmentDf)
+      .drop("dist")
+      .withColumn("dl_dist",
+        graft.functions.StringSimilarity.damerauLevenshtein(
+          col(leftCol), col(rightCol)))
+      .filter(col("dl_dist") <= k)
+
   def resolveBest(dirty: DataFrame, master: DataFrame,
                   dirtyCol: String, masterCol: String,
                   dirtyKey: String, masterKey: String,

@@ -159,6 +159,42 @@ object TimeSeries {
     * days. Day-of-week numbering follows Spark's `dayofweek`
     * (1 = Sunday … 7 = Saturday).
     */
+  /** Trailing rolling Pearson correlation between two INTEGER count
+    * series (co-movement monitoring: do purchases still track clicks
+    * this week, or did the funnel break). Each row gets the
+    * correlation over the trailing `window` rows from the five
+    * classical moments — all of them integer window sums, so every
+    * input to the final formula is exact; the only floats are one
+    * division and two correctly-rounded IEEE sqrts in a fixed shape,
+    * then a 6-dp presentation round. Degenerate windows (either series
+    * constant) yield null, not NaN.
+    *
+    * Same frame contract as [[seasonalDecomposeDaily]]: the window
+    * runs over the POST-AGGREGATE series frame (calendar-bounded),
+    * never the raw events.
+    */
+  def rollingCorrCounts(df: DataFrame, ordCol: String, xCol: String,
+                        yCol: String, window: Int = 7): DataFrame = {
+    val w = Window.orderBy(col(ordCol)).rowsBetween(-(window - 1), 0)
+    val x = col(xCol)
+    val y = col(yCol)
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    df
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(x).over(w))
+      .withColumn("sy", sum(y).over(w))
+      .withColumn("sxy", sum(x * y).over(w))
+      .withColumn("sxx", sum(x * x).over(w))
+      .withColumn("syy", sum(y * y).over(w))
+      .withColumn("corr", round(
+        when(vx > 0 && vy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))), 6))
+      .select(col(ordCol), x, y, col("n"), col("corr"))
+      .orderBy(ordCol)
+  }
+
   def seasonalDecomposeDaily(df: DataFrame, tsCol: String): DataFrame = {
     val byDay = Window.orderBy(col("day"))
     val all = Window.partitionBy()

@@ -869,6 +869,46 @@ private[graft] object ExtQueries {
       // post-agg calendar-bounded daily frame with integer sums
       graft.ops.TimeSeries.seasonalDecomposeDaily(events(s, d), "ts_us")),
 
+    "x_collocations" -> ((s, d) =>
+      // PMI collocations over the corpus: narrow zip_with bigrams, one
+      // hash agg per n-gram order, marginals join on the Heaps-bounded
+      // vocabulary, ONE ln per surviving pair from exact integer
+      // counts — the "new york" phrase detector
+      graft.ext.Corpus.collocations(
+        t(s, d, "documents"), "text", topK = 50, minCount = 5)),
+
+    "x_rolling_corr" -> ((s, d) =>
+      // funnel co-movement monitor: trailing-7-day Pearson correlation
+      // of daily click vs purchase counts — integer moments, two IEEE
+      // sqrts and one division per row, 6-dp presentation
+      graft.ops.TimeSeries.rollingCorrCounts(
+        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
+            count(when(col("event_type") === "purchase", 1)).as("purchases")),
+        "day", "clicks", "purchases")),
+
+    "x_typo_join" -> ((s, d) => {
+      // transposition-tolerant linkage: entity names corrupted by ONE
+      // adjacent-character swap (DL 1, but Levenshtein 2 — the ed<=1
+      // join misses every one of these). Candidates from 2k segment
+      // blocking, verified by the codegen'd unrestricted DL kernel
+      val part = t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
+      val pos = (col("p_partkey") % 5 + 1).cast("int")
+      val dirty = part.filter(col("p_partkey") % 3 === 1)
+        .select(col("p_partkey").as("dirty_key"),
+          concat(col("ename").substr(lit(1), pos - 1),
+            col("ename").substr(pos + 1, lit(1)),
+            col("ename").substr(pos, lit(1)),
+            col("ename").substr(pos + 2, length(col("ename")))).as("dname"))
+      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
+      graft.ext.Linkage.dlJoin(dirty, clean, "dname", "ename", k = 1)
+        .select(col("dirty_key"), col("clean_key"), col("dname"),
+          col("ename"), col("dl_dist"))
+        .orderBy("dirty_key", "clean_key")
+    }),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -2831,6 +2871,87 @@ private[graft] object ExtQueries {
         |    (CAST(dow_sum AS DOUBLE) / CAST(dow_days AS DOUBLE) -
         |     CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS residual
         |FROM d2 JOIN da USING (dow) ORDER BY day""".stripMargin,
+
+    // PMI replay: same tokenization, bigrams via range()+list_transform
+    // (the DuckDB-1.0-safe lateral); ln differs from Java's in the
+    // last ulp, so the 6-dp presentation replays Spark's HALF_UP round
+    // via the VARCHAR->DECIMAL(38,30) trick
+    "x_collocations" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT word, count(*) AS c_w
+        |  FROM (SELECT unnest(w) AS word FROM d) GROUP BY word),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS b
+        |  FROM d WHERE len(w) >= 2),
+        |bc AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS c_ab
+        |  FROM bg GROUP BY 1, 2),
+        |t AS (SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uc) AS n_uni,
+        |             (SELECT CAST(sum(c_ab) AS BIGINT) FROM bc) AS n_bi)
+        |SELECT w1, w2, c_ab, a.c_w AS c_a, b2.c_w AS c_b,
+        |  CAST(round(CAST(CAST(
+        |    ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+        |       (CAST(n_bi AS DOUBLE) * CAST(a.c_w AS DOUBLE) * CAST(b2.c_w AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS pmi
+        |FROM bc JOIN uc a ON bc.w1 = a.word JOIN uc b2 ON bc.w2 = b2.word
+        |CROSS JOIN t
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+
+    // rolling-corr replay: same trailing ROWS frame, integer moments,
+    // sqrt is correctly rounded IEEE on both engines; the 6-dp round
+    // replays Spark's HALF_UP via VARCHAR->DECIMAL
+    "x_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, clicks, purchases,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(clicks) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(purchases) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(clicks * purchases) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(clicks * clicks) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(purchases * purchases) OVER w AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, clicks, purchases, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) END AS corr
+        |FROM m ORDER BY day""".stripMargin,
+
+    // typo-join replay: identical adjacent-swap corruption, cross-join
+    // candidates with the DL length prefilter, stock
+    // damerau_levenshtein verifies (the kernel's reference semantics)
+    "x_typo_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_key,
+        |    concat(substr(ename, 1, CAST(p_partkey % 5 AS INTEGER)),
+        |           substr(ename, CAST(p_partkey % 5 + 2 AS INTEGER), 1),
+        |           substr(ename, CAST(p_partkey % 5 + 1 AS INTEGER), 1),
+        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
+        |  FROM p WHERE p_partkey % 3 = 1),
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p)
+        |SELECT dirty_key, clean_key, dname, ename,
+        |  CAST(damerau_levenshtein(dname, ename) AS INTEGER) AS dl_dist
+        |FROM dirty, clean
+        |WHERE abs(length(dname) - length(ename)) <= 1
+        |  AND damerau_levenshtein(dname, ename) <= 1
+        |ORDER BY dirty_key, clean_key""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per

@@ -330,6 +330,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) === 0.3125))
   }
 
+  test("collocations: hand-computed PMI with deterministic tie order") {
+    // tokens a,b,a,b,a,c: c_a=3 c_b=2 c_c=1, N_u=6; bigrams (a,b)×2,
+    // (a,c)×1, N_bi=3. PMI(a,b)=ln(2·36/(3·3·2))=ln 4 = PMI(a,c)
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val out = Corpus.collocations(docs, "text", topK = 10, minCount = 1)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", "b", 2L), ("a", "c", 1L)))
+    assert(out.forall(r => r.getDouble(5) === 1.386294)) // round(ln 4, 6)
+  }
+
+  test("collocations: minCount prunes hapax pairs, topK caps") {
+    val docs = Seq("x y", "p q", "p q").toDF("text")
+    val out = Corpus.collocations(docs, "text", topK = 10, minCount = 2)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(out === Seq(("p", "q"))) // (x,y) is a hapax: pruned
+  }
+
   test("concentration: uniform masses score Gini 0") {
     val df = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("src", "m")
     val g = Corpus.concentration(df, "src", "m").select("gini")

@@ -121,6 +121,18 @@ class LinkageSpec extends SparkSpec {
     assert(!capped2.exists(_._2 >= 200L), "hot-block pairs are excluded by the cap")
   }
 
+  test("dlJoin finds adjacent-swap typos that the ed<=1 join misses") {
+    val dirty = Seq((10L, "abdc")).toDF("dk", "dn") // cd swapped: dl=1, lev=2
+    val master = Seq((1L, "abcd"), (2L, "badc")).toDF("mk", "mn")
+    val lev1 = Linkage.editDistanceJoin(dirty, master, "dn", "mn", k = 1)
+      .select("dk", "mk").as[(Long, Long)].collect()
+    assert(lev1.isEmpty, "plain ed<=1 charges a transposition 2: no match")
+    val dl1 = Linkage.dlJoin(dirty, master, "dn", "mn", k = 1)
+      .select("dk", "mk", "dl_dist").as[(Long, Long, Int)].collect().toSeq
+    // abdc->abcd is one transposition; abdc->badc is ALSO one (swap ab)
+    assert(dl1.sortBy(_._2) === Seq((10L, 1L, 1), (10L, 2L, 1)))
+  }
+
   test("resolveBest ranks equal-edit-distance candidates by Jaro-Winkler") {
     // "marthx" and "xartha" are BOTH ed=1 from "martha"; JW's prefix
     // boost must prefer the head-agreeing "marthx" (0.933 vs 0.889)

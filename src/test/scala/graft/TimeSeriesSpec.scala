@@ -103,6 +103,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(2.0, 3.0, 4.0, 4.0))
   }
 
+  test("rollingCorrCounts: perfect anti-correlation, degenerate null") {
+    val df = Seq((1L, 1L, 6L), (2L, 2L, 4L), (3L, 3L, 2L)).toDF("t", "x", "y")
+    val out = TimeSeries.rollingCorrCounts(df, "t", "x", "y", window = 7)
+      .collect()
+    assert(out(0).isNullAt(4), "single-row window is degenerate")
+    assert(out(1).getDouble(4) === -1.0)
+    assert(out(2).getDouble(4) === -1.0)
+    // constant y: variance 0 -> null, never NaN
+    val cst = Seq((1L, 1L, 5L), (2L, 2L, 5L)).toDF("t", "x", "y")
+    val c2 = TimeSeries.rollingCorrCounts(cst, "t", "x", "y").collect()
+    assert(c2.forall(_.isNullAt(4)))
+  }
+
   test("seasonalDecomposeDaily: hand-computed trend/seasonal/residual") {
     // 9 consecutive days starting 2024-01-01 (a Monday), day i has i events
     val rows = (1 to 9).flatMap(i => Seq.fill(i)(f"2024-01-0$i 10:00:00"))

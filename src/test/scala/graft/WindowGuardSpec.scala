@@ -47,7 +47,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_score_report" -> "Mann-Whitney over 6-dp-rounded DISTINCT-score groups (Eval.scoreReport routes through the same mannWhitney reduce as q_auc, same bounded-domain contract)",
     "x_benford" -> "global sum over the post-agg first-digit frame (<= 9 rows; Validate.benford)",
     "x_gini" -> "ordered cumsum over the post-agg per-source frame (|sources| rows; Corpus.concentration)",
-    "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)"
+    "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)",
+    "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)"
   )
 
   private val excluded = Set(
