@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -451,15 +451,28 @@ object Validate {
     * zero observations are absent (both conventions mirror exactly in
     * a replay).
     */
-  def benford(df: DataFrame, valueCol: String): DataFrame = {
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    benfordFromCounts(df
+      .filter(col(valueCol) >= 0.01)
+      .select(benfordDigit(col(valueCol)).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+
+  /** First-significant-digit of a positive amount ≥ 0.01 — the
+    * [[benford]] extraction, exposed for streaming accumulation.
+    */
+  def benfordDigit(c: Column): Column =
+    substring(floor(c * lit(100.0)).cast("string"), 1, 1).cast("int")
+
+  /** [[benford]]'s finish over an already-accumulated (digit, n) count
+    * frame. The state IS mergeable counters (9 of them), so a
+    * complete-mode stream can maintain it across any micro-batch
+    * schedule and close with this identical reduce — stream == batch
+    * by construction.
+    */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
     val e6 = benfordE6.foldLeft(lit(null).cast("long")) { case (acc, (d, e)) =>
       when(col("digit") === d, lit(e)).otherwise(acc)
     }
-    val counts = df
-      .filter(col(valueCol) >= 0.01)
-      .select(substring(floor(col(valueCol) * lit(100.0)).cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val nd = col("n").cast("double")
     val tot = sum(col("n")).over(org.apache.spark.sql.expressions.Window
       .partitionBy())

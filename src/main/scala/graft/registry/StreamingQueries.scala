@@ -329,6 +329,35 @@ private[graft] object StreamingQueries {
       graft.ext.Corpus.termDivergenceFromCounts(s.read.parquet(s"$tmp/out"))
     }),
 
+    "q_stream_benford" -> ((s, d) => {
+      // STREAMING FRAUD TRIPWIRE: Benford's whole state is NINE digit
+      // counters — the minimal mergeable-state monitor, accumulated in
+      // COMPLETE mode across any micro-batch schedule and closed by
+      // the identical benfordFromCounts reduce the batch row uses, so
+      // stream == batch by construction and the oracle is the plain
+      // batch replay (x_benford's SQL verbatim).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "orders").schema
+      val tmp = scratchDir("graft-sbenford")
+      stageDrop(s"$d/orders.parquet", s"$tmp/in", "orders.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      val counts = stream
+        .filter(col("o_totalprice") >= 0.01)
+        .select(graft.ops.Validate.benfordDigit(col("o_totalprice")).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ops.Validate.benfordFromCounts(s.read.parquet(s"$tmp/out"))
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -555,6 +584,26 @@ private[graft] object StreamingQueries {
         |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
         |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
         |FROM c""".stripMargin,
+
+    // complete-mode digit counters + the shared benfordFromCounts
+    // reduce == the batch x_benford replay, verbatim
+    "q_stream_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 0.01),
+        |counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS t(digit, e6))
+        |SELECT c.digit, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tt.n_total AS DOUBLE) AS obs_share,
+        |  CAST(e6 AS DOUBLE) / 1000000.0 AS exp_share,
+        |  ((CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) *
+        |   (CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0))) /
+        |  (CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) AS chi2_term
+        |FROM counts c JOIN e USING (digit)
+        |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
+        |ORDER BY digit""".stripMargin,
 
     // full-arrival pass + heartbeat punctuation ⇒ streaming sessions ==
     // batch gap islands (the same SQL the batch sessionize row uses;

@@ -48,7 +48,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_benford" -> "global sum over the post-agg first-digit frame (<= 9 rows; Validate.benford)",
     "x_gini" -> "ordered cumsum over the post-agg per-source frame (|sources| rows; Corpus.concentration)",
     "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)",
-    "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)"
+    "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)",
+    "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)"
   )
 
   private val excluded = Set(
