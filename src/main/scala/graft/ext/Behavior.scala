@@ -420,4 +420,32 @@ object Behavior {
         (cb / nb - ca / na) /
           sqrt(p * (lit(1) - p) * (lit(1.0) / na + lit(1.0) / nb))), 6))
   }
+
+  /** Burstiness per key: the Fano factor (index of dispersion,
+    * sample-variance / mean) of the daily event-count series — 1 for
+    * a Poisson arrival process, ≫1 for bursty traffic (incident
+    * storms, batch-job spikes), <1 for over-regular schedules. The
+    * workload-characterization readout behind capacity planning.
+    *
+    * Counts per (key, day) then the per-key moments — every input to
+    * the final formulas is an exact integer sum (n, Σx, Σx²), the
+    * floats are fixed-shape divisions, bit-identical in any replay.
+    * Keys with a single active day have no sample variance → null.
+    */
+  def fanoFactor(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean",
+        col("total").cast("double") / col("n_days").cast("double"))
+      .withColumn("variance", when(col("n_days") > 1,
+        (col("n_days") * col("sxx") - col("total") * col("total")).cast("double") /
+          (col("n_days") * (col("n_days") - 1)).cast("double")))
+      .withColumn("fano", col("variance") / col("mean"))
+      .select("key", "n_days", "total", "mean", "variance", "fano")
+      .orderBy("key")
+  }
 }

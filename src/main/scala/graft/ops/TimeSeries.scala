@@ -173,6 +173,43 @@ object TimeSeries {
     * runs over the POST-AGGREGATE series frame (calendar-bounded),
     * never the raw events.
     */
+  /** Single change-point detection over an integer count series via
+    * the standardized CUSUM statistic (Page 1954's control-chart idea
+    * in its retrospective scan form): for each candidate split t,
+    * stat_t = |n·L_t − t·T| / (n·√(t·(n−t))) where L_t is the prefix
+    * sum and T the total — the normalized gap between the left-mean
+    * and the grand mean. The maximizing t is the estimated break;
+    * `is_peak` flags it (every tie, deterministically, since the
+    * statistic is exact-integer-derived).
+    *
+    * The numerator n·L_t − t·T is EXACT integer arithmetic; the only
+    * floats are one sqrt and one division per row, so stat doubles are
+    * bit-identical in any replay and the argmax flag needs no
+    * tolerance. Windows run over the post-aggregate series frame
+    * (calendar-bounded), the [[seasonalDecomposeDaily]] discipline.
+    * The final row (t = n) has no right segment and is excluded.
+    */
+  def changePoint(df: DataFrame, ordCol: String, cntCol: String): DataFrame = {
+    val byOrd = Window.orderBy(col(ordCol))
+    val all = Window.partitionBy()
+    val scored = df
+      .withColumn("t", row_number().over(byOrd).cast("long"))
+      .withColumn("cum",
+        sum(col(cntCol)).over(byOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("total", sum(col(cntCol)).over(all))
+      .filter(col("t") < col("n"))
+      .withColumn("stat",
+        abs(col("n") * col("cum") - col("t") * col("total")).cast("double") /
+          (col("n").cast("double") *
+            sqrt((col("t") * (col("n") - col("t"))).cast("double"))))
+    scored
+      .withColumn("max_stat", max(col("stat")).over(all))
+      .select(col(ordCol), col(cntCol), col("cum"), col("stat"),
+        (col("stat") === col("max_stat")).as("is_peak"))
+      .orderBy(ordCol)
+  }
+
   def rollingCorrCounts(df: DataFrame, ordCol: String, xCol: String,
                         yCol: String, window: Int = 7): DataFrame = {
     val w = Window.orderBy(col(ordCol)).rowsBetween(-(window - 1), 0)

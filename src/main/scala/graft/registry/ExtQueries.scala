@@ -909,6 +909,21 @@ private[graft] object ExtQueries {
         .orderBy("dirty_key", "clean_key")
     }),
 
+    "x_changepoint" -> ((s, d) =>
+      // retrospective CUSUM change-point scan over the daily event
+      // volume: exact-integer numerator n·L_t − t·T per split, one
+      // sqrt+division per row, argmax flagged without tolerance
+      graft.ops.TimeSeries.changePoint(
+        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
+
+    "x_burstiness" -> ((s, d) =>
+      // Fano factor (variance/mean of daily counts) per event type —
+      // Poisson arrivals score 1, incident storms ≫ 1; integer
+      // moments, fixed-shape divisions
+      graft.ext.Behavior.fanoFactor(events(s, d), "event_type", "ts_us")),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -2952,6 +2967,49 @@ private[graft] object ExtQueries {
         |WHERE abs(length(dname) - length(ename)) <= 1
         |  AND damerau_levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
+
+    // CUSUM replay: same integer prefix sums, same single sqrt shape;
+    // the peak flag compares bit-identical doubles, no tolerance
+    "x_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT day, cnt,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM daily),
+        |sc AS (
+        |  SELECT day, cnt, cum,
+        |    CAST(abs(n * cum - t * total) AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * sqrt(CAST(t * (n - t) AS DOUBLE))) AS stat
+        |  FROM p WHERE t < n)
+        |SELECT day, cnt, cum, stat,
+        |  stat = (SELECT max(stat) FROM sc) AS is_peak
+        |FROM sc ORDER BY day""".stripMargin,
+
+    // Fano replay: identical (key, day) count grid and integer moments
+    "x_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, date_trunc('day', ts) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT key, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY key)
+        |SELECT key, n_days, total,
+        |  CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |  CASE WHEN n_days > 1 THEN
+        |    CAST(n_days * sxx - total * total AS DOUBLE) /
+        |      CAST(n_days * (n_days - 1) AS DOUBLE) END AS variance,
+        |  (CASE WHEN n_days > 1 THEN
+        |    CAST(n_days * sxx - total * total AS DOUBLE) /
+        |      CAST(n_days * (n_days - 1) AS DOUBLE) END) /
+        |    (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+        |FROM m ORDER BY key""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per

@@ -336,4 +336,23 @@ class BehaviorSpec extends SparkSpec {
     val on = Behavior.coOccurrence(df, "b", "i").collect().map(_.toString).sorted
     assert(off.collect().map(_.toString).sorted === on)
   }
+
+  test("fanoFactor: hand-computed dispersion, single-day key is null") {
+    // key A: 2 events day1, 4 events day2 -> mean 3, var 2, fano 2/3
+    val rows =
+      Seq.fill(2)(("A", "2024-01-01 01:00:00")) ++
+      Seq.fill(4)(("A", "2024-01-02 01:00:00")) ++
+      Seq.fill(5)(("B", "2024-01-01 01:00:00"))
+    val df = rows.toDF("k", "s").select(col("k"),
+      col("s").cast("timestamp").as("ts"))
+    val out = Behavior.fanoFactor(df, "k", "ts").collect()
+    val a = out(0)
+    assert((a.getString(0), a.getLong(1), a.getLong(2)) === ("A", 2L, 6L))
+    assert(a.getDouble(3) === 3.0)
+    assert(a.getDouble(4) === 2.0)
+    assert(a.getDouble(5) === 2.0 / 3.0)
+    val b = out(1)
+    assert(b.getString(0) === "B")
+    assert(b.isNullAt(4) && b.isNullAt(5), "one active day: no variance")
+  }
 }

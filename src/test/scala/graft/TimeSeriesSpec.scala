@@ -103,6 +103,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(2.0, 3.0, 4.0, 4.0))
   }
 
+  test("changePoint: level shift flagged at the true break, exact stats") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("t", "cnt")
+    val out = TimeSeries.changePoint(df, "t", "cnt").collect()
+    assert(out.length === 5) // t = n excluded
+    // stat_3 = |6·30 − 3·90| / (6·√9) = 90/18 = 5.0 exactly
+    assert(out(2).getDouble(3) === 5.0)
+    assert(out.map(_.getBoolean(4)).toSeq ===
+      Seq(false, false, true, false, false))
+  }
+
   test("rollingCorrCounts: perfect anti-correlation, degenerate null") {
     val df = Seq((1L, 1L, 6L), (2L, 2L, 4L), (3L, 3L, 2L)).toDF("t", "x", "y")
     val out = TimeSeries.rollingCorrCounts(df, "t", "x", "y", window = 7)

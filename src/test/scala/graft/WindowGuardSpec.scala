@@ -49,7 +49,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_gini" -> "ordered cumsum over the post-agg per-source frame (|sources| rows; Corpus.concentration)",
     "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)",
     "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)",
-    "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)"
+    "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)",
+    "x_changepoint" -> "ordered cumsum + global max over the post-agg daily series (calendar-bounded; TimeSeries.changePoint)"
   )
 
   private val excluded = Set(
