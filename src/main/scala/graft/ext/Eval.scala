@@ -955,4 +955,34 @@ object Eval {
             .cast("decimal(38,9)")).cast("double") /
           sum(col("c")), 6).as("log_loss"))
   }
+
+  /** Pinball (quantile) loss per requested quantile — THE proper
+    * scoring rule for quantile forecasts (Koenker & Bassett 1978's
+    * check function): loss_q(y, ŷ) = q·(y−ŷ) when y ≥ ŷ else
+    * (q−1)·(y−ŷ). A forecast that claims "90% of demand lands below
+    * this" is graded exactly on that claim — the capacity-planning /
+    * SLA-forecast eval the symmetric MAE cannot express.
+    *
+    * One pass: each row fans out ×|qs| (small), per-q conditional
+    * terms accumulate in DECIMAL (inputs cast to DECIMAL(18,6), q at
+    * DECIMAL(7,6) — products and sums exact, order-independent under
+    * any partial-agg schedule), one double division per output row.
+    * Returns (q, n, total_loss, mean_loss) sorted by q.
+    */
+  def pinballLoss(df: DataFrame, yCol: String, yhatCol: String,
+                  qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "pinballLoss: quantiles must lie strictly inside (0, 1)")
+    df.select(col(yCol).cast("decimal(18,6)").as("y"),
+        col(yhatCol).cast("decimal(18,6)").as("yh"),
+        explode(array(qs.map(q => lit(q).cast("decimal(7,6)")): _*)).as("q"))
+      .withColumn("d", col("y") - col("yh"))
+      .withColumn("loss", when(col("d") >= 0, col("q") * col("d"))
+        .otherwise((col("q") - lit(1)) * col("d")))
+      .groupBy(col("q").cast("double").as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("loss")).cast("double").as("total_loss"))
+      .withColumn("mean_loss", col("total_loss") / col("n").cast("double"))
+      .orderBy("q")
+  }
 }

@@ -924,6 +924,17 @@ private[graft] object ExtQueries {
       // moments, fixed-shape divisions
       graft.ext.Behavior.fanoFactor(events(s, d), "event_type", "ts_us")),
 
+    "x_pinball" -> ((s, d) =>
+      // quantile-forecast eval: pinball loss of a deterministic
+      // integer "capacity forecast" (half the length plus a hashed
+      // offset) against actual document lengths at q=0.1/0.5/0.9 —
+      // DECIMAL-exact accumulation, one division per quantile
+      graft.ext.Eval.pinballLoss(
+        t(s, d, "documents").select(col("n_chars").as("y"),
+          (floor(col("n_chars") / 2) + pmod(col("doc_id"), lit(100)))
+            .as("yhat")),
+        "y", "yhat", Seq(0.1, 0.5, 0.9))),
+
     "x_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean document length: 200
       // deterministic replicates from ONE weighted aggregation — the
@@ -3010,6 +3021,26 @@ private[graft] object ExtQueries {
         |      CAST(n_days * (n_days - 1) AS DOUBLE) END) /
         |    (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
         |FROM m ORDER BY key""".stripMargin,
+
+    // pinball replay: identical integer forecast, DECIMAL check
+    // function, one division per quantile
+    "x_pinball" ->
+      """WITH base AS (
+        |  SELECT CAST(n_chars AS DECIMAL(18,6)) AS y,
+        |    CAST(n_chars // 2 + doc_id % 100 AS DECIMAL(18,6)) AS yh
+        |  FROM documents),
+        |f AS (
+        |  SELECT y, yh, CAST(qr AS DECIMAL(7,6)) AS qd
+        |  FROM base, (SELECT unnest([0.1, 0.5, 0.9]) AS qr)),
+        |l AS (
+        |  SELECT qd,
+        |    CASE WHEN y - yh >= 0 THEN qd * (y - yh)
+        |         ELSE (qd - 1) * (y - yh) END AS loss
+        |  FROM f)
+        |SELECT CAST(qd AS DOUBLE) AS q, count(*) AS n,
+        |  CAST(sum(loss) AS DOUBLE) AS total_loss,
+        |  CAST(sum(loss) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_loss
+        |FROM l GROUP BY qd ORDER BY q""".stripMargin,
 
     // bootstrap replay: the identical FNV millionth-buckets invert the
     // same Poisson(1) CDF literals, DECIMAL-weighted sums per

@@ -358,6 +358,42 @@ private[graft] object StreamingQueries {
       graft.ops.Validate.benfordFromCounts(s.read.parquet(s"$tmp/out"))
     }),
 
+    "q_stream_changepoint" -> ((s, d) => {
+      // STREAMING CHANGE-POINT MONITOR: the state is the per-day count
+      // table (calendar-bounded mergeable counters, complete mode);
+      // the retrospective CUSUM scan closes once on the sink with the
+      // identical TimeSeries.changePoint finish the batch row uses —
+      // stream == batch by construction, oracle = batch replay.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = scratchDir("graft-scp")
+      stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
+      val raw = ss.read.parquet(s"$d/events.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", raw.schema)
+      val tsUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      val counts = stream
+        .select(date_trunc("day", tsUs).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ops.TimeSeries.changePoint(
+        s.read.parquet(s"$tmp/out"), "day", "cnt")
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -584,6 +620,28 @@ private[graft] object StreamingQueries {
         |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
         |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
         |FROM c""".stripMargin,
+
+    // complete-mode daily counters + the shared changePoint finish ==
+    // the batch x_changepoint replay, verbatim
+    "q_stream_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT day, cnt,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM daily),
+        |sc AS (
+        |  SELECT day, cnt, cum,
+        |    CAST(abs(n * cum - t * total) AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * sqrt(CAST(t * (n - t) AS DOUBLE))) AS stat
+        |  FROM p WHERE t < n)
+        |SELECT day, cnt, cum, stat,
+        |  stat = (SELECT max(stat) FROM sc) AS is_peak
+        |FROM sc ORDER BY day""".stripMargin,
 
     // complete-mode digit counters + the shared benfordFromCounts
     // reduce == the batch x_benford replay, verbatim

@@ -523,4 +523,24 @@ class EvalSpec extends SparkSpec {
     val b = Eval.logLoss(rows.toDF("y", "s").repartition(9), "y", "s").collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("pinballLoss: hand-computed check function, both branches") {
+    // (y, yhat): (10, 8) -> d=2 (under-forecast), (4, 9) -> d=-5 (over)
+    val df = Seq((10, 8), (4, 9)).toDF("y", "yh")
+    val out = Eval.pinballLoss(df, "y", "yh", Seq(0.1, 0.9)).collect()
+    // q=0.1: 0.1*2 + 0.9*5 = 4.7 -> mean 2.35; q=0.9: 0.9*2+0.1*5=2.3
+    assert(out.map(_.getDouble(0)).toSeq === Seq(0.1, 0.9))
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L))
+    assert(out(0).getDouble(3) === 2.35)
+    assert(out(1).getDouble(3) === 1.15)
+  }
+
+  test("pinballLoss: perfect forecast scores zero, q bounds enforced") {
+    val df = Seq((5, 5), (7, 7)).toDF("y", "yh")
+    val z = Eval.pinballLoss(df, "y", "yh", Seq(0.5)).collect()(0)
+    assert(z.getDouble(3) === 0.0)
+    intercept[IllegalArgumentException] {
+      Eval.pinballLoss(df, "y", "yh", Seq(1.0))
+    }
+  }
 }

@@ -50,7 +50,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_seasonal" -> "7-row moving frame over the post-agg daily series (calendar-bounded; TimeSeries.seasonalDecomposeDaily)",
     "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)",
     "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)",
-    "x_changepoint" -> "ordered cumsum + global max over the post-agg daily series (calendar-bounded; TimeSeries.changePoint)"
+    "x_changepoint" -> "ordered cumsum + global max over the post-agg daily series (calendar-bounded; TimeSeries.changePoint)",
+    "q_stream_changepoint" -> "changePoint finish over the streamed calendar-bounded daily-count sink (same frame as x_changepoint)"
   )
 
   private val excluded = Set(
