@@ -173,6 +173,80 @@ object TimeSeries {
     * runs over the POST-AGGREGATE series frame (calendar-bounded),
     * never the raw events.
     */
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) over an integer
+    * count series: S = Σ_{i<j} sgn(xⱼ − xᵢ) with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ tₚ(tₚ−1)(2tₚ+5)]/18 and the
+    * continuity-corrected Z — the standard nonparametric "is this
+    * metric drifting" answer (no normality assumption, robust to the
+    * spikes that wreck a least-squares slope).
+    *
+    * The pair sum runs on the POST-AGGREGATE series frame — O(n²)
+    * pairs but calendar-bounded n, and the small side broadcasts, so
+    * the non-equi join is a broadcast nested-loop over a handful of
+    * rows, never a shuffle. S, n, and the tie counters are exact
+    * integers; Var(S) is one division by 18 and Z one division by a
+    * sqrt, identical in any replay. Returns one row: (n, s, var_s, z).
+    */
+  def mannKendall(df: DataFrame, ordCol: String, cntCol: String): DataFrame = {
+    val a = df.select(col(ordCol).as("ta"), col(cntCol).as("xa"))
+    val b = df.select(col(ordCol).as("tb"), col(cntCol).as("xb"))
+    val s = a.join(b, col("ta") < col("tb"))
+      .agg(coalesce(sum(signum(col("xb") - col("xa")).cast("long")), lit(0L))
+        .as("s"))
+      .withColumn("k", lit(1))
+    val nn = df.agg(count(lit(1)).as("n")).withColumn("k", lit(1))
+    val ties = df.groupBy(col(cntCol)).agg(count(lit(1)).as("tp"))
+      .agg(coalesce(sum(col("tp") * (col("tp") - 1) * (lit(2) * col("tp") + 5)),
+        lit(0L)).as("tie_term"))
+      .withColumn("k", lit(1))
+    s.join(broadcast(nn), Seq("k")).join(broadcast(ties), Seq("k")).drop("k")
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+          .cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > 0 && col("s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("var_s") > 0 && col("s") < 0,
+          (col("s") + 1).cast("double") / sqrt(col("var_s")))
+        .when(col("var_s") > 0, lit(0.0)))
+      .select("n", "s", "var_s", "z")
+  }
+
+  /** Autocorrelation function of an integer count series at lags
+    * 1..`maxLag` — the seasonality detector feeding
+    * [[seasonalDecomposeDaily]]'s period choice (a weekly cycle shows
+    * as a spike at lag 7). Deviations are kept EXACT by n-scaling:
+    * dev_t = n·x_t − T is an integer, so r_k = Σ dev_t·dev_{t+k} /
+    * Σ dev_t² is a ratio of exact integer sums — one double division
+    * per lag, bit-identical in any replay (the n² factors cancel).
+    *
+    * Pairs come from a bounded non-equi self-join of the
+    * post-aggregate frame (calendar-bounded, broadcast); the only
+    * window is the row_number indexing over that same frame.
+    */
+  def acf(df: DataFrame, ordCol: String, cntCol: String,
+          maxLag: Int = 7): DataFrame = {
+    val all = Window.partitionBy()
+    val indexed = df
+      .withColumn("t", row_number().over(Window.orderBy(col(ordCol))).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("total", sum(col(cntCol)).over(all))
+      .withColumn("dev", col("n") * col(cntCol) - col("total"))
+    val den = indexed.agg(sum(col("dev") * col("dev")).as("den"))
+      .withColumn("k", lit(1))
+    val aSide = indexed.select(col("t").as("ta"), col("dev").as("da"))
+    val bSide = indexed.select(col("t").as("tb"), col("dev").as("db"))
+    aSide.join(bSide,
+        col("tb") - col("ta") >= 1 && col("tb") - col("ta") <= maxLag)
+      .groupBy((col("tb") - col("ta")).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("da") * col("db")).as("num"))
+      .withColumn("k", lit(1)).join(broadcast(den), Seq("k")).drop("k")
+      .withColumn("acf", when(col("den") > 0,
+        col("num").cast("double") / col("den").cast("double")))
+      .select("lag", "n_pairs", "acf")
+      .orderBy("lag")
+  }
+
   /** Single change-point detection over an integer count series via
     * the standardized CUSUM statistic (Page 1954's control-chart idea
     * in its retrospective scan form): for each candidate split t,

@@ -924,6 +924,25 @@ private[graft] object ExtQueries {
       // moments, fixed-shape divisions
       graft.ext.Behavior.fanoFactor(events(s, d), "event_type", "ts_us")),
 
+    "x_trend_test" -> ((s, d) =>
+      // Mann-Kendall nonparametric trend test on daily event volume:
+      // exact-integer pair statistic + tie-corrected variance, one
+      // division by 18 and one by a sqrt — "is this metric drifting"
+      // without normality assumptions
+      graft.ops.TimeSeries.mannKendall(
+        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
+
+    "x_acf" -> ((s, d) =>
+      // autocorrelation at lags 1..7 of daily event volume — the
+      // seasonality detector (weekly cycle = lag-7 spike); n-scaled
+      // integer deviations keep every sum exact, one division per lag
+      graft.ops.TimeSeries.acf(
+        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt", maxLag = 7)),
+
     "x_pinball" -> ((s, d) =>
       // quantile-forecast eval: pinball loss of a deterministic
       // integer "capacity forecast" (half the length plus a hashed
@@ -3021,6 +3040,53 @@ private[graft] object ExtQueries {
         |      CAST(n_days * (n_days - 1) AS DOUBLE) END) /
         |    (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
         |FROM m ORDER BY key""".stripMargin,
+
+    // Mann-Kendall replay: identical pair sign sum, tie groups, and
+    // the two-division finish
+    "x_trend_test" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |sg AS (
+        |  SELECT coalesce(CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |tt AS (
+        |  SELECT coalesce(CAST(sum(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT), 0)
+        |    AS tie_term
+        |  FROM (SELECT count(*) AS tp FROM daily GROUP BY cnt)),
+        |v AS (
+        |  SELECT n, s,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+        |  FROM sg, nn, tt)
+        |SELECT n, s, var_s,
+        |  CASE WHEN var_s > 0 AND s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |       WHEN var_s > 0 AND s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |       WHEN var_s > 0 THEN 0.0 END AS z
+        |FROM v""".stripMargin,
+
+    // ACF replay: same n-scaled integer deviations and bounded
+    // self-join pair sums, one division per lag
+    "x_acf" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |ix AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total, cnt
+        |  FROM daily),
+        |dv AS (SELECT t, n * cnt - total AS dev FROM ix),
+        |dn AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dv),
+        |pr AS (
+        |  SELECT b.t - a.t AS lag, count(*) AS n_pairs,
+        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+        |  FROM dv a JOIN dv b ON b.t - a.t BETWEEN 1 AND 7
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+        |FROM pr, dn ORDER BY lag""".stripMargin,
 
     // pinball replay: identical integer forecast, DECIMAL check
     // function, one division per quantile

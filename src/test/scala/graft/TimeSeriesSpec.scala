@@ -103,6 +103,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(2.0, 3.0, 4.0, 4.0))
   }
 
+  test("mannKendall: monotone series, sign symmetry, tie-degenerate null") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("t", "c")
+    val r = TimeSeries.mannKendall(up, "t", "c").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (3L, 3L))
+    assert(r.getDouble(2) === 66.0 / 18.0)
+    assert(r.getDouble(3) === 2.0 / math.sqrt(66.0 / 18.0))
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("t", "c")
+    val rd = TimeSeries.mannKendall(down, "t", "c").collect()(0)
+    assert(rd.getLong(1) === -3L)
+    assert(rd.getDouble(3) === -2.0 / math.sqrt(66.0 / 18.0))
+    // all-tied series: variance fully tie-corrected away -> z null
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("t", "c")
+    val rf = TimeSeries.mannKendall(flat, "t", "c").collect()(0)
+    assert(rf.getLong(1) === 0L && rf.getDouble(2) === 0.0 && rf.isNullAt(3))
+  }
+
+  test("acf: alternating series has hand-computed lag structure") {
+    // counts 1,3,1,3: dev = 4x-8 = -4,4,-4,4; den = 64
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 1L), (4L, 3L)).toDF("t", "c")
+    val out = TimeSeries.acf(df, "t", "c", maxLag = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(-0.75, 0.5, -0.25))
+  }
+
   test("changePoint: level shift flagged at the true break, exact stats") {
     val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
       (6L, 20L)).toDF("t", "cnt")

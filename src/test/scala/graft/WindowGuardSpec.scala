@@ -51,7 +51,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_rolling_corr" -> "trailing 7-row frame over the post-agg daily series (calendar-bounded; TimeSeries.rollingCorrCounts)",
     "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)",
     "x_changepoint" -> "ordered cumsum + global max over the post-agg daily series (calendar-bounded; TimeSeries.changePoint)",
-    "q_stream_changepoint" -> "changePoint finish over the streamed calendar-bounded daily-count sink (same frame as x_changepoint)"
+    "q_stream_changepoint" -> "changePoint finish over the streamed calendar-bounded daily-count sink (same frame as x_changepoint)",
+    "x_acf" -> "row_number + global sums over the post-agg daily series (calendar-bounded; TimeSeries.acf)"
   )
 
   private val excluded = Set(
