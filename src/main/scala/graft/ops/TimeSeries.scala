@@ -212,6 +212,35 @@ object TimeSeries {
       .select("n", "s", "var_s", "z")
   }
 
+  /** Theil–Sen slope (Theil 1950; Sen 1968): the MEDIAN of all
+    * pairwise slopes (xⱼ−xᵢ)/(j−i) over the row-indexed series — the
+    * robust trend MAGNITUDE companion to [[mannKendall]]'s direction
+    * test (one spike day moves a least-squares slope arbitrarily;
+    * it moves at most half the pairwise medians). Returns one row
+    * (n, n_pairs, slope).
+    *
+    * Same bounded-frame contract as [[acf]]: O(n²) pairs on the
+    * calendar-bounded post-aggregate frame via a broadcast non-equi
+    * self-join. Each slope is ONE double division of exact integers
+    * (identical in any replay); the median is Spark's exact
+    * `percentile` = DuckDB's `quantile_cont` (both p·(n−1) linear
+    * interpolation — the bootstrap-CI parity).
+    */
+  def theilSen(df: DataFrame, ordCol: String, cntCol: String): DataFrame = {
+    val indexed = df
+      .withColumn("t", row_number().over(Window.orderBy(col(ordCol))).cast("long"))
+    val a = indexed.select(col("t").as("ta"), col(cntCol).as("xa"))
+    val b = indexed.select(col("t").as("tb"), col(cntCol).as("xb"))
+    val slopes = a.join(b, col("ta") < col("tb"))
+      .select(((col("xb") - col("xa")).cast("double") /
+        (col("tb") - col("ta")).cast("double")).as("slope"))
+    val nn = indexed.agg(count(lit(1)).as("n")).withColumn("k", lit(1))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope"))
+      .withColumn("k", lit(1)).join(broadcast(nn), Seq("k")).drop("k")
+      .select("n", "n_pairs", "slope")
+  }
+
   /** Autocorrelation function of an integer count series at lags
     * 1..`maxLag` — the seasonality detector feeding
     * [[seasonalDecomposeDaily]]'s period choice (a weekly cycle shows

@@ -934,6 +934,15 @@ private[graft] object ExtQueries {
           .agg(count(lit(1)).as("cnt")),
         "day", "cnt")),
 
+    "x_theil_sen" -> ((s, d) =>
+      // robust trend magnitude: median of pairwise slopes over the
+      // daily volume — each slope one exact-integer division, median
+      // via the exact-percentile parity
+      graft.ops.TimeSeries.theilSen(
+        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
+
     "x_acf" -> ((s, d) =>
       // autocorrelation at lags 1..7 of daily event volume — the
       // seasonality detector (weekly cycle = lag-7 spike); n-scaled
@@ -3040,6 +3049,24 @@ private[graft] object ExtQueries {
         |      CAST(n_days * (n_days - 1) AS DOUBLE) END) /
         |    (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
         |FROM m ORDER BY key""".stripMargin,
+
+    // Theil-Sen replay: same row-indexed pair slopes (exact integer
+    // divisions), quantile_cont == Spark percentile
+    "x_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |ix AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, cnt
+        |  FROM daily),
+        |sl AS (
+        |  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |    AS slope
+        |  FROM ix a JOIN ix b ON a.t < b.t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(slope, 0.5) AS slope
+        |FROM sl, nn GROUP BY n""".stripMargin,
 
     // Mann-Kendall replay: identical pair sign sum, tie groups, and
     // the two-division finish

@@ -128,6 +128,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(-0.75, 0.5, -0.25))
   }
 
+  test("theilSen: spike-robust median slope") {
+    // counts 1,2,3,100: LSQ slope would chase the spike; pairwise
+    // slopes sorted = [1, 1, 1, 33, 49, 97] -> median (1+33)/2 = 17
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L)).toDF("t", "c")
+    val r = TimeSeries.theilSen(df, "t", "c").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (4L, 6L))
+    assert(r.getDouble(2) === 17.0)
+    // pure linear series recovers the exact slope
+    val lin = Seq((1L, 10L), (2L, 13L), (3L, 16L)).toDF("t", "c")
+    assert(TimeSeries.theilSen(lin, "t", "c").collect()(0).getDouble(2) === 3.0)
+  }
+
   test("changePoint: level shift flagged at the true break, exact stats") {
     val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
       (6L, 20L)).toDF("t", "cnt")

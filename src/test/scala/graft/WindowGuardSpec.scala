@@ -52,7 +52,8 @@ class WindowGuardSpec extends SparkSpec {
     "q_stream_benford" -> "global sum over the streamed <= 9-digit count sink (benfordFromCounts, same frame as x_benford)",
     "x_changepoint" -> "ordered cumsum + global max over the post-agg daily series (calendar-bounded; TimeSeries.changePoint)",
     "q_stream_changepoint" -> "changePoint finish over the streamed calendar-bounded daily-count sink (same frame as x_changepoint)",
-    "x_acf" -> "row_number + global sums over the post-agg daily series (calendar-bounded; TimeSeries.acf)"
+    "x_acf" -> "row_number + global sums over the post-agg daily series (calendar-bounded; TimeSeries.acf)",
+    "x_theil_sen" -> "row_number over the post-agg daily series (calendar-bounded; TimeSeries.theilSen)"
   )
 
   private val excluded = Set(
