@@ -58,6 +58,30 @@ private[graft] object AnalyticsQueries {
         GROUP BY s_name ORDER BY n DESC, s_name LIMIT 20""")
     }),
 
+    "q_sql_recursive" -> ((s, d) => {
+      // RECURSIVE CTE through the SQL surface (Spark 4.1's
+      // UnionLoop): breadth-first closure of the implicit binary-heap
+      // hierarchy parent(c)=⌊c/2⌋ over customer keys — per-depth node
+      // counts and key sums. Each iteration is one hash join of the
+      // frontier against the base scan; the frontier shrinks
+      // geometrically, so total work is O(n·depth) with depth =
+      // log₂(maxkey). The identical statement runs on DuckDB — the
+      // whole point of the q_sql_* tier. floor(x/2.0) keys the parent
+      // edge because `/` is float division in BOTH dialects (DIV vs
+      // // would fork the text).
+      registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS node, 0 AS depth FROM customer WHERE c_custkey = 0
+          UNION ALL
+          SELECT c.c_custkey AS node, t.depth + 1 AS depth
+          FROM customer c JOIN tree t
+            ON CAST(floor(CAST(c.c_custkey AS DOUBLE) / 2) AS BIGINT) = t.node
+          WHERE c.c_custkey > 0)
+        SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS key_sum
+        FROM tree GROUP BY depth ORDER BY depth""")
+    }),
+
     "q_sql_running_total" -> ((s, d) => {
       // SQL window function through the SQL surface: per-customer
       // running revenue, decimal-accumulated, full deterministic
@@ -1359,6 +1383,17 @@ private[graft] object AnalyticsQueries {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > l1.l_shipdate)
         |GROUP BY s_name ORDER BY n DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS node, 0 AS depth FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey AS node, t.depth + 1 AS depth
+        |  FROM customer c JOIN tree t
+        |    ON CAST(floor(CAST(c.c_custkey AS DOUBLE) / 2) AS BIGINT) = t.node
+        |  WHERE c.c_custkey > 0)
+        |SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS key_sum
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q_sql_running_total" ->
       """SELECT o_custkey, o_orderkey,
