@@ -202,13 +202,15 @@ object Linkage {
     */
   def dlJoin(left: DataFrame, right: DataFrame,
              leftCol: String, rightCol: String, k: Int,
-             maxSegmentDf: Option[Int] = None): DataFrame =
+             maxSegmentDf: Option[Int] = None): DataFrame = {
+    require(k >= 1, "dlJoin: k must be >= 1 (use an equi-join for k=0)")
     editDistanceJoin(left, right, leftCol, rightCol, 2 * k, maxSegmentDf)
       .drop("dist")
       .withColumn("dl_dist",
         graft.functions.StringSimilarity.damerauLevenshtein(
           col(leftCol), col(rightCol)))
       .filter(col("dl_dist") <= k)
+  }
 
   def resolveBest(dirty: DataFrame, master: DataFrame,
                   dirtyCol: String, masterCol: String,
