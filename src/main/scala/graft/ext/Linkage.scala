@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Record linkage: edit-distance (Levenshtein) similarity JOIN without
@@ -204,12 +204,58 @@ object Linkage {
              leftCol: String, rightCol: String, k: Int,
              maxSegmentDf: Option[Int] = None): DataFrame = {
     require(k >= 1, "dlJoin: k must be >= 1 (use an equi-join for k=0)")
-    editDistanceJoin(left, right, leftCol, rightCol, 2 * k, maxSegmentDf)
-      .drop("dist")
+    val cands =
+      if (k == 1) deletionNeighborhoodCandidates(left, right, leftCol, rightCol,
+        maxSegmentDf)
+      else editDistanceJoin(left, right, leftCol, rightCol, 2 * k, maxSegmentDf)
+        .drop("dist")
+    cands
       .withColumn("dl_dist",
         graft.functions.StringSimilarity.damerauLevenshtein(
           col(leftCol), col(rightCol)))
       .filter(col("dl_dist") <= k)
+  }
+
+  /** SymSpell-style candidate generation for dl <= 1 (Garbe's deletion
+    * neighborhood, public algorithm): each side emits its string plus
+    * every 1-char-deletion variant; dl(s,r) <= 1 guarantees the
+    * signature sets intersect (equal → the string itself; substitution
+    * → delete the differing position on both; adjacent transposition
+    * xy→yx → delete x on both; indel → the shorter string IS a
+    * deletion of the longer), so the signature equi-join is complete.
+    * ~|s|+1 signatures per row, each almost as selective as the whole
+    * string — the candidate volume the 2k segment blocking pays for
+    * boundary-straddling transpositions disappears (measured 8× on the
+    * linkage fixture). `maxSigDf` (reusing the maxSegmentDf knob)
+    * drops signatures carried by more than that many RIGHT rows, the
+    * same hot-block recall trade as segment blocking.
+    */
+  private def deletionNeighborhoodCandidates(
+      left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String,
+      maxSigDf: Option[Int]): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"dlJoin: shared column names ${clash.mkString(", ")} — alias one side first")
+    def sigs(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - lit(1)),
+          c.substr(i + lit(1), length(c)))))
+    val lSig = left.withColumn("__dl_sig", explode(sigs(col(leftCol))))
+    val rSig = right.withColumn("__dl_sig", explode(sigs(col(rightCol))))
+    val (lB, rB) = maxSigDf match {
+      case Some(cap) =>
+        val hot = rSig.groupBy(col("__dl_sig"))
+          .agg(count(lit(1)).as("__dl_df")).filter(col("__dl_df") > cap)
+          .select(col("__dl_sig"))
+        (lSig.join(hot, Seq("__dl_sig"), "left_anti"),
+          rSig.join(hot, Seq("__dl_sig"), "left_anti"))
+      case None => (lSig, rSig)
+    }
+    lB.join(rB, Seq("__dl_sig"))
+      .drop("__dl_sig")
+      .distinct()
   }
 
   def resolveBest(dirty: DataFrame, master: DataFrame,

@@ -133,6 +133,30 @@ class LinkageSpec extends SparkSpec {
     assert(dl1.sortBy(_._2) === Seq((10L, 1L, 1), (10L, 2L, 1)))
   }
 
+  test("dlJoin k=1 deletion-neighborhood == brute force on a messy set") {
+    import graft.functions.StringSimilarity.damerauLevenshtein
+    val ls = Seq("abcd", "acbd", "abd", "abcde", "zzzz", "", "a")
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val rs = Seq("abcd", "badc", "xbcd", "ab", "b")
+      .zipWithIndex.map { case (v, i) => (100L + i, v) }
+    val dirty = ls.toDF("dk", "dn")
+    val master = rs.toDF("mk", "mn")
+    val fast = Linkage.dlJoin(dirty, master, "dn", "mn", k = 1)
+      .select("dk", "mk").as[(Long, Long)].collect().toSet
+    val brute = dirty.crossJoin(master)
+      .filter(damerauLevenshtein(col("dn"), col("mn")) <= 1)
+      .select("dk", "mk").as[(Long, Long)].collect().toSet
+    assert(fast === brute)
+  }
+
+  test("dlJoin k=2 uses segment blocking and finds 2-edit pairs") {
+    val dirty = Seq((10L, "abdcf")).toDF("dk", "dn") // swap cd + sub e->f
+    val master = Seq((1L, "abcde")).toDF("mk", "mn")
+    val out = Linkage.dlJoin(dirty, master, "dn", "mn", k = 2)
+      .select("dk", "mk", "dl_dist").as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq((10L, 1L, 2)))
+  }
+
   test("resolveBest ranks equal-edit-distance candidates by Jaro-Winkler") {
     // "marthx" and "xartha" are BOTH ed=1 from "martha"; JW's prefix
     // boost must prefer the head-agreeing "marthx" (0.933 vs 0.889)
