@@ -653,6 +653,42 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Length-grouped batch assignment (the `group_by_length` training
+    * loader prep): within each shard key, rank documents by (length,
+    * id) and cut into fixed-size batches — batches then hold
+    * similar-length documents, so padding waste per batch collapses
+    * (the HF Trainer `group_by_length` rationale, done once in the
+    * engine instead of per-epoch in the loader). Returns one row per
+    * batch: shard, batch index, size, min/max/total length and the
+    * padding-waste fraction 1 − Σlen/(n·maxlen) the batch would incur.
+    *
+    * Scale shape: the ONLY window is partitioned by the shard key —
+    * batching is per-shard by design (a global sort is exactly what a
+    * 1000-executor job must not do; shards are the parallel unit and
+    * each trainer rank consumes its own). Integer sums throughout; the
+    * waste fraction is one fixed-shape double division per batch row.
+    * Deterministic under any partitioning via the (length, id) tie
+    * order.
+    */
+  def lengthBatches(df: DataFrame, shardCol: String, idCol: String,
+                    lenCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "lengthBatches: batchSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("len").asc, col("id").asc)
+    df.select(col(shardCol).as("shard"), col(idCol).as("id"),
+        col(lenCol).cast("long").as("len"))
+      .withColumn("batch",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize)))
+      .groupBy(col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n"), min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+      .withColumn("pad_waste",
+        lit(1.0) - col("sum_len").cast("double") /
+          (col("n") * col("max_len")).cast("double"))
+      .orderBy("shard", "batch")
+  }
+
   def concentration(df: DataFrame, keyCol: String, massCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byMass = Window.orderBy(col("mass").asc, col("key").asc)

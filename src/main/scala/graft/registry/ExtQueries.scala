@@ -853,6 +853,15 @@ private[graft] object ExtQueries {
       // shape, so the oracle's doubles are bit-identical
       graft.ops.Validate.benford(t(s, d, "orders"), "o_totalprice")),
 
+    "x_length_batches" -> ((s, d) =>
+      // group_by_length training-loader prep: per-source length-sorted
+      // 32-doc batches with their padding-waste readout — the only
+      // window is per-shard (global sorts are exactly what a
+      // 1000-executor batching job must not do)
+      graft.ext.Corpus.lengthBatches(
+        t(s, d, "documents"), "source", "doc_id", "n_chars",
+        batchSize = 32)),
+
     "x_gini" -> ((s, d) =>
       // corpus concentration: Lorenz curve + Gini of character mass
       // per source — the "one megasite in a trenchcoat" readout behind
@@ -2875,6 +2884,24 @@ private[graft] object ExtQueries {
         |FROM counts c JOIN e USING (digit)
         |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
         |ORDER BY digit""".stripMargin,
+
+    // length-batch replay: same per-shard rank cut (floor of the same
+    // double division) and integer batch stats
+    "x_length_batches" ->
+      """WITH r AS (
+        |  SELECT source AS shard, doc_id AS id, CAST(n_chars AS BIGINT) AS len,
+        |    CAST(floor((row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) - 1) / 32)
+        |      AS BIGINT) AS batch
+        |  FROM documents)
+        |SELECT shard, batch, count(*) AS n,
+        |  CAST(min(len) AS BIGINT) AS min_len,
+        |  CAST(max(len) AS BIGINT) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  1.0 - CAST(sum(len) AS DOUBLE) /
+        |    CAST(count(*) * max(len) AS DOUBLE) AS pad_waste
+        |FROM r GROUP BY shard, batch
+        |ORDER BY shard, batch""".stripMargin,
 
     // Lorenz/Gini replay: same integer window sums over the per-source
     // frame, same two final double divisions

@@ -348,6 +348,19 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq(("p", "q"))) // (x,y) is a hapax: pruned
   }
 
+  test("lengthBatches: per-shard length-sorted cuts and padding waste") {
+    val df = Seq(("A", 1L, 5L), ("A", 2L, 1L), ("A", 3L, 3L), ("A", 4L, 2L),
+      ("B", 5L, 7L)).toDF("src", "id", "len")
+    val out = Corpus.lengthBatches(df, "src", "id", "len", batchSize = 2)
+      .collect()
+    // shard A sorted lens (1,2),(3,5); shard B (7)
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("A", 0L, 2L), ("A", 1L, 2L), ("B", 0L, 1L)))
+    assert(out(0).getDouble(6) === 0.25) // 1 - 3/(2*2)
+    assert(out(1).getDouble(6) === 1 - 8.0 / 10.0)
+    assert(out(2).getDouble(6) === 0.0) // singleton batch pads nothing
+  }
+
   test("concentration: uniform masses score Gini 0") {
     val df = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("src", "m")
     val g = Corpus.concentration(df, "src", "m").select("gini")
