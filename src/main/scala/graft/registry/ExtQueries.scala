@@ -853,6 +853,33 @@ private[graft] object ExtQueries {
       // shape, so the oracle's doubles are bit-identical
       graft.ops.Validate.benford(t(s, d, "orders"), "o_totalprice")),
 
+    "x_hybrid_search" -> ((s, d) => {
+      // Reciprocal Rank Fusion (Cormack et al. SIGIR'09): fuse the
+      // BM25 lexical top-50 with the cosine vector top-50 by
+      // Σ 1/(60+rank) — THE standard hybrid-search combiner (rank-only
+      // fusion needs no score calibration between modalities). Each
+      // doc's RRF is a fixed two-term sum over INTEGER ranks, so the
+      // doubles are bit-identical; final window runs over ≤100
+      // post-limit rows
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.ext.Search.bm25(t(s, d, "documents"), "text",
+          "doc_id", Seq("spark", "vector", "merge"), topK = 50)
+        .select(col("id").as("doc_id"), col("rank").as("rank_lex"))
+      val e = t(s, d, "embeddings")
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "embedding", "vec_id", k = 50)
+        .select(col("corpus_id").as("doc_id"), col("rank").as("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf")
+        .orderBy("rank")
+    }),
+
     "x_length_batches" -> ((s, d) =>
       // group_by_length training-loader prep: per-source length-sorted
       // 32-doc batches with their padding-waste readout — the only
@@ -2884,6 +2911,62 @@ private[graft] object ExtQueries {
         |FROM counts c JOIN e USING (digit)
         |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
         |ORDER BY digit""".stripMargin,
+
+    // RRF replay: the two established ranking replays (bm25 machinery,
+    // cosine fold) at top-50, fused by the same fixed two-term
+    // 1/(60+rank) sum over integer ranks
+    "x_hybrid_search" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS len
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark' THEN s END) AS s0,
+        |    max(CASE WHEN term = 'vector' THEN s END) AS s1,
+        |    max(CASE WHEN term = 'merge' THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |lscored AS (
+        |  SELECT doc_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score FROM agg),
+        |ltop AS (SELECT doc_id, score FROM lscored ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_lex
+        |  FROM ltop),
+        |qv AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id = 0),
+        |cv AS (SELECT vec_id AS corpus_id, embedding AS c FROM embeddings),
+        |vscored AS (
+        |  SELECT corpus_id,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> CAST(q[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q) + 1), i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(c) + 1), i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))) AS cos
+        |  FROM cv, qv WHERE corpus_id <> query_id),
+        |vec AS (
+        |  SELECT corpus_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank_vec
+        |  FROM vscored
+        |  QUALIFY row_number() OVER (ORDER BY cos DESC, corpus_id ASC) <= 50),
+        |f AS (
+        |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+        |    coalesce(1.0 / (60 + rank_lex), 0.0) +
+        |    coalesce(1.0 / (60 + rank_vec), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank,
+        |  doc_id, rank_lex, rank_vec, rrf
+        |FROM f
+        |QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id ASC) <= 20
+        |ORDER BY rank""".stripMargin,
 
     // length-batch replay: same per-shard rank cut (floor of the same
     // double division) and integer batch stats
