@@ -853,6 +853,40 @@ private[graft] object ExtQueries {
       // shape, so the oracle's doubles are bit-identical
       graft.ops.Validate.benford(t(s, d, "orders"), "o_totalprice")),
 
+    "x_er_cluster" -> ((s, d) => {
+      // fuzzy ENTITY clustering end-to-end: master names ∪ corrupted
+      // variants on one frame, dl<=1 pairing via the SymSpell deletion
+      // neighborhood, min-label connected components, per-entity
+      // cluster id + size — candidates → verify → cluster, the
+      // resolution chain that turns pairwise typo matches into
+      // deduplicatable entity groups. Disjoint node ids: clean 2k,
+      // corrupted 2k+1
+      val part = t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
+      val pos = (col("p_partkey") % 5 + 1).cast("int")
+      val corrupted = part.filter(col("p_partkey") % 3 === 1)
+        .select((col("p_partkey") * 2 + 1).as("id"),
+          concat(col("ename").substr(lit(1), pos - 1),
+            col("ename").substr(pos + 1, lit(1)),
+            col("ename").substr(pos, lit(1)),
+            col("ename").substr(pos + 2, length(col("ename")))).as("name"))
+      val base = part
+        .select((col("p_partkey") * 2).as("id"), col("ename").as("name"))
+        .unionByName(corrupted)
+      val a = base.select(col("id").as("ida"), col("name").as("na"))
+      val b = base.select(col("id").as("idb"), col("name").as("nb"))
+      val pairs = graft.ext.Linkage.dlJoin(a, b, "na", "nb", k = 1)
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("id_a"), col("idb").as("id_b"))
+      val cc = Dedup.connectedComponents(pairs, base.select(col("id")))
+      import org.apache.spark.sql.expressions.Window
+      cc.select(col("id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("id")
+    }),
+
     "x_hybrid_search" -> ((s, d) => {
       // Reciprocal Rank Fusion (Cormack et al. SIGIR'09): fuse the
       // BM25 lexical top-50 with the cosine vector top-50 by
@@ -2911,6 +2945,44 @@ private[graft] object ExtQueries {
         |FROM counts c JOIN e USING (digit)
         |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
         |ORDER BY digit""".stripMargin,
+
+    // ER-cluster replay: the SAME SymSpell deletion-signature equi-join
+    // (completeness is an algorithm property, so the oracle scales like
+    // the engine — no quadratic cross join), stock damerau verify,
+    // recursive-CTE min-label components
+    "x_er_cluster" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
+        |base AS (
+        |  SELECT p_partkey * 2 AS id, ename AS name FROM p
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1 AS id,
+        |    concat(substr(ename, 1, CAST(p_partkey % 5 AS INTEGER)),
+        |           substr(ename, CAST(p_partkey % 5 + 2 AS INTEGER), 1),
+        |           substr(ename, CAST(p_partkey % 5 + 1 AS INTEGER), 1),
+        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS name
+        |  FROM p WHERE p_partkey % 3 = 1),
+        |sigs AS (
+        |  SELECT id, name,
+        |    unnest(list_append(
+        |      [name[1:i-1] || name[i+1:len(name)] FOR i IN range(1, len(name) + 1)],
+        |      name)) AS sig
+        |  FROM base),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib, a.name AS na, b.name AS nb
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id),
+        |jp AS (SELECT ia, ib FROM cand WHERE damerau_levenshtein(na, nb) <= 1),
+        |edges AS (
+        |  SELECT ia AS s, ib AS t FROM jp
+        |  UNION ALL SELECT ib, ia FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM base
+        |  UNION
+        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY id""".stripMargin,
 
     // RRF replay: the two established ranking replays (bm25 machinery,
     // cosine fold) at top-50, fused by the same fixed two-term
