@@ -394,6 +394,44 @@ private[graft] object StreamingQueries {
         s.read.parquet(s"$tmp/out"), "day", "cnt")
     }),
 
+    "q_stream_rolling_corr" -> ((s, d) => {
+      // STREAMING FUNNEL CO-MOVEMENT: per-day (clicks, purchases)
+      // counter pairs in complete mode — two mergeable counters per
+      // calendar day — closed by the shared rollingCorrCounts finish;
+      // stream == batch by construction, oracle = x_rolling_corr's
+      // batch replay verbatim.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = scratchDir("graft-src")
+      stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
+      val raw = ss.read.parquet(s"$d/events.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", raw.schema)
+      val tsUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      val counts = stream
+        .select(date_trunc("day", tsUs).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      val q = counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ops.TimeSeries.rollingCorrCounts(
+        s.read.parquet(s"$tmp/out"), "day", "clicks", "purchases")
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       // STREAM-STATIC ENRICHMENT: the most common streaming pattern —
       // a fact stream joined per micro-batch against a static dimension
@@ -620,6 +658,33 @@ private[graft] object StreamingQueries {
         |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
         |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
         |FROM c""".stripMargin,
+
+    // complete-mode (clicks, purchases) day counters + the shared
+    // rollingCorrCounts finish == the batch x_rolling_corr replay
+    "q_stream_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, clicks, purchases,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(clicks) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(purchases) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(clicks * purchases) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(clicks * clicks) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(purchases * purchases) OVER w AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, clicks, purchases, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) END AS corr
+        |FROM m ORDER BY day""".stripMargin,
 
     // complete-mode daily counters + the shared changePoint finish ==
     // the batch x_changepoint replay, verbatim

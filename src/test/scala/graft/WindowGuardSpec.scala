@@ -54,7 +54,8 @@ class WindowGuardSpec extends SparkSpec {
     "q_stream_changepoint" -> "changePoint finish over the streamed calendar-bounded daily-count sink (same frame as x_changepoint)",
     "x_acf" -> "row_number + global sums over the post-agg daily series (calendar-bounded; TimeSeries.acf)",
     "x_theil_sen" -> "row_number over the post-agg daily series (calendar-bounded; TimeSeries.theilSen)",
-    "x_hybrid_search" -> "RRF rank over the union of two post-limit top-50 frames (<= 100 rows)"
+    "x_hybrid_search" -> "RRF rank over the union of two post-limit top-50 frames (<= 100 rows)",
+    "q_stream_rolling_corr" -> "rollingCorrCounts finish over the streamed calendar-bounded daily sink (same frame as x_rolling_corr)"
   )
 
   private val excluded = Set(
