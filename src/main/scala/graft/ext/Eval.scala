@@ -985,4 +985,181 @@ object Eval {
       .withColumn("mean_loss", col("total_loss") / col("n").cast("double"))
       .orderBy("q")
   }
+
+  /** Mutual information between two categorical columns, in nats, plus
+    * the entropies and the sqrt-normalized NMI (Strehl & Ghosh 2002) —
+    * the effect-SIZE companion to [[chi2Independence]]'s significance
+    * statistic (chi2 grows with n even for trivial dependence; MI does
+    * not). MI = Σ_xy p_xy·ln(p_xy/(p_x·p_y)) over OBSERVED cells (an
+    * empty cell's term is 0, unlike chi2 where zero cells carry
+    * expected mass).
+    *
+    * Determinism: every ln argument is a ratio of exact integer counts
+    * in one fixed double shape; the ln (the only cross-engine-unstable
+    * step — Java vs libm drift a last ulp, the x_collocations lesson)
+    * rounds to 9 dp, each p-weighted term rounds to 12 dp and
+    * accumulates in DECIMAL, final metrics round to 6 dp. NMI divides
+    * the already-rounded metrics (fixed shape, bit-stable).
+    *
+    * Scale shape: one contingency hash aggregation (map-side combined),
+    * margins re-aggregate its |X|·|Y|-bounded output, scalar totals
+    * broadcast — nothing keyed finer than a cell. Chi2's discipline.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val ct = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val rowT = ct.groupBy(col("x")).agg(sum(col("c")).as("rx"))
+    val colT = ct.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val n = ct.agg(sum(col("c")).as("n"))
+    def nd(c: Column) = c.cast("double")
+    // Σ p·ln(arg) with per-term 12-dp decimal accumulation; `arg` built
+    // at each call site so engine and oracle share the exact shape
+    def plnSum(cnt: Column, arg: Column): Column =
+      round(sum(
+        round((nd(cnt) / nd(col("n"))) * round(log(arg), 9), 12)
+          .cast("decimal(38,12)")).cast("double"), 6)
+    val mi = ct.join(rowT, Seq("x")).join(broadcast(colT), Seq("y"))
+      .crossJoin(broadcast(n))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        plnSum(col("c"),
+          (nd(col("c")) * nd(col("n"))) / (nd(col("rx")) * nd(col("cy"))))
+          .as("mi"))
+    val hx = rowT.crossJoin(broadcast(n))
+      .agg(plnSum(col("rx"), nd(col("n")) / nd(col("rx"))).as("hx"))
+    val hy = colT.crossJoin(broadcast(n))
+      .agg(plnSum(col("cy"), nd(col("n")) / nd(col("cy"))).as("hy"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("n_cells"), col("hx"), col("hy"), col("mi"),
+        when(col("hx") > 0 && col("hy") > 0,
+          round(col("mi") / sqrt(col("hx") * col("hy")), 6)).as("nmi"))
+  }
+
+  /** Shared Kolmogorov–Smirnov finish over per-bin (bin, ca, cb)
+    * counts: D = max_bin |CDF_a − CDF_b| evaluated WITHOUT any
+    * per-bin division — the gap cross-multiplies to
+    * |cum_ca·nb − cum_cb·na| (exact integers in DECIMAL, the q_tpch17
+    * threshold trick), so the statistic is integer-exact until ONE
+    * final division. ks_stat scales D by sqrt(na·nb/(na+nb)) (the
+    * two-sample asymptotic normalization); sqrt is IEEE-exact on the
+    * bit-stable ratio, so no transcendental rounding is needed
+    * anywhere. `private[graft]` so a streaming registry row can close
+    * a streamed bin-count sink with the identical reduce.
+    */
+  private[graft] def ksFromBinCounts(bins: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the totals ride in the SAME sorted window pass (full frame), so
+    // the bin aggregation upstream is evaluated exactly once
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .select(col("bin"), col("ca"), col("cb"),
+        sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"),
+        sum(col("ca")).over(wAll).as("ta"),
+        sum(col("cb")).over(wAll).as("tb"))
+      .agg(max(col("ta")).as("na"), max(col("tb")).as("nb"),
+        count(lit(1)).as("n_bins_used"),
+        max(abs(col("cum_a").cast("decimal(38,0)") * col("tb") -
+          col("cum_b").cast("decimal(38,0)") * col("ta"))).as("d_num"))
+      .select(col("na"), col("nb"), col("n_bins_used"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("d_num").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6)).as("d"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(sqrt((col("na").cast("double") * col("nb").cast("double")) /
+              (col("na") + col("nb")).cast("double")) *
+            (col("d_num").cast("double") /
+              (col("na").cast("double") * col("nb").cast("double"))), 6))
+          .as("ks_stat"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test over equal-width bins —
+    * the distribution-shift readout for NUMERIC features (PSI's
+    * fixed-bin cousin with a proper statistic; q_psi_drift / chi2 cover
+    * the categorical side). Values bin into `nBins` equal-width buckets
+    * over the caller-declared [lo, hi) domain (out-of-range clamps to
+    * the edge bins, the aucBinned contract); the binned D understates
+    * the exact D by at most the largest single-bin probability mass
+    * (≲ 1/nBins for smooth distributions).
+    *
+    * DOCUMENTED CONTRACT — the bin domain is what makes this
+    * corpus-scale safe: the cumulative window in [[ksFromBinCounts]]
+    * sees ≤ nBins rows, never data rows (exact per-value KS would put
+    * a partition-less window over every distinct double).
+    */
+  def ksTestBinned(df: DataFrame, valueCol: String, groupCol: String,
+                   groupA: String, groupB: String, lo: Double, hi: Double,
+                   nBins: Int = 1024): DataFrame = {
+    require(nBins >= 2, s"ksTestBinned: nBins must be >= 2, got $nBins")
+    require(lo < hi, s"ksTestBinned: need lo < hi, got [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol).cast("string")
+    ksFromBinCounts(df
+      .filter(g === groupA || g === groupB)
+      .select(greatest(lit(0), least(
+          floor((v - lo) / lit(hi - lo) * nBins).cast("int"),
+          lit(nBins - 1))).as("bin"),
+        g.as("g"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("g") === groupA, 1)).as("ca"),
+        count(when(col("g") === groupB, 1)).as("cb")))
+  }
+
+  /** Clustering-quality evaluation — pairwise precision/recall/F1 and
+    * the Adjusted Rand Index (Hubert & Arabie 1985) of a predicted
+    * clustering against ground-truth labels, the grading step of every
+    * dedup / entity-resolution pipeline (did the clusters find the
+    * true duplicate pairs?).
+    *
+    * THE SCALE TRICK: all four metrics are functions of pair-count
+    * sufficient statistics that need NO pair enumeration — Σ c·(c−1)
+    * over contingency cells (pairs both agree on), over predicted
+    * cluster sizes, and over truth class sizes. A corpus with 1e11
+    * rows has ~1e22 pairs; the sufficient statistics are three
+    * hash aggregations over the contingency table. Doubled pair
+    * counts (c·(c−1), not C(c,2)) stay integral in DECIMAL(38,0);
+    * every metric is a fixed double shape over exact integers (no
+    * transcendental anywhere), one 6-dp rounding each.
+    * F1 folds exactly: 2PR/(P+R) = 2·s_cells / (s_pred + s_truth).
+    * ARI's expected-index term E = s_pred·s_truth/n_pairs evaluates
+    * in doubles (its operands are exact integers; the ratio is one
+    * fixed shape); ARI = (s_cells − E) / ((s_pred+s_truth)/2 − E),
+    * null when the denominator is 0 (both clusterings trivial).
+    */
+  def clusteringEval(df: DataFrame, idCol: String, predCol: String,
+                     truthCol: String): DataFrame = {
+    def pairs2(c: Column) =
+      sum(c.cast("decimal(38,0)") * (c - 1).cast("decimal(38,0)"))
+    val cells = df.select(col(predCol).cast("string").as("p"),
+        col(truthCol).cast("string").as("t"))
+      .groupBy(col("p"), col("t")).agg(count(lit(1)).as("c"))
+    val stats = cells.agg(
+        sum(col("c")).as("n"), pairs2(col("c")).as("s_cells"))
+      .crossJoin(broadcast(cells.groupBy(col("p"))
+        .agg(sum(col("c")).as("a"))
+        .agg(count(lit(1)).as("n_pred"), pairs2(col("a")).as("s_pred"))))
+      .crossJoin(broadcast(cells.groupBy(col("t"))
+        .agg(sum(col("c")).as("b"))
+        .agg(count(lit(1)).as("n_truth"), pairs2(col("b")).as("s_truth"))))
+    def nd(c: Column) = c.cast("double")
+    stats
+      .withColumn("e", (nd(col("s_pred")) * nd(col("s_truth"))) /
+        (nd(col("n")) * (nd(col("n")) - 1.0)))
+      .select(col("n"), col("n_pred"), col("n_truth"),
+        when(col("s_pred") > 0,
+          round(nd(col("s_cells")) / nd(col("s_pred")), 6)).as("precision"),
+        when(col("s_truth") > 0,
+          round(nd(col("s_cells")) / nd(col("s_truth")), 6)).as("recall"),
+        when(col("s_pred") + col("s_truth") > 0,
+          round(lit(2.0) * nd(col("s_cells")) /
+            (nd(col("s_pred")) + nd(col("s_truth"))), 6)).as("f1"),
+        when(abs((nd(col("s_pred")) + nd(col("s_truth"))) / 2.0 - col("e"))
+            > 0,
+          round((nd(col("s_cells")) - col("e")) /
+            ((nd(col("s_pred")) + nd(col("s_truth"))) / 2.0 - col("e")), 6))
+          .as("ari"))
+  }
 }

@@ -304,6 +304,34 @@ private[graft] object AnalyticsQueries {
           pmod(col("user_id"), lit(4)).cast("string").as("cohort")),
         "event_type", "cohort")),
 
+    "x_mutual_info" -> ((s, d) =>
+      // mutual information + entropies + sqrt-NMI of the SAME event
+      // mix vs cohort contingency q_chi2 grades — the effect-size
+      // companion (chi2 grows with n; MI does not). 9-dp ln rounding,
+      // 12-dp decimal term sums, 6-dp metrics
+      graft.ext.Eval.mutualInformation(
+        events(s, d).select(col("event_type"),
+          pmod(col("user_id"), lit(4)).cast("string").as("cohort")),
+        "event_type", "cohort")),
+
+    "x_ks_test" -> ((s, d) =>
+      // two-sample KS drift: order-price distribution of urgent vs low
+      // priority orders over 1024 equal-width bins — integer-exact
+      // cross-multiplied CDF gaps, one final division (no
+      // transcendental anywhere; sqrt is IEEE-exact)
+      graft.ext.Eval.ksTestBinned(t(s, d, "orders"),
+        "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
+        lo = 0.0, hi = 500000.0, nBins = 1024)),
+
+    "x_cluster_eval" -> ((s, d) =>
+      // pairwise precision/recall/F1 + Adjusted Rand Index of market
+      // segment as a predicted clustering against nation ground truth
+      // — all four metrics from pair-count sufficient statistics
+      // (Σ c·(c−1) over contingency cells/margins), NO pair
+      // enumeration; the METRIC's arithmetic is what's gated
+      graft.ext.Eval.clusteringEval(t(s, d, "customer"),
+        "c_custkey", "c_mktsegment", "c_nationkey")),
+
     "q_ece" -> ((s, d) =>
       // expected/max calibration error of a synthesized [0,1) scorer
       // against the return flag — per-bin decimal score mass, 9-dp
@@ -1594,6 +1622,125 @@ private[graft] object AnalyticsQueries {
         |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
         |  round(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2
         |FROM terms""".stripMargin,
+
+    // MI replay over the same contingency: observed cells only, ln at
+    // 9 dp and every double round via the VARCHAR->DECIMAL(38,30)
+    // trick (Java HALF_UP on the shortest repr), 12-dp decimal term
+    // sums, NMI divides the already-rounded metrics
+    "x_mutual_info" ->
+      """WITH e AS (
+        |  SELECT event_type AS x, CAST(user_id % 4 AS VARCHAR) AS y FROM events),
+        |ct AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY x, y),
+        |rt AS (SELECT x, CAST(sum(c) AS BIGINT) AS rx FROM ct GROUP BY x),
+        |cl AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM ct GROUP BY y),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        |mi AS (
+        |  SELECT max(n) AS n, count(*) AS n_cells,
+        |    CAST(round(CAST(CAST(CAST(sum(CAST(round(CAST(CAST(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        CAST(round(CAST(CAST(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))
+        |          AS VARCHAR) AS DECIMAL(38,30)), 9) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,30)), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS mi
+        |  FROM ct JOIN rt USING (x) JOIN cl USING (y) CROSS JOIN tot),
+        |hx AS (
+        |  SELECT CAST(round(CAST(CAST(CAST(sum(CAST(round(CAST(CAST(
+        |      (CAST(rx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        CAST(round(CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(rx AS DOUBLE))
+        |          AS VARCHAR) AS DECIMAL(38,30)), 9) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,30)), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS hx
+        |  FROM rt CROSS JOIN tot),
+        |hy AS (
+        |  SELECT CAST(round(CAST(CAST(CAST(sum(CAST(round(CAST(CAST(
+        |      (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        CAST(round(CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE))
+        |          AS VARCHAR) AS DECIMAL(38,30)), 9) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,30)), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS hy
+        |  FROM cl CROSS JOIN tot)
+        |SELECT n, n_cells, hx, hy, mi,
+        |  CASE WHEN hx > 0 AND hy > 0 THEN
+        |    CAST(round(CAST(CAST(mi / sqrt(hx * hy) AS VARCHAR)
+        |      AS DECIMAL(38,30)), 6) AS DOUBLE) END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // KS replay: same bin shape, integer cross-multiplied CDF gaps in
+    // HUGEINT, one final division; sqrt is correctly-rounded IEEE on
+    // both engines, final 6-dp rounds via the VARCHAR trick
+    "x_ks_test" ->
+      """WITH o AS (
+        |  SELECT greatest(0, least(CAST(floor((o_totalprice - 0.0) / 500000.0 * 1024)
+        |      AS INTEGER), 1023)) AS bin,
+        |    o_orderpriority AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |b AS (
+        |  SELECT bin,
+        |    CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS cb
+        |  FROM o GROUP BY bin),
+        |c AS (
+        |  SELECT bin, ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cum_a,
+        |    CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS cum_b,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS ta,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS tb
+        |  FROM b),
+        |s AS (
+        |  SELECT max(ta) AS na, max(tb) AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_bins_used,
+        |    max(abs(CAST(cum_a AS HUGEINT) * tb - CAST(cum_b AS HUGEINT) * ta))
+        |      AS d_num
+        |  FROM c)
+        |SELECT na, nb, n_bins_used,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(d_num AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(38,30)), 6) AS DOUBLE) END AS d,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) /
+        |        CAST(na + nb AS DOUBLE)) *
+        |      (CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) END AS ks_stat
+        |FROM s""".stripMargin,
+
+    // clustering-eval replay: doubled pair counts c·(c−1) in HUGEINT
+    // (the sufficient statistics — no pair enumeration either side),
+    // fixed double shapes over exact integers, 6-dp VARCHAR rounds
+    "x_cluster_eval" ->
+      """WITH ct AS (
+        |  SELECT c_mktsegment AS p, CAST(c_nationkey AS VARCHAR) AS t,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY p, t),
+        |s1 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT) * (c - 1)) AS s_cells FROM ct),
+        |pa AS (SELECT p, CAST(sum(c) AS BIGINT) AS a FROM ct GROUP BY p),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+        |         sum(CAST(a AS HUGEINT) * (a - 1)) AS s_pred FROM pa),
+        |tb AS (SELECT t, CAST(sum(c) AS BIGINT) AS b FROM ct GROUP BY t),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |         sum(CAST(b AS HUGEINT) * (b - 1)) AS s_truth FROM tb),
+        |j AS (
+        |  SELECT n, n_pred, n_truth,
+        |    CAST(s_cells AS DOUBLE) AS sc, CAST(s_pred AS DOUBLE) AS sp,
+        |    CAST(s_truth AS DOUBLE) AS st, s_pred AS spi, s_truth AS sti,
+        |    (CAST(s_pred AS DOUBLE) * CAST(s_truth AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS e
+        |  FROM s1 CROSS JOIN s2 CROSS JOIN s3)
+        |SELECT n, n_pred, n_truth,
+        |  CASE WHEN spi > 0 THEN CAST(round(CAST(CAST(sc / sp AS VARCHAR)
+        |    AS DECIMAL(38,30)), 6) AS DOUBLE) END AS precision,
+        |  CASE WHEN sti > 0 THEN CAST(round(CAST(CAST(sc / st AS VARCHAR)
+        |    AS DECIMAL(38,30)), 6) AS DOUBLE) END AS recall,
+        |  CASE WHEN spi + sti > 0 THEN CAST(round(CAST(CAST(
+        |    2.0 * sc / (sp + st) AS VARCHAR)
+        |    AS DECIMAL(38,30)), 6) AS DOUBLE) END AS f1,
+        |  CASE WHEN abs((sp + st) / 2.0 - e) > 0 THEN
+        |    CAST(round(CAST(CAST((sc - e) / ((sp + st) / 2.0 - e) AS VARCHAR)
+        |      AS DECIMAL(38,30)), 6) AS DOUBLE) END AS ari
+        |FROM j""".stripMargin,
 
     // calibration replay: same bin clamp, same 6-dp decimal score
     // mass, same 9-dp gap rounding, same single final division

@@ -543,4 +543,86 @@ class EvalSpec extends SparkSpec {
       Eval.pinballLoss(df, "y", "yh", Seq(1.0))
     }
   }
+
+  test("mutualInformation: identical columns give MI = H, NMI = 1") {
+    val df = Seq("a", "a", "b", "b", "c", "c", "c", "c")
+      .map(v => (v, v)).toDF("x", "y")
+    val r = Eval.mutualInformation(df, "x", "y").collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L)
+    // H = -(2/8 ln 2/8)*2 - 4/8 ln 4/8 = 1.039721 at the 6-dp contract
+    assert(r.getDouble(2) === r.getDouble(4)) // hx == mi when y == x
+    assert(r.getDouble(5) === 1.0)            // nmi exactly 1
+  }
+
+  test("mutualInformation: independent columns score ~0") {
+    // balanced product distribution: every (x, y) cell equally likely
+    val rows = for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)
+    val r = Eval.mutualInformation(rows.toDF("x", "y"), "x", "y").collect()(0)
+    assert(math.abs(r.getDouble(4)) < 1e-9 && math.abs(r.getDouble(5)) < 1e-9)
+  }
+
+  test("mutualInformation is byte-identical under repartitioning") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 400).map(_ => (s"x${rnd.nextInt(6)}", s"y${rnd.nextInt(5)}"))
+    val a = Eval.mutualInformation(rows.toDF("x", "y"), "x", "y").collect()(0)
+    val b = Eval.mutualInformation(rows.toDF("x", "y").repartition(7), "x", "y")
+      .collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ksTestBinned: disjoint supports give D = 1, identical give 0") {
+    val df = (1 to 50).map(i => (i / 100.0, "a")) ++
+      (1 to 50).map(i => (0.5 + i / 100.0, "b"))
+    val r = Eval.ksTestBinned(df.toDF("v", "g"), "v", "g", "a", "b",
+      lo = 0.0, hi = 1.0, nBins = 100).collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L)
+    assert(r.getDouble(3) === 1.0)
+    val same = (1 to 50).flatMap(i => Seq((i / 50.0, "a"), (i / 50.0, "b")))
+    val r2 = Eval.ksTestBinned(same.toDF("v", "g"), "v", "g", "a", "b",
+      lo = 0.0, hi = 1.0, nBins = 100).collect()(0)
+    assert(r2.getDouble(3) === 0.0 && r2.getDouble(4) === 0.0)
+  }
+
+  test("ksTestBinned: hand-computed half-shifted masses") {
+    // a: 3 rows in bin 0; b: 1 row bin 0, 3 rows bin 1
+    // CDFs: after bin0 a=3/3, b=1/4 -> D = |3*4 - 1*3| / 12 = 9/12
+    val df = Seq((0.1, "a"), (0.2, "a"), (0.3, "a"),
+      (0.4, "b"), (0.6, "b"), (0.7, "b"), (0.8, "b"))
+    val r = Eval.ksTestBinned(df.toDF("v", "g"), "v", "g", "a", "b",
+      lo = 0.0, hi = 1.0, nBins = 2).collect()(0)
+    assert(r.getDouble(3) === 0.75)
+    // ks_stat = sqrt(3*4/7) * 0.75 rounded to 6 dp
+    assert(r.getDouble(4) === BigDecimal(math.sqrt(12.0 / 7.0) * 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("clusteringEval: perfect clustering scores 1 everywhere") {
+    val df = Seq((1, "p1", "t1"), (2, "p1", "t1"), (3, "p2", "t2"),
+      (4, "p2", "t2"), (5, "p3", "t3")).toDF("id", "p", "t")
+    val r = Eval.clusteringEval(df, "id", "p", "t").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) === 1.0 && r.getDouble(6) === 1.0)
+  }
+
+  test("clusteringEval: hand-computed split cluster") {
+    // truth: {1,2,3,4} one class; pred splits it {1,2},{3,4}
+    // pairs agreeing = 2, predicted pairs = 2, truth pairs = 6
+    val df = Seq((1, "a", "t"), (2, "a", "t"), (3, "b", "t"), (4, "b", "t"))
+      .toDF("id", "p", "t")
+    val r = Eval.clusteringEval(df, "id", "p", "t").collect()(0)
+    assert(r.getDouble(3) === 1.0)        // precision 2/2
+    assert(r.getDouble(4) === 0.333333)   // recall 2/6
+    assert(r.getDouble(5) === 0.5)        // f1 = 2*2/(2+6)
+    // ARI: expected index e = 2*6/6 = 2 equals the 2 agreeing pairs,
+    // so splitting one truth class scores exactly chance level
+    assert(r.getDouble(6) === 0.0)
+  }
+
+  test("clusteringEval: singletons-vs-singletons ari is null (degenerate)") {
+    val df = Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "p", "t")
+    val r = Eval.clusteringEval(df, "id", "p", "t").collect()(0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
 }
