@@ -1521,6 +1521,38 @@ private[graft] object ExtQueries {
         .withColumn("compacted", lit(rep.filesAfter < rep.filesBefore))
     }),
 
+    "x_bucketed_join" -> ((s, d) => {
+      // bucketed-layout round trip on REAL fact tables: orders and
+      // lineitem land as 8-bucket catalog tables hashed+sorted on the
+      // join key (the pay-the-shuffle-once layout — at 100 TB every
+      // subsequent orderkey join/agg on these tables is Exchange-free,
+      // the SinksSpec-pinned plan shape), then the revenue-by-priority
+      // rollup runs over the BUCKETED READ-BACK. The oracle computes
+      // the same rollup over the original parquet, so a full match
+      // proves the bucketed write+read preserved every row. Unique
+      // table names per call: Verify/Bench reuse one catalog.
+      val scratch = scratchDir("graft-bucketed")
+      val tag = new java.io.File(scratch).getName
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val oT = s"graft_bkt_orders_$tag"
+      val lT = s"graft_bkt_lineitem_$tag"
+      graft.sink.Sinks.writeBucketed(t(s, d, "orders"), oT,
+        Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$scratch/orders"))
+      graft.sink.Sinks.writeBucketed(t(s, d, "lineitem"), lT,
+        Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
+        path = Some(s"$scratch/lineitem"))
+      s.table(lT)
+        .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "x_approx_quantiles" -> ((s, d) => {
       // ORACLE-GATED sketch verdict: each approximate quantile's true
       // rank (fraction of values at or below it, computed engine-side)
@@ -4035,6 +4067,17 @@ private[graft] object ExtQueries {
          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
          |  TRUE AS compacted
          |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
+
+    // the same rollup over the ORIGINAL parquet — a full match proves
+    // the bucketed write+read-back preserved every row
+    "x_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // replay of the priority order: pri = w / ((fnvBucket+1)/10⁶)
     "x_sample_weighted" ->

@@ -50,12 +50,16 @@ object Sinks {
     * Sorted within buckets so sort-merge joins skip the sort too.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+                    nBuckets: Int, sortCols: Seq[String] = Seq.empty,
+                    path: Option[String] = None): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    sorted.saveAsTable(table)
+    // an explicit path makes the table EXTERNAL: data lands where the
+    // caller says (scratch, a lake prefix) instead of the session
+    // warehouse dir, while the catalog still carries the bucket spec
+    path.fold(sorted)(p => sorted.option("path", p)).saveAsTable(table)
   }
 
   def write(df: DataFrame, path: String, format: String,

@@ -69,6 +69,26 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("x_bucketed_join registry row plans shuffle-free on the real tables") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("x_bucketed_join")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // the post-join rollup legitimately shuffles on its OWN key
+      // (5 priorities, after partial agg); the join subtree must not —
+      // both bucketed scans feed the SortMergeJoin with no Exchange
+      val joinSubtree = plan.split("SortMergeJoin", 2)(1)
+      assert(plan.contains("SortMergeJoin") && !joinSubtree.contains("Exchange"),
+        s"bucketed fact join should not re-shuffle its inputs, plan was:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+      assert(df.count() === 5) // one row per order priority
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("unsupported formats fail loudly (pickle/looker out of scope)") {
     val e = intercept[IllegalArgumentException](
       Sinks.write(df, "/tmp/nope", "pickle"))
