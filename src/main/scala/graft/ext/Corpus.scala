@@ -125,6 +125,38 @@ object Corpus {
     df.withColumn(splitCol, label)
   }
 
+  /** Split-leakage audit (the GroupShuffleSplit contract — sklearn
+    * model_selection; Kapoor & Narayanan 2023, "Leakage and the
+    * reproducibility crisis in ML", Patterns 4(9), leak type L3):
+    * rows of one GROUP (site, user, session) must all land in the
+    * SAME split, or near-duplicates inside the group straddle
+    * train/test and inflate eval. Audits ANY split assignment,
+    * however produced: one row per split with (split, n_rows,
+    * n_groups) plus the GLOBAL leaked_groups — the count of groups
+    * observed in more than one split — repeated per row; 0 means the
+    * assignment is group-clean. [[assignSplit]] keyed on the group
+    * column is group-clean BY CONSTRUCTION (membership is a pure
+    * function of the group value — a narrow per-row map, no group
+    * list collected, no join, unlike sklearn's materialized group
+    * index); this audit is the independent check, and catches the
+    * assignments that aren't (doc-keyed splits over grouped data).
+    *
+    * Scale shape: two group-keyed hash aggregates (map-side partial)
+    * + a 1-row broadcast — no windows, no pair joins.
+    */
+  def splitAudit(df: DataFrame, groupCol: String,
+                 splitCol: String): DataFrame = {
+    val leaked = df.groupBy(col(groupCol).as("__grp"))
+      .agg(countDistinct(col(splitCol)).as("__nsplit"))
+      .agg(coalesce(sum(when(col("__nsplit") > 1, 1L).otherwise(0L)),
+        lit(0L)).as("leaked_groups"))
+    df.groupBy(col(splitCol).as("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(groupCol)).as("n_groups"))
+      .crossJoin(broadcast(leaked))
+      .orderBy(col("split"))
+  }
+
   /** Weighted priority sample (Duffield–Lund–Thorup "priority
     * sampling", IEEE Trans. IT 2007): each row draws a uniform
     * u ∈ (0,1] from the portable FNV bucket ((bucket+1)/10⁶) and gets

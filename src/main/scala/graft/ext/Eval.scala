@@ -1162,4 +1162,156 @@ object Eval {
             ((nd(col("s_pred")) + nd(col("s_truth"))) / 2.0 - col("e")), 6))
           .as("ari"))
   }
+
+  /** Split-conformal calibration (Vovk et al. 2005 "Algorithmic
+    * Learning in a Random World"; Papadopoulos et al. 2002;
+    * Angelopoulos & Bates 2021, arXiv:2107.07511 sec. 2): with n
+    * calibration nonconformity scores, the level-alpha threshold qhat
+    * is the ceil((n+1)*(1-alpha))-th smallest calibration score, and
+    * prediction sets {y : s(x,y) <= qhat} cover the truth with
+    * probability >= 1-alpha — finite-sample, distribution-free. One
+    * row per alpha: (alpha, n_calib, rk, qhat, n_eval, coverage)
+    * where coverage is the EVAL-side fraction of scores <= qhat (the
+    * guarantee's empirical check, expected >= 1-alpha up to binomial
+    * noise). An alpha whose rank exceeds n_calib yields a null qhat
+    * and null coverage — the honest "not enough calibration data"
+    * signal (n rows can only certify alpha >= 1/(n+1)).
+    *
+    * Determinism / scale contract: scores round to 6 dp and reduce to
+    * one row per DISTINCT value per side (the [[auc]] bounded-domain
+    * contract — the only shuffles touching row volume are two hash
+    * aggregates); the rank thresholds resolve with the prev_cum < rk
+    * <= cum predicate over calibration's distinct-value cumulative
+    * frame (no row-level sort or rank anywhere); eval coverage is one
+    * conditional sum over eval's distinct-value frame against the
+    * |alphas|-row broadcast threshold frame. One final IEEE division
+    * per alpha. Empty calibration input still returns one row per
+    * alpha (n_calib 0, null qhat).
+    */
+  def conformal(df: DataFrame, scoreCol: String, calibCol: String,
+                alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty, "conformal: need at least one alpha")
+    require(alphas.forall(a => a > 0 && a < 1),
+      s"conformal: alphas must be in (0,1), got $alphas")
+    require(alphas.distinct.size == alphas.size,
+      s"conformal: duplicate alphas in $alphas")
+    val base = df.select(
+      round(col(scoreCol).cast("double"), 6).cast("decimal(18,6)").as("s"),
+      col(calibCol).cast("boolean").as("__cal"))
+    val calDist = base.filter(col("__cal"))
+      .groupBy(col("s")).agg(count(lit(1)).as("__c"))
+    // always exactly one row, even for an empty calibration side —
+    // the frame every alpha's rank computation hangs off
+    val nFrame = base.filter(col("__cal")).agg(count(lit(1)).as("__n"))
+    val alphaArr = array(alphas.map(lit): _*)
+    def rkOf(n: Column, a: Column) =
+      ceil((n + lit(1)).cast("double") * (lit(1.0) - a)).cast("long")
+    val wl = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = calDist.withColumn("__cum", sum(col("__c")).over(wl))
+      .crossJoin(broadcast(nFrame))
+    // prev_cum < rk <= cum picks exactly the rk-th smallest score
+    // (datasheet/quantileBins discipline: never rank individual rows)
+    val picked = cum
+      .select(col("s"), col("__c"), col("__cum"), col("__n"),
+        explode(alphaArr).as("alpha"))
+      .withColumn("__rk", rkOf(col("__n"), col("alpha")))
+      .filter(col("__cum") >= col("__rk") &&
+        col("__cum") - col("__c") < col("__rk"))
+      .select(col("alpha"), col("s").as("qhat"))
+    val allAlphas = nFrame
+      .select(explode(alphaArr).as("alpha"), col("__n"))
+      .select(col("alpha"), col("__n").as("n_calib"),
+        rkOf(col("__n"), col("alpha")).as("rk"))
+    val thresholds = allAlphas.join(picked, Seq("alpha"), "left")
+    val evalDist = base.filter(!col("__cal"))
+      .groupBy(col("s")).agg(count(lit(1)).as("__ce"))
+    val covAgg = evalDist
+      .crossJoin(broadcast(thresholds.select(col("alpha"), col("qhat"))))
+      .groupBy(col("alpha"))
+      .agg(sum(col("__ce")).as("n_eval"),
+        sum(when(col("s") <= col("qhat"), col("__ce")).otherwise(0L))
+          .as("__cov"))
+    thresholds.join(covAgg, Seq("alpha"), "left")
+      .select(col("alpha"), col("n_calib"), col("rk"),
+        col("qhat").cast("double").as("qhat"), col("n_eval"),
+        when(col("qhat").isNotNull && col("n_eval").isNotNull,
+          round(col("__cov").cast("double") / col("n_eval"), 6))
+          .as("coverage"))
+      .orderBy(col("alpha"))
+  }
+
+  /** Confident-learning label-noise estimate (Northcutt, Jiang &
+    * Chuang 2021, JAIR 70 "Confident Learning", arXiv:1911.00068
+    * sec. 3): with per-class predicted probabilities p_j and given
+    * labels, the class threshold t_j is the mean SELF-confidence
+    * avg{p_j(x) : given(x) = j}; each row joins the confident joint
+    * at cell (given, suggested) for suggested = argmax over the
+    * qualifying classes {j : p_j(x) >= t_j} (ties break to the
+    * earliest class in declaration order); rows confident for no
+    * class abstain. Off-diagonal confident mass estimates the
+    * label-noise rate — the "which labels should a human re-check"
+    * readout for labeled training corpora. Returns one row per
+    * OBSERVED (given, suggested) cell: (given, suggested, n, frac)
+    * plus the global n_rows / n_confident / noise_frac repeated per
+    * row. A class with zero given-label rows has no threshold and
+    * never qualifies (null comparison), matching CL's exclusion.
+    *
+    * Determinism: probabilities are taken at 6 dp DECIMAL(18,6); the
+    * threshold test p_j >= S_j / n_j cross-multiplies to
+    * p_j * n_j >= S_j in exact decimal (integer-exact-threshold
+    * discipline, the q_tpch17/22 pattern) so membership is bit-stable
+    * on any engine and partitioning; only the final readout fractions
+    * divide. Scale shape: one aggregate pass builds the
+    * 1-row/2|classes|-column threshold frame (broadcast back), one
+    * narrow membership map, one (given, suggested) hash aggregate —
+    * nothing keyed finer than a class pair.
+    */
+  def labelNoise(df: DataFrame, givenCol: String,
+                 classes: Seq[(String, Column)]): DataFrame = {
+    require(classes.size >= 2,
+      s"labelNoise: need at least 2 classes, got ${classes.size}")
+    require(classes.map(_._1).distinct.size == classes.size,
+      s"labelNoise: duplicate class names in ${classes.map(_._1)}")
+    val p6 = classes.zipWithIndex.map { case ((_, c), i) =>
+      round(c.cast("double"), 6).cast("decimal(18,6)").as(s"__p$i")
+    }
+    val base = df.select(col(givenCol).cast("string").as("__g") +: p6: _*)
+    val thrCols = classes.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(sum(when(col("__g") === name, col(s"__p$i"))).as(s"__S$i"),
+        sum(when(col("__g") === name, 1L).otherwise(0L)).as(s"__n$i"))
+    }
+    val thr = base.agg(thrCols.head, thrCols.tail: _*)
+    val withThr = base.crossJoin(broadcast(thr))
+    // qualify in exact decimal: p_j * n_j >= S_j  <=>  p_j >= t_j
+    def qual(j: Int) =
+      col(s"__p$j") * col(s"__n$j") >= col(s"__S$j")
+    // argmax with earliest-class tie-break: scan classes in order,
+    // a later class replaces the running best only when STRICTLY
+    // greater (null best = nothing qualified yet)
+    val (_, bestName) = classes.zipWithIndex
+      .foldLeft((lit(null).cast("decimal(18,6)"),
+        lit(null).cast("string"))) {
+        case ((bv, bn), ((name, _), j)) =>
+          val better = qual(j) && (bv.isNull || col(s"__p$j") > bv)
+          (when(better, col(s"__p$j")).otherwise(bv),
+            when(better, lit(name)).otherwise(bn))
+      }
+    val tagged = withThr.withColumn("__sug", bestName)
+    val cells = tagged.filter(col("__sug").isNotNull)
+      .groupBy(col("__g").as("given"), col("__sug").as("suggested"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tagged.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("__sug").isNotNull, 1L).otherwise(0L))
+        .as("n_confident"),
+      sum(when(col("__sug").isNotNull && col("__sug") =!= col("__g"), 1L)
+        .otherwise(0L)).as("__off"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("given"), col("suggested"), col("n"),
+        round(col("n").cast("double") / col("n_confident"), 6).as("frac"),
+        col("n_rows"), col("n_confident"),
+        round(col("__off").cast("double") / col("n_confident"), 6)
+          .as("noise_frac"))
+      .orderBy(col("given"), col("suggested"))
+  }
 }

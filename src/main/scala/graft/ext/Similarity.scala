@@ -344,4 +344,109 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg((sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) / count(lit(1)))
         .as("recall"))
+
+  /** Deterministic Rademacher sign for the [[randomProject]] matrix:
+    * +1 when ((i*2654435761 + j*40503) mod 97) < 49 else -1 — pure
+    * 64-bit integer arithmetic (i <= dIn, j <= kOut, products fit a
+    * long with room to spare) so the oracle replays it exactly. The
+    * multipliers are the Knuth golden-ratio constant and a mid-size
+    * odd; the odd modulus 97 decorrelates parity from (i+j) (a plain
+    * mod-2 of any odd-multiplier combination would collapse to
+    * (i+j) mod 2 — a striped, useless matrix).
+    */
+  private[graft] def rpSign(i: Int, j: Int): Double =
+    if (((i.toLong * 2654435761L + j.toLong * 40503L) % 97L) < 49L) 1.0
+    else -1.0
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003, JCSS
+    * 66(4) "Database-friendly random projections": Rademacher +-1
+    * entries satisfy the JL lemma): project dIn-dim float embeddings
+    * to kOut dims, y_j = (1/sqrt(kOut)) * sum_i x_i * s_ij — the
+    * cheap dimensionality-reduction front-end for LSH tables and
+    * distance-based dedup (distinct from SQ8/PQ, which QUANTIZE at
+    * full dimensionality; RP shrinks the dimension itself, preserving
+    * pairwise distances within 1+-eps, eps ~ sqrt(8 ln n / kOut)).
+    * Returns (id, dim, y) long-form rows, kOut per input row.
+    *
+    * Determinism / scale contract: the sign matrix is a pure integer
+    * function of (i, j) — no collected state, no broadcast, nothing
+    * random at runtime — and each y_j is a LEFT-TO-RIGHT fold over
+    * the row's own array (fixed order => bit-identical on any
+    * engine/partitioning; the [[dot]] discipline). kOut must be a
+    * power of 4 so the 1/sqrt(kOut) scale is an exact binary double
+    * and the whole operator is BIT-EXACT with zero rounding steps.
+    * Pure per-row narrow map: no shuffle, no UDF, whole-stage
+    * codegen'd — the 100 TB shape is "free" beside the scan.
+    */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+                    dIn: Int, kOut: Int): DataFrame = {
+    require(dIn >= 1 && kOut >= 1, s"randomProject: bad dims ($dIn, $kOut)")
+    val scaleBits = java.lang.Math.log(kOut.toDouble) / java.lang.Math.log(4.0)
+    require(scaleBits == scaleBits.floor,
+      s"randomProject: kOut must be a power of 4 for an exact 1/sqrt scale, got $kOut")
+    val scale = 1.0 / math.sqrt(kOut.toDouble) // exact: kOut = 4^m
+    val yj = (0 until kOut).map { j =>
+      val signs = array((0 until dIn).map(i => lit(rpSign(i, j))): _*)
+      aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast(DoubleType) * s),
+        lit(0.0), (acc, x) => acc + x) * lit(scale)
+    }
+    df.select(col(idCol).as("id"), posexplode(array(yj: _*)).as(Seq("dim", "y")))
+  }
+
+  /** Pairwise distance-distortion readout for [[randomProject]] — the
+    * JL lemma's empirical check: over all pairs of a bounded id-keyed
+    * sample, the ratio ||y_a - y_b|| / ||x_a - x_b|| of projected to
+    * original Euclidean distance, plus verdict booleans against the
+    * caller's tolerance bands. Returns one row: (n_pairs,
+    * mean_distortion, min_distortion, max_distortion, frac_in_band,
+    * mean_ok, band_ok): band_ok gates the per-pair tail
+    * (frac of ratios inside [lo, hi] >= minFracInBand), mean_ok gates
+    * the MEAN inside its own tighter [meanLo, meanHi] band — the mean
+    * concentrates ~1 far faster than individual pairs (RP is unbiased
+    * in squared distance), so the two bands are deliberately
+    * different widths. The sample side must be bounded (it broadcasts
+    * and self-joins); distances fold left-to-right like [[dot]], the
+    * ratio is one IEEE division + two exact sqrts, each ratio
+    * presents at 6 dp, and the mean accumulates those 6-dp decimals
+    * exactly — fully oracle-replayable.
+    */
+  def projDistortion(sample: DataFrame, vecCol: String, idCol: String,
+                     dIn: Int, kOut: Int,
+                     lo: Double, hi: Double,
+                     minFracInBand: Double,
+                     meanLo: Double, meanHi: Double): DataFrame = {
+    val projected = randomProject(sample, vecCol, idCol, dIn, kOut)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("y")))).as("dy"))
+      .select(col("id"), transform(col("dy"), e => e.getField("y")).as("yv"))
+    val base = sample.select(col(idCol).as("id"), col(vecCol).as("xv"))
+      .join(projected, Seq("id"))
+    def sqDist(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, x) => acc + x)
+    val pairs = base.select(col("id").as("ida"),
+        transform(col("xv"), x => x.cast(DoubleType)).as("xa"),
+        col("yv").as("ya"))
+      .join(broadcast(base.select(col("id").as("idb"),
+        transform(col("xv"), x => x.cast(DoubleType)).as("xb"),
+        col("yv").as("yb"))), col("ida") < col("idb"))
+      // an identical-vector pair has no defined distortion (0/0):
+      // exclude it rather than let one NaN poison every aggregate
+      .withColumn("__dx2", sqDist(col("xa"), col("xb")))
+      .filter(col("__dx2") > 0.0)
+      .select(round(sqrt(sqDist(col("ya"), col("yb"))) /
+        sqrt(col("__dx2")), 6).as("r"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("r").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_distortion"),
+        min(col("r")).as("min_distortion"),
+        max(col("r")).as("max_distortion"),
+        round(sum(when(col("r") >= lo && col("r") <= hi, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("frac_in_band"))
+      .select(col("*"),
+        (col("mean_distortion") >= meanLo && col("mean_distortion") <= meanHi)
+          .as("mean_ok"),
+        (col("frac_in_band") >= minFracInBand).as("band_ok"))
+  }
 }

@@ -332,6 +332,44 @@ private[graft] object AnalyticsQueries {
       graft.ext.Eval.clusteringEval(t(s, d, "customer"),
         "c_custkey", "c_mktsegment", "c_nationkey")),
 
+    "x_conformal" -> ((s, d) =>
+      // split-conformal calibration: ramp nonconformity scores,
+      // calibration half by orderkey parity, qhat = the
+      // ceil((n+1)(1-alpha))-th smallest calibration score resolved
+      // over DISTINCT 6-dp values (never row ranks), eval-side
+      // empirical coverage per alpha — expect coverage >= 1-alpha
+      graft.ext.Eval.conformal(
+        t(s, d, "lineitem").select(
+          (pmod(col("l_partkey"), lit(997)).cast("double") / lit(997.0))
+            .as("score"),
+          (pmod(col("l_orderkey"), lit(2)) === 0).as("cal")),
+        "score", "cal", Seq(0.05, 0.1, 0.25))),
+
+    "x_label_noise" -> ((s, d) => {
+      // confident-learning label-noise estimate over returnflag:
+      // probability ramps boost the TRUE class (+4), then ~10% of rows'
+      // GIVEN label rotates A->N->R->A — injected noise the
+      // confident joint must surface as off-diagonal mass (expected
+      // noise_frac ~ 0.1); thresholds compare via exact-decimal
+      // cross-multiplication — the METRIC's arithmetic is what's gated
+      val a = pmod(col("l_partkey"), lit(5)) + lit(1)
+      val nW = pmod(col("l_suppkey"), lit(5)) + lit(1)
+      val r = pmod(col("l_orderkey"), lit(5)) + lit(1)
+      val tot = (a + nW + r + lit(4)).cast("double")
+      def p(w: org.apache.spark.sql.Column, cls: String) =
+        (w + when(col("l_returnflag") === cls, lit(4)).otherwise(lit(0)))
+          .cast("double") / tot
+      val rotated = when(col("l_returnflag") === "A", lit("N"))
+        .when(col("l_returnflag") === "N", lit("R")).otherwise(lit("A"))
+      val given = when(
+        pmod(col("l_partkey") + col("l_linenumber"), lit(10)) === 0, rotated)
+        .otherwise(col("l_returnflag"))
+      graft.ext.Eval.labelNoise(
+        t(s, d, "lineitem").select(given.as("y"),
+          p(a, "A").as("pa"), p(nW, "N").as("pn"), p(r, "R").as("pr")),
+        "y", Seq("A" -> col("pa"), "N" -> col("pn"), "R" -> col("pr")))
+    }),
+
     "q_ece" -> ((s, d) =>
       // expected/max calibration error of a synthesized [0,1) scorer
       // against the return flag — per-bin decimal score mass, 9-dp
@@ -1744,6 +1782,88 @@ private[graft] object AnalyticsQueries {
 
     // calibration replay: same bin clamp, same 6-dp decimal score
     // mass, same 9-dp gap rounding, same single final division
+    // conformal replay: 6-dp distinct-value cumulative frame, the
+    // prev_cum < rk <= cum pick, eval coverage per alpha
+    "x_conformal" ->
+      """WITH e AS (
+        |  SELECT CAST(round(CAST(CAST(CAST(l_partkey % 997 AS DOUBLE) / 997.0 AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS s,
+        |    l_orderkey % 2 = 0 AS cal
+        |  FROM lineitem),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM e WHERE cal),
+        |cd AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM e WHERE cal GROUP BY s),
+        |cum AS (
+        |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumc
+        |  FROM cd),
+        |al AS (SELECT unnest(CAST([0.05, 0.1, 0.25] AS DOUBLE[])) AS alpha),
+        |ranks AS (
+        |  SELECT alpha, n_calib,
+        |    CAST(ceil(CAST(n_calib + 1 AS DOUBLE) * (1.0 - alpha)) AS BIGINT) AS rk
+        |  FROM al CROSS JOIN nc),
+        |picks AS (
+        |  SELECT r.alpha, min(cum.s) AS qhat
+        |  FROM ranks r JOIN cum ON cum.cumc >= r.rk AND cum.cumc - cum.c < r.rk
+        |  GROUP BY r.alpha),
+        |ed AS (SELECT s, CAST(count(*) AS BIGINT) AS ce FROM e WHERE NOT cal GROUP BY s),
+        |cov AS (
+        |  SELECT r.alpha, r.n_calib, r.rk, p.qhat,
+        |    CAST(sum(ed.ce) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN p.qhat IS NOT NULL AND ed.s <= p.qhat THEN ed.ce ELSE 0 END) AS BIGINT) AS covc
+        |  FROM ranks r LEFT JOIN picks p ON r.alpha = p.alpha CROSS JOIN ed
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT alpha, n_calib, rk, CAST(qhat AS DOUBLE) AS qhat, n_eval,
+        |  CASE WHEN qhat IS NOT NULL THEN round(CAST(covc AS DOUBLE) / n_eval, 6) END AS coverage
+        |FROM cov ORDER BY alpha""".stripMargin,
+
+    // confident-joint replay: 6-dp class probabilities, exact-decimal
+    // cross-multiplied thresholds, first-declared-wins argmax
+    "x_label_noise" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN (l_partkey + l_linenumber) % 10 = 0
+        |              THEN (CASE l_returnflag WHEN 'A' THEN 'N' WHEN 'N' THEN 'R' ELSE 'A' END)
+        |              ELSE l_returnflag END AS y,
+        |    l_returnflag AS yt,
+        |    l_partkey % 5 + 1 AS wa, l_suppkey % 5 + 1 AS wn, l_orderkey % 5 + 1 AS wr
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT y,
+        |    CAST(round(CAST(CAST(CAST(wa + (CASE WHEN yt = 'A' THEN 4 ELSE 0 END) AS DOUBLE) / (wa + wn + wr + 4) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS pa,
+        |    CAST(round(CAST(CAST(CAST(wn + (CASE WHEN yt = 'N' THEN 4 ELSE 0 END) AS DOUBLE) / (wa + wn + wr + 4) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS pn,
+        |    CAST(round(CAST(CAST(CAST(wr + (CASE WHEN yt = 'R' THEN 4 ELSE 0 END) AS DOUBLE) / (wa + wn + wr + 4) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS pr
+        |  FROM e),
+        |t AS (
+        |  SELECT sum(CASE WHEN y = 'A' THEN pa END) AS sa,
+        |    CAST(count(*) FILTER (WHERE y = 'A') AS BIGINT) AS na,
+        |    sum(CASE WHEN y = 'N' THEN pn END) AS sn,
+        |    CAST(count(*) FILTER (WHERE y = 'N') AS BIGINT) AS nn,
+        |    sum(CASE WHEN y = 'R' THEN pr END) AS sr,
+        |    CAST(count(*) FILTER (WHERE y = 'R') AS BIGINT) AS nr
+        |  FROM p),
+        |q AS (
+        |  SELECT y, pa, pn, pr,
+        |    coalesce(pa * na >= sa, FALSE) AS qa,
+        |    coalesce(pn * nn >= sn, FALSE) AS qn,
+        |    coalesce(pr * nr >= sr, FALSE) AS qr
+        |  FROM p CROSS JOIN t),
+        |sug AS (
+        |  SELECT y,
+        |    CASE WHEN qa AND (NOT qn OR pn <= pa) AND (NOT qr OR pr <= pa) THEN 'A'
+        |         WHEN qn AND (NOT qr OR pr <= pn) THEN 'N'
+        |         WHEN qr THEN 'R' END AS s
+        |  FROM q),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) FILTER (WHERE s IS NOT NULL) AS BIGINT) AS n_confident,
+        |    CAST(count(*) FILTER (WHERE s IS NOT NULL AND s != y) AS BIGINT) AS off
+        |  FROM sug)
+        |SELECT y AS given, s AS suggested, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / n_confident, 6) AS frac,
+        |  n_rows, n_confident,
+        |  round(CAST(off AS DOUBLE) / n_confident, 6) AS noise_frac
+        |FROM sug CROSS JOIN tot
+        |WHERE s IS NOT NULL
+        |GROUP BY y, s, n_rows, n_confident, off
+        |ORDER BY given, suggested""".stripMargin,
+
     "q_ece" ->
       """WITH e AS (
         |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,

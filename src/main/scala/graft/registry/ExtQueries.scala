@@ -23,6 +23,44 @@ private[graft] object ExtQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy("split", "lang")),
 
+    "x_group_split" -> ((s, d) => {
+      // leakage-safe split: hash the GROUP (source), not the doc —
+      // every doc of a source lands in ONE split (GroupShuffleSplit
+      // semantics; membership is a pure function of the group value,
+      // a narrow map with no group-list collect) — then the
+      // independent audit: leaked_groups must come out 0. Seed 17:
+      // the 20 sources land 14/3/3 across train/val/test (seed 13
+      // leaves val empty at every driver SF)
+      val split = graft.ext.Corpus.assignSplit(
+        t(s, d, "documents"), "source", seed = 17L)
+      graft.ext.Corpus.splitAudit(split, "source", "split")
+    }),
+
+    "x_rp_sketch" -> ((s, d) =>
+      // Johnson–Lindenstrauss Rademacher projection 64 -> 16 dims:
+      // pure per-row fold (no shuffle, no UDF), integer-derived sign
+      // matrix, exact 1/sqrt(16) scale — BIT-EXACT vs the oracle's
+      // identical left-fold, zero rounding steps anywhere
+      graft.ext.Similarity.randomProject(
+        t(s, d, "embeddings"), "embedding", "vec_id", dIn = 64, kOut = 16)
+        .orderBy("id", "dim")),
+
+    "x_rp_distance" -> ((s, d) =>
+      // the JL lemma's empirical check on a 40-vector sample (780
+      // pairs): projected/original distance ratio per pair at 6 dp,
+      // decimal-exact mean. k=16 is a COARSE sketch (eps ~
+      // sqrt(8 ln n / k) ~ 1.35 at n=40, measured tail ~0.25..2.5)
+      // so the per-pair band [0.55, 1.45] gates the ~72% bulk. The
+      // 780 ratios share only k=16 projection dims, so the MEAN's
+      // effective dof is ~k, not ~n_pairs (measured 0.84..1.02
+      // across driver SFs) -> its band is [0.75, 1.25], not the
+      // 1/sqrt(780) one
+      graft.ext.Similarity.projDistortion(
+        t(s, d, "embeddings").filter(col("vec_id") < 40),
+        "embedding", "vec_id", dIn = 64, kOut = 16,
+        lo = 0.55, hi = 1.45, minFracInBand = 0.65,
+        meanLo = 0.75, meanHi = 1.25)),
+
     "x_nfc" -> ((s, d) => {
       // unicode canonicalization (codegen'd java.text.Normalizer): NFD
       // text synthesized by suffixing e + COMBINING ACUTE composes to
@@ -2141,6 +2179,83 @@ private[graft] object ExtQueries {
          |SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
          |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
          |FROM m GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // group-split replay: FNV band on the GROUP key, then the audit —
+    // per-split row/group counts + global straddling-group count
+    "x_group_split" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    ${fnvSql("(coalesce(CAST(source AS VARCHAR), chr(0) || 'null') || ':17')")} AS hu
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
+         |  FROM h),
+         |a AS (
+         |  SELECT source,
+         |    CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM m),
+         |l AS (
+         |  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS leaked_groups
+         |  FROM (SELECT source, count(DISTINCT split) AS ns FROM a GROUP BY source))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_groups, leaked_groups
+         |FROM a CROSS JOIN l GROUP BY split, leaked_groups ORDER BY split""".stripMargin,
+
+    // JL-projection replay: identical integer sign matrix, identical
+    // left fold, exact 0.25 scale — bit-equal, no rounding anywhere
+    "x_rp_sketch" ->
+      """WITH j AS (SELECT unnest(range(0, 16)) AS dim),
+        |p AS (
+        |  SELECT e.vec_id AS id, j.dim,
+        |    0.25 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(e.embedding[i] AS DOUBLE) *
+        |         (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761 + j.dim * 40503) % 97) < 49
+        |               THEN 1.0 ELSE -1.0 END)
+        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS y
+        |  FROM embeddings e CROSS JOIN j)
+        |SELECT id, CAST(dim AS INTEGER) AS dim, y FROM p ORDER BY id, dim""".stripMargin,
+
+    // JL-distortion replay: project the 40-vector sample with the same
+    // fold, all 780 pair ratios (sqrt is IEEE-exact; the 6-dp rounding
+    // of the ratio and of the mean replays via the VARCHAR->DECIMAL
+    // shortest-repr trick), decimal-exact mean, the same verdict band
+    "x_rp_distance" ->
+      """WITH s AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 40),
+        |j AS (SELECT unnest(range(0, 16)) AS dim),
+        |p AS (
+        |  SELECT s.id, j.dim,
+        |    0.25 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(s.v[i] AS DOUBLE) *
+        |         (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761 + j.dim * 40503) % 97) < 49
+        |               THEN 1.0 ELSE -1.0 END)
+        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS y
+        |  FROM s CROSS JOIN j),
+        |yv AS (SELECT id, list(y ORDER BY dim) AS yv FROM p GROUP BY id),
+        |b AS (SELECT s.id, s.v, yv.yv FROM s JOIN yv USING (id)),
+        |pr AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [(CAST(a.v[i] AS DOUBLE) - CAST(bb.v[i] AS DOUBLE)) *
+        |       (CAST(a.v[i] AS DOUBLE) - CAST(bb.v[i] AS DOUBLE))
+        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS dx2,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [(a.yv[i] - bb.yv[i]) * (a.yv[i] - bb.yv[i])
+        |       FOR i IN range(1, 17)]), (acc, x) -> acc + x) AS dy2
+        |  FROM b a JOIN b bb ON a.id < bb.id),
+        |r AS (
+        |  SELECT CAST(round(CAST(CAST(sqrt(dy2) / sqrt(dx2) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS r
+        |  FROM pr WHERE dx2 > 0),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(round(CAST(CAST(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS mean_distortion,
+        |    min(r) AS min_distortion, max(r) AS max_distortion,
+        |    round(CAST(count(*) FILTER (WHERE r >= 0.55 AND r <= 1.45) AS DOUBLE) / count(*), 6) AS frac_in_band
+        |  FROM r)
+        |SELECT n_pairs, mean_distortion, min_distortion, max_distortion, frac_in_band,
+        |  mean_distortion >= 0.75 AND mean_distortion <= 1.25 AS mean_ok,
+        |  frac_in_band >= 0.65 AS band_ok
+        |FROM agg""".stripMargin,
 
     "x_nfc" ->
       """SELECT doc_id,

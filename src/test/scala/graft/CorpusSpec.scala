@@ -367,4 +367,27 @@ class CorpusSpec extends SparkSpec {
       .as[Double].collect()
     assert(g.forall(_ === 0.0))
   }
+
+  test("splitAudit: group-keyed assignment is leak-free, row-keyed is not") {
+    val docs = Seq((1L, "h1"), (2L, "h1"), (3L, "h2"), (4L, "h2"), (5L, "h3"))
+      .toDF("id", "host")
+    // group-keyed: every host's rows share a split -> 0 leaked
+    val clean = Corpus.assignSplit(docs, "host")
+    val auditClean = Corpus.splitAudit(clean, "host", "split").collect()
+    assert(auditClean.forall(_.getLong(3) === 0L))
+    assert(auditClean.map(_.getLong(1)).sum === 5L)   // all rows accounted
+    // a hand-built straddling assignment: h1 split across train/test
+    val leaky = Seq((1L, "h1", "train"), (2L, "h1", "test"),
+      (3L, "h2", "train")).toDF("id", "host", "split")
+    val auditLeaky = Corpus.splitAudit(leaky, "host", "split").collect()
+    assert(auditLeaky.forall(_.getLong(3) === 1L))
+  }
+
+  test("splitAudit: per-split group counts are observed distincts") {
+    val df = Seq((1L, "g1", "train"), (2L, "g1", "train"),
+      (3L, "g2", "train"), (4L, "g3", "test")).toDF("id", "g", "split")
+    val out = Corpus.splitAudit(df, "g", "split").orderBy("split").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("test", 1L, 1L), ("train", 3L, 2L)))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ext.Eval
 
 class EvalSpec extends SparkSpec {
@@ -624,5 +626,99 @@ class EvalSpec extends SparkSpec {
     val df = Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "p", "t")
     val r = Eval.clusteringEval(df, "id", "p", "t").collect()(0)
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("conformal: hand-computed rank threshold and coverage") {
+    // calibration scores 1..10, alpha=0.2: rank = ceil(11*0.8) = 9,
+    // qhat = 9.0; eval scores 2.5 and 9.5 -> coverage 1/2
+    val rows = (1 to 10).map(i => (i.toDouble, true)) ++
+      Seq((2.5, false), (9.5, false))
+    val r = Eval.conformal(rows.toDF("s", "cal"), "s", "cal", Seq(0.2))
+      .collect()(0)
+    assert(r.getDouble(0) === 0.2)
+    assert(r.getLong(1) === 10L)      // n_calib
+    assert(r.getLong(2) === 9L)       // rk
+    assert(r.getDouble(3) === 9.0)    // qhat
+    assert(r.getLong(4) === 2L)       // n_eval
+    assert(r.getDouble(5) === 0.5)    // coverage
+  }
+
+  test("conformal: tied scores resolve by cumulative count, not rows") {
+    // calibration 1,1,1,5: alpha=0.5 -> rank = ceil(5*0.5) = 3 ->
+    // the 3rd smallest is still 1 (the distinct-value frame must
+    // credit the full tie count)
+    val rows = Seq((1.0, true), (1.0, true), (1.0, true), (5.0, true),
+      (0.5, false))
+    val r = Eval.conformal(rows.toDF("s", "cal"), "s", "cal", Seq(0.5))
+      .collect()(0)
+    assert(r.getLong(2) === 3L && r.getDouble(3) === 1.0)
+    assert(r.getDouble(5) === 1.0) // eval 0.5 <= 1 covered
+  }
+
+  test("conformal: alpha too small for n yields null qhat, not a row drop") {
+    // n=3: rank = ceil(4*0.99) = 4 > 3 -> no certifiable threshold
+    val rows = Seq((1.0, true), (2.0, true), (3.0, true), (1.5, false))
+    val out = Eval.conformal(rows.toDF("s", "cal"), "s", "cal",
+      Seq(0.01, 0.5)).orderBy("alpha").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 4L && out(0).isNullAt(3) && out(0).isNullAt(5))
+    assert(out(1).getDouble(3) === 2.0) // rank ceil(4*.5)=2 -> 2.0
+  }
+
+  test("conformal: empty calibration still returns one row per alpha") {
+    val rows = Seq((1.0, false), (2.0, false))
+    val out = Eval.conformal(rows.toDF("s", "cal"), "s", "cal", Seq(0.1))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 0L && out(0).isNullAt(3))
+  }
+
+  test("conformal: rejects bad alphas") {
+    val df = Seq((1.0, true)).toDF("s", "cal")
+    intercept[IllegalArgumentException](
+      Eval.conformal(df, "s", "cal", Seq.empty))
+    intercept[IllegalArgumentException](
+      Eval.conformal(df, "s", "cal", Seq(1.5)))
+    intercept[IllegalArgumentException](
+      Eval.conformal(df, "s", "cal", Seq(0.1, 0.1)))
+  }
+
+  test("labelNoise: hand-computed confident joint with one flipped label") {
+    // a-threshold = mean pa over given-a = (0.9+0.7+0.1)/3 = 0.566667
+    // (the mislabeled row 5 drags it down); b-threshold =
+    // (0.8+0.6)/2 = 0.7. Row 4 (pa=0.4, pb=0.6) clears neither ->
+    // abstains; row 5 (given a, pb=0.9 >= 0.7) is confident-b ->
+    // the off-diagonal (a, b) cell
+    val df = Seq(
+      ("a", 0.9, 0.1), ("a", 0.7, 0.3), // true a
+      ("b", 0.2, 0.8), ("b", 0.4, 0.6), // true b
+      ("a", 0.1, 0.9)                   // mislabeled: model says b
+    ).toDF("y", "pa", "pb")
+    val out = Eval.labelNoise(df, "y",
+      Seq("a" -> col("pa"), "b" -> col("pb"))).collect()
+    val cells = out.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // a-threshold 0.566667: rows with pa >= it: 0.9, 0.7 qualify-a
+    // b-threshold 0.7: pb >= 0.7: 0.8 (row3), 0.9 (row5) qualify-b
+    assert(cells === Map(("a", "a") -> 2L, ("b", "b") -> 1L, ("a", "b") -> 1L))
+    val head = out.head
+    assert(head.getLong(4) === 5L)           // n_rows
+    assert(head.getLong(5) === 4L)           // n_confident
+    assert(head.getDouble(6) === 0.25)       // noise_frac 1/4
+  }
+
+  test("labelNoise: a class with no given rows never qualifies") {
+    val df = Seq(("a", 0.5, 0.5), ("a", 0.6, 0.4)).toDF("y", "pa", "pb")
+    val out = Eval.labelNoise(df, "y",
+      Seq("a" -> col("pa"), "b" -> col("pb"))).collect()
+    // b has no threshold (null sum) -> only diagonal a-cells possible
+    assert(out.forall(r => r.getString(1) === "a"))
+  }
+
+  test("labelNoise: argmax ties break to the earliest declared class") {
+    // both classes qualify at equal probability -> 'a' declared first
+    val df = Seq(("a", 0.5, 0.5), ("b", 0.5, 0.5)).toDF("y", "pa", "pb")
+    val out = Eval.labelNoise(df, "y",
+      Seq("a" -> col("pa"), "b" -> col("pb"))).collect()
+    assert(out.forall(r => r.getString(1) === "a"))
   }
 }

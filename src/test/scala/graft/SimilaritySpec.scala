@@ -153,4 +153,56 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0) == ((0L, Seq(2.0, 4.0))))
     assert(got(1) == ((1L, Seq(10.0, -2.0))))
   }
+
+  test("randomProject: a unit basis vector reads the sign matrix back") {
+    import spark.implicits._
+    // x = e_i  =>  y_j = scale * s_ij: the projection of a one-hot
+    // vector IS row i of the (scaled) sign matrix
+    val i = 5
+    val vec = Array.tabulate(16)(k => if (k == i) 1.0f else 0.0f)
+    val out = Similarity.randomProject(
+      Seq((7L, vec)).toDF("vec_id", "embedding"), "embedding", "vec_id",
+      dIn = 16, kOut = 4)
+      .orderBy("dim").collect()
+    assert(out.length === 4)
+    out.zipWithIndex.foreach { case (r, j) =>
+      assert(r.getLong(0) === 7L && r.getInt(1) === j)
+      assert(r.getDouble(2) === 0.5 * Similarity.rpSign(i, j)) // 1/sqrt(4)
+    }
+  }
+
+  test("randomProject: rejects a non-power-of-4 output dim") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(df, "embedding", "vec_id", dIn = 1, kOut = 8))
+  }
+
+  test("rpSign: not striped by (i+j) parity, roughly balanced") {
+    val signs = for (i <- 0 until 64; j <- 0 until 16)
+      yield Similarity.rpSign(i, j)
+    val pos = signs.count(_ == 1.0)
+    assert(pos > 400 && pos < 624, s"sign balance off: $pos/1024 positive")
+    // a striped matrix has sign(i,j) == sign(i+1,j+1) everywhere
+    val diagEqual = (for (i <- 0 until 63; j <- 0 until 15)
+      yield Similarity.rpSign(i, j) == Similarity.rpSign(i + 1, j + 1))
+      .count(x => x)
+    assert(diagEqual < 900, s"sign matrix is diagonally striped: $diagEqual/945")
+  }
+
+  test("projDistortion: duplicate vectors are excluded, scaling is unbiased on axes") {
+    import spark.implicits._
+    // two identical vectors + one distinct: only the 2 mixed pairs
+    // remain (the 0/0 pair is filtered), and each has a well-defined
+    // positive ratio
+    val a = Array.tabulate(16)(k => if (k == 0) 2.0f else 0.0f)
+    val b = Array.tabulate(16)(k => if (k == 3) 1.0f else 0.0f)
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("vec_id", "embedding")
+    val r = Similarity.projDistortion(df, "embedding", "vec_id",
+      dIn = 16, kOut = 4, lo = 0.0, hi = 10.0, minFracInBand = 1.0,
+      meanLo = 0.0, meanHi = 10.0).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(2) > 0.0)
+    assert(r.getBoolean(5) && r.getBoolean(6))
+  }
 }

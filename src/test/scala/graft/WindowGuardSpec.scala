@@ -56,7 +56,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_theil_sen" -> "row_number over the post-agg daily series (calendar-bounded; TimeSeries.theilSen)",
     "x_hybrid_search" -> "RRF rank over the union of two post-limit top-50 frames (<= 100 rows)",
     "q_stream_rolling_corr" -> "rollingCorrCounts finish over the streamed calendar-bounded daily sink (same frame as x_rolling_corr)",
-    "x_ks_test" -> "CDF cumsums over <= nBins bin rows (Eval.ksTestBinned, aucBinned contract)"
+    "x_ks_test" -> "CDF cumsums over <= nBins bin rows (Eval.ksTestBinned, aucBinned contract)",
+    "x_conformal" -> "rank-threshold cumsum over 6-dp DISTINCT-score groups (Eval.conformal, auc bounded-domain contract)"
   )
 
   private val excluded = Set(
