@@ -1190,19 +1190,35 @@ object Eval {
     */
   def conformal(df: DataFrame, scoreCol: String, calibCol: String,
                 alphas: Seq[Double]): DataFrame = {
+    val base = df.select(
+      round(col(scoreCol).cast("double"), 6).cast("decimal(18,6)").as("s"),
+      col(calibCol).cast("boolean").as("__cal"))
+    conformalFromCounts(
+      base.filter(col("__cal")).groupBy(col("s")).agg(count(lit(1)).as("c")),
+      base.filter(!col("__cal")).groupBy(col("s")).agg(count(lit(1)).as("c")),
+      alphas)
+  }
+
+  /** Counts-based core of [[conformal]]: both sides arrive as
+    * (s, c) distinct-score count frames — EXACTLY the mergeable
+    * O(distinct-scores) state a streaming complete-mode aggregate
+    * emits, so a stream can accumulate calibration scores and this
+    * closure prices the thresholds once on the sink
+    * (q_stream_conformal; the benfordFromCounts / mannWhitney
+    * closure pattern). Scores are expected already rounded/cast to
+    * their presentation type by the caller.
+    */
+  def conformalFromCounts(calCounts: DataFrame, evalCounts: DataFrame,
+                          alphas: Seq[Double]): DataFrame = {
     require(alphas.nonEmpty, "conformal: need at least one alpha")
     require(alphas.forall(a => a > 0 && a < 1),
       s"conformal: alphas must be in (0,1), got $alphas")
     require(alphas.distinct.size == alphas.size,
       s"conformal: duplicate alphas in $alphas")
-    val base = df.select(
-      round(col(scoreCol).cast("double"), 6).cast("decimal(18,6)").as("s"),
-      col(calibCol).cast("boolean").as("__cal"))
-    val calDist = base.filter(col("__cal"))
-      .groupBy(col("s")).agg(count(lit(1)).as("__c"))
+    val calDist = calCounts.select(col("s"), col("c").cast("long").as("__c"))
     // always exactly one row, even for an empty calibration side —
     // the frame every alpha's rank computation hangs off
-    val nFrame = base.filter(col("__cal")).agg(count(lit(1)).as("__n"))
+    val nFrame = calDist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
     val alphaArr = array(alphas.map(lit): _*)
     def rkOf(n: Column, a: Column) =
       ceil((n + lit(1)).cast("double") * (lit(1.0) - a)).cast("long")
@@ -1224,8 +1240,7 @@ object Eval {
       .select(col("alpha"), col("__n").as("n_calib"),
         rkOf(col("__n"), col("alpha")).as("rk"))
     val thresholds = allAlphas.join(picked, Seq("alpha"), "left")
-    val evalDist = base.filter(!col("__cal"))
-      .groupBy(col("s")).agg(count(lit(1)).as("__ce"))
+    val evalDist = evalCounts.select(col("s"), col("c").cast("long").as("__ce"))
     val covAgg = evalDist
       .crossJoin(broadcast(thresholds.select(col("alpha"), col("qhat"))))
       .groupBy(col("alpha"))

@@ -723,6 +723,29 @@ private[graft] object AnalyticsQueries {
           sum(rev).cast("double"), 6).as("promo_revenue_pct"))
     }),
 
+    "q_tpch15" -> ((s, d) => {
+      // TPC-H Q15 (top supplier): quarterly per-supplier revenue view,
+      // suppliers whose revenue EQUALS the view max. The equality runs
+      // in exact DECIMAL (a double compare could split ties the spec
+      // says to keep); the max rides back as a 1-row broadcast. The
+      // revenue view is tiny (|suppliers| rows) so its two uses are a
+      // recompute of one month-sliced scan + hash agg each — at 100 TB
+      // persist the view or let AQE reuse the exchange
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("decimal(30,4)")).as("tr"))
+      rev.crossJoin(broadcast(rev.agg(max(col("tr")).as("__mx"))))
+        .filter(col("tr") === col("__mx"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("tr").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     "q_tpch18" -> ((s, d) => {
       // TPC-H Q18 (large-volume customer): HAVING-filtered
       // re-aggregation of the fact feeding a semi-join — the semi
@@ -2224,6 +2247,18 @@ private[graft] object AnalyticsQueries {
         |  6) AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin,
+
+    "q_tpch15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE tr = (SELECT max(tr) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

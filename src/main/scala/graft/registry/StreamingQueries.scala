@@ -295,6 +295,45 @@ private[graft] object StreamingQueries {
       graft.ext.Eval.mannWhitney(s.read.parquet(s"$tmp/out"), "auc_binned")
     }),
 
+    "q_stream_conformal" -> ((s, d) => {
+      // STREAMING CONFORMAL CALIBRATOR: conformal's calibration state
+      // is the distinct-6-dp-score count table — mergeable counters,
+      // so the stream accumulates the even-doc_id ramp scores in
+      // COMPLETE mode across any micro-batch schedule (state bounded
+      // by the 6-dp domain: <= 998 rows here), and the rank-threshold
+      // closure prices qhat per alpha ONCE on the sink; empirical
+      // coverage reads the odd-doc_id half batch-side. One
+      // AvailableNow pass == the batch split, so the oracle is the
+      // x_conformal replay on documents.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "documents").schema
+      val tmp = scratchDir("graft-sconf")
+      stageDrop(s"$d/documents.parquet", s"$tmp/in", "documents.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      def s6(c: org.apache.spark.sql.Column) =
+        round((pmod(c, lit(997)).cast("double") / lit(997.0)), 6)
+          .cast("decimal(18,6)")
+      val calCounts = stream.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy(s6(col("doc_id")).as("s"))
+        .agg(count(lit(1)).as("c"))
+      val q = calCounts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      val evalCounts = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .groupBy(s6(col("doc_id")).as("s"))
+        .agg(count(lit(1)).as("c"))
+      graft.ext.Eval.conformalFromCounts(
+        s.read.parquet(s"$tmp/out"), evalCounts, Seq(0.1, 0.25))
+    }),
+
     "q_stream_divergence" -> ((s, d) => {
       // STREAMING DRIFT MONITOR: termDivergence's whole state is a
       // per-term (ca, cb) count table — mergeable counters, so the
@@ -601,6 +640,38 @@ private[graft] object StreamingQueries {
     // streamed bin counts == batch bin counts (mergeable O(nBins)
     // state), then the identical Mann-Whitney closure — plain batch
     // replay of the binned AUC
+    // streamed calibration counts == batch split counts, so the
+    // replay is the batch conformal on the same even/odd halves
+    "q_stream_conformal" ->
+      """WITH e AS (
+        |  SELECT CAST(round(CAST(CAST(CAST(doc_id % 997 AS DOUBLE) / 997.0 AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS s,
+        |    doc_id % 2 = 0 AS cal
+        |  FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM e WHERE cal),
+        |cd AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM e WHERE cal GROUP BY s),
+        |cum AS (
+        |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumc
+        |  FROM cd),
+        |al AS (SELECT unnest(CAST([0.1, 0.25] AS DOUBLE[])) AS alpha),
+        |ranks AS (
+        |  SELECT alpha, n_calib,
+        |    CAST(ceil(CAST(n_calib + 1 AS DOUBLE) * (1.0 - alpha)) AS BIGINT) AS rk
+        |  FROM al CROSS JOIN nc),
+        |picks AS (
+        |  SELECT r.alpha, min(cum.s) AS qhat
+        |  FROM ranks r JOIN cum ON cum.cumc >= r.rk AND cum.cumc - cum.c < r.rk
+        |  GROUP BY r.alpha),
+        |ed AS (SELECT s, CAST(count(*) AS BIGINT) AS ce FROM e WHERE NOT cal GROUP BY s),
+        |cov AS (
+        |  SELECT r.alpha, r.n_calib, r.rk, p.qhat,
+        |    CAST(sum(ed.ce) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN p.qhat IS NOT NULL AND ed.s <= p.qhat THEN ed.ce ELSE 0 END) AS BIGINT) AS covc
+        |  FROM ranks r LEFT JOIN picks p ON r.alpha = p.alpha CROSS JOIN ed
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT alpha, n_calib, rk, CAST(qhat AS DOUBLE) AS qhat, n_eval,
+        |  CASE WHEN qhat IS NOT NULL THEN round(CAST(covc AS DOUBLE) / n_eval, 6) END AS coverage
+        |FROM cov ORDER BY alpha""".stripMargin,
+
     "q_stream_auc_binned" ->
       """WITH e AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,

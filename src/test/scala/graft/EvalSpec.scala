@@ -673,6 +673,23 @@ class EvalSpec extends SparkSpec {
     assert(out(0).getLong(1) === 0L && out(0).isNullAt(3))
   }
 
+  test("conformalFromCounts: count form equals the row form (merge safety)") {
+    // the streaming closure consumes pre-merged (s, c) counts: the
+    // result must be byte-identical to conformal over the expanded rows
+    val rows = Seq((1.0, true), (1.0, true), (1.0, true), (5.0, true),
+      (0.5, false), (2.0, false))
+    val fromRows = Eval.conformal(rows.toDF("s", "cal"), "s", "cal",
+      Seq(0.3, 0.5)).collect().map(_.toSeq)
+    import org.apache.spark.sql.functions.{round => rnd}
+    def counts(cal: Boolean) = rows.filter(_._2 == cal)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .toDF("s0", "c")
+      .select(rnd(col("s0"), 6).cast("decimal(18,6)").as("s"), col("c"))
+    val fromCounts = Eval.conformalFromCounts(counts(true), counts(false),
+      Seq(0.3, 0.5)).collect().map(_.toSeq)
+    assert(fromRows.toSeq === fromCounts.toSeq)
+  }
+
   test("conformal: rejects bad alphas") {
     val df = Seq((1.0, true)).toDF("s", "cal")
     intercept[IllegalArgumentException](

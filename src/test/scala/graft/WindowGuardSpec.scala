@@ -57,7 +57,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_hybrid_search" -> "RRF rank over the union of two post-limit top-50 frames (<= 100 rows)",
     "q_stream_rolling_corr" -> "rollingCorrCounts finish over the streamed calendar-bounded daily sink (same frame as x_rolling_corr)",
     "x_ks_test" -> "CDF cumsums over <= nBins bin rows (Eval.ksTestBinned, aucBinned contract)",
-    "x_conformal" -> "rank-threshold cumsum over 6-dp DISTINCT-score groups (Eval.conformal, auc bounded-domain contract)"
+    "x_conformal" -> "rank-threshold cumsum over 6-dp DISTINCT-score groups (Eval.conformal, auc bounded-domain contract)",
+    "q_stream_conformal" -> "conformalFromCounts closure over the streamed <= 998-distinct-score count sink (same frame as x_conformal)"
   )
 
   private val excluded = Set(
