@@ -448,4 +448,53 @@ object Behavior {
       .select("key", "n_days", "total", "mean", "variance", "fano")
       .orderBy("key")
   }
+
+  /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    * 1958, JASA 53(282)) with right censoring — the time-to-event
+    * readout behind churn and time-to-conversion curves, the
+    * censoring-aware complement of [[retention]] (a plain retention
+    * rate treats a user observed for 3 days as churned on day 4;
+    * KM removes them from the at-risk set instead). Input: one row
+    * per subject with an integer duration (days observed) and an
+    * event flag (true = the event happened at `t`; false = censored
+    * at `t`). Returns one row per distinct observed duration:
+    * (t, n_risk, n_event, n_censored, survival) where
+    * survival(t) = prod_{t' <= t} (1 - d_t'/n_t').
+    *
+    * Determinism / scale contract: one hash aggregate to the
+    * distinct-duration frame, a cumulative count window over those
+    * DISTINCT times (the auc bounded-domain class — day-grained
+    * durations make the frame calendar-bounded), then the prefix
+    * product as a LEFT FOLD over the collected ordered factor array
+    * (the randomProject fold discipline: each factor is one IEEE
+    * division of exact integers, the ascending-t multiply order is
+    * fixed, so survival is bit-stable with NO rounding step). The
+    * per-row fold over a filtered prefix is O(T^2) on distinct
+    * times — a few hundred days squared, not row volume.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val base = df.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("e"))
+    val grouped = base.groupBy(col("t")).agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("n_censored"))
+    val wl = org.apache.spark.sql.expressions.Window.orderBy(col("t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withRisk = grouped
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__N"))))
+      .withColumn("n_risk", col("__N") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(wl), lit(0L)))
+      .withColumn("__f", lit(1.0) -
+        col("n_event").cast("double") / col("n_risk").cast("double"))
+    val factors = withRisk
+      .agg(array_sort(collect_list(struct(col("t"), col("__f")))).as("tf"))
+    withRisk.crossJoin(broadcast(factors))
+      .withColumn("survival", aggregate(
+        filter(col("tf"), x => x.getField("t") <= col("t")),
+        lit(1.0), (acc, x) => acc * x.getField("__f")))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        col("survival"))
+      .orderBy(col("t"))
+  }
 }

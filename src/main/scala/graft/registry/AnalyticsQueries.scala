@@ -1189,6 +1189,18 @@ private[graft] object AnalyticsQueries {
       graft.ext.Behavior.retention(events(s, d), "user_id", "ts_us",
         maxOffsetDays = 30)),
 
+    "x_kaplan_meier" -> ((s, d) =>
+      // censoring-aware survival curve: synthetic durations
+      // (orderkey mod 53 days) with finished orders as events and
+      // open ones as right-censored — at-risk counts from a
+      // distinct-duration cumulative frame, the prefix product as a
+      // bit-stable ascending fold (no rounding step anywhere)
+      graft.ext.Behavior.kaplanMeier(
+        t(s, d, "orders").select(
+          pmod(col("o_orderkey"), lit(53)).as("dur"),
+          (col("o_orderstatus") === "F").as("ev")),
+        "dur", "ev")),
+
     "q_transitions" -> ((s, d) =>
       // first-order Markov transition matrix of the event stream:
       // (from, to) counts + per-source-state probability (one lead
@@ -2684,6 +2696,31 @@ private[graft] object AnalyticsQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
         |FROM p WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // KM replay: distinct-duration at-risk frame, the identical
+    // ascending prefix-product fold (bit-stable, no rounding)
+    "x_kaplan_meier" ->
+      """WITH b AS (
+        |  SELECT o_orderkey % 53 AS t, o_orderstatus = 'F' AS e FROM orders),
+        |g AS (
+        |  SELECT t, CAST(count(*) FILTER (WHERE e) AS BIGINT) AS n_event,
+        |    CAST(count(*) FILTER (WHERE NOT e) AS BIGINT) AS n_censored
+        |  FROM b GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b),
+        |r AS (
+        |  SELECT t, n_event, n_censored,
+        |    CAST(N - coalesce(sum(n_event + n_censored) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |f AS (
+        |  SELECT t, n_risk, n_event, n_censored,
+        |    CAST(1 AS DOUBLE) - CAST(n_event AS DOUBLE) / n_risk AS f
+        |  FROM r),
+        |a AS (SELECT list(struct_pack(t := t, f := f) ORDER BY t) AS tf FROM f)
+        |SELECT f.t, f.n_risk, f.n_event, f.n_censored,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    [x.f FOR x IN a.tf IF x.t <= f.t]), (acc, x) -> acc * x) AS survival
+        |FROM f CROSS JOIN a ORDER BY t""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (

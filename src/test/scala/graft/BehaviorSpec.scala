@@ -355,4 +355,38 @@ class BehaviorSpec extends SparkSpec {
     assert(b.getString(0) === "B")
     assert(b.isNullAt(4) && b.isNullAt(5), "one active day: no variance")
   }
+
+  test("kaplanMeier: textbook hand-computed curve with censoring") {
+    import spark.implicits._
+    // 6 subjects: events at t=1,3,3; censored at t=2,3,4
+    // t=1: n=6, d=1      -> S = 5/6
+    // t=2: n=5, d=0, c=1 -> S unchanged (censoring-only time)
+    // t=3: n=4, d=2, c=1 -> S = 5/6 * 2/4 = 5/12
+    // t=4: n=1, d=0, c=1 -> S unchanged
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (3L, false), (4L, false)).toDF("dur", "ev")
+    val out = Behavior.kaplanMeier(df, "dur", "ev").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4)))
+    // expected values written as the SAME IEEE expressions the fold
+    // evaluates (1 - 1.0/6.0 is not bit-equal to 5.0/6.0)
+    val s1 = 1.0 - 1.0 / 6.0
+    assert(rows.toSeq === Seq(
+      (1L, 6L, 1L, 0L, s1),
+      (2L, 5L, 0L, 1L, s1),        // censoring-only time: S unchanged
+      (3L, 4L, 2L, 1L, s1 * 0.5),
+      (4L, 1L, 0L, 1L, s1 * 0.5)))
+  }
+
+  test("kaplanMeier: no censoring degrades to the empirical survivor function") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("dur", "ev")
+    val out = Behavior.kaplanMeier(df, "dur", "ev").collect()
+    // S(t_i) = prod (1 - 1/n_i), written as the fold's own IEEE shapes
+    val e1 = 1.0 - 1.0 / 4.0
+    val e2 = e1 * (1.0 - 1.0 / 3.0)
+    assert(out.map(_.getDouble(4)).toSeq ===
+      Seq(e1, e2, e2 * 0.5, 0.0))
+  }
 }

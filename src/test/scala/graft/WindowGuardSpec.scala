@@ -58,7 +58,8 @@ class WindowGuardSpec extends SparkSpec {
     "q_stream_rolling_corr" -> "rollingCorrCounts finish over the streamed calendar-bounded daily sink (same frame as x_rolling_corr)",
     "x_ks_test" -> "CDF cumsums over <= nBins bin rows (Eval.ksTestBinned, aucBinned contract)",
     "x_conformal" -> "rank-threshold cumsum over 6-dp DISTINCT-score groups (Eval.conformal, auc bounded-domain contract)",
-    "q_stream_conformal" -> "conformalFromCounts closure over the streamed <= 998-distinct-score count sink (same frame as x_conformal)"
+    "q_stream_conformal" -> "conformalFromCounts closure over the streamed <= 998-distinct-score count sink (same frame as x_conformal)",
+    "x_kaplan_meier" -> "at-risk cumsum over DISTINCT day-grained durations (calendar-bounded; Behavior.kaplanMeier)"
   )
 
   private val excluded = Set(
