@@ -421,6 +421,96 @@ object Behavior {
           sqrt(p * (lit(1) - p) * (lit(1.0) / na + lit(1.0) / nb))), 6))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, WSDM
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): with a pre-experiment covariate
+    * x per unit and the experiment metric y, the adjusted metric
+    * y' = y - theta*(x - xbar) with theta = cov(x,y)/var(x) keeps the
+    * same mean but sheds the variance x explains:
+    * var(y') = var(y)*(1 - rho^2). Input: ONE ROW PER UNIT with
+    * (variant, x, y). Returns one row per variant: (variant, n,
+    * mean_y, mean_adj) plus the pooled theta and var_reduction_pct
+    * (= 100*rho^2) repeated per row — theta is fit POOLED across arms
+    * (pre-period data is treatment-independent, the paper's setup).
+    *
+    * Determinism / scale contract: x and y are taken as integers
+    * (counts — the standard CUPED covariate); every moment (n, Sx,
+    * Sy, Sxy, Sxx, Syy) is an exact DECIMAL(38,0) sum, theta and
+    * rho^2 are fixed-shape divisions of those exact integers (the
+    * fanoFactor discipline), per-arm adjusted means compose a handful
+    * of IEEE ops in one fixed shape. One unit-keyed aggregate + one
+    * |arms|-row aggregate + a 1-row broadcast — no windows.
+    */
+  def cuped(df: DataFrame, variantCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("long").cast("decimal(38,0)")
+    val base = df.select(col(variantCol).cast("string").as("variant"),
+      d38(col(preCol)).as("x"), d38(col(postCol)).as("y"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val byArm = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("ax"),
+        sum(col("y")).as("ay"))
+    def nd(c: Column) = c.cast("double")
+    // integer-exact central moments (doubled-out form, no means yet):
+    // covN = n*Sxy - Sx*Sy, varxN = n*Sxx - Sx^2, varyN = n*Syy - Sy^2
+    val covN = nd(col("n") * col("sxy") - col("sx") * col("sy"))
+    val varxN = nd(col("n") * col("sxx") - col("sx") * col("sx"))
+    val varyN = nd(col("n") * col("syy") - col("sy") * col("sy"))
+    val withTheta = byArm.crossJoin(broadcast(m.select(
+      col("n").as("__n"), col("sx").as("__sx"),
+      when(varxN > 0, covN / varxN).as("theta"),
+      when(varxN > 0 && varyN > 0,
+        round(lit(100.0) * (covN * covN) / (varxN * varyN), 6))
+        .as("var_reduction_pct"))))
+    // mean_adj = mean_y_arm - theta * (mean_x_arm - mean_x_global)
+    val meanY = nd(col("ay")) / nd(col("n"))
+    val meanXa = nd(col("ax")) / nd(col("n"))
+    val meanXg = nd(col("__sx")) / nd(col("__n"))
+    withTheta.select(col("variant"), col("n"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - col("theta") * (meanXa - meanXg), 6).as("mean_adj"),
+        round(col("theta"), 6).as("theta"),
+        col("var_reduction_pct"))
+      .orderBy(col("variant"))
+  }
+
+  /** Difference-in-differences readout (Card & Krueger 1994 design):
+    * four cell means over (treated, post) — the causal effect
+    * estimate under parallel trends is
+    * (treat_post - treat_pre) - (ctrl_post - ctrl_pre). Returns one
+    * row: per-cell n/mean plus the did estimate. Values present at
+    * 6 dp DECIMAL and sum exactly (order-independent); each mean is
+    * one fixed-shape division, the estimate composes four of them.
+    * One 4-cell aggregate pass — nothing keyed finer than a cell.
+    */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val v6 = round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+    val base = df.select(col(treatedCol).cast("boolean").as("tr"),
+      col(postCol).cast("boolean").as("po"), v6.as("v"))
+    def cell(tr: Boolean, po: Boolean, tag: String) = Seq(
+      sum(when(col("tr") === tr && col("po") === po, 1L).otherwise(0L))
+        .as(s"n_$tag"),
+      sum(when(col("tr") === tr && col("po") === po, col("v"))).as(s"s_$tag"))
+    val aggs = cell(false, false, "c_pre") ++ cell(false, true, "c_post") ++
+      cell(true, false, "t_pre") ++ cell(true, true, "t_post")
+    def mean(tag: String) =
+      col(s"s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"),
+        round(mean("c_pre"), 6).as("mean_c_pre"),
+        round(mean("c_post"), 6).as("mean_c_post"),
+        round(mean("t_pre"), 6).as("mean_t_pre"),
+        round(mean("t_post"), 6).as("mean_t_post"),
+        round((mean("t_post") - mean("t_pre")) -
+          (mean("c_post") - mean("c_pre")), 6).as("did"))
+  }
+
   /** Burstiness per key: the Fano factor (index of dispersion,
     * sample-variance / mean) of the daily event-count series — 1 for
     * a Poisson arrival process, ≫1 for bursty traffic (incident

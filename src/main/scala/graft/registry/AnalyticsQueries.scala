@@ -1189,6 +1189,36 @@ private[graft] object AnalyticsQueries {
       graft.ext.Behavior.retention(events(s, d), "user_id", "ts_us",
         maxOffsetDays = 30)),
 
+    "x_cuped" -> ((s, d) => {
+      // CUPED on the event stream: per-user pre-period activity count
+      // (Jan 1-15) as the covariate, post-period count as the metric,
+      // arms by user parity — pooled theta from exact integer
+      // moments, per-arm raw vs adjusted means, and the
+      // variance-reduction readout (100*rho^2)
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_us") < lit("2024-01-16"), 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("ts_us") >= lit("2024-01-16"), 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(2)) === 0, lit("ctrl"))
+            .otherwise(lit("treat")))
+      graft.ext.Behavior.cuped(perUser, "variant", "x", "y")
+    }),
+
+    "x_did" -> ((s, d) =>
+      // difference-in-differences: user-parity "rollout" at Jan 16 —
+      // four cell means of the event value at exact 6-dp decimal,
+      // the parallel-trends causal estimate as one fixed-shape
+      // composition of the cell means
+      graft.ext.Behavior.diffInDiff(
+        events(s, d).select(
+          (pmod(col("user_id"), lit(2)) === 1).as("tr"),
+          (col("ts_us") >= lit("2024-01-16")).as("po"),
+          col("value")),
+        "tr", "po", "value")),
+
     "x_kaplan_meier" -> ((s, d) =>
       // censoring-aware survival curve: synthetic durations
       // (orderkey mod 53 days) with finished orders as events and
@@ -2696,6 +2726,70 @@ private[graft] object AnalyticsQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
         |FROM p WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CUPED replay: same per-user pre/post counts, HUGEINT moments,
+    // fixed-shape theta / adjusted-mean / rho^2 arithmetic
+    "x_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS BIGINT) AS x,
+        |    CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'ctrl' ELSE 'treat' END AS variant, x, y
+        |  FROM pu),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM a),
+        |t AS (
+        |  SELECT n AS gn, sx AS gsx,
+        |    CASE WHEN n * sxx - sx * sx > 0
+        |         THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |         THEN round(100.0 * CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS var_reduction_pct
+        |  FROM m),
+        |arm AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS ax, sum(CAST(y AS HUGEINT)) AS ay
+        |  FROM a GROUP BY variant)
+        |SELECT variant, n,
+        |  round(CAST(ay AS DOUBLE) / n, 6) AS mean_y,
+        |  round(CAST(ay AS DOUBLE) / n -
+        |    theta * (CAST(ax AS DOUBLE) / n - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)), 6) AS mean_adj,
+        |  round(theta, 6) AS theta, var_reduction_pct
+        |FROM arm CROSS JOIN t ORDER BY variant""".stripMargin,
+
+    // DiD replay: 6-dp decimal value mass per (treated, post) cell,
+    // four fixed-shape mean divisions, one composed estimate
+    "x_did" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 1 AS tr, ts >= TIMESTAMP '2024-01-16' AS po,
+        |    CAST(round(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE NOT tr AND NOT po) AS BIGINT) AS n_c_pre,
+        |    sum(v) FILTER (WHERE NOT tr AND NOT po) AS s_c_pre,
+        |    CAST(count(*) FILTER (WHERE NOT tr AND po) AS BIGINT) AS n_c_post,
+        |    sum(v) FILTER (WHERE NOT tr AND po) AS s_c_post,
+        |    CAST(count(*) FILTER (WHERE tr AND NOT po) AS BIGINT) AS n_t_pre,
+        |    sum(v) FILTER (WHERE tr AND NOT po) AS s_t_pre,
+        |    CAST(count(*) FILTER (WHERE tr AND po) AS BIGINT) AS n_t_post,
+        |    sum(v) FILTER (WHERE tr AND po) AS s_t_post
+        |  FROM b)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / n_c_pre, 6) AS mean_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / n_c_post, 6) AS mean_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / n_t_pre, 6) AS mean_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / n_t_post, 6) AS mean_t_post,
+        |  round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre) -
+        |        (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre), 6) AS did
+        |FROM g""".stripMargin,
 
     // KM replay: distinct-duration at-risk frame, the identical
     // ascending prefix-product fold (bit-stable, no rounding)

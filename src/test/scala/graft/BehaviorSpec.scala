@@ -356,6 +356,60 @@ class BehaviorSpec extends SparkSpec {
     assert(b.isNullAt(4) && b.isNullAt(5), "one active day: no variance")
   }
 
+  test("cuped: hand-computed theta, adjusted means, variance reduction") {
+    import spark.implicits._
+    // y ~ 2x + arm effect: pooled moments give theta = 2 exactly;
+    // both arms share mean_x = 3 = global mean, so adjustment leaves
+    // the means unchanged here (the covariate is balanced) while
+    // rho^2 = 1024/1088 -> 94.117647% variance reduction
+    val df = Seq(("ctrl", 2L, 4L), ("ctrl", 4L, 8L),
+      ("treat", 2L, 5L), ("treat", 4L, 9L)).toDF("variant", "x", "y")
+    val out = Behavior.cuped(df, "variant", "x", "y").collect()
+    val ctrl = out(0); val treat = out(1)
+    assert(ctrl.getString(0) === "ctrl" && ctrl.getLong(1) === 2L)
+    assert(ctrl.getDouble(2) === 6.0 && ctrl.getDouble(3) === 6.0)
+    assert(treat.getDouble(2) === 7.0 && treat.getDouble(3) === 7.0)
+    assert(ctrl.getDouble(4) === 2.0)           // theta
+    assert(ctrl.getDouble(5) === 94.117647)     // 100 * 16/17
+  }
+
+  test("cuped: unbalanced covariate shifts the adjusted means toward parity") {
+    import spark.implicits._
+    // treat got luckier pre-period traffic (higher x): raw mean_y
+    // overstates the effect; CUPED subtracts theta*(mean_x_arm - xbar)
+    val df = Seq(("ctrl", 1L, 2L), ("ctrl", 3L, 6L),
+      ("treat", 5L, 11L), ("treat", 7L, 15L)).toDF("variant", "x", "y")
+    val out = Behavior.cuped(df, "variant", "x", "y").collect()
+    val rawGap = out(1).getDouble(2) - out(0).getDouble(2)
+    val adjGap = out(1).getDouble(3) - out(0).getDouble(3)
+    assert(rawGap === 9.0)
+    assert(adjGap < rawGap, s"adjustment must shrink the confounded gap ($adjGap)")
+  }
+
+  test("cuped: zero covariate variance yields null theta, raw means kept") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 3L), ("b", 1L, 5L)).toDF("variant", "x", "y")
+    val out = Behavior.cuped(df, "variant", "x", "y").collect()
+    assert(out.forall(_.isNullAt(4)))
+    assert(out.forall(r => r.isNullAt(3))) // adj mean undefined without theta
+  }
+
+  test("diffInDiff: hand-computed four-cell estimate") {
+    import spark.implicits._
+    val df = Seq(
+      (false, false, 1.0), (false, false, 3.0),  // ctrl pre: mean 2
+      (false, true, 2.0), (false, true, 4.0),    // ctrl post: mean 3
+      (true, false, 1.0), (true, false, 5.0),    // treat pre: mean 3
+      (true, true, 6.0), (true, true, 8.0)       // treat post: mean 7
+    ).toDF("tr", "po", "v")
+    val r = Behavior.diffInDiff(df, "tr", "po", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 3.0)
+    assert(r.getDouble(6) === 3.0 && r.getDouble(7) === 7.0)
+    assert(r.getDouble(8) === 3.0) // (7-3) - (3-2)
+  }
+
   test("kaplanMeier: textbook hand-computed curve with censoring") {
     import spark.implicits._
     // 6 subjects: events at t=1,3,3; censored at t=2,3,4
