@@ -1256,6 +1256,107 @@ object Eval {
       .orderBy(col("alpha"))
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995,
+    * JRSS-B 57(1)): given m hypotheses with p-values, reject the
+    * smallest k where k = max{i : p_(i) <= i*q/m} — the standard
+    * multiple-testing correction for experiment platforms scoring
+    * many metrics at once (plain per-metric alpha inflates false
+    * positives linearly in m). `q` is passed as the RATIONAL
+    * qNum/qDen so the acceptance test cross-multiplies to
+    * p * m * qDen <= i * qNum in exact decimal/integer arithmetic —
+    * no float threshold, bit-stable on any engine (the q_tpch17/22
+    * discipline). Returns one row per hypothesis: (id, p, rank,
+    * qualifies, significant) — `qualifies` is the raw per-rank test,
+    * `significant` the BH closure (everything at or below the LAST
+    * qualifying rank, including interior non-qualifiers).
+    *
+    * Scale shape: the rank window is global but over the HYPOTHESIS
+    * frame — m is the number of metrics under test (dozens to
+    * thousands), never event volume; ties order by (p, id) so ranks
+    * are deterministic. One window + one 1-row broadcast max.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+            qNum: Long, qDen: Long): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum < qDen,
+      s"bhFdr: q must be a rational in (0,1), got $qNum/$qDen")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      round(col(pCol).cast("double"), 6).cast("decimal(18,6)").as("p"))
+    val w = Window.orderBy(col("p").asc, col("id").asc)
+    val ranked = base
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__m"))))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("qualifies",
+        col("p") * col("__m") * lit(qDen) <= col("rank") * lit(qNum))
+    val kmax = ranked.agg(
+      coalesce(max(when(col("qualifies"), col("rank"))), lit(0))
+        .as("__kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("id"), col("p").cast("double").as("p"), col("rank"),
+        col("qualifies"),
+        (col("rank") <= col("__kmax")).as("significant"))
+      .orderBy(col("rank"))
+  }
+
+  /** Chi-square goodness-of-fit against expected RATIONAL shares —
+    * the sample-ratio-mismatch (SRM) guardrail (Fabijan et al. 2019,
+    * KDD "Diagnosing Sample Ratio Mismatch"): an A/B split that was
+    * supposed to be 1:1 but isn't invalidates every downstream
+    * readout before any metric is looked at. Expected shares are
+    * (name -> (num, den)) rationals so E_i = N*num/den is one exact
+    * integer ratio evaluated in a fixed double shape. Returns one row
+    * per expected group: (group, n_obs, n_exp, term) plus the global
+    * stat / dof / srm_flag (stat > critValue) repeated per row.
+    * Groups observed in the data but absent from `expected` raise at
+    * plan-composition time via the unmatched-count guard column.
+    *
+    * Scale shape: one hash aggregate to |groups| rows, all else on
+    * that frame — event volume is touched exactly once.
+    */
+  def chi2GoF(df: DataFrame, groupCol: String,
+              expected: Seq[(String, (Long, Long))],
+              critValue: Double): DataFrame = {
+    require(expected.size >= 2, "chi2GoF: need at least 2 expected groups")
+    require(expected.forall { case (_, (n, d)) => n > 0 && d > 0 },
+      "chi2GoF: expected shares must be positive rationals")
+    val obs = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n_obs"))
+    val exp = expected.map { case (g, (n, d)) =>
+      struct(lit(g).as("group"), lit(n).as("num"), lit(d).as("den"))
+    }
+    val expDf = obs.sparkSession.range(1)
+      .select(explode(array(exp: _*)).as("e")).select(col("e.*"))
+    // unmatched observed groups would silently vanish from the stat:
+    // surface them loudly instead (lazy raise, the abTest discipline)
+    val joined = obs.join(expDf, Seq("group"), "full_outer")
+      .withColumn("n_obs",
+        when(col("num").isNull, raise_error(concat(
+          lit("chi2GoF: observed group '"), col("group"),
+          lit("' has no expected share"))).cast("long"))
+        .otherwise(coalesce(col("n_obs"), lit(0L))))
+    val total = joined.agg(sum(col("n_obs")).as("__N"))
+    val terms = joined.crossJoin(broadcast(total))
+      .withColumn("n_exp",
+        col("__N").cast("double") * col("num").cast("double") /
+          col("den").cast("double"))
+      .withColumn("__term",
+        // each term is a fixed double shape; present at 9 dp and sum
+        // in DECIMAL so the stat is order-independent across any
+        // partitioning of the groups frame
+        round((col("n_obs").cast("double") - col("n_exp")) *
+          (col("n_obs").cast("double") - col("n_exp")) / col("n_exp"), 9))
+    val stat = terms.agg(
+      round(sum(col("__term").cast("decimal(28,9)")).cast("double"), 6)
+        .as("stat"),
+      (count(lit(1)) - 1L).as("dof"))
+    terms.crossJoin(broadcast(stat))
+      .select(col("group"), col("n_obs"),
+        round(col("n_exp"), 6).as("n_exp"),
+        round(col("__term"), 6).as("term"),
+        col("stat"), col("dof"),
+        (col("stat") > critValue).as("srm_flag"))
+      .orderBy(col("group"))
+  }
+
   /** Confident-learning label-noise estimate (Northcutt, Jiang &
     * Chuang 2021, JAIR 70 "Confident Learning", arXiv:1911.00068
     * sec. 3): with per-class predicted probabilities p_j and given

@@ -1189,6 +1189,35 @@ private[graft] object AnalyticsQueries {
       graft.ext.Behavior.retention(events(s, d), "user_id", "ts_us",
         maxOffsetDays = 30)),
 
+    "x_fdr" -> ((s, d) => {
+      // Benjamini-Hochberg over 20 per-source "metric p-values" —
+      // FNV-millionth buckets are EXACT 6-dp decimals; even-bucket
+      // sources get a /100-scaled signal p (bucket%10000/1e6), odd
+      // stay null-uniform, so the closure rejects a real mixed set.
+      // Acceptance cross-multiplies p*m*qDen <= rank*qNum exactly
+      val bucket = pmod(graft.functions.VectorExpressions.fnv1a64(
+        concat(col("source"), lit(":7"))), lit(1000000L))
+      val p = when(pmod(col("__b"), lit(2)) === 0,
+          pmod(col("__b"), lit(10000)).cast("double") / lit(1000000.0))
+        .otherwise(col("__b").cast("double") / lit(1000000.0))
+      graft.ext.Eval.bhFdr(
+        t(s, d, "documents").select(col("source")).distinct()
+          .withColumn("__b", bucket).withColumn("p", p),
+        "source", "p", qNum = 1L, qDen = 5L)
+    }),
+
+    "x_srm" -> ((s, d) =>
+      // sample-ratio-mismatch guardrail: event traffic by user parity
+      // against the intended 1:1 split — exact-rational expected
+      // counts, 9-dp decimal term sums, chi2 vs the df=1 5% critical
+      // value. The parity split is near-perfect, so srm_flag = false
+      // is the EXPECTED healthy readout
+      graft.ext.Eval.chi2GoF(
+        events(s, d).select(pmod(col("user_id"), lit(2)).cast("string")
+          .as("arm")),
+        "arm", Seq("0" -> ((1L, 2L)), "1" -> ((1L, 2L))),
+        critValue = 3.841)),
+
     "x_cuped" -> ((s, d) => {
       // CUPED on the event stream: per-user pre-period activity count
       // (Jan 1-15) as the covariate, post-period count as the metric,
@@ -2726,6 +2755,55 @@ private[graft] object AnalyticsQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
         |FROM p WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // BH replay: FNV p-values, exact cross-multiplied acceptance,
+    // rank window over the 20-hypothesis frame, closure via max rank
+    "x_fdr" ->
+      s"""WITH src AS (SELECT DISTINCT source FROM documents),
+         |h AS (
+         |  SELECT source,
+         |    ${fnvSql("(coalesce(CAST(source AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
+         |  FROM src),
+         |b AS (
+         |  SELECT source,
+         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS bk
+         |  FROM h),
+         |p AS (
+         |  SELECT source AS id,
+         |    CAST(CASE WHEN bk % 2 = 0 THEN CAST(bk % 10000 AS DOUBLE) / 1000000.0
+         |              ELSE CAST(bk AS DOUBLE) / 1000000.0 END AS DECIMAL(18,6)) AS p
+         |  FROM b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM p),
+         |r AS (
+         |  SELECT id, p, CAST(row_number() OVER (ORDER BY p, id) AS INTEGER) AS rank, mm
+         |  FROM p CROSS JOIN m),
+         |q AS (SELECT id, p, rank, p * mm * 5 <= rank * 1 AS qualifies FROM r),
+         |k AS (SELECT coalesce(max(CASE WHEN qualifies THEN rank END), 0) AS kmax FROM q)
+         |SELECT id, CAST(p AS DOUBLE) AS p, rank, qualifies, rank <= kmax AS significant
+         |FROM q CROSS JOIN k ORDER BY rank""".stripMargin,
+
+    // SRM replay: exact-rational expected counts, 9-dp decimal term
+    // sums, the same fixed chi2 shape and flag
+    "x_srm" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS "group",
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS N FROM o),
+        |t AS (
+        |  SELECT "group", n_obs,
+        |    CAST(N AS DOUBLE) * 1 / 2 AS n_exp,
+        |    round((CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * 1 / 2) *
+        |          (CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * 1 / 2) /
+        |          (CAST(N AS DOUBLE) * 1 / 2), 9) AS term
+        |  FROM o CROSS JOIN n),
+        |s AS (
+        |  SELECT round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS stat,
+        |    CAST(count(*) - 1 AS BIGINT) AS dof
+        |  FROM t)
+        |SELECT "group", n_obs, round(n_exp, 6) AS n_exp, round(term, 6) AS term,
+        |  stat, dof, stat > 3.841 AS srm_flag
+        |FROM t CROSS JOIN s ORDER BY "group"""".stripMargin,
 
     // CUPED replay: same per-user pre/post counts, HUGEINT moments,
     // fixed-shape theta / adjusted-mean / rho^2 arithmetic

@@ -700,6 +700,67 @@ class EvalSpec extends SparkSpec {
       Eval.conformal(df, "s", "cal", Seq(0.1, 0.1)))
   }
 
+  test("bhFdr: hand-computed rejection set at q = 1/4") {
+    // thresholds i*q/m = 0.0625*i: 0.01<=0.0625 yes, 0.02<=0.125 yes,
+    // 0.2<=0.1875 no, 0.9<=0.25 no -> kmax=2
+    val df = Seq(("m1", 0.01), ("m2", 0.02), ("m3", 0.2), ("m4", 0.9))
+      .toDF("id", "p")
+    val out = Eval.bhFdr(df, "id", "p", 1L, 4L).collect()
+    assert(out.map(r => (r.getString(0), r.getBoolean(4))).toSeq ===
+      Seq(("m1", true), ("m2", true), ("m3", false), ("m4", false)))
+  }
+
+  test("bhFdr: the closure sweeps up interior non-qualifying ranks") {
+    // rank 2 (0.13 > 0.125) fails its OWN test but rank 3 qualifies
+    // (0.14 <= 0.1875), so BH rejects ranks 1..3 including rank 2
+    val df = Seq(("a", 0.01), ("b", 0.13), ("c", 0.14), ("d", 0.9))
+      .toDF("id", "p")
+    val out = Eval.bhFdr(df, "id", "p", 1L, 4L).collect()
+    assert(out.map(_.getBoolean(3)).toSeq ===
+      Seq(true, false, true, false))      // raw per-rank tests
+    assert(out.map(_.getBoolean(4)).toSeq ===
+      Seq(true, true, true, false))       // closure
+  }
+
+  test("bhFdr: nothing qualifies -> nothing significant; bad q rejected") {
+    val df = Seq(("a", 0.5), ("b", 0.9)).toDF("id", "p")
+    val out = Eval.bhFdr(df, "id", "p", 1L, 20L).collect()
+    assert(out.forall(!_.getBoolean(4)))
+    intercept[IllegalArgumentException](Eval.bhFdr(df, "id", "p", 5L, 4L))
+  }
+
+  test("chi2GoF: hand-computed SRM stat and flag") {
+    // 30/10 against 1:1 -> E = 20 each, terms 5 + 5, stat 10 > 3.841
+    val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("arm")
+    val out = Eval.chi2GoF(df, "arm",
+      Seq("a" -> ((1L, 2L)), "b" -> ((1L, 2L))), critValue = 3.841)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).toSeq ===
+      Seq(("a", 30L, 20.0, 5.0), ("b", 10L, 20.0, 5.0)))
+    assert(out.forall(r => r.getDouble(4) === 10.0 && r.getLong(5) === 1L
+      && r.getBoolean(6)))
+  }
+
+  test("chi2GoF: an expected group with zero observations contributes E") {
+    val df = Seq("a", "a").toDF("arm")
+    val out = Eval.chi2GoF(df, "arm",
+      Seq("a" -> ((1L, 2L)), "b" -> ((1L, 2L))), critValue = 3.841)
+      .collect()
+    // N=2, E=1 each: terms (2-1)^2/1 = 1 and (0-1)^2/1 = 1 -> stat 2
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 0L)))
+    assert(out.forall(r => r.getDouble(4) === 2.0 && !r.getBoolean(6)))
+  }
+
+  test("chi2GoF: an observed group missing from expected raises loudly") {
+    val df = Seq("a", "b", "zz").toDF("arm")
+    val e = intercept[Exception](
+      Eval.chi2GoF(df, "arm",
+        Seq("a" -> ((1L, 2L)), "b" -> ((1L, 2L))), 3.841).collect())
+    assert(e.getMessage.contains("no expected share"))
+  }
+
   test("labelNoise: hand-computed confident joint with one flipped label") {
     // a-threshold = mean pa over given-a = (0.9+0.7+0.1)/3 = 0.566667
     // (the mislabeled row 5 drags it down); b-threshold =
