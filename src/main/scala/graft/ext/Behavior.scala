@@ -511,6 +511,44 @@ object Behavior {
           (mean("c_post") - mean("c_pre")), 6).as("did"))
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Technometrics;
+    * Aalen 1978, Ann. Stat.): H(t) = sum_{t' <= t} d_t'/n_t' over the
+    * same at-risk frame as [[kaplanMeier]] — the additive counterpart
+    * of KM's product (H ~ -ln S for small increments), preferred when
+    * hazard INCREMENTS are the readout (failure-rate-over-time
+    * monitoring). Returns (t, n_risk, n_event, n_censored, hazard).
+    *
+    * Determinism: each increment d/n is one IEEE division of exact
+    * integers presented at 9 dp; the cumulative sum runs in DECIMAL
+    * over the DISTINCT-duration frame (order-independent, no fold
+    * needed — sums commute where products don't), final value at
+    * 6 dp. Same calendar-bounded window class as kaplanMeier.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val base = df.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("e"))
+    val grouped = base.groupBy(col("t")).agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("n_censored"))
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grouped
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__N"))))
+      .withColumn("n_risk", col("__N") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("__h", round(
+        col("n_event").cast("double") / col("n_risk").cast("double"), 9)
+        .cast("decimal(28,9)"))
+      .withColumn("hazard",
+        round(sum(col("__h")).over(wCum).cast("double"), 6))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        col("hazard"))
+      .orderBy(col("t"))
+  }
+
   /** Burstiness per key: the Fano factor (index of dispersion,
     * sample-variance / mean) of the daily event-count series — 1 for
     * a Poisson arrival process, ≫1 for bursty traffic (incident

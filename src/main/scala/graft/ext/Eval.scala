@@ -1314,12 +1314,24 @@ object Eval {
     */
   def chi2GoF(df: DataFrame, groupCol: String,
               expected: Seq[(String, (Long, Long))],
-              critValue: Double): DataFrame = {
+              critValue: Double): DataFrame =
+    chi2GoFFromCounts(
+      df.groupBy(col(groupCol).cast("string").as("group"))
+        .agg(count(lit(1)).as("n_obs")),
+      expected, critValue)
+
+  /** Counts-based core of [[chi2GoF]]: observations arrive as a
+    * (group, n_obs) count frame — the mergeable state a streaming
+    * complete-mode aggregate emits, so a stream can accumulate arm
+    * counts and this closure prices the SRM verdict once per batch
+    * (q_stream_srm; the conformalFromCounts pattern).
+    */
+  def chi2GoFFromCounts(obs: DataFrame,
+                        expected: Seq[(String, (Long, Long))],
+                        critValue: Double): DataFrame = {
     require(expected.size >= 2, "chi2GoF: need at least 2 expected groups")
     require(expected.forall { case (_, (n, d)) => n > 0 && d > 0 },
       "chi2GoF: expected shares must be positive rationals")
-    val obs = df.groupBy(col(groupCol).cast("string").as("group"))
-      .agg(count(lit(1)).as("n_obs"))
     val exp = expected.map { case (g, (n, d)) =>
       struct(lit(g).as("group"), lit(n).as("num"), lit(d).as("den"))
     }

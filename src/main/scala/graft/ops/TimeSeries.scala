@@ -360,4 +360,33 @@ object TimeSeries {
       .select("day", "cnt", "dow", "trend", "seasonal", "residual")
       .orderBy("day")
   }
+
+  /** OHLC bars (the candlestick summary): per (key, bucket) the
+    * first/last/max/min observed value (epoch unit-agnostic: pass
+    * seconds or micros with a matching bucketSize) — open and close picked by
+    * min_by/max_by AGGREGATES on the (epoch, value) pair, not a
+    * window, so the plan is one hash aggregate with map-side partial
+    * combine and no per-row ranking. Ties at the same timestamp break
+    * by value (the struct's second field), so bars are deterministic
+    * under any partitioning even with duplicate-epoch readings.
+    * Values pass through untouched (no sums — open/high/low/close are
+    * SELECTED readings), n counts the bar's observations.
+    */
+  def ohlc(df: DataFrame, keyCol: String, epochCol: String,
+           valueCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "ohlc: bucketSize must be positive")
+    val base = df.select(col(keyCol).as("key"),
+      slotOf(col(epochCol), bucketSize).as("bucket"),
+      col(epochCol).cast("long").as("es"),
+      col(valueCol).cast("double").as("v"))
+    base.groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), struct(col("es"), col("v"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), struct(col("es"), col("v"))).as("close"))
+      .select(col("key"), col("bucket"), col("n"), col("open"),
+        col("high"), col("low"), col("close"))
+      .orderBy(col("key"), col("bucket"))
+  }
 }

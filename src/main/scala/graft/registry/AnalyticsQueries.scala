@@ -1260,6 +1260,26 @@ private[graft] object AnalyticsQueries {
           (col("o_orderstatus") === "F").as("ev")),
         "dur", "ev")),
 
+    "x_hazard" -> ((s, d) =>
+      // Nelson-Aalen cumulative hazard over the same censored
+      // durations as x_kaplan_meier — additive counterpart of the KM
+      // product: 9-dp increment terms summed in DECIMAL over the
+      // distinct-duration frame (sums commute; no fold needed)
+      graft.ext.Behavior.nelsonAalen(
+        t(s, d, "orders").select(
+          pmod(col("o_orderkey"), lit(53)).as("dur"),
+          (col("o_orderstatus") === "F").as("ev")),
+        "dur", "ev")),
+
+    "x_ohlc" -> ((s, d) =>
+      // hourly candlesticks of the event value per type: open/close
+      // by min_by/max_by on the (micro-epoch, value) pair — ONE hash
+      // aggregate, no window, duplicate-timestamp ties break by value
+      graft.ops.TimeSeries.ohlc(
+        events(s, d).select(col("event_type"),
+          expr("unix_micros(ts_us)").as("eus"), col("value")),
+        "event_type", "eus", "value", bucketSize = 3600000000L)),
+
     "q_transitions" -> ((s, d) =>
       // first-order Markov transition matrix of the event stream:
       // (from, to) counts + per-source-state probability (one lead
@@ -2868,6 +2888,52 @@ private[graft] object AnalyticsQueries {
         |  round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre) -
         |        (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre), 6) AS did
         |FROM g""".stripMargin,
+
+    // Nelson-Aalen replay: same at-risk frame as KM, 9-dp increment
+    // terms, DECIMAL cumulative sum, 6-dp presentation
+    "x_hazard" ->
+      """WITH b AS (
+        |  SELECT o_orderkey % 53 AS t, o_orderstatus = 'F' AS e FROM orders),
+        |g AS (
+        |  SELECT t, CAST(count(*) FILTER (WHERE e) AS BIGINT) AS n_event,
+        |    CAST(count(*) FILTER (WHERE NOT e) AS BIGINT) AS n_censored
+        |  FROM b GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b),
+        |r AS (
+        |  SELECT t, n_event, n_censored,
+        |    CAST(N - coalesce(sum(n_event + n_censored) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |f AS (
+        |  SELECT t, n_risk, n_event, n_censored,
+        |    CAST(round(CAST(n_event AS DOUBLE) / n_risk, 9) AS DECIMAL(28,9)) AS h
+        |  FROM r)
+        |SELECT t, n_risk, n_event, n_censored,
+        |  round(CAST(sum(h) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS hazard
+        |FROM f ORDER BY t""".stripMargin,
+
+    // OHLC replay: same micro-epoch buckets; open/close via
+    // (es, v)-ordered row_number — the window equivalent of the
+    // engine's min_by/max_by struct ordering
+    "x_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, epoch_us(ts) AS es, value AS v FROM events),
+        |b AS (
+        |  SELECT key, es // 3600000000 * 3600000000 AS bucket, es, v FROM e),
+        |rn AS (
+        |  SELECT key, bucket, v,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY es, v) AS ra,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY es DESC, v DESC) AS rd
+        |  FROM b),
+        |agg AS (
+        |  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    max(v) AS high, min(v) AS low
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.key, a.bucket, a.n, o.v AS open, a.high, a.low, c.v AS close
+        |FROM agg a
+        |JOIN (SELECT key, bucket, v FROM rn WHERE ra = 1) o USING (key, bucket)
+        |JOIN (SELECT key, bucket, v FROM rn WHERE rd = 1) c USING (key, bucket)
+        |ORDER BY key, bucket""".stripMargin,
 
     // KM replay: distinct-duration at-risk frame, the identical
     // ascending prefix-product fold (bit-stable, no rounding)

@@ -295,6 +295,36 @@ private[graft] object StreamingQueries {
       graft.ext.Eval.mannWhitney(s.read.parquet(s"$tmp/out"), "auc_binned")
     }),
 
+    "q_stream_srm" -> ((s, d) => {
+      // STREAMING SRM GUARDRAIL: the chi2 goodness-of-fit state is one
+      // counter per arm — the minimal mergeable state — accumulated in
+      // COMPLETE mode across any micro-batch schedule; the shared
+      // chi2GoFFromCounts closure prices the verdict on the sink. In
+      // production this is the "did the bucketing service break"
+      // monitor that pages BEFORE anyone reads a metric.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "events").schema
+      val tmp = scratchDir("graft-ssrm")
+      stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+      val armCounts = stream
+        .groupBy(pmod(col("user_id"), lit(2)).cast("string").as("group"))
+        .agg(count(lit(1)).as("n_obs"))
+      val q = armCounts.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      graft.ext.Eval.chi2GoFFromCounts(
+        s.read.parquet(s"$tmp/out"),
+        Seq("0" -> ((1L, 2L)), "1" -> ((1L, 2L))), critValue = 3.841)
+    }),
+
     "q_stream_conformal" -> ((s, d) => {
       // STREAMING CONFORMAL CALIBRATOR: conformal's calibration state
       // is the distinct-6-dp-score count table — mergeable counters,
@@ -640,6 +670,29 @@ private[graft] object StreamingQueries {
     // streamed bin counts == batch bin counts (mergeable O(nBins)
     // state), then the identical Mann-Whitney closure — plain batch
     // replay of the binned AUC
+    // streamed arm counters == batch parity counts: the replay is
+    // x_srm's SQL verbatim (one-pass == any micro-batch schedule)
+    "q_stream_srm" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS "group",
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS N FROM o),
+        |t AS (
+        |  SELECT "group", n_obs,
+        |    CAST(N AS DOUBLE) * 1 / 2 AS n_exp,
+        |    round((CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * 1 / 2) *
+        |          (CAST(n_obs AS DOUBLE) - CAST(N AS DOUBLE) * 1 / 2) /
+        |          (CAST(N AS DOUBLE) * 1 / 2), 9) AS term
+        |  FROM o CROSS JOIN n),
+        |s AS (
+        |  SELECT round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS stat,
+        |    CAST(count(*) - 1 AS BIGINT) AS dof
+        |  FROM t)
+        |SELECT "group", n_obs, round(n_exp, 6) AS n_exp, round(term, 6) AS term,
+        |  stat, dof, stat > 3.841 AS srm_flag
+        |FROM t CROSS JOIN s ORDER BY "group"""".stripMargin,
+
     // streamed calibration counts == batch split counts, so the
     // replay is the batch conformal on the same even/odd halves
     "q_stream_conformal" ->

@@ -432,6 +432,17 @@ class BehaviorSpec extends SparkSpec {
       (4L, 1L, 0L, 1L, s1 * 0.5)))
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard on the KM fixture") {
+    import spark.implicits._
+    // increments: t=1 1/6, t=2 0/5, t=3 2/4, t=4 0/1 (9-dp terms)
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (3L, false), (4L, false)).toDF("dur", "ev")
+    val out = Behavior.nelsonAalen(df, "dur", "ev").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+      === Seq((1L, 6L, 0.166667), (2L, 5L, 0.166667),
+        (3L, 4L, 0.666667), (4L, 1L, 0.666667)))
+  }
+
   test("kaplanMeier: no censoring degrades to the empirical survivor function") {
     import spark.implicits._
     val df = Seq((1L, true), (2L, true), (3L, true), (4L, true))

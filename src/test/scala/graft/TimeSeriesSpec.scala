@@ -183,4 +183,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getDouble(4)).toSeq ===
       Seq(-1.0, -1.5, 1.5, 1.0, 0.0, -1.0, -1.5, 1.5, 1.0))
   }
+  test("ohlc: open/close by (epoch, value) order, duplicate-epoch ties by value") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 10L, 5.0), ("A", 20L, 9.0), ("A", 20L, 1.0), // bucket 0
+      ("A", 3601L, 7.0),                                 // bucket 3600
+      ("B", 5L, 2.0)
+    ).toDF("k", "es", "v")
+    val out = TimeSeries.ohlc(df, "k", "es", "v", bucketSize = 3600L)
+      .collect()
+    val rows = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // bucket 0: open = es10 -> 5; close = max (es, v) = (20, 9) -> 9
+    // (the (20, 1) duplicate-epoch reading loses the value tie-break)
+    assert(rows.toSeq === Seq(
+      ("A", 0L, 3L, 5.0, 9.0, 1.0, 9.0),
+      ("A", 3600L, 1L, 7.0, 7.0, 7.0, 7.0),
+      ("B", 0L, 1L, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  test("ohlc: single-reading bar has open = close = high = low") {
+    import spark.implicits._
+    val out = TimeSeries.ohlc(Seq(("x", 100L, 3.5)).toDF("k", "es", "v"),
+      "k", "es", "v", bucketSize = 60L).collect()(0)
+    assert(out.getLong(1) === 60L && out.getLong(2) === 1L)
+    assert((3 to 6).forall(i => out.getDouble(i) === 3.5))
+  }
+
 }

@@ -60,7 +60,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_conformal" -> "rank-threshold cumsum over 6-dp DISTINCT-score groups (Eval.conformal, auc bounded-domain contract)",
     "q_stream_conformal" -> "conformalFromCounts closure over the streamed <= 998-distinct-score count sink (same frame as x_conformal)",
     "x_kaplan_meier" -> "at-risk cumsum over DISTINCT day-grained durations (calendar-bounded; Behavior.kaplanMeier)",
-    "x_fdr" -> "BH rank over the HYPOTHESIS frame (|metrics under test| rows, never event volume; Eval.bhFdr)"
+    "x_fdr" -> "BH rank over the HYPOTHESIS frame (|metrics under test| rows, never event volume; Eval.bhFdr)",
+    "x_hazard" -> "at-risk + hazard cumsums over DISTINCT day-grained durations (calendar-bounded; Behavior.nelsonAalen)"
   )
 
   private val excluded = Set(
