@@ -373,7 +373,17 @@ object TimeSeries {
     * SELECTED readings), n counts the bar's observations.
     */
   def ohlc(df: DataFrame, keyCol: String, epochCol: String,
-           valueCol: String, bucketSize: Long): DataFrame = {
+           valueCol: String, bucketSize: Long): DataFrame =
+    ohlcAgg(df, keyCol, epochCol, valueCol, bucketSize)
+      .orderBy(col("key"), col("bucket"))
+
+  /** The unsorted aggregate core of [[ohlc]] — every output column is
+    * a MERGEABLE declarative aggregate (count / min / max /
+    * min_by / max_by), so the same frame runs as a streaming
+    * complete-mode aggregate maintaining live bars (q_stream_ohlc).
+    */
+  def ohlcAgg(df: DataFrame, keyCol: String, epochCol: String,
+              valueCol: String, bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "ohlc: bucketSize must be positive")
     val base = df.select(col(keyCol).as("key"),
       slotOf(col(epochCol), bucketSize).as("bucket"),
@@ -387,6 +397,5 @@ object TimeSeries {
         max_by(col("v"), struct(col("es"), col("v"))).as("close"))
       .select(col("key"), col("bucket"), col("n"), col("open"),
         col("high"), col("low"), col("close"))
-      .orderBy(col("key"), col("bucket"))
   }
 }

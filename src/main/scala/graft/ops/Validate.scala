@@ -198,6 +198,48 @@ object Validate {
       .drop("__edges")
   }
 
+  /** Weighted discrete percentiles: the smallest value whose
+    * CUMULATIVE WEIGHT reaches ceil(p * W_total) — the token-weighted
+    * cousin of [[quantileBins]]'s type-1 edges ("the median document
+    * BY TOKEN MASS", where a plain row median over a corpus of mixed
+    * 10-token tweets and 100k-token books answers the wrong question).
+    * Weights must be positive integers (rows with null/non-positive
+    * weight are excluded); the returned value is an ACTUAL data value
+    * selected by pure integer weight-rank logic — engine-replayable
+    * byte-for-byte, no interpolation ambiguity. One row per requested
+    * p: (p, value).
+    *
+    * Scale shape: one hash aggregate to the DISTINCT-value frame
+    * (weights summed in exact long), a cumulative window over that
+    * frame (the quantileBins memory class), |ps| target picks via the
+    * prev_cum < rk <= cum predicate — never a row-level sort or rank.
+    */
+  def weightedPercentiles(df: DataFrame, valueCol: String,
+                          weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "weightedPercentiles: need at least one p")
+    require(ps.forall(p => p > 0 && p <= 1),
+      s"weightedPercentiles: ps must be in (0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"weightedPercentiles: duplicate ps in $ps")
+    val counts = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("__wc"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__wc")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("__wc")).as("__W"))))
+    val targets = ps.map(p => struct(lit(p).as("p"),
+      ceil(lit(p) * col("__W").cast("double")).cast("long").as("rk")))
+    cum.select(col("v"), col("__wc"), col("__cum"),
+        explode(array(targets: _*)).as("__t"))
+      .filter(col("__cum") >= col("__t.rk") &&
+        col("__cum") - col("__wc") < col("__t.rk"))
+      .select(col("__t.p").as("p"), col("v").as("value"))
+      .orderBy(col("p"))
+  }
+
   /** Declarative data-contract suite (the Deequ/Great-Expectations
     * shape): a list of named expectations evaluated over a frame,
     * one row per rule with its violation count and pass flag. Row-wise

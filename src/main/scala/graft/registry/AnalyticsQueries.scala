@@ -1361,6 +1361,14 @@ private[graft] object AnalyticsQueries {
         .orderBy("day", "event_type")
     }),
 
+    "x_weighted_pct" -> ((s, d) =>
+      // token-mass-weighted percentiles: price distribution weighted
+      // by quantity — the "median BY MASS, not by row" readout; pure
+      // integer weight-rank picks over the distinct-value frame
+      graft.ops.Validate.weightedPercentiles(
+        t(s, d, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.95))),
+
     "q_quantile_bins" -> ((s, d) =>
       // equal-frequency discretizer: exact-percentile edges broadcast,
       // codegen'd comparison-sum assignment — no global sort (the
@@ -3049,6 +3057,27 @@ private[graft] object AnalyticsQueries {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // weighted-percentile replay: distinct-value cumulative weights,
+    // the prev_cum < rk <= cum pick at ceil(p*W)
+    "x_weighted_pct" ->
+      """WITH c AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wc
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT v, wc,
+        |    sum(wc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT CAST(sum(wc) AS BIGINT) FROM c) AS W
+        |  FROM c),
+        |t AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p)
+        |SELECT t.p, min(w.v) AS value
+        |FROM t JOIN w
+        |  ON w.cum >= CAST(ceil(t.p * CAST(w.W AS DOUBLE)) AS BIGINT)
+        | AND w.cum - w.wc < CAST(ceil(t.p * CAST(w.W AS DOUBLE)) AS BIGINT)
+        |GROUP BY t.p ORDER BY t.p""".stripMargin,
 
     "q_quantile_bins" -> {
       // discrete (type-1) edges selected by INTEGER rank — replays the

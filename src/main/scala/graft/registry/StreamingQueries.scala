@@ -295,6 +295,37 @@ private[graft] object StreamingQueries {
       graft.ext.Eval.mannWhitney(s.read.parquet(s"$tmp/out"), "auc_binned")
     }),
 
+    "q_stream_ohlc" -> ((s, d) => {
+      // STREAMING CANDLESTICKS: ohlc's whole state is per-(key,
+      // bucket) {count, min/max value, min_by/max_by (epoch, value)
+      // pairs} — all five are MERGEABLE declarative aggregates, so
+      // the stream maintains live bars in COMPLETE mode across any
+      // micro-batch schedule (state bounded by keys x observed
+      // hours). One AvailableNow pass == the batch bars, so the
+      // oracle is x_ohlc's replay verbatim.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sch = t(s, d, "events").schema
+      val tmp = scratchDir("graft-sohlc")
+      stageDrop(s"$d/events.parquet", s"$tmp/in", "events.parquet")
+      val stream = graft.streaming.StreamSync
+        .readParquetStream(ss, s"$tmp/in", sch)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("eus"),
+          col("value"))
+      val bars = graft.ops.TimeSeries.ohlcAgg(stream,
+        "event_type", "eus", "value", bucketSize = 3600000000L)
+      val q = bars.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("key", "bucket")
+    }),
+
     "q_stream_srm" -> ((s, d) => {
       // STREAMING SRM GUARDRAIL: the chi2 goodness-of-fit state is one
       // counter per arm — the minimal mergeable state — accumulated in
@@ -670,6 +701,27 @@ private[graft] object StreamingQueries {
     // streamed bin counts == batch bin counts (mergeable O(nBins)
     // state), then the identical Mann-Whitney closure — plain batch
     // replay of the binned AUC
+    // streamed complete-mode bars == batch bars: x_ohlc's replay
+    "q_stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, epoch_us(ts) AS es, value AS v FROM events),
+        |b AS (
+        |  SELECT key, es // 3600000000 * 3600000000 AS bucket, es, v FROM e),
+        |rn AS (
+        |  SELECT key, bucket, v,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY es, v) AS ra,
+        |    row_number() OVER (PARTITION BY key, bucket ORDER BY es DESC, v DESC) AS rd
+        |  FROM b),
+        |agg AS (
+        |  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    max(v) AS high, min(v) AS low
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.key, a.bucket, a.n, o.v AS open, a.high, a.low, c.v AS close
+        |FROM agg a
+        |JOIN (SELECT key, bucket, v FROM rn WHERE ra = 1) o USING (key, bucket)
+        |JOIN (SELECT key, bucket, v FROM rn WHERE rd = 1) c USING (key, bucket)
+        |ORDER BY key, bucket""".stripMargin,
+
     // streamed arm counters == batch parity counts: the replay is
     // x_srm's SQL verbatim (one-pass == any micro-batch schedule)
     "q_stream_srm" ->

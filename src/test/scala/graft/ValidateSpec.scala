@@ -238,4 +238,34 @@ class ValidateSpec extends SparkSpec {
   test("benford: expectation constants sum to exactly one million") {
     assert(Validate.benfordE6.values.sum === 1000000L)
   }
+
+  test("weightedPercentiles: mass-weighted median differs from the row median") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,8: W=10, median target ceil(5)=5
+    // -> cumulative weights 1,2,10 -> value 3 (the row median is 2)
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 8L)).toDF("v", "w")
+    val out = Validate.weightedPercentiles(df, "v", "w", Seq(0.5)).collect()
+    assert(out.length === 1 && out(0).getDouble(1) === 3.0)
+  }
+
+  test("weightedPercentiles: boundary targets and exclusion rules") {
+    import spark.implicits._
+    // weights 2,3,5: cum 2,5,10. p=0.2 -> rk 2 -> v1; p=0.5 -> rk 5
+    // -> v2 (exactly at the boundary); p=1.0 -> rk 10 -> v3.
+    // The null-weight and zero-weight rows must not shift anything.
+    val df = Seq((1.0, Some(2L)), (2.0, Some(3L)), (3.0, Some(5L)),
+      (0.5, Some(0L)), (9.9, Option.empty[Long])).toDF("v", "w")
+    val out = Validate.weightedPercentiles(df, "v", "w",
+      Seq(0.2, 0.5, 1.0)).collect()
+    assert(out.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ===
+      Seq((0.2, 1.0), (0.5, 2.0), (1.0, 3.0)))
+  }
+
+  test("weightedPercentiles: uniform weights reproduce discrete quantiles") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 1L)).toDF("v", "w")
+    val out = Validate.weightedPercentiles(df, "v", "w",
+      Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.map(_.getDouble(1)).toSeq === Seq(25.0, 50.0, 75.0))
+  }
 }

@@ -61,7 +61,8 @@ class WindowGuardSpec extends SparkSpec {
     "q_stream_conformal" -> "conformalFromCounts closure over the streamed <= 998-distinct-score count sink (same frame as x_conformal)",
     "x_kaplan_meier" -> "at-risk cumsum over DISTINCT day-grained durations (calendar-bounded; Behavior.kaplanMeier)",
     "x_fdr" -> "BH rank over the HYPOTHESIS frame (|metrics under test| rows, never event volume; Eval.bhFdr)",
-    "x_hazard" -> "at-risk + hazard cumsums over DISTINCT day-grained durations (calendar-bounded; Behavior.nelsonAalen)"
+    "x_hazard" -> "at-risk + hazard cumsums over DISTINCT day-grained durations (calendar-bounded; Behavior.nelsonAalen)",
+    "x_weighted_pct" -> "cumulative weights over DISTINCT values (Validate.weightedPercentiles, quantileBins memory class)"
   )
 
   private val excluded = Set(
