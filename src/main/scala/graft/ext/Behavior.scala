@@ -511,6 +511,43 @@ object Behavior {
           (mean("c_post") - mean("c_pre")), 6).as("did"))
   }
 
+  /** Two-proportion power check (normal-approximation sample-size
+    * formula, e.g. Fleiss, Levin & Paik 2003 ch. 4): given the
+    * OBSERVED arm rates, the per-arm n required to detect that gap at
+    * the caller's z quantiles — n = (z_a+z_b)^2 (p_a q_a + p_b q_b) /
+    * (p_a - p_b)^2 — plus a `powered` verdict (is the smaller arm at
+    * or above it). The "was this test even capable of seeing the
+    * effect it saw" readout that belongs NEXT TO the [[abTest]] z
+    * statistic: an unpowered non-significant test says nothing. z
+    * values are caller policy passed as constants (1.959964 =
+    * two-sided 5%, 0.841621 = 80% power) — no erf anywhere, the
+    * statistic stays data.
+    *
+    * Determinism / scale: builds on [[abTest]]'s per-user dedup +
+    * exact integer counts (one user-keyed aggregate, 2-arm lazy
+    * guard); the formula is one fixed double shape per row, ceil'd to
+    * a long. Equal observed rates have no finite n -> null
+    * required_n_per_arm, null powered.
+    */
+  def powerCheck(df: DataFrame, variantCol: String, userCol: String,
+                 convertedCol: String,
+                 zAlpha: Double = 1.959964,
+                 zBeta: Double = 0.841621): DataFrame = {
+    val ab = abTest(df, variantCol, userCol, convertedCol)
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    // (z_a + z_b) summed/squared HERE in the same IEEE shape the
+    // oracle writes out literally
+    val z2 = lit((zAlpha + zBeta) * (zAlpha + zBeta))
+    val need = ceil(z2 * (pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb)) /
+      ((pb - pa) * (pb - pa))).cast("long")
+    ab.select(col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"), col("rate_a"), col("rate_b"),
+      when(pa =!= pb, need).as("required_n_per_arm"),
+      when(pa =!= pb, least(na, nb) >= need).as("powered"))
+  }
+
   /** Nelson–Aalen cumulative hazard (Nelson 1972, Technometrics;
     * Aalen 1978, Ann. Stat.): H(t) = sum_{t' <= t} d_t'/n_t' over the
     * same at-risk frame as [[kaplanMeier]] — the additive counterpart

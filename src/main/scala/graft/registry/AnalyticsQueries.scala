@@ -1341,6 +1341,19 @@ private[graft] object AnalyticsQueries {
             col("event_type") === "purchase" && col("value") > 90),
         "variant", "user_id", "converted")),
 
+    "x_power" -> ((s, d) =>
+      // power check beside the q_ab_test readout: per-arm n required
+      // to detect the OBSERVED rate gap at two-sided 5% / 80% power,
+      // and whether the smaller arm reaches it — exact counts through
+      // one fixed double shape, no erf
+      graft.ext.Behavior.powerCheck(
+        events(s, d)
+          .withColumn("variant",
+            when(col("user_id") % 2 === 0, "A").otherwise("B"))
+          .withColumn("converted",
+            col("event_type") === "purchase" && col("value") > 90),
+        "variant", "user_id", "converted")),
+
     "q_rollup_maintain" -> ((s, d) => {
       // incremental-view maintenance: the stored (day, type) rollup of
       // prior syncs merges with the new batch's partial aggregate by
@@ -3051,6 +3064,33 @@ private[graft] object AnalyticsQueries {
         |      (1 - (conv_a + conv_b) / (n_a + n_b)) *
         |      ((1.0 / n_a) + (1.0 / n_b))), 6) AS z
         |FROM a, b""".stripMargin,
+
+    // power replay: the same per-user dedup and arm counts as
+    // q_ab_test, then the sample-size formula in the same IEEE shape
+    "x_power" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pv AS (SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv FROM u GROUP BY v),
+        |a AS (SELECT v AS variant_a, n AS n_a, conv AS conv_a FROM pv ORDER BY v LIMIT 1),
+        |b AS (SELECT v AS variant_b, n AS n_b, conv AS conv_b FROM pv ORDER BY v DESC LIMIT 1),
+        |j AS (
+        |  SELECT variant_a, variant_b, n_a, n_b,
+        |    round(conv_a / n_a, 6) AS rate_a, round(conv_b / n_b, 6) AS rate_b,
+        |    conv_a / n_a AS pa, conv_b / n_b AS pb
+        |  FROM a, b),
+        |k AS (
+        |  SELECT *,
+        |    CAST(ceil(((1.959964 + 0.841621) * (1.959964 + 0.841621)) *
+        |      (pa * (1.0 - pa) + pb * (1.0 - pb)) /
+        |      ((pb - pa) * (pb - pa))) AS BIGINT) AS need
+        |  FROM j)
+        |SELECT variant_a, variant_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, rate_a, rate_b,
+        |  CASE WHEN pa != pb THEN need END AS required_n_per_arm,
+        |  CASE WHEN pa != pb THEN least(CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE)) >= need END AS powered
+        |FROM k""".stripMargin,
 
     "q_rollup_maintain" ->
       """SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,

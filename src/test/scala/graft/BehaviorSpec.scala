@@ -432,6 +432,32 @@ class BehaviorSpec extends SparkSpec {
       (4L, 1L, 0L, 1L, s1 * 0.5)))
   }
 
+  test("powerCheck: hand-computed required n and the unpowered verdict") {
+    import spark.implicits._
+    // A: 4 users 1 conv (0.25), B: 4 users 3 conv (0.75)
+    val df = Seq(
+      (0L, "A", true), (2L, "A", false), (4L, "A", false), (6L, "A", false),
+      (1L, "B", true), (3L, "B", true), (5L, "B", true), (7L, "B", false)
+    ).toDF("user_id", "variant", "converted")
+    val r = Behavior.powerCheck(df, "variant", "user_id", "converted")
+      .collect()(0)
+    // need = ceil(z2 * (pq_a + pq_b) / gap^2) computed in the same
+    // IEEE shape the operator uses
+    val z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    val expect = math.ceil(z2 * (0.25 * 0.75 + 0.75 * 0.25) / 0.25).toLong
+    assert(r.getLong(6) === expect && expect === 12L)
+    assert(!r.getBoolean(7)) // 4 per arm < 12: unpowered
+  }
+
+  test("powerCheck: equal observed rates have no finite n") {
+    import spark.implicits._
+    val df = Seq((0L, "A", true), (2L, "A", false),
+      (1L, "B", true), (3L, "B", false)).toDF("user_id", "variant", "converted")
+    val r = Behavior.powerCheck(df, "variant", "user_id", "converted")
+      .collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
+
   test("nelsonAalen: hand-computed cumulative hazard on the KM fixture") {
     import spark.implicits._
     // increments: t=1 1/6, t=2 0/5, t=3 2/4, t=4 0/1 (9-dp terms)

@@ -62,7 +62,8 @@ class WindowGuardSpec extends SparkSpec {
     "x_kaplan_meier" -> "at-risk cumsum over DISTINCT day-grained durations (calendar-bounded; Behavior.kaplanMeier)",
     "x_fdr" -> "BH rank over the HYPOTHESIS frame (|metrics under test| rows, never event volume; Eval.bhFdr)",
     "x_hazard" -> "at-risk + hazard cumsums over DISTINCT day-grained durations (calendar-bounded; Behavior.nelsonAalen)",
-    "x_weighted_pct" -> "cumulative weights over DISTINCT values (Validate.weightedPercentiles, quantileBins memory class)"
+    "x_weighted_pct" -> "cumulative weights over DISTINCT values (Validate.weightedPercentiles, quantileBins memory class)",
+    "x_power" -> "abTest's 2-arm lazy guard count over the post-agg per-arm frame (|variants| rows; q_ab_test's frame)"
   )
 
   private val excluded = Set(
