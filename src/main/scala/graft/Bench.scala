@@ -56,7 +56,13 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for local iteration; the
-    // driver sets no filter and benches everything
+    // driver sets no filter and benches everything.
+    // SPARK_GRAFT_BENCH_TIER=headline is the turnkey ISOLATED headline
+    // run (r12, VERDICT #3b): the 25-row trend tier in its own fresh
+    // JVM, written to its own record, so the round-over-round basis is
+    // not polluted by 270+ other rows' GC/disk pressure in the full run
+    val tierHeadline =
+      sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("headline")
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     // TWO-TIER reporting (r11, VERDICT #5): the curated HEADLINE tier —
@@ -102,6 +108,7 @@ object Bench {
     val diskWarnGb = sys.env.getOrElse("SPARK_GRAFT_BENCH_DISK_WARN_GB", "20").toDouble
     val detail = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !tierHeadline || headline.contains(name) }
       .map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -168,10 +175,25 @@ object Bench {
     // truncation made every prior round's line unparseable.) Stdout gets
     // ONE compact line: total + the slowest queries, trimmed to fit the
     // tail budget with room for sbt's "[success] ..." epilogue.
+    // Record routing (r12, VERDICT #3a): only an UNFILTERED run may
+    // write the official BENCH_FULL.json — a filtered adjudication run
+    // clobbered the r11 official record and forced a re-run. Filtered
+    // runs land in BENCH_FILTERED.json (scratch, freely clobberable);
+    // the isolated headline tier gets its own durable BENCH_HEADLINE
+    // record that full runs never touch. REPS/DISK follow the basename
+    // so benchdiff --reps finds the right raw timings for each record.
+    val base =
+      if (tierHeadline) "BENCH_HEADLINE"
+      else if (only.isDefined) "BENCH_FILTERED"
+      else "BENCH_FULL"
+    val repsFile =
+      if (base == "BENCH_FULL") "BENCH_REPS.json" else s"${base}_REPS.json"
+    val diskFile =
+      if (base == "BENCH_FULL") "BENCH_DISK.json" else s"${base}_DISK.json"
     try {
-      val fw = new java.io.FileWriter("BENCH_FULL.json")
+      val fw = new java.io.FileWriter(s"$base.json")
       fw.write(jsonLine(results) + "\n"); fw.close()
-      val fr = new java.io.FileWriter("BENCH_REPS.json")
+      val fr = new java.io.FileWriter(repsFile)
       fr.write(detail.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
       }.mkString("{", ",", "}") + "\n")
@@ -179,7 +201,7 @@ object Bench {
       // per-row free-disk trace (same order the rows ran): lets a soak
       // reviewer attribute a slow row to its own work vs a neighbor's
       // leftover spill without re-running the whole suite
-      val fd = new java.io.FileWriter("BENCH_DISK.json")
+      val fd = new java.io.FileWriter(diskFile)
       fd.write(diskAfter.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v)
       }.mkString("{", ",", "}") + "\n")

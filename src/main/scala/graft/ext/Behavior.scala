@@ -462,7 +462,10 @@ object Behavior {
     val varyN = nd(col("n") * col("syy") - col("sy") * col("sy"))
     val withTheta = byArm.crossJoin(broadcast(m.select(
       col("n").as("__n"), col("sx").as("__sx"),
-      when(varxN > 0, covN / varxN).as("theta"),
+      // degenerate CUPED (constant covariate): theta = 0, so mean_adj
+      // falls back to the unadjusted mean instead of nulling the
+      // readout; var_reduction_pct stays null (nothing was reduced)
+      coalesce(when(varxN > 0, covN / varxN), lit(0.0)).as("theta"),
       when(varxN > 0 && varyN > 0,
         round(lit(100.0) * (covN * covN) / (varxN * varyN), 6))
         .as("var_reduction_pct"))))

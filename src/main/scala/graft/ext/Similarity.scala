@@ -381,8 +381,11 @@ object Similarity {
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
                     dIn: Int, kOut: Int): DataFrame = {
     require(dIn >= 1 && kOut >= 1, s"randomProject: bad dims ($dIn, $kOut)")
-    val scaleBits = java.lang.Math.log(kOut.toDouble) / java.lang.Math.log(4.0)
-    require(scaleBits == scaleBits.floor,
+    // power-of-4 check in pure integer arithmetic (a log-ratio test is
+    // 1-ulp/libm-dependent and could mis-classify on another JVM):
+    // one set bit, at an even bit position <=> kOut = 4^m
+    require(Integer.bitCount(kOut) == 1 &&
+        Integer.numberOfTrailingZeros(kOut) % 2 == 0,
       s"randomProject: kOut must be a power of 4 for an exact 1/sqrt scale, got $kOut")
     val scale = 1.0 / math.sqrt(kOut.toDouble) // exact: kOut = 4^m
     val yj = (0 until kOut).map { j =>

@@ -186,6 +186,9 @@ object TimeSeries {
     * rows, never a shuffle. S, n, and the tie counters are exact
     * integers; Var(S) is one division by 18 and Z one division by a
     * sqrt, identical in any replay. Returns one row: (n, s, var_s, z).
+    * A fully-tied series (var_s = 0 after tie correction, which forces
+    * s = 0) reports z = 0 — the same "no trend" convention as the
+    * s = 0 branch — rather than a null.
     */
   def mannKendall(df: DataFrame, ordCol: String, cntCol: String): DataFrame = {
     val a = df.select(col(ordCol).as("ta"), col(cntCol).as("xa"))
@@ -208,7 +211,7 @@ object TimeSeries {
           (col("s") - 1).cast("double") / sqrt(col("var_s")))
         .when(col("var_s") > 0 && col("s") < 0,
           (col("s") + 1).cast("double") / sqrt(col("var_s")))
-        .when(col("var_s") > 0, lit(0.0)))
+        .otherwise(lit(0.0)))
       .select("n", "s", "var_s", "z")
   }
 
@@ -248,6 +251,9 @@ object TimeSeries {
     * dev_t = n·x_t − T is an integer, so r_k = Σ dev_t·dev_{t+k} /
     * Σ dev_t² is a ratio of exact integer sums — one double division
     * per lag, bit-identical in any replay (the n² factors cancel).
+    * The squared-deviation sums are widened to decimal(38,0) before
+    * summing (dev ~ n·x_t, so dev² overflows long well before the
+    * inputs do — the cuped/spearman moment discipline).
     *
     * Pairs come from a bounded non-equi self-join of the
     * post-aggregate frame (calendar-bounded, broadcast); the only
@@ -260,7 +266,8 @@ object TimeSeries {
       .withColumn("t", row_number().over(Window.orderBy(col(ordCol))).cast("long"))
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("total", sum(col(cntCol)).over(all))
-      .withColumn("dev", col("n") * col(cntCol) - col("total"))
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col(cntCol) - col("total"))
     val den = indexed.agg(sum(col("dev") * col("dev")).as("den"))
       .withColumn("k", lit(1))
     val aSide = indexed.select(col("t").as("ta"), col("dev").as("da"))

@@ -213,6 +213,14 @@ object Validate {
     * (weights summed in exact long), a cumulative window over that
     * frame (the quantileBins memory class), |ps| target picks via the
     * prev_cum < rk <= cum predicate — never a row-level sort or rank.
+    *
+    * Rank exactness: each p is read back through its SHORTEST decimal
+    * representation (the number the caller typed — 0.95 means 95/100,
+    * not the nearest binary double) and the ⌈p·W⌉ rank test is
+    * CROSS-MULTIPLIED (cum·den >= num·W over decimal(38,0)) so no
+    * division or float ever enters the pick — a double ceil(p*W) can
+    * land one ulp above the exact rational and shift the selected
+    * rank by a whole weight class.
     */
   def weightedPercentiles(df: DataFrame, valueCol: String,
                           weightCol: String, ps: Seq[Double]): DataFrame = {
@@ -230,12 +238,26 @@ object Validate {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("__cum", sum(col("__wc")).over(w))
       .crossJoin(broadcast(counts.agg(sum(col("__wc")).as("__W"))))
-    val targets = ps.map(p => struct(lit(p).as("p"),
-      ceil(lit(p) * col("__W").cast("double")).cast("long").as("rk")))
-    cum.select(col("v"), col("__wc"), col("__cum"),
+    val targets = ps.map { p =>
+      // shortest-decimal num/den: BigDecimal.valueOf goes through
+      // Double.toString, so 0.95 -> 95/100 exactly, never the binary
+      // approximation the double carries
+      val bd = java.math.BigDecimal.valueOf(p).stripTrailingZeros
+      val scl = math.max(bd.scale, 0)
+      val den = java.math.BigDecimal.TEN.pow(scl).longValueExact
+      val num = bd.movePointRight(scl).longValueExact
+      struct(lit(p).as("p"), lit(num).as("num"), lit(den).as("den"))
+    }
+    // cum >= ceil(num*W/den) <=> cum*den >= num*W for integer cum, and
+    // prev_cum < ceil(num*W/den) <=> prev_cum*den < num*W — so the pick
+    // needs no division at all; decimal(38,0) products cannot overflow
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    cum.select(col("v"), col("__wc"), col("__cum"), col("__W"),
         explode(array(targets: _*)).as("__t"))
-      .filter(col("__cum") >= col("__t.rk") &&
-        col("__cum") - col("__wc") < col("__t.rk"))
+      .filter(d38(col("__cum")) * col("__t.den") >=
+          d38(col("__t.num")) * col("__W") &&
+        d38(col("__cum") - col("__wc")) * col("__t.den") <
+          d38(col("__t.num")) * col("__W"))
       .select(col("__t.p").as("p"), col("v").as("value"))
       .orderBy(col("p"))
   }

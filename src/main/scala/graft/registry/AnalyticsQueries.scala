@@ -2866,8 +2866,9 @@ private[graft] object AnalyticsQueries {
         |  FROM a),
         |t AS (
         |  SELECT n AS gn, sx AS gsx,
-        |    CASE WHEN n * sxx - sx * sx > 0
-        |         THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    COALESCE(CASE WHEN n * sxx - sx * sx > 0
+        |         THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END,
+        |      CAST(0 AS DOUBLE)) AS theta,
         |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |         THEN round(100.0 * CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
         |              (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS var_reduction_pct
@@ -3099,7 +3100,9 @@ private[graft] object AnalyticsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // weighted-percentile replay: distinct-value cumulative weights,
-    // the prev_cum < rk <= cum pick at ceil(p*W)
+    // the prev_cum < ceil(p*W) <= cum pick CROSS-MULTIPLIED in exact
+    // integer arithmetic (cum*den >= num*W), matching the engine —
+    // no float rank ever computed on either side
     "x_weighted_pct" ->
       """WITH c AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
@@ -3112,11 +3115,15 @@ private[graft] object AnalyticsQueries {
         |    sum(wc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
         |    (SELECT CAST(sum(wc) AS BIGINT) FROM c) AS W
         |  FROM c),
-        |t AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS p)
+        |t AS (SELECT CAST(p AS DOUBLE) AS p, num, den FROM (VALUES
+        |  (0.25, CAST(25 AS HUGEINT), CAST(100 AS HUGEINT)),
+        |  (0.5,  CAST(5 AS HUGEINT),  CAST(10 AS HUGEINT)),
+        |  (0.75, CAST(75 AS HUGEINT), CAST(100 AS HUGEINT)),
+        |  (0.95, CAST(95 AS HUGEINT), CAST(100 AS HUGEINT))) AS q(p, num, den))
         |SELECT t.p, min(w.v) AS value
         |FROM t JOIN w
-        |  ON w.cum >= CAST(ceil(t.p * CAST(w.W AS DOUBLE)) AS BIGINT)
-        | AND w.cum - w.wc < CAST(ceil(t.p * CAST(w.W AS DOUBLE)) AS BIGINT)
+        |  ON CAST(w.cum AS HUGEINT) * t.den >= t.num * w.W
+        | AND CAST(w.cum - w.wc AS HUGEINT) * t.den < t.num * w.W
         |GROUP BY t.p ORDER BY t.p""".stripMargin,
 
     "q_quantile_bins" -> {

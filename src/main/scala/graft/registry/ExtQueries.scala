@@ -3047,9 +3047,10 @@ private[graft] object ExtQueries {
         |  jaro_winkler_similarity(s_name, 'Supplier#000000000') AS jw_ref
         |FROM c ORDER BY s_suppkey""".stripMargin,
 
-    // ER replay: cross-join candidates with the same length+lev
-    // pre-filter as x_fuzzy_join, stock jaro_winkler_similarity
-    // scores (bit-exact vs the kernel), QUALIFY rank-1 per dirty key
+    // ER replay: deletion-signature blocked candidates (same complete
+    // SymSpell neighborhood as x_fuzzy_join's replay — no quadratic
+    // cross join), stock jaro_winkler_similarity scores (bit-exact vs
+    // the kernel), QUALIFY rank-1 per dirty key
     "x_er_resolve" ->
       """WITH p AS (
         |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
@@ -3059,13 +3060,27 @@ private[graft] object ExtQueries {
         |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
         |  FROM p WHERE p_partkey % 3 = 0),
         |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
+        |dsig AS (
+        |  SELECT dirty_key, dname,
+        |    unnest(list_append(
+        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
+        |      dname)) AS sig
+        |  FROM dirty),
+        |csig AS (
+        |  SELECT clean_key, ename,
+        |    unnest(list_append(
+        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
+        |      ename)) AS sig
+        |  FROM clean),
+        |blocked AS (
+        |  SELECT DISTINCT dirty_key, dname, clean_key, ename
+        |  FROM dsig JOIN csig USING (sig)),
         |cand AS (
         |  SELECT dirty_key, dname, clean_key, ename,
         |    CAST(levenshtein(dname, ename) AS INTEGER) AS dist,
         |    jaro_winkler_similarity(dname, ename) AS jw
-        |  FROM dirty, clean
-        |  WHERE abs(length(dname) - length(ename)) <= 1
-        |    AND levenshtein(dname, ename) <= 1)
+        |  FROM blocked
+        |  WHERE levenshtein(dname, ename) <= 1)
         |SELECT dirty_key, dname, clean_key AS matched_key, ename, dist, jw,
         |  dirty_key = clean_key AS correct
         |FROM cand
@@ -3318,6 +3333,11 @@ private[graft] object ExtQueries {
     // typo-join replay: identical adjacent-swap corruption, cross-join
     // candidates with the DL length prefilter, stock
     // damerau_levenshtein verifies (the kernel's reference semantics)
+    // typo-join replay with the SAME SymSpell deletion-signature
+    // blocking the engine uses (completeness for dl<=1 is an algorithm
+    // property, not an engine trick — see Linkage.scala's proof), so
+    // the oracle scales like the engine instead of |L|x|R|; stock
+    // damerau_levenshtein verifies each candidate
     "x_typo_join" ->
       """WITH p AS (
         |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
@@ -3328,12 +3348,26 @@ private[graft] object ExtQueries {
         |           substr(ename, CAST(p_partkey % 5 + 1 AS INTEGER), 1),
         |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
         |  FROM p WHERE p_partkey % 3 = 1),
-        |clean AS (SELECT p_partkey AS clean_key, ename FROM p)
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
+        |dsig AS (
+        |  SELECT dirty_key, dname,
+        |    unnest(list_append(
+        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
+        |      dname)) AS sig
+        |  FROM dirty),
+        |csig AS (
+        |  SELECT clean_key, ename,
+        |    unnest(list_append(
+        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
+        |      ename)) AS sig
+        |  FROM clean),
+        |cand AS (
+        |  SELECT DISTINCT dirty_key, clean_key, dname, ename
+        |  FROM dsig JOIN csig USING (sig))
         |SELECT dirty_key, clean_key, dname, ename,
         |  CAST(damerau_levenshtein(dname, ename) AS INTEGER) AS dl_dist
-        |FROM dirty, clean
-        |WHERE abs(length(dname) - length(ename)) <= 1
-        |  AND damerau_levenshtein(dname, ename) <= 1
+        |FROM cand
+        |WHERE damerau_levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
 
     // CUSUM replay: same integer prefix sums, same single sqrt shape;
@@ -3419,7 +3453,7 @@ private[graft] object ExtQueries {
         |SELECT n, s, var_s,
         |  CASE WHEN var_s > 0 AND s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
         |       WHEN var_s > 0 AND s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
-        |       WHEN var_s > 0 THEN 0.0 END AS z
+        |       ELSE CAST(0 AS DOUBLE) END AS z
         |FROM v""".stripMargin,
 
     // ACF replay: same n-scaled integer deviations and bounded
@@ -4147,6 +4181,10 @@ private[graft] object ExtQueries {
         |SELECT c.key, c.n, CAST(0 AS BIGINT) AS err, t.total
         |FROM c, t ORDER BY c.n DESC, c.key""".stripMargin,
 
+    // fuzzy-join replay via deletion-signature blocking: lev<=1 pairs
+    // are a subset of dl<=1 pairs, for which the SymSpell neighborhood
+    // is provably complete — so the blocked candidate set loses
+    // nothing, and the oracle stops being quadratic at scale
     "x_fuzzy_join" ->
       """WITH p AS (
         |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
@@ -4155,12 +4193,26 @@ private[graft] object ExtQueries {
         |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
         |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
         |  FROM p WHERE p_partkey % 3 = 0),
-        |clean AS (SELECT p_partkey AS clean_key, ename FROM p)
+        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
+        |dsig AS (
+        |  SELECT dirty_key, dname,
+        |    unnest(list_append(
+        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
+        |      dname)) AS sig
+        |  FROM dirty),
+        |csig AS (
+        |  SELECT clean_key, ename,
+        |    unnest(list_append(
+        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
+        |      ename)) AS sig
+        |  FROM clean),
+        |cand AS (
+        |  SELECT DISTINCT dirty_key, clean_key, dname, ename
+        |  FROM dsig JOIN csig USING (sig))
         |SELECT dirty_key, clean_key, dname, ename,
         |  CAST(levenshtein(dname, ename) AS INTEGER) AS dist
-        |FROM dirty, clean
-        |WHERE abs(length(dname) - length(ename)) <= 1
-        |  AND levenshtein(dname, ename) <= 1
+        |FROM cand
+        |WHERE levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
 
     // content checksum over the ORIGINAL parquet — must equal the

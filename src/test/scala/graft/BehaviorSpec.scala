@@ -386,12 +386,14 @@ class BehaviorSpec extends SparkSpec {
     assert(adjGap < rawGap, s"adjustment must shrink the confounded gap ($adjGap)")
   }
 
-  test("cuped: zero covariate variance yields null theta, raw means kept") {
+  test("cuped: zero covariate variance degrades to theta=0, raw means kept") {
     import spark.implicits._
     val df = Seq(("a", 1L, 3L), ("b", 1L, 5L)).toDF("variant", "x", "y")
     val out = Behavior.cuped(df, "variant", "x", "y").collect()
-    assert(out.forall(_.isNullAt(4)))
-    assert(out.forall(r => r.isNullAt(3))) // adj mean undefined without theta
+    assert(out.forall(_.getDouble(4) === 0.0))
+    // theta = 0 => mean_adj falls back to the unadjusted mean
+    assert(out.forall(r => r.getDouble(3) === r.getDouble(2)))
+    assert(out.forall(_.isNullAt(5))) // nothing was reduced
   }
 
   test("diffInDiff: hand-computed four-cell estimate") {

@@ -103,7 +103,7 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(2.0, 3.0, 4.0, 4.0))
   }
 
-  test("mannKendall: monotone series, sign symmetry, tie-degenerate null") {
+  test("mannKendall: monotone series, sign symmetry, tie-degenerate z=0") {
     val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("t", "c")
     val r = TimeSeries.mannKendall(up, "t", "c").collect()(0)
     assert((r.getLong(0), r.getLong(1)) === (3L, 3L))
@@ -113,10 +113,12 @@ class TimeSeriesSpec extends SparkSpec {
     val rd = TimeSeries.mannKendall(down, "t", "c").collect()(0)
     assert(rd.getLong(1) === -3L)
     assert(rd.getDouble(3) === -2.0 / math.sqrt(66.0 / 18.0))
-    // all-tied series: variance fully tie-corrected away -> z null
+    // all-tied series: variance fully tie-corrected away -> z = 0
+    // (the "no trend" convention, matching the s = 0 branch)
     val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("t", "c")
     val rf = TimeSeries.mannKendall(flat, "t", "c").collect()(0)
-    assert(rf.getLong(1) === 0L && rf.getDouble(2) === 0.0 && rf.isNullAt(3))
+    assert(rf.getLong(1) === 0L && rf.getDouble(2) === 0.0 &&
+      rf.getDouble(3) === 0.0)
   }
 
   test("acf: alternating series has hand-computed lag structure") {

@@ -141,9 +141,15 @@ if "load_avg" in new or "shm_free_gb" in new:
 # environment flag: median > 2x best rep means the run was contended —
 # the row's number is about the box, not the code
 if reps_path is None:
-    cand = os.path.join(os.path.dirname(os.path.abspath(new_path)) or ".",
-                        "BENCH_REPS.json")
-    reps_path = cand if os.path.exists(cand) else None
+    # prefer the record's OWN reps file (BENCH_HEADLINE.json ->
+    # BENCH_HEADLINE_REPS.json); BENCH_FULL keeps the legacy name
+    here = os.path.dirname(os.path.abspath(new_path)) or "."
+    stem = os.path.basename(new_path).rsplit(".json", 1)[0]
+    for cand in (os.path.join(here, f"{stem}_REPS.json"),
+                 os.path.join(here, "BENCH_REPS.json")):
+        if os.path.exists(cand):
+            reps_path = cand
+            break
 env_rows = []
 if reps_path:
     try:
