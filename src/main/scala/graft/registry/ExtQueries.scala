@@ -1539,6 +1539,24 @@ private[graft] object ExtQueries {
         .withColumn("format", lit("orc"))
     }),
 
+    "x_csv_roundtrip" -> ((s, d) =>
+      // text-sink quoting gauntlet (§2.7 Q48 read-back oracle): text
+      // decorated with every csv danger class — embedded comma, quote,
+      // newline, backslash, tab, and unchanged — keyed by doc_id, then
+      // written through the RFC-4180 csv sink and the FILE parsed back.
+      // The oracle replays the decoration over the parquet original, so
+      // a full row+schema+hash match proves Spark's quoting/escaping
+      // survived the write+parse trip for all five classes. (DuckDB
+      // read_csv parses the same engine-written file byte-identically —
+      // cross-engine evidence recorded in SCALE.md; the gate row stays
+      // self-contained so it never depends on a shared /tmp.)
+      textRoundtrip(s, d, "csv")),
+
+    "x_tsv_roundtrip" -> ((s, d) =>
+      // the same gauntlet through the tab-separated sink — the tab
+      // decoration class is the one that MUST force quoting here
+      textRoundtrip(s, d, "tsv")),
+
     "x_compact" -> ((s, d) => {
       // compaction round-trip: fragment documents into 32 small files,
       // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
@@ -1883,6 +1901,37 @@ private[graft] object ExtQueries {
       recOk.unionByName(contract).orderBy("check_name")
     })
   )
+
+  /** x_csv_roundtrip / x_tsv_roundtrip body: decorate documents.text
+    * with the six text-sink danger classes (comma, quote, newline,
+    * backslash, tab, unchanged — doc_id-keyed so the oracle replays it
+    * exactly), write through [[graft.sink.Sinks.write]]'s RFC-4180
+    * csv/tsv path to a deterministic row-count-keyed dir (distinct per
+    * SF, overwrite-idempotent per run, inspectable by an external
+    * reader for cross-engine parse evidence), then PARSE THE FILE BACK
+    * and return the rows — what the gate hashes is the post-trip
+    * content, not the pre-write frame.
+    */
+  private def textRoundtrip(s: SparkSession, d: String,
+                            format: String): DataFrame = {
+    val deco = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      concat(col("text"), element_at(array(
+          lit(",x"), lit("\"q\""), lit("\nL2"), lit("\\b"), lit("\tt"),
+          lit("")),
+        (col("doc_id") % 6 + 1).cast("int"))).as("text"))
+    val n = deco.count()
+    // no '=' in the dir name: Spark parses any `k=v` path segment as a
+    // hive partition column even on a direct read (the r-earlier
+    // CONFLICTING_PARTITION_COLUMN_NAMES lesson)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/n$n"
+    graft.sink.Sinks.write(deco, path, format)
+    s.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("sep", if (format == "tsv") "\t" else ",")
+      .schema(deco.schema)
+      .csv(path)
+      .orderBy("doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     // repetition replay: same tokenizer; n-gram counts over the shingle
@@ -4214,6 +4263,34 @@ private[graft] object ExtQueries {
         |FROM cand
         |WHERE levenshtein(dname, ename) <= 1
         |ORDER BY dirty_key, clean_key""".stripMargin,
+
+    // the same doc_id-keyed danger-class decoration over the parquet
+    // ORIGINAL — a full row+schema+hash match proves the engine's
+    // csv write+parse trip preserved commas/quotes/newlines/
+    // backslashes/tabs byte-for-byte ('\b' in a DuckDB standard
+    // string is literally backslash+b; chr(10)/chr(9) are the real
+    // control chars, never escape sequences)
+    "x_csv_roundtrip" ->
+      """SELECT doc_id, lang,
+        |  text || CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN ',x'
+        |    WHEN 1 THEN '"q"'
+        |    WHEN 2 THEN chr(10) || 'L2'
+        |    WHEN 3 THEN '\b'
+        |    WHEN 4 THEN chr(9) || 't'
+        |    ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_tsv_roundtrip" ->
+      """SELECT doc_id, lang,
+        |  text || CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN ',x'
+        |    WHEN 1 THEN '"q"'
+        |    WHEN 2 THEN chr(10) || 'L2'
+        |    WHEN 3 THEN '\b'
+        |    WHEN 4 THEN chr(9) || 't'
+        |    ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // content checksum over the ORIGINAL parquet — must equal the
     // engine's checksum of the ORC read-back

@@ -67,10 +67,16 @@ object Sinks {
     case "parquet" => df.write.mode(mode).parquet(path)
     case "orc" => df.write.mode(mode).orc(path)
     case "json" => df.write.mode(mode).json(path)
+    // escape = quote char => RFC-4180 "" doubling for embedded quotes
+    // (Spark's default backslash escaping is a dialect most other csv
+    // readers — DuckDB, pandas, BigQuery load — do not speak; the
+    // reference's pandas to_csv emits RFC-4180 too)
     case "csv" =>
-      flattenForText(df).write.mode(mode).option("header", "true").csv(path)
+      flattenForText(df).write.mode(mode).option("header", "true")
+        .option("escape", "\"").csv(path)
     case "tsv" =>
-      flattenForText(df).write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
+      flattenForText(df).write.mode(mode).option("header", "true")
+        .option("escape", "\"").option("sep", "\t").csv(path)
     case "xlsx" =>
       writeXlsx(df, if (path.endsWith(".xlsx")) path else s"$path.xlsx", mode = mode)
     case other =>

@@ -34,6 +34,25 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("csv sink writes RFC-4180: embedded quotes double, not backslash-escape") {
+    val base = Files.createTempDirectory("graft-rfc4180").toString
+    val tricky = Seq((1L, "he said \"hi\", twice"), (2L, "tab\there"),
+      (3L, "line1\nline2")).toDF("id", "txt")
+    Sinks.write(tricky, s"$base/csv", "csv")
+    val raw = new java.io.File(s"$base/csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    // RFC-4180: " inside a quoted field doubles; backslash dialect would
+    // emit \" which DuckDB/pandas/BQ readers misparse
+    assert(raw.contains("\"he said \"\"hi\"\", twice\""), s"raw csv was:\n$raw")
+    assert(!raw.contains("\\\""), "backslash-escaped quote leaked into csv")
+    val back = spark.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .schema(tricky.schema).csv(s"$base/csv")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(back.toSeq === Seq("he said \"hi\", twice", "tab\there", "line1\nline2"))
+  }
+
   test("flattenForText JSON-encodes nested columns, passes scalars through") {
     import org.apache.spark.sql.functions._
     val nested = df.withColumn("s", struct(lit(1).as("a"), lit("x").as("b")))
