@@ -634,6 +634,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIterations rounds " +
           "(component diameter exceeds maxIterations); raise maxIterations")
+    // one line per invocation: the round count is the scale-health
+    // signal (it tracks component diameter, which bucket caps bound) —
+    // a soak that converges in 3 rounds at 1x and 12 at 100x is telling
+    // you the corruption density changed the graph shape
+    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
