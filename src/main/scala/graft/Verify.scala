@@ -34,6 +34,13 @@ object Verify {
     // without any recorded failure, and the gap was only caught by the
     // judge diffing round-over-round coverage
     val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // per-row wall time (seconds, includes the parquet dump): free
+    // timing evidence on every gate run — a 10x verify then carries its
+    // own per-row trend, so a "did this row get slower at scale" question
+    // is answered from the artifact instead of a fresh soak. Rows run
+    // 4-concurrent, so these are shared-JVM numbers: fine for trend and
+    // outlier-spotting, adjudicate suspects isolated as always.
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -46,9 +53,12 @@ object Verify {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         if (dest.exists()) rm(dest)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          timings.put(name, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           failures.put(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -78,6 +88,11 @@ object Verify {
     val failJson = failures.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    val timeJson = timings.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_timings.json"), timeJson)
     // input-schema manifest: the driver regenerates the testdata between
     // rounds and physical types have already rotated once (events.ts
     // TIMESTAMP(NANOS) → NTZ micros, which silently broke six queries in

@@ -917,7 +917,13 @@ private[graft] object ExtQueries {
       val pairs = graft.ext.Linkage.dlJoin(a, b, "na", "nb", k = 1)
         .filter(col("ida") < col("idb"))
         .select(col("ida").as("id_a"), col("idb").as("id_b"))
-      val cc = Dedup.connectedComponents(pairs, base.select(col("id")))
+      // maxIterations = 40: the 100x soak measured convergence at 14
+      // rounds (corruption density grows component diameter with the
+      // replica count), so the default 20 leaves thin headroom at the
+      // next scale step; the loop exits on convergence, so the higher
+      // cap costs nothing when the graph is shallow
+      val cc = Dedup.connectedComponents(pairs, base.select(col("id")),
+        maxIterations = 40)
       import org.apache.spark.sql.expressions.Window
       cc.select(col("id"), col("cluster_id"))
         .withColumn("cluster_size",
