@@ -98,18 +98,44 @@ object Flatten {
     * queries: nest `childDf` rows under `parentDf` as an array<struct>
     * column keyed by `key`. groupBy+collect_list — one shuffle, map-side
     * partial aggregation applies.
+    *
+    * `maxChildren` (None = unbounded, the test-harness default) caps
+    * the per-parent array: collect_list materializes each parent's
+    * children in ONE executor's aggregation buffer, so a hot parent key
+    * (one session with millions of events) is an OOM at scale, not a
+    * slow query. The cap ranks children per key BEFORE the collect
+    * (row_number over the struct's field order — deterministic, never
+    * partition-order-dependent; WindowExec buffers through a SPILLING
+    * sorter, so the hot key costs disk, not the agg buffer) and marks
+    * truncated parents in a `<as>_truncated` boolean so the loss is
+    * visible downstream, never silent.
     */
   def nestChild(
       parentDf: DataFrame,
       childDf: DataFrame,
       parentKey: String,
       childKey: String,
-      as: String
+      as: String,
+      maxChildren: Option[Int] = None
   ): DataFrame = {
+    maxChildren.foreach(m => require(m > 0, s"nestChild: bad cap $m"))
     val childStruct = struct(childDf.columns.filter(_ != childKey).map(col).toIndexedSeq: _*)
-    val nested = childDf
-      .groupBy(col(childKey).as("__k"))
-      .agg(collect_list(childStruct).as(as))
+    val nested = maxChildren match {
+      case None =>
+        childDf.groupBy(col(childKey).as("__k"))
+          .agg(collect_list(childStruct).as(as))
+      case Some(m) =>
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(childKey))
+        childDf
+          .withColumn("__s", childStruct)
+          .withColumn("__rn", row_number().over(byKey.orderBy(col("__s"))))
+          .withColumn("__n", count(lit(1)).over(byKey))
+          .filter(col("__rn") <= m)
+          .groupBy(col(childKey).as("__k"))
+          .agg(sort_array(collect_list(col("__s"))).as(as),
+            (max(col("__n")) > m).as(s"${as}_truncated"))
+    }
     parentDf.join(nested, parentDf(parentKey) === nested("__k"), "left").drop("__k")
   }
 }

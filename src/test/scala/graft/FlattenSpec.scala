@@ -29,6 +29,24 @@ class FlattenSpec extends SparkSpec {
     assert(!out.select("id").as[Int].collect().contains(3))
   }
 
+  test("nestChild maxChildren caps hot parents deterministically, flags the loss") {
+    val parent = Seq((1, "hot"), (2, "cool"), (3, "lonely")).toDF("id", "pname")
+    val child = Seq((1, 14, "c14"), (1, 12, "c12"), (1, 13, "c13"),
+      (1, 11, "c11"), (2, 20, "c20")).toDF("pid", "cid", "cname")
+    val out = Flatten.nestChild(parent, child, "id", "pid", "kids",
+        maxChildren = Some(3))
+      .orderBy("id").collect()
+    // hot parent: the 3 SMALLEST structs by field order (cid leads), flagged
+    val hotKids = out(0).getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0))
+    assert(hotKids === Seq(11, 12, 13))
+    assert(out(0).getBoolean(3))
+    // under-cap parent: all children, not flagged
+    assert(out(1).getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0)) === Seq(20))
+    assert(!out(1).getBoolean(3))
+    // childless parent: left join leaves null array + null flag
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
   test("explodeChild applies childPrefix like json_normalize meta_prefix") {
     val out = Flatten.explodeChild(nestedDf, "kids", Seq("id" -> "id"), childPrefix = "k_")
     assert(out.columns === Array("id", "k_cid", "k_cname"))
