@@ -203,6 +203,125 @@ object Similarity {
     cents
   }
 
+  /** Trained IVF seeding: k-means||-style oversampled initialization
+    * (Bahmani et al., "Scalable k-means++", VLDB 2012), derandomized
+    * so every run — and any replay — picks the same centers:
+    *
+    *  - the "sample each point with probability ∝ d²" step becomes the
+    *    Efraimidis–Spirakis weighted-reservoir rule (pick the top-ℓ by
+    *    key u^(1/w)) with u a pure FNV-hash uniform of (id, round)
+    *    instead of an RNG draw — same marginal shape, zero randomness;
+    *  - the final reduction over the bounded oversampled set is the
+    *    weight-greedy farthest-point sweep (Gonzalez 1985), each
+    *    candidate weighted by the corpus mass it attracts.
+    *
+    * Scale shape: `rounds` corpus passes, each a NARROW map (the
+    * running best-similarity column extends by ≤ ℓ inlined codegen'd
+    * dot kernels per round — candidates are driver-held and tiny) plus
+    * one top-ℓ TakeOrdered (ℓ rows to the driver); the weights pass is
+    * one [[assignCells]] + per-cell count (|cand| rows); the greedy
+    * sweep is driver-side over ≤ 1 + rounds·ℓ candidates. The corpus
+    * itself NEVER shuffles. Hand the result to [[refineCentroids]] for
+    * Lloyd polishing — this replaces only the INIT, which is what caps
+    * hash-seeded IVF recall at high nCells (hash seeds land ∝ data
+    * density, so sparse-but-real clusters can end up centroid-less;
+    * d²-weighted seeding reaches them by construction).
+    *
+    * Returns the [[coarseCentroids]] schema (cell 0..k-1, centroid
+    * array<double>), so it is a drop-in seeding swap. If deduped
+    * candidates come up short of k (tiny or duplicate-heavy corpora),
+    * the remainder is topped off from hash-seeded cell means.
+    */
+  def kmeansParallelInit(corpus: DataFrame, vecCol: String, idCol: String,
+                         k: Int, oversample: Int = 0,
+                         rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"kmeansParallelInit: bad k $k")
+    require(rounds >= 1 && rounds <= 8,
+      s"kmeansParallelInit: rounds must be in [1, 8], got $rounds")
+    val l = if (oversample > 0) oversample else math.max(2 * k, 2)
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("cv"))
+    def unitize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    // deterministic first center: the lowest-id vector
+    val firstRow = base.orderBy(col("id")).limit(1).collect()
+    require(firstRow.nonEmpty, "kmeansParallelInit: empty corpus")
+    val picked = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](
+      firstRow(0).getLong(0) -> firstRow(0).getSeq[Float](1).toArray)
+    // running best cosine vs the picked set: |cv| is per-row constant,
+    // so track best DOT against unit candidates and divide once
+    val nrm = sqrt(VectorExpressions.dotF(col("cv"), col("cv")))
+    var best: Column = VectorExpressions.dotF(col("cv"),
+      typedLit(unitize(picked.head._2)))
+    for (round <- 1 to rounds) {
+      val cos = when(nrm > 0, best / nrm).otherwise(lit(0.0))
+      val w = greatest(lit(1.0) - cos, lit(0.0))
+      // u in (0,1]: FNV of (id:round) folded to 1..2^20 over 2^20
+      val u = (pmod(VectorExpressions.fnv1a64(
+          concat(col("id").cast("string"), lit(":"), lit(round))),
+        lit(1048576L)) + 1).cast("double") / lit(1048576.0)
+      val key = when(w > 0, pow(u, lit(1.0) / w)).otherwise(lit(-1.0))
+      val fresh = base.select(col("id"), col("cv"), key.as("key"))
+        .filter(col("key") >= 0)
+        .orderBy(col("key").desc, col("id").asc)
+        .limit(l)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .filterNot { case (id, _) => picked.contains(id) }
+      if (fresh.nonEmpty) {
+        val kernels = fresh.map { case (_, v) =>
+          VectorExpressions.dotF(col("cv"), typedLit(unitize(v))) }
+        best = greatest((best +: kernels.toIndexedSeq): _*)
+        fresh.foreach { case (id, v) => picked.put(id, v) }
+      }
+    }
+    // weight each candidate by attracted corpus mass (one broadcast
+    // assign over the bounded candidate frame)
+    val candSeq = picked.values.toIndexedSeq
+    val candFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candSeq.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v.map(_.toDouble).toSeq) }, 1),
+      StructType(Seq(StructField("cell", LongType),
+        StructField("centroid", ArrayType(DoubleType)))))
+    val weights = assignCells(base, candFrame, "cv", "id")
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // weight-greedy farthest-point sweep on the driver (all-pairs over
+    // ≤ 1 + rounds·ℓ candidates): seed with the heaviest candidate,
+    // then repeatedly take argmax weight·(1 − maxCosToChosen)
+    val units = candSeq.map(unitize)
+    def cosUnits(a: Array[Float], b: Array[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val order = candSeq.indices
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      order.maxBy(i => (weights.getOrElse(i, 0L), -i)))
+    while (chosen.size < k && chosen.size < candSeq.size) {
+      val next = order.filterNot(chosen.contains)
+        .maxBy { i =>
+          val d = 1.0 - chosen.iterator.map(c => cosUnits(units(i), units(c))).max
+          (weights.getOrElse(i, 0L).toDouble * math.max(d, 0.0), -i.toDouble)
+        }
+      chosen += next
+    }
+    var cents = chosen.toIndexedSeq.map(i => candSeq(i).map(_.toDouble).toSeq)
+    if (cents.size < k) {
+      // top off from hash-seeded cell means (tiny/duplicate-heavy corpus)
+      val fill = coarseCentroids(corpus, vecCol, idCol, k)
+        .orderBy("cell").collect().map(_.getSeq[Double](1))
+      cents = (cents ++ fill).take(k)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v) }, 1),
+      StructType(Seq(StructField("cell", LongType),
+        StructField("centroid", ArrayType(DoubleType)))))
+  }
+
   /** Pin a centroid frame to a local (driver-materialized) DataFrame.
     * Centroid frames are tiny by contract (nCells rows) but EXPENSIVE
     * to produce — each recomputation is a full corpus mean pass (plus

@@ -259,6 +259,39 @@ private[graft] object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_ivf_trained_recall" -> ((s, d) => {
+      // trained-seeding IVF (k-means|| init, derandomized — closes the
+      // SCALE.md "full trained k-means remains the swap-in" trade-off):
+      // the same probe budget as x_ann_ivf_recall but centroids seeded
+      // by d²-weighted oversampling instead of id hashing. On these
+      // near-uniform synthetic embeddings the two seedings tie
+      // (measured 0.77-0.79 at sf0.001/0.01/0.1 — same 0.70 floor);
+      // the seeding's real advantage — sparse clusters that hash
+      // density never seeds — is pinned by SimilaritySpec's skewed
+      // 300/12/6 fixture. Structural contract gated beside recall:
+      // exactly nCells centroids, full 64-dim, all cells materialized.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val init = Similarity.kmeansParallelInit(e, "embedding", "vec_id",
+        k = 16)
+      val cents = Similarity.refineCentroids(e, init,
+        "embedding", "vec_id", iterations = 1)
+      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
+      val ivf = Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
+        k = 10, nProbe = 8)
+      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
+      val recallOk = Similarity.recallAtK(ivf, brute)
+        .agg((avg(col("recall")) >= 0.7).as("ok"))
+        .select(lit("trained_ivf_mean_recall10_ge_070").as("check_name"),
+          col("ok"))
+      val shapeOk = cents
+        .agg((count(lit(1)) === 16 &&
+          min(size(col("centroid"))) === 64 &&
+          max(size(col("centroid"))) === 64).as("ok"))
+        .select(lit("trained_centroids_shape").as("check_name"), col("ok"))
+      recallOk.unionByName(shapeOk).orderBy("check_name")
+    }),
+
     "x_ann_ivf_recall" -> ((s, d) => {
       // ORACLE-GATED quality bound for the approximate ANN paths: mean
       // recall@10 vs the exact brute force, computed ENGINE-side for
@@ -2376,6 +2409,11 @@ private[graft] object ExtQueries {
     "x_ann_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_mean_recall10_ge_070', TRUE),
         |  ('ivfpq_mean_recall10_ge_065', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_ann_ivf_trained_recall" ->
+      """SELECT * FROM (VALUES ('trained_centroids_shape', TRUE),
+        |  ('trained_ivf_mean_recall10_ge_070', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_ann_pq_recall" ->

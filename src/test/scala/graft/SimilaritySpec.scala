@@ -78,6 +78,48 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean below 0.9 (per-query: $recalls)")
   }
 
+  test("kmeansParallelInit: finds sparse clusters hash seeding misses, deterministic") {
+    val rnd = new scala.util.Random(11)
+    // skewed clusters (300 / 12 / 6 points): density-proportional hash
+    // seeding tends to spend all its seeds in the big cluster; the
+    // d2-weighted oversampling must reach the two sparse ones
+    val centers = Seq(
+      Array.fill(8)(rnd.nextGaussian().toFloat * 5),
+      Array.fill(8)(rnd.nextGaussian().toFloat * 5),
+      Array.fill(8)(rnd.nextGaussian().toFloat * 5))
+    val sizes = Seq(300, 12, 6)
+    val rows = for (c <- 0 until 3; i <- 0 until sizes(c)) yield
+      ((c * 1000 + i).toLong,
+        centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.2f))
+    val embs = rows.toDF("vec_id", "embedding")
+    val init = Similarity.kmeansParallelInit(embs, "embedding", "vec_id", k = 3)
+    assert(init.count() === 3)
+    val cents = Similarity.refineCentroids(embs, init,
+      "embedding", "vec_id", iterations = 1)
+    val assigned = Similarity.assignCells(embs, cents, "embedding", "vec_id")
+      .withColumn("truth", (col("corpus_id") / 1000).cast("int"))
+    // every true cluster must own at least one DISTINCT cell: no sparse
+    // cluster may be absorbed into the dense one's centroid
+    val cellsPerTruth = assigned.groupBy("truth")
+      .agg(countDistinct(col("cell")).as("nc"), count(lit(1)).as("n"))
+      .orderBy("truth").as[(Int, Long, Long)].collect()
+    assert(cellsPerTruth.map(_._3) === Array(300L, 12L, 6L))
+    // purity: each truth cluster's points agree on one cell, and the
+    // three clusters use three different cells
+    val majority = assigned.groupBy("truth", "cell").count()
+      .orderBy(col("count").desc).as[(Int, Long, Long)].collect()
+    val topPerTruth = majority.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.maxBy(_._3) }
+    assert(topPerTruth.values.map(_._2).toSet.size === 3,
+      s"clusters collapsed onto shared cells: ${majority.toSeq}")
+    assert(topPerTruth.values.map(_._3).sum >= 316,
+      s"purity too low: ${majority.toSeq}")
+    // determinism: a second run returns byte-identical centroids
+    val again = Similarity.kmeansParallelInit(embs, "embedding", "vec_id", k = 3)
+    assert(init.orderBy("cell").collect().toSeq ===
+      again.orderBy("cell").collect().toSeq)
+  }
+
   test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
