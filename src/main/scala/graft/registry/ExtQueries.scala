@@ -265,15 +265,15 @@ private[graft] object ExtQueries {
       // the same probe budget as x_ann_ivf_recall but centroids seeded
       // by d²-weighted oversampling instead of id hashing. On these
       // near-uniform synthetic embeddings the two seedings tie
-      // (measured 0.77-0.79 at sf0.001/0.01/0.1 — same 0.70 floor);
-      // the seeding's real advantage — sparse clusters that hash
-      // density never seeds — is pinned by SimilaritySpec's skewed
-      // 300/12/6 fixture. Structural contract gated beside recall:
-      // exactly nCells centroids, full 64-dim, all cells materialized.
+      // (rounds=2 measured 0.79-0.81 at sf0.001/0.01/0.1 — same 0.70
+      // floor); the seeding's real advantage — sparse clusters that
+      // hash density never seeds — is pinned by SimilaritySpec's
+      // skewed 300/12/6 fixture. Structural contract gated beside
+      // recall: exactly nCells centroids, full 64-dim, all present.
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       val init = Similarity.kmeansParallelInit(e, "embedding", "vec_id",
-        k = 16)
+        k = 16, rounds = 2)
       val cents = Similarity.refineCentroids(e, init,
         "embedding", "vec_id", iterations = 1)
       val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
