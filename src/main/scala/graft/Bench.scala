@@ -182,9 +182,13 @@ object Bench {
     // the isolated headline tier gets its own durable BENCH_HEADLINE
     // record that full runs never touch. REPS/DISK follow the basename
     // so benchdiff --reps finds the right raw timings for each record.
+    // a query filter ALWAYS routes to scratch — even combined with the
+    // headline tier — or a one-row adjudication of a headline query
+    // would overwrite the durable 25-row trend record (the same
+    // clobber class this routing exists to prevent)
     val base =
-      if (tierHeadline) "BENCH_HEADLINE"
-      else if (only.isDefined) "BENCH_FILTERED"
+      if (only.isDefined) "BENCH_FILTERED"
+      else if (tierHeadline) "BENCH_HEADLINE"
       else "BENCH_FULL"
     val repsFile =
       if (base == "BENCH_FULL") "BENCH_REPS.json" else s"${base}_REPS.json"

@@ -228,9 +228,13 @@ object Similarity {
     * d²-weighted seeding reaches them by construction).
     *
     * Returns the [[coarseCentroids]] schema (cell 0..k-1, centroid
-    * array<double>), so it is a drop-in seeding swap. If deduped
-    * candidates come up short of k (tiny or duplicate-heavy corpora),
-    * the remainder is topped off from hash-seeded cell means.
+    * array<double>), so it is a drop-in seeding swap. Exactly k
+    * distinct centroids always: if deduped candidates come up short
+    * (tiny or duplicate-heavy corpora) the remainder is topped off
+    * from hash-seeded cell means, skipping duplicates — and if the
+    * corpus has fewer than k distinct seedable points the call FAILS
+    * loudly rather than return a short frame that breaks downstream
+    * nCells contracts.
     */
   def kmeansParallelInit(corpus: DataFrame, vecCol: String, idCol: String,
                          k: Int, oversample: Int = 0,
@@ -279,8 +283,9 @@ object Similarity {
       }
     }
     // weight each candidate by attracted corpus mass (one broadcast
-    // assign over the bounded candidate frame)
-    val candSeq = picked.values.toIndexedSeq
+    // assign over the bounded candidate frame); dedupe by VECTOR first
+    // — distinct ids can carry identical vectors
+    val candSeq = picked.values.toIndexedSeq.distinctBy(_.toSeq)
     val candFrame = spark.createDataFrame(
       spark.sparkContext.parallelize(
         candSeq.zipWithIndex.map { case (v, i) =>
@@ -292,7 +297,10 @@ object Similarity {
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     // weight-greedy farthest-point sweep on the driver (all-pairs over
     // ≤ 1 + rounds·ℓ candidates): seed with the heaviest candidate,
-    // then repeatedly take argmax weight·(1 − maxCosToChosen)
+    // then repeatedly take argmax weight·(1 − maxCosToChosen).
+    // candSeq is deduped by VECTOR first: two ids can carry identical
+    // vectors, and a duplicate centroid attracts zero rows (tie-break
+    // to the lower cell), which Lloyd refinement then silently drops
     val units = candSeq.map(unitize)
     def cosUnits(a: Array[Float], b: Array[Float]): Double =
       a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
@@ -309,10 +317,20 @@ object Similarity {
     }
     var cents = chosen.toIndexedSeq.map(i => candSeq(i).map(_.toDouble).toSeq)
     if (cents.size < k) {
-      // top off from hash-seeded cell means (tiny/duplicate-heavy corpus)
+      // top off from hash-seeded cell means (tiny/duplicate-heavy
+      // corpus) — skipping means that duplicate an already-chosen
+      // center, which would be a dead cell after assignment
+      val have = scala.collection.mutable.Set[Seq[Double]](cents: _*)
       val fill = coarseCentroids(corpus, vecCol, idCol, k)
-        .orderBy("cell").collect().map(_.getSeq[Double](1))
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toIndexedSeq)
+        .filterNot(have.contains)
       cents = (cents ++ fill).take(k)
+      // fewer than k DISTINCT seedable points exist: fail loudly — a
+      // silently short centroid frame breaks downstream nCells
+      // contracts (assignCells inlining, recall-row shape gates)
+      require(cents.size == k,
+        s"kmeansParallelInit: only ${cents.size} distinct centers " +
+          s"available for k=$k — the corpus has too few distinct vectors")
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(

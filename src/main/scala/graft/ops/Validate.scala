@@ -244,6 +244,13 @@ object Validate {
       // approximation the double carries
       val bd = java.math.BigDecimal.valueOf(p).stripTrailingZeros
       val scl = math.max(bd.scale, 0)
+      // den = 10^scl must fit a long: cap the contract at 18 decimal
+      // digits with a clear error instead of an ArithmeticException
+      // from longValueExact deep in plan build
+      require(scl <= 18,
+        s"weightedPercentiles: p=$p has $scl decimal digits — the " +
+          "exact-rank contract supports at most 18 (a finer p selects " +
+          "nothing a discrete weighted rank can distinguish)")
       val den = java.math.BigDecimal.TEN.pow(scl).longValueExact
       val num = bd.movePointRight(scl).longValueExact
       struct(lit(p).as("p"), lit(num).as("num"), lit(den).as("den"))

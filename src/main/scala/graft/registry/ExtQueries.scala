@@ -1945,7 +1945,7 @@ private[graft] object ExtQueries {
     * with the six text-sink danger classes (comma, quote, newline,
     * backslash, tab, unchanged — doc_id-keyed so the oracle replays it
     * exactly), write through [[graft.sink.Sinks.write]]'s RFC-4180
-    * csv/tsv path to a deterministic row-count-keyed dir (distinct per
+    * csv/tsv path to a deterministic input-dir-keyed dir (distinct per
     * SF, overwrite-idempotent per run, inspectable by an external
     * reader for cross-engine parse evidence), then PARSE THE FILE BACK
     * and return the rows — what the gate hashes is the post-trip
@@ -1958,11 +1958,14 @@ private[graft] object ExtQueries {
           lit(",x"), lit("\"q\""), lit("\nL2"), lit("\\b"), lit("\tt"),
           lit("")),
         (col("doc_id") % 6 + 1).cast("int"))).as("text"))
-    val n = deco.count()
-    // no '=' in the dir name: Spark parses any `k=v` path segment as a
-    // hive partition column even on a direct read (the r-earlier
-    // CONFLICTING_PARTITION_COLUMN_NAMES lesson)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/n$n"
+    // per-SF output dir keyed by the INPUT DIR string (sanitized name +
+    // hash), not a row count — counting just to name the directory was
+    // an extra full decoration pass per run. No '=' in any segment:
+    // Spark parses `k=v` path segments as hive partition columns even
+    // on a direct read (the CONFLICTING_PARTITION_COLUMN_NAMES lesson).
+    val dirTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + (d.hashCode.toLong & 0xffffffffL).toHexString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/$dirTag"
     graft.sink.Sinks.write(deco, path, format)
     s.read.option("header", "true").option("escape", "\"")
       .option("multiLine", "true")
@@ -3423,9 +3426,6 @@ private[graft] object ExtQueries {
         |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) END AS corr
         |FROM m ORDER BY day""".stripMargin,
 
-    // typo-join replay: identical adjacent-swap corruption, cross-join
-    // candidates with the DL length prefilter, stock
-    // damerau_levenshtein verifies (the kernel's reference semantics)
     // typo-join replay with the SAME SymSpell deletion-signature
     // blocking the engine uses (completeness for dl<=1 is an algorithm
     // property, not an engine trick — see Linkage.scala's proof), so
