@@ -238,63 +238,179 @@ object Similarity {
     */
   def kmeansParallelInit(corpus: DataFrame, vecCol: String, idCol: String,
                          k: Int, oversample: Int = 0,
-                         rounds: Int = 3): DataFrame = {
+                         rounds: Int = 3, sampleCap: Int = 0): DataFrame = {
     require(k >= 1, s"kmeansParallelInit: bad k $k")
     require(rounds >= 1 && rounds <= 8,
       s"kmeansParallelInit: rounds must be in [1, 8], got $rounds")
+    require(sampleCap == 0 || sampleCap >= math.max(2 * k, 64),
+      s"kmeansParallelInit: sampleCap $sampleCap too small for k=$k")
     val l = if (oversample > 0) oversample else math.max(2 * k, 2)
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).cast("long").as("id"),
+    val full = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("cv"))
+    // sampleCap > 0: run the init over a DETERMINISTIC bounded sample
+    // (the sampleCap lowest FNV(id) vectors — one narrow TakeOrdered
+    // pass, no kernels), pinned driver-side. Seeding quality needs a
+    // representative sample, not the corpus: at 100 TB the `rounds`
+    // full passes (each extending a per-row kernel chain) are the cost
+    // wall, and d²-weighted picks over a uniform sample keep the same
+    // marginal shape. The candidate-weights pass then measures sample
+    // mass instead of corpus mass — same estimator, scaled. Lloyd
+    // polishing ([[refineCentroids]]) still sees the full corpus.
     def unitize(v: Array[Float]): Array[Float] = {
       val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       if (n == 0.0) v else v.map(x => (x / n).toFloat)
     }
-    // deterministic first center: the lowest-id vector
-    val firstRow = base.orderBy(col("id")).limit(1).collect()
-    require(firstRow.nonEmpty, "kmeansParallelInit: empty corpus")
-    val picked = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](
-      firstRow(0).getLong(0) -> firstRow(0).getSeq[Float](1).toArray)
-    // running best cosine vs the picked set: |cv| is per-row constant,
-    // so track best DOT against unit candidates and divide once
-    val nrm = sqrt(VectorExpressions.dotF(col("cv"), col("cv")))
-    var best: Column = VectorExpressions.dotF(col("cv"),
-      typedLit(unitize(picked.head._2)))
-    for (round <- 1 to rounds) {
-      val cos = when(nrm > 0, best / nrm).otherwise(lit(0.0))
-      val w = greatest(lit(1.0) - cos, lit(0.0))
-      // u in (0,1]: FNV of (id:round) folded to 1..2^20 over 2^20
-      val u = (pmod(VectorExpressions.fnv1a64(
-          concat(col("id").cast("string"), lit(":"), lit(round))),
-        lit(1048576L)) + 1).cast("double") / lit(1048576.0)
-      val key = when(w > 0, pow(u, lit(1.0) / w)).otherwise(lit(-1.0))
-      val fresh = base.select(col("id"), col("cv"), key.as("key"))
-        .filter(col("key") >= 0)
-        .orderBy(col("key").desc, col("id").asc)
-        .limit(l)
+    def dotU(a: Array[Float], u: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < u.length) {
+        s += a(i).toDouble * u(i).toDouble; i += 1 }
+      s
+    }
+    // u STRICTLY inside (0,1): FNV of (id:round) folded to
+    // (0.5..2^20-0.5)/2^20. An inclusive upper end would hand every
+    // max-bucket id the global maximum key u^(1/w)=1.0 each round
+    // regardless of its distance weight (hash-lucky points crowding
+    // the oversample); ranking by log(u)/w instead of u^(1/w) keeps
+    // the identical order (log is monotone; log u < 0, so dividing
+    // by a larger w moves the key toward 0 = better) without
+    // pow-underflow collapsing tiny-w candidates into id-order ties.
+    def uOf(id: Long, round: Int): Double = {
+      val bytes = s"$id:$round".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      val m = 1048576L
+      (((h % m) + m) % m).toDouble + 0.5
+    } // caller divides by 2^20
+
+    val (picked, weights): (scala.collection.mutable.LinkedHashMap[Long, Array[Float]],
+        IndexedSeq[Array[Float]] => Map[Int, Long]) =
+    if (sampleCap > 0) {
+      // SAMPLED path: one narrow TakeOrdered pass (the sampleCap lowest
+      // FNV(id) vectors — no kernels) pins a deterministic sample
+      // driver-side; rounds, candidate weights, and the Gonzalez sweep
+      // then run as plain driver loops over ≤ sampleCap·dim floats with
+      // ZERO further Spark jobs. Seeding quality needs a representative
+      // sample, not the corpus: at 100 TB the `rounds` full passes
+      // (each extending a per-row kernel chain) are the cost wall, and
+      // d²-weighted picks over a uniform sample keep the same marginal
+      // shape — the weights pass measures sample mass instead of corpus
+      // mass, the same estimator scaled. Lloyd polishing
+      // ([[refineCentroids]]) still sees the full corpus.
+      val sample = full
+        .orderBy(VectorExpressions.fnv1a64(col("id").cast("string")).asc,
+          col("id").asc)
+        .limit(sampleCap)
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-        .filterNot { case (id, _) => picked.contains(id) }
-      if (fresh.nonEmpty) {
-        val kernels = fresh.map { case (_, v) =>
-          VectorExpressions.dotF(col("cv"), typedLit(unitize(v))) }
-        best = greatest((best +: kernels.toIndexedSeq): _*)
-        fresh.foreach { case (id, v) => picked.put(id, v) }
+        .toIndexedSeq
+      require(sample.nonEmpty, "kmeansParallelInit: empty corpus")
+      // deterministic first center: the lowest-id sampled vector
+      val first = sample.minBy(_._1)
+      val p = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](first)
+      val nrms = sample.map { case (_, v) => math.sqrt(dotU(v, v)) }
+      val bestArr = Array.tabulate(sample.size)(i =>
+        dotU(sample(i)._2, unitize(first._2)))
+      for (round <- 1 to rounds) {
+        val keyed = sample.indices.flatMap { i =>
+          val cos = if (nrms(i) > 0) bestArr(i) / nrms(i) else 0.0
+          val w = math.max(1.0 - cos, 0.0)
+          if (w > 0) Some((math.log(uOf(sample(i)._1, round) / 1048576.0) / w, i))
+          else None
+        }
+        val fresh = keyed.sortBy { case (key, i) => (-key, sample(i)._1) }
+          .take(l)
+          .map { case (_, i) => sample(i) }
+          .filterNot { case (id, _) => p.contains(id) }
+        if (fresh.nonEmpty) {
+          val freshUnits = fresh.map { case (_, v) => unitize(v) }
+          var j = 0
+          while (j < sample.size) {
+            var fi = 0
+            while (fi < freshUnits.size) {
+              val d = dotU(sample(j)._2, freshUnits(fi))
+              if (d > bestArr(j)) bestArr(j) = d
+              fi += 1
+            }
+            j += 1
+          }
+          fresh.foreach { case (id, v) => p.put(id, v) }
+        }
       }
+      // driver-side candidate weights: nearest candidate per sampled
+      // vector (highest cos, tie to the lower cell — the assignCells
+      // contract), counted
+      val weigh = (cands: IndexedSeq[Array[Float]]) => {
+        val cu = cands.map(unitize)
+        val counts = new Array[Long](cands.size)
+        sample.foreach { case (_, v) =>
+          var bi = 0; var bd = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cu.size) {
+            val d = dotU(v, cu(ci))
+            if (d > bd) { bd = d; bi = ci }
+            ci += 1
+          }
+          counts(bi) += 1
+        }
+        counts.zipWithIndex.map { case (n, i) => i -> n }.toMap
+      }
+      (p, weigh)
+    } else {
+      // DISTRIBUTED path (sampleCap=0): `rounds` narrow corpus passes,
+      // each a TakeOrdered over a growing inlined kernel chain, plus
+      // one assignCells weights pass — exact on small/spec corpora
+      // deterministic first center: the lowest-id vector
+      val firstRow = full.orderBy(col("id")).limit(1).collect()
+      require(firstRow.nonEmpty, "kmeansParallelInit: empty corpus")
+      val p = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](
+        firstRow(0).getLong(0) -> firstRow(0).getSeq[Float](1).toArray)
+      // running best cosine vs the picked set: |cv| is per-row constant,
+      // so track best DOT against unit candidates and divide once
+      val nrm = sqrt(VectorExpressions.dotF(col("cv"), col("cv")))
+      var best: Column = VectorExpressions.dotF(col("cv"),
+        typedLit(unitize(p.head._2)))
+      for (round <- 1 to rounds) {
+        val cos = when(nrm > 0, best / nrm).otherwise(lit(0.0))
+        val w = greatest(lit(1.0) - cos, lit(0.0))
+        val u = (pmod(VectorExpressions.fnv1a64(
+            concat(col("id").cast("string"), lit(":"), lit(round))),
+          lit(1048576L)).cast("double") + 0.5) / lit(1048576.0)
+        val key = when(w > 0, log(u) / w)
+        val fresh = full.select(col("id"), col("cv"), key.as("key"))
+          .filter(col("key").isNotNull)
+          .orderBy(col("key").desc, col("id").asc)
+          .limit(l)
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+          .filterNot { case (id, _) => p.contains(id) }
+        if (fresh.nonEmpty) {
+          val kernels = fresh.map { case (_, v) =>
+            VectorExpressions.dotF(col("cv"), typedLit(unitize(v))) }
+          best = greatest((best +: kernels.toIndexedSeq): _*)
+          fresh.foreach { case (id, v) => p.put(id, v) }
+        }
+      }
+      // weight each candidate by attracted corpus mass (one broadcast
+      // assign over the bounded candidate frame)
+      val weigh = (cands: IndexedSeq[Array[Float]]) => {
+        val candFrame = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            cands.zipWithIndex.map { case (v, i) =>
+              org.apache.spark.sql.Row(i.toLong, v.map(_.toDouble).toSeq) }, 1),
+          StructType(Seq(StructField("cell", LongType),
+            StructField("centroid", ArrayType(DoubleType)))))
+        assignCells(full, candFrame, "cv", "id")
+          .groupBy("cell").count().collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      }
+      (p, weigh)
     }
-    // weight each candidate by attracted corpus mass (one broadcast
-    // assign over the bounded candidate frame); dedupe by VECTOR first
-    // — distinct ids can carry identical vectors
+    // dedupe by VECTOR — distinct ids can carry identical vectors
     val candSeq = picked.values.toIndexedSeq.distinctBy(_.toSeq)
-    val candFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        candSeq.zipWithIndex.map { case (v, i) =>
-          org.apache.spark.sql.Row(i.toLong, v.map(_.toDouble).toSeq) }, 1),
-      StructType(Seq(StructField("cell", LongType),
-        StructField("centroid", ArrayType(DoubleType)))))
-    val weights = assignCells(base, candFrame, "cv", "id")
-      .groupBy("cell").count().collect()
-      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val weightsMap = weights(candSeq)
     // weight-greedy farthest-point sweep on the driver (all-pairs over
     // ≤ 1 + rounds·ℓ candidates): seed with the heaviest candidate,
     // then repeatedly take argmax weight·(1 − maxCosToChosen).
@@ -304,16 +420,32 @@ object Similarity {
     val units = candSeq.map(unitize)
     def cosUnits(a: Array[Float], b: Array[Float]): Double =
       a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // per-candidate RUNNING max-cos to the chosen set, updated once per
+    // newly chosen center: O(k·ℓ·d) total instead of rescanning every
+    // chosen center per iteration (O(k²·ℓ·d) — a real driver-CPU wall
+    // at the thousands-of-cells nCells a 100 TB index wants). The
+    // argmax key (weight·max(1−maxCos,0), −i) and its tie order are
+    // IDENTICAL to the rescan form, so picks are unchanged.
     val order = candSeq.indices
     val chosen = scala.collection.mutable.ArrayBuffer[Int](
-      order.maxBy(i => (weights.getOrElse(i, 0L), -i)))
+      order.maxBy(i => (weightsMap.getOrElse(i, 0L), -i)))
+    val inChosen = scala.collection.mutable.Set[Int](chosen.head)
+    val maxCos = Array.tabulate(candSeq.size)(i =>
+      cosUnits(units(i), units(chosen.head)))
     while (chosen.size < k && chosen.size < candSeq.size) {
-      val next = order.filterNot(chosen.contains)
+      val next = order.iterator.filterNot(inChosen)
         .maxBy { i =>
-          val d = 1.0 - chosen.iterator.map(c => cosUnits(units(i), units(c))).max
-          (weights.getOrElse(i, 0L).toDouble * math.max(d, 0.0), -i.toDouble)
+          val d = 1.0 - maxCos(i)
+          (weightsMap.getOrElse(i, 0L).toDouble * math.max(d, 0.0), -i.toDouble)
         }
       chosen += next
+      inChosen += next
+      var i = 0
+      while (i < maxCos.length) {
+        val c = cosUnits(units(i), units(next))
+        if (c > maxCos(i)) maxCos(i) = c
+        i += 1
+      }
     }
     var cents = chosen.toIndexedSeq.map(i => candSeq(i).map(_.toDouble).toSeq)
     if (cents.size < k) {
@@ -338,6 +470,32 @@ object Similarity {
           org.apache.spark.sql.Row(i.toLong, v) }, 1),
       StructType(Seq(StructField("cell", LongType),
         StructField("centroid", ArrayType(DoubleType)))))
+  }
+
+  /** DEFAULT centroid builder for the IVF family: derandomized
+    * k-means|| seeding ([[kmeansParallelInit]], rounds=2 — the gated
+    * A/B showed rounds=2 matches rounds=3 recall at 40% less cost on
+    * near-uniform data) polished by `lloyd` Lloyd iterations, returned
+    * pinned ([[materializeCentroids]]). Prefer this over raw
+    * [[coarseCentroids]]: hash seeding lands seeds ∝ data density, so
+    * sparse-but-real clusters can end up centroid-less (pinned by
+    * SimilaritySpec's skewed 300/12/6 fixture); d²-weighted seeding
+    * reaches them by construction. [[coarseCentroids]] remains the
+    * cheap fallback when the corpus is known near-uniform or the
+    * index is rebuilt per run under a tight budget.
+    *
+    * `sampleCap` (default 4096) bounds the init to a deterministic
+    * FNV-ordered sample — one cheap corpus pass regardless of scale;
+    * only the Lloyd polish reads the full corpus. Set 0 to seed over
+    * everything (small fixtures / spec pins).
+    */
+  def trainedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                       nCells: Int, rounds: Int = 2,
+                       lloyd: Int = 1, sampleCap: Int = 4096): DataFrame = {
+    val init = kmeansParallelInit(corpus, vecCol, idCol, k = nCells,
+      rounds = rounds, sampleCap = sampleCap)
+    if (lloyd <= 0) init
+    else refineCentroids(corpus, init, vecCol, idCol, iterations = lloyd)
   }
 
   /** Pin a centroid frame to a local (driver-materialized) DataFrame.
