@@ -61,8 +61,15 @@ object Bench {
     // run (r12, VERDICT #3b): the 25-row trend tier in its own fresh
     // JVM, written to its own record, so the round-over-round basis is
     // not polluted by 270+ other rows' GC/disk pressure in the full run
-    val tierHeadline =
-      sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("headline")
+    // validated strictly: an unknown value (e.g. a typo like
+    // 'Headline') must fail LOUDLY, not fall through to the full-run
+    // path and clobber BENCH_FULL.json — the exact failure class the
+    // record routing exists to prevent
+    val tierEnv = sys.env.get("SPARK_GRAFT_BENCH_TIER")
+    require(tierEnv.forall(_ == "headline"),
+      s"SPARK_GRAFT_BENCH_TIER must be unset or exactly 'headline', " +
+        s"got '${tierEnv.get}'")
+    val tierHeadline = tierEnv.contains("headline")
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     // TWO-TIER reporting (r11, VERDICT #5): the curated HEADLINE tier —

@@ -109,6 +109,15 @@ object Flatten {
     * sorter, so the hot key costs disk, not the agg buffer) and marks
     * truncated parents in a `<as>_truncated` boolean so the loss is
     * visible downstream, never silent.
+    *
+    * ORDERING CONTRACT: the uncapped path preserves collect_list
+    * ARRIVAL order (partition-dependent — callers needing determinism
+    * must sort downstream); the capped path returns children in
+    * child-struct sort order (a cap without a defined rank order would
+    * keep an arbitrary subset). Non-orderable child fields (map types)
+    * are EXCLUDED from the rank key and the array sort, so a map-typed
+    * child caps fine; rows tied on every orderable field then rank in
+    * an unspecified (but per-run deterministic) order.
     */
   def nestChild(
       parentDf: DataFrame,
@@ -127,13 +136,35 @@ object Flatten {
       case Some(m) =>
         val byKey = org.apache.spark.sql.expressions.Window
           .partitionBy(col(childKey))
+        // rank key: orderable child fields only — row_number's sort (and
+        // sort_array) fail analysis on map-typed fields; ranking by the
+        // orderable subset keeps the cap usable on any child schema
+        val orderable = childDf.schema.fields
+          .filter(f => f.name != childKey &&
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType))
+          .map(f => col(f.name))
+          .toIndexedSeq
+        val rankKey =
+          if (orderable.nonEmpty) struct(orderable: _*) else lit(1)
         childDf
           .withColumn("__s", childStruct)
-          .withColumn("__rn", row_number().over(byKey.orderBy(col("__s"))))
+          .withColumn("__rn", row_number().over(byKey.orderBy(rankKey)))
           .withColumn("__n", count(lit(1)).over(byKey))
           .filter(col("__rn") <= m)
           .groupBy(col(childKey).as("__k"))
-          .agg(sort_array(collect_list(col("__s"))).as(as),
+          // order the array by RANK via a comparator (array_sort over
+          // the raw struct would re-trip the orderability requirement):
+          // identical output order to the old sort_array on fully-
+          // orderable children, and well-defined on map-typed ones
+          .agg(
+            transform(
+              array_sort(
+                collect_list(struct(col("__rn").as("__rn"), col("__s").as("__s"))),
+                (l, r) => when(l.getField("__rn") < r.getField("__rn"), -1)
+                  .when(l.getField("__rn") > r.getField("__rn"), 1)
+                  .otherwise(0)),
+              e => e.getField("__s")).as(as),
             (max(col("__n")) > m).as(s"${as}_truncated"))
     }
     parentDf.join(nested, parentDf(parentKey) === nested("__k"), "left").drop("__k")

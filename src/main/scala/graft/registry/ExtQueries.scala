@@ -1985,11 +1985,15 @@ private[graft] object ExtQueries {
         (col("doc_id") % 6 + 1).cast("int"))).as("text"))
     // per-SF output dir keyed by the INPUT DIR string (sanitized name +
     // hash), not a row count — counting just to name the directory was
-    // an extra full decoration pass per run. No '=' in any segment:
-    // Spark parses `k=v` path segments as hive partition columns even
-    // on a direct read (the CONFLICTING_PARTITION_COLUMN_NAMES lesson).
+    // an extra full decoration pass per run. A per-PROCESS pid segment
+    // keeps two concurrent JVMs on the same SF (a bench overlapping a
+    // verify) from racing overwrite-vs-read on one directory and
+    // reading a partially rewritten file. No '=' in any segment: Spark
+    // parses `k=v` path segments as hive partition columns even on a
+    // direct read (the CONFLICTING_PARTITION_COLUMN_NAMES lesson).
     val dirTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "-" + (d.hashCode.toLong & 0xffffffffL).toHexString
+      "-" + (d.hashCode.toLong & 0xffffffffL).toHexString +
+      "-p" + java.lang.ProcessHandle.current().pid()
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/$dirTag"
     graft.sink.Sinks.write(deco, path, format)
     s.read.option("header", "true").option("escape", "\"")

@@ -47,6 +47,26 @@ class FlattenSpec extends SparkSpec {
     assert(out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
+  test("nestChild maxChildren handles map-typed (non-orderable) child fields") {
+    // map columns are non-orderable: the rank key and the array sort
+    // must exclude them instead of failing analysis
+    val parent = Seq((1, "hot"), (2, "cool")).toDF("id", "pname")
+    val child = Seq((1, 13, Map("a" -> 3)), (1, 11, Map("a" -> 1)),
+      (1, 12, Map("a" -> 2)), (2, 20, Map("b" -> 9)))
+      .toDF("pid", "cid", "attrs")
+    val out = Flatten.nestChild(parent, child, "id", "pid", "kids",
+        maxChildren = Some(2))
+      .orderBy("id").collect()
+    val hotKids = out(0).getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0))
+    assert(hotKids === Seq(11, 12)) // ranked by the orderable cid field
+    assert(out(0).getBoolean(3))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0)) === Seq(20))
+    assert(!out(1).getBoolean(3))
+    // the map payload survives the trip
+    assert(out(0).getSeq[org.apache.spark.sql.Row](2).head.getMap[String, Int](1)
+      === Map("a" -> 1))
+  }
+
   test("explodeChild applies childPrefix like json_normalize meta_prefix") {
     val out = Flatten.explodeChild(nestedDf, "kids", Seq("id" -> "id"), childPrefix = "k_")
     assert(out.columns === Array("id", "k_cid", "k_cname"))

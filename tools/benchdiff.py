@@ -3,6 +3,11 @@
 
 Usage: python3 tools/benchdiff.py OLD.json NEW.json [threshold] [--since REF]
 
+Also accepts two verify_timings.json files (flat {row: seconds} maps
+written by graft.Verify beside each dump): flags per-row verify-time
+regressions round-over-round with a harness-bound caveat, so a silent
+verify slowdown surfaces at close instead of in a judge soak.
+
 Prints queries slower than `threshold`x (default 1.5) their old time,
 new queries, and removed queries. Bench noise on a busy box is 10-30%;
 the bench reports median-of-3 per query (BENCH_REPS.json has raw reps),
@@ -53,12 +58,20 @@ if len(args) < 2:
     sys.exit(__doc__)
 old_path, new_path = args[0], args[1]
 thr = float(args[2]) if len(args) > 2 else 1.5
+verify_mode = False
 def load(path):
+    global verify_mode
     d = json.load(open(path))
     # driver BENCH_rN wrapper: the parsed stdout line sits under "parsed"
     # (None when the driver's 2KB tail clipped it — use BENCH_FULL.json)
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    # verify_timings.json (written by graft.Verify beside each dump) is a
+    # flat {row: seconds} map — wrap it so verify gate runs diff
+    # round-over-round with the same flagging as bench records
+    if "queries" not in d and d and             all(isinstance(v, (int, float)) for v in d.values()):
+        verify_mode = True
+        d = {"value": round(sum(d.values()), 2), "queries": d, "n": len(d)}
     if "queries" not in d:
         sys.exit(f"{path}: no per-query map (clipped driver tail?) — "
                  "diff BENCH_FULL.json dumps instead")
@@ -134,19 +147,31 @@ def classify(names):
 
 print(f"total: {old['value']}s ({old.get('n', len(oq))} queries) -> "
       f"{new['value']}s ({new.get('n', len(nq))} queries)")
+if verify_mode:
+    print("verify-timings mode: rows run 4-concurrent in a shared JVM and "
+          "each timing INCLUDES the coalesce(1) parquet dump — a flag on a "
+          "row whose RESULT row-count grows with SF is usually dump-bound "
+          "(harness), not operator regression; adjudicate suspects with an "
+          "isolated filtered bench before believing them.")
 if "load_avg" in new or "shm_free_gb" in new:
     print(f"new-run environment: load_avg={new.get('load_avg', '?')} "
           f"shm_free_gb={new.get('shm_free_gb', '?')}")
 
 # environment flag: median > 2x best rep means the run was contended —
 # the row's number is about the box, not the code
-if reps_path is None:
+if reps_path is None and not verify_mode:
     # prefer the record's OWN reps file (BENCH_HEADLINE.json ->
-    # BENCH_HEADLINE_REPS.json); BENCH_FULL keeps the legacy name
+    # BENCH_HEADLINE_REPS.json); BENCH_FULL keeps the legacy name.
+    # The legacy-name fallback applies ONLY to BENCH_FULL records — a
+    # HEADLINE/FILTERED record whose own _REPS file is missing must
+    # skip the env check rather than compute contention flags from a
+    # DIFFERENT run's raw timings.
     here = os.path.dirname(os.path.abspath(new_path)) or "."
     stem = os.path.basename(new_path).rsplit(".json", 1)[0]
-    for cand in (os.path.join(here, f"{stem}_REPS.json"),
-                 os.path.join(here, "BENCH_REPS.json")):
+    cands = [os.path.join(here, f"{stem}_REPS.json")]
+    if stem == "BENCH_FULL":
+        cands.append(os.path.join(here, "BENCH_REPS.json"))
+    for cand in cands:
         if os.path.exists(cand):
             reps_path = cand
             break
