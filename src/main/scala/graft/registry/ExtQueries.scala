@@ -1504,6 +1504,26 @@ private[graft] object ExtQueries {
     "x_compression_ratio_hash" -> ((s, d) =>
       hashPinVerdict(s, d, "x_compression_ratio")),
 
+    "x_xlsx_hash" -> ((s, d) => {
+      // Byte-determinism pin for the OOXML (xlsx) sink — the last §2
+      // operator that carried only spec evidence. The writer is
+      // byte-deterministic by construction (fixed zip entry order,
+      // fixed DOS-epoch timestamps, single-threaded driver-side
+      // serialization), so the whole package's FNV-1a at a given SF is
+      // a constant: the row writes the bounded BI artifact TWICE
+      // (mixed types: long/string/multiline text/bool/double/nullable)
+      // and gates (a) the two writes byte-agree, (b) the bytes match
+      // the per-SF pin measured by tools/HashPinProbe. Unpinned dirs
+      // (10x/100x replicas) gate (a) only, like the other pins.
+      import s.implicits._
+      val (h1, h2) = xlsxArtifactHash(s, d)
+      val pinOk =
+        xlsxBytePins.get(new java.io.File(d).getName).forall(_ == h1)
+      Seq(("xlsx_bytes_deterministic", h1 == h2),
+          ("xlsx_bytes_pinned", pinOk)).toDF("check_name", "ok")
+        .orderBy("check_name")
+    }),
+
     "x_decontaminate_semantic" -> ((s, d) => {
       // paraphrase-level decontamination: corpus embeddings vs a
       // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
@@ -2475,6 +2495,11 @@ private[graft] object ExtQueries {
     "x_compression_ratio_hash" ->
       """SELECT * FROM (VALUES ('x_compression_ratio_content_hash_pinned', TRUE))
         |AS t(check_name, ok)""".stripMargin,
+
+    "x_xlsx_hash" ->
+      """SELECT * FROM (VALUES ('xlsx_bytes_deterministic', TRUE),
+        |  ('xlsx_bytes_pinned', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_embed_neardup_incr" ->
       """SELECT * FROM (VALUES ('incr_no_false_positives', TRUE),
@@ -4968,6 +4993,48 @@ private[graft] object ExtQueries {
   // are immutable for a process lifetime.
   private val pinHashMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** x_xlsx_hash body: write a bounded mixed-type BI artifact (first
+    * 100 documents by doc_id: long, string, multiline text, bool,
+    * rounded double, nullable string) through [[graft.sink.Sinks
+    * .writeXlsx]] twice into a per-process scratch dir, and return the
+    * FNV-1a of each package's bytes. Deterministic inputs (orderBy
+    * before limit) + a byte-deterministic writer ⇒ a per-SF constant.
+    */
+  private[graft] def xlsxArtifactHash(s: SparkSession, d: String): (Long, Long) = {
+    val docs = t(s, d, "documents").orderBy("doc_id").limit(100)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("doc_id") % 7 === 0).as("lucky"),
+        round(col("doc_id").cast("double") / 7.0, 6).as("ratio"),
+        when(col("doc_id") % 5 === 0, col("lang")).as("maybe_lang"))
+    val dirTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-p" + java.lang.ProcessHandle.current().pid()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_pin/$dirTag"
+    new java.io.File(base).mkdirs()
+    def writeAndHash(name: String): Long = {
+      val f = s"$base/$name.xlsx"
+      graft.sink.Sinks.writeXlsx(docs, f)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      h
+    }
+    (writeAndHash("a"), writeAndHash("b"))
+  }
+
+  /** Measured per-SF byte hashes of the x_xlsx_hash artifact — the
+    * same pin contract as [[contentHashPins]], but over the PACKAGE
+    * BYTES (zip framing included), so any writer change — entry order,
+    * timestamps, XML shape, cell typing — moves it. Re-measure with
+    * tools/HashPinProbe after any INTENDED writer change.
+    */
+  private val xlsxBytePins: Map[String, Long] = Map(
+    "sf0.001" -> -7372184815544818178L,
+    "sf0.01" -> 7104106244975180359L,
+    "sf0.1" -> 4255455857511431590L
+  )
 
   private def hashPinVerdict(s: SparkSession, d: String,
                              q: String): DataFrame = {

@@ -193,7 +193,14 @@ object Sinks {
     Option(f.getParentFile).foreach(_.mkdirs())
     val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
     try entries.foreach { case (name, content) =>
-      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      val e = new java.util.zip.ZipEntry(name)
+      // BYTE-DETERMINISTIC package: fixed entry order (the Seq above)
+      // plus a fixed DOS-epoch timestamp — a fresh ZipEntry otherwise
+      // stamps wall-clock mtime, making every write byte-unique and
+      // unpinnable. setTimeLocal avoids the TZ-dependent DOS
+      // conversion setTime(millis) would apply.
+      e.setTimeLocal(java.time.LocalDateTime.of(1980, 1, 1, 0, 0, 0))
+      zip.putNextEntry(e)
       zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       zip.closeEntry()
     } finally zip.close()

@@ -23,10 +23,18 @@ object HashPinProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try
-      for (dir <- args; q <- pinned) {
-        val h = graft.registry.ExtQueries.contentHash64(
-          graft.registry.ExtQueries.queries(q)(spark, dir))
-        println(s"PIN $q ${new java.io.File(dir).getName} ${h}L")
+      for (dir <- args) {
+        for (q <- pinned) {
+          val h = graft.registry.ExtQueries.contentHash64(
+            graft.registry.ExtQueries.queries(q)(spark, dir))
+          println(s"PIN $q ${new java.io.File(dir).getName} ${h}L")
+        }
+        // xlsx byte pin (ExtQueries.xlsxBytePins): hash of the PACKAGE
+        // bytes, printed from the same artifact the x_xlsx_hash row
+        // writes — both writes shown so a non-deterministic writer is
+        // visible right here
+        val (h1, h2) = graft.registry.ExtQueries.xlsxArtifactHash(spark, dir)
+        println(s"PIN x_xlsx_artifact ${new java.io.File(dir).getName} ${h1}L (second write ${h2}L)")
       }
     finally spark.stop()
   }
