@@ -276,11 +276,8 @@ object Similarity {
     // by a larger w moves the key toward 0 = better) without
     // pow-underflow collapsing tiny-w candidates into id-order ties.
     def uOf(id: Long, round: Int): Double = {
-      val bytes = s"$id:$round".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      val h = VectorExpressions.fnv1a64Bytes(
+        s"$id:$round".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val m = 1048576L
       (((h % m) + m) % m).toDouble + 0.5
     } // caller divides by 2^20

@@ -121,16 +121,9 @@ case class Fnv1a64(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"fnv1a64 expects string, got ${child.dataType.simpleString}")
 
-  override def nullSafeEval(x: Any): Any = {
-    val bytes = x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(x: Any): Any =
+    VectorExpressions.fnv1a64Bytes(
+      x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -352,6 +345,22 @@ object VectorExpressions {
   /** portable FNV-1a 64-bit string hash (see [[Fnv1a64]]). */
   def fnv1a64(s: Column): Column =
     GraftBridge.column(Fnv1a64(expr(s)))
+
+  /** Driver-side FNV-1a 64 over raw bytes — the SAME constants and
+    * byte loop as [[Fnv1a64]]'s eval/codegen, shared so every
+    * driver-side consumer (k-means|| sampling keys, artifact byte
+    * pins) stays bit-identical to the engine expression by
+    * construction instead of by hand-copied constants.
+    */
+  def fnv1a64Bytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 
   /** single-pass word-shingle FNV hashes (see [[ShingleFnv]]). */
   def shingleFnv(s: Column, n: Int): Column =

@@ -256,8 +256,9 @@ private[graft] object ExtQueries {
       // this exact probe budget for +0.4 s; hash seeding remains the
       // cheap fallback (coarseCentroids, gated by x_ann_ivf_recall)
       val e = t(s, d, "embeddings")
-      val centroids = Similarity.materializeCentroids(
-        Similarity.trainedCentroids(e, "embedding", "vec_id", nCells = 16))
+      // trainedCentroids already returns a pinned frame — no wrapper
+      val centroids =
+        Similarity.trainedCentroids(e, "embedding", "vec_id", nCells = 16)
       val assigned = Similarity.assignCells(e, centroids, "embedding", "vec_id")
       Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 10, nProbe = 4)
@@ -1516,10 +1517,10 @@ private[graft] object ExtQueries {
       // the per-SF pin measured by tools/HashPinProbe. Unpinned dirs
       // (10x/100x replicas) gate (a) only, like the other pins.
       import s.implicits._
-      val (h1, h2) = xlsxArtifactHash(s, d)
+      val (p1, p2, logical) = xlsxArtifactHash(s, d)
       val pinOk =
-        xlsxBytePins.get(new java.io.File(d).getName).forall(_ == h1)
-      Seq(("xlsx_bytes_deterministic", h1 == h2),
+        xlsxBytePins.get(new java.io.File(d).getName).forall(_ == logical)
+      Seq(("xlsx_bytes_deterministic", p1 == p2),
           ("xlsx_bytes_pinned", pinOk)).toDF("check_name", "ok")
         .orderBy("check_name")
     }),
@@ -1990,12 +1991,40 @@ private[graft] object ExtQueries {
     * with the six text-sink danger classes (comma, quote, newline,
     * backslash, tab, unchanged — doc_id-keyed so the oracle replays it
     * exactly), write through [[graft.sink.Sinks.write]]'s RFC-4180
-    * csv/tsv path to a deterministic input-dir-keyed dir (distinct per
-    * SF, overwrite-idempotent per run, inspectable by an external
-    * reader for cross-engine parse evidence), then PARSE THE FILE BACK
+    * csv/tsv path to a deterministic (input-dir, process)-keyed
+    * scratch dir (distinct per SF, race-free across concurrent JVMs,
+    * reaped by a JVM-exit hook, inspectable by an external reader for
+    * cross-engine parse evidence while the JVM lives), then PARSE THE
+    * FILE BACK
     * and return the rows — what the gate hashes is the post-trip
     * content, not the pre-write frame.
     */
+  /** Per-process scratch dirs under java.io.tmpdir, deleted by ONE
+    * JVM-exit shutdown hook: the per-pid naming that makes concurrent
+    * JVMs race-free would otherwise leak a full artifact copy per run
+    * (GB-scale for the text round trips at 10x/100x) until /tmp fills
+    * and trips the bench's own disk-contamination warnings. Crashed
+    * JVMs can still leak; bounded by crashes, not by runs.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+    ()
+  }
+  private def scratchWithCleanup(path: String): String = {
+    scratchHook
+    scratchDirs.add(path)
+    new java.io.File(path).mkdirs()
+    path
+  }
+
   private def textRoundtrip(s: SparkSession, d: String,
                             format: String): DataFrame = {
     val deco = t(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -2014,7 +2043,8 @@ private[graft] object ExtQueries {
     val dirTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-" + (d.hashCode.toLong & 0xffffffffL).toHexString +
       "-p" + java.lang.ProcessHandle.current().pid()
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/$dirTag"
+    val path = scratchWithCleanup(
+      s"${System.getProperty("java.io.tmpdir")}/graft_${format}_rt/$dirTag")
     graft.sink.Sinks.write(deco, path, format)
     s.read.option("header", "true").option("escape", "\"")
       .option("multiLine", "true")
@@ -4997,11 +5027,16 @@ private[graft] object ExtQueries {
   /** x_xlsx_hash body: write a bounded mixed-type BI artifact (first
     * 100 documents by doc_id: long, string, multiline text, bool,
     * rounded double, nullable string) through [[graft.sink.Sinks
-    * .writeXlsx]] twice into a per-process scratch dir, and return the
-    * FNV-1a of each package's bytes. Deterministic inputs (orderBy
-    * before limit) + a byte-deterministic writer ⇒ a per-SF constant.
+    * .writeXlsx]] twice into a per-process scratch dir. Returns
+    * (package-bytes FNV of write 1, of write 2, LOGICAL FNV of
+    * write 1). The two package hashes gate byte-determinism within a
+    * JVM; the PIN compares the logical hash — entry names + their
+    * UNCOMPRESSED contents in package order — so it covers everything
+    * the writer controls (entry order, names, XML shape, cell typing)
+    * without also pinning the JDK's bundled zlib: a vendor Deflater
+    * change would flip a raw package hash with zero repo change.
     */
-  private[graft] def xlsxArtifactHash(s: SparkSession, d: String): (Long, Long) = {
+  private[graft] def xlsxArtifactHash(s: SparkSession, d: String): (Long, Long, Long) = {
     val docs = t(s, d, "documents").orderBy("doc_id").limit(100)
       .select(col("doc_id"), col("lang"), col("text"),
         (col("doc_id") % 7 === 0).as("lucky"),
@@ -5009,31 +5044,47 @@ private[graft] object ExtQueries {
         when(col("doc_id") % 5 === 0, col("lang")).as("maybe_lang"))
     val dirTag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-p" + java.lang.ProcessHandle.current().pid()
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_pin/$dirTag"
-    new java.io.File(base).mkdirs()
-    def writeAndHash(name: String): Long = {
+    val base = scratchWithCleanup(
+      s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_pin/$dirTag")
+    def write(name: String): String = {
       val f = s"$base/$name.xlsx"
       graft.sink.Sinks.writeXlsx(docs, f)
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-      h
+      f
     }
-    (writeAndHash("a"), writeAndHash("b"))
+    def packageHash(f: String): Long =
+      graft.functions.VectorExpressions.fnv1a64Bytes(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    def logicalHash(f: String): Long = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(f))
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        var e = zin.getNextEntry
+        while (e != null) {
+          buf.write(e.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          buf.write(0)
+          zin.transferTo(buf)
+          buf.write(0)
+          e = zin.getNextEntry
+        }
+      } finally zin.close()
+      graft.functions.VectorExpressions.fnv1a64Bytes(buf.toByteArray)
+    }
+    val f1 = write("a")
+    val f2 = write("b")
+    (packageHash(f1), packageHash(f2), logicalHash(f1))
   }
 
-  /** Measured per-SF byte hashes of the x_xlsx_hash artifact — the
-    * same pin contract as [[contentHashPins]], but over the PACKAGE
-    * BYTES (zip framing included), so any writer change — entry order,
-    * timestamps, XML shape, cell typing — moves it. Re-measure with
+  /** Measured per-SF LOGICAL hashes of the x_xlsx_hash artifact — the
+    * same pin contract as [[contentHashPins]], but over the package's
+    * entry names + uncompressed contents in order, so any writer
+    * change — entry order, names, XML shape, cell typing — moves it,
+    * while a JDK zlib (Deflater) change does not. Re-measure with
     * tools/HashPinProbe after any INTENDED writer change.
     */
   private val xlsxBytePins: Map[String, Long] = Map(
-    "sf0.001" -> -7372184815544818178L,
-    "sf0.01" -> 7104106244975180359L,
-    "sf0.1" -> 4255455857511431590L
+    "sf0.001" -> -281397838303103071L,
+    "sf0.01" -> -7855534126656838975L,
+    "sf0.1" -> 5661463465944771590L
   )
 
   private def hashPinVerdict(s: SparkSession, d: String,

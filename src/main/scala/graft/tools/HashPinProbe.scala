@@ -33,8 +33,9 @@ object HashPinProbe {
         // bytes, printed from the same artifact the x_xlsx_hash row
         // writes — both writes shown so a non-deterministic writer is
         // visible right here
-        val (h1, h2) = graft.registry.ExtQueries.xlsxArtifactHash(spark, dir)
-        println(s"PIN x_xlsx_artifact ${new java.io.File(dir).getName} ${h1}L (second write ${h2}L)")
+        val (p1, p2, logical) = graft.registry.ExtQueries.xlsxArtifactHash(spark, dir)
+        println(s"PIN x_xlsx_artifact ${new java.io.File(dir).getName} ${logical}L " +
+          s"(logical; package bytes ${p1}L / ${p2}L ${if (p1 == p2) "agree" else "DISAGREE"})")
       }
     finally spark.stop()
   }

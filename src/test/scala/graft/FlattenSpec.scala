@@ -67,6 +67,21 @@ class FlattenSpec extends SparkSpec {
       === Map("a" -> 1))
   }
 
+  test("nestChild maxChildren works when EVERY non-key child field is non-orderable") {
+    // rankKey falls back to lit(1): the cap still applies and the call
+    // must not fail analysis; WHICH rows survive is unspecified there
+    val parent = Seq((1, "hot"), (2, "cool")).toDF("id", "pname")
+    val child = Seq((1, Map("a" -> 1)), (1, Map("a" -> 2)), (1, Map("a" -> 3)),
+      (2, Map("b" -> 9))).toDF("pid", "attrs")
+    val out = Flatten.nestChild(parent, child, "id", "pid", "kids",
+        maxChildren = Some(2))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[org.apache.spark.sql.Row](2).size === 2)
+    assert(out(0).getBoolean(3))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](2).size === 1)
+    assert(!out(1).getBoolean(3))
+  }
+
   test("explodeChild applies childPrefix like json_normalize meta_prefix") {
     val out = Flatten.explodeChild(nestedDf, "kids", Seq("id" -> "id"), childPrefix = "k_")
     assert(out.columns === Array("id", "k_cid", "k_cname"))

@@ -68,8 +68,12 @@ def load(path):
         d = d["parsed"]
     # verify_timings.json (written by graft.Verify beside each dump) is a
     # flat {row: seconds} map — wrap it so verify gate runs diff
-    # round-over-round with the same flagging as bench records
-    if "queries" not in d and d and             all(isinstance(v, (int, float)) for v in d.values()):
+    # round-over-round with the same flagging as bench records. Keyed on
+    # the FILENAME: other flat numeric maps exist (BENCH_*_DISK.json)
+    # and must not silently enter verify mode with its caveat.
+    if ("queries" not in d and d
+            and "verify_timings" in os.path.basename(path)
+            and all(isinstance(v, (int, float)) for v in d.values())):
         verify_mode = True
         d = {"value": round(sum(d.values()), 2), "queries": d, "n": len(d)}
     if "queries" not in d:
