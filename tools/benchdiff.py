@@ -72,7 +72,7 @@ def load(path):
     # the FILENAME: other flat numeric maps exist (BENCH_*_DISK.json)
     # and must not silently enter verify mode with its caveat.
     if ("queries" not in d and d
-            and "verify_timings" in os.path.basename(path)
+            and "verify_timings" in os.path.basename(path).lower()
             and all(isinstance(v, (int, float)) for v in d.values())):
         verify_mode = True
         d = {"value": round(sum(d.values()), 2), "queries": d, "n": len(d)}
