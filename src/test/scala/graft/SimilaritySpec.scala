@@ -120,6 +120,25 @@ class SimilaritySpec extends SparkSpec {
       again.orderBy("cell").collect().toSeq)
   }
 
+  test("kmeansParallelInit: sampled driver path equals the distributed path on a covered corpus") {
+    // the sampled (sampleCap>0) path runs rounds/weights/Gonzalez as
+    // driver loops; when the sample covers the whole corpus its picks
+    // must be BYTE-IDENTICAL to the distributed (sampleCap=0) path —
+    // same FNV u, same log(u)/w keys, same left-to-right double dot
+    // accumulation, same tie orders. Divergence = one implementation
+    // drifted.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dist = Similarity.kmeansParallelInit(df, "embedding", "vec_id",
+      k = 5, rounds = 2)
+    val samp = Similarity.kmeansParallelInit(df, "embedding", "vec_id",
+      k = 5, rounds = 2, sampleCap = 4096)
+    assert(dist.orderBy("cell").collect().toSeq ===
+      samp.orderBy("cell").collect().toSeq)
+  }
+
   test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
