@@ -557,14 +557,39 @@ object Similarity {
       c.withColumn("cell", -best.getField("negcell"))
         .select(col("corpus_id"), col("cv"), col("cell"))
     } else {
-      // rank by cosine via the codegen'd float kernel (centroids cast
-      // to float once, broadcast): cosine ranks cells identically to
-      // dot/|centroid| for a fixed vector
-      val scored = c.crossJoin(broadcast(centroids
-          .withColumn("cf", col("centroid").cast("array<float>"))))
-        .withColumn("d", VectorExpressions.cosineF(col("cv"), col("cf")))
-      val w = Window.partitionBy(col("corpus_id")).orderBy(col("d").desc, col("cell").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // MANY cells (> InlineAssignMaxCells, e.g. the thousands a 100 TB
+      // ANN index wants): CHUNKED inline argmax. Each chunk of ≤128
+      // cells reduces to one (d, -cell) struct via `greatest` in its
+      // own projection (so no single generated method exceeds the JVM
+      // limit — Catalyst splits per projection), then one final
+      // `greatest` folds the ≤⌈nCells/128⌉ chunk winners. STILL a pure
+      // narrow map over the corpus — the old fallback crossJoined the
+      // corpus against all centroids and ranked through a window,
+      // shuffling n×nCells rows (a 4096-cell index = a 4096× data
+      // explosion at exactly the scale that needs many cells). Same
+      // argmax + tie-break (highest d, then lowest cell), same
+      // driver-normalized single-kernel scoring as the inline form.
+      val chunkCols = cents.grouped(InlineAssignMaxCells).zipWithIndex.map {
+        case (chunk, i) =>
+          val scored = chunk.map { case (cell, vec) =>
+            val n = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
+            val unit =
+              if (n == 0.0) vec else vec.map(x => (x / n).toFloat)
+            struct(
+              VectorExpressions.dotF(col("cv"), typedLit(unit)).as("d"),
+              lit(-cell).as("negcell"))
+          }
+          (s"__best_$i",
+            if (scored.length == 1) scored.head
+            else greatest(scored.toIndexedSeq: _*))
+      }.toIndexedSeq
+      val staged = chunkCols.foldLeft(c) { case (df, (name, expr)) =>
+        df.withColumn(name, expr)
+      }
+      val best =
+        if (chunkCols.length == 1) col(chunkCols.head._1)
+        else greatest(chunkCols.map(p => col(p._1)): _*)
+      staged.withColumn("cell", -best.getField("negcell"))
         .select(col("corpus_id"), col("cv"), col("cell"))
     }
   }

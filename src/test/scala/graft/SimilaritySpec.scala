@@ -139,6 +139,41 @@ class SimilaritySpec extends SparkSpec {
       samp.orderBy("cell").collect().toSeq)
   }
 
+  test("assignCells beyond 128 cells: chunked inline argmax, shuffle-free, matches brute cosine") {
+    // > InlineAssignMaxCells centroids must route through the chunked
+    // inline path: per-row argmax identical to an independent cosine
+    // ranking (highest cos, tie to lowest cell), and the plan must be
+    // a pure narrow map — no Exchange, no Window (the old fallback
+    // crossJoin+window shuffled n×nCells rows)
+    val rnd = new scala.util.Random(13)
+    val n = 300
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val cents = (0 until n).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian()).toSeq))
+      .toDF("cell", "centroid")
+    val assigned = Similarity.assignCells(corpus, cents, "embedding", "vec_id")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunked assign must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"chunked assign must not window:\n$plan")
+    // independent ground truth: driver-side cosine argmax
+    val centArr = (0 until n).map(i =>
+      (i.toLong, cents.orderBy("cell").collect()(i).getSeq[Double](1).map(_.toFloat).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val expect = vecs.map { case (id, v) =>
+      id -> centArr.minBy { case (cell, cv) => (-cos(v, cv), cell) }._1
+    }.toMap
+    val got = assigned.select("corpus_id", "cell")
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
   test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
