@@ -558,38 +558,32 @@ object Similarity {
         .select(col("corpus_id"), col("cv"), col("cell"))
     } else {
       // MANY cells (> InlineAssignMaxCells, e.g. the thousands a 100 TB
-      // ANN index wants): CHUNKED inline argmax. Each chunk of ≤128
-      // cells reduces to one (d, -cell) struct via `greatest` in its
-      // own projection (so no single generated method exceeds the JVM
-      // limit — Catalyst splits per projection), then one final
-      // `greatest` folds the ≤⌈nCells/128⌉ chunk winners. STILL a pure
-      // narrow map over the corpus — the old fallback crossJoined the
-      // corpus against all centroids and ranked through a window,
-      // shuffling n×nCells rows (a 4096-cell index = a 4096× data
-      // explosion at exactly the scale that needs many cells). Same
-      // argmax + tie-break (highest d, then lowest cell), same
-      // driver-normalized single-kernel scoring as the inline form.
-      val chunkCols = cents.grouped(InlineAssignMaxCells).zipWithIndex.map {
-        case (chunk, i) =>
-          val scored = chunk.map { case (cell, vec) =>
-            val n = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
-            val unit =
-              if (n == 0.0) vec else vec.map(x => (x / n).toFloat)
-            struct(
-              VectorExpressions.dotF(col("cv"), typedLit(unit)).as("d"),
-              lit(-cell).as("negcell"))
-          }
-          (s"__best_$i",
-            if (scored.length == 1) scored.head
-            else greatest(scored.toIndexedSeq: _*))
-      }.toIndexedSeq
-      val staged = chunkCols.foldLeft(c) { case (df, (name, expr)) =>
-        df.withColumn(name, expr)
+      // ANN index wants): ONE codegen'd loop expression over the flat
+      // driver-normalized centroid matrix ([[VectorExpressions
+      // .nearestCell]]) — constant generated-code size at any nCells,
+      // still a pure narrow map over the corpus. The old fallback
+      // crossJoined the corpus against all centroids and ranked
+      // through a window, shuffling n×nCells rows (a 4096-cell index =
+      // a 4096× data explosion at exactly the scale that needs many
+      // cells); an unrolled greatest-of-kernels form trips the JVM
+      // 64KB method limit ~512 cells and de-optimizes to interpreted
+      // eval. Same argmax + tie-break (highest d, then lowest cell —
+      // cells iterate ascending), same driver-normalized dot scoring.
+      val dim = cents.head._2.length
+      require(cents.forall(_._2.length == dim),
+        s"assignCells: centroid dims differ (expected $dim)")
+      val units = new Array[Float](cents.length * dim)
+      cents.zipWithIndex.foreach { case ((_, vec), ci) =>
+        val n = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
+        var i = 0
+        while (i < dim) {
+          units(ci * dim + i) =
+            if (n == 0.0) vec(i) else (vec(i) / n).toFloat
+          i += 1
+        }
       }
-      val best =
-        if (chunkCols.length == 1) col(chunkCols.head._1)
-        else greatest(chunkCols.map(p => col(p._1)): _*)
-      staged.withColumn("cell", -best.getField("negcell"))
+      c.withColumn("cell", VectorExpressions.nearestCell(col("cv"),
+          units, cents.map(_._1), dim))
         .select(col("corpus_id"), col("cv"), col("cell"))
     }
   }

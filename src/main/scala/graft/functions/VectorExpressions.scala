@@ -322,6 +322,64 @@ case class PqEncodeCodes(child: Expression, codebook: Array[Float],
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment as ONE expression: argmax over a flat,
+  * driver-normalized centroid matrix held in the expression (broadcast
+  * with the plan), looping in compiled Scala — constant generated-code
+  * size at ANY nCells. The unrolled alternative (nCells dot kernels +
+  * `greatest`) exceeds the JVM's 64KB method limit around ~512 cells
+  * inside whole-stage codegen and silently falls back to interpreted
+  * eval. Ranks by dot(v, ĉ) (≡ cosine argmax — |v| is constant per
+  * row); ties resolve to the LOWEST cell (cells are iterated in
+  * ascending id order with a strict >), matching the inline
+  * `greatest((d, -cell))` form bit-for-bit.
+  */
+case class NearestCell(child: Expression, units: Array[Float],
+                       cells: Array[Long], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects array<float>, got ${t.simpleString}")
+  }
+
+  def cellFor(v: ArrayData): Long = {
+    require(v.numElements() == dim,
+      s"nearest_cell: vector of ${v.numElements()} dims, expected $dim")
+    var bestD = Double.NegativeInfinity
+    var bestCell = 0L
+    var c = 0
+    while (c < cells.length) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += v.getFloat(i).toDouble * units(off + i).toDouble
+        i += 1
+      }
+      if (s > bestD) { bestD = s; bestCell = cells(c) }
+      c += 1
+    }
+    bestCell
+  }
+
+  override def nullSafeEval(x: Any): Any = cellFor(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // the loop lives in compiled Scala; codegen only routes the call
+      val ref = ctx.addReferenceObj("nearestCell", this, classOf[NearestCell].getName)
+      s"${ev.value} = $ref.cellFor($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -365,6 +423,12 @@ object VectorExpressions {
   /** single-pass word-shingle FNV hashes (see [[ShingleFnv]]). */
   def shingleFnv(s: Column, n: Int): Column =
     GraftBridge.column(ShingleFnv(expr(s), n))
+
+  /** nearest-centroid argmax over a flat driver-normalized matrix
+    * (see [[NearestCell]]) — the many-cell IVF assignment kernel. */
+  def nearestCell(v: Column, units: Array[Float], cells: Array[Long],
+                  dim: Int): Column =
+    GraftBridge.column(NearestCell(expr(v), units, cells, dim))
 
   /** PQ code assignment against a flat codebook (see [[PqEncodeCodes]]). */
   def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],
