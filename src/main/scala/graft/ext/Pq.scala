@@ -300,16 +300,28 @@ object Pq {
                 excludeSelf: Boolean = true): DataFrame = {
     val dsub = dim / m
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cents = centroids.select(col("cell"),
-      col("centroid").cast("array<float>").as("cf"))
-    // probed cells + the per-cell coarse term ⟨q, c⟩
-    val scoredCells = q.crossJoin(broadcast(cents))
-      .withColumn("qdotc", VectorExpressions.dotF(col("qv"), col("cf")))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdotc").desc, col("cell").asc)
-    val probes = scoredCells.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"), col("qdotc"))
+    // probed cells + the per-cell coarse term ⟨q, c⟩, selected by ONE
+    // narrow top-nProbe kernel over the RAW centroid matrix
+    // (NearestCellsTopK returns the true dot, bit-identical to the
+    // dotF kernel the old crossJoin+window form computed — and skips
+    // materializing + shuffling nQueries×nCells rows)
+    val centRows = centroids
+      .select(col("cell"), col("centroid").cast("array<float>").as("cf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfPqTopK: empty centroid frame")
+    val cdim = centRows.head._2.length
+    require(centRows.forall(_._2.length == cdim),
+      s"ivfPqTopK: centroid dims differ (expected $cdim)")
+    val flat = new Array[Float](centRows.length * cdim)
+    centRows.zipWithIndex.foreach { case ((_, vec), ci) =>
+      System.arraycopy(vec, 0, flat, ci * cdim, cdim)
+    }
+    val probes = q.withColumn("pc", explode(VectorExpressions.nearestCellsTopK(
+        col("qv"), flat, centRows.map(_._1), cdim, nProbe)))
+      .select(col("query_id"), col("qv"),
+        col("pc.cell").as("cell"), col("pc.d").as("qdotc"))
     // residual LUTs (shared codebooks across cells)
     val cbRows = codebooks.select(col("sub"), col("code"),
       col("centroid").cast("array<float>").as("ccf"))

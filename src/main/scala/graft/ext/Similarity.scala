@@ -588,20 +588,56 @@ object Similarity {
     }
   }
 
+  /** Collect a bounded centroid frame into the flat matrix form the
+    * [[graft.functions.NearestCell]]/[[graft.functions.NearestCellsTopK]]
+    * kernels take: (row-major float matrix, ascending cell ids, dim).
+    * `normalize=true` driver-normalizes each row — dot against it ranks
+    * identically to cosine for a fixed query; `normalize=false` keeps
+    * the raw floats (the IVF-PQ coarse term needs the true ⟨q,c⟩,
+    * bit-identical to the dotF kernel).
+    */
+  private def flatCentroids(centroids: DataFrame,
+                            normalize: Boolean): (Array[Float], Array[Long], Int) = {
+    val cents = centroids
+      .select(col("cell"), col("centroid").cast("array<float>").as("cf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "flatCentroids: empty centroid frame")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"flatCentroids: centroid dims differ (expected $dim)")
+    val flat = new Array[Float](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, vec), ci) =>
+      val n = if (normalize)
+        math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum) else 1.0
+      var i = 0
+      while (i < dim) {
+        flat(ci * dim + i) =
+          if (!normalize || n == 0.0) vec(i) else (vec(i) / n).toFloat
+        i += 1
+      }
+    }
+    (flat, cents.map(_._1), dim)
+  }
+
   /** IVF top-k: probe the `nProbe` cells nearest each query, brute-force
     * within them. Approximate (recall < 1 when true neighbors sit in
-    * unprobed cells) but scans only nProbe/nCells of the corpus.
+    * unprobed cells) but scans only nProbe/nCells of the corpus. The
+    * probe ranking is ONE narrow kernel over the queries
+    * ([[graft.functions.NearestCellsTopK]] against the flat normalized
+    * centroid matrix) — the old crossJoin+window form materialized and
+    * shuffled nQueries×nCells rows, which at a 1M-query batch against
+    * a 4096-cell index is 4B shuffled rows for probe SELECTION alone.
     */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qCells = q.crossJoin(broadcast(centroids
-        .withColumn("cf", col("centroid").cast("array<float>"))))
-      .withColumn("d", VectorExpressions.cosineF(col("qv"), col("cf")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
-    val probes = qCells.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
+    val (units, cellIds, dim) = flatCentroids(centroids, normalize = true)
+    val probes = q.withColumn("pc", explode(VectorExpressions.nearestCellsTopK(
+        col("qv"), units, cellIds, dim, nProbe)))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
@@ -630,12 +666,10 @@ object Similarity {
       centroids: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qCells = q.crossJoin(broadcast(centroids
-        .withColumn("cf", col("centroid").cast("array<float>"))))
-      .withColumn("d", VectorExpressions.cosineF(col("qv"), col("cf")))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell").asc)
-    val probedCells = qCells.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe).select(col("cell")).distinct()
+    val (units, cellIds, dim) = flatCentroids(centroids, normalize = true)
+    val probedCells = q.select(explode(VectorExpressions.nearestCellsTopK(
+        col("qv"), units, cellIds, dim, nProbe)).as("pc"))
+      .select(col("pc.cell")).distinct()
       .collect().map(_.getLong(0))
     val assigned = spark.read.parquet(storePath)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))

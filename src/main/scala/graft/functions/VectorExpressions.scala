@@ -380,6 +380,94 @@ case class NearestCell(child: Expression, units: Array[Float],
     copy(child = newChild)
 }
 
+/** Top-`nProbe` nearest centroids per vector as ONE expression over a
+  * flat driver-held centroid matrix — the QUERY-side twin of
+  * [[NearestCell]]. Returns array<struct<cell:long, d:double>> ordered
+  * best-first by (d desc, cell asc), where d = dot(v, matrix row) —
+  * pass a driver-NORMALIZED matrix to rank by cosine (the IVF probe)
+  * or the raw float matrix to get the true ⟨q,c⟩ coarse term (the
+  * IVF-PQ score needs the value itself, bit-identical to the dotF
+  * kernel: same float·float→double left-to-right accumulation). The
+  * crossJoin+window alternative materializes and SHUFFLES
+  * nQueries×nCells rows — 4B rows for a 1M-query batch against a
+  * 4096-cell index; this is a pure narrow map over the queries.
+  * Selection loop keeps earlier (lower) cells ahead of equal-d later
+  * ones (strict > insertion over ascending cells), matching the
+  * window's `orderBy(d desc, cell asc)` row_number semantics.
+  */
+case class NearestCellsTopK(child: Expression, units: Array[Float],
+                            cells: Array[Long], dim: Int, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val cellField = org.apache.spark.sql.types.StructField(
+    "cell", org.apache.spark.sql.types.LongType, nullable = false)
+  private val dField = org.apache.spark.sql.types.StructField(
+    "d", DoubleType, nullable = false)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(cellField, dField)),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nProbe >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_topk: nProbe must be >= 1, got $nProbe")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_topk expects array<float>, got ${t.simpleString}")
+  }
+
+  def topFor(v: ArrayData): ArrayData = {
+    require(v.numElements() == dim,
+      s"nearest_cells_topk: vector of ${v.numElements()} dims, expected $dim")
+    val k = math.min(nProbe, cells.length)
+    val bd = new Array[Double](k)
+    val bc = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < cells.length) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += v.getFloat(i).toDouble * units(off + i).toDouble
+        i += 1
+      }
+      // strict >: on ties the earlier (lower) cell stays ahead
+      var j = filled
+      while (j > 0 && s > bd(j - 1)) j -= 1
+      if (j < k) {
+        val last = math.min(filled, k - 1)
+        var m = last
+        while (m > j) { bd(m) = bd(m - 1); bc(m) = bc(m - 1); m -= 1 }
+        bd(j) = s
+        bc(j) = cells(c)
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(bc(r), bd(r))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(x: Any): Any = topFor(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nearestCellsTopK", this,
+        classOf[NearestCellsTopK].getName)
+      s"${ev.value} = $ref.topFor($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsTopK =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftBridge.expression(c)
 
@@ -429,6 +517,12 @@ object VectorExpressions {
   def nearestCell(v: Column, units: Array[Float], cells: Array[Long],
                   dim: Int): Column =
     GraftBridge.column(NearestCell(expr(v), units, cells, dim))
+
+  /** top-nProbe nearest centroids with their dot values
+    * (see [[NearestCellsTopK]]) — the IVF/IVF-PQ query-probe kernel. */
+  def nearestCellsTopK(v: Column, units: Array[Float], cells: Array[Long],
+                       dim: Int, nProbe: Int): Column =
+    GraftBridge.column(NearestCellsTopK(expr(v), units, cells, dim, nProbe))
 
   /** PQ code assignment against a flat codebook (see [[PqEncodeCodes]]). */
   def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],

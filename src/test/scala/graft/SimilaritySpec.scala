@@ -174,6 +174,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("nearestCellsTopK probe selection matches an independent cosine ranking") {
+    // the query-probe kernel must pick the same nProbe cells, in the
+    // same best-first order, as a full (cos desc, cell asc) ranking —
+    // including tie behavior (lower cell wins)
+    val rnd = new scala.util.Random(17)
+    val nCells = 100
+    val dim = 6
+    val centVals = (0 until nCells).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val cents = centVals.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+    val queries = (0 until 30).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val assignedDummy = queries.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cv"), lit(0L).as("cell"))
+    // use ivfTopK's internals indirectly: build the flat matrix the same way
+    val centsF = centVals.map { case (c, v) => (c, v.map(_.toFloat)) }
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val flat = centsF.flatMap { case (_, v) => unit(v) }.toArray
+    val got = queries.select(col("vec_id"),
+        graft.functions.VectorExpressions.nearestCellsTopK(
+          col("embedding"), flat, centsF.map(_._1).toArray, dim, 7).as("pcs"))
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val qArr = queries.as[(Long, Array[Float])].collect()
+    qArr.foreach { case (qid, qv) =>
+      val expect = centsF
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(7).map(_._1)
+      assert(got(qid).map(_._1) === expect, s"query $qid probe set diverged")
+    }
+  }
+
   test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
