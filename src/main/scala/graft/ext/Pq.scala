@@ -305,21 +305,10 @@ object Pq {
     // (NearestCellsTopK returns the true dot, bit-identical to the
     // dotF kernel the old crossJoin+window form computed — and skips
     // materializing + shuffling nQueries×nCells rows)
-    val centRows = centroids
-      .select(col("cell"), col("centroid").cast("array<float>").as("cf"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(centRows.nonEmpty, "ivfPqTopK: empty centroid frame")
-    val cdim = centRows.head._2.length
-    require(centRows.forall(_._2.length == cdim),
-      s"ivfPqTopK: centroid dims differ (expected $cdim)")
-    val flat = new Array[Float](centRows.length * cdim)
-    centRows.zipWithIndex.foreach { case ((_, vec), ci) =>
-      System.arraycopy(vec, 0, flat, ci * cdim, cdim)
-    }
+    val (flat, cellIds, cdim) =
+      Similarity.flatCentroids(centroids, normalize = false)
     val probes = q.withColumn("pc", explode(VectorExpressions.nearestCellsTopK(
-        col("qv"), flat, centRows.map(_._1), cdim, nProbe)))
+        col("qv"), flat, cellIds, cdim, nProbe)))
       .select(col("query_id"), col("qv"),
         col("pc.cell").as("cell"), col("pc.d").as("qdotc"))
     // residual LUTs (shared codebooks across cells)

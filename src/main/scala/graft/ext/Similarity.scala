@@ -517,7 +517,9 @@ object Similarity {
     */
   /** Max centroid count for the inlined (shuffle-free) assignment form:
     * beyond this, nCells codegen'd kernel calls per row risk the JVM's
-    * 64KB method limit and the expanded window form takes over.
+    * 64KB method limit and the [[graft.functions.NearestCell]] loop
+    * kernel takes over (also shuffle-free — constant generated-code
+    * size at any nCells).
     */
   private val InlineAssignMaxCells = 128
 
@@ -535,6 +537,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty, "assignCells: empty centroid frame")
     if (cents.length == 1) {
       // single cell: everything is assigned to it (greatest() needs ≥2 args)
       c.withColumn("cell", lit(cents.head._1))
@@ -569,21 +572,10 @@ object Similarity {
       // 64KB method limit ~512 cells and de-optimizes to interpreted
       // eval. Same argmax + tie-break (highest d, then lowest cell —
       // cells iterate ascending), same driver-normalized dot scoring.
-      val dim = cents.head._2.length
-      require(cents.forall(_._2.length == dim),
-        s"assignCells: centroid dims differ (expected $dim)")
-      val units = new Array[Float](cents.length * dim)
-      cents.zipWithIndex.foreach { case ((_, vec), ci) =>
-        val n = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
-        var i = 0
-        while (i < dim) {
-          units(ci * dim + i) =
-            if (n == 0.0) vec(i) else (vec(i) / n).toFloat
-          i += 1
-        }
-      }
+      val (units, cellIds, dim) = flattenCentroidRows(cents.toIndexedSeq,
+        normalize = true)
       c.withColumn("cell", VectorExpressions.nearestCell(col("cv"),
-          units, cents.map(_._1), dim))
+          units, cellIds, dim))
         .select(col("corpus_id"), col("cv"), col("cell"))
     }
   }
@@ -596,13 +588,23 @@ object Similarity {
     * the raw floats (the IVF-PQ coarse term needs the true ⟨q,c⟩,
     * bit-identical to the dotF kernel).
     */
-  private def flatCentroids(centroids: DataFrame,
-                            normalize: Boolean): (Array[Float], Array[Long], Int) = {
-    val cents = centroids
+  private[graft] def flatCentroids(centroids: DataFrame,
+                                   normalize: Boolean): (Array[Float], Array[Long], Int) =
+    flattenCentroidRows(centroids
       .select(col("cell"), col("centroid").cast("array<float>").as("cf"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+      .toIndexedSeq, normalize)
+
+  /** Shared flattener over already-collected (cell, vec) rows — the
+    * ONE place the normalize/zero-norm/float-round conventions live,
+    * used by the assignment branch, the probe builders, and Pq's
+    * coarse-term matrix (which must stay bit-identical to each other).
+    */
+  private[graft] def flattenCentroidRows(
+      cents: IndexedSeq[(Long, Array[Float])],
+      normalize: Boolean): (Array[Float], Array[Long], Int) = {
     require(cents.nonEmpty, "flatCentroids: empty centroid frame")
     val dim = cents.head._2.length
     require(cents.forall(_._2.length == dim),
@@ -618,7 +620,7 @@ object Similarity {
         i += 1
       }
     }
-    (flat, cents.map(_._1), dim)
+    (flat, cents.map(_._1).toArray, dim)
   }
 
   /** IVF top-k: probe the `nProbe` cells nearest each query, brute-force

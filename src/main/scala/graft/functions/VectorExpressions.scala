@@ -351,7 +351,11 @@ case class NearestCell(child: Expression, units: Array[Float],
     require(v.numElements() == dim,
       s"nearest_cell: vector of ${v.numElements()} dims, expected $dim")
     var bestD = Double.NegativeInfinity
-    var bestCell = 0L
+    // start at the LOWEST cell id, not a phantom 0: a degenerate vector
+    // whose every dot is NaN (strict > never fires) must land in a real
+    // cell. NaN dots rank below any finite dot here (and in
+    // [[NearestCellsTopK]]); only NaN/Inf INPUTS can produce them.
+    var bestCell = cells(0)
     var c = 0
     while (c < cells.length) {
       val off = c * dim

@@ -158,8 +158,9 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunked assign must not shuffle:\n$plan")
     assert(!plan.contains("Window"), s"chunked assign must not window:\n$plan")
     // independent ground truth: driver-side cosine argmax
+    val centRows = cents.orderBy("cell").collect()
     val centArr = (0 until n).map(i =>
-      (i.toLong, cents.orderBy("cell").collect()(i).getSeq[Double](1).map(_.toFloat).toArray))
+      (i.toLong, centRows(i).getSeq[Double](1).map(_.toFloat).toArray))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)

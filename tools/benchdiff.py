@@ -77,6 +77,10 @@ def load(path):
         verify_mode = True
         d = {"value": round(sum(d.values()), 2), "queries": d, "n": len(d)}
     if "queries" not in d:
+        if d and all(isinstance(v, (int, float)) for v in d.values()):
+            sys.exit(f"{path}: flat numeric map but not a verify_timings "
+                     "file — only verify_timings*.json get the per-row "
+                     "wrap (a DISK/REPS record is not a per-query bench)")
         sys.exit(f"{path}: no per-query map (clipped driver tail?) — "
                  "diff BENCH_FULL.json dumps instead")
     return d
