@@ -755,4 +755,73 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** [[embeddingNearDupsBucketed]] with a PQ pre-filter in front of the
+    * exact verification — the 100 TB self-join cost cut. The bucketed
+    * form exact-scores EVERY within-cell candidate pair with the
+    * full-dimension cosine kernel (dim multiply-adds per pair — the
+    * dominant cost once bucketing has bounded the pair space); here
+    * each pair is first scored by the symmetric PQ statistic
+    * cos(decode(a), decode(b)) = m table reads against ONE shared
+    * broadcast [[Pq.sdcTable]] plus a precomputed per-ROW
+    * reconstruction norm, and only pairs with approx ≥ threshold −
+    * `margin` reach the exact kernel. FAIL-OPEN: a degenerate
+    * (zero-norm) reconstruction cannot be approximated, so such pairs
+    * pass straight to exact verification — the pre-filter only ever
+    * SKIPS work it is confident about. Precision stays 1.0 by
+    * construction (every emitted pair is exact-verified); recall loss
+    * is bounded by how often quantization underestimates a true pair
+    * by more than `margin` (gated ≥ 0.9 by x_ann_pq_prerank_recall).
+    *
+    * Plan shape is IDENTICAL to the bucketed form (same cell
+    * equi-join, same map-side filter-then-dedup) — the codes/norm
+    * columns are narrow maps and the pre-filter is one more conjunct
+    * evaluated BEFORE the cosine in the fused predicate.
+    */
+  def embeddingNearDupsBucketedPq(
+      embs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2,
+      lloydIterations: Int = 1, margin: Double = 0.2,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(margin >= 0.0, s"embeddingNearDupsBucketedPq: bad margin $margin")
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dim = e.select(size(col("v"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "embeddingNearDupsBucketedPq: empty corpus")
+    }
+    val spark = embs.sparkSession
+    // codebooks train on NORMALIZED vectors so the SDC statistic
+    // approximates cosine; one bounded-codebook collect, same as the
+    // flat-PQ path
+    val en = e.select(col("id"), Pq.normalized(col("v")).as("nv"))
+    val cb = Pq.trainCodebooks(en, "nv", "id", dim, m, ksub, iterations = 1)
+    val tbl = spark.sparkContext.broadcast(Pq.sdcTable(cb, dim, m, ksub))
+    def sdc(a: Column, b: Column) =
+      graft.functions.VectorExpressions.pqSdcScore(a, b, tbl, m, ksub)
+    val cents = Similarity.refineCentroids(e,
+      Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
+    val scored = e.crossJoin(broadcast(cents
+        .withColumn("cf", col("centroid").cast("array<float>"))))
+      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("id"), col("v"), col("cell"))
+      .withColumn("codes",
+        Pq.codesExprOn(cb, Pq.normalized(col("v")), dim, m, ksub))
+      .withColumn("rnorm", sqrt(sdc(col("codes"), col("codes"))))
+    // approx = reconstruction cosine; zero-norm rows fail open (pass)
+    val approx = when(col("a.rnorm") > 0 && col("b.rnorm") > 0,
+      sdc(col("a.codes"), col("b.codes")) / (col("a.rnorm") * col("b.rnorm")))
+      .otherwise(lit(Double.PositiveInfinity))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(approx >= threshold - margin)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.VectorExpressions.cosineF(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

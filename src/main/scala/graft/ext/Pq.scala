@@ -126,7 +126,13 @@ object Pq {
     * methods (~12 s fixed codegen per query) and capped ksub.
     */
   def codesExpr(codebooks: DataFrame, vecCol: String,
-                dim: Int, m: Int, ksub: Int): Column = {
+                dim: Int, m: Int, ksub: Int): Column =
+    codesExprOn(codebooks, col(vecCol), dim, m, ksub)
+
+  /** [[codesExpr]] over an arbitrary vector COLUMN (e.g. a normalized
+    * projection) instead of a named input column. */
+  def codesExprOn(codebooks: DataFrame, vec: Column,
+                  dim: Int, m: Int, ksub: Int): Column = {
     val dsub = dim / m
     val cb = collectCb(codebooks)
     val flat = Array.fill(m * ksub * dsub)(0.0f)
@@ -135,7 +141,45 @@ object Pq {
       halves(sub * ksub + code) = half
       for (i <- cvec.indices) flat((sub * ksub + code) * dsub + i) = cvec(i)
     }
-    VectorExpressions.pqEncode(col(vecCol), flat, halves, m, ksub, dsub)
+    VectorExpressions.pqEncode(vec, flat, halves, m, ksub, dsub)
+  }
+
+  /** The SDC code-pair table: table[(j·ksub+a)·ksub+b] = ⟨c_ja, c_jb⟩,
+    * so Σ_j table[..a_j..b_j] = ⟨decode(a), decode(b)⟩ — the symmetric
+    * counterpart of the per-query ADC LUT, built ONCE for any number of
+    * queries/pairs (m·ksub² doubles: 16 KB at ksub=16, 4 MB at the
+    * production ksub=256). Never-trained codes decode to the zero
+    * vector and contribute 0. Broadcast it and score pairs with
+    * [[graft.functions.VectorExpressions.pqSdcScore]].
+    */
+  def sdcTable(codebooks: DataFrame, dim: Int, m: Int, ksub: Int): Array[Double] = {
+    val dsub = dim / m
+    val cb = collectCb(codebooks)
+    val flat = Array.fill(m * ksub * dsub)(0.0f)
+    for ((sub, codes) <- cb; (code, cvec, _) <- codes; i <- cvec.indices)
+      flat((sub * ksub + code) * dsub + i) = cvec(i)
+    val t = new Array[Double](m * ksub * ksub)
+    var j = 0
+    while (j < m) {
+      var a = 0
+      while (a < ksub) {
+        var b = 0
+        while (b < ksub) {
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            s += flat((j * ksub + a) * dsub + i).toDouble *
+              flat((j * ksub + b) * dsub + i).toDouble
+            i += 1
+          }
+          t((j * ksub + a) * ksub + b) = s
+          b += 1
+        }
+        a += 1
+      }
+      j += 1
+    }
+    t
   }
 
   /** Reconstruction (decode) of a codes array back to the quantized
@@ -358,6 +402,91 @@ object Pq {
     val fetched = c.join(broadcast(short.join(q, Seq("query_id"))
         .select(col("query_id"), col("corpus_id"), col("qv"))),
       Seq("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    fetched.withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** IVF top-k with PQ pre-ranking for the ALL-CORPUS query-batch shape
+    * ([[Similarity.ivfTopK]]'s drop-in when queries ≈ corpus — the
+    * embedding near-dup / hard-negative-mining self-join at scale).
+    * [[Similarity.ivfTopK]] exact-scores EVERY probed candidate with
+    * the full-dimension cosine kernel (dim multiply-adds per pair —
+    * the measured wall at 100×); here candidates are ranked first by
+    * the SYMMETRIC PQ score (m table reads per pair against one shared
+    * broadcast [[sdcTable]] — per-query ADC LUTs are ruled out in this
+    * shape: a corpus-sized query batch would broadcast a corpus-sized
+    * LUT set), and only the top-`preRankC` per query are fetched and
+    * exactly re-ranked to top-k. Approximate at the pre-rank boundary
+    * only (gated: x_ann_pq_prerank_recall); within the shortlist the
+    * ranking is exact cosine, ties to the lower corpus_id, same output
+    * schema as ivfTopK.
+    *
+    * Ranking statistic: ⟨q̂_codes, ĉ_codes⟩ / ‖decode(c_codes)‖ — the
+    * reconstruction COSINE up to the per-query constant ‖decode(q)‖,
+    * which cannot change a per-query ranking. Dividing by the corpus-
+    * side reconstruction norm matters: raw SDC dots are shrunk by each
+    * side's quantization energy loss, which varies per row — a rowwise
+    * bias that would mis-rank across candidates. A zero-norm
+    * reconstruction (degenerate input) ranks LAST (−∞), never NaN.
+    *
+    * Scale shape: codes + norms are narrow maps; the candidate join is
+    * the same broadcast-probe equi-join as ivfTopK with the heavy
+    * per-candidate cosine replaced by m reads; the pre-rank window
+    * shuffles only (query_id, corpus_id, score) triples (Spark 4
+    * inserts WindowGroupLimit below the exchange — partial top-k
+    * map-side); the exact fetch re-joins only nQueries×preRankC ids.
+    * `codebooks` must be trained on L2-NORMALIZED vectors (encoding
+    * normalizes internally to match).
+    */
+  def ivfSdcPrerankTopK(assigned: DataFrame, centroids: DataFrame,
+                        codebooks: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int, nProbe: Int,
+                        preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
+    val spark = queries.sparkSession
+    val tbl = spark.sparkContext.broadcast(sdcTable(codebooks, dim, m, ksub))
+    def sdc(a: Column, b: Column) =
+      VectorExpressions.pqSdcScore(a, b, tbl, m, ksub)
+    // corpus side: codes + reconstruction norm, both narrow maps over
+    // the (already cell-partitioned) index — in production these two
+    // columns persist WITH the index, amortized over every query batch
+    val encC = assigned
+      .withColumn("codes", codesExprOn(codebooks, normalized(col("cv")), dim, m, ksub))
+      .withColumn("cnorm", sqrt(sdc(col("codes"), col("codes"))))
+      .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
+    // query side: probe selection (narrow top-nProbe kernel) + codes;
+    // qcodes (m ints) ride the probe broadcast — LIGHTER than the qv
+    // float vector ivfTopK broadcasts
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val (units, cellIds, cdim) =
+      Similarity.flatCentroids(centroids, normalize = true)
+    val qp = q
+      .select(col("query_id"),
+        codesExprOn(codebooks, normalized(col("qv")), dim, m, ksub).as("qcodes"),
+        explode(VectorExpressions.nearestCellsTopK(
+          col("qv"), units, cellIds, cdim, nProbe)).as("pc"))
+      .select(col("query_id"), col("qcodes"), col("pc.cell").as("cell"))
+    val pre = encC.join(broadcast(qp), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        when(col("cnorm") > 0, sdc(col("qcodes"), col("codes")) / col("cnorm"))
+          .otherwise(lit(Double.NegativeInfinity)).as("ascore"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("corpus_id").asc)
+    val short = pre.withColumn("pr", row_number().over(wPre))
+      .filter(col("pr") <= preRankC)
+      .select(col("query_id"), col("corpus_id"))
+    // exact re-rank over only the shortlist's real vectors (join
+    // strategy left to Catalyst/AQE: shortlist and corpus sizes vary
+    // by orders of magnitude across call shapes)
+    val fetched = short
+      .join(assigned.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
+      .join(q, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     fetched.withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))

@@ -484,13 +484,22 @@ object Similarity {
     * `sampleCap` (default 4096) bounds the init to a deterministic
     * FNV-ordered sample — one cheap corpus pass regardless of scale;
     * only the Lloyd polish reads the full corpus. Set 0 to seed over
-    * everything (small fixtures / spec pins).
+    * everything (small fixtures / spec pins). The cap is a FLOOR-
+    * CLAMPED budget: k-means|| needs a sample of at least
+    * max(2·nCells, 64), so any smaller positive cap (including the
+    * default when nCells > 2048 — the thousands-of-cells shape a
+    * 100 TB index wants) is raised to that minimum instead of
+    * tripping [[kmeansParallelInit]]'s require. Callers with nCells ≤
+    * 2048 see the exact cap they passed (pins unaffected).
     */
   def trainedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                        nCells: Int, rounds: Int = 2,
                        lloyd: Int = 1, sampleCap: Int = 4096): DataFrame = {
+    val cap =
+      if (sampleCap == 0) 0
+      else math.max(sampleCap, math.max(2 * nCells, 64))
     val init = kmeansParallelInit(corpus, vecCol, idCol, k = nCells,
-      rounds = rounds, sampleCap = sampleCap)
+      rounds = rounds, sampleCap = cap)
     if (lloyd <= 0) init
     else refineCentroids(corpus, init, vecCol, idCol, iterations = lloyd)
   }

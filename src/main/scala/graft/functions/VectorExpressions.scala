@@ -1,11 +1,28 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Flat centroid matrix + cell ids, shipped to executors as ONE
+  * broadcast block instead of riding the serialized expression tree
+  * into every task binary. At the gated bench scales (≤4096 cells ×
+  * 64 dims ≈ 1 MB) the in-expression form was fine; at a production
+  * 100 TB index (65k cells × 1024 dims ≈ 256 MB) per-task
+  * serialization becomes the stage ceiling — a broadcast ships once
+  * per executor and every task reads the same local block.
+  */
+case class CentroidMatrix(units: Array[Float], cells: Array[Long])
+
+/** Flat PQ codebook + per-code ‖c‖²/2 terms, broadcast for the same
+  * reason as [[CentroidMatrix]] (m·ksub·dsub floats — 1 MB at the
+  * standard m=16/ksub=256/dsub=64 production shape).
+  */
+case class PqCodebookData(codebook: Array[Float], halves: Array[Double])
 
 /** Native vector kernels for the similarity/dedup hot path (SURVEY.md
   * §4.3 extension layer).
@@ -262,9 +279,14 @@ object ShingleFnv {
   * are bit-identical to the inlined form. Never-trained codes carry
   * half = +∞ and cannot win; ties break to the lowest code.
   */
-case class PqEncodeCodes(child: Expression, codebook: Array[Float],
-                         halves: Array[Double], m: Int, ksub: Int, dsub: Int)
+case class PqEncodeCodes(child: Expression, cb: Broadcast[PqCodebookData],
+                         m: Int, ksub: Int, dsub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // per-instance cache of the executor-local broadcast block; transient
+  // so only the tiny broadcast HANDLE rides the serialized expression
+  @transient private lazy val codebook: Array[Float] = cb.value.codebook
+  @transient private lazy val halves: Array[Double] = cb.value.halves
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -323,19 +345,24 @@ case class PqEncodeCodes(child: Expression, codebook: Array[Float],
 }
 
 /** Nearest-centroid assignment as ONE expression: argmax over a flat,
-  * driver-normalized centroid matrix held in the expression (broadcast
-  * with the plan), looping in compiled Scala — constant generated-code
-  * size at ANY nCells. The unrolled alternative (nCells dot kernels +
-  * `greatest`) exceeds the JVM's 64KB method limit around ~512 cells
-  * inside whole-stage codegen and silently falls back to interpreted
-  * eval. Ranks by dot(v, ĉ) (≡ cosine argmax — |v| is constant per
-  * row); ties resolve to the LOWEST cell (cells are iterated in
-  * ascending id order with a strict >), matching the inline
-  * `greatest((d, -cell))` form bit-for-bit.
+  * driver-normalized centroid matrix shipped as a [[CentroidMatrix]]
+  * BROADCAST (the expression carries only the handle — the matrix
+  * lands on each executor once, not in every task binary), looping in
+  * compiled Scala — constant generated-code size at ANY nCells. The
+  * unrolled alternative (nCells dot kernels + `greatest`) exceeds the
+  * JVM's 64KB method limit around ~512 cells inside whole-stage
+  * codegen and silently falls back to interpreted eval. Ranks by
+  * dot(v, ĉ) (≡ cosine argmax — |v| is constant per row); ties resolve
+  * to the LOWEST cell (cells are iterated in ascending id order with a
+  * strict >), matching the inline `greatest((d, -cell))` form
+  * bit-for-bit.
   */
-case class NearestCell(child: Expression, units: Array[Float],
-                       cells: Array[Long], dim: Int)
+case class NearestCell(child: Expression, mat: Broadcast[CentroidMatrix],
+                       dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val units: Array[Float] = mat.value.units
+  @transient private lazy val cells: Array[Long] = mat.value.cells
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
@@ -353,8 +380,11 @@ case class NearestCell(child: Expression, units: Array[Float],
     var bestD = Double.NegativeInfinity
     // start at the LOWEST cell id, not a phantom 0: a degenerate vector
     // whose every dot is NaN (strict > never fires) must land in a real
-    // cell. NaN dots rank below any finite dot here (and in
-    // [[NearestCellsTopK]]); only NaN/Inf INPUTS can produce them.
+    // cell. NaN dots rank below any finite dot here; only NaN/Inf
+    // INPUTS can produce them. ([[NearestCellsTopK]] shares the
+    // below-any-finite rule but never EMITS a NaN-scored probe — an
+    // all-NaN vector probes zero cells there, while assignment must
+    // land every row somewhere, hence this fallback.)
     var bestCell = cells(0)
     var c = 0
     while (c < cells.length) {
@@ -385,7 +415,8 @@ case class NearestCell(child: Expression, units: Array[Float],
 }
 
 /** Top-`nProbe` nearest centroids per vector as ONE expression over a
-  * flat driver-held centroid matrix — the QUERY-side twin of
+  * broadcast flat centroid matrix ([[CentroidMatrix]] — handle in the
+  * expression, block once per executor) — the QUERY-side twin of
   * [[NearestCell]]. Returns array<struct<cell:long, d:double>> ordered
   * best-first by (d desc, cell asc), where d = dot(v, matrix row) —
   * pass a driver-NORMALIZED matrix to rank by cosine (the IVF probe)
@@ -398,10 +429,19 @@ case class NearestCell(child: Expression, units: Array[Float],
   * Selection loop keeps earlier (lower) cells ahead of equal-d later
   * ones (strict > insertion over ascending cells), matching the
   * window's `orderBy(d desc, cell asc)` row_number semantics.
+  * NaN dots (NaN/Inf inputs only) rank below any finite dot and are
+  * never emitted: a NaN-scored cell is SKIPPED outright — a vector
+  * whose every dot is NaN probes zero cells. (Before this rule, a NaN
+  * from an EARLY cell parked in the buffer and the strict-> insertion
+  * test could never displace it, silently outranking later finite
+  * dots.)
   */
-case class NearestCellsTopK(child: Expression, units: Array[Float],
-                            cells: Array[Long], dim: Int, nProbe: Int)
+case class NearestCellsTopK(child: Expression, mat: Broadcast[CentroidMatrix],
+                            dim: Int, nProbe: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val units: Array[Float] = mat.value.units
+  @transient private lazy val cells: Array[Long] = mat.value.cells
 
   private val cellField = org.apache.spark.sql.types.StructField(
     "cell", org.apache.spark.sql.types.LongType, nullable = false)
@@ -437,16 +477,21 @@ case class NearestCellsTopK(child: Expression, units: Array[Float],
         s += v.getFloat(i).toDouble * units(off + i).toDouble
         i += 1
       }
-      // strict >: on ties the earlier (lower) cell stays ahead
-      var j = filled
-      while (j > 0 && s > bd(j - 1)) j -= 1
-      if (j < k) {
-        val last = math.min(filled, k - 1)
-        var m = last
-        while (m > j) { bd(m) = bd(m - 1); bc(m) = bc(m - 1); m -= 1 }
-        bd(j) = s
-        bc(j) = cells(c)
-        if (filled < k) filled += 1
+      // NaN scores never insert (s != s): a buffered NaN would be
+      // un-displaceable under the strict-> test below and outrank
+      // every later finite dot
+      if (s == s) {
+        // strict >: on ties the earlier (lower) cell stays ahead
+        var j = filled
+        while (j > 0 && s > bd(j - 1)) j -= 1
+        if (j < k) {
+          val last = math.min(filled, k - 1)
+          var m = last
+          while (m > j) { bd(m) = bd(m - 1); bc(m) = bc(m - 1); m -= 1 }
+          bd(j) = s
+          bc(j) = cells(c)
+          if (filled < k) filled += 1
+        }
       }
       c += 1
     }
@@ -470,6 +515,65 @@ case class NearestCellsTopK(child: Expression, units: Array[Float],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellsTopK =
     copy(child = newChild)
+}
+
+/** Symmetric PQ distance (SDC — Jégou et al. TPAMI 2011 §III.A): the
+  * approximate dot product of TWO PQ-encoded vectors,
+  * Σ_j table[(j·ksub + aj)·ksub + bj] = ⟨decode(a), decode(b)⟩, via a
+  * single shared m·ksub² code-pair table built once on the driver and
+  * BROADCAST. This is the scoring kernel for the all-corpus /
+  * self-join ANN shapes (near-dup pre-filtering, corpus-as-query-batch
+  * top-k pre-ranking): asymmetric ADC needs an m·ksub LUT PER QUERY —
+  * per-query anything is ruled out when queries = corpus (a 1M-query
+  * batch would broadcast 1M LUTs) — while SDC's table is query-
+  * independent (4 MB at m=8/ksub=256) and each candidate pair costs m
+  * array reads. Both codes must come from the SAME codebook.
+  */
+case class PqSdcScore(left: Expression, right: Expression,
+                      table: Broadcast[Array[Double]], m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  @transient private lazy val t: Array[Double] = table.value
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_sdc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_sdc_score expects (array<int>, array<int>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  def scoreFor(a: ArrayData, b: ArrayData): Double = {
+    require(a.numElements() == m && b.numElements() == m,
+      s"pq_sdc_score: codes of ${a.numElements()}/${b.numElements()} subspaces, expected $m")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += t((j * ksub + a.getInt(j)) * ksub + b.getInt(j))
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    scoreFor(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("pqSdc", this, classOf[PqSdcScore].getName)
+      s"${ev.value} = $ref.scoreFor($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqSdcScore =
+    copy(left = newLeft, right = newRight)
 }
 
 object VectorExpressions {
@@ -516,22 +620,44 @@ object VectorExpressions {
   def shingleFnv(s: Column, n: Int): Column =
     GraftBridge.column(ShingleFnv(expr(s), n))
 
+  // kernel payloads (centroid matrices, codebooks, SDC tables) ship as
+  // broadcast blocks — once per executor — never inside the serialized
+  // expression (= every task binary); the active session's context is
+  // the broadcaster (all builders run on the driver)
+  private def bc[T: scala.reflect.ClassTag](v: T): Broadcast[T] =
+    SparkSession.active.sparkContext.broadcast(v)
+
   /** nearest-centroid argmax over a flat driver-normalized matrix
     * (see [[NearestCell]]) — the many-cell IVF assignment kernel. */
   def nearestCell(v: Column, units: Array[Float], cells: Array[Long],
                   dim: Int): Column =
-    GraftBridge.column(NearestCell(expr(v), units, cells, dim))
+    GraftBridge.column(NearestCell(expr(v), bc(CentroidMatrix(units, cells)), dim))
 
   /** top-nProbe nearest centroids with their dot values
     * (see [[NearestCellsTopK]]) — the IVF/IVF-PQ query-probe kernel. */
   def nearestCellsTopK(v: Column, units: Array[Float], cells: Array[Long],
                        dim: Int, nProbe: Int): Column =
-    GraftBridge.column(NearestCellsTopK(expr(v), units, cells, dim, nProbe))
+    GraftBridge.column(NearestCellsTopK(expr(v), bc(CentroidMatrix(units, cells)),
+      dim, nProbe))
 
   /** PQ code assignment against a flat codebook (see [[PqEncodeCodes]]). */
   def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],
                m: Int, ksub: Int, dsub: Int): Column =
-    GraftBridge.column(PqEncodeCodes(expr(v), codebook, halves, m, ksub, dsub))
+    GraftBridge.column(PqEncodeCodes(expr(v), bc(PqCodebookData(codebook, halves)),
+      m, ksub, dsub))
+
+  /** symmetric PQ code-pair dot score against a shared broadcast
+    * m·ksub² table (see [[PqSdcScore]]). */
+  def pqSdcScore(a: Column, b: Column, table: Array[Double],
+                 m: Int, ksub: Int): Column =
+    pqSdcScore(a, b, bc(table), m, ksub)
+
+  /** [[pqSdcScore]] over an ALREADY-broadcast table — callers scoring
+    * several column pairs against one table (pair score + both
+    * self-norms) broadcast it once and reuse the handle. */
+  def pqSdcScore(a: Column, b: Column, table: Broadcast[Array[Double]],
+                 m: Int, ksub: Int): Column =
+    GraftBridge.column(PqSdcScore(expr(a), expr(b), table, m, ksub))
 
   /** SpaceSaving heavy-hitters aggregate (see [[SpaceSavingAgg]]):
     * `array<struct<key, est, err, total>>` sorted by estimate.

@@ -115,9 +115,11 @@ object Flatten {
     * must sort downstream); the capped path returns children in
     * child-struct sort order (a cap without a defined rank order would
     * keep an arbitrary subset). Non-orderable child fields (map types)
-    * are EXCLUDED from the rank key and the array sort, so a map-typed
-    * child caps fine; rows tied on every orderable field then rank in
-    * an unspecified (but per-run deterministic) order.
+    * are EXCLUDED from the sortable rank-key prefix, so a map-typed
+    * child caps fine; rows tied on every orderable field (including
+    * the degenerate all-non-orderable case) then rank by a content
+    * hash of the full child struct — reproducible across reruns, task
+    * retries, and repartitioning, never partition-arrival order.
     */
   def nestChild(
       parentDf: DataFrame,
@@ -145,8 +147,16 @@ object Flatten {
               .isOrderable(f.dataType))
           .map(f => col(f.name))
           .toIndexedSeq
+        // LAST key: a content hash of the WHOLE child struct (json round-
+        // trip — xxhash64 rejects map types directly) — so rows tied on
+        // every orderable field (and the all-non-orderable fallback,
+        // which has no orderable key at all) still rank by row CONTENT,
+        // never by partition arrival order: the capped subset is
+        // reproducible across reruns, task retries, and repartitioning
+        val tiebreak = xxhash64(to_json(col("__s")))
         val rankKey =
-          if (orderable.nonEmpty) struct(orderable: _*) else lit(1)
+          if (orderable.nonEmpty) struct((orderable :+ tiebreak): _*)
+          else tiebreak
         childDf
           .withColumn("__s", childStruct)
           .withColumn("__rn", row_number().over(byKey.orderBy(rankKey)))

@@ -396,6 +396,69 @@ private[graft] object ExtQueries {
         .orderBy("check_name")
     }),
 
+    "x_ann_pq_prerank_recall" -> ((s, d) => {
+      // ORACLE-GATED quality verdicts for the PQ-SDC PRE-RANKED paths
+      // (the r14 all-corpus/self-join cost cut): candidates are ranked
+      // by the symmetric PQ statistic — m table reads against ONE
+      // shared broadcast code-pair table, no per-query ADC LUTs, which
+      // a corpus-sized query batch cannot broadcast — and only a
+      // per-query shortlist (topk) / the margin survivors (near-dup)
+      // reach the exact cosine kernel. Budgets measured via
+      // tools/SdcPrerankProbe at sf0.001/0.01/0.1 on the near-uniform
+      // synthetic embeddings (ANN's worst case — quantized scores are
+      // noisiest when true neighbors are weak):
+      //   topk m=16/ksub=16, nProbe=4, preRankC=300 → 1.000/1.000/0.985
+      //     vs the exact-scored ivfTopK on the same index (bound 0.90)
+      //   neardup margin=0.3 → 1.000/0.947/1.000 recall, fp=0 at all
+      //     three SFs (bound 0.90; precision 1.0 by construction —
+      //     the fp check proves it)
+      // The whole path is deterministic (hash-seeded centroids +
+      // FNV-seeded codebooks, deterministic ties) — per-SF recall is a
+      // constant; any drop is a code regression, not noise.
+      val raw = t(s, d, "embeddings")
+      val en = raw.select(col("vec_id").as("id"),
+        graft.ext.Pq.normalized(col("embedding")).as("v"))
+      val cents = Similarity.refineCentroids(en,
+        Similarity.coarseCentroids(en, "v", "id", nCells = 16),
+        "v", "id", iterations = 1)
+      val assigned = Similarity.assignCells(en, cents, "v", "id")
+      val q = en.filter(col("id") < 20)
+      val cb = graft.ext.Pq.trainCodebooks(en, "v", "id",
+        dim = 64, m = 16, ksub = 16, iterations = 1)
+      val exactIvf = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+        k = 10, nProbe = 4)
+      val pre = graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, cb, q,
+        "v", "id", k = 10, nProbe = 4, preRankC = 300,
+        dim = 64, m = 16, ksub = 16)
+      val topkOk = Similarity.recallAtK(pre, exactIvf)
+        .agg((avg(col("recall")) >= 0.9).as("ok"))
+        .select(lit("sdc_prerank_vs_ivf_recall10_ge_090").as("check_name"),
+          col("ok"))
+      // near-dup pre-filter: graded on the bounded slice against the
+      // exact all-pairs operator (the x_embed_neardup_bucketed pattern)
+      val got = Dedup.embeddingNearDupsBucketedPq(raw, "embedding", "vec_id",
+          threshold = 0.4, nCells = 16, nProbe = 4, margin = 0.3,
+          m = 16, ksub = 16)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"))
+      val exactP = Dedup.embeddingNearDups(
+          raw.filter(col("vec_id") < 300), "embedding", "vec_id",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val nExact = exactP.agg(count(lit(1)).as("n_exact"))
+      val nGot = got.agg(count(lit(1)).as("n_got"))
+      val nInter = got.join(exactP, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val ndChecks = nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
+        .select(explode(array(
+          struct(lit("neardup_pq_recall_ge_090").as("check_name"),
+            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
+          struct(lit("neardup_pq_no_false_positives").as("check_name"),
+            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
+      topkOk.unionByName(ndChecks).orderBy("check_name")
+    }),
+
     "x_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(
           t(s, d, "embeddings").filter(col("vec_id") < 300),
@@ -2502,6 +2565,12 @@ private[graft] object ExtQueries {
     "x_ann_pq_recall" ->
       """SELECT * FROM (VALUES ('pq_adc200_mean_recall10_ge_070', TRUE),
         |  ('pq_adc30_mean_recall10_ge_015', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
+    "x_ann_pq_prerank_recall" ->
+      """SELECT * FROM (VALUES ('neardup_pq_no_false_positives', TRUE),
+        |  ('neardup_pq_recall_ge_090', TRUE),
+        |  ('sdc_prerank_vs_ivf_recall10_ge_090', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "x_compression_ratio_check" ->

@@ -88,10 +88,23 @@ object Sinks {
   /** xlsx export (Load.py:210-213's `to_excel`): a BI handoff file, so —
     * like the reference's pandas path — inherently a bounded,
     * driver-side artifact, enforced by `maxRows`. Written as minimal
-    * ECMA-376 SpreadsheetML (one inline-string sheet) over
-    * `java.util.zip`: no dependency needed. Numeric/boolean cells keep
-    * their type; everything else lands as text; a header row carries the
-    * column names (pandas to_excel default).
+    * ECMA-376 SpreadsheetML over `java.util.zip`: no dependency needed.
+    * A header row carries the column names (pandas to_excel default).
+    *
+    * CELL-TYPE CONTRACT (gated by SinksSpec + the x_xlsx_hash pins):
+    *  - numeric columns → TYPED number cells (`<c><v>…` — no `t`
+    *    attribute, i.e. SpreadsheetML's Number type), so a BI tool
+    *    reads real numbers, not digit strings;
+    *  - booleans → typed `t="b"` cells;
+    *  - dates/timestamps → ISO-style TEXT by design (`yyyy-MM-dd` /
+    *    `yyyy-MM-dd HH:mm:ss.f` — the JDBC toString forms):
+    *    SpreadsheetML date cells are 1900-epoch numeric serials that
+    *    need a styles.xml number-format to read back as dates at all
+    *    (plus the leap-year-1900 compatibility bug); unambiguous ISO
+    *    text is the portable choice for a handoff artifact, and every
+    *    spreadsheet tool parses it on import;
+    *  - complex/binary → JSON / hex text ([[flattenForText]]);
+    *    everything else → inline strings.
     */
   def writeXlsx(df: DataFrame, file: String, maxRows: Int = 1048575,
                 mode: SaveMode = SaveMode.Overwrite): Unit = {

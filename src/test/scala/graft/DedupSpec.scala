@@ -261,6 +261,33 @@ class DedupSpec extends SparkSpec {
       "pair generation must be a cell equi-join, not a cartesian")
   }
 
+  test("embeddingNearDupsBucketedPq: PQ pre-filter keeps precision 1.0 and ≥0.9 recall") {
+    // same planted-near-dup fixture as the bucketed test: the PQ
+    // pre-filter must stay a strict work-skipper — every emitted pair
+    // exact-verified (subset of exact), recall within the same bound,
+    // and the plan still a cell equi-join
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(_ => vec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 20).map { i =>
+        (100L + i, base(i).map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+      }
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(e, "embedding", "vec_id", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pq = Dedup.embeddingNearDupsBucketedPq(e, "embedding", "vec_id",
+      threshold = 0.95, nCells = 8, nProbe = 2, margin = 0.2, m = 4, ksub = 8)
+    val got = pq.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "exact verify stage must keep precision 1.0")
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq-prefiltered recall $recall below 0.9 " +
+      s"(got ${got.size}/${exact.size})")
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must stay a cell equi-join")
+  }
+
   test("embeddingNearDupsAgainst: batch probes the store, no store self-pairs, high recall") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)

@@ -68,8 +68,10 @@ class FlattenSpec extends SparkSpec {
   }
 
   test("nestChild maxChildren works when EVERY non-key child field is non-orderable") {
-    // rankKey falls back to lit(1): the cap still applies and the call
-    // must not fail analysis; WHICH rows survive is unspecified there
+    // no orderable rank prefix exists: the cap still applies, the call
+    // must not fail analysis, and WHICH rows survive is the content-
+    // hash order — reproducible across partitioning, never
+    // partition-arrival order
     val parent = Seq((1, "hot"), (2, "cool")).toDF("id", "pname")
     val child = Seq((1, Map("a" -> 1)), (1, Map("a" -> 2)), (1, Map("a" -> 3)),
       (2, Map("b" -> 9))).toDF("pid", "attrs")
@@ -80,6 +82,30 @@ class FlattenSpec extends SparkSpec {
     assert(out(0).getBoolean(3))
     assert(out(1).getSeq[org.apache.spark.sql.Row](2).size === 1)
     assert(!out(1).getBoolean(3))
+    // the surviving subset is CONTENT-deterministic: any repartitioning
+    // must keep exactly the same capped rows in the same order
+    val kept = out(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getMap[String, Int](0).toMap)
+    val again = Flatten.nestChild(parent, child.repartition(7), "id", "pid",
+        "kids", maxChildren = Some(2))
+      .orderBy("id").collect()(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getMap[String, Int](0).toMap)
+    assert(again === kept, "capped subset must not depend on partitioning")
+  }
+
+  test("nestChild maxChildren: orderable-field TIES break by content hash, not arrival") {
+    // two children tied on the only orderable field (score) but with
+    // different map payloads: the survivor must be the same at any
+    // partitioning (the content-hash tiebreaker), not whichever row a
+    // partition happened to deliver first
+    val parent = Seq((1, "p")).toDF("id", "pname")
+    val child = Seq((1, 5, Map("k" -> 1)), (1, 5, Map("k" -> 2)),
+      (1, 5, Map("k" -> 3))).toDF("pid", "score", "attrs")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Flatten.nestChild(parent, c, "id", "pid", "kids", maxChildren = Some(2))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](2)
+        .map(_.getMap[String, Int](1).toMap)
+    assert(run(child.repartition(5)) === run(child.repartition(1)))
   }
 
   test("explodeChild applies childPrefix like json_normalize meta_prefix") {

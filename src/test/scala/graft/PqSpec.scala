@@ -115,4 +115,67 @@ class PqSpec extends SparkSpec {
       .agg(avg("recall")).as[Double].first()
     assert(recall >= 0.9, s"re-ranked recall@10 $recall")
   }
+
+  test("SDC score equals the exact dot of the two decoded vectors") {
+    // the defining SDC property (the symmetric twin of the ADC test):
+    // table-sum == ⟨decode(a), decode(b)⟩ for every code pair
+    val tbl = spark.sparkContext.broadcast(Pq.sdcTable(cb, dim, m, ksub))
+    val a = enc.filter(col("id") < 8)
+      .select(col("id").as("id_a"), col("codes").as("ca"))
+    val b = enc.filter(col("id") >= 8 && col("id") < 24)
+      .select(col("id").as("id_b"), col("codes").as("cb"))
+    val got = a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.pqSdcScore(
+          col("ca"), col("cb"), tbl, m, ksub).as("s"))
+      .as[(Long, Long, Double)].collect()
+    val dec = Pq.decode(enc, cb, dim, m, ksub)
+      .select(col("id"), col("recon"))
+    val exact = dec.as("x").crossJoin(dec.as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Similarity.dot(col("x.recon"), col("y.recon")).as("d"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, d) => ((x, y), d) }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (ia, ib, s) =>
+      assert(math.abs(s - exact((ia, ib))) < 1e-9,
+        s"SDC $s vs decoded-dot ${exact((ia, ib))} for ($ia,$ib)")
+    }
+  }
+
+  test("ivfSdcPrerankTopK: generous preRankC reproduces ivfTopK byte-for-byte") {
+    // with a shortlist wider than any per-query candidate set the
+    // pre-rank cannot drop anything, so the exact re-rank must emit
+    // EXACTLY ivfTopK's rows — same scores (round 6), same tie order
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val q = corpus.filter(col("id") < 20)
+    val exact = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+      k = 10, nProbe = 2)
+    val pre = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
+      k = 10, nProbe = 2, preRankC = 200, dim = dim, m = m, ksub = ksub)
+    assert(pre.orderBy("query_id", "rank").collect().toSeq ===
+      exact.orderBy("query_id", "rank").collect().toSeq)
+  }
+
+  test("ivfSdcPrerankTopK: tight shortlist keeps recall@10 ≥ 0.9 vs exact-scored IVF") {
+    // preRankC = 3×k — the same shortlist-to-k ratio the ADC tests use
+    // on this all-near-ties fixture (raw PQ top-10 here is tie-break
+    // noise by construction; what the pipeline needs is the true
+    // neighbors REACHING the shortlist)
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val q = corpus.filter(col("id") < 20)
+    val exact = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+      k = 10, nProbe = 2)
+    val pre = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
+      k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
+    val recall = Similarity.recallAtK(pre, exact)
+      .agg(avg("recall")).as[Double].first()
+    assert(recall >= 0.9, s"pre-ranked recall@10 $recall vs exact IVF")
+  }
 }

@@ -216,6 +216,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kernel NaN contract: NaN dots never rank; assignment falls back, probing skips") {
+    // dim=2 matrix: cell 5 is a NaN centroid (only NaN/Inf inputs can
+    // produce one), cells 6/7 finite. A finite query must rank ONLY
+    // the finite cells (the NaN cell is skipped, never parked
+    // un-displaceably in the top-k buffer); an all-NaN query probes
+    // ZERO cells but still ASSIGNS to the lowest cell.
+    val units = Array(Float.NaN, Float.NaN, 1.0f, 0.0f, 0.0f, 1.0f)
+    val cells = Array(5L, 6L, 7L)
+    val df = Seq(
+      (0L, Array(1.0f, 0.25f)),
+      (1L, Array(Float.NaN, 0.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.nearestCell(
+          col("embedding"), units, cells, 2).as("cell"),
+        graft.functions.VectorExpressions.nearestCellsTopK(
+          col("embedding"), units, cells, 2, 3).as("pcs"))
+      .as[(Long, Long, Seq[(Long, Double)])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L)._1 === 6L)
+    assert(out(0L)._2.map(_._1) === Seq(6L, 7L), "NaN cell must be skipped")
+    assert(out(1L)._1 === 5L, "all-NaN assignment falls back to the lowest cell")
+    assert(out(1L)._2.isEmpty, "all-NaN query must probe zero cells")
+  }
+
+  test("trainedCentroids: sampleCap floor-clamps instead of tripping the k-means|| require") {
+    // sampleCap=1 is below the k-means|| minimum for k=40 (2k=80) —
+    // the old default-vs-k trap (any nCells > sampleCap/2 threw); now
+    // the cap is raised to the minimum and the build returns exactly k
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(df, "embedding", "vec_id",
+      nCells = 40, sampleCap = 1, lloyd = 0)
+    assert(cents.count() === 40L)
+  }
+
   test("cell-partitioned store: probes prune partitions, results match in-memory IVF") {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/assigned"
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)

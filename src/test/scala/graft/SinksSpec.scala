@@ -150,6 +150,38 @@ class SinksSpec extends SparkSpec {
       // shift into the wrong columns
       rows.foreach(r => assert((r \\ "c").length === 4))
       assert((rows(2) \\ "v").map(_.text) === Seq("2", "0"))
+      // CELL-TYPE CONTRACT: numeric cells must be TYPED (no t attribute
+      // = SpreadsheetML Number), booleans t="b" — never inline strings
+      // a BI tool would read as text
+      val r1cells = (r1 \\ "c")
+      assert((r1cells(0) \ "@t").isEmpty && (r1cells(2) \ "@t").isEmpty,
+        "numeric cells must carry no t attribute (typed Number cells)")
+      assert((r1cells(3) \ "@t").text === "b")
+      assert((r1cells(1) \ "@t").text === "inlineStr")
+    } finally zip.close()
+  }
+
+  test("xlsx sink: date/timestamp cells are ISO-style text by contract") {
+    // SpreadsheetML date cells are 1900-epoch serials needing a
+    // styles.xml number format (plus the 1900 leap-year bug); the
+    // documented contract ships unambiguous ISO text instead — pin it
+    val x = Seq((1L,
+      java.sql.Date.valueOf("2024-01-05"),
+      java.sql.Timestamp.valueOf("2024-01-05 10:30:00")))
+      .toDF("id", "d", "ts")
+    val file = java.nio.file.Files.createTempDirectory("graft-xlsx5").toString + "/d.xlsx"
+    Sinks.write(x, file, "xlsx")
+    val zip = new java.util.zip.ZipFile(file)
+    try {
+      val sheet = new String(
+        zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val row1 = (scala.xml.XML.loadString(sheet) \\ "row")(1)
+      val cells = row1 \\ "c"
+      assert((cells(1) \ "@t").text === "inlineStr")
+      assert((cells(1) \\ "t").text === "2024-01-05")
+      assert((cells(2) \ "@t").text === "inlineStr")
+      assert((cells(2) \\ "t").text === "2024-01-05 10:30:00.0")
     } finally zip.close()
   }
 

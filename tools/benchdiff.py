@@ -58,9 +58,12 @@ if len(args) < 2:
     sys.exit(__doc__)
 old_path, new_path = args[0], args[1]
 thr = float(args[2]) if len(args) > 2 else 1.5
-verify_mode = False
 def load(path):
-    global verify_mode
+    """Return (record, mode) where mode is 'bench' or 'verify' — PER
+    FILE, so a mixed comparison (one verify_timings map against a bench
+    record) fails loudly instead of silently applying verify-mode
+    behavior (skipping the contended-run reps check, printing the
+    verify caveat) to the bench side."""
     d = json.load(open(path))
     # driver BENCH_rN wrapper: the parsed stdout line sits under "parsed"
     # (None when the driver's 2KB tail clipped it — use BENCH_FULL.json)
@@ -74,8 +77,8 @@ def load(path):
     if ("queries" not in d and d
             and "verify_timings" in os.path.basename(path).lower()
             and all(isinstance(v, (int, float)) for v in d.values())):
-        verify_mode = True
-        d = {"value": round(sum(d.values()), 2), "queries": d, "n": len(d)}
+        return ({"value": round(sum(d.values()), 2), "queries": d,
+                 "n": len(d)}, "verify")
     if "queries" not in d:
         if d and all(isinstance(v, (int, float)) for v in d.values()):
             sys.exit(f"{path}: flat numeric map but not a verify_timings "
@@ -83,11 +86,16 @@ def load(path):
                      "wrap (a DISK/REPS record is not a per-query bench)")
         sys.exit(f"{path}: no per-query map (clipped driver tail?) — "
                  "diff BENCH_FULL.json dumps instead")
-    return d
+    return (d, "bench")
 
 
-old = load(old_path)
-new = load(new_path)
+old, old_mode = load(old_path)
+new, new_mode = load(new_path)
+if old_mode != new_mode:
+    sys.exit(f"mode mismatch: {old_path} is a {old_mode} record but "
+             f"{new_path} is a {new_mode} record — verify timings diff "
+             "against verify timings, bench records against bench records")
+verify_mode = new_mode == "verify"
 oq, nq = old["queries"], new["queries"]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
