@@ -9,2046 +9,36 @@ import graft.ext.{Dedup, Similarity, TextOps}
 import graft.registry.Fixtures._
 
 /** LLM-pipeline extensions: dedup families, ANN, text quality,
-  * corpus ops, multimodal, search.
-  * Pure relocation of the former SparkEntry map entries — no query or
-  * oracle text changed in the split.
+  * corpus ops, multimodal, search. Since r14 the per-family maps live
+  * in ExtQueries{Corpus,Dedup,Ann,Text,Eval,Search,Multimodal,
+  * Selection,Layout}.scala (pure relocation — no query or oracle text
+  * changed); this object merges them (disjointness enforced here, and
+  * per-file duplicate shadowing is caught by RegistryLintSpec) and
+  * keeps the shared helpers (scratch lifecycle, text round-trip,
+  * content-hash pins) the families import.
   */
 private[graft] object ExtQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_split" -> ((s, d) =>
-      // deterministic train/val/test assignment (growth-stable FNV
-      // membership, seed 13), summarized per split × lang
-      graft.ext.Corpus.assignSplit(t(s, d, "documents"), "doc_id")
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-        .orderBy("split", "lang")),
 
-    "x_group_split" -> ((s, d) => {
-      // leakage-safe split: hash the GROUP (source), not the doc —
-      // every doc of a source lands in ONE split (GroupShuffleSplit
-      // semantics; membership is a pure function of the group value,
-      // a narrow map with no group-list collect) — then the
-      // independent audit: leaked_groups must come out 0. Seed 17:
-      // the 20 sources land 14/3/3 across train/val/test (seed 13
-      // leaves val empty at every driver SF)
-      val split = graft.ext.Corpus.assignSplit(
-        t(s, d, "documents"), "source", seed = 17L)
-      graft.ext.Corpus.splitAudit(split, "source", "split")
-    }),
+  private def merged[T](what: String, maps: Seq[Map[String, T]]): Map[String, T] = {
+    val all = maps.flatMap(_.keys)
+    require(all.size == all.distinct.size,
+      s"duplicate $what keys across ExtQueries family files: " +
+        all.diff(all.distinct).distinct.mkString(", "))
+    maps.reduce(_ ++ _)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = merged("query", Seq(
+    ExtQueriesCorpus.queries, ExtQueriesDedup.queries, ExtQueriesAnn.queries,
+    ExtQueriesText.queries, ExtQueriesEval.queries, ExtQueriesSearch.queries,
+    ExtQueriesMultimodal.queries, ExtQueriesSelection.queries,
+    ExtQueriesLayout.queries))
+
+  val oracles: Map[String, String] = merged("oracle", Seq(
+    ExtQueriesCorpus.oracles, ExtQueriesDedup.oracles, ExtQueriesAnn.oracles,
+    ExtQueriesText.oracles, ExtQueriesEval.oracles, ExtQueriesSearch.oracles,
+    ExtQueriesMultimodal.oracles, ExtQueriesSelection.oracles,
+    ExtQueriesLayout.oracles))
 
-    "x_rp_sketch" -> ((s, d) =>
-      // Johnson–Lindenstrauss Rademacher projection 64 -> 16 dims:
-      // pure per-row fold (no shuffle, no UDF), integer-derived sign
-      // matrix, exact 1/sqrt(16) scale — BIT-EXACT vs the oracle's
-      // identical left-fold, zero rounding steps anywhere
-      graft.ext.Similarity.randomProject(
-        t(s, d, "embeddings"), "embedding", "vec_id", dIn = 64, kOut = 16)
-        .orderBy("id", "dim")),
-
-    "x_rp_distance" -> ((s, d) =>
-      // the JL lemma's empirical check on a 40-vector sample (780
-      // pairs): projected/original distance ratio per pair at 6 dp,
-      // decimal-exact mean. k=16 is a COARSE sketch (eps ~
-      // sqrt(8 ln n / k) ~ 1.35 at n=40, measured tail ~0.25..2.5)
-      // so the per-pair band [0.55, 1.45] gates the ~72% bulk. The
-      // 780 ratios share only k=16 projection dims, so the MEAN's
-      // effective dof is ~k, not ~n_pairs (measured 0.84..1.02
-      // across driver SFs) -> its band is [0.75, 1.25], not the
-      // 1/sqrt(780) one
-      graft.ext.Similarity.projDistortion(
-        t(s, d, "embeddings").filter(col("vec_id") < 40),
-        "embedding", "vec_id", dIn = 64, kOut = 16,
-        lo = 0.55, hi = 1.45, minFracInBand = 0.65,
-        meanLo = 0.75, meanHi = 1.25)),
-
-    "x_nfc" -> ((s, d) => {
-      // unicode canonicalization (codegen'd java.text.Normalizer): NFD
-      // text synthesized by suffixing e + COMBINING ACUTE composes to
-      // é — length drops by one, content diverges from the raw form
-      val syn = concat(col("text"), lit("e\u0301"))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          length(syn).cast("long").as("n_raw"),
-          length(graft.functions.TextNormalize.nfc(syn)).cast("long").as("n_nfc"),
-          (syn =!= graft.functions.TextNormalize.nfc(syn)).as("changed"))
-        .orderBy("doc_id")
-    }),
-
-    "x_sessionize_batch" -> ((s, d) =>
-      // session_window in batch mode: 30-min inactivity gap per user
-      events(s, d)
-        .withColumn("tss", date_trunc("second", col("ts_us")))
-        .groupBy(session_window(col("tss"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        .select(col("user_id"), col("sw.start").as("session_start"),
-          col("sw.end").as("session_end"), col("n"), col("total_value"))
-        .orderBy("user_id", "session_start")),
-
-    "x_approx_distinct" -> ((s, d) =>
-      // ORACLE-GATED sketch verdict: the HLL estimates are engine-
-      // specific, but the 5% error contract is not — both the sketch
-      // and the exact distinct count run engine-side and the driver
-      // gate hash-matches the literal bound verdicts
-      // rsd=0.02: the sketch's own std error sits well inside the 5%
-      // verdict bound at every scale factor (the default 0.05 rsd can
-      // legitimately exceed 5% on one given dataset)
-      t(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          countDistinct(col("l_orderkey")).as("eo"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          countDistinct(col("l_partkey")).as("ep"))
-        .select(explode(array(
-          struct(lit("orders_hll_err_lt_5pct").as("check_name"),
-            (abs(col("ao") - col("eo")).cast("double") / col("eo") < 0.05).as("ok")),
-          struct(lit("parts_hll_err_lt_5pct").as("check_name"),
-            (abs(col("ap") - col("ep")).cast("double") / col("ep") < 0.05).as("ok")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-        .orderBy("check_name")),
-
-    "x_profile_approx" -> ((s, d) => {
-      // ORACLE-GATED verdicts for the documented 100 TB profile
-      // configuration: `exactDistinct = false` swaps the one genuinely
-      // heavy metric (multi-countDistinct plans via EXPAND — ~5× input
-      // replication pre-shuffle) for one-pass HLL. The estimates are
-      // engine-specific; the contract is not: per column the HLL
-      // n_distinct must sit within 10% of the engine-side exact count
-      // (HLL default rsd 0.05 → 2σ), and EVERY other metric
-      // (n/nulls/min/max/mean) must be bit-identical between the two
-      // configurations — so a regression in the approx path fails the
-      // driver gate, not just prose in SCALE.md
-      val base = t(s, d, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-      val exact = graft.ops.Validate.profile(base)
-      val approx = graft.ops.Validate.profile(base, exactDistinct = false)
-      exact.as("e").join(approx.as("a"), Seq("column"))
-        .select(col("column"),
-          (abs(col("a.n_distinct") - col("e.n_distinct")).cast("double")
-            / col("e.n_distinct") < 0.10).as("hll_err_lt_10pct"),
-          (col("a.n") === col("e.n") && col("a.nulls") === col("e.nulls") &&
-            col("a.min_s") <=> col("e.min_s") && col("a.max_s") <=> col("e.max_s") &&
-            col("a.mean") <=> col("e.mean")).as("other_metrics_exact"))
-        .orderBy("column")
-    }),
-
-    // ---- ext: dedup ----
-    "x_dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
-        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
-
-    "x_dedup_exact_best" -> ((s, d) =>
-      // quality-first representative: keep the LONGEST duplicate (by
-      // n_chars), ties to min doc_id
-      Dedup.exactKeepBest(t(s, d, "documents"), "text", "doc_id", "n_chars")
-        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
-
-    "x_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(
-          t(s, d, "documents").filter(col("doc_id") < 300),
-          "text", "doc_id", shingleSize = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-
-    "x_dedup_clusters" -> ((s, d) => {
-      // near-dup CLUSTER resolution: pairs (n-gram jaccard) → connected
-      // components (min-label propagation) → per-doc cluster id + size.
-      // The step that turns pairwise similarity into deduplicatable
-      // groups (transitive: A~B, B~C clusters A,B,C together even when
-      // A≁C). The oracle replays it with a recursive CTE.
-      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
-      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
-        shingleSize = 3, threshold = 0.5)
-      val cc = Dedup.connectedComponents(
-        pairs.select("id_a", "id_b"), docs.select("doc_id"))
-      import org.apache.spark.sql.expressions.Window
-      cc.select(col("id").as("doc_id"), col("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-        .orderBy("doc_id")
-    }),
-
-    "x_dedup_minhash" -> ((s, d) =>
-      // portable FNV-1a signatures — the oracle replays the FULL LSH
-      // pipeline (signatures, banding, bucket join, est_jaccard)
-      Dedup.minhashNearDups(
-          t(s, d, "documents").filter(col("doc_id") < 300),
-          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-
-    "x_dedup_incremental" -> ((s, d) => {
-      // cross-run near-dedup: an incoming batch (doc_id 200–299)
-      // LSH-joined against the existing corpus store (doc_id < 200) —
-      // the daily-ingest shape; no store self-join
-      val docs = t(s, d, "documents")
-      Dedup.minhashNearDupsAgainst(
-          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
-          docs.filter(col("doc_id") < 200),
-          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
-        .orderBy("id_new", "id_store")
-    }),
-
-    "x_dedup_simhash" -> ((s, d) =>
-      // rotations=8 × prefixBits=8 = 8 disjoint blocks → EXACT for
-      // hamming ≤ 7 (pigeonhole), so the oracle is brute-force all-pairs
-      Dedup.simhashNearDups(
-          t(s, d, "documents").filter(col("doc_id") < 300),
-          "text", "doc_id", shingleSize = 3, maxHamming = 7, prefixBits = 8,
-          rotations = 8)
-        .orderBy("id_a", "id_b")),
-
-    "x_fingerprint" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
-
-    "x_bm25_search" -> ((s, d) =>
-      // BM25 relevance ranking for a bag-of-terms query — corpus
-      // slicing by keyword relevance; fixed-order score assembly keeps
-      // the float sum deterministic (see Search.bm25)
-      graft.ext.Search.bm25(t(s, d, "documents"), "text", "doc_id",
-          Seq("spark", "vector", "merge"), topK = 20)
-        .select(col("id").as("doc_id"), col("score"), col("rank"))
-        .orderBy("rank")),
-
-    // ---- ext: similarity search ----
-    "x_ann_bruteforce" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
-          "embedding", "vec_id", k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_bigram_lp" -> ((s, d) =>
-      // corpus-self-trained bigram predictability score (exact KenLM-
-      // style quality cut) — boilerplate scores high, noise low
-      graft.ext.TextOps.bigramLogProb(t(s, d, "documents"), "text", "doc_id")
-        .orderBy("id")),
-
-    "x_chunks" -> ((s, d) =>
-      // context-window chunking (40 tokens, 10 overlap — sized so the
-      // synthetic 10-99-token docs split into 1-3 chunks): shuffle-free
-      // explode+slice; chunks ship as portable FNV hashes so the
-      // oracle can audit exact boundaries without dumping text
-      graft.ext.TextOps.chunkTokens(t(s, d, "documents"), "text", "doc_id",
-          chunkTokens = 40, overlap = 10)
-        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
-          graft.functions.VectorExpressions.fnv1a64(col("chunk_text")).as("chunk_fnv"))
-        .orderBy("doc_id", "chunk_id")),
-
-    "x_kmeans" -> ((s, d) => {
-      // auditable clustering: one FNV-seeded Lloyd step over the
-      // embedding corpus (k=8), summarized as per-cluster size + mean
-      // cosine-to-centroid. Every step — seeding hash, decimal-exact
-      // centroid means, kernel accumulation order, tie-break — replays
-      // in the DuckDB oracle byte-for-byte (unlike the xxhash-seeded
-      // IVF rows, which are rows-only by design).
-      val e = t(s, d, "embeddings")
-      Similarity.kmeansAssign(e, "embedding", "vec_id", k = 8)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_cos"))
-        .orderBy("cell")
-    }),
-
-    "x_ann_ivf" -> ((s, d) => {
-      // rows-only: approximate (IVF probe) — no exact oracle by design.
-      // r13: seeded by trained k-means|| (trainedCentroids — sampled
-      // derandomized init + 1 Lloyd polish) instead of hash means: the
-      // gated A/B (tools/AnnSeedProbe) measured recall@10 0.54→0.60 at
-      // this exact probe budget for +0.4 s; hash seeding remains the
-      // cheap fallback (coarseCentroids, gated by x_ann_ivf_recall)
-      val e = t(s, d, "embeddings")
-      // trainedCentroids already returns a pinned frame — no wrapper
-      val centroids =
-        Similarity.trainedCentroids(e, "embedding", "vec_id", nCells = 16)
-      val assigned = Similarity.assignCells(e, centroids, "embedding", "vec_id")
-      Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
-          "embedding", "vec_id", k = 10, nProbe = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_ann_ivf_trained_recall" -> ((s, d) => {
-      // Recall gates for the SHIPPING (r13 flagship) ANN configs:
-      // trained k-means|| seeding (trainedCentroids — sampled
-      // derandomized init + 1 Lloyd polish, exactly what x_ann_ivf /
-      // x_ann_ivfpq build) at the x_ann_ivf_recall probe budgets. On
-      // these near-uniform synthetic embeddings trained seeding ties
-      // or beats hash (IVF 0.79–0.81, IVF-PQ 0.75–0.93 measured at
-      // sf0.001/0.01/0.1 via tools/AnnSeedGateProbe — same 0.70/0.65
-      // floors as the hash-seeded gates); its real advantage — sparse
-      // clusters hash density never seeds — is pinned by
-      // SimilaritySpec's skewed 300/12/6 fixture. Structural contract
-      // gated beside recall: exactly nCells centroids, full 64-dim.
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 20)
-      val cents = Similarity.trainedCentroids(e, "embedding", "vec_id",
-        nCells = 16)
-      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
-      val ivf = Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
-        k = 10, nProbe = 8)
-      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
-      val recallOk = Similarity.recallAtK(ivf, brute)
-        .agg((avg(col("recall")) >= 0.7).as("ok"))
-        .select(lit("trained_ivf_mean_recall10_ge_070").as("check_name"),
-          col("ok"))
-      val shapeOk = cents
-        .agg((count(lit(1)) === 16 &&
-          min(size(col("centroid"))) === 64 &&
-          max(size(col("centroid"))) === 64).as("ok"))
-        .select(lit("trained_centroids_shape").as("check_name"), col("ok"))
-      // the trained IVF-PQ flagship config, graded against the same
-      // raw-vector brute force (cosine ranking is normalization-
-      // invariant, so one exact pass grades both paths)
-      val en = e.select(col("vec_id").as("id"),
-        graft.ext.Pq.normalized(col("embedding")).as("v"))
-      val qn = en.filter(col("id") < 20)
-      val centsN = Similarity.trainedCentroids(en, "v", "id", nCells = 16)
-      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(en, centsN, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 1)
-      val ivfpq = graft.ext.Pq.ivfPqRerankTopK(enc, centsN, rcb, qn, en,
-        "v", "id", k = 10, shortlistK = 200, nProbe = 12,
-        dim = 64, m = 8, ksub = 16)
-      val ivfpqOk = Similarity.recallAtK(ivfpq, brute)
-        .agg((avg(col("recall")) >= 0.65).as("ok"))
-        .select(lit("trained_ivfpq_mean_recall10_ge_065").as("check_name"),
-          col("ok"))
-      recallOk.unionByName(shapeOk).unionByName(ivfpqOk).orderBy("check_name")
-    }),
-
-    "x_ann_ivf_recall" -> ((s, d) => {
-      // ORACLE-GATED quality bound for the HASH-SEEDED ANN paths —
-      // since r13 the cheap FALLBACK (the flagships seed via trained
-      // k-means||, gated by x_ann_ivf_trained_recall): mean recall@10
-      // vs the exact brute force, computed ENGINE-side for both the
-      // IVF probe path and the FAISS-style IVF-PQ residual path
-      // (deterministic: hash-seeded centroids, deterministic ties),
-      // returned as literal bound verdicts the driver can gate on. The synthetic embeddings are near-UNIFORM — ANN's worst
-      // case, where top-10 neighbors scatter across cells — so the
-      // bounds are what these probe budgets actually deliver on that
-      // data family, measured at sf0.001/0.01/0.1 with margin:
-      // IVF nProbe=8/16 → 0.78–0.80 (bound 0.70); IVF-PQ nProbe=12,
-      // shortlist=200 → 0.72–0.93 (bound 0.65). On clustered real
-      // corpora the same configs clear 0.9 (SimilaritySpec/PqSpec).
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 20)
-      val cents = Similarity.refineCentroids(e,
-        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16),
-        "embedding", "vec_id", iterations = 1)
-      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
-      val ivf = Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
-        k = 10, nProbe = 8)
-      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
-      val ivfOk = Similarity.recallAtK(ivf, brute)
-        .agg((avg(col("recall")) >= 0.7).as("ok"))
-        .select(lit("ivf_mean_recall10_ge_070").as("check_name"), col("ok"))
-      // IVF-PQ on normalized vectors, same residual index as x_ann_ivfpq
-      val en = e.select(col("vec_id").as("id"),
-        graft.ext.Pq.normalized(col("embedding")).as("v"))
-      val qn = en.filter(col("id") < 20)
-      val centsN = Similarity.refineCentroids(en,
-        Similarity.coarseCentroids(en, "v", "id", nCells = 16),
-        "v", "id", iterations = 1)
-      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(en, centsN, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 1)
-      val ivfpq = graft.ext.Pq.ivfPqRerankTopK(enc, centsN, rcb, qn, en,
-        "v", "id", k = 10, shortlistK = 200, nProbe = 12,
-        dim = 64, m = 8, ksub = 16)
-      // cosine ranking is normalization-invariant: the raw-vector brute
-      // force IS the normalized-vector ground truth — one exact pass
-      // grades both paths
-      val ivfpqOk = Similarity.recallAtK(ivfpq, brute)
-        .agg((avg(col("recall")) >= 0.65).as("ok"))
-        .select(lit("ivfpq_mean_recall10_ge_065").as("check_name"), col("ok"))
-      ivfOk.unionByName(ivfpqOk).orderBy("check_name")
-    }),
-
-    "x_ann_pq_recall" -> ((s, d) => {
-      // ORACLE-GATED quality bound for the PURE-PQ path (closes the one
-      // component x_ann_pq left rows-only): mean recall@10 of the
-      // ADC-shortlist+exact-rerank pipeline vs brute force, computed
-      // engine-side and returned as literal bound verdicts. The whole
-      // path is deterministic (FNV-seeded codebooks, deterministic
-      // ties), so per-SF recall is a constant — any drop is a code
-      // regression, not noise. Bounds measured via
-      // tools/PqRecallProbe at sf0.001/0.01/0.1 on the near-uniform
-      // synthetic embeddings (ANN worst case):
-      //   shortlist=200 → 0.935 / 0.940 / 0.765  (bound 0.70)
-      //   shortlist=30  → 0.555 / 0.435 / 0.255  (bound 0.15; random
-      //     chance is k/n ≤ 0.02, so 0.15 still proves the codes rank)
-      // shortlist=30 gates the exact x_ann_pq production budget;
-      // shortlist=200 gates the headroom config at the IVF-PQ budget.
-      val raw = t(s, d, "embeddings")
-      val e = raw.select(col("vec_id").as("id"),
-        graft.ext.Pq.normalized(col("embedding")).as("v"))
-      val q = e.filter(col("id") < 20)
-      val brute = Similarity.bruteForceTopK(
-        raw, raw.filter(col("vec_id") < 20), "embedding", "vec_id", k = 10)
-      val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 1)
-      val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
-      def check(shortlist: Int, name: String, bound: Double) =
-        Similarity.recallAtK(
-            graft.ext.Pq.adcRerankTopK(enc, cb, q, e, "v", "id",
-              k = 10, shortlistK = shortlist, dim = 64, m = 8, ksub = 16),
-            brute)
-          .agg((avg(col("recall")) >= bound).as("ok"))
-          .select(lit(name).as("check_name"), col("ok"))
-      check(200, "pq_adc200_mean_recall10_ge_070", 0.70)
-        .unionByName(check(30, "pq_adc30_mean_recall10_ge_015", 0.15))
-        .orderBy("check_name")
-    }),
-
-    "x_ann_pq_prerank_recall" -> ((s, d) => {
-      // ORACLE-GATED quality verdicts for the PQ-SDC PRE-RANKED paths
-      // (the r14 all-corpus/self-join cost cut): candidates are ranked
-      // by the symmetric PQ statistic — m table reads against ONE
-      // shared broadcast code-pair table, no per-query ADC LUTs, which
-      // a corpus-sized query batch cannot broadcast — and only a
-      // per-query shortlist (topk) / the margin survivors (near-dup)
-      // reach the exact cosine kernel. Budgets measured via
-      // tools/SdcPrerankProbe at sf0.001/0.01/0.1 on the near-uniform
-      // synthetic embeddings (ANN's worst case — quantized scores are
-      // noisiest when true neighbors are weak):
-      //   topk m=16/ksub=16, nProbe=4, preRankC=300 → 1.000/1.000/0.985
-      //     vs the exact-scored ivfTopK on the same index (bound 0.90)
-      //   neardup margin=0.3 → 1.000/0.947/1.000 recall, fp=0 at all
-      //     three SFs (bound 0.90; precision 1.0 by construction —
-      //     the fp check proves it)
-      // The whole path is deterministic (hash-seeded centroids +
-      // FNV-seeded codebooks, deterministic ties) — per-SF recall is a
-      // constant; any drop is a code regression, not noise.
-      val raw = t(s, d, "embeddings")
-      val en = raw.select(col("vec_id").as("id"),
-        graft.ext.Pq.normalized(col("embedding")).as("v"))
-      val cents = Similarity.refineCentroids(en,
-        Similarity.coarseCentroids(en, "v", "id", nCells = 16),
-        "v", "id", iterations = 1)
-      val assigned = Similarity.assignCells(en, cents, "v", "id")
-      val q = en.filter(col("id") < 20)
-      val cb = graft.ext.Pq.trainCodebooks(en, "v", "id",
-        dim = 64, m = 16, ksub = 16, iterations = 1)
-      val exactIvf = Similarity.ivfTopK(assigned, cents, q, "v", "id",
-        k = 10, nProbe = 4)
-      val pre = graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, cb, q,
-        "v", "id", k = 10, nProbe = 4, preRankC = 300,
-        dim = 64, m = 16, ksub = 16)
-      val topkOk = Similarity.recallAtK(pre, exactIvf)
-        .agg((avg(col("recall")) >= 0.9).as("ok"))
-        .select(lit("sdc_prerank_vs_ivf_recall10_ge_090").as("check_name"),
-          col("ok"))
-      // near-dup pre-filter: graded on the bounded slice against the
-      // exact all-pairs operator (the x_embed_neardup_bucketed pattern)
-      val got = Dedup.embeddingNearDupsBucketedPq(raw, "embedding", "vec_id",
-          threshold = 0.4, nCells = 16, nProbe = 4, margin = 0.3,
-          m = 16, ksub = 16)
-        .filter(col("id_a") < 300 && col("id_b") < 300)
-        .select(col("id_a"), col("id_b"))
-      val exactP = Dedup.embeddingNearDups(
-          raw.filter(col("vec_id") < 300), "embedding", "vec_id",
-          threshold = 0.4)
-        .select(col("id_a"), col("id_b"))
-      val nExact = exactP.agg(count(lit(1)).as("n_exact"))
-      val nGot = got.agg(count(lit(1)).as("n_got"))
-      val nInter = got.join(exactP, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val ndChecks = nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
-        .select(explode(array(
-          struct(lit("neardup_pq_recall_ge_090").as("check_name"),
-            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
-          struct(lit("neardup_pq_no_false_positives").as("check_name"),
-            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-      topkOk.unionByName(ndChecks).orderBy("check_name")
-    }),
-
-    "x_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(
-          t(s, d, "embeddings").filter(col("vec_id") < 300),
-          "embedding", "vec_id", threshold = 0.4)
-        .orderBy("id_a", "id_b")),
-
-    "x_embed_neardup_incr" -> ((s, d) => {
-      // ORACLE-GATED quality verdict for the incremental path: an
-      // incoming embedding batch (vec_id ≥ 400) probed against the
-      // corpus store (vec_id < 400). The exact batch×store pair set is
-      // recomputed engine-side on a bounded slice (store capped by
-      // construction, batch capped at 300 ids) and the IVF-probed pairs
-      // must reach 90% recall with zero false positives on that slice
-      val e = t(s, d, "embeddings")
-      val batch = e.filter(col("vec_id") >= 400 && col("vec_id") < 700)
-      val store = e.filter(col("vec_id") < 400)
-      val got = Dedup.embeddingNearDupsAgainst(
-          batch, store, "embedding", "vec_id",
-          threshold = 0.4, nCells = 16, nProbe = 10)
-        .select(col("id_new"), col("id_store"))
-      // exact pairs: broadcast the bounded store side, verify with the
-      // same codegen cosine — a BNL join over ≤400 stored vectors
-      val exact = batch.select(col("vec_id").as("id_new"), col("embedding").as("vn"))
-        .crossJoin(broadcast(
-          store.select(col("vec_id").as("id_store"), col("embedding").as("vs"))))
-        .filter(graft.functions.VectorExpressions.cosineF(col("vn"), col("vs")) >= 0.4)
-        .select(col("id_new"), col("id_store"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      val nGot = got.agg(count(lit(1)).as("n_got"))
-      val nInter = got.join(exact, Seq("id_new", "id_store")).agg(count(lit(1)).as("n_inter"))
-      nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
-        .select(explode(array(
-          struct(lit("incr_recall_ge_090").as("check_name"),
-            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
-          struct(lit("incr_no_false_positives").as("check_name"),
-            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-        .orderBy("check_name")
-    }),
-
-    "x_embed_neardup_bucketed" -> ((s, d) => {
-      // ORACLE-GATED quality verdict for the bucketed near-dup path:
-      // runs the FULL embeddings table (no cap) through IVF cell
-      // bucketing, then grades the found pairs on a bounded slice
-      // (both ids < 300) against the exact all-pairs operator — 90%
-      // recall, zero false positives (the exact-verify stage makes
-      // precision 1.0 by construction; the verdict proves it)
-      val e = t(s, d, "embeddings")
-      val got = Dedup.embeddingNearDupsBucketed(
-          e, "embedding", "vec_id", threshold = 0.4, nCells = 16, nProbe = 4)
-        .filter(col("id_a") < 300 && col("id_b") < 300)
-        .select(col("id_a"), col("id_b"))
-      val exact = Dedup.embeddingNearDups(
-          e.filter(col("vec_id") < 300), "embedding", "vec_id", threshold = 0.4)
-        .select(col("id_a"), col("id_b"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      val nGot = got.agg(count(lit(1)).as("n_got"))
-      val nInter = got.join(exact, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_inter"))
-      nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
-        .select(explode(array(
-          struct(lit("bucketed_recall_ge_090").as("check_name"),
-            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
-          struct(lit("bucketed_no_false_positives").as("check_name"),
-            (col("n_inter") === col("n_got")).as("ok")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-        .orderBy("check_name")
-    }),
-
-    // ---- ext: text analysis ----
-    "x_text_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
-          col("doc_id"),
-          TextOps.tokenCountWs(col("text")).as("n_tokens"),
-          TextOps.charCount(col("text")).as("n_chars_m"),
-          round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
-        .orderBy("doc_id")),
-
-    "x_langid" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), col("lang"),
-          TextOps.langIdGuess(col("text")).as("lang_guess"))
-        .orderBy("doc_id")),
-
-    "x_quality" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
-
-    "x_line_dedup" -> ((s, d) => {
-      // CCNet-style LINE-level boilerplate removal, oracle-replayed end
-      // to end. The synthetic corpus is single-line, so multi-line PAGES
-      // are synthesized engine-side — 5 consecutive docs joined by
-      // newlines between an injected nav header and copyright footer
-      // (both engines replay the construction, the synthesized-PII
-      // recipe) — then dedupLines(maxDf=1) must strip the header/footer
-      // from EVERY page plus any content line whose doc text repeats
-      // across pages (the corpus's planted exact dups). Kept text ships
-      // as a portable FNV so the oracle audits exact reassembly
-      // (order, blank handling) without dumping page text.
-      val pages = t(s, d, "documents")
-        .groupBy((col("doc_id") / lit(5)).cast("long").as("page_id"))
-        .agg(concat_ws("\n",
-          lit("SITE NAV HEADER"),
-          concat_ws("\n",
-            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-              x => x.getField("text"))),
-          lit("COPYRIGHT FOOTER")).as("text"))
-      TextOps.dedupLines(pages, "text", "page_id", maxDf = 1)
-        .select(col("id").as("page_id"), col("n_lines"), col("n_kept"),
-          graft.functions.VectorExpressions
-            .fnv1a64(coalesce(col("text_kept"), lit(""))).as("kept_fnv"))
-        .orderBy("page_id")
-    }),
-
-    "x_domain_quality" -> ((s, d) =>
-      // per-source curation rollup: the keep/review decision table a
-      // corpus curator reads per domain — doc counts, exact decimal-
-      // accumulated mean quality, char volume. The per-doc score is the
-      // same expression x_quality replays; scores are multiples of
-      // 0.05, so the decimal sum is exact and the mean is one IEEE
-      // division on both engines.
-      t(s, d, "documents")
-        .select(col("source"), col("n_chars"),
-          TextOps.qualityScore(col("text")).as("q"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("q").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
-            .as("avg_quality"),
-          sum(col("n_chars")).as("total_chars"))
-        .withColumn("verdict",
-          when(col("avg_quality") >= 0.5, lit("keep")).otherwise(lit("review")))
-        .orderBy("source")),
-
-    "x_repetition" -> ((s, d) =>
-      // Gopher-style repetition filters: top-token / top-bigram /
-      // duplicate-bigram fractions per doc
-      TextOps.repetitionStats(t(s, d, "documents"), "text", "doc_id", n = 2)
-        .select(col("id").as("doc_id"), col("top_token_frac"),
-          col("top_ngram_frac"), col("dup_ngram_frac"))
-        .orderBy("doc_id")),
-
-    "x_pii_redact" -> ((s, d) =>
-      // PII scrub over text with synthesized (deterministic) email /
-      // phone / IPv4 — both sides inject the same PII, so the redaction
-      // semantics are fully oracle-checked (same recipe as q41's
-      // synthesized escapes)
-      t(s, d, "documents")
-        .withColumn("dirty", concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
-          col("doc_id"), lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
-        .select(col("doc_id"), TextOps.redactPii(col("dirty")).as("clean"))
-        .orderBy("doc_id")),
-
-    "x_bpe_tokens" -> ((s, d) =>
-      // the lookaround boundary-split equals maximal-run extraction on
-      // ASCII text, which the oracle can express without lookarounds
-      t(s, d, "documents").select(col("doc_id"),
-          TextOps.tokenCountBpeIsh(col("text")).as("n_bpe_ish"))
-        .orderBy("doc_id")),
-
-    "x_fertility" -> ((s, d) =>
-      // tokenizer fertility per language (subword tokens per word +
-      // chars per token — the multilingual tokenizer-parity readout;
-      // high-fertility languages pay more context budget per word):
-      // one narrow map with the BPE-ish and whitespace kernels, one
-      // lang-keyed hash agg, exact integer ratios rounded once
-      t(s, d, "documents")
-        .select(col("lang"),
-          TextOps.tokenCountBpeIsh(col("text")).cast("long").as("nb"),
-          TextOps.tokenCountWs(col("text")).cast("long").as("nw"),
-          length(col("text")).cast("long").as("nc"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nb")).as("bpe_tokens"), sum(col("nw")).as("words"),
-          when(sum(col("nw")) > 0,
-            round(sum(col("nb")).cast("double") / sum(col("nw")), 6))
-            .as("fertility"),
-          when(sum(col("nb")) > 0,
-            round(sum(col("nc")).cast("double") / sum(col("nb")), 6))
-            .as("chars_per_token"))
-        .orderBy("lang")),
-
-    "x_bpe_merges" -> ((s, d) =>
-      // BPE TRAINING's counting step: corpus-wide adjacent char pairs
-      // inside words, top-50 merge candidates — alphabet²-bounded
-      // aggregation, rank window over the already-limited 50 rows
-      TextOps.bpePairCounts(t(s, d, "documents"), "text", topK = 50)
-        .orderBy("rank")),
-
-    "x_decontaminate" -> ((s, d) => {
-      // n-gram benchmark decontamination: docs sharing any 5-gram with
-      // the "benchmark" slice (doc_id < 20) are removed
-      val docs = t(s, d, "documents")
-      graft.ext.Corpus.decontaminate(docs, docs.filter(col("doc_id") < 20),
-          "text", "doc_id", n = 5)
-        .select("doc_id", "lang").orderBy("doc_id")
-    }),
-
-    "x_curation_e2e" -> ((s, d) => {
-      // the COMPOSED curation pipeline AT ITS DEFAULTS: quality gate →
-      // benchmark decontamination → exact dedup → near-dup cluster
-      // dedup with the scale-safe default hot-shingle cap
-      // (DefaultMaxShingleDf=64 — the uncapped join provably dies on a
-      // replica-heavy 100× corpus). Every stage is individually
-      // oracle-proven; this row verifies the stage WIRING end-to-end
-      // against one composed DuckDB replay that includes the default
-      // cap's thinning (HAVING count(*) > 64), so the oracle replays
-      // default semantics exactly whatever the data's df distribution.
-      val docs = t(s, d, "documents")
-      graft.ext.CurationPipeline.curate(docs, docs.filter(col("doc_id") < 20),
-          "text", "doc_id", minQuality = 0.5, ngram = 5,
-          shingleSize = 3, jaccardThreshold = 0.5)
-        .select("doc_id", "lang").orderBy("doc_id")
-    }),
-
-    "x_curation_e2e_capped" -> ((s, d) => {
-      // the SCALE configuration of the same pipeline: hot-shingle df
-      // cap wired into the near-dup pair stage, bounding the inverted-
-      // index join at Σ min(df,cap)² — the shape that survives a
-      // replica-heavy corpus where uncapped exact jaccard is quadratic
-      // in the duplication factor (100× soak: uncapped spilled >80 GB
-      // and died; capped completes). cap=4 genuinely triggers at gate
-      // scale (shingle df reaches 7), so the capped jaccard semantics
-      // — lower-bound similarity over the thinned shingle space — are
-      // what the oracle replays, not a no-op.
-      val docs = t(s, d, "documents")
-      graft.ext.CurationPipeline.curate(docs, docs.filter(col("doc_id") < 20),
-          "text", "doc_id", minQuality = 0.5, ngram = 5,
-          shingleSize = 3, jaccardThreshold = 0.5,
-          maxShingleDf = Some(4))
-        .select("doc_id", "lang").orderBy("doc_id")
-    }),
-
-    "x_sample_stratified" -> ((s, d) =>
-      // portable FNV sample buckets — the oracle replays the exact
-      // per-row membership decision
-      graft.ext.Corpus.stratifiedSample(t(s, d, "documents"),
-          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), seed = 7L)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    "x_mixture_budget" -> ((s, d) =>
-      // token-budget mixture assembly: en capped at 5000 tokens, de at
-      // 2000, other strata dropped — deterministic hash order, so the
-      // oracle replays the exact cutoff
-      graft.ext.Corpus.tokenBudgetSample(t(s, d, "documents"), "doc_id", "lang",
-          TextOps.tokenCountWs(col("text")), Map("en" -> 5000L, "de" -> 2000L),
-          seed = 7L)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    "x_pack_offsets" -> ((s, d) =>
-      // sequence-packing layout: deterministic concatenation order +
-      // token offsets + 2048-token bin per doc, in 8 parallel buckets
-      graft.ext.Corpus.packingOffsets(t(s, d, "documents"), "doc_id",
-          TextOps.tokenCountWs(col("text")), binTokens = 2048, nBuckets = 8,
-          seed = 7L)
-        .select(col("doc_id"), col("pack_bucket"), col("pack_offset"), col("bin_id"))
-        .orderBy("doc_id")),
-
-    "x_multimodal_frames" -> ((s, d) => {
-      // ORACLE-GATED frame sampling over REAL decoded stills (each doc's
-      // blob is a deterministic executor-rendered PNG; the JDK has no
-      // video codec, so the frame GRAB is the one remaining stub). The
-      // oracle replays the row-per-frame shape, offsets, and zero-
-      // duration inner semantics; the decoded feature rides along as a
-      // range verdict (profile ∈ [0,1] + normalized shift ∈ [0,1))
-      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
-      val blobs = t(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), render(col("doc_id")).as("blob"),
-          (col("n_chars") % 5 * 1000).cast("long").as("duration_ms"))
-      graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
-          everyMs = 1000, dim = 4)
-        .select(col("doc_id"), col("duration_ms"), col("frame_ms"),
-          (element_at(col("frame_feature"), 1) >= 0 &&
-            element_at(col("frame_feature"), 1) < 2).as("f0_ok"))
-        .orderBy("doc_id", "frame_ms")
-    }),
-
-    "x_multimodal_neardup" -> ((s, d) => {
-      // ORACLE-GATED perceptual near-dup over REAL images: javax.imageio
-      // decode + true dHash through the shared Charikar banding in its
-      // pigeonhole-EXACT regime (rotations=8 × prefixBits=8 finds every
-      // pair within hamming ≤ 4 deterministically). Every 7th doc gets a
-      // planted 2-pixel-noised twin (≤ 4 flipped bits), and distinct
-      // mosaic seeds sit ~32 bits apart — so the found pairs are EXACTLY
-      // the planted ones, which the oracle enumerates in SQL
-      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
-      val renderNoisy = udf((id: Long) =>
-        graft.ext.Multimodal.renderPng(id, noisePixels = 2))
-      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
-      val base = docs.select(col("doc_id"), render(col("doc_id")).as("blob"))
-      val twins = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          renderNoisy(col("doc_id")).as("blob"))
-      graft.ext.Multimodal.imageNearDups(base.unionByName(twins), "blob", "doc_id",
-          maxHamming = 4, prefixBits = 8, rotations = 8)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x_multimodal_features" -> ((s, d) => {
-      // ORACLE-GATED: REAL javax.imageio decode over executor-rendered
-      // PNG blobs — media_kind/width/height only come out 'image'/32/32
-      // if the codec actually decoded every blob, which is exactly what
-      // the oracle asserts row by row (the luminance profile itself is
-      // verified by x_multimodal_selfcheck's independent replay)
-      val render = udf((id: Long) => graft.ext.Multimodal.renderPng(id))
-      val blobs = t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), render(col("doc_id")).as("blob"))
-      graft.ext.Multimodal.extractFeatures(blobs, "blob", dim = 8)
-        .select(col("doc_id"), col("media_kind"), col("width"), col("height"))
-        .orderBy("doc_id")
-    }),
-
-    "x_sniff_media" -> ((s, d) => {
-      // ORACLE-GATED magic-number routing: blobs rendered per doc as
-      // PNG / animated GIF / WAV / raw text bytes by doc_id mod 4 — the
-      // codegen'd sniffer must label every one correctly, which the
-      // oracle enumerates as the expected CASE per row. The cheap
-      // pre-filter a 100 TB mixed-media scan runs BEFORE any try-decode
-      val render = udf { (id: Long) =>
-        (id % 4) match {
-          case 0 => graft.ext.Multimodal.renderPng(id)
-          case 1 => graft.ext.Multimodal.renderGif(id, frames = 2)
-          case 2 => graft.ext.Multimodal.renderWav(id, nSamples = 800)
-          case _ => s"plain text payload $id".getBytes("UTF-8")
-        }
-      }
-      t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          graft.ext.Multimodal.sniffMediaType(render(col("doc_id"))).as("media_type"))
-        .orderBy("doc_id")
-    }),
-
-    "x_winnow" -> ((s, d) =>
-      // MOSS winnowing fingerprints (SIGMOD'03): window-min over shingle
-      // hashes with rightmost tie-break — the local-fingerprint
-      // guarantee (any shared ≥ w+k−1-word run shares a fingerprint)
-      // that whole-doc hashing can't give. The oracle replays the FNV
-      // shingle hashes and the windowed argmin exactly
-      Dedup.winnowingFingerprints(t(s, d, "documents").filter(col("doc_id") < 300),
-          "text", "doc_id", shingleSize = 3, window = 4)
-        .select(col("id").as("doc_id"), col("fp_pos"), col("fp"))
-        .orderBy("doc_id", "fp_pos", "fp")),
-
-    "x_winnow_pairs" -> ((s, d) => {
-      // the winnowing APPLICATION: partial-copy detection by shared
-      // local fingerprints. Every 9th doc gets a planted partial copy
-      // (its text with a few words appended) — the copies share the
-      // original's fingerprints and must pair with it through the
-      // inverted-index join; the oracle replays construction, winnow,
-      // and join
-      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
-      val partials = docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zz tail marker")).as("text"))
-      Dedup.winnowingOverlapPairs(docs.select("doc_id", "text").unionByName(partials),
-          "text", "doc_id", shingleSize = 3, window = 4, minShared = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x_gif_frames" -> ((s, d) => {
-      // ORACLE-GATED real frame grab: each doc's blob is a 4-frame
-      // animated GIF (500 ms/frame); sampleFrames selects the frame
-      // DISPLAYED at each 500 ms offset and its decoded feature must
-      // equal an independent decode of that frame's source mosaic —
-      // byte-for-byte float equality, folded into a verdict column the
-      // oracle replays alongside the offsets
-      val render = udf((id: Long) =>
-        graft.ext.Multimodal.renderGif(id, frames = 4, delayMs = 500))
-      val replay = udf { (id: Long, ms: Long) =>
-        graft.ext.Multimodal.imageFeature(
-          graft.ext.Multimodal.decodeImage(
-            graft.ext.Multimodal.renderPng(id + ms / 500)).get, 4).toSeq
-      }
-      val blobs = t(s, d, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id"), render(col("doc_id")).as("blob"),
-          lit(2000L).as("duration_ms"))
-      graft.ext.Multimodal.sampleFrames(blobs, "blob", "duration_ms",
-          everyMs = 500, dim = 4)
-        .select(col("doc_id"), col("frame_ms"),
-          (col("frame_feature") === replay(col("doc_id"), col("frame_ms")))
-            .as("frame_matches_still"))
-        .orderBy("doc_id", "frame_ms")
-    }),
-
-    "x_audio_neardup" -> ((s, d) => {
-      // ORACLE-GATED perceptual audio near-dup: real javax.sound WAV
-      // decode → RMS envelope signature → the shared Charikar banding
-      // in its pigeonhole-exact regime. Every 7th doc gets a planted
-      // one-segment-retouched twin (≤ 2 flipped bits of 64); distinct
-      // amplitude-walk seeds sit ~32 bits apart — the found pairs are
-      // exactly the planted ones, enumerated by the oracle in SQL
-      val render = udf((id: Long) => graft.ext.Multimodal.renderWavMod(id))
-      val renderNoisy = udf((id: Long) =>
-        graft.ext.Multimodal.renderWavMod(id, noiseSegs = 1))
-      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
-      val base = docs.select(col("doc_id"), render(col("doc_id")).as("blob"))
-      val twins = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          renderNoisy(col("doc_id")).as("blob"))
-      graft.ext.Multimodal.audioNearDups(base.unionByName(twins), "blob", "doc_id",
-          maxHamming = 4, prefixBits = 8, rotations = 8)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "x_multimodal_selfcheck" -> ((s, d) =>
-      // ORACLE-GATED media-kernel verdicts: decode dims, independent
-      // feature replay, dHash locality, resize round-trip, WAV decode,
-      // planted-twin near-dup recall — each boolean computed ON the
-      // engine over executor-rendered fixtures; the oracle hash-matches
-      // the literal expected verdicts, so the driver gate sees pass/fail
-      graft.ext.Multimodal.selfCheck(
-        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id")),
-
-    "x_keyterms" -> ((s, d) =>
-      // per-doc top-3 distinctive terms by smoothed TF-IDF — the
-      // document-labeling complement of x_bm25_search; df computed as a
-      // window over the tf frame (explode runs once — see Search.bm25)
-      graft.ext.Search.keyTerms(t(s, d, "documents"), "text", "doc_id", topK = 3)
-        .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))
-        .orderBy("doc_id", "rank")),
-
-    "x_unigram_logprob" -> ((s, d) =>
-      // model-free LM quality signal: per-doc mean unigram log-prob
-      // under the corpus' own distribution (decimal-accumulated ln —
-      // deterministic at any parallelism)
-      graft.ext.Corpus.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
-        .orderBy("id")),
-
-    "x_ppl_buckets" -> ((s, d) =>
-      // CCNet head/middle/tail perplexity split: tercile thresholds by
-      // the discrete-percentile rule over DISTINCT 6-dp scores (the
-      // bounded global-window class), bucket assignment broadcast
-      graft.ext.Corpus.pplBuckets(t(s, d, "documents"), "text", "doc_id")
-        .orderBy("id")),
-
-    "x_ppl_buckets_lang" -> ((s, d) =>
-      // the per-LANGUAGE form CCNet ships (§4.4): terciles per lang —
-      // the cumulative window is PARTITIONED by group, thresholds ride
-      // back as a |langs|-row broadcast
-      graft.ext.Corpus.pplBucketsBy(t(s, d, "documents"), "text", "doc_id",
-          "lang")
-        .orderBy("id")),
-
-    "x_rouge" -> ((s, d) => {
-      // ROUGE-2 with clipped counts over three planted hypothesis
-      // regimes: tail-appended copy (recall 1, precision < 1), front
-      // half (precision 1, recall < 1), word-reversed (near-zero
-      // bigram overlap) — the generation-eval readout, one explode per
-      // side, equi-joined per (pair, gram)
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" zz tail marker")))
-          .when(col("doc_id") % 3 === 1,
-            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
-          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
-      graft.ext.Eval.rougeN(pairs, "doc_id", "ref", "hyp", n = 2)
-        .orderBy("id")
-    }),
-
-    "x_score_report" -> ((s, d) =>
-      // the one-pass eval report over a planted probability scorer
-      // (hash-spread scores, en-vs-rest labels): AUC + calibration +
-      // threshold metrics from a single distinct-(p,y) cell reduction
-      // — four registry rows' worth of readout, one scan
-      graft.ext.Eval.scoreReport(
-        t(s, d, "documents").select(
-          (col("lang") === "en").as("y"),
-          (pmod(col("doc_id"), lit(997)).cast("double") / lit(997.0) * lit(0.5)
-            + when(col("lang") === "en", lit(0.4)).otherwise(lit(0.1)))
-            .as("p")),
-        "y", "p")),
-
-    "x_multipattern" -> ((s, d) => {
-      // Aho–Corasick dictionary scan: one O(|text|) automaton walk per
-      // document regardless of dictionary size (a large blocklist as a
-      // regex alternation backtracks per-phrase; a contains-loop is
-      // O(|text|·|phrases|)) — overlapping phrases ("can" inside
-      // "scan") and multi-word phrases included deliberately
-      val dict = Seq("scan", "can", "fast key scan", "table part",
-        "agg row", "zz never zz")
-      t(s, d, "documents").select(col("doc_id").as("id"),
-          graft.functions.MultiPattern.acMatches(col("text"), dict).as("ac"))
-        .select(col("id"), size(col("ac")).cast("long").as("n_matched"),
-          array_join(col("ac"), "|").as("matched"))
-        .orderBy("id")
-    }),
-
-    "x_jaro_winkler" -> ((s, d) => {
-      // record-linkage scoring kernels over deterministically
-      // corrupted supplier names (synthesized identically in the
-      // oracle): one transposition / deletion / append / substitution
-      // per variant class, plus every name scored against a fixed
-      // reference for a similarity spread. jw/dl are the codegen'd
-      // byte-based kernels (functions.StringSimilarity); DuckDB
-      // replays them with its STOCK jaro_winkler_similarity /
-      // damerau_levenshtein — bit-exact by construction (same byte
-      // semantics, same left-associated float order), so the doubles
-      // compare raw, unrounded
-      import graft.functions.StringSimilarity.{damerauLevenshtein, jaroWinkler}
-      val n = col("s_name")
-      val v = pmod(col("s_suppkey"), lit(4))
-      val corrupted = when(v === 0,
-          concat(substring(n, 1, 16), substring(n, 18, 1), substring(n, 17, 1)))
-        .when(v === 1, concat(substring(n, 1, 11), substring(n, 13, 100)))
-        .when(v === 2, concat(n, lit("x")))
-        .otherwise(concat(lit("Z"), substring(n, 2, 100)))
-      t(s, d, "supplier")
-        .select(col("s_suppkey"), v.as("variant"), corrupted.as("corrupted"),
-          jaroWinkler(n, corrupted).as("jw_self"),
-          damerauLevenshtein(n, corrupted).cast("long").as("dl_self"),
-          jaroWinkler(n, lit("Supplier#000000000")).as("jw_ref"))
-        .orderBy("s_suppkey")
-    }),
-
-    "x_er_resolve" -> ((s, d) => {
-      // entity resolution end-to-end: candidates via PassJoin segment
-      // blocking (ed<=1, the x_fuzzy_join fixture verbatim), then the
-      // RANKING layer — codegen'd Jaro–Winkler orders each dirty
-      // record's candidates (edit distance prunes, JW ranks: its
-      // prefix boost prefers the match agreeing on the name's head)
-      // and rank 1 wins with a deterministic key tie-break. `correct`
-      // flags whether rank-1 recovered the true origin
-      val part = t(s, d, "part")
-        .select(col("p_partkey"),
-          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
-      val pos = (col("p_partkey") % 5 + 1).cast("int")
-      val dirty = part.filter(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("dirty_key"),
-          concat(col("ename").substr(lit(1), pos),
-            col("ename").substr(pos + lit(2), length(col("ename")))).as("dname"))
-      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
-      graft.ext.Linkage.resolveBest(dirty, clean, "dname", "ename",
-          "dirty_key", "clean_key", k = 1)
-        .select(col("dirty_key"), col("dname"),
-          col("clean_key").as("matched_key"), col("ename"), col("dist"),
-          col("jw"), (col("dirty_key") === col("clean_key")).as("correct"))
-        .orderBy("dirty_key")
-    }),
-
-    "x_benford" -> ((s, d) =>
-      // Benford first-significant-digit drift over order amounts —
-      // the fraud/fabrication tripwire. Digit via integer formatting
-      // of floor(amount·100) (no log10 edge cases); chi-square terms
-      // from the shared ×10⁶ expectation constants in a fixed double
-      // shape, so the oracle's doubles are bit-identical
-      graft.ops.Validate.benford(t(s, d, "orders"), "o_totalprice")),
-
-    "x_er_cluster" -> ((s, d) => {
-      // fuzzy ENTITY clustering end-to-end: master names ∪ corrupted
-      // variants on one frame, dl<=1 pairing via the SymSpell deletion
-      // neighborhood, min-label connected components, per-entity
-      // cluster id + size — candidates → verify → cluster, the
-      // resolution chain that turns pairwise typo matches into
-      // deduplicatable entity groups. Disjoint node ids: clean 2k,
-      // corrupted 2k+1
-      val part = t(s, d, "part")
-        .select(col("p_partkey"),
-          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
-      val pos = (col("p_partkey") % 5 + 1).cast("int")
-      val corrupted = part.filter(col("p_partkey") % 3 === 1)
-        .select((col("p_partkey") * 2 + 1).as("id"),
-          concat(col("ename").substr(lit(1), pos - 1),
-            col("ename").substr(pos + 1, lit(1)),
-            col("ename").substr(pos, lit(1)),
-            col("ename").substr(pos + 2, length(col("ename")))).as("name"))
-      val base = part
-        .select((col("p_partkey") * 2).as("id"), col("ename").as("name"))
-        .unionByName(corrupted)
-      val a = base.select(col("id").as("ida"), col("name").as("na"))
-      val b = base.select(col("id").as("idb"), col("name").as("nb"))
-      val pairs = graft.ext.Linkage.dlJoin(a, b, "na", "nb", k = 1)
-        .filter(col("ida") < col("idb"))
-        .select(col("ida").as("id_a"), col("idb").as("id_b"))
-      // maxIterations = 40: the 100x soak measured convergence at 14
-      // rounds (corruption density grows component diameter with the
-      // replica count), so the default 20 leaves thin headroom at the
-      // next scale step; the loop exits on convergence, so the higher
-      // cap costs nothing when the graph is shallow
-      val cc = Dedup.connectedComponents(pairs, base.select(col("id")),
-        maxIterations = 40)
-      import org.apache.spark.sql.expressions.Window
-      cc.select(col("id"), col("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-        .orderBy("id")
-    }),
-
-    "x_hybrid_search" -> ((s, d) => {
-      // Reciprocal Rank Fusion (Cormack et al. SIGIR'09): fuse the
-      // BM25 lexical top-50 with the cosine vector top-50 by
-      // Σ 1/(60+rank) — THE standard hybrid-search combiner (rank-only
-      // fusion needs no score calibration between modalities). Each
-      // doc's RRF is a fixed two-term sum over INTEGER ranks, so the
-      // doubles are bit-identical; final window runs over ≤100
-      // post-limit rows
-      import org.apache.spark.sql.expressions.Window
-      val lex = graft.ext.Search.bm25(t(s, d, "documents"), "text",
-          "doc_id", Seq("spark", "vector", "merge"), topK = 50)
-        .select(col("id").as("doc_id"), col("rank").as("rank_lex"))
-      val e = t(s, d, "embeddings")
-      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
-          "embedding", "vec_id", k = 50)
-        .select(col("corpus_id").as("doc_id"), col("rank").as("rank_vec"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("rrf").desc, col("doc_id").asc)))
-        .filter(col("rank") <= 20)
-        .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf")
-        .orderBy("rank")
-    }),
-
-    "x_length_batches" -> ((s, d) =>
-      // group_by_length training-loader prep: per-source length-sorted
-      // 32-doc batches with their padding-waste readout — the only
-      // window is per-shard (global sorts are exactly what a
-      // 1000-executor batching job must not do)
-      graft.ext.Corpus.lengthBatches(
-        t(s, d, "documents"), "source", "doc_id", "n_chars",
-        batchSize = 32)),
-
-    "x_gini" -> ((s, d) =>
-      // corpus concentration: Lorenz curve + Gini of character mass
-      // per source — the "one megasite in a trenchcoat" readout behind
-      // RefinedWeb-style per-domain caps. One corpus pass; windows run
-      // over the post-agg per-source frame only, every sum
-      // integer-exact
-      graft.ext.Corpus.concentration(
-        t(s, d, "documents"), "source", "n_chars")),
-
-    "x_seasonal" -> ((s, d) =>
-      // additive trend/weekly-seasonal/residual decomposition of the
-      // daily event-count series — load cycles out, anomalies left in
-      // the residual. One event pass; every window runs over the
-      // post-agg calendar-bounded daily frame with integer sums
-      graft.ops.TimeSeries.seasonalDecomposeDaily(events(s, d), "ts_us")),
-
-    "x_collocations" -> ((s, d) =>
-      // PMI collocations over the corpus: narrow zip_with bigrams, one
-      // hash agg per n-gram order, marginals join on the Heaps-bounded
-      // vocabulary, ONE ln per surviving pair from exact integer
-      // counts — the "new york" phrase detector
-      graft.ext.Corpus.collocations(
-        t(s, d, "documents"), "text", topK = 50, minCount = 5)),
-
-    "x_rolling_corr" -> ((s, d) =>
-      // funnel co-movement monitor: trailing-7-day Pearson correlation
-      // of daily click vs purchase counts — integer moments, two IEEE
-      // sqrts and one division per row, 6-dp presentation
-      graft.ops.TimeSeries.rollingCorrCounts(
-        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
-          .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
-            count(when(col("event_type") === "purchase", 1)).as("purchases")),
-        "day", "clicks", "purchases")),
-
-    "x_typo_join" -> ((s, d) => {
-      // transposition-tolerant linkage: entity names corrupted by ONE
-      // adjacent-character swap (DL 1, but Levenshtein 2 — the ed<=1
-      // join misses every one of these). Candidates from 2k segment
-      // blocking, verified by the codegen'd unrestricted DL kernel
-      val part = t(s, d, "part")
-        .select(col("p_partkey"),
-          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
-      val pos = (col("p_partkey") % 5 + 1).cast("int")
-      val dirty = part.filter(col("p_partkey") % 3 === 1)
-        .select(col("p_partkey").as("dirty_key"),
-          concat(col("ename").substr(lit(1), pos - 1),
-            col("ename").substr(pos + 1, lit(1)),
-            col("ename").substr(pos, lit(1)),
-            col("ename").substr(pos + 2, length(col("ename")))).as("dname"))
-      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
-      graft.ext.Linkage.dlJoin(dirty, clean, "dname", "ename", k = 1)
-        .select(col("dirty_key"), col("clean_key"), col("dname"),
-          col("ename"), col("dl_dist"))
-        .orderBy("dirty_key", "clean_key")
-    }),
-
-    "x_changepoint" -> ((s, d) =>
-      // retrospective CUSUM change-point scan over the daily event
-      // volume: exact-integer numerator n·L_t − t·T per split, one
-      // sqrt+division per row, argmax flagged without tolerance
-      graft.ops.TimeSeries.changePoint(
-        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
-          .agg(count(lit(1)).as("cnt")),
-        "day", "cnt")),
-
-    "x_burstiness" -> ((s, d) =>
-      // Fano factor (variance/mean of daily counts) per event type —
-      // Poisson arrivals score 1, incident storms ≫ 1; integer
-      // moments, fixed-shape divisions
-      graft.ext.Behavior.fanoFactor(events(s, d), "event_type", "ts_us")),
-
-    "x_trend_test" -> ((s, d) =>
-      // Mann-Kendall nonparametric trend test on daily event volume:
-      // exact-integer pair statistic + tie-corrected variance, one
-      // division by 18 and one by a sqrt — "is this metric drifting"
-      // without normality assumptions
-      graft.ops.TimeSeries.mannKendall(
-        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
-          .agg(count(lit(1)).as("cnt")),
-        "day", "cnt")),
-
-    "x_theil_sen" -> ((s, d) =>
-      // robust trend magnitude: median of pairwise slopes over the
-      // daily volume — each slope one exact-integer division, median
-      // via the exact-percentile parity
-      graft.ops.TimeSeries.theilSen(
-        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
-          .agg(count(lit(1)).as("cnt")),
-        "day", "cnt")),
-
-    "x_acf" -> ((s, d) =>
-      // autocorrelation at lags 1..7 of daily event volume — the
-      // seasonality detector (weekly cycle = lag-7 spike); n-scaled
-      // integer deviations keep every sum exact, one division per lag
-      graft.ops.TimeSeries.acf(
-        events(s, d).groupBy(date_trunc("day", col("ts_us")).as("day"))
-          .agg(count(lit(1)).as("cnt")),
-        "day", "cnt", maxLag = 7)),
-
-    "x_pinball" -> ((s, d) =>
-      // quantile-forecast eval: pinball loss of a deterministic
-      // integer "capacity forecast" (half the length plus a hashed
-      // offset) against actual document lengths at q=0.1/0.5/0.9 —
-      // DECIMAL-exact accumulation, one division per quantile
-      graft.ext.Eval.pinballLoss(
-        t(s, d, "documents").select(col("n_chars").as("y"),
-          (floor(col("n_chars") / 2) + pmod(col("doc_id"), lit(100)))
-            .as("yhat")),
-        "y", "yhat", Seq(0.1, 0.5, 0.9))),
-
-    "x_bootstrap_ci" -> ((s, d) =>
-      // Poisson-bootstrap 95% CI for mean document length: 200
-      // deterministic replicates from ONE weighted aggregation — the
-      // massive-data bootstrap (no resampling passes), FNV-seeded so
-      // the oracle replays every Poisson draw exactly
-      graft.ext.Eval.bootstrapMeanCI(t(s, d, "documents"),
-        "doc_id", "n_chars", reps = 200, seed = 101L)),
-
-    "x_worst_group" -> ((s, d) => {
-      // group-robustness readout: a scorer that is near-perfect on
-      // four languages and uninformative (p=0.5) on zh — the mean
-      // log-loss hides it, the per-group sweep flags zh as the worst
-      // group (the DRO up-weighting target)
-      val docs = t(s, d, "documents")
-      val label = col("doc_id") % 3 === 0
-      val score = when(col("lang") === "zh", lit(0.5))
-        .otherwise(when(label, lit(0.9)).otherwise(lit(0.1)))
-      graft.ext.Eval.logLossByGroup(
-        docs.select(col("lang"), label.as("y"), score.as("p")),
-        "lang", "y", "p")
-    }),
-
-    "x_diversity" -> ((s, d) =>
-      // per-source language diversity: entropy + effective language
-      // count — the datasheet composition readout (one (source, lang)
-      // cell agg, broadcast totals)
-      graft.ext.Corpus.labelDiversity(t(s, d, "documents"),
-        "source", "lang")),
-
-    "x_krippendorff" -> ((s, d) => {
-      // 3 planted raters over the language label: rater 1 gold,
-      // rater 2 noisy every 7th doc, rater 3 MISSING every 5th doc —
-      // exercises >2 raters and missing ratings, the two shapes
-      // q_kappa structurally cannot take
-      val ratings = t(s, d, "documents").select(col("doc_id"),
-        explode(array(
-          col("lang"),
-          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")),
-          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
-            .otherwise(col("lang")))).as("label"))
-      graft.ext.Eval.krippendorffAlpha(ratings, "doc_id", "label")
-    }),
-
-    "x_local_align" -> ((s, d) => {
-      // Smith–Waterman edit-tolerant contamination over 12-token
-      // prefixes: regime 0 plants a copy with ONE substituted token
-      // (exact n-gram misses it; SW stays near-max), regime 1 a
-      // verbatim half (sw_norm exactly 1), regime 2 word-reversed
-      // noise (near-zero)
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val toks12 = slice(
-        filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0),
-        1, 12)
-      val edited = transform(toks12,
-        (tk, i) => when(i === 5, lit("qq")).otherwise(tk))
-      val pairs = docs.select(col("doc_id"),
-        array_join(toks12, " ").as("ref"),
-        when(col("doc_id") % 3 === 0, array_join(edited, " "))
-          .when(col("doc_id") % 3 === 1, array_join(slice(toks12, 1, 6), " "))
-          .otherwise(array_join(reverse(toks12), " ")).as("hyp"))
-      graft.ext.Eval.localAlign(pairs, "doc_id", "ref", "hyp").orderBy("id")
-    }),
-
-    "x_rouge_l" -> ((s, d) => {
-      // ROUGE-L over 12-token prefixes (sentence-level is the metric's
-      // real domain, and it bounds the oracle's cell-stepping
-      // recursive CTE): identical-with-tail ≈ 1, front-half keeps
-      // order (precision 1), word-reversed collapses to the longest
-      // palindromic subsequence — which the contiguity-free LCS still
-      // credits, unlike x_rouge's bigrams
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val toks12 = slice(
-        filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0),
-        1, 12)
-      val refStr = array_join(toks12, " ")
-      val pairs = docs.select(col("doc_id"), refStr.as("ref"),
-        when(col("doc_id") % 3 === 0, concat(refStr, lit(" zz tail")))
-          .when(col("doc_id") % 3 === 1, array_join(slice(toks12, 1, 6), " "))
-          .otherwise(array_join(reverse(toks12), " ")).as("hyp"))
-      graft.ext.Eval.rougeL(pairs, "doc_id", "ref", "hyp").orderBy("id")
-    }),
-
-    "x_bleu" -> ((s, d) => {
-      // corpus-level BLEU-4 over the same three planted hypothesis
-      // regimes as x_rouge: the identical-with-tail third supplies
-      // 4-gram mass (so the geometric mean is positive), the front-half
-      // third drags BP below 1, the word-reversed third dilutes the
-      // precisions — one explode per side for all four orders, ONE
-      // output row of pooled counters
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" zz tail marker")))
-          .when(col("doc_id") % 3 === 1,
-            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
-          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
-      graft.ext.Eval.bleu(pairs, "doc_id", "ref", "hyp", maxN = 4)
-    }),
-
-    "x_chrf" -> ((s, d) => {
-      // corpus chrF (char 1..6-grams, beta=2) over the same planted
-      // regimes as x_rouge/x_bleu — character grams are robust to the
-      // word-reversal regime (every word's chars survive), so chrF
-      // lands well above BLEU on this fixture, the metric's selling
-      // point
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val pairs = docs.select(col("doc_id"), col("text").as("ref"),
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" zz tail marker")))
-          .when(col("doc_id") % 3 === 1,
-            col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
-          .otherwise(array_join(reverse(toks), " ")).as("hyp"))
-      graft.ext.Eval.chrF(pairs, "doc_id", "ref", "hyp", maxN = 6, beta = 2.0)
-    }),
-
-    "x_divergence_by_source" -> ((s, d) =>
-      // which source drifts most from the rest of the corpus: the
-      // one-pass JS sweep over all 20 sources — (source, term) counts,
-      // a vocabulary re-agg, a broadcast source-totals grid
-      graft.ext.Corpus.termDivergenceBySource(
-        t(s, d, "documents"), "text", "source")),
-
-    "x_term_divergence" -> ((s, d) => {
-      // Jensen-Shannon drift between the English slice and the rest of
-      // the corpus — the text-side companion to q_psi_drift: two
-      // vocabulary-sized hash aggs, one vocabulary full-outer join,
-      // one scalar reduce
-      val docs = t(s, d, "documents")
-      graft.ext.Corpus.termDivergence(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"), "text")
-    }),
-
-    "x_gopher_filter" -> ((s, d) =>
-      // composite Gopher quality verdict (Rae et al. 2021 Table A1):
-      // per-rule metrics + all-rules pass flag, all codegen'd column
-      // arithmetic — the inline quality cut of a pre-training ingest
-      TextOps.gopherFilter(t(s, d, "documents"), "text", "doc_id")
-        .orderBy("doc_id")),
-
-    "x_vocab_topk" -> ((s, d) =>
-      // corpus vocabulary: top-100 words with rank + cumulative
-      // coverage — tokenizer-training prep; ties rank by word
-      graft.ext.Corpus.vocabulary(t(s, d, "documents"), "text", topK = 100)
-        .orderBy("rank")),
-
-    "x_dup_passages" -> ((s, d) =>
-      // cross-doc duplicate-passage profile: per doc, how many of its
-      // 5-token windows appear in other docs (inverted-index shape —
-      // no pair join); the oracle replays it over shingle strings
-      Dedup.duplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
-        .orderBy("id")),
-
-    "x_dup_passages_removed" -> ((s, d) =>
-      // the passage-dedup TREATMENT: docs rewritten with every token
-      // inside a cross-doc 5-token window removed — whole-doc dedup
-      // can't do this (the boilerplate hides inside unique pages)
-      Dedup.removeDuplicatePassages(t(s, d, "documents"), "text", "doc_id", n = 5)
-        .orderBy("id")),
-
-    "x_dup_passages_incr" -> ((s, d) => {
-      // cross-run passage profiling: an incoming batch (doc_id 200–299)
-      // scored against the corpus window store (doc_id < 200) — the
-      // daily-ingest shape; the corpus text is never re-scanned
-      val docs = t(s, d, "documents")
-      val store = Dedup.windowStore(
-        docs.filter(col("doc_id") < 200), "text", "doc_id", n = 5)
-      Dedup.duplicatePassagesAgainst(
-          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
-          store, "text", "doc_id", n = 5)
-        .orderBy("id")
-    }),
-
-    "x_zorder_layout" -> ((s, d) =>
-      // Morton z-value over (custkey, days-since-epoch) — the write-
-      // time clustering key for two-dimensional data skipping; pure
-      // bit arithmetic, replayed bit-for-bit by the oracle
-      t(s, d, "orders").select(col("o_orderkey"),
-          graft.ops.Layout.zValue(col("o_custkey"),
-            datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
-            .as("zval"))
-        .orderBy("o_orderkey")),
-
-    "x_skew_report" -> ((s, d) =>
-      // join-key skew diagnostic over the fact table's supplier key —
-      // the pre-salting inspection; deterministic tie order
-      graft.ops.Validate.skewReport(t(s, d, "lineitem"), "l_suppkey", topK = 10)
-        .orderBy("rank")),
-
-    "x_zorder3" -> ((s, d) => {
-      // three-dimensional Morton code (custkey, day index, priority
-      // class) — the clustering key for a fact queried by key AND date
-      // AND category; bit i of column k lands at position 3i+k
-      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-      val pri = substring(col("o_orderpriority"), 1, 1).cast("long")
-      t(s, d, "orders").select(col("o_orderkey"),
-          graft.ops.Layout.zValueN(
-            Seq(col("o_custkey"), day, pri), bits = 16).as("zval"))
-        .orderBy("o_orderkey")
-    }),
-
-    "x_zrange_scan" -> ((s, d) => {
-      // read-side z-probe: a (custkey, day) box answered through the
-      // quadtree z-range cover + residual predicate — must equal the
-      // plain box filter (the oracle IS the plain box filter); on a
-      // z-sorted table each range is one contiguous scan
-      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-      val o = t(s, d, "orders").withColumn("zval",
-        graft.ops.Layout.zValue(col("o_custkey"), day, bits = 12))
-      graft.ops.Layout.scanZBox(o, col("o_custkey"), day, col("zval"),
-          100L, 299L, 1200L, 2399L, bits = 12, maxRanges = 64)
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .orderBy("o_orderkey")
-    }),
-
-    "x_sample_weighted" -> ((s, d) =>
-      // weighted priority sample (Duffield et al.): P(keep) ∝ n_chars;
-      // portable-FNV uniforms + a single IEEE division per row — the
-      // oracle replays the exact priority order
-      graft.ext.Corpus.prioritySample(t(s, d, "documents"), "doc_id",
-          col("n_chars"), k = 100, seed = 7L)
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")),
-
-    "x_ann_pq" -> ((s, d) => {
-      // rows-only by design (the k-means shortlist is not SQL-
-      // replayable; PqSpec gates recall and proves ADC == dot-on-
-      // decoded). Full production pipeline: train 8×16 codebooks,
-      // encode 64-dim floats to 8 byte codes (32× compression), ADC-
-      // shortlist 30 per query from the codes, exact-rerank to top-10
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id").as("id"),
-          graft.ext.Pq.normalized(col("embedding")).as("v"))
-      val queries = e.filter(col("id") < 5)
-      val cb = graft.ext.Pq.trainCodebooks(e, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 1)
-      val enc = graft.ext.Pq.encode(e, cb, "v", "id", dim = 64, m = 8, ksub = 16)
-      graft.ext.Pq.adcRerankTopK(enc, cb, queries, e, "v", "id",
-          k = 10, shortlistK = 30, dim = 64, m = 8, ksub = 16)
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_ann_ivfpq" -> ((s, d) => {
-      // rows-only by design. FAISS-style IVF-PQ: coarse cells → PQ on
-      // RESIDUALS (codes quantize local offsets, not the global
-      // spread) → probe + ADC shortlist → exact re-rank. The scale
-      // path for ANN over a corpus whose full vectors don't fit hot
-      // storage: the scan side holds cell + 8 bytes per vector
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id").as("id"),
-          graft.ext.Pq.normalized(col("embedding")).as("v"))
-      // lean build settings for the per-round driver run: quality knobs
-      // (Lloyd depth, refine) are gated in PqSpec + the 202k soak; an
-      // index is built ONCE and searched many times in production, not
-      // rebuilt per query as this end-to-end row does. r13: coarse
-      // cells seeded by trained k-means|| (sampled init + 1 Lloyd) —
-      // the gated A/B (tools/AnnSeedProbe) measured recall@10
-      // 0.28→0.34 at this budget AND 0.3 s faster than the old
-      // hash-mean + refine build (the sampled driver-side init is
-      // cheaper than a posexplode mean pass over the corpus)
-      val cents = graft.ext.Similarity.trainedCentroids(e, "v", "id",
-        nCells = 16)
-      val (rcb, enc) = graft.ext.Pq.ivfPqIndex(e, cents, "v", "id",
-        dim = 64, m = 8, ksub = 16, iterations = 1)
-      graft.ext.Pq.ivfPqRerankTopK(enc, cents, rcb, e.filter(col("id") < 5), e,
-          "v", "id", k = 10, shortlistK = 30, nProbe = 4,
-          dim = 64, m = 8, ksub = 16)
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_active_trailing_hll" -> ((s, d) => {
-      // ORACLE-GATED sketch verdict: the per-day HLL trailing-actives
-      // estimates (shuffle independent of user count) must each land
-      // within 5% of the exact operator's count — both frames computed
-      // engine-side, joined on day, worst-case error checked
-      val appr = graft.ext.Behavior.activeUsersTrailingApprox(events(s, d),
-          "user_id", "ts_us", windowDays = 7)
-        .withColumnRenamed("active_users_est", "a_est")
-      val exact = graft.ext.Behavior.activeUsersTrailing(events(s, d),
-          "user_id", "ts_us", windowDays = 7)
-        .withColumnRenamed("active_users", "a_exact")
-      appr.join(exact, Seq("day"), "full")
-        .agg(
-          (count(when(col("a_est").isNull || col("a_exact").isNull, 1)) === 0)
-            .as("days_align"),
-          (max(abs(col("a_est") - col("a_exact")).cast("double") / col("a_exact")) < 0.05)
-            .as("err_ok"))
-        .select(explode(array(
-          struct(lit("hll_day_sets_align").as("check_name"), col("days_align").as("ok")),
-          struct(lit("hll_trailing_err_lt_5pct").as("check_name"), col("err_ok").as("ok"))))
-          .as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-        .orderBy("check_name")
-    }),
-
-    "x_compression_ratio" -> ((s, d) =>
-      // zlib quality signal over the documents table: boilerplate
-      // compresses away, entropy soup doesn't (rows-only: a JVM codec
-      // has no SQL replay; TextOpsSpec pins the ordering properties
-      // and partitioning determinism)
-      graft.ext.TextOps.compressionRatio(
-        t(s, d, "documents").select(col("doc_id"), col("text")),
-        "text", "doc_id")
-        .orderBy("id")),
-
-    "x_compression_ratio_check" -> ((s, d) => {
-      // ORACLE-GATED verdict companion to x_compression_ratio (which is
-      // rows-only because a JVM zlib codec has no SQL replay): the
-      // ordering and determinism properties TextOpsSpec pins are
-      // re-derived engine-side as boolean checks the driver can gate.
-      //  - crafted fixture: repeated boilerplate must compress away
-      //    (< 0.1), seeded random noise must not (> 0.5), varied prose
-      //    strictly between — the separations are wide (≈0.04 / 0.5 /
-      //    1.0) so the bounds are structural, not tuned
-      //  - determinism: ratios over the real documents table must be
-      //    byte-identical at 1 vs 7 input partitions (one Deflater is
-      //    re-init'd per partition — any partition-coupled state leak
-      //    breaks this)
-      import s.implicits._
-      val rnd = new scala.util.Random(8)
-      val fixture = Seq(
-        (1L, "the same line repeats here\n" * 50),
-        (2L, "a reasonably varied prose paragraph about spark engines " +
-          "discussing partitions shuffles and the optimizer in detail " +
-          "with enough distinct words to resist the dictionary" * 3),
-        (3L, Seq.fill(1500)(('a' + rnd.nextInt(26)).toChar).mkString)
-      ).toDF("doc_id", "text")
-      val w = graft.ext.TextOps.compressionRatio(fixture, "text", "doc_id")
-        .groupBy()
-        .agg(
-          max(when(col("id") === 1L, col("compression_ratio"))).as("boiler"),
-          max(when(col("id") === 2L, col("compression_ratio"))).as("prose"),
-          max(when(col("id") === 3L, col("compression_ratio"))).as("noise"))
-      val real = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val a = graft.ext.TextOps.compressionRatio(real.repartition(1), "text", "doc_id")
-      val b = graft.ext.TextOps.compressionRatio(real.repartition(7), "text", "doc_id")
-      val det = a.exceptAll(b).unionAll(b.exceptAll(a))
-        .agg((count(lit(1)) === 0).as("det_ok"))
-      w.crossJoin(broadcast(det))
-        .select(explode(array(
-          struct(lit("ratio_orders_boiler_prose_noise").as("check_name"),
-            (col("boiler") < col("prose") && col("prose") < col("noise")).as("ok")),
-          struct(lit("ratio_bounds_structural").as("check_name"),
-            (col("boiler") < 0.1 && col("noise") > 0.5).as("ok")),
-          struct(lit("ratio_partition_deterministic").as("check_name"),
-            col("det_ok").as("ok")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
-        .orderBy("check_name")
-    }),
-
-    // ---- determinism-hash pins for the rows-only rows ----
-    // The four no-oracle outputs (3 approximate ANN top-k + the zlib
-    // ratio) are deterministic BY CONSTRUCTION (FNV/xxhash seeding,
-    // deterministic ties, per-partition codec re-init), so their
-    // content hash at a given SF is a constant: any changed hash is a
-    // code regression, never noise. Each pin re-runs its raw row and
-    // compares an order-insensitive engine-side hash against the
-    // constant measured at sf0.001/0.01/0.1 (tools/HashPinProbe).
-    // Quality stays bounded by the recall/ordering verdict rows; these
-    // convert "rows-only" into a regression detector at the gate SFs.
-    // Unpinned dirs (scaled soak datasets are regenerated with varying
-    // perturbation) pass trivially by design.
-    "x_ann_ivf_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_ivf")),
-
-    "x_ann_pq_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_pq")),
-
-    "x_ann_ivfpq_hash" -> ((s, d) => hashPinVerdict(s, d, "x_ann_ivfpq")),
-
-    "x_compression_ratio_hash" -> ((s, d) =>
-      hashPinVerdict(s, d, "x_compression_ratio")),
-
-    "x_xlsx_hash" -> ((s, d) => {
-      // Byte-determinism pin for the OOXML (xlsx) sink — the last §2
-      // operator that carried only spec evidence. The writer is
-      // byte-deterministic by construction (fixed zip entry order,
-      // fixed DOS-epoch timestamps, single-threaded driver-side
-      // serialization), so the whole package's FNV-1a at a given SF is
-      // a constant: the row writes the bounded BI artifact TWICE
-      // (mixed types: long/string/multiline text/bool/double/nullable)
-      // and gates (a) the two writes byte-agree, (b) the bytes match
-      // the per-SF pin measured by tools/HashPinProbe. Unpinned dirs
-      // (10x/100x replicas) gate (a) only, like the other pins.
-      import s.implicits._
-      val (p1, p2, logical) = xlsxArtifactHash(s, d)
-      val pinOk =
-        xlsxBytePins.get(new java.io.File(d).getName).forall(_ == logical)
-      Seq(("xlsx_bytes_deterministic", p1 == p2),
-          ("xlsx_bytes_pinned", pinOk)).toDF("check_name", "ok")
-        .orderBy("check_name")
-    }),
-
-    "x_decontaminate_semantic" -> ((s, d) => {
-      // paraphrase-level decontamination: corpus embeddings vs a
-      // broadcast benchmark set, codegen'd cosine kernel, flag ≥ 0.30
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val bench = e.filter(col("vec_id") % 100 === 0)
-      val corpus = e.filter(col("vec_id") % 100 =!= 0)
-      graft.ext.Corpus.decontaminateSemantic(corpus, bench,
-        "embedding", "vec_id", threshold = 0.30)
-    }),
-
-    "x_heavy_hitters" -> ((s, d) =>
-      // SpaceSaving heavy hitters over event_type with capacity >>
-      // distinct keys: no counter evicts, so the sketch is provably
-      // EXACT (err=0) and the full oracle hash-match applies — the
-      // custom TypedImperativeAggregate shuffles O(capacity) summaries,
-      // never raw keys
-      events(s, d)
-        .agg(graft.functions.VectorExpressions
-          .spaceSavingTopK(col("event_type"), 64).as("hh"))
-        .select(explode(col("hh")).as("h"))
-        .select(col("h.key").as("key"), col("h.est").as("n"),
-          col("h.err").as("err"), col("h.total").as("total"))
-        .orderBy(col("n").desc, col("key"))),
-
-    "x_heavy_hitters_approx" -> ((s, d) => {
-      // ORACLE-GATED sketch verdict for the eviction regime (150+ users
-      // against 32 counters — the surviving tail set legitimately
-      // depends on merge order, so the ROWS can't be oracled, but the
-      // SpaceSaving GUARANTEES can): engine-side exact counts prove
-      // (a) the total is exact, (b) every key with freq > N/capacity
-      // survived, (c) every estimate brackets its true count
-      // (est − err ≤ true ≤ est)
-      val hh = events(s, d)
-        .agg(graft.functions.VectorExpressions
-          .spaceSavingTopK(col("user_id").cast("string"), 32).as("hh"))
-        .select(explode(col("hh")).as("h"))
-        .select(col("h.key").as("key"), col("h.est").as("est"),
-          col("h.err").as("err"), col("h.total").as("total"))
-      val exact = events(s, d).groupBy(col("user_id").cast("string").as("key"))
-        .agg(count(lit(1)).as("cnt"))
-      val n = events(s, d).agg(count(lit(1)).as("n"))
-      val totalOk = hh.crossJoin(broadcast(n))
-        .agg((count(when(col("total") =!= col("n"), 1)) === 0).as("ok"))
-        .select(lit("total_is_exact_count").as("check_name"), col("ok"))
-      val heavyPresent = exact.crossJoin(broadcast(n))
-        .filter(col("cnt") > col("n") / 32)
-        .join(hh.select(col("key"), lit(1).as("__in")), Seq("key"), "left")
-        .agg((count(when(col("__in").isNull, 1)) === 0).as("ok"))
-        .select(lit("all_heavy_keys_survive").as("check_name"), col("ok"))
-      val bracketOk = hh.join(exact, Seq("key"), "left")
-        .agg((count(when(col("cnt").isNull ||
-          col("est") < col("cnt") || col("est") - col("err") > col("cnt"), 1)) === 0)
-          .as("ok"))
-        .select(lit("estimates_bracket_truth").as("check_name"), col("ok"))
-      totalOk.unionByName(heavyPresent).unionByName(bracketOk)
-        .orderBy("check_name")
-    }),
-
-    "x_fuzzy_join" -> ((s, d) => {
-      // record linkage: entity names = part name + key suffix (unique,
-      // like real master-list entities; the bare p_name vocabulary is
-      // ~56 strings, which would make every blocking segment hot AND
-      // the true answer itself quadratic-sized). Corrupt a third of
-      // them by one key-derived char deletion, re-link at edit
-      // distance <= 1 via PassJoin segment blocking — candidate space
-      // is the blocking join, never |L|x|R|; the oracle replays the
-      // same corruption + levenshtein exactly
-      val part = t(s, d, "part")
-        .select(col("p_partkey"),
-          concat(col("p_name"), lit("-"), col("p_partkey")).as("ename"))
-      val pos = (col("p_partkey") % 5 + 1).cast("int")
-      val dirty = part.filter(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("dirty_key"),
-          concat(col("ename").substr(lit(1), pos),
-            col("ename").substr(pos + lit(2), length(col("ename")))).as("dname"))
-      val clean = part.select(col("p_partkey").as("clean_key"), col("ename"))
-      graft.ext.Linkage.editDistanceJoin(dirty, clean, "dname", "ename", k = 1)
-        .select("dirty_key", "clean_key", "dname", "ename", "dist")
-        .orderBy("dirty_key", "clean_key")
-    }),
-
-    "x_orc_roundtrip" -> ((s, d) => {
-      // columnar-format breadth: write documents as ORC (Spark's other
-      // built-in columnar format), read it back, checksum. DuckDB
-      // cannot read ORC, so — like x_compact — the oracle computes the
-      // same aggregate over the parquet ORIGINAL; a full match proves
-      // the ORC round trip preserved every row byte-for-byte.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-        .resolve("documents").toString
-      graft.sink.Sinks.write(t(s, d, "documents"), tmp, "orc")
-      val fnvB = graft.functions.VectorExpressions.fnv1a64(col("text"))
-      s.read.orc(tmp).agg(
-        count(lit(1)).as("n"),
-        sum(col("doc_id")).as("id_sum"),
-        sum(pmod(fnvB, lit(1000000L))).as("text_fnv_sum"),
-        sum(col("n_chars")).as("chars_sum"))
-        .withColumn("format", lit("orc"))
-    }),
-
-    "x_csv_roundtrip" -> ((s, d) =>
-      // text-sink quoting gauntlet (§2.7 Q48 read-back oracle): text
-      // decorated with every csv danger class — embedded comma, quote,
-      // newline, backslash, tab, and unchanged — keyed by doc_id, then
-      // written through the RFC-4180 csv sink and the FILE parsed back.
-      // The oracle replays the decoration over the parquet original, so
-      // a full row+schema+hash match proves Spark's quoting/escaping
-      // survived the write+parse trip for all five classes. (DuckDB
-      // read_csv parses the same engine-written file byte-identically —
-      // cross-engine evidence recorded in SCALE.md; the gate row stays
-      // self-contained so it never depends on a shared /tmp.)
-      textRoundtrip(s, d, "csv")),
-
-    "x_tsv_roundtrip" -> ((s, d) =>
-      // the same gauntlet through the tab-separated sink — the tab
-      // decoration class is the one that MUST force quoting here
-      textRoundtrip(s, d, "tsv")),
-
-    "x_compact" -> ((s, d) => {
-      // compaction round-trip: fragment documents into 32 small files,
-      // bin-pack them back, then CHECKSUM THE COMPACTED COPY — the
-      // oracle computes the same aggregate over the original table, so
-      // a full hash match proves compaction preserved every row byte-
-      // for-byte while the emitted file count collapsed
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
-        .resolve("documents").toString
-      t(s, d, "documents").repartition(32).write
-        .mode("overwrite").parquet(tmp)
-      val rep = graft.ops.Layout.compact(s, tmp, targetBytes = 256L * 1024 * 1024)
-      val fnvB = graft.functions.VectorExpressions.fnv1a64(col("text"))
-      s.read.parquet(tmp).agg(
-        count(lit(1)).as("n"),
-        sum(col("doc_id")).as("id_sum"),
-        sum(pmod(fnvB, lit(1000000L))).as("text_fnv_sum"),
-        sum(col("n_chars")).as("chars_sum"))
-        .withColumn("compacted", lit(rep.filesAfter < rep.filesBefore))
-    }),
-
-    "x_bucketed_join" -> ((s, d) => {
-      // bucketed-layout round trip on REAL fact tables: orders and
-      // lineitem land as 8-bucket catalog tables hashed+sorted on the
-      // join key (the pay-the-shuffle-once layout — at 100 TB every
-      // subsequent orderkey join/agg on these tables is Exchange-free,
-      // the SinksSpec-pinned plan shape), then the revenue-by-priority
-      // rollup runs over the BUCKETED READ-BACK. The oracle computes
-      // the same rollup over the original parquet, so a full match
-      // proves the bucketed write+read preserved every row. Unique
-      // table names per call: Verify/Bench reuse one catalog.
-      val scratch = scratchDir("graft-bucketed")
-      val tag = new java.io.File(scratch).getName
-        .replaceAll("[^A-Za-z0-9]", "_")
-      val oT = s"graft_bkt_orders_$tag"
-      val lT = s"graft_bkt_lineitem_$tag"
-      graft.sink.Sinks.writeBucketed(t(s, d, "orders"), oT,
-        Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
-        path = Some(s"$scratch/orders"))
-      graft.sink.Sinks.writeBucketed(t(s, d, "lineitem"), lT,
-        Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
-        path = Some(s"$scratch/lineitem"))
-      s.table(lT)
-        .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    "x_approx_quantiles" -> ((s, d) => {
-      // ORACLE-GATED sketch verdict: each approximate quantile's true
-      // rank (fraction of values at or below it, computed engine-side)
-      // must sit within ±1% of the target percentile — the documented
-      // accuracy of the sketch at 10000, checked without ever exposing
-      // the engine-specific quantile values to the oracle
-      val ps = Seq(0.25, 0.5, 0.75, 0.95)
-      val qs = t(s, d, "lineitem")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(ps.map(lit): _*), lit(10000)).as("qs"))
-      t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
-        .crossJoin(broadcast(qs))
-        .select(col("v"), posexplode(col("qs")).as(Seq("i", "q")))
-        .groupBy(col("i"))
-        .agg(avg(when(col("v") <= col("q"), 1.0).otherwise(0.0)).as("frac"))
-        .select(col("i"),
-          element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
-          (abs(col("frac") - element_at(array(ps.map(lit): _*), col("i") + 1)) <= 0.01)
-            .as("ok"))
-        .orderBy("i")
-    }),
-
-    "x_importance_weights" -> ((s, d) =>
-      // DSIR (Xie et al. 2023): hashed word-unigram bucket models fit
-      // on the target subset (lang='en') vs the raw pool; per-doc
-      // importance weight = Σ ln(p_target/p_raw) over token buckets.
-      // Bucket models are ≤256 rows (broadcast); one explode pass
-      graft.ext.Selection.importanceWeights(t(s, d, "documents"),
-          "text", "doc_id", col("lang") === "en", nBuckets = 256)
-        .orderBy("id")),
-
-    "x_importance_select" -> ((s, d) =>
-      // the selection step: top-60 docs by DSIR weight (deterministic
-      // temperature→0 resample; ties break on id), lang joined back to
-      // show the shift toward the target distribution
-      graft.ext.Selection.selectByImportance(t(s, d, "documents"),
-          "text", "doc_id", col("lang") === "en", k = 60, nBuckets = 256)
-        .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
-          Seq("id"))
-        .select(col("id"), col("lang"), col("n_tokens"), col("weight"))
-        .orderBy("id")),
-
-    "x_source_cap" -> ((s, d) =>
-      // RefinedWeb-style per-domain cap: keep at most 5 docs per
-      // source, preferring the longest (ties on id) — one rank window
-      // keyed on source
-      graft.ext.Selection.capPerSource(t(s, d, "documents"),
-          "source", "doc_id", col("n_chars"), k = 5)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")),
-
-    "x_url_canon" -> ((s, d) => {
-      // URL canonicalization for crawl dedup: scheme/host lowercased
-      // (path case preserved), www. + default port + fragment +
-      // tracking params stripped, surviving params sorted, trailing
-      // slash dropped. URLs are synthesized deterministically from
-      // (doc_id, source) — identically in the oracle — to cover the
-      // http:80 / https:443 / query / bare-path variants
-      val pre = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW."))
-        .otherwise(lit("HTTPS://"))
-      val hostPort = when(pmod(col("doc_id"), lit(2)) === 0,
-        lit(".Example.COM:80/Docs/")).otherwise(lit(".Example.COM:443/Docs/"))
-      val tail = when(pmod(col("doc_id"), lit(3)) === 0,
-          lit("/?b=2&utm_source=x&a=1#frag"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("/"))
-        .otherwise(lit("?z=9&utm_campaign=c&a=1"))
-      val url = concat(pre, col("source"), hostPort,
-        col("doc_id").cast("string"), tail)
-      t(s, d, "documents")
-        .select(col("doc_id"), url.as("url_raw"),
-          graft.ext.Selection.canonicalizeUrl(url).as("url_canon"))
-        .orderBy("doc_id")
-    }),
-
-    "x_blocklist" -> ((s, d) => {
-      // URL domain-blocklist curation stage (RefinedWeb §3.1 / CCNet):
-      // subdomain-aware suffix match against a broadcast blocklist,
-      // zero corpus shuffle. Hosts synthesized deterministically from
-      // (doc_id, source) — identically in the oracle — to cover the
-      // subdomain / case+port / dot-boundary-lookalike / exact cases;
-      // the blocklist holds a domain AND its more specific subdomain
-      // (longest rule must win) plus an untrimmed uppercase entry.
-      import s.implicits._
-      val url = concat(lit("https://"),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-            concat(lit("ads."), col("source"), lit(".example.com")))
-          .when(pmod(col("doc_id"), lit(4)) === 1,
-            concat(lit("WWW."), col("source"), lit(".Example.COM:8080")))
-          .when(pmod(col("doc_id"), lit(4)) === 2,
-            concat(lit("shop"), col("source"), lit(".example.com")))
-          .otherwise(lit("cdn.tracker.net")),
-        lit("/p/"), col("doc_id").cast("string"))
-      val block = Seq("src1.example.com", "src3.example.com",
-        "ads.src1.example.com", "tracker.net", " SRC5.EXAMPLE.COM ")
-        .toDF("domain")
-      graft.ext.Selection.markBlocklisted(
-          t(s, d, "documents").withColumn("url", url), col("url"), block)
-        .select(col("doc_id"), col("host"), col("blocked_by"))
-        .orderBy("doc_id")
-    }),
-
-    "x_ndcg" -> ((s, d) => {
-      // ranking-quality readout for the similarity tier: nDCG@10 of
-      // exact cosine neighbors against label-match relevance (doc
-      // relevant ⇔ it shares the query's label) — the eval that says
-      // whether embedding geometry aligns with the labels, graded by
-      // position. Ranks from the oracle-proven brute force; ideal
-      // ranking over the full judged pool, ties on doc_id.
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-      val res = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
-        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
-      val ql = q.select(col("vec_id").as("query_id"), col("label").as("qlab"))
-      val rel = e.select(col("vec_id").as("doc_id"), col("label"))
-        .crossJoin(broadcast(ql))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"),
-          when(col("label") === col("qlab"), lit(1.0)).otherwise(lit(0.0))
-            .as("rel"))
-      graft.ext.Eval.ndcgAtK(res, rel, k = 10).orderBy("query_id")
-    }),
-
-    "x_mrr" -> ((s, d) => {
-      // MRR@10 over the same brute-force-ranked similarity fixture as
-      // x_ndcg: rank of the first label-matching neighbor per query,
-      // reciprocal readout, 0.0 for a query with no relevant hit
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-      val res = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
-        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
-      val ql = q.select(col("vec_id").as("query_id"), col("label").as("qlab"))
-      val rel = e.select(col("vec_id").as("doc_id"), col("label"))
-        .crossJoin(broadcast(ql))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"),
-          when(col("label") === col("qlab"), lit(1.0)).otherwise(lit(0.0))
-            .as("rel"))
-      graft.ext.Eval.mrrAtK(res, rel, k = 10).orderBy("query_id")
-    }),
-
-    "x_hard_negatives" -> ((s, d) => {
-      // DPR-style hard-negative mining: for each query embedding, the
-      // 10 nearest corpus vectors with a DIFFERENT label — the
-      // contrastive-training negatives closest to the decision
-      // boundary, predicate fused before ranking so k always fills
-      val e = t(s, d, "embeddings")
-      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
-          "embedding", "vec_id", "label", k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_datasheet" -> ((s, d) =>
-      // corpus release datasheet: totals, per-lang/source composition
-      // with fractions, discrete length percentiles — one uniform
-      // (section, key, n, v) frame
-      graft.ext.Corpus.datasheet(t(s, d, "documents"),
-          "text", "doc_id", "lang", "source")
-        .orderBy("section", "key")),
-
-    "x_importance_incr" -> ((s, d) => {
-      // production DSIR shape: fit ONCE on a reference pool
-      // (doc_id < 400), persist the 256-row model, score each new
-      // crawl batch (doc_id >= 400) against it — O(batch) per batch,
-      // no refit, no pool rescan. Fit-unseen buckets score the
-      // Laplace-default ratio (the model enumerates ALL buckets)
-      val docs = t(s, d, "documents")
-      val model = graft.ext.Selection.fitImportanceModel(
-        docs.filter(col("doc_id") < 400), "text", "doc_id",
-        col("lang") === "en", nBuckets = 256)
-      graft.ext.Selection.scoreImportance(
-          docs.filter(col("doc_id") >= 400), "text", "doc_id", model,
-          nBuckets = 256)
-        .orderBy("id")
-    }),
-
-    "x_url_dedup" -> ((s, d) => {
-      // URL-level dedup (the CCNet step BEFORE content dedup): three
-      // synthesized fetch-variants of the same page — www+default-port
-      // +tracking+fragment+trailing-slash, bare, case+port+tracking —
-      // collapse onto one canonical URL per doc_id%50 group; keep the
-      // longest fetch (ties on id). The oracle asserts the EXPECTED
-      // canonical literal, so the engine's canonicalization of every
-      // messy variant is what's under test
-      val grp = pmod(col("doc_id"), lit(50)).cast("string")
-      val url = when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit("HTTPS://WWW.Site.COM:443/P/"), grp,
-            lit("/?utm_source=x#f")))
-        .when(pmod(col("doc_id"), lit(3)) === 1,
-          concat(lit("https://site.com/P/"), grp))
-        .otherwise(concat(lit("https://Site.com:443/P/"), grp,
-          lit("?gclid=1&ref=nav")))
-      graft.ext.Selection.dedupByCanonicalUrl(
-          t(s, d, "documents").withColumn("url", url), col("url"),
-          "doc_id", col("n_chars"))
-        .select(col("doc_id"),
-          graft.ext.Selection.canonicalizeUrl(col("url")).as("url_canon"),
-          col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    "x_embed_meanpool" -> ((s, d) =>
-      // chunk→document embedding pooling: groups of 10 chunk vectors
-      // mean-pool to one doc vector (decimal-exact per-dim means,
-      // 9 dp), emitted as (doc, dim, m) rows for the replay
-      Similarity.meanPool(t(s, d, "embeddings"), "embedding",
-          expr("vec_id div 10"))
-        .select(col("group").as("doc"),
-          posexplode(col("pooled")).as(Seq("dim", "m")))
-        .orderBy("doc", "dim")),
-
-    "x_selection_e2e" -> ((s, d) => {
-      // end-to-end SELECTION pipeline (RefinedWeb §3 order): blocklist
-      // → quality ≥ 0.5 → cap 15/source (binds: ~25 docs/source at
-      // sf0.01) → DSIR top-50 toward lang='en'. Same synthesized URLs
-      // and blocklist as x_blocklist; the oracle replays the WHOLE
-      // chain, pinning the stage wiring — including that the DSIR raw
-      // model is fit on the CAPPED pool, not upstream
-      import s.implicits._
-      val url = concat(lit("https://"),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-            concat(lit("ads."), col("source"), lit(".example.com")))
-          .when(pmod(col("doc_id"), lit(4)) === 1,
-            concat(lit("WWW."), col("source"), lit(".Example.COM:8080")))
-          .when(pmod(col("doc_id"), lit(4)) === 2,
-            concat(lit("shop"), col("source"), lit(".example.com")))
-          .otherwise(lit("cdn.tracker.net")),
-        lit("/p/"), col("doc_id").cast("string"))
-      val block = Seq("src1.example.com", "src3.example.com",
-        "ads.src1.example.com", "tracker.net", " SRC5.EXAMPLE.COM ")
-        .toDF("domain")
-      graft.ext.SelectionPipeline.select(
-          t(s, d, "documents").withColumn("url", url), col("url"), block,
-          "text", "doc_id", "source", capOrder = col("n_chars"),
-          isTarget = col("lang") === "en", minQuality = 0.5,
-          maxPerSource = 15, k = 50, nBuckets = 256)
-        .join(t(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
-          Seq("id"))
-        .select(col("id"), col("lang"), col("n_tokens"), col("weight"))
-        .orderBy("id")
-    }),
-
-    "x_sq_quantize" -> ((s, d) =>
-      // SQ8 embedding codec readout: per-vector scale, code checksum,
-      // max code magnitude, max reconstruction error. Every step is
-      // single-IEEE-op deterministic (no training state), so unlike
-      // the PQ rows this codec replays EXACTLY in the oracle
-      graft.ext.Sq.quantize(t(s, d, "embeddings"), "embedding", "vec_id",
-          keepVec = true)
-        .select(col("vec_id"),
-          round(col("scale"), 9).as("scale9"),
-          aggregate(col("codes"), lit(0L),
-            (a, c) => a + c.cast("long")).as("sum_codes"),
-          array_max(transform(col("codes"), c => abs(c))).as("max_code"),
-          round(array_max(zip_with(col("embedding"), col("codes"),
-            (x, c) => abs(x.cast("double") - c.cast("double") * col("scale")))),
-            9).as("max_err9"))
-        .orderBy("vec_id")),
-
-    "x_sq_recall" -> ((s, d) => {
-      // ORACLE-GATED quality + contract bounds for the SQ8 tier: mean
-      // recall@10 of exact search over RECONSTRUCTED vectors vs the
-      // full-precision brute force (the whole point of SQ8: ~4× less
-      // scan IO at near-exact recall — tools/SqRecallProbe measured
-      // 1.000 / 0.990 / 0.985 at sf0.001/0.01/0.1 on the near-uniform
-      // synthetic embeddings; bound 0.95 leaves margin),
-      // plus the codec's own guarantees: per-element reconstruction
-      // error ≤ scale/2 and codes within ±127.
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 20)
-      val enc = graft.ext.Sq.quantize(e, "embedding", "vec_id")
-      val sq = graft.ext.Sq.sqTopK(enc, q, "embedding", "vec_id", k = 10)
-      val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10)
-      val recOk = Similarity.recallAtK(sq, brute)
-        .agg((avg(col("recall")) >= 0.95).as("ok"))
-        .select(lit("sq8_mean_recall10_ge_095").as("check_name"), col("ok"))
-      val contract = graft.ext.Sq
-        .quantize(e, "embedding", "vec_id", keepVec = true)
-        .select(
-          (array_max(zip_with(col("embedding"), col("codes"),
-            (x, c) => abs(x.cast("double") - c.cast("double") * col("scale"))))
-            <= col("scale") * 0.5 + lit(1e-12)).as("b"),
-          (array_max(transform(col("codes"), c => abs(c))) <= 127).as("r"))
-        .agg(expr("bool_and(b)").as("bOk"), expr("bool_and(r)").as("rOk"))
-        .select(explode(array(
-          struct(lit("sq8_err_le_half_scale").as("check_name"),
-            col("bOk").as("ok")),
-          struct(lit("sq8_codes_in_range").as("check_name"),
-            col("rOk").as("ok")))).as("s"))
-        .select(col("s.check_name").as("check_name"), col("s.ok").as("ok"))
-      recOk.unionByName(contract).orderBy("check_name")
-    })
-  )
 
   /** x_csv_roundtrip / x_tsv_roundtrip body: decorate documents.text
     * with the six text-sink danger classes (comma, quote, newline,
@@ -2081,14 +71,14 @@ private[graft] object ExtQueries {
       }))
     ()
   }
-  private def scratchWithCleanup(path: String): String = {
+  private[registry] def scratchWithCleanup(path: String): String = {
     scratchHook
     scratchDirs.add(path)
     new java.io.File(path).mkdirs()
     path
   }
 
-  private def textRoundtrip(s: SparkSession, d: String,
+  private[registry] def textRoundtrip(s: SparkSession, d: String,
                             format: String): DataFrame = {
     val deco = t(s, d, "documents").select(col("doc_id"), col("lang"),
       concat(col("text"), element_at(array(
@@ -2116,2936 +106,6 @@ private[graft] object ExtQueries {
       .csv(path)
       .orderBy("doc_id")
   }
-
-  val oracles: Map[String, String] = Map(
-    // repetition replay: same tokenizer; n-gram counts over the shingle
-    // STRINGS (count-equivalent to the engine's shingle hashes)
-    "x_repetition" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
-        |  FROM documents),
-        |tokc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t),
-        |toks AS (
-        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
-        |  FROM tokc GROUP BY doc_id),
-        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |ngr AS (
-        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS s
-        |  FROM d),
-        |ngrc AS (SELECT doc_id, s, count(*) AS c FROM ngr GROUP BY doc_id, s),
-        |ngrs AS (
-        |  SELECT doc_id,
-        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
-        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
-        |  FROM ngrc GROUP BY doc_id)
-        |SELECT doc.doc_id, toks.top_token_frac, ngrs.top_ngram_frac, ngrs.dup_ngram_frac
-        |FROM documents doc
-        |LEFT JOIN toks ON doc.doc_id = toks.doc_id
-        |LEFT JOIN ngrs ON doc.doc_id = ngrs.doc_id
-        |ORDER BY doc.doc_id""".stripMargin,
-
-    // same deterministic PII injection, same RE2-safe patterns with 'g'
-    "x_pii_redact" ->
-      """WITH dirty AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || doc_id || '@example.com or +1 555 01' || doc_id
-        |      || ' at 10.0.' || (doc_id % 256) || '.7' AS d
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean
-        |FROM dirty ORDER BY doc_id""".stripMargin,
-
-    // the boundary-split tokens ARE the maximal alnum / non-alnum-non-
-    // space runs (exact on ASCII; lookarounds not needed to count runs)
-    // fertility replay: the same ASCII maximal-run equivalence the
-    // x_bpe_tokens oracle uses, whitespace words, exact sum ratios
-    "x_fertility" ->
-      """WITH per AS (
-        |  SELECT lang,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS BIGINT) AS nb,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS nw,
-        |    CAST(length(text) AS BIGINT) AS nc
-        |  FROM documents)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(nb) AS BIGINT) AS bpe_tokens, CAST(sum(nw) AS BIGINT) AS words,
-        |  CASE WHEN sum(nw) > 0 THEN round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) END AS fertility,
-        |  CASE WHEN sum(nb) > 0 THEN round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) END AS chars_per_token
-        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "x_bpe_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9[:space:]]+')) AS INTEGER) AS n_bpe_ish
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // BPE pair-count replay: same word split, same per-word length-2
-    // substrings (substr is codepoint-based on both engines; the
-    // corpus is ASCII), same (cnt DESC, pair ASC) tie-break
-    "x_bpe_merges" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-        |  FROM documents),
-        |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
-        |p AS (
-        |  SELECT unnest(list_transform(range(1, length(w)),
-        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
-        |  FROM w2),
-        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair),
-        |r AS (
-        |  SELECT pair, cnt,
-        |    row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
-        |  FROM c)
-        |SELECT pair, cnt, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
-
-    // replay of the deterministic packing layout (seed 7, 8 buckets)
-    "x_pack_offsets" ->
-      s"""WITH hx AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, toks, ${signedSql("hu")} AS h,
-         |    ((${signedSql("hu")} % 8) + 8) % 8 AS pack_bucket
-         |  FROM hx),
-         |c AS (
-         |  SELECT doc_id, pack_bucket,
-         |    CAST(sum(toks) OVER (PARTITION BY pack_bucket ORDER BY h ASC, doc_id ASC
-         |                         ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS pack_offset
-         |  FROM m)
-         |SELECT doc_id, pack_bucket, pack_offset, pack_offset // 2048 AS bin_id
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // replay of the deterministic-order cumulative token cutoff (seed 7)
-    "x_mixture_budget" ->
-      s"""WITH hx AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang,
-         |    sum(toks) OVER (PARTITION BY lang ORDER BY ${signedSql("hu")} ASC, doc_id ASC
-         |                    ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM hx)
-         |SELECT doc_id, lang FROM c
-         |WHERE (CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END) > 0
-         |  AND cum <= CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 0 END
-         |ORDER BY doc_id""".stripMargin,
-
-    // composed replay of the full curation chain AT ITS DEFAULTS:
-    // quality (x_quality's scoring) → 5-gram decontamination vs
-    // doc_id<20 → exact dedup (normalized-text min-id) → jaccard pairs
-    // over the default-capped shingle space (DefaultMaxShingleDf=64 →
-    // HAVING count(*) > 64) → recursive-CTE cluster resolution →
-    // cluster minima
-    "x_curation_e2e" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, length(text) AS len,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
-        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
-        |  FROM documents),
-        |parts AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
-        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
-        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
-        |  FROM base),
-        |qd AS (
-        |  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN parts p ON d.doc_id = p.doc_id
-        |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
-        |g1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM qd),
-        |grams AS (
-        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                         FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM g1),
-        |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 20),
-        |bgrams AS (
-        |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                          FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM bw),
-        |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b ON g.s = b.s),
-        |clean AS (
-        |  SELECT doc_id, text, lang FROM qd
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |ex AS (
-        |  SELECT doc_id, text, lang FROM clean WHERE doc_id IN (
-        |    SELECT min(doc_id) FROM clean
-        |    GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
-        |shw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM ex),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-        |    FROM shw)),
-        |sh AS (
-        |  SELECT doc_id, s FROM sh0
-        |  WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 64)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |jp AS (
-        |  SELECT p.id_a, p.id_b FROM prs p
-        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
-        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS s, id_b AS t FROM jp
-        |  UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM ex
-        |  UNION
-        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
-        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-        |SELECT ex.doc_id, ex.lang FROM ex JOIN cc ON ex.doc_id = cc.doc_id
-        |WHERE cc.doc_id = cc.cluster_id
-        |ORDER BY ex.doc_id""".stripMargin,
-
-    // same chain with the hot-shingle df cap (maxShingleDf=4) replayed:
-    // shingles held by more than 4 surviving docs are dropped BEFORE
-    // sizes/pairs, so jaccard is computed over the thinned space on
-    // both engines
-    "x_curation_e2e_capped" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, length(text) AS len,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
-        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
-        |  FROM documents),
-        |parts AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
-        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
-        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
-        |  FROM base),
-        |qd AS (
-        |  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN parts p ON d.doc_id = p.doc_id
-        |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
-        |g1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM qd),
-        |grams AS (
-        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                         FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM g1),
-        |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 20),
-        |bgrams AS (
-        |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                          FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM bw),
-        |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b ON g.s = b.s),
-        |clean AS (
-        |  SELECT doc_id, text, lang FROM qd
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |ex AS (
-        |  SELECT doc_id, text, lang FROM clean WHERE doc_id IN (
-        |    SELECT min(doc_id) FROM clean
-        |    GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
-        |shw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM ex),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-        |    FROM shw)),
-        |sh AS (
-        |  SELECT doc_id, s FROM sh0
-        |  WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 4)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |jp AS (
-        |  SELECT p.id_a, p.id_b FROM prs p
-        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
-        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS s, id_b AS t FROM jp
-        |  UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM ex
-        |  UNION
-        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
-        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-        |SELECT ex.doc_id, ex.lang FROM ex JOIN cc ON ex.doc_id = cc.doc_id
-        |WHERE cc.doc_id = cc.cluster_id
-        |ORDER BY ex.doc_id""".stripMargin,
-
-    // replay of the FNV sample-bucket membership decision (seed 7)
-    "x_sample_stratified" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, lang, ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, lang,
-         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
-         |  FROM h)
-         |SELECT doc_id, lang FROM m
-         |WHERE b < CAST((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.0 END) * 1000000.0 AS BIGINT)
-         |ORDER BY doc_id""".stripMargin,
-
-    // split-band membership replay (seed 13; bands on millionth
-    // boundaries: train < 800000 ≤ val < 900000 ≤ test)
-    "x_split" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':13')")} AS hu
-         |  FROM documents),
-         |m AS (
-         |  SELECT lang, n_chars,
-         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
-         |  FROM h)
-         |SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
-         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
-         |FROM m GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
-
-    // group-split replay: FNV band on the GROUP key, then the audit —
-    // per-split row/group counts + global straddling-group count
-    "x_group_split" ->
-      s"""WITH h AS (
-         |  SELECT source,
-         |    ${fnvSql("(coalesce(CAST(source AS VARCHAR), chr(0) || 'null') || ':17')")} AS hu
-         |  FROM documents),
-         |m AS (
-         |  SELECT source,
-         |    ((${signedSql("hu")} % 1000000) + 1000000) % 1000000 AS b
-         |  FROM h),
-         |a AS (
-         |  SELECT source,
-         |    CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
-         |  FROM m),
-         |l AS (
-         |  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS leaked_groups
-         |  FROM (SELECT source, count(DISTINCT split) AS ns FROM a GROUP BY source))
-         |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(count(DISTINCT source) AS BIGINT) AS n_groups, leaked_groups
-         |FROM a CROSS JOIN l GROUP BY split, leaked_groups ORDER BY split""".stripMargin,
-
-    // JL-projection replay: identical integer sign matrix, identical
-    // left fold, exact 0.25 scale — bit-equal, no rounding anywhere
-    "x_rp_sketch" ->
-      """WITH j AS (SELECT unnest(range(0, 16)) AS dim),
-        |p AS (
-        |  SELECT e.vec_id AS id, j.dim,
-        |    0.25 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [CAST(e.embedding[i] AS DOUBLE) *
-        |         (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761 + j.dim * 40503) % 97) < 49
-        |               THEN 1.0 ELSE -1.0 END)
-        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS y
-        |  FROM embeddings e CROSS JOIN j)
-        |SELECT id, CAST(dim AS INTEGER) AS dim, y FROM p ORDER BY id, dim""".stripMargin,
-
-    // JL-distortion replay: project the 40-vector sample with the same
-    // fold, all 780 pair ratios (sqrt is IEEE-exact; the 6-dp rounding
-    // of the ratio and of the mean replays via the VARCHAR->DECIMAL
-    // shortest-repr trick), decimal-exact mean, the same verdict band
-    "x_rp_distance" ->
-      """WITH s AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 40),
-        |j AS (SELECT unnest(range(0, 16)) AS dim),
-        |p AS (
-        |  SELECT s.id, j.dim,
-        |    0.25 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [CAST(s.v[i] AS DOUBLE) *
-        |         (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761 + j.dim * 40503) % 97) < 49
-        |               THEN 1.0 ELSE -1.0 END)
-        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS y
-        |  FROM s CROSS JOIN j),
-        |yv AS (SELECT id, list(y ORDER BY dim) AS yv FROM p GROUP BY id),
-        |b AS (SELECT s.id, s.v, yv.yv FROM s JOIN yv USING (id)),
-        |pr AS (
-        |  SELECT
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [(CAST(a.v[i] AS DOUBLE) - CAST(bb.v[i] AS DOUBLE)) *
-        |       (CAST(a.v[i] AS DOUBLE) - CAST(bb.v[i] AS DOUBLE))
-        |       FOR i IN range(1, 65)]), (acc, x) -> acc + x) AS dx2,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      [(a.yv[i] - bb.yv[i]) * (a.yv[i] - bb.yv[i])
-        |       FOR i IN range(1, 17)]), (acc, x) -> acc + x) AS dy2
-        |  FROM b a JOIN b bb ON a.id < bb.id),
-        |r AS (
-        |  SELECT CAST(round(CAST(CAST(sqrt(dy2) / sqrt(dx2) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS r
-        |  FROM pr WHERE dx2 > 0),
-        |agg AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |    CAST(round(CAST(CAST(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS mean_distortion,
-        |    min(r) AS min_distortion, max(r) AS max_distortion,
-        |    round(CAST(count(*) FILTER (WHERE r >= 0.55 AND r <= 1.45) AS DOUBLE) / count(*), 6) AS frac_in_band
-        |  FROM r)
-        |SELECT n_pairs, mean_distortion, min_distortion, max_distortion, frac_in_band,
-        |  mean_distortion >= 0.75 AND mean_distortion <= 1.25 AS mean_ok,
-        |  frac_in_band >= 0.65 AS band_ok
-        |FROM agg""".stripMargin,
-
-    "x_nfc" ->
-      """SELECT doc_id,
-        |  length(text || 'e' || chr(769)) AS n_raw,
-        |  length(nfc_normalize(text || 'e' || chr(769))) AS n_nfc,
-        |  (text || 'e' || chr(769)) != nfc_normalize(text || 'e' || chr(769)) AS changed
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "x_sessionize_batch" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
-        |flagged AS (
-        |  SELECT user_id, tss, value,
-        |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) <= INTERVAL 30 MINUTE
-        |         THEN 0 ELSE 1 END AS new_sess
-        |  FROM e),
-        |numbered AS (
-        |  SELECT user_id, tss, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sess_id
-        |  FROM flagged)
-        |SELECT user_id, min(tss) AS session_start,
-        |  max(tss) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM numbered GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    // ---- sketch/approx quality-bound verdicts: the estimates are
-    // engine-specific by design, but their documented error contracts
-    // are not — each query computes BOTH the sketch and the exact
-    // reference engine-side and returns literal bound verdicts the
-    // oracle hash-matches, so the driver gate shows pass/fail ----
-    "x_approx_distinct" ->
-      """SELECT * FROM (VALUES ('orders_hll_err_lt_5pct', TRUE),
-        |  ('parts_hll_err_lt_5pct', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    // the documented 100 TB profile configuration (exactDistinct=false):
-    // HLL n_distinct within 10% of engine-side exact per column, every
-    // other metric bit-identical between the two configurations
-    "x_profile_approx" ->
-      """SELECT * FROM (VALUES
-        |  ('o_orderdate', TRUE, TRUE), ('o_orderkey', TRUE, TRUE),
-        |  ('o_orderstatus', TRUE, TRUE), ('o_totalprice', TRUE, TRUE))
-        |AS t("column", hll_err_lt_10pct, other_metrics_exact)
-        |ORDER BY "column"""".stripMargin,
-
-    "x_approx_quantiles" ->
-      """SELECT i, CAST(p AS DOUBLE) AS p, ok FROM (VALUES
-        |  (0, 0.25, TRUE), (1, 0.5, TRUE), (2, 0.75, TRUE), (3, 0.95, TRUE))
-        |AS t(i, p, ok) ORDER BY i""".stripMargin,
-
-    "x_active_trailing_hll" ->
-      """SELECT * FROM (VALUES ('hll_day_sets_align', TRUE),
-        |  ('hll_trailing_err_lt_5pct', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_heavy_hitters_approx" ->
-      """SELECT * FROM (VALUES ('all_heavy_keys_survive', TRUE),
-        |  ('estimates_bracket_truth', TRUE), ('total_is_exact_count', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_ann_ivf_recall" ->
-      """SELECT * FROM (VALUES ('ivf_mean_recall10_ge_070', TRUE),
-        |  ('ivfpq_mean_recall10_ge_065', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_ann_ivf_trained_recall" ->
-      """SELECT * FROM (VALUES ('trained_centroids_shape', TRUE),
-        |  ('trained_ivf_mean_recall10_ge_070', TRUE),
-        |  ('trained_ivfpq_mean_recall10_ge_065', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_ann_pq_recall" ->
-      """SELECT * FROM (VALUES ('pq_adc200_mean_recall10_ge_070', TRUE),
-        |  ('pq_adc30_mean_recall10_ge_015', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_ann_pq_prerank_recall" ->
-      """SELECT * FROM (VALUES ('neardup_pq_no_false_positives', TRUE),
-        |  ('neardup_pq_recall_ge_090', TRUE),
-        |  ('sdc_prerank_vs_ivf_recall10_ge_090', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_compression_ratio_check" ->
-      """SELECT * FROM (VALUES ('ratio_bounds_structural', TRUE),
-        |  ('ratio_orders_boiler_prose_noise', TRUE),
-        |  ('ratio_partition_deterministic', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_ann_ivf_hash" ->
-      """SELECT * FROM (VALUES ('x_ann_ivf_content_hash_pinned', TRUE))
-        |AS t(check_name, ok)""".stripMargin,
-
-    "x_ann_pq_hash" ->
-      """SELECT * FROM (VALUES ('x_ann_pq_content_hash_pinned', TRUE))
-        |AS t(check_name, ok)""".stripMargin,
-
-    "x_ann_ivfpq_hash" ->
-      """SELECT * FROM (VALUES ('x_ann_ivfpq_content_hash_pinned', TRUE))
-        |AS t(check_name, ok)""".stripMargin,
-
-    "x_compression_ratio_hash" ->
-      """SELECT * FROM (VALUES ('x_compression_ratio_content_hash_pinned', TRUE))
-        |AS t(check_name, ok)""".stripMargin,
-
-    "x_xlsx_hash" ->
-      """SELECT * FROM (VALUES ('xlsx_bytes_deterministic', TRUE),
-        |  ('xlsx_bytes_pinned', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_embed_neardup_incr" ->
-      """SELECT * FROM (VALUES ('incr_no_false_positives', TRUE),
-        |  ('incr_recall_ge_090', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_embed_neardup_bucketed" ->
-      """SELECT * FROM (VALUES ('bucketed_no_false_positives', TRUE),
-        |  ('bucketed_recall_ge_090', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    // the decoded dims/kind are only 'image'/32/32 when the codec
-    // really decoded each rendered blob — the oracle asserts that per row
-    "x_multimodal_features" ->
-      """SELECT doc_id, 'image' AS media_kind, 32 AS width, 32 AS height
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
-
-    // frame offsets replay in SQL (range list per doc, inner semantics:
-    // zero duration → no rows); the decoded-feature range rides as f0_ok
-    "x_multimodal_frames" ->
-      """SELECT doc_id, duration_ms, unnest(range(0, duration_ms, 1000)) AS frame_ms,
-        |       TRUE AS f0_ok
-        |FROM (SELECT doc_id, CAST(n_chars % 5 * 1000 AS BIGINT) AS duration_ms
-        |      FROM documents WHERE doc_id < 100)
-        |ORDER BY doc_id, frame_ms""".stripMargin,
-
-    // the sniffer's verdict per rendered container type, row by row
-    "x_sniff_media" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-        |    WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream' END AS media_type
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
-
-    // winnowing replay: signed FNV shingle hashes, (hash, pos) packed
-    // into one HUGEINT key so the window min carries the rightmost-tie
-    // argmin, then decoded back to (pos, fp)
-    "x_winnow" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents WHERE doc_id < 300),
-         |shg AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
-         |  FROM d),
-         |sh AS (SELECT doc_id, e.pos AS pos, ${signedSql(fnvSql("e.s"))} AS h FROM shg),
-         |enc AS (SELECT doc_id, pos,
-         |  (CAST(h AS HUGEINT) + 9223372036854775808) * 4294967296
-         |    + (4294967295 - pos) AS key FROM sh),
-         |win AS (SELECT doc_id, pos,
-         |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
-         |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
-         |  count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM enc)
-         |SELECT DISTINCT doc_id,
-         |  CAST(4294967295 - (mk % 4294967296) AS INTEGER) AS fp_pos,
-         |  CAST(mk // 4294967296 - 9223372036854775808 AS BIGINT) AS fp
-         |FROM win WHERE cnt = 4 OR (n < 4 AND pos = 0)
-         |ORDER BY doc_id, fp_pos, fp""".stripMargin,
-
-    // winnowing overlap replay: same construction + winnow + self-join
-    "x_winnow_pairs" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
-         |aug AS (
-         |  SELECT doc_id, text FROM base
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zz tail marker' AS text
-         |  FROM base WHERE doc_id % 9 = 0),
-         |d AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM aug),
-         |shg AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |    i -> {'pos': i - 1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2]})) AS e
-         |  FROM d),
-         |sh AS (SELECT doc_id, e.pos AS pos, ${signedSql(fnvSql("e.s"))} AS h FROM shg),
-         |enc AS (SELECT doc_id, pos,
-         |  (CAST(h AS HUGEINT) + 9223372036854775808) * 4294967296
-         |    + (4294967295 - pos) AS key FROM sh),
-         |win AS (SELECT doc_id, pos,
-         |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
-         |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
-         |  count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM enc),
-         |fps AS (SELECT DISTINCT doc_id,
-         |  CAST(mk // 4294967296 - 9223372036854775808 AS BIGINT) AS fp
-         |FROM win WHERE cnt = 4 OR (n < 4 AND pos = 0))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // real per-frame GIF decode: offsets replay in SQL, frame fidelity
-    // rides as the engine-computed equality verdict
-    "x_gif_frames" ->
-      """SELECT doc_id, unnest(range(0, 2000, 500)) AS frame_ms,
-        |       TRUE AS frame_matches_still
-        |FROM documents WHERE doc_id < 60
-        |ORDER BY doc_id, frame_ms""".stripMargin,
-
-    // pigeonhole-exact banding + ~32-bit envelope-seed separation ⇒ the
-    // audio pair set is exactly the planted retouched twins
-    "x_audio_neardup" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-        |FROM documents WHERE doc_id < 1000 AND doc_id % 7 = 0
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // pigeonhole-exact banding + ~32-bit seed separation ⇒ the pair set
-    // is exactly the planted twins, enumerable in SQL
-    "x_multimodal_neardup" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-        |FROM documents WHERE doc_id < 2000 AND doc_id % 7 = 0
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // the media kernels run codecs a SQL engine doesn't have — the
-    // self-check computes every invariant ENGINE-side and the oracle
-    // hash-matches the literal expected verdicts
-    "x_multimodal_selfcheck" ->
-      """SELECT * FROM (VALUES
-        |  ('decoded_all', TRUE), ('dhash_locality', TRUE),
-        |  ('features_match', TRUE), ('gif_frames_real', TRUE),
-        |  ('neardup_planted_twins', TRUE), ('resize_roundtrip', TRUE),
-        |  ('wav_decode', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
-
-    "x_dedup_exact" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (
-        |  SELECT min(doc_id) FROM documents
-        |  GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-        |ORDER BY doc_id""".stripMargin,
-
-    "x_dedup_exact_best" ->
-      """SELECT doc_id, lang, n_chars FROM (
-        |  SELECT doc_id, lang, n_chars,
-        |    row_number() OVER (
-        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
-        |      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
-        |  FROM documents) WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    "x_dedup_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id < 300),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-        |    FROM d)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT p.id_a, p.id_b,
-        |  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
-        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
-        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // jaccard pairs (same CTE chain as x_dedup_jaccard) → undirected
-    // edges → recursive min-label reachability → min reachable id per
-    // node = cluster id (singletons label themselves)
-    "x_dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id < 300),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-        |    FROM d)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |jp AS (
-        |  SELECT p.id_a, p.id_b FROM pairs p
-        |  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
-        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS s, id_b AS t FROM jp
-        |  UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM d
-        |  UNION
-        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
-        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM cc ORDER BY doc_id""".stripMargin,
-
-    // full LSH replay: FNV-1a shingle hashes → 64 permuted mins → 16
-    // band buckets → bucket self-join → positional signature agreement
-    "x_dedup_minhash" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents WHERE doc_id < 300),
-         |shg AS (
-         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-         |  FROM d),
-         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
-         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
-         |perm AS (
-         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
-         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
-         |bs AS (
-         |  SELECT doc_id, band,
-         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
-         |  FROM sig CROSS JOIN range(16) t(band)),
-         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
-         |  FROM cand JOIN sig s1 ON cand.id_a = s1.doc_id JOIN sig s2 ON cand.id_b = s2.doc_id)
-         |SELECT id_a, id_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-
-    // same LSH replay, asymmetric: store (doc_id < 200) × incoming
-    // (200–299) instead of a self-join
-    "x_dedup_incremental" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents WHERE doc_id < 300),
-         |shg AS (
-         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-         |  FROM d),
-         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
-         |seeds(seed, a, b) AS (VALUES $seedRowsSql),
-         |perm AS (
-         |  SELECT doc_id, seed, min(${signedSql("((a * hu + b) % 18446744073709551616)")}) AS m
-         |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, array_agg(m ORDER BY seed) AS sa FROM perm GROUP BY doc_id),
-         |bs AS (
-         |  SELECT doc_id, band,
-         |    CAST(band AS VARCHAR) || ',' || array_to_string(list_slice(sa, band * 4 + 1, band * 4 + 4), ',') AS bstr
-         |  FROM sig CROSS JOIN range(16) t(band)),
-         |bk AS (SELECT doc_id, band, ${fnvSql("bstr")} AS bucket FROM bs),
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_store
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-         |  WHERE a.doc_id < 200 AND b.doc_id >= 200),
-         |est AS (
-         |  SELECT id_new, id_store,
-         |    CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN s1.sa[i] = s2.sa[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS est_jaccard
-         |  FROM cand JOIN sig s1 ON cand.id_new = s1.doc_id JOIN sig s2 ON cand.id_store = s2.doc_id)
-         |SELECT id_new, id_store, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.5 ORDER BY id_new, id_store""".stripMargin,
-
-    // rotations=8/prefixBits=8 is exact for hamming ≤ 7 (8 disjoint
-    // blocks, pigeonhole) → oracle is brute-force all-pairs hamming
-    "x_dedup_simhash" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents WHERE doc_id < 300),
-         |shg AS (
-         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-         |  FROM d),
-         |h AS (SELECT doc_id, ${fnvSql("s")} AS hu FROM shg),
-         |bits(bit, p) AS (VALUES $bitRowsSql),
-         |votes AS (
-         |  SELECT doc_id, bit, p, sum(CASE WHEN (hu // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM h CROSS JOIN bits GROUP BY doc_id, bit, p),
-         |shu AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u FROM votes GROUP BY doc_id),
-         |sh2 AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "x_fingerprint" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
-         |  FROM documents),
-         |hh AS (SELECT doc_id, ${fnvSql("nt")} AS hu FROM n)
-         |SELECT doc_id, ${signedSql("hu")} AS fp FROM hh ORDER BY doc_id""".stripMargin,
-
-    // BM25 replay: same tokenizer, same idf form, same fixed-order
-    // per-term score assembly (max-of-CASE per term, summed left to
-    // right) so the double math is bit-identical
-    "x_bm25_search" ->
-      """WITH lens AS (
-        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-        |                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS len
-        |  FROM documents),
-        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
-        |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
-        |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id),
-        |agg AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN term = 'spark' THEN s END) AS s0,
-        |    max(CASE WHEN term = 'vector' THEN s END) AS s1,
-        |    max(CASE WHEN term = 'merge' THEN s END) AS s2
-        |  FROM sc GROUP BY doc_id),
-        |scored AS (
-        |  SELECT doc_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score FROM agg),
-        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20)
-        |SELECT doc_id, round(score, 6) AS score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-        |FROM top ORDER BY rank""".stripMargin,
-
-    "x_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT q.query_id, c.corpus_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
-        |  FROM c, q WHERE c.corpus_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, corpus_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, corpus_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-    "x_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 300),
-        |scored AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "x_decontaminate" ->
-      """WITH c AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                         FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM c),
-        |bench AS (SELECT DISTINCT s FROM grams WHERE doc_id < 20),
-        |contaminated AS (
-        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.s = b.s)
-        |SELECT doc_id, lang FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |ORDER BY doc_id""".stripMargin,
-
-    "x_langid" ->
-      """WITH p AS (
-        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |    (length(t) - length(replace(t, ' the ', ''))) / 5 + (length(t) - length(replace(t, ' and ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' of ', ''))) / 4 + (length(t) - length(replace(t, ' is ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' to ', ''))) / 4 AS s_en,
-        |    (length(t) - length(replace(t, ' der ', ''))) / 5 + (length(t) - length(replace(t, ' die ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' und ', ''))) / 5 + (length(t) - length(replace(t, ' ist ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' das ', ''))) / 5 AS s_de,
-        |    (length(t) - length(replace(t, ' le ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' et ', ''))) / 4 + (length(t) - length(replace(t, ' est ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' les ', ''))) / 5 AS s_fr,
-        |    (length(t) - length(replace(t, ' el ', ''))) / 4 + (length(t) - length(replace(t, ' la ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' y ', ''))) / 3 + (length(t) - length(replace(t, ' es ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' los ', ''))) / 5 AS s_es,
-        |    (length(t) - length(replace(t, '的', ''))) / 1 + (length(t) - length(replace(t, '是', ''))) / 1
-        |      + (length(t) - length(replace(t, '了', ''))) / 1 + (length(t) - length(replace(t, '在', ''))) / 1
-        |      + (length(t) - length(replace(t, '我', ''))) / 1 AS s_zh
-        |  FROM p)
-        |SELECT doc_id, lang,
-        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
-        |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
-        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
-        |       WHEN s_es = greatest(s_de, s_en, s_es) THEN 'es'
-        |       WHEN s_en = greatest(s_de, s_en) THEN 'en'
-        |       ELSE 'de' END AS lang_guess
-        |FROM scored ORDER BY doc_id""".stripMargin,
-
-    "x_quality" ->
-      """WITH base AS (
-        |  SELECT doc_id, length(text) AS len,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
-        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
-        |  FROM documents),
-        |parts AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
-        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
-        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
-        |  FROM base)
-        |SELECT doc_id, round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
-        |FROM parts ORDER BY doc_id""".stripMargin,
-
-    "x_line_dedup" ->
-      s"""WITH pages AS (
-        |  SELECT doc_id // 5 AS page_id,
-        |    'SITE NAV HEADER' || chr(10) ||
-        |    string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
-        |    'COPYRIGHT FOOTER' AS text
-        |  FROM documents GROUP BY 1),
-        |ln AS (
-        |  SELECT page_id, ls, unnest(range(1, len(ls) + 1)) AS pos
-        |  FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages)),
-        |l AS (SELECT page_id, pos, trim(ls[pos]) AS k, ls[pos] AS line FROM ln),
-        |df AS (
-        |  SELECT k, count(DISTINCT page_id) AS line_df
-        |  FROM l WHERE length(k) > 0 GROUP BY k),
-        |kept AS (
-        |  SELECT l.page_id, l.pos, l.line FROM l LEFT JOIN df ON l.k = df.k
-        |  WHERE length(l.k) = 0 OR df.line_df <= 1),
-        |reb AS (
-        |  SELECT page_id, count(*) AS n_kept,
-        |    string_agg(line, chr(10) ORDER BY pos) AS text_kept
-        |  FROM kept GROUP BY page_id),
-        |tot AS (SELECT page_id, count(*) AS n_lines FROM l GROUP BY page_id),
-        |fin AS (
-        |  SELECT t.page_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
-        |    ${fnvSql("(coalesce(r.text_kept, ''))")} AS hu
-        |  FROM tot t LEFT JOIN reb r USING (page_id))
-        |SELECT page_id, n_lines, n_kept, ${signedSql("hu")} AS kept_fnv
-        |FROM fin ORDER BY page_id""".stripMargin,
-
-    "x_domain_quality" ->
-      """WITH base AS (
-        |  SELECT doc_id, source, n_chars, length(text) AS len,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
-        |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS stop
-        |  FROM documents),
-        |parts AS (
-        |  SELECT doc_id, source, n_chars,
-        |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
-        |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
-        |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-        |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
-        |  FROM base),
-        |q AS (
-        |  SELECT source, n_chars,
-        |    round(len_ok * 0.3 + alpha_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 2) AS quality
-        |  FROM parts),
-        |agg AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    round(CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_quality,
-        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |  FROM q GROUP BY source)
-        |SELECT source, n_docs, avg_quality, total_chars,
-        |  CASE WHEN avg_quality >= 0.5 THEN 'keep' ELSE 'review' END AS verdict
-        |FROM agg ORDER BY source""".stripMargin,
-
-    "x_text_stats" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
-        |  CAST(length(text) AS INTEGER) AS n_chars_m,
-        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // ln matches Java bit-for-bit; the mean accumulates ln values in
-    // DECIMAL on both sides (partial-agg order independence)
-    "x_unigram_logprob" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
-        |t AS (SELECT sum(cnt) AS total FROM c),
-        |j AS (
-        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
-        |  FROM tk JOIN c USING (term), t),
-        |per AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
-        |  FROM j GROUP BY doc_id)
-        |SELECT d.doc_id AS id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  per.mean_lnp
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        |ORDER BY id""".stripMargin,
-
-    // CCNet tercile replay: the unigram CTEs verbatim, then the same
-    // discrete-percentile thresholds over DISTINCT score values and
-    // the same boundary rule (<= t33 tail, <= t67 middle, else head)
-    "x_ppl_buckets" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
-        |t AS (SELECT sum(cnt) AS total FROM c),
-        |j AS (
-        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
-        |  FROM tk JOIN c USING (term), t),
-        |per AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
-        |  FROM j GROUP BY doc_id),
-        |g AS (SELECT mean_lnp AS v, CAST(count(*) AS BIGINT) AS cc FROM per GROUP BY mean_lnp),
-        |cum AS (
-        |  SELECT v, sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
-        |    (SELECT sum(cc) FROM g) AS n
-        |  FROM g),
-        |th AS (
-        |  SELECT min(CASE WHEN cm >= ceil(n / 3.0) THEN v END) AS t33,
-        |    min(CASE WHEN cm >= ceil(n * 2.0 / 3.0) THEN v END) AS t67
-        |  FROM cum)
-        |SELECT d.doc_id AS id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  per.mean_lnp,
-        |  CASE WHEN per.mean_lnp IS NULL THEN NULL
-        |       WHEN per.mean_lnp <= th.t33 THEN 'tail'
-        |       WHEN per.mean_lnp <= th.t67 THEN 'middle'
-        |       ELSE 'head' END AS bucket
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN th
-        |ORDER BY id""".stripMargin,
-
-    // per-language tercile replay: the same unigram CTEs, cumulative
-    // counts PARTITIONED by lang, per-lang thresholds joined back
-    "x_ppl_buckets_lang" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
-        |t AS (SELECT sum(cnt) AS total FROM c),
-        |j AS (
-        |  SELECT tk.doc_id, ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lnp
-        |  FROM tk JOIN c USING (term), t),
-        |per AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    round(CAST(sum(CAST(lnp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_lnp
-        |  FROM j GROUP BY doc_id),
-        |pl AS (
-        |  SELECT d.lang AS by, per.mean_lnp AS v
-        |  FROM per JOIN documents d USING (doc_id)
-        |  WHERE per.mean_lnp IS NOT NULL),
-        |g AS (SELECT by, v, CAST(count(*) AS BIGINT) AS cc FROM pl GROUP BY by, v),
-        |cum AS (
-        |  SELECT by, v,
-        |    sum(cc) OVER (PARTITION BY by ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
-        |  FROM g),
-        |tot AS (SELECT by, sum(cc) AS n FROM g GROUP BY by),
-        |th AS (
-        |  SELECT cum.by,
-        |    min(CASE WHEN cm >= ceil(n / 3.0) THEN v END) AS t33,
-        |    min(CASE WHEN cm >= ceil(n * 2.0 / 3.0) THEN v END) AS t67
-        |  FROM cum JOIN tot USING (by) GROUP BY cum.by)
-        |SELECT d.doc_id AS id, d.lang AS by,
-        |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.mean_lnp,
-        |  CASE WHEN per.mean_lnp IS NULL THEN NULL
-        |       WHEN per.mean_lnp <= th.t33 THEN 'tail'
-        |       WHEN per.mean_lnp <= th.t67 THEN 'middle'
-        |       ELSE 'head' END AS bucket
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        |LEFT JOIN th ON th.by = d.lang
-        |ORDER BY id""".stripMargin,
-
-    // ROUGE-2 replay: same tokenization, same bigram construction
-    // (list_slice is 1-based inclusive), same clipped-count join, same
-    // exact integer ratios
-    "x_rouge" ->
-      """WITH base AS (
-        |  SELECT doc_id, text AS ref,
-        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
-        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
-        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
-        |    END AS hyp
-        |  FROM documents WHERE doc_id < 200),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '')) >= 2
-        |      THEN list_transform(range(1, len(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> ''))),
-        |        i -> array_to_string(list_slice(list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> ''), i, i + 1), ' '))
-        |      ELSE [] END AS rg,
-        |    CASE WHEN len(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> '')) >= 2
-        |      THEN list_transform(range(1, len(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> ''))),
-        |        i -> array_to_string(list_slice(list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> ''), i, i + 1), ' '))
-        |      ELSE [] END AS hg
-        |  FROM base),
-        |rc AS (SELECT doc_id, unnest(rg) AS gram FROM g),
-        |rcc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS rcn FROM rc GROUP BY doc_id, gram),
-        |hc AS (SELECT doc_id, unnest(hg) AS gram FROM g),
-        |hcc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS hcn FROM hc GROUP BY doc_id, gram),
-        |m AS (
-        |  SELECT rcc.doc_id, CAST(sum(least(rcn, hcn)) AS BIGINT) AS mm
-        |  FROM rcc JOIN hcc ON rcc.doc_id = hcc.doc_id AND rcc.gram = hcc.gram
-        |  GROUP BY rcc.doc_id),
-        |tots AS (SELECT doc_id, CAST(len(rg) AS BIGINT) AS n_ref, CAST(len(hg) AS BIGINT) AS n_hyp FROM g)
-        |SELECT t.doc_id AS id, coalesce(m.mm, 0) AS n_match, t.n_ref, t.n_hyp,
-        |  CASE WHEN t.n_hyp > 0 THEN round(CAST(coalesce(m.mm, 0) AS DOUBLE) / t.n_hyp, 6) END AS "precision",
-        |  CASE WHEN t.n_ref > 0 THEN round(CAST(coalesce(m.mm, 0) AS DOUBLE) / t.n_ref, 6) END AS recall,
-        |  CASE WHEN t.n_ref + t.n_hyp > 0
-        |       THEN round(2.0 * coalesce(m.mm, 0) / (t.n_ref + t.n_hyp), 6) END AS f1
-        |FROM tots t LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
-
-    // score-report replay: the same cell reduction feeds the q_auc
-    // Mann-Whitney CTE and the scalar metrics; 6-dp rounding parity
-    // via the VARCHAR->DECIMAL(38,30) trick (the q_auc pattern)
-    "x_score_report" ->
-      """WITH cl AS (
-        |  SELECT CAST(round(CAST(CAST(
-        |      (CAST(doc_id % 997 AS DOUBLE) / 997.0 * 0.5 +
-        |       CASE WHEN lang = 'en' THEN 0.4 ELSE 0.1 END)
-        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS p,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        |  FROM documents),
-        |cells AS (SELECT p, y, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY p, y),
-        |g AS (
-        |  SELECT p AS s,
-        |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS np_s,
-        |    CAST(sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT) AS nn_s
-        |  FROM cells GROUP BY p),
-        |a AS (
-        |  SELECT s, np_s, nn_s,
-        |    coalesce(sum(nn_s) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
-        |  FROM g),
-        |auc_t AS (
-        |  SELECT CAST(sum(np_s) AS BIGINT) AS np, CAST(sum(nn_s) AS BIGINT) AS nn,
-        |    sum(CAST(np_s AS HUGEINT) * (2 * nb + nn_s)) AS c2
-        |  FROM a),
-        |sc AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS n_pos,
-        |    sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(18,9)) * c) AS bsum,
-        |    sum(CAST(round(CASE WHEN y = 1
-        |          THEN -ln(least(greatest(p, 1e-15), 1.0 - 1e-15))
-        |          ELSE -ln(1.0 - least(greatest(p, 1e-15), 1.0 - 1e-15)) END, 9)
-        |      AS DECIMAL(18,9)) * c) AS lsum,
-        |    CAST(sum(CASE WHEN y = 1 AND p >= 0.5 THEN c ELSE 0 END) AS BIGINT) AS tp,
-        |    CAST(sum(CASE WHEN y = 0 AND p >= 0.5 THEN c ELSE 0 END) AS BIGINT) AS fp,
-        |    CAST(sum(CASE WHEN y = 1 AND p < 0.5 THEN c ELSE 0 END) AS BIGINT) AS fnn,
-        |    CAST(sum(CASE WHEN y = 0 AND p < 0.5 THEN c ELSE 0 END) AS BIGINT) AS tn
-        |  FROM cells)
-        |SELECT n, n_pos, round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
-        |  CASE WHEN np > 0 AND nn > 0
-        |       THEN round(CAST(c2 AS DOUBLE) / (CAST(2 AS DOUBLE) * np * nn), 6) END AS auc,
-        |  round(CAST(bsum AS DOUBLE) / n, 6) AS brier,
-        |  round(CAST(lsum AS DOUBLE) / n, 6) AS log_loss,
-        |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
-        |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
-        |  CASE WHEN tp + fnn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fnn), 6) END AS recall,
-        |  CASE WHEN 2 * tp + fp + fnn > 0
-        |       THEN round(2.0 * tp / (2 * tp + fp + fnn), 6) END AS f1
-        |FROM sc CROSS JOIN auc_t""".stripMargin,
-
-    // multipattern replay: per-phrase contains == substring semantics
-    // of the automaton; list_sort's binary collation == Java's String
-    // ordering on these ASCII phrases
-    "x_multipattern" ->
-      """SELECT doc_id AS id,
-        |  CAST(len(l) AS BIGINT) AS n_matched,
-        |  coalesce(array_to_string(l, '|'), '') AS matched
-        |FROM (
-        |  SELECT doc_id, list_sort(list_filter(
-        |    ['scan', 'can', 'fast key scan', 'table part', 'agg row', 'zz never zz'],
-        |    p -> contains(text, p))) AS l
-        |  FROM documents)
-        |ORDER BY id""".stripMargin,
-
-    // linkage-kernel replay: DuckDB's stock jaro_winkler_similarity /
-    // damerau_levenshtein ARE the reference semantics the codegen'd
-    // kernels mirror (byte-based, 0.7 boost gate, unrestricted DL) —
-    // raw-double compare, no rounding
-    "x_jaro_winkler" ->
-      """WITH c AS (
-        |  SELECT s_suppkey, s_name, s_suppkey % 4 AS v,
-        |    CASE WHEN s_suppkey % 4 = 0
-        |           THEN substr(s_name,1,16) || substr(s_name,18,1) || substr(s_name,17,1)
-        |         WHEN s_suppkey % 4 = 1
-        |           THEN substr(s_name,1,11) || substr(s_name,13,100)
-        |         WHEN s_suppkey % 4 = 2 THEN s_name || 'x'
-        |         ELSE 'Z' || substr(s_name,2,100) END AS corrupted
-        |  FROM supplier)
-        |SELECT s_suppkey, CAST(v AS BIGINT) AS variant, corrupted,
-        |  jaro_winkler_similarity(s_name, corrupted) AS jw_self,
-        |  CAST(damerau_levenshtein(s_name, corrupted) AS BIGINT) AS dl_self,
-        |  jaro_winkler_similarity(s_name, 'Supplier#000000000') AS jw_ref
-        |FROM c ORDER BY s_suppkey""".stripMargin,
-
-    // ER replay: deletion-signature blocked candidates (same complete
-    // SymSpell neighborhood as x_fuzzy_join's replay — no quadratic
-    // cross join), stock jaro_winkler_similarity scores (bit-exact vs
-    // the kernel), QUALIFY rank-1 per dirty key
-    "x_er_resolve" ->
-      """WITH p AS (
-        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
-        |dirty AS (
-        |  SELECT p_partkey AS dirty_key,
-        |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
-        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
-        |  FROM p WHERE p_partkey % 3 = 0),
-        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
-        |dsig AS (
-        |  SELECT dirty_key, dname,
-        |    unnest(list_append(
-        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
-        |      dname)) AS sig
-        |  FROM dirty),
-        |csig AS (
-        |  SELECT clean_key, ename,
-        |    unnest(list_append(
-        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
-        |      ename)) AS sig
-        |  FROM clean),
-        |blocked AS (
-        |  SELECT DISTINCT dirty_key, dname, clean_key, ename
-        |  FROM dsig JOIN csig USING (sig)),
-        |cand AS (
-        |  SELECT dirty_key, dname, clean_key, ename,
-        |    CAST(levenshtein(dname, ename) AS INTEGER) AS dist,
-        |    jaro_winkler_similarity(dname, ename) AS jw
-        |  FROM blocked
-        |  WHERE levenshtein(dname, ename) <= 1)
-        |SELECT dirty_key, dname, clean_key AS matched_key, ename, dist, jw,
-        |  dirty_key = clean_key AS correct
-        |FROM cand
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY dirty_key ORDER BY jw DESC, clean_key ASC) = 1
-        |ORDER BY dirty_key""".stripMargin,
-
-    // Benford replay: identical integer digit extraction, the same
-    // ×10⁶ expectation literals, the same left-associated double shape
-    "x_benford" ->
-      """WITH digits AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM orders WHERE o_totalprice >= 0.01),
-        |counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
-        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
-        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
-        |  (9, 45757)) AS t(digit, e6))
-        |SELECT c.digit, c.n,
-        |  CAST(c.n AS DOUBLE) / CAST(tt.n_total AS DOUBLE) AS obs_share,
-        |  CAST(e6 AS DOUBLE) / 1000000.0 AS exp_share,
-        |  ((CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) *
-        |   (CAST(c.n AS DOUBLE) - CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0))) /
-        |  (CAST(tt.n_total AS DOUBLE) * (CAST(e6 AS DOUBLE) / 1000000.0)) AS chi2_term
-        |FROM counts c JOIN e USING (digit)
-        |CROSS JOIN (SELECT sum(n) AS n_total FROM counts) tt
-        |ORDER BY digit""".stripMargin,
-
-    // ER-cluster replay: the SAME SymSpell deletion-signature equi-join
-    // (completeness is an algorithm property, so the oracle scales like
-    // the engine — no quadratic cross join), stock damerau verify,
-    // recursive-CTE min-label components
-    "x_er_cluster" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
-        |base AS (
-        |  SELECT p_partkey * 2 AS id, ename AS name FROM p
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1 AS id,
-        |    concat(substr(ename, 1, CAST(p_partkey % 5 AS INTEGER)),
-        |           substr(ename, CAST(p_partkey % 5 + 2 AS INTEGER), 1),
-        |           substr(ename, CAST(p_partkey % 5 + 1 AS INTEGER), 1),
-        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS name
-        |  FROM p WHERE p_partkey % 3 = 1),
-        |sigs AS (
-        |  SELECT id, name,
-        |    unnest(list_append(
-        |      [name[1:i-1] || name[i+1:len(name)] FOR i IN range(1, len(name) + 1)],
-        |      name)) AS sig
-        |  FROM base),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS ia, b.id AS ib, a.name AS na, b.name AS nb
-        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id),
-        |jp AS (SELECT ia, ib FROM cand WHERE damerau_levenshtein(na, nb) <= 1),
-        |edges AS (
-        |  SELECT ia AS s, ib AS t FROM jp
-        |  UNION ALL SELECT ib, ia FROM jp),
-        |reach(id, lbl) AS (
-        |  SELECT id, id FROM base
-        |  UNION
-        |  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
-        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-        |SELECT id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM cc ORDER BY id""".stripMargin,
-
-    // RRF replay: the two established ranking replays (bm25 machinery,
-    // cosine fold) at top-50, fused by the same fixed two-term
-    // 1/(60+rank) sum over integer ranks
-    "x_hybrid_search" ->
-      """WITH lens AS (
-        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-        |                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS len
-        |  FROM documents),
-        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
-        |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(lens.len AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
-        |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id),
-        |agg AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN term = 'spark' THEN s END) AS s0,
-        |    max(CASE WHEN term = 'vector' THEN s END) AS s1,
-        |    max(CASE WHEN term = 'merge' THEN s END) AS s2
-        |  FROM sc GROUP BY doc_id),
-        |lscored AS (
-        |  SELECT doc_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score FROM agg),
-        |ltop AS (SELECT doc_id, score FROM lscored ORDER BY score DESC, doc_id ASC LIMIT 50),
-        |lex AS (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_lex
-        |  FROM ltop),
-        |qv AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id = 0),
-        |cv AS (SELECT vec_id AS corpus_id, embedding AS c FROM embeddings),
-        |vscored AS (
-        |  SELECT corpus_id,
-        |    list_sum(list_transform(range(1, len(q) + 1), i -> CAST(q[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(q) + 1), i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(c) + 1), i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))) AS cos
-        |  FROM cv, qv WHERE corpus_id <> query_id),
-        |vec AS (
-        |  SELECT corpus_id AS doc_id,
-        |    CAST(row_number() OVER (ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank_vec
-        |  FROM vscored
-        |  QUALIFY row_number() OVER (ORDER BY cos DESC, corpus_id ASC) <= 50),
-        |f AS (
-        |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
-        |    coalesce(1.0 / (60 + rank_lex), 0.0) +
-        |    coalesce(1.0 / (60 + rank_vec), 0.0) AS rrf
-        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank,
-        |  doc_id, rank_lex, rank_vec, rrf
-        |FROM f
-        |QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id ASC) <= 20
-        |ORDER BY rank""".stripMargin,
-
-    // length-batch replay: same per-shard rank cut (floor of the same
-    // double division) and integer batch stats
-    "x_length_batches" ->
-      """WITH r AS (
-        |  SELECT source AS shard, doc_id AS id, CAST(n_chars AS BIGINT) AS len,
-        |    CAST(floor((row_number() OVER (
-        |      PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) - 1) / 32)
-        |      AS BIGINT) AS batch
-        |  FROM documents)
-        |SELECT shard, batch, count(*) AS n,
-        |  CAST(min(len) AS BIGINT) AS min_len,
-        |  CAST(max(len) AS BIGINT) AS max_len,
-        |  CAST(sum(len) AS BIGINT) AS sum_len,
-        |  1.0 - CAST(sum(len) AS DOUBLE) /
-        |    CAST(count(*) * max(len) AS DOUBLE) AS pad_waste
-        |FROM r GROUP BY shard, batch
-        |ORDER BY shard, batch""".stripMargin,
-
-    // Lorenz/Gini replay: same integer window sums over the per-source
-    // frame, same two final double divisions
-    "x_gini" ->
-      """WITH pk AS (
-        |  SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS mass
-        |  FROM documents GROUP BY source),
-        |r AS (
-        |  SELECT key, mass,
-        |    CAST(row_number() OVER (ORDER BY mass ASC, key ASC) AS INTEGER) AS rank,
-        |    CAST(sum(mass) OVER (ORDER BY mass ASC, key ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
-        |    CAST(count(*) OVER () AS BIGINT) AS n_keys,
-        |    CAST(sum(mass) OVER () AS BIGINT) AS total
-        |  FROM pk),
-        |g AS (
-        |  SELECT *, CAST(sum((2 * CAST(rank AS BIGINT) - n_keys - 1) * mass)
-        |    OVER () AS BIGINT) AS gnum FROM r)
-        |SELECT key, mass, rank, cum_mass,
-        |  CAST(cum_mass AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
-        |  CAST(gnum AS DOUBLE) / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
-        |FROM g ORDER BY rank""".stripMargin,
-
-    // seasonal replay: same ROWS-framed integer window sums over the
-    // daily frame, dayofweek shifted to Spark's 1=Sunday convention,
-    // same double shapes
-    "x_seasonal" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1),
-        |d2 AS (
-        |  SELECT day, cnt, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
-        |    CAST(sum(cnt) OVER w AS BIGINT) AS t_sum,
-        |    CAST(count(*) OVER w AS BIGINT) AS t_n,
-        |    CAST(sum(cnt) OVER () AS BIGINT) AS total,
-        |    CAST(count(*) OVER () AS BIGINT) AS n_days
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |da AS (
-        |  SELECT dow, CAST(sum(cnt) AS BIGINT) AS dow_sum,
-        |    count(*) AS dow_days
-        |  FROM d2 GROUP BY dow)
-        |SELECT day, cnt, dow,
-        |  CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE) AS trend,
-        |  CAST(dow_sum AS DOUBLE) / CAST(dow_days AS DOUBLE) -
-        |    CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS seasonal,
-        |  CAST(cnt AS DOUBLE) -
-        |    (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE)) -
-        |    (CAST(dow_sum AS DOUBLE) / CAST(dow_days AS DOUBLE) -
-        |     CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS residual
-        |FROM d2 JOIN da USING (dow) ORDER BY day""".stripMargin,
-
-    // PMI replay: same tokenization, bigrams via range()+list_transform
-    // (the DuckDB-1.0-safe lateral); ln differs from Java's in the
-    // last ulp, so the 6-dp presentation replays Spark's HALF_UP round
-    // via the VARCHAR->DECIMAL(38,30) trick
-    "x_collocations" ->
-      """WITH d AS (
-        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |    x -> x <> '') AS w
-        |  FROM documents),
-        |uc AS (
-        |  SELECT word, count(*) AS c_w
-        |  FROM (SELECT unnest(w) AS word FROM d) GROUP BY word),
-        |bg AS (
-        |  SELECT unnest(list_transform(range(1, len(w)),
-        |    i -> w[i] || ' ' || w[i + 1])) AS b
-        |  FROM d WHERE len(w) >= 2),
-        |bc AS (
-        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
-        |    count(*) AS c_ab
-        |  FROM bg GROUP BY 1, 2),
-        |t AS (SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uc) AS n_uni,
-        |             (SELECT CAST(sum(c_ab) AS BIGINT) FROM bc) AS n_bi)
-        |SELECT w1, w2, c_ab, a.c_w AS c_a, b2.c_w AS c_b,
-        |  CAST(round(CAST(CAST(
-        |    ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
-        |       (CAST(n_bi AS DOUBLE) * CAST(a.c_w AS DOUBLE) * CAST(b2.c_w AS DOUBLE)))
-        |    AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS pmi
-        |FROM bc JOIN uc a ON bc.w1 = a.word JOIN uc b2 ON bc.w2 = b2.word
-        |CROSS JOIN t
-        |WHERE c_ab >= 5
-        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
-
-    // rolling-corr replay: same trailing ROWS frame, integer moments,
-    // sqrt is correctly rounded IEEE on both engines; the 6-dp round
-    // replays Spark's HALF_UP via VARCHAR->DECIMAL
-    "x_rolling_corr" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day,
-        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
-        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
-        |  FROM events GROUP BY 1),
-        |m AS (
-        |  SELECT day, clicks, purchases,
-        |    CAST(count(*) OVER w AS BIGINT) AS n,
-        |    CAST(sum(clicks) OVER w AS BIGINT) AS sx,
-        |    CAST(sum(purchases) OVER w AS BIGINT) AS sy,
-        |    CAST(sum(clicks * purchases) OVER w AS BIGINT) AS sxy,
-        |    CAST(sum(clicks * clicks) OVER w AS BIGINT) AS sxx,
-        |    CAST(sum(purchases * purchases) OVER w AS BIGINT) AS syy
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT day, clicks, purchases, n,
-        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-        |    CAST(round(CAST(CAST(
-        |      CAST(n * sxy - sx * sy AS DOUBLE) /
-        |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |         sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-        |      AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) END AS corr
-        |FROM m ORDER BY day""".stripMargin,
-
-    // typo-join replay with the SAME SymSpell deletion-signature
-    // blocking the engine uses (completeness for dl<=1 is an algorithm
-    // property, not an engine trick — see Linkage.scala's proof), so
-    // the oracle scales like the engine instead of |L|x|R|; stock
-    // damerau_levenshtein verifies each candidate
-    "x_typo_join" ->
-      """WITH p AS (
-        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
-        |dirty AS (
-        |  SELECT p_partkey AS dirty_key,
-        |    concat(substr(ename, 1, CAST(p_partkey % 5 AS INTEGER)),
-        |           substr(ename, CAST(p_partkey % 5 + 2 AS INTEGER), 1),
-        |           substr(ename, CAST(p_partkey % 5 + 1 AS INTEGER), 1),
-        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
-        |  FROM p WHERE p_partkey % 3 = 1),
-        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
-        |dsig AS (
-        |  SELECT dirty_key, dname,
-        |    unnest(list_append(
-        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
-        |      dname)) AS sig
-        |  FROM dirty),
-        |csig AS (
-        |  SELECT clean_key, ename,
-        |    unnest(list_append(
-        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
-        |      ename)) AS sig
-        |  FROM clean),
-        |cand AS (
-        |  SELECT DISTINCT dirty_key, clean_key, dname, ename
-        |  FROM dsig JOIN csig USING (sig))
-        |SELECT dirty_key, clean_key, dname, ename,
-        |  CAST(damerau_levenshtein(dname, ename) AS INTEGER) AS dl_dist
-        |FROM cand
-        |WHERE damerau_levenshtein(dname, ename) <= 1
-        |ORDER BY dirty_key, clean_key""".stripMargin,
-
-    // CUSUM replay: same integer prefix sums, same single sqrt shape;
-    // the peak flag compares bit-identical doubles, no tolerance
-    "x_changepoint" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1),
-        |p AS (
-        |  SELECT day, cnt,
-        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
-        |    CAST(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(count(*) OVER () AS BIGINT) AS n,
-        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
-        |  FROM daily),
-        |sc AS (
-        |  SELECT day, cnt, cum,
-        |    CAST(abs(n * cum - t * total) AS DOUBLE) /
-        |      (CAST(n AS DOUBLE) * sqrt(CAST(t * (n - t) AS DOUBLE))) AS stat
-        |  FROM p WHERE t < n)
-        |SELECT day, cnt, cum, stat,
-        |  stat = (SELECT max(stat) FROM sc) AS is_peak
-        |FROM sc ORDER BY day""".stripMargin,
-
-    // Fano replay: identical (key, day) count grid and integer moments
-    "x_burstiness" ->
-      """WITH daily AS (
-        |  SELECT event_type AS key, date_trunc('day', ts) AS day,
-        |    count(*) AS x
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT key, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS total,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx
-        |  FROM daily GROUP BY key)
-        |SELECT key, n_days, total,
-        |  CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
-        |  CASE WHEN n_days > 1 THEN
-        |    CAST(n_days * sxx - total * total AS DOUBLE) /
-        |      CAST(n_days * (n_days - 1) AS DOUBLE) END AS variance,
-        |  (CASE WHEN n_days > 1 THEN
-        |    CAST(n_days * sxx - total * total AS DOUBLE) /
-        |      CAST(n_days * (n_days - 1) AS DOUBLE) END) /
-        |    (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
-        |FROM m ORDER BY key""".stripMargin,
-
-    // Theil-Sen replay: same row-indexed pair slopes (exact integer
-    // divisions), quantile_cont == Spark percentile
-    "x_theil_sen" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1),
-        |ix AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, cnt
-        |  FROM daily),
-        |sl AS (
-        |  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
-        |    AS slope
-        |  FROM ix a JOIN ix b ON a.t < b.t),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
-        |SELECT n, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  quantile_cont(slope, 0.5) AS slope
-        |FROM sl, nn GROUP BY n""".stripMargin,
-
-    // Mann-Kendall replay: identical pair sign sum, tie groups, and
-    // the two-division finish
-    "x_trend_test" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1),
-        |sg AS (
-        |  SELECT coalesce(CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
-        |    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
-        |  FROM daily a JOIN daily b ON a.day < b.day),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-        |tt AS (
-        |  SELECT coalesce(CAST(sum(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT), 0)
-        |    AS tie_term
-        |  FROM (SELECT count(*) AS tp FROM daily GROUP BY cnt)),
-        |v AS (
-        |  SELECT n, s,
-        |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
-        |  FROM sg, nn, tt)
-        |SELECT n, s, var_s,
-        |  CASE WHEN var_s > 0 AND s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
-        |       WHEN var_s > 0 AND s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
-        |       ELSE CAST(0 AS DOUBLE) END AS z
-        |FROM v""".stripMargin,
-
-    // ACF replay: same n-scaled integer deviations and bounded
-    // self-join pair sums, one division per lag
-    "x_acf" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
-        |  FROM events GROUP BY 1),
-        |ix AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
-        |    CAST(count(*) OVER () AS BIGINT) AS n,
-        |    CAST(sum(cnt) OVER () AS BIGINT) AS total, cnt
-        |  FROM daily),
-        |dv AS (SELECT t, n * cnt - total AS dev FROM ix),
-        |dn AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dv),
-        |pr AS (
-        |  SELECT b.t - a.t AS lag, count(*) AS n_pairs,
-        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
-        |  FROM dv a JOIN dv b ON b.t - a.t BETWEEN 1 AND 7
-        |  GROUP BY 1)
-        |SELECT lag, n_pairs,
-        |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
-        |FROM pr, dn ORDER BY lag""".stripMargin,
-
-    // pinball replay: identical integer forecast, DECIMAL check
-    // function, one division per quantile
-    "x_pinball" ->
-      """WITH base AS (
-        |  SELECT CAST(n_chars AS DECIMAL(18,6)) AS y,
-        |    CAST(n_chars // 2 + doc_id % 100 AS DECIMAL(18,6)) AS yh
-        |  FROM documents),
-        |f AS (
-        |  SELECT y, yh, CAST(qr AS DECIMAL(7,6)) AS qd
-        |  FROM base, (SELECT unnest([0.1, 0.5, 0.9]) AS qr)),
-        |l AS (
-        |  SELECT qd,
-        |    CASE WHEN y - yh >= 0 THEN qd * (y - yh)
-        |         ELSE (qd - 1) * (y - yh) END AS loss
-        |  FROM f)
-        |SELECT CAST(qd AS DOUBLE) AS q, count(*) AS n,
-        |  CAST(sum(loss) AS DOUBLE) AS total_loss,
-        |  CAST(sum(loss) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_loss
-        |FROM l GROUP BY qd ORDER BY q""".stripMargin,
-
-    // bootstrap replay: the identical FNV millionth-buckets invert the
-    // same Poisson(1) CDF literals, DECIMAL-weighted sums per
-    // replicate, quantile_cont == Spark percentile (both p·(n-1)
-    // linear interpolation)
-    "x_bootstrap_ci" ->
-      s"""WITH d AS (
-         |  SELECT CAST(doc_id AS VARCHAR) AS id,
-         |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(28,6)) AS x
-         |  FROM documents),
-         |r AS (SELECT CAST(unnest(range(1, 201)) AS INTEGER) AS b),
-         |g AS (
-         |  SELECT x, b,
-         |    CAST(((${signedSql(fnvSql("(id || '#' || CAST(b AS VARCHAR) || ':101')"))} % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS u
-         |  FROM d CROSS JOIN r),
-         |ws AS (
-         |  SELECT b, x,
-         |    CASE WHEN u < 0.36787944117144233 THEN 0
-         |         WHEN u < 0.7357588823428847 THEN 1
-         |         WHEN u < 0.9196986029286058 THEN 2
-         |         WHEN u < 0.9810118431238462 THEN 3
-         |         WHEN u < 0.9963401531726563 THEN 4
-         |         WHEN u < 0.9994058151824183 THEN 5
-         |         WHEN u < 0.999916758850712 THEN 6
-         |         WHEN u < 0.9999897508033254 THEN 7
-         |         ELSE 8 END AS w
-         |  FROM g),
-         |per AS (SELECT b, sum(w) AS nw, sum(x * w) AS sx FROM ws GROUP BY b),
-         |m AS (SELECT round(CAST(sx AS DOUBLE) / nw, 6) AS m FROM per WHERE nw > 0),
-         |q AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
-         |    quantile_cont(m, 0.025) AS qlo, quantile_cont(m, 0.975) AS qhi
-         |  FROM m),
-         |o AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         |    round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean
-         |  FROM d)
-         |SELECT n_rows, n_replicates, mean,
-         |  round(qlo, 6) AS ci_lo, round(qhi, 6) AS ci_hi
-         |FROM o CROSS JOIN q""".stripMargin,
-
-    // worst-group replay: same distinct-(p,y) cells per group, same
-    // 9-dp terms, max-join for the flag
-    "x_worst_group" ->
-      """WITH e AS (
-        |  SELECT lang AS grp, (doc_id % 3 = 0) AS y,
-        |    CASE WHEN lang = 'zh' THEN 0.5
-        |         WHEN doc_id % 3 = 0 THEN 0.9 ELSE 0.1 END AS p
-        |  FROM documents),
-        |cl AS (
-        |  SELECT grp, least(greatest(p, 1e-15), 1.0 - 1e-15) AS p,
-        |    CASE WHEN y THEN 1 ELSE 0 END AS y, CAST(count(*) AS BIGINT) AS c
-        |  FROM e GROUP BY ALL),
-        |t AS (
-        |  SELECT grp, c,
-        |    round(CASE WHEN y = 1 THEN -ln(p) ELSE -ln(1.0 - p) END, 9) AS term
-        |  FROM cl),
-        |per AS (
-        |  SELECT grp AS "group", CAST(sum(c) AS BIGINT) AS n,
-        |    round(CAST(sum(CAST(term AS DECIMAL(18,9)) * c) AS DOUBLE) / sum(c), 6) AS log_loss
-        |  FROM t GROUP BY grp),
-        |w AS (SELECT max(log_loss) AS worst FROM per)
-        |SELECT "group", n, log_loss, (log_loss = worst) AS is_worst
-        |FROM per CROSS JOIN w
-        |ORDER BY log_loss DESC, "group" ASC""".stripMargin,
-
-    // diversity replay: same (group, label) cells, 12-dp -p ln p in
-    // DECIMAL, entropy and exp rounded once
-    "x_diversity" ->
-      """WITH cells AS (
-        |  SELECT source AS "group", lang AS label, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY ALL),
-        |tot AS (SELECT "group", sum(c) AS tot FROM cells GROUP BY "group"),
-        |terms AS (
-        |  SELECT cells."group", cells.c, tot.tot,
-        |    round(-(CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot), 12) AS pterm
-        |  FROM cells JOIN tot USING ("group")),
-        |h AS (
-        |  SELECT "group", CAST(max(tot) AS BIGINT) AS n_rows,
-        |    CAST(count(*) AS BIGINT) AS n_labels,
-        |    CAST(sum(CAST(pterm AS DECIMAL(28,12))) AS DOUBLE) AS hh
-        |  FROM terms GROUP BY "group")
-        |SELECT "group", n_rows, n_labels, round(hh, 6) AS entropy,
-        |  round(exp(hh), 6) AS effective_labels
-        |FROM h ORDER BY "group"""".stripMargin,
-
-    // Krippendorff replay: same (unit, label) cells, units under two
-    // ratings dropped, 12-dp per-unit rational terms in DECIMAL,
-    // DECIMAL(38,0) margin products, one 6-dp division
-    "x_krippendorff" ->
-      """WITH r AS (
-        |  SELECT doc_id AS u, lang AS label FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END FROM documents),
-        |o AS (
-        |  SELECT u, label AS c, CAST(count(*) AS BIGINT) AS ouc
-        |  FROM r WHERE label IS NOT NULL GROUP BY u, label),
-        |m AS (SELECT u, sum(ouc) AS mu FROM o GROUP BY u HAVING sum(ouc) >= 2),
-        |kept AS (SELECT o.u, o.c, o.ouc, m.mu FROM o JOIN m USING (u)),
-        |tot AS (
-        |  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
-        |    CAST(sum(ouc) AS BIGINT) AS n,
-        |    sum(CAST(round(ouc * CAST(mu - ouc AS DOUBLE) / (mu - 1), 12) AS DECIMAL(28,12))) AS do_num
-        |  FROM kept),
-        |nc AS (SELECT c, CAST(sum(ouc) AS BIGINT) AS ncnt FROM kept GROUP BY c)
-        |SELECT max(n_units) AS n_units, max(n) AS n_values,
-        |  CAST(count(*) AS BIGINT) AS n_labels,
-        |  CASE WHEN sum(CAST(ncnt AS DECIMAL(38,0)) * CAST(n - ncnt AS DECIMAL(38,0))) > 0 THEN
-        |    round(1.0 - CAST(max(n) - 1 AS DOUBLE) * CAST(max(do_num) AS DOUBLE)
-        |      / CAST(sum(CAST(ncnt AS DECIMAL(38,0)) * CAST(n - ncnt AS DECIMAL(38,0))) AS DOUBLE), 6)
-        |  END AS alpha
-        |FROM nc CROSS JOIN tot""".stripMargin,
-
-    // Smith–Waterman replay: the same cell-stepping recursive CTE as
-    // x_rouge_l but carrying the running best cell; H = greatest(0,
-    // diag ± 2/1, up − 1, left − 1)
-    "x_local_align" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |    list_slice(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1, 12) AS rt0
-        |  FROM documents WHERE doc_id < 200),
-        |pairs AS (
-        |  SELECT doc_id, rt0 AS rt,
-        |    CASE WHEN doc_id % 3 = 0 THEN
-        |           list_transform(range(1, len(rt0) + 1),
-        |             i -> CASE WHEN i = 6 THEN 'qq' ELSE rt0[i] END)
-        |         WHEN doc_id % 3 = 1 THEN list_slice(rt0, 1, 6)
-        |         ELSE list_reverse(rt0) END AS ht
-        |  FROM base),
-        |dp AS (
-        |  SELECT doc_id, rt, ht, 1 AS i, 1 AS j,
-        |    list_transform(range(0, len(ht) + 1), x -> 0) AS prev,
-        |    [0] AS cur, 0 AS best
-        |  FROM pairs
-        |  UNION ALL
-        |  SELECT doc_id, rt, ht,
-        |    CASE WHEN j <= len(ht) THEN i ELSE i + 1 END,
-        |    CASE WHEN j <= len(ht) THEN j + 1 ELSE 1 END,
-        |    CASE WHEN j <= len(ht) THEN prev ELSE cur END,
-        |    CASE WHEN j <= len(ht)
-        |      THEN list_append(cur, greatest(0,
-        |             prev[j] + CASE WHEN rt[i] = ht[j] THEN 2 ELSE -1 END,
-        |             prev[j + 1] - 1, cur[j] - 1))
-        |      ELSE [0] END,
-        |    CASE WHEN j <= len(ht)
-        |      THEN greatest(best, greatest(0,
-        |             prev[j] + CASE WHEN rt[i] = ht[j] THEN 2 ELSE -1 END,
-        |             prev[j + 1] - 1, cur[j] - 1))
-        |      ELSE best END
-        |  FROM dp WHERE i <= len(rt)),
-        |sel AS (
-        |  SELECT doc_id, len(rt) AS n_ref, len(ht) AS n_hyp, best
-        |  FROM dp WHERE i = len(rt) + 1 AND j = 1)
-        |SELECT doc_id AS id, CAST(best AS BIGINT) AS sw,
-        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
-        |  CASE WHEN least(n_ref, n_hyp) > 0
-        |       THEN round(CAST(best AS DOUBLE) / (2.0 * least(n_ref, n_hyp)), 6)
-        |  END AS sw_norm
-        |FROM sel ORDER BY id""".stripMargin,
-
-    // ROUGE-L replay: the LCS DP re-run as a cell-stepping RECURSIVE
-    // CTE — each iteration fills ONE dp cell (the recurrence is
-    // sequential, so no set-based shortcut exists), state = (i, j,
-    // prev row, growing cur row); a row completes when j passes
-    // |hyp|, the answer is prev[|hyp|+1] once i passes |ref|.
-    // Bounded by the 12-token prefix: ≤ ~180 iterations
-    "x_rouge_l" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |    list_slice(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1, 12) AS rt0
-        |  FROM documents WHERE doc_id < 200),
-        |pairs AS (
-        |  SELECT doc_id, rt0 AS rt,
-        |    CASE WHEN doc_id % 3 = 0 THEN list_concat(rt0, ['zz', 'tail'])
-        |         WHEN doc_id % 3 = 1 THEN list_slice(rt0, 1, 6)
-        |         ELSE list_reverse(rt0) END AS ht
-        |  FROM base),
-        |dp AS (
-        |  SELECT doc_id, rt, ht, 1 AS i, 1 AS j,
-        |    list_transform(range(0, len(ht) + 1), x -> 0) AS prev,
-        |    [0] AS cur
-        |  FROM pairs
-        |  UNION ALL
-        |  SELECT doc_id, rt, ht,
-        |    CASE WHEN j <= len(ht) THEN i ELSE i + 1 END,
-        |    CASE WHEN j <= len(ht) THEN j + 1 ELSE 1 END,
-        |    CASE WHEN j <= len(ht) THEN prev ELSE cur END,
-        |    CASE WHEN j <= len(ht)
-        |      THEN list_append(cur, CASE WHEN rt[i] = ht[j] THEN prev[j] + 1
-        |                                 ELSE greatest(cur[j], prev[j + 1]) END)
-        |      ELSE [0] END
-        |  FROM dp WHERE i <= len(rt)),
-        |sel AS (
-        |  SELECT doc_id, len(rt) AS n_ref, len(ht) AS n_hyp,
-        |    prev[len(ht) + 1] AS lcs
-        |  FROM dp WHERE i = len(rt) + 1 AND j = 1)
-        |SELECT doc_id AS id, CAST(lcs AS BIGINT) AS lcs,
-        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_hyp AS BIGINT) AS n_hyp,
-        |  CASE WHEN n_hyp > 0 THEN round(CAST(lcs AS DOUBLE) / n_hyp, 6) END AS "precision",
-        |  CASE WHEN n_ref > 0 THEN round(CAST(lcs AS DOUBLE) / n_ref, 6) END AS recall,
-        |  CASE WHEN n_ref + n_hyp > 0 THEN round(2.0 * lcs / (n_ref + n_hyp), 6) END AS f1
-        |FROM sel ORDER BY id""".stripMargin,
-
-    // corpus BLEU-4 replay: tokenize once, build every order's grams
-    // via a CROSS JOIN over n in 1..4 (list_slice is 1-based
-    // inclusive), pool clipped matches and gram totals across the
-    // corpus, finish with the same ln/exp on one row (ln parity proven
-    // by the bm25 oracle)
-    "x_bleu" ->
-      """WITH base AS (
-        |  SELECT doc_id, text AS ref,
-        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
-        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
-        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
-        |    END AS hyp
-        |  FROM documents WHERE doc_id < 200),
-        |tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '') AS rt,
-        |    list_filter(string_split_regex(lower(trim(hyp)), '\s+'), x -> x <> '') AS ht
-        |  FROM base),
-        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
-        |g AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN len(rt) >= n THEN list_transform(range(1, len(rt) - n + 2),
-        |      i -> array_to_string(list_slice(rt, i, i + n - 1), ' ')) ELSE [] END AS rg,
-        |    CASE WHEN len(ht) >= n THEN list_transform(range(1, len(ht) - n + 2),
-        |      i -> array_to_string(list_slice(ht, i, i + n - 1), ' ')) ELSE [] END AS hg
-        |  FROM tok CROSS JOIN ns),
-        |rcc AS (SELECT doc_id, n, unnest(rg) AS gram FROM g),
-        |rcn AS (SELECT doc_id, n, gram, count(*) AS rc FROM rcc GROUP BY ALL),
-        |hcc AS (SELECT doc_id, n, unnest(hg) AS gram FROM g),
-        |hcn AS (SELECT doc_id, n, gram, count(*) AS hc FROM hcc GROUP BY ALL),
-        |m AS (
-        |  SELECT n, sum(least(rc, hc)) AS mm
-        |  FROM rcn JOIN hcn USING (doc_id, n, gram) GROUP BY n),
-        |tots AS (SELECT n, sum(len(hg)) AS tt FROM g GROUP BY n),
-        |lens AS (
-        |  SELECT CAST(sum(len(rt)) AS BIGINT) AS ref_len,
-        |    CAST(sum(len(ht)) AS BIGINT) AS hyp_len FROM tok),
-        |wide AS (
-        |  SELECT lens.ref_len, lens.hyp_len,
-        |    CAST(coalesce(max(CASE WHEN t.n = 1 THEN m.mm END), 0) AS BIGINT) AS m1,
-        |    CAST(coalesce(max(CASE WHEN t.n = 2 THEN m.mm END), 0) AS BIGINT) AS m2,
-        |    CAST(coalesce(max(CASE WHEN t.n = 3 THEN m.mm END), 0) AS BIGINT) AS m3,
-        |    CAST(coalesce(max(CASE WHEN t.n = 4 THEN m.mm END), 0) AS BIGINT) AS m4,
-        |    CAST(coalesce(max(CASE WHEN t.n = 1 THEN t.tt END), 0) AS BIGINT) AS t1,
-        |    CAST(coalesce(max(CASE WHEN t.n = 2 THEN t.tt END), 0) AS BIGINT) AS t2,
-        |    CAST(coalesce(max(CASE WHEN t.n = 3 THEN t.tt END), 0) AS BIGINT) AS t3,
-        |    CAST(coalesce(max(CASE WHEN t.n = 4 THEN t.tt END), 0) AS BIGINT) AS t4
-        |  FROM lens CROSS JOIN tots t LEFT JOIN m USING (n)
-        |  GROUP BY lens.ref_len, lens.hyp_len),
-        |bpx AS (
-        |  SELECT *, CASE WHEN hyp_len >= ref_len OR hyp_len = 0 THEN 1.0
-        |    ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len) END AS bpraw
-        |  FROM wide)
-        |SELECT ref_len, hyp_len,
-        |  CASE WHEN t1 > 0 THEN round(CAST(m1 AS DOUBLE) / t1, 6) END AS p1,
-        |  CASE WHEN t2 > 0 THEN round(CAST(m2 AS DOUBLE) / t2, 6) END AS p2,
-        |  CASE WHEN t3 > 0 THEN round(CAST(m3 AS DOUBLE) / t3, 6) END AS p3,
-        |  CASE WHEN t4 > 0 THEN round(CAST(m4 AS DOUBLE) / t4, 6) END AS p4,
-        |  round(bpraw, 6) AS bp,
-        |  CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
-        |    round(bpraw * exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
-        |      + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 6)
-        |    ELSE 0.0 END AS bleu
-        |FROM bpx""".stripMargin,
-
-    // chrF replay: whitespace-stripped char 1..6-grams (regexp_replace
-    // needs the 'g' flag — DuckDB replaces only the first match
-    // without it), pooled clipped matches kept in LONG form per order,
-    // per-order P/R ratios averaged, one F finish
-    "x_chrf" ->
-      """WITH base AS (
-        |  SELECT doc_id, text AS ref,
-        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz tail marker'
-        |         WHEN doc_id % 3 = 1 THEN substr(text, 1, CAST(floor(length(text) / 2.0) AS INTEGER))
-        |         ELSE array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\s+')), ' ')
-        |    END AS hyp
-        |  FROM documents WHERE doc_id < 200),
-        |ch AS (
-        |  SELECT doc_id,
-        |    regexp_replace(lower(trim(ref)), '\s+', '', 'g') AS rch,
-        |    regexp_replace(lower(trim(hyp)), '\s+', '', 'g') AS hch
-        |  FROM base),
-        |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
-        |g AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN length(rch) >= n THEN list_transform(range(1, length(rch) - n + 2),
-        |      i -> substr(rch, CAST(i AS INTEGER), n)) ELSE [] END AS rg,
-        |    CASE WHEN length(hch) >= n THEN list_transform(range(1, length(hch) - n + 2),
-        |      i -> substr(hch, CAST(i AS INTEGER), n)) ELSE [] END AS hg
-        |  FROM ch CROSS JOIN ns),
-        |rcn AS (SELECT doc_id, n, unnest(rg) AS gram FROM g),
-        |rcc AS (SELECT doc_id, n, gram, count(*) AS rc FROM rcn GROUP BY ALL),
-        |hcn AS (SELECT doc_id, n, unnest(hg) AS gram FROM g),
-        |hcc AS (SELECT doc_id, n, gram, count(*) AS hc FROM hcn GROUP BY ALL),
-        |m AS (
-        |  SELECT n, sum(least(rc, hc)) AS mm
-        |  FROM rcc JOIN hcc USING (doc_id, n, gram) GROUP BY n),
-        |tots AS (SELECT n, sum(len(rg)) AS tr, sum(len(hg)) AS th FROM g GROUP BY n),
-        |lens AS (
-        |  SELECT CAST(sum(length(rch)) AS BIGINT) AS ref_chars,
-        |    CAST(sum(length(hch)) AS BIGINT) AS hyp_chars FROM ch),
-        |fin AS (
-        |  SELECT
-        |    sum(CASE WHEN t.th > 0 THEN CAST(coalesce(m.mm, 0) AS DOUBLE) / t.th ELSE 0.0 END) / 6.0 AS pavg,
-        |    sum(CASE WHEN t.tr > 0 THEN CAST(coalesce(m.mm, 0) AS DOUBLE) / t.tr ELSE 0.0 END) / 6.0 AS ravg
-        |  FROM tots t LEFT JOIN m USING (n))
-        |SELECT lens.ref_chars, lens.hyp_chars,
-        |  round(pavg, 6) AS prec, round(ravg, 6) AS recall,
-        |  CASE WHEN pavg + ravg > 0
-        |    THEN round(5.0 * pavg * ravg / (4.0 * pavg + ravg), 6)
-        |    ELSE 0.0 END AS chrf
-        |FROM lens CROSS JOIN fin""".stripMargin,
-
-    // per-source JS sweep replay: the same (source, term) counts,
-    // explicit source x vocab grid, 12-dp contributions in DECIMAL
-    "x_divergence_by_source" ->
-      """WITH tok AS (
-        |  SELECT d.source, t.term FROM documents d,
-        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
-        |  WHERE t.term <> ''),
-        |bs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY ALL),
-        |g AS (SELECT term, sum(cs) AS cg FROM bs GROUP BY term),
-        |st AS (SELECT source, sum(cs) AS ts FROM bs GROUP BY source),
-        |tot AS (SELECT sum(ts) AS tt FROM st),
-        |grid AS (SELECT st.source, st.ts, g.term, g.cg FROM g CROSS JOIN st),
-        |j AS (
-        |  SELECT grid.source, grid.ts, grid.cg, coalesce(bs.cs, 0) AS cs, tt
-        |  FROM grid LEFT JOIN bs ON grid.source = bs.source AND grid.term = bs.term
-        |  CROSS JOIN tot),
-        |c AS (
-        |  SELECT source, ts, tt, cs, cg,
-        |    CAST(cs AS DOUBLE) / ts AS p,
-        |    CASE WHEN tt > ts THEN CAST(cg - cs AS DOUBLE) / (tt - ts) ELSE 0.0 END AS q
-        |  FROM j)
-        |SELECT source,
-        |  CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_source,
-        |  CAST(max(ts) AS BIGINT) AS tokens_source,
-        |  CASE WHEN max(tt) > max(ts) THEN
-        |    round(CAST(sum(CAST(round(
-        |      (CASE WHEN cs > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) +
-        |      (CASE WHEN cg - cs > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
-        |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
-        |FROM c GROUP BY source ORDER BY js DESC, source ASC""".stripMargin,
-
-    // JS-divergence replay: identical per-side unigram counts, the
-    // same 12-dp-rounded per-term contributions summed in DECIMAL,
-    // one final 6-dp rounding
-    "x_term_divergence" ->
-      """WITH ta AS (
-        |  SELECT t.term FROM documents d,
-        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
-        |  WHERE d.lang = 'en' AND t.term <> ''),
-        |tb AS (
-        |  SELECT t.term FROM documents d,
-        |    unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
-        |  WHERE d.lang <> 'en' AND t.term <> ''),
-        |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY term),
-        |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY term),
-        |tot AS (
-        |  SELECT (SELECT coalesce(sum(ca), 0) FROM ca) AS t_a,
-        |    (SELECT coalesce(sum(cb), 0) FROM cb) AS t_b),
-        |j AS (
-        |  SELECT coalesce(ca.term, cb.term) AS term,
-        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb, t_a, t_b
-        |  FROM ca FULL OUTER JOIN cb USING (term) CROSS JOIN tot),
-        |c AS (
-        |  SELECT ca, cb, t_a, t_b,
-        |    CASE WHEN t_a > 0 THEN CAST(ca AS DOUBLE) / t_a ELSE 0.0 END AS p,
-        |    CASE WHEN t_b > 0 THEN CAST(cb AS DOUBLE) / t_b ELSE 0.0 END AS q
-        |  FROM j)
-        |SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
-        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
-        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
-        |  CAST(max(t_a) AS BIGINT) AS tokens_a, CAST(max(t_b) AS BIGINT) AS tokens_b,
-        |  CASE WHEN max(t_a) + max(t_b) > 0 THEN
-        |    round(CAST(sum(CAST(round(
-        |      (CASE WHEN ca > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END) +
-        |      (CASE WHEN cb > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 12)
-        |      AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) END AS js
-        |FROM c""".stripMargin,
-
-    // smoothed TF-IDF replay — ln() matches Java's bit-for-bit (proven
-    // by the bm25 oracle); ties rank by term on both sides
-    "x_keyterms" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
-        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    tf.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
-        |  FROM tf JOIN d USING (term), n),
-        |r AS (
-        |  SELECT doc_id, term, score,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
-        |  FROM s)
-        |SELECT doc_id, term, round(score, 6) AS score, rank
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-
-    // full Gopher-rule replay: same tokenizer, same regex counters
-    // (RE2-safe patterns — identical counts under Java regex and RE2)
-    "x_gopher_filter" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS nsc,
-        |    length(text) - length(replace(text, '#', '')) AS hashes,
-        |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
-        |      + (length(text) - length(replace(text, '…', ''))) AS ells,
-        |    len(string_split(text, chr(10))) AS n_lines,
-        |    len(regexp_extract_all(text, '(^|\n)[ \t]*[-•*]')) AS bullet_lines,
-        |    len(regexp_extract_all(text, '(\.\.\.|…)[ \t]*(\n|$)')) AS ell_lines,
-        |    len(regexp_extract_all(text, '(^|\s)\S*\p{L}\S*')) AS alpha_words,
-        |    CAST(len(list_intersect(
-        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
-        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n_words,
-        |    CASE WHEN n_words > 0 THEN CAST(nsc AS DOUBLE) / n_words END AS mean_word_len,
-        |    CASE WHEN n_words > 0 THEN (hashes + ells) / n_words END AS symbol_ratio,
-        |    CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
-        |    CAST(ell_lines AS DOUBLE) / n_lines AS ellipsis_frac,
-        |    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
-        |    stop_hits
-        |  FROM m)
-        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-        |  round(symbol_ratio, 6) AS symbol_ratio,
-        |  round(bullet_frac, 6) AS bullet_frac,
-        |  round(ellipsis_frac, 6) AS ellipsis_frac,
-        |  round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
-        |  coalesce(n_words BETWEEN 50 AND 100000
-        |    AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio < 0.1
-        |    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-        |    AND alpha_word_frac > 0.8 AND stop_hits >= 2, false) AS passes
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "x_vocab_topk" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        |  FROM documents),
-        |c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
-        |t AS (SELECT sum(cnt) AS total FROM c),
-        |r AS (
-        |  SELECT word, cnt,
-        |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
-        |    sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM c)
-        |SELECT word, cnt, rank,
-        |  round(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_frac
-        |FROM r, t WHERE rank <= 100 ORDER BY rank""".stripMargin,
-
-    // window strings stand in for the engine's window hashes
-    // (count-equivalent, as in x_repetition)
-    "x_dup_passages" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |            FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM d),
-        |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY s),
-        |per AS (
-        |  SELECT sh.doc_id, count(*) AS n_windows,
-        |    sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_windows
-        |  FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id)
-        |SELECT doc.doc_id AS id,
-        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
-        |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-        |  round(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6) AS dup_frac
-        |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
-        |ORDER BY id""".stripMargin,
-
-    // full surgical replay: windows and tokens with positions (struct
-    // comprehensions), covered positions fan out 0..4, survivors
-    // re-aggregate in position order
-    "x_dup_passages_removed" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ot,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, u.p AS wpos, u.s FROM (
-        |    SELECT doc_id, unnest([{'p': i - 1, 's': w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]}
-        |                           FOR i IN range(1, len(w) - 3)]) AS u
-        |    FROM d)),
-        |duph AS (
-        |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM wins GROUP BY s) WHERE df >= 2),
-        |covered AS (
-        |  SELECT DISTINCT wins.doc_id, wins.wpos + o.o AS pos
-        |  FROM wins JOIN duph USING (s), unnest([0,1,2,3,4]) AS o(o)),
-        |toks AS (
-        |  SELECT doc_id, u.p AS pos, u.t FROM (
-        |    SELECT doc_id, unnest([{'p': i - 1, 't': ot[i]} FOR i IN range(1, len(ot) + 1)]) AS u
-        |    FROM d)),
-        |kept AS (
-        |  SELECT t.doc_id, t.pos, t.t FROM toks t
-        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
-        |  WHERE c.pos IS NULL),
-        |reb AS (
-        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
-        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id AS id, coalesce(reb.clean_text, '') AS clean_text,
-        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept_tokens
-        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
-        |ORDER BY id""".stripMargin,
-
-    // store windows replayed as strings (count-equivalent, as in
-    // x_dup_passages); a batch window is dup if it's in the store or
-    // in another batch doc
-    "x_dup_passages_incr" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |sw AS (
-        |  SELECT DISTINCT s FROM (
-        |    SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |                   FOR i IN range(1, len(w) - 3)]) AS s
-        |    FROM d WHERE doc_id < 200)),
-        |bw AS (
-        |  SELECT doc_id,
-        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |            FOR i IN range(1, len(w) - 3)]) AS s
-        |  FROM d WHERE doc_id >= 200 AND doc_id < 300),
-        |bdf AS (SELECT s, count(DISTINCT doc_id) AS bdocs FROM bw GROUP BY s),
-        |per AS (
-        |  SELECT bw.doc_id, count(*) AS n_windows,
-        |    sum(CASE WHEN sw.s IS NOT NULL OR bdf.bdocs > 1 THEN 1 ELSE 0 END) AS n_dup
-        |  FROM bw JOIN bdf ON bw.s = bdf.s LEFT JOIN sw ON bw.s = sw.s
-        |  GROUP BY bw.doc_id)
-        |SELECT doc.doc_id AS id,
-        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
-        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
-        |  round(CAST(per.n_dup AS DOUBLE) / per.n_windows, 6) AS dup_frac
-        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 200 AND doc_id < 300) doc
-        |LEFT JOIN per ON doc.doc_id = per.doc_id
-        |ORDER BY id""".stripMargin,
-
-    // the z-probe must be SEMANTICALLY the box filter — the oracle is
-    // the box filter itself, no z replay needed
-    "x_zrange_scan" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-        |WHERE o_custkey BETWEEN 100 AND 299
-        |  AND datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) BETWEEN 1200 AND 2399
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "x_skew_report" ->
-      """WITH c AS (
-        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
-        |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c),
-        |r AS (
-        |  SELECT key, cnt,
-        |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
-        |  FROM c)
-        |SELECT key, cnt, rank,
-        |  round(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
-        |  round(CAST(cnt AS DOUBLE) / (CAST(t.total AS DOUBLE) / CAST(t.nkeys AS DOUBLE)), 6) AS skew
-        |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
-
-    // three-way interleave replay: bit i of column k at position 3i+k
-    "x_zorder3" ->
-      """SELECT o_orderkey,
-        |  CAST(list_sum(list_transform(range(0, 16), i ->
-        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (3*i))
-        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (3*i+1))
-        |    + (((CAST(substring(o_orderpriority, 1, 1) AS BIGINT) >> i) & 1) << (3*i+2))
-        |  )) AS BIGINT) AS zval
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    // bit-for-bit Morton replay: even bits custkey, odd bits day index
-    "x_zorder_layout" ->
-      """SELECT o_orderkey,
-        |  CAST(list_sum(list_transform(range(0, 31), i ->
-        |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
-        |    + (((CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1))
-        |  )) AS BIGINT) AS zval
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    // the oracle replays the kernel's exact left-to-right double
-    // accumulation (list_transform + list_sum), so the threshold
-    // decision is bit-identical — same pattern as x_embed_neardup
-    // bigram-LM replay: same lowercased shingles, c(w1 w2)/c(w1·) MLE,
-    // ln rounded to 9 before the decimal mean
-    "x_bigram_lp" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |bg AS (
-        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
-        |  FROM d),
-        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
-        |cu AS (SELECT string_split(b, ' ')[1] AS w1, count(*) AS cu FROM bg GROUP BY 1),
-        |t AS (
-        |  SELECT bg.doc_id, round(ln(CAST(cb.cb AS DOUBLE) / cu.cu), 9) AS term
-        |  FROM bg JOIN cb ON bg.b = cb.b
-        |  JOIN cu ON string_split(bg.b, ' ')[1] = cu.w1)
-        |SELECT doc_id AS id, count(*) AS n_bigrams,
-        |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS mean_lp
-        |FROM t GROUP BY doc_id ORDER BY id""".stripMargin,
-
-    // chunk-boundary replay: same whitespace split, same integer chunk
-    // count, same 1-based 40-token slices at stride 30
-    "x_chunks" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |n AS (SELECT doc_id, w, len(w) AS n FROM d),
-         |k AS (
-         |  SELECT doc_id, w, n,
-         |    CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS nk
-         |  FROM n),
-         |ch AS (SELECT doc_id, w, unnest(range(0, nk)) AS chunk_id FROM k),
-         |sl AS (
-         |  SELECT doc_id, chunk_id,
-         |    w[chunk_id * 30 + 1 : chunk_id * 30 + 40] AS cw
-         |  FROM ch),
-         |o AS (
-         |  SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tok,
-         |    ${fnvSql("(array_to_string(cw, ' '))")} AS hu
-         |  FROM sl)
-         |SELECT doc_id, chunk_id, n_tok, ${signedSql("hu")} AS chunk_fnv
-         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // k-means single-Lloyd-step replay: FNV cell seeding (8 | 2⁶⁴, so
-    // unsigned %8 == Spark's signed pmod), engine-agnostic centroid
-    // means, same kernel accumulation order as the engine's zip_with
-    // fold, same (cos desc, cell asc) tie-break
-    "x_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |cells AS (
-        |  SELECT CAST(${fnvSql("(CAST(vec_id AS VARCHAR))")} % 8 AS BIGINT) AS cell, v FROM e),
-        |d AS (
-        |  SELECT cell, unnest([{'dim': i, 'x': CAST(v[i] AS DOUBLE)} FOR i IN range(1, len(v) + 1)]) AS s
-        |  FROM cells),
-        |dx AS (SELECT cell, s.dim AS dim, s.x AS x FROM d),
-        |cent AS (
-        |  SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
-        |  FROM dx GROUP BY cell, dim),
-        |centv AS (SELECT cell, list(m ORDER BY dim) AS c FROM cent GROUP BY cell),
-        |scored AS (
-        |  SELECT e.vec_id, centv.cell,
-        |    round(
-        |      list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * centv.c[i]))
-        |      / (sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(range(1, len(centv.c) + 1), i -> centv.c[i] * centv.c[i])))), 6) AS cos
-        |  FROM e, centv),
-        |assigned AS (
-        |  SELECT vec_id, cell, cos,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-        |  FROM scored)
-        |SELECT cell, count(*) AS n,
-        |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_cos
-        |FROM assigned WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
-
-    "x_decontaminate_semantic" ->
-      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |b AS (SELECT v FROM e WHERE vec_id % 100 = 0),
-        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 != 0),
-        |scored AS (
-        |  SELECT c.vec_id,
-        |    max(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))))) AS mc
-        |  FROM c, b GROUP BY c.vec_id)
-        |SELECT vec_id, round(mc, 6) AS max_benchmark_cos
-        |FROM scored WHERE mc >= 0.30 ORDER BY vec_id""".stripMargin,
-
-    // exact regime: err is identically 0 and counts are true counts
-    "x_heavy_hitters" ->
-      """WITH c AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
-        |SELECT c.key, c.n, CAST(0 AS BIGINT) AS err, t.total
-        |FROM c, t ORDER BY c.n DESC, c.key""".stripMargin,
-
-    // fuzzy-join replay via deletion-signature blocking: lev<=1 pairs
-    // are a subset of dl<=1 pairs, for which the SymSpell neighborhood
-    // is provably complete — so the blocked candidate set loses
-    // nothing, and the oracle stops being quadratic at scale
-    "x_fuzzy_join" ->
-      """WITH p AS (
-        |  SELECT p_partkey, concat(p_name, '-', p_partkey) AS ename FROM part),
-        |dirty AS (
-        |  SELECT p_partkey AS dirty_key,
-        |    concat(substr(ename, 1, CAST(p_partkey % 5 + 1 AS INTEGER)),
-        |           substr(ename, CAST(p_partkey % 5 + 3 AS INTEGER))) AS dname
-        |  FROM p WHERE p_partkey % 3 = 0),
-        |clean AS (SELECT p_partkey AS clean_key, ename FROM p),
-        |dsig AS (
-        |  SELECT dirty_key, dname,
-        |    unnest(list_append(
-        |      [dname[1:i-1] || dname[i+1:len(dname)] FOR i IN range(1, len(dname) + 1)],
-        |      dname)) AS sig
-        |  FROM dirty),
-        |csig AS (
-        |  SELECT clean_key, ename,
-        |    unnest(list_append(
-        |      [ename[1:i-1] || ename[i+1:len(ename)] FOR i IN range(1, len(ename) + 1)],
-        |      ename)) AS sig
-        |  FROM clean),
-        |cand AS (
-        |  SELECT DISTINCT dirty_key, clean_key, dname, ename
-        |  FROM dsig JOIN csig USING (sig))
-        |SELECT dirty_key, clean_key, dname, ename,
-        |  CAST(levenshtein(dname, ename) AS INTEGER) AS dist
-        |FROM cand
-        |WHERE levenshtein(dname, ename) <= 1
-        |ORDER BY dirty_key, clean_key""".stripMargin,
-
-    // the same doc_id-keyed danger-class decoration over the parquet
-    // ORIGINAL — a full row+schema+hash match proves the engine's
-    // csv write+parse trip preserved commas/quotes/newlines/
-    // backslashes/tabs byte-for-byte ('\b' in a DuckDB standard
-    // string is literally backslash+b; chr(10)/chr(9) are the real
-    // control chars, never escape sequences)
-    "x_csv_roundtrip" ->
-      """SELECT doc_id, lang,
-        |  text || CASE CAST(doc_id % 6 AS INTEGER)
-        |    WHEN 0 THEN ',x'
-        |    WHEN 1 THEN '"q"'
-        |    WHEN 2 THEN chr(10) || 'L2'
-        |    WHEN 3 THEN '\b'
-        |    WHEN 4 THEN chr(9) || 't'
-        |    ELSE '' END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "x_tsv_roundtrip" ->
-      """SELECT doc_id, lang,
-        |  text || CASE CAST(doc_id % 6 AS INTEGER)
-        |    WHEN 0 THEN ',x'
-        |    WHEN 1 THEN '"q"'
-        |    WHEN 2 THEN chr(10) || 'L2'
-        |    WHEN 3 THEN '\b'
-        |    WHEN 4 THEN chr(9) || 't'
-        |    ELSE '' END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // content checksum over the ORIGINAL parquet — must equal the
-    // engine's checksum of the ORC read-back
-    "x_orc_roundtrip" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-         |  CAST(sum((((${signedSql("hu")} % 1000000) + 1000000) % 1000000)) AS BIGINT) AS text_fnv_sum,
-         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
-         |  'orc' AS format
-         |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
-
-    // content checksum over the ORIGINAL table — must equal the
-    // engine's checksum of the compacted rewrite
-    "x_compact" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-         |  CAST(sum((((${signedSql("hu")} % 1000000) + 1000000) % 1000000)) AS BIGINT) AS text_fnv_sum,
-         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
-         |  TRUE AS compacted
-         |FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS hu FROM documents)""".stripMargin,
-
-    // the same rollup over the ORIGINAL parquet — a full match proves
-    // the bucketed write+read-back preserved every row
-    "x_bucketed_join" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    // replay of the priority order: pri = w / ((fnvBucket+1)/10⁶)
-    "x_sample_weighted" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    ${fnvSql("(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || ':7')")} AS hu
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    CAST(n_chars AS DOUBLE)
-         |      / (CAST((((${signedSql("hu")} % 1000000) + 1000000) % 1000000) + 1 AS DOUBLE) / 1000000.0) AS pri
-         |  FROM h)
-         |SELECT doc_id, lang, n_chars FROM
-         |  (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
-         |ORDER BY doc_id""".stripMargin,
-
-    // DSIR replay: same tokenizer, same FNV bucket (signed pmod
-    // emulation), same Laplace smoothing; per-bucket log-ratio rounds
-    // to 9 dp, per-doc sum accumulates in DECIMAL, rounds to 6 dp
-    "x_importance_weights" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, (lang = 'en') AS tgt,
-         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |  FROM documents),
-         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
-         |hb AS (
-         |  SELECT doc_id, tgt,
-         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
-         |  FROM tk),
-         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
-         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
-         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
-         |tot AS (
-         |  SELECT sum(cr) AS rtot,
-         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
-         |  FROM rawb),
-         |lrs AS (
-         |  SELECT rawb.bucket,
-         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
-         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
-         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
-         |per AS (
-         |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
-         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
-         |  JOIN lrs USING (bucket) GROUP BY doc_id)
-         |SELECT d.doc_id AS id, (d.lang = 'en') AS is_target,
-         |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
-         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-         |ORDER BY id""".stripMargin,
-
-    "x_importance_select" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, (lang = 'en') AS tgt,
-         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |  FROM documents),
-         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
-         |hb AS (
-         |  SELECT doc_id, tgt,
-         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
-         |  FROM tk),
-         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
-         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
-         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
-         |tot AS (
-         |  SELECT sum(cr) AS rtot,
-         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
-         |  FROM rawb),
-         |lrs AS (
-         |  SELECT rawb.bucket,
-         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
-         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
-         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
-         |per AS (
-         |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
-         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
-         |  JOIN lrs USING (bucket) GROUP BY doc_id),
-         |sel AS (
-         |  SELECT doc_id, n_tokens, weight FROM per
-         |  WHERE weight IS NOT NULL
-         |  ORDER BY weight DESC, doc_id ASC LIMIT 60)
-         |SELECT sel.doc_id AS id, d.lang,
-         |  CAST(sel.n_tokens AS BIGINT) AS n_tokens, sel.weight
-         |FROM sel JOIN documents d ON sel.doc_id = d.doc_id
-         |ORDER BY id""".stripMargin,
-
-    "x_source_cap" ->
-      """SELECT doc_id, source, n_chars FROM (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
-        |  FROM documents) WHERE rn <= 5
-        |ORDER BY doc_id""".stripMargin,
-
-    // same synthesized URLs, same canonicalization steps (RE2-safe
-    // patterns — no backrefs in the MATCH side; \\1\\2 only in the
-    // replacement, which DuckDB spells \\1 where Spark spells $1)
-    "x_url_canon" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'HTTPS://' END)
-        |    || source
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80/Docs/'
-        |             ELSE '.Example.COM:443/Docs/' END)
-        |    || CAST(doc_id AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '/?b=2&utm_source=x&a=1#frag'
-        |             WHEN doc_id % 3 = 1 THEN '/'
-        |             ELSE '?z=9&utm_campaign=c&a=1' END) AS url_raw
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, url_raw,
-        |    regexp_replace(trim(url_raw), '#.*$', '') AS nofrag FROM u),
-        |s2 AS (SELECT doc_id, url_raw,
-        |    regexp_extract(nofrag, '^([^?]*)', 1) AS base,
-        |    regexp_extract(nofrag, '^[^?]*\?(.*)$', 1) AS query FROM s1),
-        |s3 AS (SELECT doc_id, url_raw, base, query,
-        |    regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS pr
-        |  FROM s2),
-        |s4 AS (SELECT doc_id, url_raw, query,
-        |    regexp_replace(
-        |      regexp_replace(lower(pr), '^(https?://)www\.', '\1'),
-        |      '^(http://[^/:]+):80$|^(https://[^/:]+):443$', '\1\2') AS prefix,
-        |    substr(base, length(pr) + 1) AS pth
-        |  FROM s3),
-        |s5 AS (SELECT doc_id, url_raw, prefix,
-        |    CASE WHEN pth = '' THEN pth
-        |         ELSE regexp_replace(pth, '(.)/$', '\1') END AS cpath,
-        |    list_sort(list_filter(string_split(query, '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) AS kept
-        |  FROM s4)
-        |SELECT doc_id, url_raw,
-        |  prefix || cpath ||
-        |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-        |          ELSE '' END) AS url_canon
-        |FROM s5 ORDER BY doc_id""".stripMargin,
-
-    // same synthesized hosts; suffix match replayed via the host's
-    // dot-suffix list, longest listed rule wins (a deeper matching
-    // suffix of the same host is always strictly longer, so length
-    // orders specificity); 'g' flag on the strip because Spark's
-    // regexp_replace is global
-    "x_blocklist" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' || (CASE doc_id % 4
-        |      WHEN 0 THEN 'ads.' || source || '.example.com'
-        |      WHEN 1 THEN 'WWW.' || source || '.Example.COM:8080'
-        |      WHEN 2 THEN 'shop' || source || '.example.com'
-        |      ELSE 'cdn.tracker.net' END)
-        |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_extract(lower(trim(url)),
-        |                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-        |        '^.*@|:[0-9]*$', '', 'g'),
-        |      '\.$', '') AS host
-        |  FROM u),
-        |b AS (SELECT lower(trim(dom)) AS dom FROM (VALUES
-        |  ('src1.example.com'), ('src3.example.com'),
-        |  ('ads.src1.example.com'), ('tracker.net'),
-        |  (' SRC5.EXAMPLE.COM ')) AS t(dom)),
-        |s AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
-        |m AS (
-        |  SELECT s.doc_id, s.host, b.dom
-        |  FROM s LEFT JOIN b
-        |    ON list_contains(
-        |      [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)],
-        |      b.dom))
-        |SELECT doc_id, host, max_by(dom, length(dom)) AS blocked_by
-        |FROM m GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
-
-    // nDCG replay: the brute-force cosine ranking CTEs (as in
-    // x_ann_bruteforce), label-match relevance, same 9-dp terms /
-    // decimal sums / 6-dp readouts, same ln-ratio log₂
-    "x_ndcg" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT q.query_id, c.corpus_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
-        |  FROM c, q WHERE c.corpus_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, corpus_id AS doc_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        |  FROM scored),
-        |res AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
-        |ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings WHERE vec_id < 5),
-        |rel AS (
-        |  SELECT ql.query_id, e.vec_id AS doc_id,
-        |    CASE WHEN e.label = ql.qlab THEN 1.0 ELSE 0.0 END AS rel
-        |  FROM embeddings e, ql WHERE e.vec_id <> ql.query_id),
-        |dt AS (
-        |  SELECT r.query_id,
-        |    round(coalesce(rel.rel, 0) / (ln(r.rank + 1.0) / ln(2.0)), 9) AS term
-        |  FROM res r LEFT JOIN rel
-        |    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id),
-        |dcg AS (
-        |  SELECT query_id,
-        |    round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS dcg
-        |  FROM dt GROUP BY query_id),
-        |ideal AS (
-        |  SELECT query_id, rel,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
-        |  FROM rel),
-        |it AS (
-        |  SELECT query_id, round(rel / (ln(irank + 1.0) / ln(2.0)), 9) AS term
-        |  FROM ideal WHERE irank <= 10),
-        |idcg AS (
-        |  SELECT query_id,
-        |    round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS idcg
-        |  FROM it GROUP BY query_id)
-        |SELECT query_id, coalesce(d.dcg, 0.0) AS dcg, coalesce(i.idcg, 0.0) AS idcg,
-        |  CASE WHEN coalesce(i.idcg, 0) > 0
-        |       THEN round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
-        |FROM dcg d FULL OUTER JOIN idcg i USING (query_id) ORDER BY query_id""".stripMargin,
-
-    // MRR replay: the same brute-force ranking + label-match relevance
-    // CTEs as x_ndcg, then min relevant rank per query over the union
-    // of query ids (zero-result queries score 0.0, not absent)
-    "x_mrr" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT q.query_id, c.corpus_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
-        |  FROM c, q WHERE c.corpus_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, corpus_id AS doc_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        |  FROM scored),
-        |res AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
-        |ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings WHERE vec_id < 5),
-        |rel AS (
-        |  SELECT ql.query_id, e.vec_id AS doc_id,
-        |    CASE WHEN e.label = ql.qlab THEN 1.0 ELSE 0.0 END AS rel
-        |  FROM embeddings e, ql WHERE e.vec_id <> ql.query_id),
-        |hits AS (
-        |  SELECT r.query_id, CAST(min(r.rank) AS BIGINT) AS first_rel_rank
-        |  FROM res r JOIN rel ON r.query_id = rel.query_id
-        |    AND r.doc_id = rel.doc_id AND rel.rel > 0
-        |  GROUP BY r.query_id),
-        |qq AS (SELECT DISTINCT query_id FROM res
-        |       UNION SELECT DISTINCT query_id FROM rel)
-        |SELECT qq.query_id, h.first_rel_rank,
-        |  coalesce(round(CAST(1.0 AS DOUBLE) / h.first_rel_rank, 6), 0.0) AS rr
-        |FROM qq LEFT JOIN hits h USING (query_id) ORDER BY qq.query_id""".stripMargin,
-
-    // hard-negative replay: the brute-force cosine CTE with the
-    // label-mismatch predicate fused before ranking (null-safe: an
-    // unlabeled corpus row negates any labeled query)
-    "x_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS c_label
-        |      FROM embeddings),
-        |scored AS (
-        |  SELECT q.query_id, q.q_label, c.corpus_id, c.c_label,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
-        |  FROM c, q
-        |  WHERE c.corpus_id <> q.query_id
-        |    AND c.c_label IS DISTINCT FROM q.q_label),
-        |ranked AS (
-        |  SELECT query_id, q_label, corpus_id, c_label, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, q_label, corpus_id, c_label AS neg_label,
-        |  round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-    // datasheet replay: same whitespace token count as x_text_stats,
-    // same ⌈p·N⌉ discrete-rank percentile definition (ties on doc_id)
-    "x_datasheet" ->
-      """WITH tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS n,
-        |    CAST(NULL AS DOUBLE) AS v FROM tot
-        |  UNION ALL SELECT 'corpus', 'n_chars', n_chars, NULL FROM tot
-        |  UNION ALL SELECT 'corpus', 'n_tokens_ws', n_tokens, NULL FROM tot),
-        |langs AS (
-        |  SELECT 'lang' AS section, lang AS key, CAST(count(*) AS BIGINT) AS n,
-        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS v
-        |  FROM documents GROUP BY lang),
-        |sources AS (
-        |  SELECT 'source' AS section, source AS key, CAST(count(*) AS BIGINT) AS n,
-        |    round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS v
-        |  FROM documents GROUP BY source),
-        |ranked AS (
-        |  SELECT CAST(length(text) AS BIGINT) AS len,
-        |    row_number() OVER (ORDER BY length(text) ASC, doc_id ASC) AS rk
-        |  FROM documents),
-        |pct AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p,
-        |        unnest(['p25', 'p50', 'p75', 'p95']) AS key),
-        |lens AS (
-        |  SELECT 'length_chars' AS section, pct.key AS key, r.len AS n,
-        |    CAST(NULL AS DOUBLE) AS v
-        |  FROM pct JOIN ranked r
-        |    ON r.rk = CAST(ceil(pct.p * (SELECT n_docs FROM tot)) AS INTEGER))
-        |SELECT * FROM corpus
-        |UNION ALL SELECT * FROM langs
-        |UNION ALL SELECT * FROM sources
-        |UNION ALL SELECT * FROM lens
-        |ORDER BY section, key""".stripMargin,
-
-    // incremental-DSIR replay: model fit restricted to the reference
-    // pool (ALL 256 buckets, Laplace default for fit-unseen), batch
-    // scored against it — same FNV buckets, same 9-dp log-ratios,
-    // same decimal count-weighted sums
-    "x_importance_incr" ->
-      s"""WITH ftok AS (
-         |  SELECT (lang = 'en') AS tgt,
-         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |  FROM documents WHERE doc_id < 400),
-         |fhb AS (
-         |  SELECT tgt,
-         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
-         |  FROM ftok WHERE term <> ''),
-         |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fhb GROUP BY 1),
-         |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM fhb WHERE tgt GROUP BY 1),
-         |tot AS (
-         |  SELECT (SELECT coalesce(sum(cr), 0) FROM rawb) AS rtot,
-         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot),
-         |allb AS (SELECT unnest(range(0, 256)) AS bucket),
-         |lrs AS (
-         |  SELECT allb.bucket,
-         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
-         |        - ln((coalesce(cr, 0) + 1.0) / (rtot + 256.0)), 9) AS lr
-         |  FROM allb LEFT JOIN rawb USING (bucket)
-         |    LEFT JOIN tgtb USING (bucket), tot),
-         |btok AS (
-         |  SELECT doc_id,
-         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |  FROM documents WHERE doc_id >= 400),
-         |bhb AS (
-         |  SELECT doc_id,
-         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
-         |  FROM btok WHERE term <> ''),
-         |pb AS (SELECT doc_id, bucket, count(*) AS c FROM bhb GROUP BY 1, 2),
-         |per AS (
-         |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
-         |  FROM pb JOIN lrs USING (bucket) GROUP BY doc_id)
-         |SELECT d.doc_id AS id,
-         |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.weight
-         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-         |WHERE d.doc_id >= 400
-         |ORDER BY id""".stripMargin,
-
-    // the oracle asserts the EXPECTED canonical form as a literal — if
-    // the engine's canonicalization of any messy variant deviates, the
-    // group membership or the emitted canon string mismatches
-    "x_url_dedup" ->
-      """WITH c AS (
-        |  SELECT doc_id, n_chars,
-        |    'https://site.com/P/' || CAST(doc_id % 50 AS VARCHAR) AS url_canon
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, url_canon, n_chars,
-        |    row_number() OVER (PARTITION BY url_canon
-        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
-        |  FROM c)
-        |SELECT doc_id, url_canon, n_chars FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    // mean-pool replay: same struct-unnest explode as the x_kmeans
-    // centroid fragment, same decimal(28,10) per-dim mean, 9 dp.
-    // ROUNDING PARITY: Spark's round(double, 9) is HALF_UP on
-    // BigDecimal.valueOf(d) — the SHORTEST decimal representation of
-    // the double, not its exact binary expansion. DuckDB's plain
-    // round(double, 9) multiplies by 1e9 in floating point, which can
-    // mis-tie within ~1 ulp of a half boundary (hit once in 320k
-    // samples at the 10× soak). The faithful replay rounds the
-    // shortest round-trip form: VARCHAR cast (shortest repr, same
-    // unique digits Java's Double.toString emits) → DECIMAL(38,30)
-    // (captures all ≤17 significant digits of any value near a 9-dp
-    // half boundary — scale 18 truncated 19-digit reprs back onto the
-    // boundary) → round half-away-from-zero (== HALF_UP).
-    "x_embed_meanpool" ->
-      """WITH e AS (SELECT vec_id // 10 AS doc, embedding AS v FROM embeddings),
-        |d AS (
-        |  SELECT doc, unnest([{'dim': CAST(i - 1 AS INTEGER), 'x': CAST(v[i] AS DOUBLE)}
-        |                      FOR i IN range(1, len(v) + 1)]) AS s
-        |  FROM e),
-        |dx AS (SELECT doc, s.dim AS dim, s.x AS x FROM d)
-        |SELECT doc, dim,
-        |  CAST(round(CAST(CAST(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,30)), 9) AS DOUBLE) AS m
-        |FROM dx GROUP BY doc, dim ORDER BY doc, dim""".stripMargin,
-
-    // whole-chain replay: blocklist anti-filter → quality score →
-    // source-cap window → DSIR (models fit on the CAPPED pool) → top-50
-    "x_selection_e2e" ->
-      s"""WITH u AS (
-         |  SELECT doc_id,
-         |    'https://' || (CASE doc_id % 4
-         |      WHEN 0 THEN 'ads.' || source || '.example.com'
-         |      WHEN 1 THEN 'WWW.' || source || '.Example.COM:8080'
-         |      WHEN 2 THEN 'shop' || source || '.example.com'
-         |      ELSE 'cdn.tracker.net' END)
-         |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id,
-         |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_extract(lower(trim(url)),
-         |                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-         |        '^.*@|:[0-9]*$$', '', 'g'),
-         |      '\\.$$', '') AS host
-         |  FROM u),
-         |bl AS (SELECT lower(trim(dom)) AS dom FROM (VALUES
-         |  ('src1.example.com'), ('src3.example.com'),
-         |  ('ads.src1.example.com'), ('tracker.net'),
-         |  (' SRC5.EXAMPLE.COM ')) AS t(dom)),
-         |blocked AS (
-         |  SELECT DISTINCT hs.doc_id
-         |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM h) hs
-         |  JOIN bl ON list_contains(
-         |    [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)],
-         |    bl.dom)),
-         |surv0 AS (
-         |  SELECT * FROM documents
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
-         |base AS (
-         |  SELECT doc_id, length(text) AS len,
-         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
-         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
-         |      / greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0) AS stop
-         |  FROM surv0),
-         |parts AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len BETWEEN 50 AND 100000 THEN 1.0 WHEN len BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END AS len_ok,
-         |    CASE WHEN alpha >= 0.6 THEN 1.0 WHEN alpha >= 0.3 THEN 0.5 ELSE 0.0 END AS alpha_ok,
-         |    CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-         |    CASE WHEN stop >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
-         |  FROM base),
-         |qd AS (
-         |  SELECT s0.doc_id, s0.text, s0.lang, s0.source, s0.n_chars
-         |  FROM surv0 s0 JOIN parts p ON s0.doc_id = p.doc_id
-         |  WHERE round(p.len_ok * 0.3 + p.alpha_ok * 0.3 + p.punct_ok * 0.2 + p.stop_ok * 0.2, 2) >= 0.5),
-         |pool AS (
-         |  SELECT doc_id, text, lang FROM (
-         |    SELECT qd.*, row_number() OVER (PARTITION BY source
-         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM qd)
-         |  WHERE rn <= 15),
-         |tok AS (
-         |  SELECT doc_id, (lang = 'en') AS tgt,
-         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-         |  FROM pool),
-         |tk AS (SELECT doc_id, tgt, term FROM tok WHERE term <> ''),
-         |hb AS (
-         |  SELECT doc_id, tgt,
-         |    ((${signedSql(fnvSql("term"))} % 256) + 256) % 256 AS bucket
-         |  FROM tk),
-         |pdb AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM hb GROUP BY 1, 2, 3),
-         |rawb AS (SELECT bucket, sum(c) AS cr FROM pdb GROUP BY 1),
-         |tgtb AS (SELECT bucket, sum(c) AS ct FROM pdb WHERE tgt GROUP BY 1),
-         |tot AS (
-         |  SELECT sum(cr) AS rtot,
-         |    (SELECT coalesce(sum(ct), 0) FROM tgtb) AS ttot
-         |  FROM rawb),
-         |lrs AS (
-         |  SELECT rawb.bucket,
-         |    round(ln((coalesce(ct, 0) + 1.0) / (ttot + 256.0))
-         |        - ln((cr + 1.0) / (rtot + 256.0)), 9) AS lr
-         |  FROM rawb LEFT JOIN tgtb USING (bucket), tot),
-         |per AS (
-         |  SELECT doc_id, sum(c) AS n_tokens,
-         |    round(CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lr AS DECIMAL(18,12))) AS DOUBLE), 6) AS weight
-         |  FROM (SELECT doc_id, bucket, sum(c) AS c FROM pdb GROUP BY 1, 2) pb
-         |  JOIN lrs USING (bucket) GROUP BY doc_id),
-         |sel AS (
-         |  SELECT doc_id, n_tokens, weight FROM per
-         |  WHERE weight IS NOT NULL
-         |  ORDER BY weight DESC, doc_id ASC LIMIT 50)
-         |SELECT sel.doc_id AS id, d.lang,
-         |  CAST(sel.n_tokens AS BIGINT) AS n_tokens, sel.weight
-         |FROM sel JOIN documents d ON sel.doc_id = d.doc_id
-         |ORDER BY id""".stripMargin,
-
-    // SQ8 codec replay: same float→double casts, same single division
-    // per element, same round-half-away-from-zero (both engines), same
-    // code×scale reconstruction — bit-for-bit, no training state
-    "x_sq_quantize" ->
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, embedding, scale,
-        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-        |         ELSE list_transform(embedding,
-        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
-        |    END AS codes
-        |  FROM q)
-        |SELECT vec_id,
-        |  round(scale, 9) AS scale9,
-        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
-        |  list_max(list_transform(codes, c -> abs(c))) AS max_code,
-        |  round(list_max([abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
-        |                  FOR i IN range(1, len(embedding) + 1)]), 9) AS max_err9
-        |FROM c ORDER BY vec_id""".stripMargin,
-
-    "x_sq_recall" ->
-      """SELECT * FROM (VALUES
-        |  ('sq8_codes_in_range', TRUE),
-        |  ('sq8_err_le_half_scale', TRUE),
-        |  ('sq8_mean_recall10_ge_095', TRUE))
-        |AS t(check_name, ok) ORDER BY check_name""".stripMargin
-  )
 
   /** Order-insensitive 64-bit content hash of a frame: bit_xor of
     * per-row xxhash64 over all columns (fixed seed), mixed with the
@@ -5150,13 +210,13 @@ private[graft] object ExtQueries {
     * while a JDK zlib (Deflater) change does not. Re-measure with
     * tools/HashPinProbe after any INTENDED writer change.
     */
-  private val xlsxBytePins: Map[String, Long] = Map(
+  private[registry] val xlsxBytePins: Map[String, Long] = Map(
     "sf0.001" -> -281397838303103071L,
     "sf0.01" -> -7855534126656838975L,
     "sf0.1" -> 5661463465944771590L
   )
 
-  private def hashPinVerdict(s: SparkSession, d: String,
+  private[registry] def hashPinVerdict(s: SparkSession, d: String,
                              q: String): DataFrame = {
     import s.implicits._
     val ok = contentHashPins.get((q, new java.io.File(d).getName)) match {
