@@ -14,7 +14,14 @@ import graft.ext.Similarity
   * plan's total counts include the candidate-scoring join + final
   * rank, which are supposed to shuffle).
   *
-  * usage: runMain graft.tools.ProbeBatchProbe <sfDir> [nCells] [nProbe] [k]
+  * With a 5th arg preRankC > 0 the query path is
+  * [[graft.ext.Pq.ivfSdcPrerankTopK]] instead of the exact-scored
+  * ivfTopK: candidates rank by the symmetric PQ table (m reads/pair,
+  * m=16/ksub=16 trained on the normalized corpus) and only the
+  * top-preRankC per query get exact cosine — the r14 all-corpus
+  * cost-cut this probe exists to measure.
+  *
+  * usage: runMain graft.tools.ProbeBatchProbe <sfDir> [nCells] [nProbe] [k] [preRankC]
   */
 object ProbeBatchProbe {
   def main(args: Array[String]): Unit = {
@@ -22,6 +29,7 @@ object ProbeBatchProbe {
     val nCells = if (args.length > 1) args(1).toInt else 256
     val nProbe = if (args.length > 2) args(2).toInt else 4
     val k = if (args.length > 3) args(3).toInt else 5
+    val preRankC = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("probe-batch-probe").master(s"local[$cpus]")
@@ -37,13 +45,26 @@ object ProbeBatchProbe {
       val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
         .persist()
       assigned.count() // pin the index; we time the QUERY path
+      val cb = if (preRankC > 0) {
+        // codebook build is INDEX-time work (amortized over every query
+        // batch in production), so it happens before the timer
+        val en = e.select(col("vec_id").as("id"),
+          graft.ext.Pq.normalized(col("embedding")).as("v"))
+        Some(graft.ext.Pq.trainCodebooks(en, "v", "id",
+          dim = 64, m = 16, ksub = 16, iterations = 1))
+      } else None
       val t0 = System.nanoTime()
-      val top = Similarity.ivfTopK(assigned, cents, e,
-        "embedding", "vec_id", k = k, nProbe = nProbe)
+      val top = cb match {
+        case Some(c) => graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, c, e,
+          "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
+          dim = 64, m = 16, ksub = 16)
+        case None => Similarity.ivfTopK(assigned, cents, e,
+          "embedding", "vec_id", k = k, nProbe = nProbe)
+      }
       val rows = top.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probebatch] dir=$dir corpus=$n queries=$n nCells=$nCells " +
-        f"nProbe=$nProbe k=$k result_rows=$rows sec=$sec%.2f " +
+        f"nProbe=$nProbe k=$k preRankC=$preRankC result_rows=$rows sec=$sec%.2f " +
         s"(old probe selection would have shuffled ${n * nCells} rows)")
     } finally spark.stop()
   }

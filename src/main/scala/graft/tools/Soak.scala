@@ -133,9 +133,23 @@ object Soak {
         threshold = 0.9999, nCells = 256, nProbe = 2, lloydIterations = 1)
         .cache()
     }
-    val nPairs = pairs.count()
+    // the builder block above is LAZY apart from the centroid collect —
+    // the pair join + exact verify run inside this timed count
+    val nPairs = time("exact-verify pair scan (count)") { pairs.count() }
     val planted = pairs.filter(col("id_b") >= 10000000 && col("id_a") === col("id_b") - 10000000).count()
     println(s"[soak] near-dup pairs: $nPairs; planted pairs recovered: $planted / 2000")
+    // paired r14 measurement: the SAME budgets with the PQ-SDC
+    // pre-filter in front of the exact verify — the cut is the exact
+    // cosine work skipped on pairs the quantized score rules out
+    val pairsPq = time("bucketed embedding near-dups + PQ-SDC pre-filter (margin=0.3)") {
+      graft.ext.Dedup.embeddingNearDupsBucketedPq(embs, "embedding", "vec_id",
+        threshold = 0.9999, nCells = 256, nProbe = 2, lloydIterations = 1,
+        margin = 0.3, m = 16, ksub = 16)
+        .cache()
+    }
+    val nPairsPq = time("pq-prefiltered pair scan (count)") { pairsPq.count() }
+    val plantedPq = pairsPq.filter(col("id_b") >= 10000000 && col("id_a") === col("id_b") - 10000000).count()
+    println(s"[soak] pq-prefiltered near-dup pairs: $nPairsPq; planted recovered: $plantedPq / 2000")
     }
 
     // round 2: LSH hot-bucket cap under a boilerplate block — 20k
