@@ -702,6 +702,28 @@ object Dedup {
     * store self-join, no cartesian. Approximate like the bucketed
     * variant: verification is exact, bucketing can only miss.
     */
+  /** Top-`nProbe` cell multi-probe as ONE narrow kernel row-expansion
+    * over a frame with a `v` vector column: every input column is kept
+    * and each row fans out to its nProbe probed cells.
+    * [[graft.functions.VectorExpressions.nearestCellsTopK]] against
+    * the flat driver-normalized centroid matrix ranks by dot/‖centroid‖
+    * — ranking-equivalent to the cosine the replaced form computed
+    * (1/‖v‖ is a positive per-row constant), ties to the lower cell;
+    * NaN-scored cells are skipped (kernel contract), where the window
+    * form ranked them first — NaN/Inf inputs only. Replaces a
+    * crossJoin+rank-window that materialized and SHUFFLED n×nCells
+    * rows per probe selection: at a 4096-cell index over a 100 TB
+    * corpus that was the same n×nCells blowup the r13 kernels removed
+    * from IVF assignment and query-probe selection.
+    */
+  private def multiProbe(e: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val (units, cellIds, dim) = Similarity.flatCentroids(cents, normalize = true)
+    val keep = e.columns.map(col).toIndexedSeq :+ col("pc.cell").as("cell")
+    e.withColumn("pc", explode(graft.functions.VectorExpressions.nearestCellsTopK(
+        col("v"), units, cellIds, dim, nProbe)))
+      .select(keep: _*)
+  }
+
   def embeddingNearDupsAgainst(
       incoming: DataFrame, store: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,
@@ -711,13 +733,7 @@ object Dedup {
       Similarity.coarseCentroids(st, "v", "id", nCells), "v", "id", lloydIterations)
     val assignedStore = Similarity.assignCells(st, cents, "v", "id")
     val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val scored = inc.crossJoin(broadcast(cents
-        .withColumn("cf", col("centroid").cast("array<float>"))))
-      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
-    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
-    val probes = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("id"), col("v"), col("cell"))
+    val probes = multiProbe(inc, cents, nProbe)
     probes.as("n").join(assignedStore.as("s"), col("n.cell") === col("s.cell"))
       .select(col("n.id").as("id_new"), col("s.corpus_id").as("id_store"),
         graft.functions.VectorExpressions.cosineF(col("n.v"), col("s.cv")).as("cos"))
@@ -733,15 +749,7 @@ object Dedup {
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = Similarity.refineCentroids(e,
       Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
-    // multi-probe assignment: rank centroids per vector (codegen'd
-    // cosine kernel — ranking-equivalent to dot/|centroid|), keep top nProbe
-    val scored = e.crossJoin(broadcast(cents
-        .withColumn("cf", col("centroid").cast("array<float>"))))
-      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
-    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
-    val assigned = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("id"), col("v"), col("cell"))
+    val assigned = multiProbe(e, cents, nProbe)
     // equi-join on cell — NOT a cartesian. Verify cosine and FILTER
     // map-side, BEFORE the (id_a, id_b) dedup: only surviving near-dup
     // pairs (tiny) ever shuffle, instead of every candidate row carrying
@@ -796,21 +804,24 @@ object Dedup {
     // flat-PQ path
     val en = e.select(col("id"), Pq.normalized(col("v")).as("nv"))
     val cb = Pq.trainCodebooks(en, "nv", "id", dim, m, ksub, iterations = 1)
-    val tbl = spark.sparkContext.broadcast(Pq.sdcTable(cb, dim, m, ksub))
+    // ONE bounded codebook collect feeds the SDC table and the encode
+    // column (the kernel wrapper's broadcast cache ships one payload)
+    val (cbFlat, cbHalves) = Pq.flatCbArrays(cb, dim, m, ksub)
+    val tbl = spark.sparkContext.broadcast(
+      Pq.sdcTableFromFlat(cbFlat, dim, m, ksub))
     def sdc(a: Column, b: Column) =
       graft.functions.VectorExpressions.pqSdcScore(a, b, tbl, m, ksub)
     val cents = Similarity.refineCentroids(e,
       Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
-    val scored = e.crossJoin(broadcast(cents
-        .withColumn("cf", col("centroid").cast("array<float>"))))
-      .withColumn("d", graft.functions.VectorExpressions.cosineF(col("v"), col("cf")))
-    val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cell").asc)
-    val assigned = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("id"), col("v"), col("cell"))
+    // codes + reconstruction norm are computed ONCE per vector, BELOW
+    // the probe row-expansion (the m·ksub·dsub encode kernel would
+    // otherwise run nProbe times per vector); the probe rows then just
+    // CARRY the m-byte codes — noise next to the vector they ride with
+    val eEnc = e
       .withColumn("codes",
-        Pq.codesExprOn(cb, Pq.normalized(col("v")), dim, m, ksub))
+        Pq.codesOnFlat(cbFlat, cbHalves, Pq.normalized(col("v")), dim, m, ksub))
       .withColumn("rnorm", sqrt(sdc(col("codes"), col("codes"))))
+    val assigned = multiProbe(eEnc, cents, nProbe)
     // approx = reconstruction cosine; zero-norm rows fail open (pass)
     val approx = when(col("a.rnorm") > 0 && col("b.rnorm") > 0,
       sdc(col("a.codes"), col("b.codes")) / (col("a.rnorm") * col("b.rnorm")))

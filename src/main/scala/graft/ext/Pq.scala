@@ -133,6 +133,18 @@ object Pq {
     * projection) instead of a named input column. */
   def codesExprOn(codebooks: DataFrame, vec: Column,
                   dim: Int, m: Int, ksub: Int): Column = {
+    val (flat, halves) = flatCbArrays(codebooks, dim, m, ksub)
+    codesOnFlat(flat, halves, vec, dim, m, ksub)
+  }
+
+  /** The collected codebook as the kernels' flat arrays — ONE bounded
+    * collect + flatten shared by every consumer of the same codebook
+    * frame in a plan (encode columns on both join sides, the SDC
+    * table): build once, pass to [[codesOnFlat]] / [[sdcTableFromFlat]].
+    * Never-trained codes stay zero-vector / +∞-half.
+    */
+  private[graft] def flatCbArrays(codebooks: DataFrame,
+                                  dim: Int, m: Int, ksub: Int): (Array[Float], Array[Double]) = {
     val dsub = dim / m
     val cb = collectCb(codebooks)
     val flat = Array.fill(m * ksub * dsub)(0.0f)
@@ -141,8 +153,16 @@ object Pq {
       halves(sub * ksub + code) = half
       for (i <- cvec.indices) flat((sub * ksub + code) * dsub + i) = cvec(i)
     }
-    VectorExpressions.pqEncode(vec, flat, halves, m, ksub, dsub)
+    (flat, halves)
   }
+
+  /** [[codesExprOn]] over already-flattened codebook arrays — callers
+    * encoding several columns against one codebook flatten once; the
+    * kernel wrapper's identity-keyed broadcast cache then ships ONE
+    * payload block for all of them. */
+  private[graft] def codesOnFlat(flat: Array[Float], halves: Array[Double],
+                                 vec: Column, dim: Int, m: Int, ksub: Int): Column =
+    VectorExpressions.pqEncode(vec, flat, halves, m, ksub, dim / m)
 
   /** The SDC code-pair table: table[(j·ksub+a)·ksub+b] = ⟨c_ja, c_jb⟩,
     * so Σ_j table[..a_j..b_j] = ⟨decode(a), decode(b)⟩ — the symmetric
@@ -152,12 +172,14 @@ object Pq {
     * vector and contribute 0. Broadcast it and score pairs with
     * [[graft.functions.VectorExpressions.pqSdcScore]].
     */
-  def sdcTable(codebooks: DataFrame, dim: Int, m: Int, ksub: Int): Array[Double] = {
+  def sdcTable(codebooks: DataFrame, dim: Int, m: Int, ksub: Int): Array[Double] =
+    sdcTableFromFlat(flatCbArrays(codebooks, dim, m, ksub)._1, dim, m, ksub)
+
+  /** [[sdcTable]] over an already-flattened codebook (see
+    * [[flatCbArrays]]) — no extra collect. */
+  private[graft] def sdcTableFromFlat(flat: Array[Float],
+                                      dim: Int, m: Int, ksub: Int): Array[Double] = {
     val dsub = dim / m
-    val cb = collectCb(codebooks)
-    val flat = Array.fill(m * ksub * dsub)(0.0f)
-    for ((sub, codes) <- cb; (code, cvec, _) <- codes; i <- cvec.indices)
-      flat((sub * ksub + code) * dsub + i) = cvec(i)
     val t = new Array[Double](m * ksub * ksub)
     var j = 0
     while (j < m) {
@@ -449,14 +471,20 @@ object Pq {
                         preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
     require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
     val spark = queries.sparkSession
-    val tbl = spark.sparkContext.broadcast(sdcTable(codebooks, dim, m, ksub))
+    // ONE bounded codebook collect feeds everything: the SDC pair
+    // table AND both encode columns (corpus + query side), which the
+    // kernel wrapper's broadcast cache then ships as ONE payload block
+    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    val tbl = spark.sparkContext.broadcast(
+      sdcTableFromFlat(cbFlat, dim, m, ksub))
     def sdc(a: Column, b: Column) =
       VectorExpressions.pqSdcScore(a, b, tbl, m, ksub)
     // corpus side: codes + reconstruction norm, both narrow maps over
     // the (already cell-partitioned) index — in production these two
     // columns persist WITH the index, amortized over every query batch
     val encC = assigned
-      .withColumn("codes", codesExprOn(codebooks, normalized(col("cv")), dim, m, ksub))
+      .withColumn("codes",
+        codesOnFlat(cbFlat, cbHalves, normalized(col("cv")), dim, m, ksub))
       .withColumn("cnorm", sqrt(sdc(col("codes"), col("codes"))))
       .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
     // query side: probe selection (narrow top-nProbe kernel) + codes;
@@ -467,7 +495,8 @@ object Pq {
       Similarity.flatCentroids(centroids, normalize = true)
     val qp = q
       .select(col("query_id"),
-        codesExprOn(codebooks, normalized(col("qv")), dim, m, ksub).as("qcodes"),
+        codesOnFlat(cbFlat, cbHalves, normalized(col("qv")), dim, m, ksub)
+          .as("qcodes"),
         explode(VectorExpressions.nearestCellsTopK(
           col("qv"), units, cellIds, cdim, nProbe)).as("pc"))
       .select(col("query_id"), col("qcodes"), col("pc.cell").as("cell"))

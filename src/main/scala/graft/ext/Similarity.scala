@@ -489,12 +489,18 @@ object Similarity {
     * max(2·nCells, 64), so any smaller positive cap (including the
     * default when nCells > 2048 — the thousands-of-cells shape a
     * 100 TB index wants) is raised to that minimum instead of
-    * tripping [[kmeansParallelInit]]'s require. Callers with nCells ≤
-    * 2048 see the exact cap they passed (pins unaffected).
+    * tripping [[kmeansParallelInit]]'s require. Callers whose cap is
+    * already ≥ that minimum see exactly the cap they passed (every
+    * current call site — pins unaffected); negative caps are rejected
+    * (0 is the only unbounded sentinel — a negative would otherwise
+    * silently clamp UP to a minimum-size sample, a quality regression
+    * with no signal).
     */
   def trainedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                        nCells: Int, rounds: Int = 2,
                        lloyd: Int = 1, sampleCap: Int = 4096): DataFrame = {
+    require(sampleCap >= 0,
+      s"trainedCentroids: negative sampleCap $sampleCap (0 = unbounded)")
     val cap =
       if (sampleCap == 0) 0
       else math.max(sampleCap, math.max(2 * nCells, 64))

@@ -623,34 +623,75 @@ object VectorExpressions {
   // kernel payloads (centroid matrices, codebooks, SDC tables) ship as
   // broadcast blocks — once per executor — never inside the serialized
   // expression (= every task binary); the active session's context is
-  // the broadcaster (all builders run on the driver)
-  private def bc[T: scala.reflect.ClassTag](v: T): Broadcast[T] =
-    SparkSession.active.sparkContext.broadcast(v)
+  // the broadcaster (all builders run on the driver).
+  //
+  // REUSED, not re-broadcast: the cache below keys on the payload
+  // array's IDENTITY (weak — an entry lives exactly as long as the
+  // caller's own reference to the array), so a plan that scores several
+  // column pairs against one table, or probes and assigns against one
+  // centroid matrix, ships ONE block instead of one per Column
+  // construction. Distinct payloads (e.g. each Lloyd iteration's new
+  // matrix) still broadcast — semantically they must — and their blocks
+  // are reaped by Spark's ContextCleaner once the plan and the cache's
+  // weak entry drop them. The cache is cleared when the active
+  // SparkContext changes (a cross-session handle would be stale).
+  // Values are WeakReferences, NOT the Broadcast itself: the broadcast
+  // VALUE strongly reaches the key array (CentroidMatrix.units etc. sit
+  // in the driver's block manager until unpersist), so a strong map
+  // value would keep its own weak key reachable forever — entries would
+  // never clear and every payload would stay broadcast for the session
+  // lifetime. With weak values the Broadcast lives exactly as long as
+  // some plan holds it; once plans drop it, ContextCleaner reaps the
+  // blocks and the next identical call re-broadcasts.
+  private[this] val bcCache =
+    new java.util.WeakHashMap[AnyRef, java.lang.ref.WeakReference[Broadcast[_]]]()
+  private[this] var bcCacheCtx: org.apache.spark.SparkContext = _
+  /** `sameAs` guards the identity key against a payload REBUILT around
+    * the same key array (e.g. the same units array paired with a
+    * different cells array — no current builder does that, but the
+    * wrappers are public): a mismatched hit broadcasts fresh and
+    * replaces the entry rather than returning the wrong payload. */
+  private def bcByKey[T: scala.reflect.ClassTag](key: AnyRef, v: => T)(
+      sameAs: T => Boolean): Broadcast[T] =
+    bcCache.synchronized {
+      val sc = SparkSession.active.sparkContext
+      if (sc ne bcCacheCtx) { bcCache.clear(); bcCacheCtx = sc }
+      val hit = Option(bcCache.get(key)).flatMap(r => Option(r.get()))
+        .map(_.asInstanceOf[Broadcast[T]])
+        .filter(b => sameAs(b.value))
+      hit.getOrElse {
+        val b = sc.broadcast(v)
+        bcCache.put(key, new java.lang.ref.WeakReference[Broadcast[_]](b))
+        b
+      }
+    }
 
   /** nearest-centroid argmax over a flat driver-normalized matrix
     * (see [[NearestCell]]) — the many-cell IVF assignment kernel. */
   def nearestCell(v: Column, units: Array[Float], cells: Array[Long],
                   dim: Int): Column =
-    GraftBridge.column(NearestCell(expr(v), bc(CentroidMatrix(units, cells)), dim))
+    GraftBridge.column(NearestCell(expr(v),
+      bcByKey(units, CentroidMatrix(units, cells))(_.cells eq cells), dim))
 
   /** top-nProbe nearest centroids with their dot values
     * (see [[NearestCellsTopK]]) — the IVF/IVF-PQ query-probe kernel. */
   def nearestCellsTopK(v: Column, units: Array[Float], cells: Array[Long],
                        dim: Int, nProbe: Int): Column =
-    GraftBridge.column(NearestCellsTopK(expr(v), bc(CentroidMatrix(units, cells)),
-      dim, nProbe))
+    GraftBridge.column(NearestCellsTopK(expr(v),
+      bcByKey(units, CentroidMatrix(units, cells))(_.cells eq cells), dim, nProbe))
 
   /** PQ code assignment against a flat codebook (see [[PqEncodeCodes]]). */
   def pqEncode(v: Column, codebook: Array[Float], halves: Array[Double],
                m: Int, ksub: Int, dsub: Int): Column =
-    GraftBridge.column(PqEncodeCodes(expr(v), bc(PqCodebookData(codebook, halves)),
+    GraftBridge.column(PqEncodeCodes(expr(v),
+      bcByKey(codebook, PqCodebookData(codebook, halves))(_.halves eq halves),
       m, ksub, dsub))
 
   /** symmetric PQ code-pair dot score against a shared broadcast
     * m·ksub² table (see [[PqSdcScore]]). */
   def pqSdcScore(a: Column, b: Column, table: Array[Double],
                  m: Int, ksub: Int): Column =
-    pqSdcScore(a, b, bc(table), m, ksub)
+    pqSdcScore(a, b, bcByKey(table, table)(_ eq table), m, ksub)
 
   /** [[pqSdcScore]] over an ALREADY-broadcast table — callers scoring
     * several column pairs against one table (pair score + both

@@ -117,9 +117,14 @@ object Flatten {
     * keep an arbitrary subset). Non-orderable child fields (map types)
     * are EXCLUDED from the sortable rank-key prefix, so a map-typed
     * child caps fine; rows tied on every orderable field (including
-    * the degenerate all-non-orderable case) then rank by a content
-    * hash of the full child struct — reproducible across reruns, task
-    * retries, and repartitioning, never partition-arrival order.
+    * the degenerate all-non-orderable case) then rank by a hash of the
+    * child struct's JSON rendering — never partition-arrival order, so
+    * the capped subset is reproducible across reruns, task retries,
+    * and repartitioning for rows whose RENDERING is stable. Two
+    * caveats inherit from to_json: map fields hash in their stored
+    * entry order (logically-equal maps built with a different upstream
+    * entry order hash differently), and timestamp fields render — and
+    * therefore hash — under the session timezone.
     */
   def nestChild(
       parentDf: DataFrame,
@@ -147,12 +152,12 @@ object Flatten {
               .isOrderable(f.dataType))
           .map(f => col(f.name))
           .toIndexedSeq
-        // LAST key: a content hash of the WHOLE child struct (json round-
-        // trip — xxhash64 rejects map types directly) — so rows tied on
-        // every orderable field (and the all-non-orderable fallback,
-        // which has no orderable key at all) still rank by row CONTENT,
-        // never by partition arrival order: the capped subset is
-        // reproducible across reruns, task retries, and repartitioning
+        // LAST key: a hash of the WHOLE child struct's JSON rendering
+        // (xxhash64 rejects map types directly) — so rows tied on every
+        // orderable field (and the all-non-orderable fallback, which
+        // has no orderable key at all) still rank by row content, never
+        // by partition arrival order. Caveats in the scaladoc: map
+        // entry order and the session timezone shape the rendering.
         val tiebreak = xxhash64(to_json(col("__s")))
         val rankKey =
           if (orderable.nonEmpty) struct((orderable :+ tiebreak): _*)

@@ -243,7 +243,12 @@ private[graft] object ExtQueriesAnn {
       val ndChecks = nInter.crossJoin(broadcast(nExact)).crossJoin(broadcast(nGot))
         .select(explode(array(
           struct(lit("neardup_pq_recall_ge_090").as("check_name"),
-            (col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
+            // vacuous bound: zero exact pairs on the graded slice means
+            // nothing to recall — pass, don't 0.0/0.0-NaN-fail (the
+            // SdcPrerankProbe convention; the shipped fixtures do have
+            // pairs, this guards degenerate slices)
+            (col("n_exact") === 0 ||
+              col("n_inter").cast("double") / col("n_exact") >= 0.9).as("ok")),
           struct(lit("neardup_pq_no_false_positives").as("check_name"),
             (col("n_inter") === col("n_got")).as("ok")))).as("c"))
         .select(col("c.check_name").as("check_name"), col("c.ok").as("ok"))
