@@ -469,24 +469,54 @@ object Pq {
                         codebooks: DataFrame, queries: DataFrame,
                         vecCol: String, idCol: String, k: Int, nProbe: Int,
                         preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
-    require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
-    val spark = queries.sparkSession
     // ONE bounded codebook collect feeds everything: the SDC pair
     // table AND both encode columns (corpus + query side), which the
     // kernel wrapper's broadcast cache then ships as ONE payload block
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
-    val tbl = spark.sparkContext.broadcast(
-      sdcTableFromFlat(cbFlat, dim, m, ksub))
-    def sdc(a: Column, b: Column) =
-      VectorExpressions.pqSdcScore(a, b, tbl, m, ksub)
+    val tblArr = sdcTableFromFlat(cbFlat, dim, m, ksub)
     // corpus side: codes + reconstruction norm, both narrow maps over
     // the (already cell-partitioned) index — in production these two
-    // columns persist WITH the index, amortized over every query batch
-    val encC = assigned
+    // columns persist WITH the index ([[writePqIndex]] /
+    // [[ivfSdcPrerankTopKFromStore]]), amortized over every query batch
+    val encC = pqIndexColumns(assigned, cbFlat, cbHalves, tblArr, dim, m, ksub)
+      .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
+    sdcPrerankFrom(encC, assigned.select(col("corpus_id"), col("cv")),
+      centroids, queries, vecCol, idCol, cbFlat, cbHalves, tblArr,
+      k, nProbe, preRankC, dim, m, ksub)
+  }
+
+  /** `assigned` (corpus_id, cv, cell) + the two persisted-index
+    * columns: PQ `codes` (encoded from the NORMALIZED vector) and
+    * `cnorm`, the SDC reconstruction norm. The one place the
+    * stored-index column convention lives — [[ivfSdcPrerankTopK]]
+    * computes them on the fly; [[writePqIndex]] persists them.
+    */
+  private def pqIndexColumns(assigned: DataFrame, cbFlat: Array[Float],
+                             cbHalves: Array[Double], tblArr: Array[Double],
+                             dim: Int, m: Int, ksub: Int): DataFrame =
+    assigned
       .withColumn("codes",
         codesOnFlat(cbFlat, cbHalves, normalized(col("cv")), dim, m, ksub))
-      .withColumn("cnorm", sqrt(sdc(col("codes"), col("codes"))))
-      .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
+      .withColumn("cnorm", sqrt(
+        VectorExpressions.pqSdcScore(col("codes"), col("codes"), tblArr, m, ksub)))
+
+  /** The shared SDC-prerank query flow over an already-encoded corpus
+    * side — `encC` is (corpus_id, cell, codes, cnorm), `corpusVecs` is
+    * (corpus_id, cv) for the exact re-rank fetch. Both callers (the
+    * on-the-fly [[ivfSdcPrerankTopK]] and the store-backed
+    * [[ivfSdcPrerankTopKFromStore]]) produce byte-identical output for
+    * the same index (spec-pinned).
+    */
+  private def sdcPrerankFrom(
+      encC: DataFrame, corpusVecs: DataFrame,
+      centroids: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      cbFlat: Array[Float], cbHalves: Array[Double], tblArr: Array[Double],
+      k: Int, nProbe: Int, preRankC: Int,
+      dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
+    def sdc(a: Column, b: Column) =
+      VectorExpressions.pqSdcScore(a, b, tblArr, m, ksub)
     // query side: probe selection (narrow top-nProbe kernel) + codes;
     // qcodes (m ints) ride the probe broadcast — LIGHTER than the qv
     // float vector ivfTopK broadcasts
@@ -514,7 +544,7 @@ object Pq {
     // strategy left to Catalyst/AQE: shortlist and corpus sizes vary
     // by orders of magnitude across call shapes)
     val fetched = short
-      .join(assigned.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
+      .join(corpusVecs, Seq("corpus_id"))
       .join(q, Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
@@ -523,5 +553,61 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Persist a PQ-augmented IVF index: the assigned corpus
+    * (corpus_id, cv) WITH its `codes` + `cnorm` columns, partitioned
+    * BY CELL (the [[Similarity.writeAssigned]] layout, so query-time
+    * probes partition-prune), plus the codebook frame under
+    * `_codebooks/` (an underscore dir — invisible to a parquet read of
+    * the index root). This is the production shape the prerank path
+    * assumes: encode work happens ONCE at index-build time and every
+    * query batch reads the m-byte codes instead of re-encoding the
+    * corpus.
+    */
+  def writePqIndex(assigned: DataFrame, codebooks: DataFrame, path: String,
+                   dim: Int, m: Int, ksub: Int): Unit = {
+    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    pqIndexColumns(assigned, cbFlat, cbHalves,
+        sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/_codebooks")
+  }
+
+  /** [[ivfSdcPrerankTopK]] against a [[writePqIndex]] store: the
+    * probed cell set is computed first (bounded — queries × centroids)
+    * and pushed into the store scan as a static `cell IN (...)`
+    * predicate, so partition pruning skips every unprobed cell's files
+    * AND the corpus-side encode is skipped entirely (codes/cnorm are
+    * read, not recomputed). At 100 TB with nCells=4096 and nProbe=8
+    * the scan reads 0.2% of the store, and the per-batch narrow-map
+    * cost drops from dim-FMA encode per corpus row to a parquet column
+    * read. Output is byte-identical to the in-memory form over the
+    * same index (spec-pinned).
+    */
+  def ivfSdcPrerankTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      centroids: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
+      preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
+    val codebooks = spark.read.parquet(storePath + "/_codebooks")
+    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val (units, cellIds, cdim) =
+      Similarity.flatCentroids(centroids, normalize = true)
+    val probedCells = q.select(explode(VectorExpressions.nearestCellsTopK(
+        col("qv"), units, cellIds, cdim, nProbe)).as("pc"))
+      .select(col("pc.cell")).distinct()
+      .collect().map(_.getLong(0))
+    val store = spark.read.parquet(storePath)
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    sdcPrerankFrom(
+      store.select(col("corpus_id"), col("cell"), col("codes"), col("cnorm")),
+      store.select(col("corpus_id"), col("cv")),
+      centroids, queries, vecCol, idCol, cbFlat, cbHalves,
+      sdcTableFromFlat(cbFlat, dim, m, ksub),
+      k, nProbe, preRankC, dim, m, ksub)
   }
 }

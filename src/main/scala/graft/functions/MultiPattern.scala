@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -78,13 +79,38 @@ private[functions] final class AcAutomaton(val phrases: Array[String]) {
   }
 }
 
+/** Per-EXECUTOR automaton cache, identity-keyed on the broadcast
+  * phrase array: a Broadcast value is ONE object per executor, so
+  * every task of every stage using the same dictionary shares one
+  * automaton build instead of rebuilding per deserialized expression
+  * instance (= per task). Weak keys + weak values: an entry lives
+  * only while the broadcast block itself does — once ContextCleaner
+  * reaps the dictionary, the automaton is collectable too.
+  */
+private[functions] object AcAutomatons {
+  private val cache = new java.util.WeakHashMap[
+    Array[String], java.lang.ref.WeakReference[AcAutomaton]]()
+  def get(phrases: Array[String]): AcAutomaton = cache.synchronized {
+    Option(cache.get(phrases)).flatMap(r => Option(r.get())).getOrElse {
+      val ac = new AcAutomaton(phrases)
+      cache.put(phrases, new java.lang.ref.WeakReference(ac))
+      ac
+    }
+  }
+}
+
 /** ac_matches(text) → array<string>: the DISTINCT dictionary phrases
   * occurring in `text` as substrings, lexicographically sorted. Empty
   * phrases are ignored; matching is case-sensitive (normalize
-  * upstream). Pure narrow map — the dictionary rides inside the plan,
-  * no join, no shuffle.
+  * upstream). Pure narrow map — no join, no shuffle. The dictionary
+  * rides a Broadcast (one block per executor), never the serialized
+  * expression (= every task binary): a production blocklist of 10⁵–10⁶
+  * phrases is tens of MB, and the expression-field form would ship it
+  * per task AND rebuild the automaton per task — [[AcAutomatons]]
+  * builds it once per executor per dictionary.
   */
-case class AhoCorasickMatches(child: Expression, phrases: Seq[String])
+case class AhoCorasickMatches(child: Expression,
+                              phrases: Broadcast[Array[String]])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -97,7 +123,7 @@ case class AhoCorasickMatches(child: Expression, phrases: Seq[String])
       s"ac_matches expects string, got ${t.simpleString}")
   }
 
-  @transient private lazy val ac = new AcAutomaton(phrases.toArray)
+  @transient private lazy val ac = AcAutomatons.get(phrases.value)
 
   def matchesFor(t: UTF8String): ArrayData =
     new GenericArrayData(
@@ -119,8 +145,13 @@ case class AhoCorasickMatches(child: Expression, phrases: Seq[String])
 }
 
 object MultiPattern {
-  /** ac_matches(text, dictionary) — distinct matched phrases, sorted. */
-  def acMatches(text: Column, phrases: Seq[String]): Column =
+  /** ac_matches(text, dictionary) — distinct matched phrases, sorted.
+    * The dictionary broadcasts once (identity-cached, so several
+    * Columns over the same array share one block). */
+  def acMatches(text: Column, phrases: Seq[String]): Column = {
+    val arr = phrases.toArray
     GraftBridge.column(AhoCorasickMatches(
-      GraftBridge.expression(text), phrases))
+      GraftBridge.expression(text),
+      KernelBroadcasts.byKey(arr, arr)(_ eq arr)))
+  }
 }

@@ -24,6 +24,51 @@ case class CentroidMatrix(units: Array[Float], cells: Array[Long])
   */
 case class PqCodebookData(codebook: Array[Float], halves: Array[Double])
 
+/** Identity-keyed broadcast cache for kernel payloads (centroid
+  * matrices, PQ codebooks, SDC tables, phrase dictionaries): a plan
+  * that builds several Columns against one payload ships ONE broadcast
+  * block instead of one per Column construction. The active session's
+  * context is the broadcaster (all builders run on the driver).
+  *
+  * Keys are weak (an entry lives exactly as long as the caller's own
+  * reference to the payload array) and values are WeakReferences, NOT
+  * the Broadcast itself: the broadcast VALUE strongly reaches the key
+  * array (e.g. CentroidMatrix.units sits in the driver's block manager
+  * until unpersist), so a strong map value would keep its own weak key
+  * reachable forever — entries would never clear and every payload
+  * would stay broadcast for the session lifetime. With weak values the
+  * Broadcast lives exactly as long as some plan holds it; once plans
+  * drop it, ContextCleaner reaps the blocks and the next identical
+  * call re-broadcasts. Distinct payloads (e.g. each Lloyd iteration's
+  * new matrix) still broadcast — semantically they must. The cache is
+  * cleared when the active SparkContext changes (a cross-session
+  * handle would be stale).
+  */
+private[functions] object KernelBroadcasts {
+  private val cache =
+    new java.util.WeakHashMap[AnyRef, java.lang.ref.WeakReference[Broadcast[_]]]()
+  private var ctx: org.apache.spark.SparkContext = _
+  /** `sameAs` guards the identity key against a payload REBUILT around
+    * the same key array (e.g. the same units array paired with a
+    * different cells array — no current builder does that, but the
+    * wrappers are public): a mismatched hit broadcasts fresh and
+    * replaces the entry rather than returning the wrong payload. */
+  def byKey[T: scala.reflect.ClassTag](key: AnyRef, v: => T)(
+      sameAs: T => Boolean): Broadcast[T] =
+    cache.synchronized {
+      val sc = SparkSession.active.sparkContext
+      if (sc ne ctx) { cache.clear(); ctx = sc }
+      val hit = Option(cache.get(key)).flatMap(r => Option(r.get()))
+        .map(_.asInstanceOf[Broadcast[T]])
+        .filter(b => sameAs(b.value))
+      hit.getOrElse {
+        val b = sc.broadcast(v)
+        cache.put(key, new java.lang.ref.WeakReference[Broadcast[_]](b))
+        b
+      }
+    }
+}
+
 /** Native vector kernels for the similarity/dedup hot path (SURVEY.md
   * §4.3 extension layer).
   *
@@ -620,51 +665,13 @@ object VectorExpressions {
   def shingleFnv(s: Column, n: Int): Column =
     GraftBridge.column(ShingleFnv(expr(s), n))
 
-  // kernel payloads (centroid matrices, codebooks, SDC tables) ship as
-  // broadcast blocks — once per executor — never inside the serialized
-  // expression (= every task binary); the active session's context is
-  // the broadcaster (all builders run on the driver).
-  //
-  // REUSED, not re-broadcast: the cache below keys on the payload
-  // array's IDENTITY (weak — an entry lives exactly as long as the
-  // caller's own reference to the array), so a plan that scores several
-  // column pairs against one table, or probes and assigns against one
-  // centroid matrix, ships ONE block instead of one per Column
-  // construction. Distinct payloads (e.g. each Lloyd iteration's new
-  // matrix) still broadcast — semantically they must — and their blocks
-  // are reaped by Spark's ContextCleaner once the plan and the cache's
-  // weak entry drop them. The cache is cleared when the active
-  // SparkContext changes (a cross-session handle would be stale).
-  // Values are WeakReferences, NOT the Broadcast itself: the broadcast
-  // VALUE strongly reaches the key array (CentroidMatrix.units etc. sit
-  // in the driver's block manager until unpersist), so a strong map
-  // value would keep its own weak key reachable forever — entries would
-  // never clear and every payload would stay broadcast for the session
-  // lifetime. With weak values the Broadcast lives exactly as long as
-  // some plan holds it; once plans drop it, ContextCleaner reaps the
-  // blocks and the next identical call re-broadcasts.
-  private[this] val bcCache =
-    new java.util.WeakHashMap[AnyRef, java.lang.ref.WeakReference[Broadcast[_]]]()
-  private[this] var bcCacheCtx: org.apache.spark.SparkContext = _
-  /** `sameAs` guards the identity key against a payload REBUILT around
-    * the same key array (e.g. the same units array paired with a
-    * different cells array — no current builder does that, but the
-    * wrappers are public): a mismatched hit broadcasts fresh and
-    * replaces the entry rather than returning the wrong payload. */
+  // kernel payloads (centroid matrices, codebooks, SDC tables, phrase
+  // dictionaries) ship as broadcast blocks — once per executor — never
+  // inside the serialized expression (= every task binary); see
+  // [[KernelBroadcasts]].
   private def bcByKey[T: scala.reflect.ClassTag](key: AnyRef, v: => T)(
       sameAs: T => Boolean): Broadcast[T] =
-    bcCache.synchronized {
-      val sc = SparkSession.active.sparkContext
-      if (sc ne bcCacheCtx) { bcCache.clear(); bcCacheCtx = sc }
-      val hit = Option(bcCache.get(key)).flatMap(r => Option(r.get()))
-        .map(_.asInstanceOf[Broadcast[T]])
-        .filter(b => sameAs(b.value))
-      hit.getOrElse {
-        val b = sc.broadcast(v)
-        bcCache.put(key, new java.lang.ref.WeakReference[Broadcast[_]](b))
-        b
-      }
-    }
+    KernelBroadcasts.byKey(key, v)(sameAs)
 
   /** nearest-centroid argmax over a flat driver-normalized matrix
     * (see [[NearestCell]]) — the many-cell IVF assignment kernel. */

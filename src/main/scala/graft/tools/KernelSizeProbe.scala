@@ -49,6 +49,14 @@ object KernelSizeProbe {
         f"(pre-r14: expr carried the full payload into EVERY task binary)")
       println(f"[kernelsize] pq m=$m ksub=$ksub dsub=$dsub codebook_payload=${pqBytes / 1048576.0}%.1fMB " +
         f"pq_encode_expr=${pqSz}B")
+      // Aho-Corasick dictionary at a production blocklist shape: the
+      // expression must serialize to a handle, not the phrase list
+      val nPhrases = 100000
+      val dict = Array.tabulate(nPhrases)(i => s"phrase-token-$i-${i * 31}")
+      val dictBytes = dict.map(_.length.toLong + 40).sum
+      val acSz = exprBytes(graft.functions.MultiPattern.acMatches(col("t"), dict.toSeq))
+      println(f"[kernelsize] ac_matches nPhrases=$nPhrases dict_payload=${dictBytes / 1048576.0}%.1fMB " +
+        f"ac_expr=${acSz}B (dictionary rides a broadcast; automaton built once per executor)")
       // functional pass at the probed shape: a narrow assignment map
       val rnd = new scala.util.Random(5)
       val corpus = (0 until nRows).map(i =>

@@ -178,4 +178,31 @@ class PqSpec extends SparkSpec {
       .agg(avg("recall")).as[Double].first()
     assert(recall >= 0.9, s"pre-ranked recall@10 $recall vs exact IVF")
   }
+
+  test("writePqIndex store: byte-identical to in-memory prerank, partition-pruned scan") {
+    // the production shape: codes + cnorm persist WITH the
+    // cell-partitioned index, codebooks under _codebooks/ — query time
+    // reads the m-byte codes instead of re-encoding the corpus, and the
+    // probed-cell predicate prunes the store scan
+    val store = java.nio.file.Files.createTempDirectory("graft-pqidx").toString + "/index"
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    Pq.writePqIndex(assigned, cb, store, dim = dim, m = m, ksub = ksub)
+    val q = corpus.filter(col("id") < 20)
+    val inMem = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
+      k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
+    val fromStore = Pq.ivfSdcPrerankTopKFromStore(spark, store, cents, q,
+      "v", "id", k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
+    assert(fromStore.orderBy("query_id", "rank").collect() ===
+      inMem.orderBy("query_id", "rank").collect())
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"store scan is not partition-pruned:\n$plan")
+    // the stored codes ARE the index: reading the store back and
+    // re-deriving nothing must reproduce the persisted columns
+    val back = spark.read.parquet(store)
+    assert(back.columns.toSet === Set("corpus_id", "cv", "codes", "cnorm", "cell"))
+  }
 }

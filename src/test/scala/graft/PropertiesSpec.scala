@@ -97,7 +97,8 @@ class PropertiesSpec extends SparkSpec {
     val strGen = Gen.listOf(Gen.oneOf('a', 'b')).map(_.mkString)
     checkK("ac", Prop.forAll(strGen, Gen.listOf(strGen)) { (text, dict0) =>
       val dict = dict0.distinct
-      val k = graft.functions.AhoCorasickMatches(Literal("x"), dict)
+      val k = graft.functions.AhoCorasickMatches(Literal("x"),
+        spark.sparkContext.broadcast(dict.toArray))
       val got = k.matchesFor(
         org.apache.spark.unsafe.types.UTF8String.fromString(text))
         .toArray[org.apache.spark.unsafe.types.UTF8String](
