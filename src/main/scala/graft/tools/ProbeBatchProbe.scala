@@ -21,7 +21,14 @@ import graft.ext.Similarity
   * top-preRankC per query get exact cosine — the r14 all-corpus
   * cost-cut this probe exists to measure.
   *
-  * usage: runMain graft.tools.ProbeBatchProbe <sfDir> [nCells] [nProbe] [k] [preRankC]
+  * A 6th arg `store` (requires preRankC > 0) measures the PERSISTED
+  * index path instead: [[graft.ext.Pq.writePqIndex]] runs untimed
+  * (index-build work, amortized), then the timed query is
+  * [[graft.ext.Pq.ivfSdcPrerankTopKFromStore]] — codes/cnorm read
+  * from the cell-partitioned store, zero corpus-side encode in the
+  * query path.
+  *
+  * usage: runMain graft.tools.ProbeBatchProbe <sfDir> [nCells] [nProbe] [k] [preRankC] [store]
   */
 object ProbeBatchProbe {
   def main(args: Array[String]): Unit = {
@@ -53,19 +60,34 @@ object ProbeBatchProbe {
         Some(graft.ext.Pq.trainCodebooks(en, "v", "id",
           dim = 64, m = 16, ksub = 16, iterations = 1))
       } else None
+      val useStore = args.length > 5 && args(5) == "store"
+      val storePath = if (useStore) {
+        require(cb.nonEmpty, "store mode requires preRankC > 0")
+        val p = s"/dev/shm/graft-pqidx-${java.lang.ProcessHandle.current().pid()}"
+        graft.ext.Pq.writePqIndex(assigned, cb.get, p, dim = 64, m = 16, ksub = 16)
+        Some(p)
+      } else None
       val t0 = System.nanoTime()
-      val top = cb match {
-        case Some(c) => graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, c, e,
-          "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
-          dim = 64, m = 16, ksub = 16)
-        case None => Similarity.ivfTopK(assigned, cents, e,
+      val top = (cb, storePath) match {
+        case (Some(_), Some(p)) =>
+          graft.ext.Pq.ivfSdcPrerankTopKFromStore(spark, p, cents, e,
+            "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
+            dim = 64, m = 16, ksub = 16)
+        case (Some(c), None) =>
+          graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, c, e,
+            "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
+            dim = 64, m = 16, ksub = 16)
+        case _ => Similarity.ivfTopK(assigned, cents, e,
           "embedding", "vec_id", k = k, nProbe = nProbe)
       }
       val rows = top.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probebatch] dir=$dir corpus=$n queries=$n nCells=$nCells " +
-        f"nProbe=$nProbe k=$k preRankC=$preRankC result_rows=$rows sec=$sec%.2f " +
+        f"nProbe=$nProbe k=$k preRankC=$preRankC store=$useStore " +
+        f"result_rows=$rows sec=$sec%.2f " +
         s"(old probe selection would have shuffled ${n * nCells} rows)")
+      storePath.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     } finally spark.stop()
   }
 }
