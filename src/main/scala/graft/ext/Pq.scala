@@ -469,11 +469,14 @@ object Pq {
                         codebooks: DataFrame, queries: DataFrame,
                         vecCol: String, idCol: String, k: Int, nProbe: Int,
                         preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
     // ONE bounded codebook collect feeds everything: the SDC pair
     // table AND both encode columns (corpus + query side), which the
     // kernel wrapper's broadcast cache then ships as ONE payload block
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
     val tblArr = sdcTableFromFlat(cbFlat, dim, m, ksub)
+    val (units, cellIds, cdim) =
+      Similarity.flatCentroids(centroids, normalize = true)
     // corpus side: codes + reconstruction norm, both narrow maps over
     // the (already cell-partitioned) index — in production these two
     // columns persist WITH the index ([[writePqIndex]] /
@@ -481,7 +484,7 @@ object Pq {
     val encC = pqIndexColumns(assigned, cbFlat, cbHalves, tblArr, dim, m, ksub)
       .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
     sdcPrerankFrom(encC, assigned.select(col("corpus_id"), col("cv")),
-      centroids, queries, vecCol, idCol, cbFlat, cbHalves, tblArr,
+      units, cellIds, cdim, queries, vecCol, idCol, cbFlat, cbHalves, tblArr,
       k, nProbe, preRankC, dim, m, ksub)
   }
 
@@ -509,20 +512,21 @@ object Pq {
     */
   private def sdcPrerankFrom(
       encC: DataFrame, corpusVecs: DataFrame,
-      centroids: DataFrame, queries: DataFrame,
+      units: Array[Float], cellIds: Array[Long], cdim: Int,
+      queries: DataFrame,
       vecCol: String, idCol: String,
       cbFlat: Array[Float], cbHalves: Array[Double], tblArr: Array[Double],
       k: Int, nProbe: Int, preRankC: Int,
       dim: Int, m: Int, ksub: Int): DataFrame = {
-    require(preRankC >= k, s"ivfSdcPrerankTopK: preRankC $preRankC < k $k")
+    require(preRankC >= k, s"sdc prerank: preRankC $preRankC < k $k")
     def sdc(a: Column, b: Column) =
       VectorExpressions.pqSdcScore(a, b, tblArr, m, ksub)
     // query side: probe selection (narrow top-nProbe kernel) + codes;
     // qcodes (m ints) ride the probe broadcast — LIGHTER than the qv
-    // float vector ivfTopK broadcasts
+    // float vector ivfTopK broadcasts. The flat centroid triple is the
+    // CALLER'S — both entry points flatten once, so the store path's
+    // eager probed-cells pass and this plan share one broadcast matrix
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val (units, cellIds, cdim) =
-      Similarity.flatCentroids(centroids, normalize = true)
     val qp = q
       .select(col("query_id"),
         codesOnFlat(cbFlat, cbHalves, normalized(col("qv")), dim, m, ksub)
@@ -574,6 +578,15 @@ object Pq {
       .partitionBy("cell").parquet(path)
     codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + "/_codebooks")
+    // the encode shape is part of the index: a reader supplying a
+    // different (dim, m, ksub) would mis-read the stored codes (wrong
+    // SDC table shape / ArrayIndexOutOfBounds deep in the flatten) —
+    // persist it so the store self-describes and the reader validates
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    Seq((dim, m, ksub)).toDF("dim", "m", "ksub")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/_meta")
   }
 
   /** [[ivfSdcPrerankTopK]] against a [[writePqIndex]] store: the
@@ -592,9 +605,26 @@ object Pq {
       centroids: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nProbe: Int,
       preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(preRankC >= k,
+      s"ivfSdcPrerankTopKFromStore: preRankC $preRankC < k $k")
+    // the store self-describes its encode shape — reject a caller
+    // whose (dim, m, ksub) disagrees with what the codes were written
+    // with BEFORE any scan (the failure otherwise is an opaque
+    // out-of-bounds deep in the codebook flatten, or silently
+    // mis-shaped SDC scores)
+    val meta = spark.read.parquet(storePath + "/_meta")
+      .select(col("dim").cast("int"), col("m").cast("int"),
+        col("ksub").cast("int")).head()
+    require(meta.getInt(0) == dim && meta.getInt(1) == m && meta.getInt(2) == ksub,
+      s"ivfSdcPrerankTopKFromStore: store $storePath was written with " +
+        s"(dim=${meta.getInt(0)}, m=${meta.getInt(1)}, ksub=${meta.getInt(2)}), " +
+        s"caller passed (dim=$dim, m=$m, ksub=$ksub)")
     val codebooks = spark.read.parquet(storePath + "/_codebooks")
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // flatten ONCE: this triple feeds the eager probed-cells pass AND
+    // the query plan inside sdcPrerankFrom — same array instance, so
+    // the identity-keyed broadcast cache ships one matrix block
     val (units, cellIds, cdim) =
       Similarity.flatCentroids(centroids, normalize = true)
     val probedCells = q.select(explode(VectorExpressions.nearestCellsTopK(
@@ -606,7 +636,7 @@ object Pq {
     sdcPrerankFrom(
       store.select(col("corpus_id"), col("cell"), col("codes"), col("cnorm")),
       store.select(col("corpus_id"), col("cv")),
-      centroids, queries, vecCol, idCol, cbFlat, cbHalves,
+      units, cellIds, cdim, queries, vecCol, idCol, cbFlat, cbHalves,
       sdcTableFromFlat(cbFlat, dim, m, ksub),
       k, nProbe, preRankC, dim, m, ksub)
   }

@@ -88,12 +88,17 @@ private[functions] final class AcAutomaton(val phrases: Array[String]) {
   * reaps the dictionary, the automaton is collectable too.
   */
 private[functions] object AcAutomatons {
+  // SOFT references, not weak: a weak value dies at the first GC after
+  // the stage's tasks finish, so every later stage would pay the full
+  // automaton rebuild (and serialize concurrent tasks behind the
+  // synchronized build) — soft values survive until memory pressure,
+  // which matches the "lives while the dictionary block does" intent
   private val cache = new java.util.WeakHashMap[
-    Array[String], java.lang.ref.WeakReference[AcAutomaton]]()
+    Array[String], java.lang.ref.SoftReference[AcAutomaton]]()
   def get(phrases: Array[String]): AcAutomaton = cache.synchronized {
     Option(cache.get(phrases)).flatMap(r => Option(r.get())).getOrElse {
       val ac = new AcAutomaton(phrases)
-      cache.put(phrases, new java.lang.ref.WeakReference(ac))
+      cache.put(phrases, new java.lang.ref.SoftReference(ac))
       ac
     }
   }
@@ -146,12 +151,17 @@ case class AhoCorasickMatches(child: Expression,
 
 object MultiPattern {
   /** ac_matches(text, dictionary) — distinct matched phrases, sorted.
-    * The dictionary broadcasts once (identity-cached, so several
-    * Columns over the same array share one block). */
-  def acMatches(text: Column, phrases: Seq[String]): Column = {
-    val arr = phrases.toArray
+    * The broadcast cache keys on the CALLER'S `phrases` reference
+    * (not the internal copy, which is born fresh per call and could
+    * never hit): repeated calls with the same Seq instance share one
+    * dictionary block AND get equal expressions (same Broadcast
+    * reference), preserving subexpression/exchange reuse. The
+    * `sameElements` guard re-broadcasts if a caller mutated a mutable
+    * Seq between calls. Distinct-but-equal Seq instances still
+    * broadcast separately — reuse the dictionary object to share. */
+  def acMatches(text: Column, phrases: Seq[String]): Column =
     GraftBridge.column(AhoCorasickMatches(
       GraftBridge.expression(text),
-      KernelBroadcasts.byKey(arr, arr)(_ eq arr)))
-  }
+      KernelBroadcasts.byKey(phrases, phrases.toArray)(
+        b => b.length == phrases.length && b.sameElements(phrases))))
 }

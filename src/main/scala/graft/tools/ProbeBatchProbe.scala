@@ -86,8 +86,13 @@ object ProbeBatchProbe {
         f"nProbe=$nProbe k=$k preRankC=$preRankC store=$useStore " +
         f"result_rows=$rows sec=$sec%.2f " +
         s"(old probe selection would have shuffled ${n * nCells} rows)")
-      storePath.foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-    } finally spark.stop()
+    } finally {
+      // clean the RAM-backed index copy even when the timed query
+      // throws — a leaked /dev/shm parquet copy survives the JVM
+      if (args.length > 5 && args(5) == "store")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+          s"/dev/shm/graft-pqidx-${java.lang.ProcessHandle.current().pid()}"))
+      spark.stop()
+    }
   }
 }

@@ -204,5 +204,14 @@ class PqSpec extends SparkSpec {
     // re-deriving nothing must reproduce the persisted columns
     val back = spark.read.parquet(store)
     assert(back.columns.toSet === Set("corpus_id", "cv", "codes", "cnorm", "cell"))
+    // the store self-describes its encode shape: a reader supplying a
+    // mismatched (dim, m, ksub) must fail loudly BEFORE any scan, not
+    // as an opaque out-of-bounds in the codebook flatten
+    val err = intercept[IllegalArgumentException] {
+      Pq.ivfSdcPrerankTopKFromStore(spark, store, cents, q,
+        "v", "id", k = 10, nProbe = 2, preRankC = 30,
+        dim = dim, m = m * 2, ksub = ksub)
+    }
+    assert(err.getMessage.contains("was written with"))
   }
 }
