@@ -157,8 +157,10 @@ object MultiPattern {
     * dictionary block AND get equal expressions (same Broadcast
     * reference), preserving subexpression/exchange reuse. The
     * `sameElements` guard re-broadcasts if a caller mutated a mutable
-    * Seq between calls. Distinct-but-equal Seq instances still
-    * broadcast separately — reuse the dictionary object to share. */
+    * Seq between calls. (WeakHashMap keys compare by equals, so
+    * distinct-but-content-equal Seq instances may also share — safe
+    * under the sameElements guard — but only same-instance sharing is
+    * the contract.) */
   def acMatches(text: Column, phrases: Seq[String]): Column =
     GraftBridge.column(AhoCorasickMatches(
       GraftBridge.expression(text),

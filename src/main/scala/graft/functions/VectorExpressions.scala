@@ -31,7 +31,10 @@ case class PqCodebookData(codebook: Array[Float], halves: Array[Double])
   * context is the broadcaster (all builders run on the driver).
   *
   * Keys are weak (an entry lives exactly as long as the caller's own
-  * reference to the payload array) and values are WeakReferences, NOT
+  * reference to the payload key — note WeakHashMap compares keys by
+  * equals: reference identity for array keys, content equality for
+  * collection keys like the AC dictionary Seq) and values are
+  * WeakReferences, NOT
   * the Broadcast itself: the broadcast VALUE strongly reaches the key
   * array (e.g. CentroidMatrix.units sits in the driver's block manager
   * until unpersist), so a strong map value would keep its own weak key

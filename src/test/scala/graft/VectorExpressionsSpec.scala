@@ -68,4 +68,52 @@ class VectorExpressionsSpec extends SparkSpec {
       df.select(VectorExpressions.dotF(col("a"), col("b"))).collect()
     }
   }
+
+  test("kernel broadcast cache: same payload instance shares one block, identity-strict") {
+    import org.apache.spark.sql.GraftBridge
+    val units = Array.fill(8)(0.5f)
+    val cells = Array(0L, 1L)
+    def bcOf(c: org.apache.spark.sql.Column) = GraftBridge.expression(c) match {
+      case graft.functions.NearestCell(_, b, _) => b
+      case graft.functions.NearestCellsTopK(_, b, _, _) => b
+      case other => fail(s"unexpected expression $other")
+    }
+    // assignment + probe kernels over the SAME units array instance:
+    // one broadcast block for the plan, not one per Column construction
+    val b1 = bcOf(VectorExpressions.nearestCell(col("v"), units, cells, 4))
+    val b2 = bcOf(VectorExpressions.nearestCellsTopK(col("v"), units, cells, 4, 2))
+    assert(b1 eq b2, "same payload instance must share one broadcast")
+    // identity, not content: a clone is a distinct payload (each Lloyd
+    // iteration's new matrix must rebroadcast)
+    val b3 = bcOf(VectorExpressions.nearestCell(col("v"), units.clone(), cells, 4))
+    assert(!(b1 eq b3), "distinct array instances must not share")
+    // the sameAs guard: the same units paired with DIFFERENT cells must
+    // not return the stale payload
+    val cells2 = Array(5L, 6L)
+    val b4 = bcOf(VectorExpressions.nearestCell(col("v"), units, cells2, 4))
+    assert(!(b1 eq b4) && (b4.value.cells eq cells2),
+      "rebuilt payload around the same key must broadcast fresh")
+  }
+
+  test("acMatches: one dictionary object shares one broadcast block across calls") {
+    import org.apache.spark.sql.GraftBridge
+    // the broadcast cache keys on the CALLER'S Seq reference, so two
+    // Columns over one dictionary object hold the SAME Broadcast — the
+    // identity subexpression/exchange reuse keys on once children are
+    // resolved. (Whole-expression equality is untestable on unresolved
+    // columns: Spark 4 embeds per-call-site Origin metadata in them.)
+    val dict = Seq("alpha", "beta")
+    def bcOf(c: org.apache.spark.sql.Column) = GraftBridge.expression(c) match {
+      case graft.functions.AhoCorasickMatches(_, b) => b
+      case other => fail(s"unexpected expression $other")
+    }
+    val b1 = bcOf(graft.functions.MultiPattern.acMatches(col("t"), dict))
+    val b2 = bcOf(graft.functions.MultiPattern.acMatches(col("t"), dict))
+    assert(b1 eq b2, "same dictionary object must share one broadcast")
+    // a different-but-equal dictionary instance: content-keyed sharing
+    // is NOT promised (WeakHashMap equals-based keys may share for
+    // Seqs, but the CONTRACT is instance-level) — only assert the
+    // payload round-trips
+    assert(b1.value.toSeq === dict)
+  }
 }
