@@ -600,6 +600,35 @@ object Pq {
     * read. Output is byte-identical to the in-memory form over the
     * same index (spec-pinned).
     */
+  /** Append a NEW assigned batch (corpus_id, cv, cell — from
+    * [[Similarity.assignCells]] against the index's OWN centroids) to
+    * an existing [[writePqIndex]] store — the daily-ingest shape: the
+    * batch is encoded with the STORE'S persisted codebooks (read from
+    * `_codebooks/`, never retrained — retraining would make old and
+    * new codes incomparable under one SDC table) and appended under
+    * the matching cell directories. No rebuild, no read of the
+    * existing rows; `_meta` / `_codebooks` are left untouched. Output
+    * of a query against (store + appended batch) is byte-identical to
+    * a one-shot [[writePqIndex]] over the union with the same
+    * codebooks (spec-pinned). Codebook drift mirrors centroid drift
+    * ([[Similarity.appendAssigned]]): quantization error grows if the
+    * batch distribution shifts — gate with the recall probes and
+    * re-train + rewrite when the gate degrades.
+    */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, assignedBatch: DataFrame): Unit = {
+    val meta = spark.read.parquet(storePath + "/_meta")
+      .select(col("dim").cast("int"), col("m").cast("int"),
+        col("ksub").cast("int")).head()
+    val (dim, m, ksub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val codebooks = spark.read.parquet(storePath + "/_codebooks")
+    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    pqIndexColumns(assignedBatch, cbFlat, cbHalves,
+        sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(storePath)
+  }
+
   def ivfSdcPrerankTopKFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       centroids: DataFrame, queries: DataFrame,

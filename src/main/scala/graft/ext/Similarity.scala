@@ -671,6 +671,23 @@ object Similarity {
     assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
 
+  /** Append a NEW batch to an existing cell-partitioned store — the
+    * daily-ingest shape at 100 TB: the batch is assigned with the
+    * store's OWN centroids (a pure narrow map over the batch; the
+    * centroids MUST be the ones the store was built with, or cell
+    * membership silently diverges from what probes assume) and
+    * appended under the matching cell directories. No rebuild, no
+    * read of the existing store. Centroid drift is the caller's
+    * trade-off: appended batches are probed correctly against the
+    * FIXED cells, but a corpus whose distribution shifts eventually
+    * wants a re-train + rewrite (measure with [[recallAtK]]).
+    */
+  def appendAssigned(batch: DataFrame, centroids: DataFrame,
+                     vecCol: String, idCol: String, path: String): Unit =
+    assignCells(batch, centroids, vecCol, idCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path)
+
   /** IVF top-k against a cell-partitioned store: the probed cell set is
     * computed first (tiny — queries × centroids, both bounded) and
     * pushed into the store scan as a STATIC `cell IN (...)` predicate,

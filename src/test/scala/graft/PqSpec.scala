@@ -214,4 +214,27 @@ class PqSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("was written with"))
   }
+
+  test("appendToPqIndex: incremental build == one-shot build, byte-identical") {
+    // the daily-ingest shape: half the corpus at build time, half
+    // appended later with the STORE'S persisted codebooks — a query
+    // must not be able to tell the difference from a one-shot build
+    val base = java.nio.file.Files.createTempDirectory("graft-pqappend").toString
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val oneShot = s"$base/oneshot"
+    Pq.writePqIndex(assigned, cb, oneShot, dim = dim, m = m, ksub = ksub)
+    val incr = s"$base/incr"
+    Pq.writePqIndex(assigned.filter(col("corpus_id") < 100), cb, incr,
+      dim = dim, m = m, ksub = ksub)
+    Pq.appendToPqIndex(spark, incr, assigned.filter(col("corpus_id") >= 100))
+    val q = corpus.filter(col("id") < 20)
+    def run(p: String) = Pq.ivfSdcPrerankTopKFromStore(spark, p, cents, q,
+        "v", "id", k = 10, nProbe = 2, preRankC = 30,
+        dim = dim, m = m, ksub = ksub)
+      .orderBy("query_id", "rank").collect()
+    assert(run(incr) === run(oneShot))
+  }
 }

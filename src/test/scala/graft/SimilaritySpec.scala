@@ -269,6 +269,27 @@ class SimilaritySpec extends SparkSpec {
       s"store scan is not partition-pruned:\n$plan")
   }
 
+  test("appendAssigned: incremental store == one-shot store for probes") {
+    // daily-ingest: build from a slice, append the rest with the SAME
+    // centroids — query results must match the one-shot store
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
+    val oneShot = s"$base/oneshot"
+    Similarity.writeAssigned(
+      Similarity.assignCells(embs, centroids, "embedding", "vec_id"), oneShot)
+    val incr = s"$base/incr"
+    Similarity.writeAssigned(
+      Similarity.assignCells(embs.filter(col("vec_id") < 2), centroids,
+        "embedding", "vec_id"), incr)
+    Similarity.appendAssigned(embs.filter(col("vec_id") >= 2), centroids,
+      "embedding", "vec_id", incr)
+    val q = embs.filter(col("vec_id") === 0)
+    def run(p: String) = Similarity.ivfTopKFromStore(spark, p, centroids, q,
+        "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(run(incr) === run(oneShot))
+  }
+
   test("IVF probe returns self-consistent top-k from probed cells") {
     val centroids = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 2)
     val assigned = Similarity.assignCells(embs, centroids, "embedding", "vec_id")
