@@ -562,22 +562,31 @@ object Pq {
   /** Persist a PQ-augmented IVF index: the assigned corpus
     * (corpus_id, cv) WITH its `codes` + `cnorm` columns, partitioned
     * BY CELL (the [[Similarity.writeAssigned]] layout, so query-time
-    * probes partition-prune), plus the codebook frame under
-    * `_codebooks/` (an underscore dir — invisible to a parquet read of
-    * the index root). This is the production shape the prerank path
+    * probes partition-prune), plus everything a reader needs under
+    * underscore dirs (invisible to a parquet read of the index root):
+    * the codebook frame at `_codebooks/`, the CENTROIDS at
+    * `_centroids/` (so appends assign against the index's own cells
+    * instead of trusting a caller-supplied frame), and the encode
+    * shape at `_meta/`. This is the production shape the prerank path
     * assumes: encode work happens ONCE at index-build time and every
     * query batch reads the m-byte codes instead of re-encoding the
     * corpus.
     */
-  def writePqIndex(assigned: DataFrame, codebooks: DataFrame, path: String,
+  def writePqIndex(assigned: DataFrame, centroids: DataFrame,
+                   codebooks: DataFrame, path: String,
                    dim: Int, m: Int, ksub: Int): Unit = {
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
-    pqIndexColumns(assigned, cbFlat, cbHalves,
+    pqIndexColumns(
+        assigned.select(col("corpus_id"), col("cv"), col("cell")),
+        cbFlat, cbHalves,
         sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
     codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + "/_codebooks")
+    centroids.select(col("cell"), col("centroid"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/_centroids")
     // the encode shape is part of the index: a reader supplying a
     // different (dim, m, ksub) would mis-read the stored codes (wrong
     // SDC table shape / ArrayIndexOutOfBounds deep in the flatten) —
@@ -589,6 +598,64 @@ object Pq {
       .parquet(path + "/_meta")
   }
 
+  /** The store's self-described encode shape — ONE reader for every
+    * consumer, so the `_meta` layout lives in one place. */
+  private def readStoreMeta(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String): (Int, Int, Int) = {
+    val meta = spark.read.parquet(storePath + "/_meta")
+      .select(col("dim").cast("int"), col("m").cast("int"),
+        col("ksub").cast("int")).head()
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Append a RAW batch (idCol, vecCol) to an existing
+    * [[writePqIndex]] store — the daily-ingest shape. Assignment uses
+    * the STORE'S persisted centroids and encoding the STORE'S
+    * persisted codebooks (never caller-supplied, never retrained —
+    * retrained codebooks would make old and new codes incomparable
+    * under one SDC table, and foreign centroids would file rows under
+    * cells probes don't expect). Both assignment and encode are pure
+    * narrow maps over the batch: O(batch) work, no rebuild, no read
+    * of existing rows; `_meta` / `_codebooks` / `_centroids` are left
+    * untouched. Output of a query against (store + appended batch) is
+    * byte-identical to a one-shot [[writePqIndex]] over the union
+    * (spec-pinned).
+    *
+    * RETRY HAZARD: appends are AT-LEAST-ONCE under job retries — a
+    * re-run after a committed append duplicates the batch's rows, and
+    * a duplicated neighbor occupies two of the top-k ranks. Either
+    * make the orchestrator exactly-once, or pass
+    * `skipExistingIds = true` to anti-join the batch against the ids
+    * already present in its target cells (costs a read of those
+    * cells' corpus_id column — partition-pruned, not the full store).
+    * Codebook/centroid drift is the documented trade-off: a shifting
+    * ingest distribution degrades quantization/recall — gate with the
+    * recall probes and re-train + rewrite when the gate drops.
+    */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, batch: DataFrame,
+                      vecCol: String, idCol: String,
+                      skipExistingIds: Boolean = false): Unit = {
+    val (dim, m, ksub) = readStoreMeta(spark, storePath)
+    val codebooks = spark.read.parquet(storePath + "/_codebooks")
+    val centroids = spark.read.parquet(storePath + "/_centroids")
+    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    val assigned = Similarity.assignCells(batch, centroids, vecCol, idCol)
+      .select(col("corpus_id"), col("cv"), col("cell"))
+    val deduped = if (!skipExistingIds) assigned else {
+      val touched = assigned.select(col("cell")).distinct()
+        .collect().map(_.getLong(0))
+      val existing = spark.read.parquet(storePath)
+        .filter(col("cell").isin(touched.toIndexedSeq: _*))
+        .select(col("corpus_id"))
+      assigned.join(existing, Seq("corpus_id"), "left_anti")
+    }
+    pqIndexColumns(deduped, cbFlat, cbHalves,
+        sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(storePath)
+  }
+
   /** [[ivfSdcPrerankTopK]] against a [[writePqIndex]] store: the
     * probed cell set is computed first (bounded — queries × centroids)
     * and pushed into the store scan as a static `cell IN (...)`
@@ -598,37 +665,11 @@ object Pq {
     * the scan reads 0.2% of the store, and the per-batch narrow-map
     * cost drops from dim-FMA encode per corpus row to a parquet column
     * read. Output is byte-identical to the in-memory form over the
-    * same index (spec-pinned).
+    * same index (spec-pinned). The explicit-shape form validates the
+    * caller's (dim, m, ksub) against `_meta` before any scan; the
+    * short overload below reads shape AND centroids from the store —
+    * fully self-describing, nothing to mismatch.
     */
-  /** Append a NEW assigned batch (corpus_id, cv, cell — from
-    * [[Similarity.assignCells]] against the index's OWN centroids) to
-    * an existing [[writePqIndex]] store — the daily-ingest shape: the
-    * batch is encoded with the STORE'S persisted codebooks (read from
-    * `_codebooks/`, never retrained — retraining would make old and
-    * new codes incomparable under one SDC table) and appended under
-    * the matching cell directories. No rebuild, no read of the
-    * existing rows; `_meta` / `_codebooks` are left untouched. Output
-    * of a query against (store + appended batch) is byte-identical to
-    * a one-shot [[writePqIndex]] over the union with the same
-    * codebooks (spec-pinned). Codebook drift mirrors centroid drift
-    * ([[Similarity.appendAssigned]]): quantization error grows if the
-    * batch distribution shifts — gate with the recall probes and
-    * re-train + rewrite when the gate degrades.
-    */
-  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
-                      storePath: String, assignedBatch: DataFrame): Unit = {
-    val meta = spark.read.parquet(storePath + "/_meta")
-      .select(col("dim").cast("int"), col("m").cast("int"),
-        col("ksub").cast("int")).head()
-    val (dim, m, ksub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val codebooks = spark.read.parquet(storePath + "/_codebooks")
-    val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
-    pqIndexColumns(assignedBatch, cbFlat, cbHalves,
-        sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(storePath)
-  }
-
   def ivfSdcPrerankTopKFromStore(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       centroids: DataFrame, queries: DataFrame,
@@ -636,17 +677,14 @@ object Pq {
       preRankC: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
     require(preRankC >= k,
       s"ivfSdcPrerankTopKFromStore: preRankC $preRankC < k $k")
-    // the store self-describes its encode shape — reject a caller
-    // whose (dim, m, ksub) disagrees with what the codes were written
-    // with BEFORE any scan (the failure otherwise is an opaque
-    // out-of-bounds deep in the codebook flatten, or silently
-    // mis-shaped SDC scores)
-    val meta = spark.read.parquet(storePath + "/_meta")
-      .select(col("dim").cast("int"), col("m").cast("int"),
-        col("ksub").cast("int")).head()
-    require(meta.getInt(0) == dim && meta.getInt(1) == m && meta.getInt(2) == ksub,
+    // reject a caller whose (dim, m, ksub) disagrees with what the
+    // codes were written with BEFORE any scan (the failure otherwise
+    // is an opaque out-of-bounds deep in the codebook flatten, or
+    // silently mis-shaped SDC scores)
+    val (sDim, sM, sKsub) = readStoreMeta(spark, storePath)
+    require(sDim == dim && sM == m && sKsub == ksub,
       s"ivfSdcPrerankTopKFromStore: store $storePath was written with " +
-        s"(dim=${meta.getInt(0)}, m=${meta.getInt(1)}, ksub=${meta.getInt(2)}), " +
+        s"(dim=$sDim, m=$sM, ksub=$sKsub), " +
         s"caller passed (dim=$dim, m=$m, ksub=$ksub)")
     val codebooks = spark.read.parquet(storePath + "/_codebooks")
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
@@ -668,5 +706,17 @@ object Pq {
       units, cellIds, cdim, queries, vecCol, idCol, cbFlat, cbHalves,
       sdcTableFromFlat(cbFlat, dim, m, ksub),
       k, nProbe, preRankC, dim, m, ksub)
+  }
+
+  /** Self-describing overload: shape AND centroids come from the
+    * store itself — nothing for a caller to mismatch. */
+  def ivfSdcPrerankTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int, preRankC: Int): DataFrame = {
+    val (dim, m, ksub) = readStoreMeta(spark, storePath)
+    ivfSdcPrerankTopKFromStore(spark, storePath,
+      spark.read.parquet(storePath + "/_centroids"), queries,
+      vecCol, idCol, k, nProbe, preRankC, dim, m, ksub)
   }
 }

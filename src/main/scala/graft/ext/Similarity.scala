@@ -681,12 +681,30 @@ object Similarity {
     * trade-off: appended batches are probed correctly against the
     * FIXED cells, but a corpus whose distribution shifts eventually
     * wants a re-train + rewrite (measure with [[recallAtK]]).
+    *
+    * RETRY HAZARD: appends are AT-LEAST-ONCE under job retries — a
+    * re-run after a committed append duplicates the batch's rows, and
+    * a duplicated neighbor occupies two of the top-k ranks. Either
+    * make the orchestrator exactly-once, or pass
+    * `skipExistingIds = true` to anti-join the batch against the ids
+    * already present in its target cells (costs a partition-pruned
+    * read of those cells' corpus_id column, not the full store).
     */
   def appendAssigned(batch: DataFrame, centroids: DataFrame,
-                     vecCol: String, idCol: String, path: String): Unit =
-    assignCells(batch, centroids, vecCol, idCol)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+                     vecCol: String, idCol: String, path: String,
+                     skipExistingIds: Boolean = false): Unit = {
+    val assigned = assignCells(batch, centroids, vecCol, idCol)
+    val deduped = if (!skipExistingIds) assigned else {
+      val touched = assigned.select(col("cell")).distinct()
+        .collect().map(_.getLong(0))
+      val existing = batch.sparkSession.read.parquet(path)
+        .filter(col("cell").isin(touched.toIndexedSeq: _*))
+        .select(col("corpus_id"))
+      assigned.join(existing, Seq("corpus_id"), "left_anti")
+    }
+    deduped.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(path)
+  }
 
   /** IVF top-k against a cell-partitioned store: the probed cell set is
     * computed first (tiny — queries × centroids, both bounded) and

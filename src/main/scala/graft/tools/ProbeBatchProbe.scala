@@ -64,7 +64,8 @@ object ProbeBatchProbe {
       val storePath = if (useStore) {
         require(cb.nonEmpty, "store mode requires preRankC > 0")
         val p = s"/dev/shm/graft-pqidx-${java.lang.ProcessHandle.current().pid()}"
-        graft.ext.Pq.writePqIndex(assigned, cb.get, p, dim = 64, m = 16, ksub = 16)
+        graft.ext.Pq.writePqIndex(assigned, cents, cb.get, p,
+          dim = 64, m = 16, ksub = 16)
         Some(p)
       } else None
       val t0 = System.nanoTime()

@@ -189,13 +189,19 @@ class PqSpec extends SparkSpec {
       Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
       "v", "id", iterations = 1)
     val assigned = Similarity.assignCells(corpus, cents, "v", "id")
-    Pq.writePqIndex(assigned, cb, store, dim = dim, m = m, ksub = ksub)
+    Pq.writePqIndex(assigned, cents, cb, store, dim = dim, m = m, ksub = ksub)
     val q = corpus.filter(col("id") < 20)
     val inMem = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
       k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
     val fromStore = Pq.ivfSdcPrerankTopKFromStore(spark, store, cents, q,
       "v", "id", k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
     assert(fromStore.orderBy("query_id", "rank").collect() ===
+      inMem.orderBy("query_id", "rank").collect())
+    // the self-describing overload (shape + centroids from the store)
+    // must agree with the explicit form
+    val selfDesc = Pq.ivfSdcPrerankTopKFromStore(spark, store, q,
+      "v", "id", k = 10, nProbe = 2, preRankC = 30)
+    assert(selfDesc.orderBy("query_id", "rank").collect() ===
       inMem.orderBy("query_id", "rank").collect())
     val plan = fromStore.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"),
@@ -225,11 +231,17 @@ class PqSpec extends SparkSpec {
       "v", "id", iterations = 1)
     val assigned = Similarity.assignCells(corpus, cents, "v", "id")
     val oneShot = s"$base/oneshot"
-    Pq.writePqIndex(assigned, cb, oneShot, dim = dim, m = m, ksub = ksub)
+    Pq.writePqIndex(assigned, cents, cb, oneShot, dim = dim, m = m, ksub = ksub)
     val incr = s"$base/incr"
-    Pq.writePqIndex(assigned.filter(col("corpus_id") < 100), cb, incr,
+    Pq.writePqIndex(assigned.filter(col("corpus_id") < 100), cents, cb, incr,
       dim = dim, m = m, ksub = ksub)
-    Pq.appendToPqIndex(spark, incr, assigned.filter(col("corpus_id") >= 100))
+    // the append takes the RAW batch — assignment runs inside against
+    // the STORE'S persisted centroids, so a caller cannot file rows
+    // under cells probes don't expect
+    Pq.appendToPqIndex(spark, incr, corpus.filter(col("id") >= 100), "v", "id")
+    // re-ingesting the same batch with skipExistingIds must be a no-op
+    Pq.appendToPqIndex(spark, incr, corpus.filter(col("id") >= 100), "v", "id",
+      skipExistingIds = true)
     val q = corpus.filter(col("id") < 20)
     def run(p: String) = Pq.ivfSdcPrerankTopKFromStore(spark, p, cents, q,
         "v", "id", k = 10, nProbe = 2, preRankC = 30,

@@ -283,6 +283,9 @@ class SimilaritySpec extends SparkSpec {
         "embedding", "vec_id"), incr)
     Similarity.appendAssigned(embs.filter(col("vec_id") >= 2), centroids,
       "embedding", "vec_id", incr)
+    // a retried append with skipExistingIds must be a no-op
+    Similarity.appendAssigned(embs.filter(col("vec_id") >= 2), centroids,
+      "embedding", "vec_id", incr, skipExistingIds = true)
     val q = embs.filter(col("vec_id") === 0)
     def run(p: String) = Similarity.ivfTopKFromStore(spark, p, centroids, q,
         "embedding", "vec_id", k = 3, nProbe = 2)
