@@ -581,6 +581,12 @@ object Pq {
         cbFlat, cbHalves,
         sdcTableFromFlat(cbFlat, dim, m, ksub), dim, m, ksub)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // a rebuild must replace the WHOLE store: under a session running
+      // partitionOverwriteMode=dynamic, Overwrite would keep any cell
+      // partition absent from the NEW data — stale codes encoded with
+      // the OLD codebook, silently mis-scored against the new SDC
+      // table. Pin static on this writer regardless of session config.
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(path)
     codebooks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + "/_codebooks")
@@ -628,6 +634,16 @@ object Pq {
     * `skipExistingIds = true` to anti-join the batch against the ids
     * already present in its target cells (costs a read of those
     * cells' corpus_id column — partition-pruned, not the full store).
+    * `skipExistingIds` covers the exact-retry case ONLY: it assumes
+    * ids are IMMUTABLE (a re-ingested id whose vector changed may
+    * assign to a DIFFERENT cell, which the cell-pruned check never
+    * reads) and appends are SERIALIZED (two concurrent appends of
+    * overlapping batches both pass the check before either commits).
+    * If either assumption can break, pass `strictIdCheck = true`
+    * instead: the anti-join reads corpus_id across the FULL store —
+    * an unpruned (single-column, still cheap) scan that catches
+    * moved-cell re-ingests too. Concurrent appends remain the
+    * orchestrator's problem under either mode.
     * Codebook/centroid drift is the documented trade-off: a shifting
     * ingest distribution degrades quantization/recall — gate with the
     * recall probes and re-train + rewrite when the gate drops.
@@ -635,19 +651,42 @@ object Pq {
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
                       storePath: String, batch: DataFrame,
                       vecCol: String, idCol: String,
-                      skipExistingIds: Boolean = false): Unit = {
+                      skipExistingIds: Boolean = false,
+                      strictIdCheck: Boolean = false): Unit = {
     val (dim, m, ksub) = readStoreMeta(spark, storePath)
     val codebooks = spark.read.parquet(storePath + "/_codebooks")
     val centroids = spark.read.parquet(storePath + "/_centroids")
     val (cbFlat, cbHalves) = flatCbArrays(codebooks, dim, m, ksub)
+    val store = spark.read.parquet(storePath)
+    // validate the batch's columns against the store BEFORE any derived
+    // work or write: a mistyped batch (array<double> vectors into an
+    // array<float> store, a string id into a long store) would
+    // otherwise either trip an opaque kernel type-check deep in
+    // assignment/encode or — worse — commit mixed-schema parquet files
+    // that only blow up at the NEXT read, corrupting the index from
+    // the reader's perspective. The derived codes/cnorm columns are
+    // pure functions of cv, so checking (id, vec) covers the whole
+    // written schema. Compare by SQL type (nullability is legitimately
+    // loose on parquet read-back); `cell` is the partition column,
+    // whose read-back type is inference-dependent, so it is excluded.
+    val want = store.schema.filter(f => f.name == "corpus_id" || f.name == "cv")
+      .map(f => f.name -> f.dataType.sql).toMap
+    val got = Map("corpus_id" -> batch.schema(idCol).dataType.sql,
+      "cv" -> batch.schema(vecCol).dataType.sql)
+    require(got == want,
+      s"appendToPqIndex: batch ($idCol, $vecCol) types $got do not match " +
+        s"store $storePath schema $want — appending would corrupt the index")
     val assigned = Similarity.assignCells(batch, centroids, vecCol, idCol)
       .select(col("corpus_id"), col("cv"), col("cell"))
-    val deduped = if (!skipExistingIds) assigned else {
-      val touched = assigned.select(col("cell")).distinct()
-        .collect().map(_.getLong(0))
-      val existing = spark.read.parquet(storePath)
-        .filter(col("cell").isin(touched.toIndexedSeq: _*))
-        .select(col("corpus_id"))
+    val deduped = if (!skipExistingIds && !strictIdCheck) assigned else {
+      val existing =
+        if (strictIdCheck) store.select(col("corpus_id"))
+        else {
+          val touched = assigned.select(col("cell")).distinct()
+            .collect().map(_.getLong(0))
+          store.filter(col("cell").isin(touched.toIndexedSeq: _*))
+            .select(col("corpus_id"))
+        }
       assigned.join(existing, Seq("corpus_id"), "left_anti")
     }
     pqIndexColumns(deduped, cbFlat, cbHalves,

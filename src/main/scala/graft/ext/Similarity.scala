@@ -669,6 +669,10 @@ object Similarity {
     */
   def writeAssigned(assigned: DataFrame, path: String): Unit =
     assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // rebuilds replace the whole store — under a dynamic-overwrite
+      // session, cells absent from the new assignment would survive
+      // as stale rows next to the new index (see writePqIndex)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(path)
 
   /** Append a NEW batch to an existing cell-partitioned store — the
@@ -689,17 +693,27 @@ object Similarity {
     * `skipExistingIds = true` to anti-join the batch against the ids
     * already present in its target cells (costs a partition-pruned
     * read of those cells' corpus_id column, not the full store).
+    * `skipExistingIds` assumes ids are IMMUTABLE and appends are
+    * SERIALIZED — a re-ingested id whose vector moved to a different
+    * cell escapes the cell-pruned check; `strictIdCheck = true`
+    * anti-joins against the FULL store's corpus_id column instead
+    * (unpruned but single-column) and catches that case too.
     */
   def appendAssigned(batch: DataFrame, centroids: DataFrame,
                      vecCol: String, idCol: String, path: String,
-                     skipExistingIds: Boolean = false): Unit = {
+                     skipExistingIds: Boolean = false,
+                     strictIdCheck: Boolean = false): Unit = {
     val assigned = assignCells(batch, centroids, vecCol, idCol)
-    val deduped = if (!skipExistingIds) assigned else {
-      val touched = assigned.select(col("cell")).distinct()
-        .collect().map(_.getLong(0))
-      val existing = batch.sparkSession.read.parquet(path)
-        .filter(col("cell").isin(touched.toIndexedSeq: _*))
-        .select(col("corpus_id"))
+    val deduped = if (!skipExistingIds && !strictIdCheck) assigned else {
+      val store = batch.sparkSession.read.parquet(path)
+      val existing =
+        if (strictIdCheck) store.select(col("corpus_id"))
+        else {
+          val touched = assigned.select(col("cell")).distinct()
+            .collect().map(_.getLong(0))
+          store.filter(col("cell").isin(touched.toIndexedSeq: _*))
+            .select(col("corpus_id"))
+        }
       assigned.join(existing, Seq("corpus_id"), "left_anti")
     }
     deduped.write.mode(org.apache.spark.sql.SaveMode.Append)

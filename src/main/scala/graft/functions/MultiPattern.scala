@@ -151,19 +151,25 @@ case class AhoCorasickMatches(child: Expression,
 
 object MultiPattern {
   /** ac_matches(text, dictionary) — distinct matched phrases, sorted.
-    * The broadcast cache keys on the CALLER'S `phrases` reference
-    * (not the internal copy, which is born fresh per call and could
-    * never hit): repeated calls with the same Seq instance share one
-    * dictionary block AND get equal expressions (same Broadcast
-    * reference), preserving subexpression/exchange reuse. The
-    * `sameElements` guard re-broadcasts if a caller mutated a mutable
-    * Seq between calls. (WeakHashMap keys compare by equals, so
-    * distinct-but-content-equal Seq instances may also share — safe
-    * under the sameElements guard — but only same-instance sharing is
-    * the contract.) */
-  def acMatches(text: Column, phrases: Seq[String]): Column =
+    * The broadcast cache keys on the caller's `phrases` instance when
+    * it is IMMUTABLE (the common case — repeated calls with the same
+    * Seq share one dictionary block AND get equal expressions, same
+    * Broadcast reference, preserving subexpression/exchange reuse);
+    * a MUTABLE Seq is snapshotted first, because a WeakHashMap key
+    * whose content (and so hashCode) mutates after insertion strands
+    * its entry in the stale hash bucket — unfindable and unevictable
+    * until the caller drops the Seq. The snapshot costs the mutable
+    * caller cross-call sharing (a fresh key per call lives only until
+    * the next GC), never correctness: the `sameElements` guard makes
+    * any content mismatch re-broadcast. */
+  def acMatches(text: Column, phrases: Seq[String]): Column = {
+    val snap: Seq[String] = phrases match {
+      case v: scala.collection.immutable.Seq[String] => v
+      case other => other.toVector
+    }
     GraftBridge.column(AhoCorasickMatches(
       GraftBridge.expression(text),
-      KernelBroadcasts.byKey(phrases, phrases.toArray)(
-        b => b.length == phrases.length && b.sameElements(phrases))))
+      KernelBroadcasts.byKey(snap, snap.toArray)(
+        b => b.length == snap.length && b.sameElements(snap))))
+  }
 }

@@ -37,6 +37,16 @@ object ProbeBatchProbe {
     val nProbe = if (args.length > 2) args(2).toInt else 4
     val k = if (args.length > 3) args(3).toInt else 5
     val preRankC = if (args.length > 4) args(4).toInt else 0
+    val useStore = args.length > 5 && args(5) == "store"
+    // one path val shared by setup and the finally-cleanup; /dev/shm
+    // (RAM-backed, what the probe wants) exists only on Linux — fall
+    // back to the JVM tmpdir elsewhere. NOTE a large SF dir can exhaust
+    // tmpfs: size the store against the box before running store mode.
+    val shm = new java.io.File("/dev/shm")
+    val storeRoot = if (shm.isDirectory) shm.getPath
+      else System.getProperty("java.io.tmpdir")
+    val storeDir = new java.io.File(storeRoot,
+      s"graft-pqidx-${java.lang.ProcessHandle.current().pid()}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("probe-batch-probe").master(s"local[$cpus]")
@@ -60,10 +70,9 @@ object ProbeBatchProbe {
         Some(graft.ext.Pq.trainCodebooks(en, "v", "id",
           dim = 64, m = 16, ksub = 16, iterations = 1))
       } else None
-      val useStore = args.length > 5 && args(5) == "store"
       val storePath = if (useStore) {
         require(cb.nonEmpty, "store mode requires preRankC > 0")
-        val p = s"/dev/shm/graft-pqidx-${java.lang.ProcessHandle.current().pid()}"
+        val p = storeDir.getPath
         graft.ext.Pq.writePqIndex(assigned, cents, cb.get, p,
           dim = 64, m = 16, ksub = 16)
         Some(p)
@@ -89,10 +98,9 @@ object ProbeBatchProbe {
         s"(old probe selection would have shuffled ${n * nCells} rows)")
     } finally {
       // clean the RAM-backed index copy even when the timed query
-      // throws — a leaked /dev/shm parquet copy survives the JVM
-      if (args.length > 5 && args(5) == "store")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-          s"/dev/shm/graft-pqidx-${java.lang.ProcessHandle.current().pid()}"))
+      // throws — a leaked tmpfs parquet copy survives the JVM
+      if (useStore)
+        org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
       spark.stop()
     }
   }

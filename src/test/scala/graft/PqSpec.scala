@@ -249,4 +249,43 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect()
     assert(run(incr) === run(oneShot))
   }
+
+  test("appendToPqIndex: strict id check catches moved-cell re-ingest; schema mismatch fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pqstrict").toString
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val store = s"$base/store"
+    Pq.writePqIndex(assigned, cents, cb, store, dim = dim, m = m, ksub = ksub)
+    val n0 = spark.read.parquet(store).count()
+    // a re-ingested id whose vector CHANGED assigns to a different
+    // cell — the cell-pruned skipExistingIds check never reads the
+    // id's original cell, so only strict mode can catch it. Build the
+    // scenario from the actual assignment so it can't degenerate:
+    // id 150 re-arrives wearing the vector of a row in another cell.
+    val cellOf = assigned.select("corpus_id", "cell")
+      .as[(Long, Long)].collect().toMap
+    val srcId = cellOf.keys.find(i => cellOf(i) != cellOf(150L)).get
+    val movedVec = corpus.filter(col("id") === srcId)
+      .select("v").as[Seq[Float]].head()
+    val moved = Seq((150L, movedVec)).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    Pq.appendToPqIndex(spark, store, moved, "v", "id", strictIdCheck = true)
+    assert(spark.read.parquet(store).count() === n0,
+      "strict append of an existing id must be a no-op")
+    // the pruned check passes the same row (its new cell has no id
+    // 150) — the documented hole strict mode exists for
+    Pq.appendToPqIndex(spark, store, moved, "v", "id", skipExistingIds = true)
+    assert(spark.read.parquet(store).count() === n0 + 1)
+    // a mistyped batch must fail BEFORE writing (a committed mixed-
+    // schema file would only blow up at the next read of the index)
+    val bad = corpus.filter(col("id") === 0)
+      .select((col("id") + 10000).as("id"),
+        col("v").cast("array<double>").as("v"))
+    val err = intercept[IllegalArgumentException] {
+      Pq.appendToPqIndex(spark, store, bad, "v", "id")
+    }
+    assert(err.getMessage.contains("would corrupt the index"))
+  }
 }
