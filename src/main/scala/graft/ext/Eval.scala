@@ -20,12 +20,18 @@ object Eval {
     * counting half. All terms stay integral (doubled to absorb the
     * half-tie) until the single final division.
     *
-    * DOCUMENTED CONTRACT — bounded distinct-score domain: scores are
-    * rounded to 6 dp BEFORE grouping, so the Mann–Whitney window sees
-    * at most 1e6·range(score)+1 group rows — for probability scores in
-    * [0,1] (the LLM-pipeline use) that is <= 1e6+1, independent of row
+    * ENFORCED CONTRACT — probability-shaped scores in [0,1]: scores
+    * are rounded to 6 dp BEFORE grouping, so the Mann–Whitney window
+    * sees at most 1e6·range(score)+1 group rows — for scores in [0,1]
+    * (the LLM-pipeline use) that is <= 1e6+1, independent of row
     * count, even when the input is raw continuous model probabilities
-    * where distinct would otherwise ≈ |rows|.
+    * where distinct would otherwise ≈ |rows|. A raw-logit caller
+    * (range ±50) would get ~1e8 groups and a silent single-partition
+    * window blowup, so the domain is CHECKED in the same scan (a
+    * codegen'd comparison per row, no extra pass): any score outside
+    * [0,1] raises at execution with a pointer to squash first or use
+    * [[aucBinned]], whose bins clamp. Null scores pass through and
+    * group as before.
     * Merging scores within 1e-6 converts strict wins to half-tie
     * credit for pairs closer than 1e-6 apart, perturbing AUC by less
     * than 1e-6 per such pair fraction — far inside the 6-dp readout.
@@ -37,11 +43,30 @@ object Eval {
     */
   def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
     mannWhitney(df
-      .select(round(col(scoreCol).cast("double"), 6).as("s"),
+      .select(round(probabilityScore(scoreCol), 6).as("s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s")),
       "auc")
+
+  /** The [[auc]]/[[averagePrecision]] domain guard, enforced inside
+    * the scan projection (one codegen'd comparison per row — never an
+    * extra pass over the data): scores outside [0,1] raise at
+    * execution instead of silently exploding the distinct-score group
+    * domain the Mann–Whitney window is bounded by. Nulls pass through
+    * unchanged (they group under s = null exactly as before).
+    */
+  private def probabilityScore(scoreCol: String): Column = {
+    val s = col(scoreCol).cast("double")
+    when(s.isNull || (s >= 0.0 && s <= 1.0), s)
+      .otherwise(raise_error(concat(
+        lit("Eval.auc/averagePrecision: score "), s.cast("string"),
+        lit(" is outside [0,1] — the exact Mann–Whitney window is bounded " +
+          "by the 6-dp distinct-score domain, which only probability-shaped " +
+          "scores guarantee (a raw-logit range of +-50 means ~1e8 window " +
+          "groups in one partition). Squash scores to probabilities first, " +
+          "or use Eval.aucBinned, whose bins clamp."))))
+  }
 
   /** Binned approximate ROC AUC — the sketch companion to [[auc]] for
     * probability-shaped scores: scores clamp into [0,1] and bin into
@@ -94,8 +119,8 @@ object Eval {
   /** Average precision (area under the precision-recall curve, step
     * interpolation — the sklearn `average_precision_score` definition):
     * AP = Σ_t (R_t − R_{t−1})·P_t with one operating point per
-    * distinct threshold, descending. Same bounded-domain contract as
-    * [[auc]]: scores round to 6 dp before grouping, the cumulative
+    * distinct threshold, descending. Same ENFORCED [0,1] domain
+    * contract as [[auc]]: scores round to 6 dp before grouping, the cumulative
     * window runs over distinct-score GROUPS; per-group terms round to
     * 9 dp and accumulate in DECIMAL, one final division at 6 dp.
     * Returns (n_pos, n_neg, ap); null ap when there are no positives.
@@ -103,7 +128,7 @@ object Eval {
   def averagePrecision(df: DataFrame, labelCol: String,
                        scoreCol: String): DataFrame = {
     val byScore = df
-      .select(round(col(scoreCol).cast("double"), 6).as("s"),
+      .select(round(probabilityScore(scoreCol), 6).as("s"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("np_s"), (count(lit(1)) - sum(col("y"))).as("nn_s"))

@@ -257,12 +257,15 @@ private[graft] object AnalyticsQueries {
     "q_auc" -> ((s, d) =>
       // ROC AUC of value as a purchase predictor — Mann-Whitney over
       // 6-dp-rounded DISTINCT-score groups (the bounded-domain
-      // contract: the window never sees row volume even for raw
-      // continuous scores), integral until one final division
+      // contract the engine now ENFORCES: auc requires probability-
+      // shaped scores in [0,1]). value is a dollar amount, so it is
+      // squashed v/(v+100) first — strictly monotone for v > 0, so
+      // the ranking (and AUC, up to 6-dp tie merges) is unchanged,
+      // and IEEE division replays bit-identically in the oracle
       graft.ext.Eval.auc(
         events(s, d).select((col("event_type") === "purchase").as("y"),
-          col("value")),
-        "y", "value")),
+          (col("value") / (col("value") + lit(100.0))).as("score")),
+        "y", "score")),
 
     "q_auc_binned" -> ((s, d) =>
       // the sketch companion to q_auc for probability scores: 256
@@ -282,8 +285,8 @@ private[graft] object AnalyticsQueries {
       // score, cumulative window over GROUP rows, decimal term sums
       graft.ext.Eval.averagePrecision(
         events(s, d).select((col("event_type") === "purchase").as("y"),
-          col("value")),
-        "y", "value")),
+          (col("value") / (col("value") + lit(100.0))).as("score")),
+        "y", "score")),
 
     "q_kappa" -> ((s, d) =>
       // Cohen's kappa between event_type and a deterministic noisy
@@ -1681,7 +1684,7 @@ private[graft] object AnalyticsQueries {
     "q_auc" ->
       """WITH e AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-        |    CAST(round(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
+        |    CAST(round(CAST(CAST(value / (value + 100.0) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
         |  FROM events),
         |g AS (
         |  SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s
@@ -1729,7 +1732,7 @@ private[graft] object AnalyticsQueries {
     "q_avg_precision" ->
       """WITH e AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-        |    CAST(round(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
+        |    CAST(round(CAST(CAST(value / (value + 100.0) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS s
         |  FROM events),
         |g AS (
         |  SELECT s, CAST(sum(y) AS BIGINT) AS np_s, CAST(count(*) - sum(y) AS BIGINT) AS nn_s

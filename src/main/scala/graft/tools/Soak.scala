@@ -610,10 +610,14 @@ object Soak {
       println(s"[soak] chunks: $nChunks from ${docs.count()} docs (60-61 tokens → 2 each)")
 
       // --- AUC on 10M scored rows ---
+      // raw score is 0..120-ish; auc enforces [0,1], so squash with the
+      // monotone s/(s+100) (ranking — and so AUC up to tie merges —
+      // unchanged)
+      val rawScore = pmod(xxhash64(col("id"), lit(3)), lit(10000)) / lit(100.0) +
+        when(pmod(xxhash64(col("id")), lit(100)) < 30, 20.0).otherwise(0.0)
       val scored = spark.range(10000000).select(
         (pmod(xxhash64(col("id")), lit(100)) < 30).as("y"),
-        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / lit(100.0) +
-          when(pmod(xxhash64(col("id")), lit(100)) < 30, 20.0).otherwise(0.0)).as("s"))
+        (rawScore / (rawScore + lit(100.0))).as("s"))
       val aucRow = time("exact AUC over 10M rows") {
         graft.ext.Eval.auc(scored, "y", "s").collect()(0)
       }

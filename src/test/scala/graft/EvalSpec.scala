@@ -13,30 +13,51 @@ class EvalSpec extends SparkSpec {
   }
 
   test("perfect separation scores 1, inverted scores 0") {
-    assert(aucOf(Seq((true, 10.0), (true, 9.0), (false, 1.0), (false, 2.0)))
+    assert(aucOf(Seq((true, 1.0), (true, 0.9), (false, 0.1), (false, 0.2)))
       == ((2L, 2L, Some(1.0))))
-    assert(aucOf(Seq((true, 1.0), (false, 10.0))) == ((1L, 1L, Some(0.0))))
+    assert(aucOf(Seq((true, 0.1), (false, 1.0))) == ((1L, 1L, Some(0.0))))
   }
 
   test("hand-computed mixed case with ties") {
-    // pos scores {3, 1}, neg scores {2, 1}:
-    // pairs: (3,2)win (3,1)win (1,2)loss (1,1)tie=0.5 → 2.5/4 = 0.625
-    assert(aucOf(Seq((true, 3.0), (true, 1.0), (false, 2.0), (false, 1.0)))
+    // pos scores {.3, .1}, neg scores {.2, .1}:
+    // pairs: (.3,.2)win (.3,.1)win (.1,.2)loss (.1,.1)tie=0.5 → 2.5/4 = 0.625
+    assert(aucOf(Seq((true, 0.3), (true, 0.1), (false, 0.2), (false, 0.1)))
       == ((2L, 2L, Some(0.625))))
   }
 
   test("all scores tied gives 0.5; degenerate labels give null") {
-    assert(aucOf(Seq((true, 5.0), (false, 5.0), (true, 5.0)))._3 == Some(0.5))
-    assert(aucOf(Seq((true, 1.0), (true, 2.0)))._3.isEmpty)
-    assert(aucOf(Seq((false, 1.0)))._3.isEmpty)
+    assert(aucOf(Seq((true, 0.5), (false, 0.5), (true, 0.5)))._3 == Some(0.5))
+    assert(aucOf(Seq((true, 0.1), (true, 0.2)))._3.isEmpty)
+    assert(aucOf(Seq((false, 0.1)))._3.isEmpty)
   }
 
   test("byte-identical under repartitioning") {
     val rnd = new scala.util.Random(11)
-    val rows = (1 to 500).map(_ => (rnd.nextBoolean(), (rnd.nextInt(50) / 10.0)))
+    val rows = (1 to 500).map(_ => (rnd.nextBoolean(), (rnd.nextInt(50) / 100.0)))
     val a = Eval.auc(rows.toDF("y", "s"), "y", "s").collect()(0)
     val b = Eval.auc(rows.toDF("y", "s").repartition(7), "y", "s").collect()(0)
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("auc/averagePrecision enforce the [0,1] score domain with a pointer") {
+    // a raw-logit caller used to get a silent single-partition window
+    // blowup (~1e6 groups per unit of score range); now the domain is
+    // checked in the scan and raises with the remediation
+    val logits = Seq((true, 7.3), (false, -4.2)).toDF("y", "s")
+    val e1 = intercept[Exception] {
+      Eval.auc(logits, "y", "s").collect()
+    }
+    assert(e1.getMessage.contains("aucBinned"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Eval.averagePrecision(logits, "y", "s").collect()
+    }
+    assert(e2.getMessage.contains("aucBinned"), e2.getMessage)
+    // null scores still pass through (grouped under s = null, as before)
+    val withNull = Seq((true, Some(0.9)), (false, Some(0.1)), (true, None))
+      .toDF("y", "s")
+    assert(Eval.auc(withNull, "y", "s").collect()(0).getLong(0) == 2L)
+    // the boundary itself is in-domain
+    assert(aucOf(Seq((true, 1.0), (false, 0.0))) == ((1L, 1L, Some(1.0))))
   }
 
   private def eceOf(rows: Seq[(Boolean, Double)], nBins: Int = 10) = {
