@@ -244,6 +244,37 @@ object TimeSeries {
       .select("n", "n_pairs", "slope")
   }
 
+  /** Per-series [[theilSen]]: one (n, n_pairs, slope) row per value of
+    * `keyCol` — the shape real telemetry has (a slope per device /
+    * tenant / metric), where the global form's unpartitioned
+    * row_number window would funnel every series through one
+    * partition. Pairs come from an equi-join ON THE KEY (a proper
+    * shuffle join: each series' O(n²) pair expansion stays inside its
+    * key's partition and is bounded by the calendar-bounded per-series
+    * length, never the key count); the slope median is a per-key
+    * exact-percentile aggregate. Single-observation series keep their
+    * row with n_pairs = 0 and a null slope — the same degenerate
+    * answer the global form gives a 1-row frame.
+    */
+  def theilSenByKey(df: DataFrame, keyCol: String, ordCol: String,
+                    cntCol: String): DataFrame = {
+    val indexed = df.withColumn("t", row_number()
+      .over(Window.partitionBy(col(keyCol)).orderBy(col(ordCol))).cast("long"))
+    val a = indexed.select(col(keyCol), col("t").as("ta"), col(cntCol).as("xa"))
+    val b = indexed.select(col(keyCol), col("t").as("tb"), col(cntCol).as("xb"))
+    val slopes = a.join(b, Seq(keyCol)).filter(col("ta") < col("tb"))
+      .select(col(keyCol), ((col("xb") - col("xa")).cast("double") /
+        (col("tb") - col("ta")).cast("double")).as("slope"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope"))
+    indexed.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .join(slopes, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+      .orderBy(keyCol)
+  }
+
   /** Autocorrelation function of an integer count series at lags
     * 1..`maxLag` — the seasonality detector feeding
     * [[seasonalDecomposeDaily]]'s period choice (a weekly cycle shows
@@ -283,6 +314,42 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Per-series [[acf]]: one (key, lag, n_pairs, acf) row per value of
+    * `keyCol` and lag 1..`maxLag` — same n-scaled exact-integer
+    * deviations, with every window PARTITIONED BY THE KEY (the
+    * unpartitioned global form funnels one series through one
+    * partition; here each series' moments and its lag pairs stay
+    * inside its key's partition). The lag pairs come from an equi-join
+    * on the key with the lag-window residual filter — per-key O(n·maxLag)
+    * surviving pairs over a calendar-bounded per-series length.
+    * Keys whose deviations are all zero (constant series) report a
+    * null acf, as in the global form.
+    */
+  def acfByKey(df: DataFrame, keyCol: String, ordCol: String,
+               cntCol: String, maxLag: Int = 7): DataFrame = {
+    val wKey = Window.partitionBy(col(keyCol))
+    val indexed = df
+      .withColumn("t", row_number()
+        .over(Window.partitionBy(col(keyCol)).orderBy(col(ordCol))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("total", sum(col(cntCol)).over(wKey))
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col(cntCol) - col("total"))
+    val den = indexed.groupBy(col(keyCol))
+      .agg(sum(col("dev") * col("dev")).as("den"))
+    val aSide = indexed.select(col(keyCol), col("t").as("ta"), col("dev").as("da"))
+    val bSide = indexed.select(col(keyCol), col("t").as("tb"), col("dev").as("db"))
+    aSide.join(bSide, Seq(keyCol))
+      .filter(col("tb") - col("ta") >= 1 && col("tb") - col("ta") <= maxLag)
+      .groupBy(col(keyCol), (col("tb") - col("ta")).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("da") * col("db")).as("num"))
+      .join(den, Seq(keyCol))
+      .withColumn("acf", when(col("den") > 0,
+        col("num").cast("double") / col("den").cast("double")))
+      .select(col(keyCol), col("lag"), col("n_pairs"), col("acf"))
+      .orderBy(keyCol, "lag")
+  }
+
   /** Single change-point detection over an integer count series via
     * the standardized CUSUM statistic (Page 1954's control-chart idea
     * in its retrospective scan form): for each candidate split t,
@@ -318,6 +385,35 @@ object TimeSeries {
       .select(col(ordCol), col(cntCol), col("cum"), col("stat"),
         (col("stat") === col("max_stat")).as("is_peak"))
       .orderBy(ordCol)
+  }
+
+  /** Per-series [[changePoint]]: the CUSUM scan with every window
+    * PARTITIONED BY THE KEY, so each series' prefix sums, totals, and
+    * argmax stay inside its key's partition — the multi-tenant /
+    * per-metric telemetry shape. `is_peak` flags each key's own
+    * maximizing split (ties all flagged, deterministically, exactly as
+    * the global form).
+    */
+  def changePointByKey(df: DataFrame, keyCol: String, ordCol: String,
+                       cntCol: String): DataFrame = {
+    val byOrd = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val wKey = Window.partitionBy(col(keyCol))
+    val scored = df
+      .withColumn("t", row_number().over(byOrd).cast("long"))
+      .withColumn("cum",
+        sum(col(cntCol)).over(byOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("total", sum(col(cntCol)).over(wKey))
+      .filter(col("t") < col("n"))
+      .withColumn("stat",
+        abs(col("n") * col("cum") - col("t") * col("total")).cast("double") /
+          (col("n").cast("double") *
+            sqrt((col("t") * (col("n") - col("t"))).cast("double"))))
+    scored
+      .withColumn("max_stat", max(col("stat")).over(wKey))
+      .select(col(keyCol), col(ordCol), col(cntCol), col("cum"), col("stat"),
+        (col("stat") === col("max_stat")).as("is_peak"))
+      .orderBy(keyCol, ordCol)
   }
 
   def rollingCorrCounts(df: DataFrame, ordCol: String, xCol: String,

@@ -105,6 +105,17 @@ private[graft] object ExtQueriesEval {
           .agg(count(lit(1)).as("cnt")),
         "day", "cnt", maxLag = 7)),
 
+    "x_acf_grouped" -> ((s, d) =>
+      // per-series ACF: one lag profile PER EVENT TYPE — the keyed
+      // telemetry shape; every window partitions by the key (the
+      // global form funnels one series through one partition), lag
+      // pairs from a key equi-join, same exact-integer deviations
+      graft.ops.TimeSeries.acfByKey(
+        events(s, d).groupBy(col("event_type").as("etype"),
+            date_trunc("day", col("ts_us")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "etype", "day", "cnt", maxLag = 7)),
+
     "x_pinball" -> ((s, d) =>
       // quantile-forecast eval: pinball loss of a deterministic
       // integer "capacity forecast" (half the length plus a hashed
@@ -537,6 +548,31 @@ private[graft] object ExtQueriesEval {
         |SELECT lag, n_pairs,
         |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
         |FROM pr, dn ORDER BY lag""".stripMargin,
+
+    // per-key ACF replay: the x_acf shape with every window and the
+    // pair join partitioned/keyed by event type
+    "x_acf_grouped" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT etype,
+        |    CAST(row_number() OVER (PARTITION BY etype ORDER BY day) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY etype) AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER (PARTITION BY etype) AS BIGINT) AS total, cnt
+        |  FROM daily),
+        |dv AS (SELECT etype, t, n * cnt - total AS dev FROM ix),
+        |dn AS (SELECT etype, CAST(sum(dev * dev) AS BIGINT) AS den
+        |       FROM dv GROUP BY 1),
+        |pr AS (
+        |  SELECT a.etype, b.t - a.t AS lag, count(*) AS n_pairs,
+        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+        |  FROM dv a JOIN dv b ON a.etype = b.etype AND b.t - a.t BETWEEN 1 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT pr.etype, lag, n_pairs,
+        |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+        |FROM pr JOIN dn ON pr.etype = dn.etype
+        |ORDER BY 1, 2""".stripMargin,
 
     // pinball replay: identical integer forecast, DECIMAL check
     // function, one division per quantile

@@ -153,6 +153,59 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(false, false, true, false, false))
   }
 
+  test("byKey variants equal the global op run on each key's own slice") {
+    // three series with different shapes (alternating, trending with a
+    // spike, level shift) plus a single-observation key — the byKey
+    // forms must reproduce the global op per key, including the
+    // degenerate answers
+    val rows = Seq(
+      ("alt", 1L, 1L), ("alt", 2L, 3L), ("alt", 3L, 1L), ("alt", 4L, 3L),
+      ("trend", 1L, 1L), ("trend", 2L, 2L), ("trend", 3L, 3L), ("trend", 4L, 100L),
+      ("shift", 1L, 10L), ("shift", 2L, 10L), ("shift", 3L, 10L),
+      ("shift", 4L, 20L), ("shift", 5L, 20L), ("shift", 6L, 20L),
+      ("lone", 1L, 7L))
+    val df = rows.toDF("k", "t", "c")
+    def slice(k: String) = df.filter(col("k") === k).select("t", "c")
+    // acf
+    val acfBy = TimeSeries.acfByKey(df, "k", "t", "c", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    val acfGlobal = Seq("alt", "shift", "trend").flatMap(k =>
+      TimeSeries.acf(slice(k), "t", "c", maxLag = 3).collect()
+        .map(r => (k, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))))
+    assert(acfBy === acfGlobal) // 'lone' has no lag pairs → no rows
+    // theilSen (the single-observation key keeps a row: 0 pairs, null)
+    val tsBy = TimeSeries.theilSenByKey(df, "k", "t", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    val tsGlobal = Seq("alt", "lone", "shift", "trend").map { k =>
+      val r = TimeSeries.theilSen(slice(k), "t", "c").collect()(0)
+      (k, r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))
+    }
+    assert(tsBy === tsGlobal)
+    // changePoint
+    val cpBy = TimeSeries.changePointByKey(df, "k", "t", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4),
+        r.getBoolean(5))).toSeq
+    val cpGlobal = Seq("alt", "shift", "trend").flatMap(k =>
+      TimeSeries.changePoint(slice(k), "t", "c").collect()
+        .map(r => (k, r.getLong(0), r.getDouble(3), r.getBoolean(4))))
+    assert(cpBy === cpGlobal) // 'lone' has no t < n row → no rows
+    // the plan partitions every window by the key — no global
+    // single-partition window survives in any of the three byKey forms
+    for (q <- Seq(TimeSeries.changePointByKey(df, "k", "t", "c"),
+        TimeSeries.acfByKey(df, "k", "t", "c", maxLag = 3),
+        TimeSeries.theilSenByKey(df, "k", "t", "c"))) {
+      val windows = q.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"global window in:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("rollingCorrCounts: perfect anti-correlation, degenerate null") {
     val df = Seq((1L, 1L, 6L), (2L, 2L, 4L), (3L, 3L, 2L)).toDF("t", "x", "y")
     val out = TimeSeries.rollingCorrCounts(df, "t", "x", "y", window = 7)
