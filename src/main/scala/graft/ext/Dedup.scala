@@ -790,7 +790,8 @@ object Dedup {
       embs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,
       lloydIterations: Int = 1, margin: Double = 0.2,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16,
+      prebuiltCodebooks: Option[DataFrame] = None): DataFrame = {
     require(margin >= 0.0, s"embeddingNearDupsBucketedPq: bad margin $margin")
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dim = e.select(size(col("v"))).limit(1).collect() match {
@@ -801,9 +802,15 @@ object Dedup {
     val spark = embs.sparkSession
     // codebooks train on NORMALIZED vectors so the SDC statistic
     // approximates cosine; one bounded-codebook collect, same as the
-    // flat-PQ path
-    val en = e.select(col("id"), Pq.normalized(col("v")).as("nv"))
-    val cb = Pq.trainCodebooks(en, "nv", "id", dim, m, ksub, iterations = 1)
+    // flat-PQ path. A caller that already trained a codebook on the
+    // SAME normalized corpus at the same (dim, m, ksub) — e.g. a row
+    // that also runs the prerank top-k — passes it in and skips the
+    // training passes; the training is deterministic, so prebuilt ==
+    // retrained when the inputs match (DedupSpec pins the equality).
+    val cb = prebuiltCodebooks.getOrElse {
+      val en = e.select(col("id"), Pq.normalized(col("v")).as("nv"))
+      Pq.trainCodebooks(en, "nv", "id", dim, m, ksub, iterations = 1)
+    }
     // ONE bounded codebook collect feeds the SDC table and the encode
     // column (the kernel wrapper's broadcast cache ships one payload)
     val (cbFlat, cbHalves) = Pq.flatCbArrays(cb, dim, m, ksub)

@@ -212,7 +212,14 @@ private[graft] object ExtQueriesAnn {
       val cents = Similarity.refineCentroids(en,
         Similarity.coarseCentroids(en, "v", "id", nCells = 16),
         "v", "id", iterations = 1)
+      // ONE assignment pass feeds the exact-IVF side, the prerank
+      // corpus encode, AND the shortlist re-rank fetch (r15: this was
+      // the slowest registry row because the gate computes both the
+      // preranked and the exact path — persist the shared index
+      // instead of re-deriving it per consumer; session-lifetime cache,
+      // ~dim·4 bytes/vector, the sessionsRaw precedent)
       val assigned = Similarity.assignCells(en, cents, "v", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = en.filter(col("id") < 20)
       val cb = graft.ext.Pq.trainCodebooks(en, "v", "id",
         dim = 64, m = 16, ksub = 16, iterations = 1)
@@ -226,10 +233,13 @@ private[graft] object ExtQueriesAnn {
         .select(lit("sdc_prerank_vs_ivf_recall10_ge_090").as("check_name"),
           col("ok"))
       // near-dup pre-filter: graded on the bounded slice against the
-      // exact all-pairs operator (the x_embed_neardup_bucketed pattern)
+      // exact all-pairs operator (the x_embed_neardup_bucketed pattern).
+      // The row's own codebook is trained on the identical normalized
+      // corpus at the same (dim, m, ksub) — pass it in so the near-dup
+      // path skips its (byte-identical) internal retraining
       val got = Dedup.embeddingNearDupsBucketedPq(raw, "embedding", "vec_id",
           threshold = 0.4, nCells = 16, nProbe = 4, margin = 0.3,
-          m = 16, ksub = 16)
+          m = 16, ksub = 16, prebuiltCodebooks = Some(cb))
         .filter(col("id_a") < 300 && col("id_b") < 300)
         .select(col("id_a"), col("id_b"))
       val exactP = Dedup.embeddingNearDups(

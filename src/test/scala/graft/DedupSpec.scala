@@ -286,6 +286,19 @@ class DedupSpec extends SparkSpec {
     val plan = pq.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "pair generation must stay a cell equi-join")
+    // a prebuilt codebook trained on the same normalized corpus at the
+    // same (dim, m, ksub) must be byte-identical to the internal
+    // retraining — the contract that lets a caller share one training
+    // pass across the prerank and near-dup paths
+    val en = e.select(col("vec_id").as("id"),
+      graft.ext.Pq.normalized(col("embedding")).as("v"))
+    val cb = graft.ext.Pq.trainCodebooks(en, "v", "id",
+      dim = 16, m = 4, ksub = 8, iterations = 1)
+    val viaPrebuilt = Dedup.embeddingNearDupsBucketedPq(e, "embedding",
+        "vec_id", threshold = 0.95, nCells = 8, nProbe = 2, margin = 0.2,
+        m = 4, ksub = 8, prebuiltCodebooks = Some(cb))
+      .orderBy("id_a", "id_b").collect()
+    assert(viaPrebuilt === pq.orderBy("id_a", "id_b").collect())
   }
 
   test("embeddingNearDupsAgainst: batch probes the store, no store self-pairs, high recall") {
