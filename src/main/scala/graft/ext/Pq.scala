@@ -485,7 +485,11 @@ object Pq {
       .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
     sdcPrerankFrom(encC, assigned.select(col("corpus_id"), col("cv")),
       units, cellIds, cdim, queries, vecCol, idCol, cbFlat, cbHalves, tblArr,
-      k, nProbe, preRankC, dim, m, ksub)
+      k, nProbe, preRankC, dim, m, ksub,
+      // in-memory index partitioning is arbitrary — one compact
+      // repartition of the (id, cell, codes, norm) frame bounds the
+      // fused operator's per-partition heap table by cell locality
+      clusterCorpusByCell = true)
   }
 
   /** `assigned` (corpus_id, cv, cell) + the two persisted-index
@@ -517,7 +521,8 @@ object Pq {
       vecCol: String, idCol: String,
       cbFlat: Array[Float], cbHalves: Array[Double], tblArr: Array[Double],
       k: Int, nProbe: Int, preRankC: Int,
-      dim: Int, m: Int, ksub: Int): DataFrame = {
+      dim: Int, m: Int, ksub: Int,
+      clusterCorpusByCell: Boolean = false): DataFrame = {
     require(preRankC >= k, s"sdc prerank: preRankC $preRankC < k $k")
     def sdc(a: Column, b: Column) =
       VectorExpressions.pqSdcScore(a, b, tblArr, m, ksub)
@@ -534,16 +539,41 @@ object Pq {
         explode(VectorExpressions.nearestCellsTopK(
           col("qv"), units, cellIds, cdim, nProbe)).as("pc"))
       .select(col("query_id"), col("qcodes"), col("pc.cell").as("cell"))
-    val pre = encC.join(broadcast(qp), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        when(col("cnorm") > 0, sdc(col("qcodes"), col("codes")) / col("cnorm"))
-          .otherwise(lit(Double.NegativeInfinity)).as("ascore"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("corpus_id").asc)
-    val short = pre.withColumn("pr", row_number().over(wPre))
-      .filter(col("pr") <= preRankC)
-      .select(col("query_id"), col("corpus_id"))
+    val corpusSide = encC
+      .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
+    // pre-rank: the FUSED probe-join + partial-top-k physical operator
+    // (plans/SdcTopKPlan.scala) — candidates are scored inline against
+    // the broadcast probe side and kept in a bounded per-query heap, so
+    // non-surviving candidates are never materialized as rows and
+    // nothing is locally sorted; the global window then ranks
+    // ≤ partitions × preRankC rows per query instead of every
+    // candidate. Bit-identical shortlists to the compositional
+    // join+window plan (spec-pinned), which remains as the fallback
+    // for exotic (non-long) id layouts. `clusterCorpusByCell` bounds
+    // the per-partition heap table for corpus-sized query batches —
+    // the store path's cell-directory scan is already clustered.
+    val short = if (graft.plans.SdcTopKPlan.layoutSupported(corpusSide, qp)) {
+      val clustered =
+        if (clusterCorpusByCell) corpusSide.repartition(col("cell"))
+        else corpusSide
+      graft.plans.SdcTopKPlan
+        .partialTopK(clustered, qp,
+          VectorExpressions.sdcTableBroadcast(tblArr), m, ksub, preRankC)
+        .withColumn("pr", row_number().over(wPre))
+        .filter(col("pr") <= preRankC)
+        .select(col("query_id"), col("corpus_id"))
+    } else {
+      val pre = corpusSide.join(broadcast(qp), Seq("cell"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          when(col("cnorm") > 0, sdc(col("qcodes"), col("codes")) / col("cnorm"))
+            .otherwise(lit(Double.NegativeInfinity)).as("ascore"))
+      pre.withColumn("pr", row_number().over(wPre))
+        .filter(col("pr") <= preRankC)
+        .select(col("query_id"), col("corpus_id"))
+    }
     // exact re-rank over only the shortlist's real vectors (join
     // strategy left to Catalyst/AQE: shortlist and corpus sizes vary
     // by orders of magnitude across call shapes)

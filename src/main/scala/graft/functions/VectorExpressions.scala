@@ -701,7 +701,14 @@ object VectorExpressions {
     * m·ksub² table (see [[PqSdcScore]]). */
   def pqSdcScore(a: Column, b: Column, table: Array[Double],
                  m: Int, ksub: Int): Column =
-    pqSdcScore(a, b, bcByKey(table, table)(_ eq table), m, ksub)
+    pqSdcScore(a, b, sdcTableBroadcast(table), m, ksub)
+
+  /** The cached broadcast handle for an SDC table — the SAME block the
+    * [[pqSdcScore]] kernel ships (identity-keyed), exposed so a
+    * whole-operator consumer (the fused SDC top-k plan) scores against
+    * one table block instead of broadcasting a second copy. */
+  def sdcTableBroadcast(table: Array[Double]): Broadcast[Array[Double]] =
+    bcByKey(table, table)(_ eq table)
 
   /** [[pqSdcScore]] over an ALREADY-broadcast table — callers scoring
     * several column pairs against one table (pair score + both

@@ -67,6 +67,11 @@ object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, fwd) =>
       AsOfJoinExec(lk, rk, lts, rts, payload, fwd, planLater(l), planLater(r)) :: Nil
+    case SdcPrerankTopKNode(corpus, probes, cid, ccell, codes, cnorm,
+        qid, qcodes, pcell, table, m, ksub, preRankC, ascore) =>
+      SdcPrerankTopKExec(cid, ccell, codes, cnorm, qid, qcodes, pcell,
+        table, m, ksub, preRankC, ascore,
+        planLater(corpus), planLater(probes)) :: Nil
     case _ => Nil
   }
 

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Similarity}
+import graft.functions.VectorExpressions
+import graft.plans.{SdcTopKPlan, TopKHeap}
+
+/** The fused probe-join + partial-top-k physical operator
+  * (plans/SdcTopKPlan.scala) must be INVISIBLE to results: the global
+  * shortlist it feeds is byte-identical to the compositional
+  * broadcast-join + window plan it replaced, under clustered and
+  * arbitrary partitioning, with ties and self-exclusion exercised.
+  */
+class SdcTopKPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16; private val m = 4; private val ksub = 8
+
+  /** 8 tight clusters of 25 — near-dup ties are common, so the
+    * (score DESC, id ASC) tie-break is genuinely exercised. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(19)
+    val anchors = Array.fill(8, dim)(rnd.nextFloat() * 10f - 5f)
+    val rows = (0 until 200).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.3f - 0.15f).toSeq)
+    }
+    rows.toDF("id", "v").withColumn("v", Pq.normalized(col("v").cast("array<float>")))
+  }
+
+  private def fixture() = {
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val cb = Pq.trainCodebooks(corpus, "v", "id", dim, m, ksub, iterations = 1)
+    val (cbFlat, cbHalves) = Pq.flatCbArrays(cb, dim, m, ksub)
+    val tbl = Pq.sdcTableFromFlat(cbFlat, dim, m, ksub)
+    val encC = assigned
+      .withColumn("codes",
+        Pq.codesOnFlat(cbFlat, cbHalves, Pq.normalized(col("cv")), dim, m, ksub))
+      .withColumn("cnorm",
+        sqrt(VectorExpressions.pqSdcScore(col("codes"), col("codes"), tbl, m, ksub)))
+      .select(col("corpus_id"), col("cell"), col("codes"), col("cnorm"))
+    val (units, cellIds, cdim) = Similarity.flatCentroids(cents, normalize = true)
+    val qp = corpus.select(col("id").as("query_id"),
+        Pq.codesOnFlat(cbFlat, cbHalves, Pq.normalized(col("v")), dim, m, ksub)
+          .as("qcodes"),
+        explode(VectorExpressions.nearestCellsTopK(
+          col("v"), units, cellIds, cdim, 2)).as("pc"))
+      .select(col("query_id"), col("qcodes"), col("pc.cell").as("cell"))
+    (encC, qp, tbl)
+  }
+
+  private def shortlistVia(partial: org.apache.spark.sql.DataFrame,
+                           c: Int): Seq[(Long, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("corpus_id").asc)
+    partial.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= c)
+      .select("query_id", "corpus_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+  }
+
+  test("fused partial top-k == compositional join+window, all partitionings") {
+    val (encC, qp, tbl) = fixture()
+    val c = 7
+    val compositional = encC.join(broadcast(qp), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        when(col("cnorm") > 0,
+          VectorExpressions.pqSdcScore(col("qcodes"), col("codes"), tbl, m, ksub)
+            / col("cnorm"))
+          .otherwise(lit(Double.NegativeInfinity)).as("ascore"))
+    val want = shortlistVia(compositional, c)
+    assert(want.nonEmpty)
+    val tblB = VectorExpressions.sdcTableBroadcast(tbl)
+    // clustered by cell (the production layout), arbitrary hash
+    // partitioning, and a single partition — the partial-per-partition
+    // superset property must make all three collapse to the same
+    // global shortlist
+    for (arrange <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        identity, _.repartition(col("cell")), _.repartition(7), _.coalesce(1))) {
+      val fused = SdcTopKPlan.partialTopK(arrange(encC), qp, tblB, m, ksub, c)
+      assert(shortlistVia(fused, c) === want)
+    }
+  }
+
+  test("fused operator plans as SdcPrerankTopK and emits bounded partials") {
+    val (encC, qp, tbl) = fixture()
+    val tblB = VectorExpressions.sdcTableBroadcast(tbl)
+    val fused = SdcTopKPlan.partialTopK(encC.repartition(col("cell")), qp,
+      tblB, m, ksub, 5)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("SdcPrerankTopK"), s"fused node missing:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "the probe join must be fused away")
+    // per (partition, query) at most preRankC rows — with cell
+    // clustering every query's candidates land in one partition, so
+    // the PARTIAL output is already globally bounded
+    val perQuery = fused.groupBy("query_id").count()
+      .agg(max("count")).as[Long].first()
+    assert(perQuery <= 5 * 32, s"unbounded partial: $perQuery")
+  }
+
+  test("end-to-end prerank path uses the fused operator and keeps recall") {
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val cb = Pq.trainCodebooks(corpus, "v", "id", dim, m, ksub, iterations = 1)
+    val q = corpus.filter(col("id") < 20)
+    val pre = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
+      k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("SdcPrerankTopK"),
+      s"prerank path did not route through the fused operator:\n$plan")
+    val exact = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+      k = 10, nProbe = 2)
+    val recall = Similarity.recallAtK(pre, exact)
+      .agg(avg("recall")).as[Double].first()
+    assert(recall >= 0.9, s"fused prerank recall $recall")
+  }
+
+  test("TopKHeap keeps exactly the top-C under (score desc, id asc) with ties") {
+    val rnd = new scala.util.Random(5)
+    val entries = (0 until 500).map(i => (rnd.nextInt(20) / 10.0, i.toLong))
+    val h = new TopKHeap(25)
+    entries.foreach { case (s, id) => h.offer(s, id) }
+    val kept = (0 until h.size).map(i => (h.scoreAt(i), h.idAt(i))).toSet
+    val want = entries.sortBy { case (s, id) => (-s, id) }.take(25).toSet
+    assert(kept === want)
+    // capacity larger than input: everything kept
+    val h2 = new TopKHeap(1000)
+    entries.foreach { case (s, id) => h2.offer(s, id) }
+    assert(h2.size === 500)
+  }
+}
