@@ -47,6 +47,73 @@ private[graft] object StreamingQueries {
       s.read.parquet(s"$tmp/out").orderBy("doc_id")
     }),
 
+    "q_stream_pq_append" -> ((s, d) => {
+      // STREAMING the PQ-index daily-ingest shape, oracle-gated: build
+      // a store over the first slice of the embeddings, then stream
+      // the remainder in as arriving parquet drops whose foreachBatch
+      // consumer is Pq.appendToPqIndex (the batch append — assignment
+      // and encode run against the store's OWN persisted centroids/
+      // codebooks, skipExistingIds guarding the engine's at-least-once
+      // batch retries). maxFilesPerTrigger=1 forces one append per
+      // drop, so the store grows across several sequential
+      // micro-batches. The verdicts: the streamed store's ROWS and a
+      // prerank top-k QUERY against it are both identical to a
+      // one-shot writePqIndex over the whole corpus — the spec pin
+      // (PqSpec append == rebuild) promoted to the driver gate, now
+      // through the streaming engine's commit machinery.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmp = scratchDir("graft-stream-pqappend")
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val cents = Similarity.refineCentroids(e,
+        Similarity.coarseCentroids(e, "v", "id", nCells = 16),
+        "v", "id", iterations = 1)
+      val assigned = Similarity.assignCells(e, cents, "v", "id")
+      // the frozen index (centroids + codebooks) is shared by BOTH
+      // stores — that is the append contract: appends never retrain
+      val cb = graft.ext.Pq.trainCodebooks(
+        e.select(col("id"), graft.ext.Pq.normalized(col("v")).as("v")),
+        "v", "id", dim = 64, m = 8, ksub = 16, iterations = 1)
+      val oneShot = s"$tmp/oneshot"
+      graft.ext.Pq.writePqIndex(assigned, cents, cb, oneShot,
+        dim = 64, m = 8, ksub = 16)
+      val incr = s"$tmp/incr"
+      val cut = 300L
+      graft.ext.Pq.writePqIndex(assigned.filter(col("corpus_id") < cut),
+        cents, cb, incr, dim = 64, m = 8, ksub = 16)
+      e.filter(col("id") >= cut).repartition(3)
+        .write.parquet(s"$tmp/batches")
+      stageDrop(s"$tmp/batches", s"$tmp/in", "emb.parquet")
+      val q = ss.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ext.Pq.appendToPqIndex(batch.sparkSession, incr, batch,
+            "v", "id", skipExistingIds = true)
+        }
+        .start()
+      q.awaitTermination()
+      // verdicts computed engine-side: store-level and query-level
+      // equality with the one-shot build (symmetric except == empty)
+      val cols = Seq("corpus_id", "cell", "codes", "cnorm").map(col)
+      val storeA = s.read.parquet(incr).select(cols: _*)
+      val storeB = s.read.parquet(oneShot).select(cols: _*)
+      val storeDiff = storeA.exceptAll(storeB).count() +
+        storeB.exceptAll(storeA).count()
+      def top(p: String) = graft.ext.Pq.ivfSdcPrerankTopKFromStore(
+        s, p, e.filter(col("id") < 20), "v", "id",
+        k = 10, nProbe = 4, preRankC = 50)
+      val qDiff = top(incr).exceptAll(top(oneShot)).count() +
+        top(oneShot).exceptAll(top(incr)).count()
+      import s.implicits._
+      Seq(("stream_append_query_equals_oneshot", qDiff == 0),
+          ("stream_append_store_equals_oneshot", storeDiff == 0))
+        .toDF("check_name", "ok").orderBy("check_name")
+    }),
+
     "q_stream_windowed_counts" -> ((s, d) => {
       // STREAMING execution of the tumbling-window incremental protocol
       // (Q50's streaming form): file-stream the orders table →
@@ -632,6 +699,11 @@ private[graft] object StreamingQueries {
 
     "q_stream_paged" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "q_stream_pq_append" ->
+      """SELECT * FROM (VALUES ('stream_append_query_equals_oneshot', TRUE),
+        |  ('stream_append_store_equals_oneshot', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "q_stream_windowed_counts" ->
       """SELECT date_trunc('day', o_orderdate) AS window_start,
