@@ -97,17 +97,24 @@ private[graft] object StreamingQueries {
         .start()
       q.awaitTermination()
       // verdicts computed engine-side: store-level and query-level
-      // equality with the one-shot build (symmetric except == empty)
+      // equality with the one-shot build (symmetric except == empty).
+      // Each compared frame is persisted: the two-direction exceptAll
+      // reads each side twice, and the store-backed query side would
+      // otherwise re-plan (partition listing + probe pass) per
+      // direction — session-lifetime caches of tiny frames
       val cols = Seq("corpus_id", "cell", "codes", "cnorm").map(col)
-      val storeA = s.read.parquet(incr).select(cols: _*)
-      val storeB = s.read.parquet(oneShot).select(cols: _*)
+      def cached(df: DataFrame) =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val storeA = cached(s.read.parquet(incr).select(cols: _*))
+      val storeB = cached(s.read.parquet(oneShot).select(cols: _*))
       val storeDiff = storeA.exceptAll(storeB).count() +
         storeB.exceptAll(storeA).count()
-      def top(p: String) = graft.ext.Pq.ivfSdcPrerankTopKFromStore(
+      def top(p: String) = cached(graft.ext.Pq.ivfSdcPrerankTopKFromStore(
         s, p, e.filter(col("id") < 20), "v", "id",
-        k = 10, nProbe = 4, preRankC = 50)
-      val qDiff = top(incr).exceptAll(top(oneShot)).count() +
-        top(oneShot).exceptAll(top(incr)).count()
+        k = 10, nProbe = 4, preRankC = 50))
+      val topI = top(incr); val topO = top(oneShot)
+      val qDiff = topI.exceptAll(topO).count() +
+        topO.exceptAll(topI).count()
       import s.implicits._
       Seq(("stream_append_query_equals_oneshot", qDiff == 0),
           ("stream_append_store_equals_oneshot", storeDiff == 0))
