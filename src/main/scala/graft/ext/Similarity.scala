@@ -655,12 +655,34 @@ object Similarity {
     val probes = q.withColumn("pc", explode(VectorExpressions.nearestCellsTopK(
         col("qv"), units, cellIds, dim, nProbe)))
       .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    val corpusSide = assigned.select(col("corpus_id"), col("cell"), col("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    // exact scoring through the FUSED probe-join + partial-top-k
+    // operator (plans/SdcTopKPlan.scala, cosine mode): candidates are
+    // scored inline against the broadcast probe side with the
+    // bit-identical cosineF arithmetic and kept in bounded per-query
+    // heaps — no candidate-row materialization, no local sort; the
+    // window then ranks ≤ partitions × k rows per query. Byte-identical
+    // results (spec-pinned; the x_ann_ivf hash pin rides on it); the
+    // compositional join+window plan remains for exotic id layouts.
+    // Heap memory is distinctQueries(partition) × k — tiny at top-k
+    // caps under any partitioning, so no cell-clustering is needed.
+    if (graft.plans.SdcTopKPlan.cosineLayoutSupported(corpusSide, probes)) {
+      graft.plans.SdcTopKPlan.partialTopKCosine(corpusSide, probes, k)
+        .withColumn("cos", col("ascore"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+    } else {
+      val scored = corpusSide.join(broadcast(probes), Seq("cell"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+    }
   }
 
   /** Persist an IVF assignment partitioned BY CELL: the layout that

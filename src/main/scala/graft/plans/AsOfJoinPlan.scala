@@ -67,10 +67,10 @@ object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, fwd) =>
       AsOfJoinExec(lk, rk, lts, rts, payload, fwd, planLater(l), planLater(r)) :: Nil
-    case SdcPrerankTopKNode(corpus, probes, cid, ccell, codes, cnorm,
-        qid, qcodes, pcell, table, m, ksub, preRankC, ascore) =>
-      SdcPrerankTopKExec(cid, ccell, codes, cnorm, qid, qcodes, pcell,
-        table, m, ksub, preRankC, ascore,
+    case ProbeTopKNode(corpus, probes, cid, ccell, cPayload,
+        qid, qPayload, pcell, mode, table, m, ksub, cap, ascore) =>
+      ProbeTopKExec(cid, ccell, cPayload, qid, qPayload, pcell,
+        mode, table, m, ksub, cap, ascore,
         planLater(corpus), planLater(probes)) :: Nil
     case _ => Nil
   }

@@ -10,60 +10,81 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
-/** Fused probe-join + partial top-k for the SDC pre-rank — the
-  * corpus-as-query-batch ANN shape's last shuffle/materialization
-  * ceiling (SCALE.md future-work #1). The compositional plan
+/** Fused probe-join + partial top-k — the ANN probe shapes' last
+  * shuffle/materialization ceiling (SCALE.md r14 future-work #1). The
+  * compositional plan
   *
-  *   encodedCorpus ⋈_cell broadcast(probes) → project(ascore)
+  *   corpus ⋈_cell broadcast(probes) → project(score)
   *     → [sort + WindowGroupLimit(partial)] → exchange → window rank
   *
   * materializes EVERY candidate row through the join (an UnsafeRow per
   * (query, candidate) pair) and then locally SORTS the whole candidate
   * set so the partial group-limit can stream it — at 100× scale
-  * (202k × nProbe probes against ~3k-row cells) that sort+copy was
-  * ~116 s of the ProbeBatchProbe wall. This node fuses the three
+  * (202k × nProbe probes against ~3k-row cells) that sort+copy
+  * dominated the ProbeBatchProbe wall. This node fuses the three
   * steps: it streams each corpus partition once, scores candidates
-  * inline against the broadcast probe side (m table reads each, the
-  * identical arithmetic of [[graft.functions.PqSdcScore]] — same adds,
-  * same division, bit-identical doubles), and maintains one BOUNDED
-  * per-query heap (preRankC entries, the (score DESC, corpus_id ASC)
-  * total order of the downstream rank). Non-surviving candidates are
-  * never materialized as rows, and nothing is sorted.
+  * inline against the broadcast probe side, and maintains one BOUNDED
+  * per-query heap under the exact (score DESC, corpus_id ASC) total
+  * order of the downstream rank (double comparisons via
+  * java.lang.Double.compare — the ordering Spark's sort uses, so NaN
+  * and signed zeros agree too). Non-surviving candidates are never
+  * materialized as rows, and nothing is sorted.
   *
-  * Output is the per-partition top-preRankC per query — a superset of
-  * the global top-preRankC under the SAME total order, so the caller's
-  * final window rank over it yields byte-identical shortlists to the
-  * compositional plan (spec-pinned; the ANN hash pins ride on this).
+  * Two scoring modes, each replicating its kernel's arithmetic
+  * bit-for-bit so results stay byte-identical to the compositional
+  * plan (spec-pinned; the ANN hash pins ride on this):
+  *   - `sdc`: the symmetric-PQ pre-rank statistic — m reads against
+  *     the shared broadcast code-pair table / corpus-side
+  *     reconstruction norm ([[graft.functions.PqSdcScore]] adds, one
+  *     IEEE division; cnorm ≤ 0 scores −∞). Corpus layout
+  *     (corpus_id, cell, codes: array<int>, cnorm), probes
+  *     (query_id, qcodes, cell).
+  *   - `cos`: the exact float cosine —
+  *     dot(q,c) / (√dot(q,q) · √dot(c,c)) with the left-to-right
+  *     double accumulation of [[graft.functions.DotProductFloat]];
+  *     query norms precompute once per query in the probe index (same
+  *     values, same final ops). Corpus layout (corpus_id, cell,
+  *     cv: array<float>), probes (query_id, qv, cell). This serves
+  *     [[graft.ext.Similarity.ivfTopK]] — the exact-scored workhorse.
+  *
+  * Output is the per-partition top-`cap` per query — a superset of the
+  * global top-cap under the SAME total order, so the caller's final
+  * window rank over it yields byte-identical results. Rows with a null
+  * id/cell/payload are skipped (they cannot join/score in the
+  * compositional plan either; vectors/codes are non-null by
+  * construction in every caller).
   *
   * Memory contract: one heap per DISTINCT query probing a cell present
-  * in the partition — ≤ distinctQueries(partition) × preRankC ×16 B.
-  * Callers keep that bounded by CLUSTERING the (compact — id, cell,
-  * m bytes of codes, norm) corpus side by cell: then a partition holds
-  * few cells and only their probing queries (the [[graft.ext.Pq]]
-  * store layout gives this for free; the in-memory path pays one
-  * compact repartition — see `Pq.sdcPrerankFrom`). Correctness does
-  * NOT depend on the clustering: any partitioning yields the same
-  * final shortlist, clustering only bounds the heap table.
+  * in the partition — ≤ distinctQueries(partition) × cap entries. For
+  * generous caps (the SDC pre-rank's preRankC) callers bound it by
+  * CLUSTERING the compact corpus side by cell (the store layout gives
+  * this for free; the in-memory path pays one compact repartition).
+  * For top-k caps (ivfTopK's k ≈ 5–10) the table is small under any
+  * partitioning. Correctness never depends on the clustering.
   *
-  * Types are pinned to the index layout (LongType ids/cells,
-  * array<int> codes, double norm) — the caller falls back to the
-  * compositional plan for exotic id types.
+  * Types are pinned to the index layout (LongType ids/cells) — callers
+  * fall back to the compositional plan for exotic id types.
   */
-case class SdcPrerankTopKNode(
-    corpus: LogicalPlan, // (corpus_id: long, cell: long, codes: array<int>, cnorm: double)
-    probes: LogicalPlan, // (query_id: long, qcodes: array<int>, cell: long)
+case class ProbeTopKNode(
+    corpus: LogicalPlan,
+    probes: LogicalPlan,
     // resolved ONCE at construction and carried as expression fields
     // (the AsOfJoinNode pattern) so optimizer rewrites of the children
     // (alias removal, pruning) remap them via transformExpressions —
     // name-based lookup in output would break under RemoveRedundantAliases
     corpusId: Attribute, corpusCell: Attribute,
-    codes: Attribute, cnorm: Attribute,
-    queryId: Attribute, qcodes: Attribute, probeCell: Attribute,
-    table: Broadcast[Array[Double]],
-    m: Int, ksub: Int, preRankC: Int,
+    corpusPayload: Seq[Attribute], // sdc: (codes, cnorm); cos: (cv)
+    queryId: Attribute,
+    queryPayload: Attribute,       // sdc: qcodes; cos: qv
+    probeCell: Attribute,
+    mode: String,                  // "sdc" | "cos"
+    table: Option[Broadcast[Array[Double]]], // sdc only
+    m: Int, ksub: Int, cap: Int,
     ascoreAttr: AttributeReference) extends BinaryNode {
+
+  require(mode == "sdc" || mode == "cos", s"ProbeTopKNode: bad mode '$mode'")
 
   override def left: LogicalPlan = corpus
   override def right: LogicalPlan = probes
@@ -76,49 +97,84 @@ case class SdcPrerankTopKNode(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(ascoreAttr)
 
   override protected def withNewChildrenInternal(
-      newLeft: LogicalPlan, newRight: LogicalPlan): SdcPrerankTopKNode =
+      newLeft: LogicalPlan, newRight: LogicalPlan): ProbeTopKNode =
     copy(corpus = newLeft, probes = newRight)
 }
 
-/** Per-executor probe-side index: cell → (query_id, qcodes)[], built
-  * ONCE per broadcast value per executor instead of once per task —
-  * the probe side is corpus-sized in the self-join shape, and 32 tasks
-  * each re-hashing 800k rows would dwarf the scoring loop. Weak keys:
-  * the entry lives exactly as long as the broadcast block. Soft-ish
-  * lifetime is unnecessary — the map strongly references nothing from
-  * the rows (codes are copied to primitive arrays).
+/** Per-executor probe-side index: cell → query entries, built ONCE per
+  * broadcast value per executor instead of once per task — the probe
+  * side is corpus-sized in the self-join shape, and 32 tasks each
+  * re-hashing 800k rows would dwarf the scoring loop. Weak keys: the
+  * entry lives exactly as long as the broadcast block; the built maps
+  * reference nothing from the rows (payloads are copied to primitive
+  * arrays).
   */
-private[graft] object SdcProbeIndex {
-  final class Q(val id: Long, val codes: Array[Int])
-  private val cache = new java.util.WeakHashMap[
-    AnyRef, java.util.HashMap[java.lang.Long, Array[Q]]]()
+private[graft] object ProbeIndex {
+  final class QCodes(val id: Long, val codes: Array[Int])
+  final class QVec(val id: Long, val vec: Array[Float], val norm: Double)
 
-  def get(rows: Array[InternalRow], m: Int, qIdIdx: Int, qCodesIdx: Int,
-          cellIdx: Int): java.util.HashMap[java.lang.Long, Array[Q]] =
-    cache.synchronized {
-      val hit = cache.get(rows)
+  private val codesCache = new java.util.WeakHashMap[
+    AnyRef, java.util.HashMap[java.lang.Long, Array[QCodes]]]()
+  private val vecCache = new java.util.WeakHashMap[
+    AnyRef, java.util.HashMap[java.lang.Long, Array[QVec]]]()
+
+  def codes(rows: Array[InternalRow], m: Int, qIdIdx: Int, qPayIdx: Int,
+            cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QCodes]] =
+    codesCache.synchronized {
+      val hit = codesCache.get(rows)
       if (hit != null) hit
       else {
-        val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Q]]()
+        val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QCodes]]()
         var i = 0
         while (i < rows.length) {
           val r = rows(i)
-          // null-safe skip mirrors the join (a null key or codes row
-          // can never match/score)
-          if (!r.isNullAt(qIdIdx) && !r.isNullAt(qCodesIdx) && !r.isNullAt(cellIdx)) {
-            val qid = r.getLong(qIdIdx)
-            val arr = r.getArray(qCodesIdx)
-            val codes = new Array[Int](m)
+          if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
+            val arr = r.getArray(qPayIdx)
+            val cs = new Array[Int](m)
             var j = 0
-            while (j < m) { codes(j) = arr.getInt(j); j += 1 }
-            tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[Q]())
-              .add(new Q(qid, codes))
+            while (j < m) { cs(j) = arr.getInt(j); j += 1 }
+            tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QCodes]())
+              .add(new QCodes(r.getLong(qIdIdx), cs))
           }
           i += 1
         }
-        val out = new java.util.HashMap[java.lang.Long, Array[Q]](tmp.size() * 2)
-        tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[Q](0))))
-        cache.put(rows, out)
+        val out = new java.util.HashMap[java.lang.Long, Array[QCodes]](tmp.size() * 2)
+        tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QCodes](0))))
+        codesCache.put(rows, out)
+        out
+      }
+    }
+
+  def vecs(rows: Array[InternalRow], qIdIdx: Int, qPayIdx: Int,
+           cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QVec]] =
+    vecCache.synchronized {
+      val hit = vecCache.get(rows)
+      if (hit != null) hit
+      else {
+        val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QVec]]()
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
+            val arr = r.getArray(qPayIdx)
+            val n = arr.numElements()
+            val v = new Array[Float](n)
+            var j = 0
+            while (j < n) { v(j) = arr.getFloat(j); j += 1 }
+            // ‖q‖ once per probe row: same left-to-right double
+            // accumulation as DotProductFloat, same sqrt — the value
+            // the compositional normF(qv) computes per CANDIDATE
+            var qq = 0.0
+            j = 0
+            while (j < n) { qq += v(j).toDouble * v(j).toDouble; j += 1 }
+            tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QVec]())
+              .add(new QVec(r.getLong(qIdIdx), v, math.sqrt(qq)))
+          }
+          i += 1
+        }
+        val out = new java.util.HashMap[java.lang.Long, Array[QVec]](tmp.size() * 2)
+        tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QVec](0))))
+        vecCache.put(rows, out)
         out
       }
     }
@@ -128,7 +184,9 @@ private[graft] object SdcProbeIndex {
   * (score DESC, id ASC) keep-order: root = the CURRENT WORST kept
   * entry, so an incoming candidate better than the root replaces it in
   * O(log C) and anything not better is dropped in O(1) without ever
-  * existing as a row.
+  * existing as a row. Score comparisons use java.lang.Double.compare —
+  * the total order Spark's own double sort uses (NaN largest, -0 < 0) —
+  * so the kept set exactly matches the downstream window rank.
   */
 private[graft] final class TopKHeap(cap: Int) {
   private val scores = new Array[Double](cap)
@@ -136,8 +194,10 @@ private[graft] final class TopKHeap(cap: Int) {
   var size = 0
 
   // a is WORSE than b in keep-order (lower score, or same score and higher id)
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def offer(s: Double, id: Long): Unit = {
     if (size < cap) {
@@ -176,11 +236,12 @@ private[graft] final class TopKHeap(cap: Int) {
   def idAt(i: Int): Long = ids(i)
 }
 
-case class SdcPrerankTopKExec(
+case class ProbeTopKExec(
     corpusId: Attribute, corpusCell: Attribute,
-    codes: Attribute, cnorm: Attribute,
-    queryId: Attribute, qcodes: Attribute, probeCell: Attribute,
-    table: Broadcast[Array[Double]], m: Int, ksub: Int, preRankC: Int,
+    corpusPayload: Seq[Attribute],
+    queryId: Attribute, queryPayload: Attribute, probeCell: Attribute,
+    mode: String, table: Option[Broadcast[Array[Double]]],
+    m: Int, ksub: Int, cap: Int,
     ascoreAttr: AttributeReference,
     left: SparkPlan,  // corpus
     right: SparkPlan) // probes
@@ -188,7 +249,7 @@ case class SdcPrerankTopKExec(
 
   private def idx(p: SparkPlan, a: Attribute): Int = {
     val i = p.output.indexWhere(_.exprId == a.exprId)
-    require(i >= 0, s"SdcPrerankTopKExec: attribute $a not in ${p.output}")
+    require(i >= 0, s"ProbeTopKExec: attribute $a not in ${p.output}")
     i
   }
 
@@ -205,7 +266,7 @@ case class SdcPrerankTopKExec(
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
   override protected def withNewChildrenInternal(
-      newLeft: SparkPlan, newRight: SparkPlan): SdcPrerankTopKExec =
+      newLeft: SparkPlan, newRight: SparkPlan): ProbeTopKExec =
     copy(left = newLeft, right = newRight)
 
   override lazy val metrics = Map(
@@ -217,58 +278,102 @@ case class SdcPrerankTopKExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val cidIdx = idx(left, corpusId)
     val cellIdx = idx(left, corpusCell)
-    val codesIdx = idx(left, codes)
-    val cnormIdx = idx(left, cnorm)
+    val payIdx = corpusPayload.map(idx(left, _))
     val qIdIdx = idx(right, queryId)
-    val qCodesIdx = idx(right, qcodes)
+    val qPayIdx = idx(right, queryPayload)
     val pCellIdx = idx(right, probeCell)
-    val mLoc = m; val ksubLoc = ksub; val capLoc = preRankC
-    val tableB = table
+    val mLoc = m; val ksubLoc = ksub; val capLoc = cap
+    val isSdc = mode == "sdc"
+    val tableB = table.orNull
     val probeRel = right.executeBroadcast[Array[InternalRow]]()
     val outAttrs = output
     val outRows = longMetric("numOutputRows")
     val scored = longMetric("numScoredPairs")
 
     left.execute().mapPartitions { iter =>
-      val t = tableB.value
-      val probeIdx = SdcProbeIndex.get(probeRel.value, mLoc,
-        qIdIdx, qCodesIdx, pCellIdx)
       val heaps = new java.util.HashMap[java.lang.Long, TopKHeap]()
-      val cCodes = new Array[Int](mLoc)
-      while (iter.hasNext) {
-        val row = iter.next()
-        if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
-            !row.isNullAt(codesIdx) && !row.isNullAt(cnormIdx)) {
-          val qs = probeIdx.get(row.getLong(cellIdx))
-          if (qs != null) {
-            val cid = row.getLong(cidIdx)
-            val cnorm = row.getDouble(cnormIdx)
-            val arr = row.getArray(codesIdx)
-            var j = 0
-            while (j < mLoc) { cCodes(j) = arr.getInt(j); j += 1 }
-            var i = 0
-            while (i < qs.length) {
-              val q = qs(i)
-              if (q.id != cid) { // self-exclusion, as the join's filter
-                // EXACT PqSdcScore arithmetic: same table layout, same
-                // j-ascending adds, one IEEE division — bit-identical
-                // to the expression the compositional plan evaluates
-                val score =
-                  if (cnorm > 0) {
-                    var s = 0.0
-                    var k = 0
-                    while (k < mLoc) {
-                      s += t((k * ksubLoc + q.codes(k)) * ksubLoc + cCodes(k))
-                      k += 1
-                    }
-                    s / cnorm
-                  } else Double.NegativeInfinity
-                scored += 1
-                var h = heaps.get(q.id)
-                if (h == null) { h = new TopKHeap(capLoc); heaps.put(q.id, h) }
-                h.offer(score, cid)
+      def heapFor(qid: Long): TopKHeap = {
+        var h = heaps.get(qid)
+        if (h == null) { h = new TopKHeap(capLoc); heaps.put(qid, h) }
+        h
+      }
+      if (isSdc) {
+        val t = tableB.value
+        val probeIdx = ProbeIndex.codes(probeRel.value, mLoc, qIdIdx, qPayIdx, pCellIdx)
+        val codesIdx = payIdx(0); val cnormIdx = payIdx(1)
+        val cCodes = new Array[Int](mLoc)
+        while (iter.hasNext) {
+          val row = iter.next()
+          if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
+              !row.isNullAt(codesIdx) && !row.isNullAt(cnormIdx)) {
+            val qs = probeIdx.get(row.getLong(cellIdx))
+            if (qs != null) {
+              val cid = row.getLong(cidIdx)
+              val cnorm = row.getDouble(cnormIdx)
+              val arr = row.getArray(codesIdx)
+              var j = 0
+              while (j < mLoc) { cCodes(j) = arr.getInt(j); j += 1 }
+              var i = 0
+              while (i < qs.length) {
+                val q = qs(i)
+                if (q.id != cid) { // self-exclusion, as the join's filter
+                  // EXACT PqSdcScore arithmetic: same table layout, same
+                  // j-ascending adds, one IEEE division
+                  val score =
+                    if (cnorm > 0) {
+                      var s = 0.0
+                      var k = 0
+                      while (k < mLoc) {
+                        s += t((k * ksubLoc + q.codes(k)) * ksubLoc + cCodes(k))
+                        k += 1
+                      }
+                      s / cnorm
+                    } else Double.NegativeInfinity
+                  scored += 1
+                  heapFor(q.id).offer(score, cid)
+                }
+                i += 1
               }
-              i += 1
+            }
+          }
+        }
+      } else {
+        val probeIdx = ProbeIndex.vecs(probeRel.value, qIdIdx, qPayIdx, pCellIdx)
+        val cvIdx = payIdx(0)
+        var cv: Array[Float] = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
+              !row.isNullAt(cvIdx)) {
+            val qs = probeIdx.get(row.getLong(cellIdx))
+            if (qs != null) {
+              val cid = row.getLong(cidIdx)
+              val arr = row.getArray(cvIdx)
+              val n = arr.numElements()
+              if (cv == null || cv.length != n) cv = new Array[Float](n)
+              var j = 0
+              while (j < n) { cv(j) = arr.getFloat(j); j += 1 }
+              // ‖c‖ once per corpus row — same accumulation as normF(cv)
+              var cc = 0.0
+              j = 0
+              while (j < n) { cc += cv(j).toDouble * cv(j).toDouble; j += 1 }
+              val nc = math.sqrt(cc)
+              var i = 0
+              while (i < qs.length) {
+                val q = qs(i)
+                if (q.id != cid) {
+                  // EXACT cosineF arithmetic: dot(q,c) / (‖q‖ * ‖c‖),
+                  // left-to-right double accumulation (DotProductFloat)
+                  require(q.vec.length == n,
+                    s"dot_product_float: mismatched dimensions (${q.vec.length} vs $n)")
+                  var d = 0.0
+                  var k = 0
+                  while (k < n) { d += q.vec(k).toDouble * cv(k).toDouble; k += 1 }
+                  scored += 1
+                  heapFor(q.id).offer(d / (q.norm * nc), cid)
+                }
+                i += 1
+              }
             }
           }
         }
@@ -299,43 +404,69 @@ case class SdcPrerankTopKExec(
 }
 
 object SdcTopKPlan {
-  /** True when both frames carry the exact physical layout the fused
-    * exec is pinned to — the caller's fallback predicate. */
-  def layoutSupported(corpus: DataFrame, probes: DataFrame): Boolean = {
-    def is(df: DataFrame, n: String, dt: org.apache.spark.sql.types.DataType) =
-      df.schema.find(_.name == n).exists(_.dataType == dt)
-    val ai = ArrayType(IntegerType, containsNull = false)
-    val aiN = ArrayType(IntegerType, containsNull = true)
-    def isCodes(df: DataFrame, n: String) = is(df, n, ai) || is(df, n, aiN)
-    is(corpus, "corpus_id", LongType) && is(corpus, "cell", LongType) &&
-      isCodes(corpus, "codes") && is(corpus, "cnorm", DoubleType) &&
-      is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
-      isCodes(probes, "qcodes")
-  }
+  private def is(df: DataFrame, n: String,
+                 dt: org.apache.spark.sql.types.DataType): Boolean =
+    df.schema.find(_.name == n).exists(_.dataType == dt)
+  private def isArr(df: DataFrame, n: String,
+                    el: org.apache.spark.sql.types.DataType): Boolean =
+    is(df, n, ArrayType(el, containsNull = false)) ||
+      is(df, n, ArrayType(el, containsNull = true))
 
-  /** The fused partial top-k as a DataFrame: per corpus partition, the
-    * top-`preRankC` (query_id, corpus_id, ascore) per query under
-    * (ascore DESC, corpus_id ASC). Finish with the caller's global
-    * window rank — its input is now ≤ partitions × preRankC rows per
-    * query instead of every candidate.
-    */
-  def partialTopK(corpus: DataFrame, probes: DataFrame,
-                  table: Broadcast[Array[Double]],
-                  m: Int, ksub: Int, preRankC: Int): DataFrame = {
+  /** True when both frames carry the exact physical layout the fused
+    * SDC exec is pinned to — the caller's fallback predicate. */
+  def layoutSupported(corpus: DataFrame, probes: DataFrame): Boolean =
+    is(corpus, "corpus_id", LongType) && is(corpus, "cell", LongType) &&
+      isArr(corpus, "codes", IntegerType) && is(corpus, "cnorm", DoubleType) &&
+      is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
+      isArr(probes, "qcodes", IntegerType)
+
+  /** True when both frames carry the cosine-mode layout. */
+  def cosineLayoutSupported(corpus: DataFrame, probes: DataFrame): Boolean =
+    is(corpus, "corpus_id", LongType) && is(corpus, "cell", LongType) &&
+      isArr(corpus, "cv", FloatType) &&
+      is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
+      isArr(probes, "qv", FloatType)
+
+  private def build(corpus: DataFrame, probes: DataFrame,
+                    corpusPayloadNames: Seq[String], queryPayloadName: String,
+                    mode: String, table: Option[Broadcast[Array[Double]]],
+                    m: Int, ksub: Int, cap: Int): DataFrame = {
     val spark = corpus.sparkSession
     GraftStrategy.install(spark)
     val cPlan = GraftBridge.analyzed(corpus)
     val pPlan = GraftBridge.analyzed(probes)
     def pick(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"partialTopK: no column '$n'"))
-    val node = SdcPrerankTopKNode(
+        throw new IllegalArgumentException(s"probeTopK: no column '$n'"))
+    val node = ProbeTopKNode(
       cPlan, pPlan,
       pick(cPlan, "corpus_id"), pick(cPlan, "cell"),
-      pick(cPlan, "codes"), pick(cPlan, "cnorm"),
-      pick(pPlan, "query_id"), pick(pPlan, "qcodes"), pick(pPlan, "cell"),
-      table, m, ksub, preRankC,
+      corpusPayloadNames.map(pick(cPlan, _)),
+      pick(pPlan, "query_id"), pick(pPlan, queryPayloadName),
+      pick(pPlan, "cell"),
+      mode, table, m, ksub, cap,
       AttributeReference("ascore", DoubleType, nullable = false)())
     GraftBridge.ofRows(spark, node)
   }
+
+  /** The fused SDC partial top-k as a DataFrame: per corpus partition,
+    * the top-`preRankC` (query_id, corpus_id, ascore) per query under
+    * (ascore DESC, corpus_id ASC). Finish with the caller's global
+    * window rank — its input is now ≤ partitions × preRankC rows per
+    * query instead of every candidate.
+    */
+  def partialTopK(corpus: DataFrame, probes: DataFrame,
+                  table: Broadcast[Array[Double]],
+                  m: Int, ksub: Int, preRankC: Int): DataFrame =
+    build(corpus, probes, Seq("codes", "cnorm"), "qcodes",
+      "sdc", Some(table), m, ksub, preRankC)
+
+  /** The fused EXACT-COSINE partial top-k: corpus (corpus_id, cell,
+    * cv: array<float>) against probes (query_id, qv, cell) — the
+    * [[graft.ext.Similarity.ivfTopK]] scoring fused the same way, with
+    * the same bit-exact cosine as the cosineF kernel.
+    */
+  def partialTopKCosine(corpus: DataFrame, probes: DataFrame,
+                        k: Int): DataFrame =
+    build(corpus, probes, Seq("cv"), "qv", "cos", None, 0, 0, k)
 }

@@ -87,13 +87,13 @@ class SdcTopKPlanSpec extends SparkSpec {
     }
   }
 
-  test("fused operator plans as SdcPrerankTopK and emits bounded partials") {
+  test("fused operator plans as ProbeTopK and emits bounded partials") {
     val (encC, qp, tbl) = fixture()
     val tblB = VectorExpressions.sdcTableBroadcast(tbl)
     val fused = SdcTopKPlan.partialTopK(encC.repartition(col("cell")), qp,
       tblB, m, ksub, 5)
     val plan = fused.queryExecution.executedPlan.toString
-    assert(plan.contains("SdcPrerankTopK"), s"fused node missing:\n$plan")
+    assert(plan.contains("ProbeTopK"), s"fused node missing:\n$plan")
     assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
       "the probe join must be fused away")
     // per (partition, query) at most preRankC rows — with cell
@@ -114,13 +114,49 @@ class SdcTopKPlanSpec extends SparkSpec {
     val pre = Pq.ivfSdcPrerankTopK(assigned, cents, cb, q, "v", "id",
       k = 10, nProbe = 2, preRankC = 30, dim = dim, m = m, ksub = ksub)
     val plan = pre.queryExecution.executedPlan.toString
-    assert(plan.contains("SdcPrerankTopK"),
+    assert(plan.contains("ProbeTopK"),
       s"prerank path did not route through the fused operator:\n$plan")
     val exact = Similarity.ivfTopK(assigned, cents, q, "v", "id",
       k = 10, nProbe = 2)
     val recall = Similarity.recallAtK(pre, exact)
       .agg(avg("recall")).as[Double].first()
     assert(recall >= 0.9, s"fused prerank recall $recall")
+  }
+
+  test("cosine mode: fused ivfTopK == compositional join+window, byte-identical") {
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val q = corpus.filter(col("id") < 30)
+    // the shipped path (fused when the layout is long-id/float-vec)
+    val fused = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+      k = 7, nProbe = 2)
+    assert(fused.queryExecution.executedPlan.toString.contains("ProbeTopK"),
+      "ivfTopK did not route through the fused operator")
+    // the compositional reference, built by hand (exact cosineF + rank)
+    val (units, cellIds, cdim) = Similarity.flatCentroids(cents, normalize = true)
+    val probes = q.select(col("id").as("query_id"), col("v").as("qv"),
+        explode(VectorExpressions.nearestCellsTopK(
+          col("v"), units, cellIds, cdim, 2)).as("pc"))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    val reference = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", VectorExpressions.cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+    assert(fused.orderBy("query_id", "rank").collect() ===
+      reference.orderBy("query_id", "rank").collect())
+    // arbitrary corpus partitioning must not change the result
+    val fused7 = Similarity.ivfTopK(assigned.repartition(7), cents, q,
+      "v", "id", k = 7, nProbe = 2)
+    assert(fused7.orderBy("query_id", "rank").collect() ===
+      reference.orderBy("query_id", "rank").collect())
   }
 
   test("TopKHeap keeps exactly the top-C under (score desc, id asc) with ties") {
