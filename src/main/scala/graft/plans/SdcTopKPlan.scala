@@ -113,15 +113,23 @@ private[graft] object ProbeIndex {
   final class QCodes(val id: Long, val codes: Array[Int])
   final class QVec(val id: Long, val vec: Array[Float], val norm: Double)
 
+  // outer key: broadcast rows array IDENTITY (weak — entry lives as long
+  // as the broadcast block); inner key: the column layout baked into the
+  // built index. Without the inner key, ReuseExchange feeding ONE
+  // broadcast to two fused execs with different column positions (or m)
+  // would silently reuse a stale index (ADVICE r15).
   private val codesCache = new java.util.WeakHashMap[
-    AnyRef, java.util.HashMap[java.lang.Long, Array[QCodes]]]()
+    AnyRef, java.util.HashMap[String, java.util.HashMap[java.lang.Long, Array[QCodes]]]]()
   private val vecCache = new java.util.WeakHashMap[
-    AnyRef, java.util.HashMap[java.lang.Long, Array[QVec]]]()
+    AnyRef, java.util.HashMap[String, java.util.HashMap[java.lang.Long, Array[QVec]]]]()
 
   def codes(rows: Array[InternalRow], m: Int, qIdIdx: Int, qPayIdx: Int,
             cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QCodes]] =
     codesCache.synchronized {
-      val hit = codesCache.get(rows)
+      val byLayout = codesCache.computeIfAbsent(rows,
+        _ => new java.util.HashMap[String, java.util.HashMap[java.lang.Long, Array[QCodes]]]())
+      val layoutKey = s"$m:$qIdIdx:$qPayIdx:$cellIdx"
+      val hit = byLayout.get(layoutKey)
       if (hit != null) hit
       else {
         val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QCodes]]()
@@ -140,7 +148,7 @@ private[graft] object ProbeIndex {
         }
         val out = new java.util.HashMap[java.lang.Long, Array[QCodes]](tmp.size() * 2)
         tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QCodes](0))))
-        codesCache.put(rows, out)
+        byLayout.put(layoutKey, out)
         out
       }
     }
@@ -148,7 +156,10 @@ private[graft] object ProbeIndex {
   def vecs(rows: Array[InternalRow], qIdIdx: Int, qPayIdx: Int,
            cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QVec]] =
     vecCache.synchronized {
-      val hit = vecCache.get(rows)
+      val byLayout = vecCache.computeIfAbsent(rows,
+        _ => new java.util.HashMap[String, java.util.HashMap[java.lang.Long, Array[QVec]]]())
+      val layoutKey = s"$qIdIdx:$qPayIdx:$cellIdx"
+      val hit = byLayout.get(layoutKey)
       if (hit != null) hit
       else {
         val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QVec]]()
@@ -174,7 +185,7 @@ private[graft] object ProbeIndex {
         }
         val out = new java.util.HashMap[java.lang.Long, Array[QVec]](tmp.size() * 2)
         tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QVec](0))))
-        vecCache.put(rows, out)
+        byLayout.put(layoutKey, out)
         out
       }
     }
@@ -318,9 +329,15 @@ case class ProbeTopKExec(
                 val q = qs(i)
                 if (q.id != cid) { // self-exclusion, as the join's filter
                   // EXACT PqSdcScore arithmetic: same table layout, same
-                  // j-ascending adds, one IEEE division
+                  // j-ascending adds, one IEEE division. NaN guard: Spark's
+                  // `when(cnorm > 0, ...)` treats NaN as larger than any
+                  // value (NaN cnorm → condition true → s/NaN = NaN score,
+                  // ranking FIRST desc); Java's primitive `>` is false for
+                  // NaN — mirror Spark so a corrupt cnorm can't silently
+                  // break the byte-identical pin (unreachable for
+                  // well-formed indexes: cnorm = sqrt of a self-score)
                   val score =
-                    if (cnorm > 0) {
+                    if (cnorm > 0 || java.lang.Double.isNaN(cnorm)) {
                       var s = 0.0
                       var k = 0
                       while (k < mLoc) {

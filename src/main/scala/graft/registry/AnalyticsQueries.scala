@@ -261,7 +261,12 @@ private[graft] object AnalyticsQueries {
       // shaped scores in [0,1]). value is a dollar amount, so it is
       // squashed v/(v+100) first — strictly monotone for v > 0, so
       // the ranking (and AUC, up to 6-dp tie merges) is unchanged,
-      // and IEEE division replays bit-identically in the oracle
+      // and IEEE division replays bit-identically in the oracle.
+      // ASSUMES value >= 0 (dollar amounts): a negative value (e.g.
+      // refund rows in a future dataset) squashes out of [0,1] and
+      // the engine's in-scan domain guard raises loudly at execution
+      // — the understandable failure; do NOT clamp here (greatest(v,0)
+      // would silently collapse all negatives into one tied score)
       graft.ext.Eval.auc(
         events(s, d).select((col("event_type") === "purchase").as("y"),
           (col("value") / (col("value") + lit(100.0))).as("score")),
@@ -282,7 +287,9 @@ private[graft] object AnalyticsQueries {
     "q_avg_precision" -> ((s, d) =>
       // average precision (step-interpolated PR-AUC, the sklearn
       // definition): one operating point per 6-dp-rounded distinct
-      // score, cumulative window over GROUP rows, decimal term sums
+      // score, cumulative window over GROUP rows, decimal term sums.
+      // Same value >= 0 assumption as q_auc — negatives raise via the
+      // domain guard rather than silently reordering
       graft.ext.Eval.averagePrecision(
         events(s, d).select((col("event_type") === "purchase").as("y"),
           (col("value") / (col("value") + lit(100.0))).as("score")),

@@ -64,6 +64,11 @@ object StoreColdProbe {
           // replicas are near but not identical — enough corpus for
           // the store-vs-rebuild crossover to be measurable on disk.
           // 4th positional arg = replication factor, 3rd = source dir.
+          // REQUIRED in grow mode: inheriting nCells' default (1024)
+          // would silently attempt a 1024× on-disk replication.
+          require(args.length > 3,
+            "grow mode requires an explicit replication factor: " +
+              "StoreColdProbe grow <srcDir> <outDir> <rep>")
           val rep = nCells // positional reuse: <mode> <srcDir> <outDir> <rep>
           val src = spark.read.parquet(s"$rawDir/embeddings.parquet")
           val n = src.count()
