@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   Attribute, AttributeReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetric
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Fused probe-join + partial top-k — the ANN probe shapes' last
@@ -64,6 +66,25 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   * For top-k caps (ivfTopK's k ≈ 5–10) the table is small under any
   * partitioning. Correctness never depends on the clustering.
   *
+  * TWO execution modes, selected by probe-side size (the BHJ→SMJ
+  * escalation pattern, threshold `spark.graft.ann.probeBroadcastThreshold`):
+  *   - `partitioned = false`: the probe side rides an identity
+  *     broadcast; the corpus streams in place with NO shuffle. Right
+  *     for query batches up to ~10⁷ rows (the per-executor index is
+  *     tens–hundreds of MB).
+  *   - `partitioned = true`: BOTH sides hash-cluster on `cell`
+  *     (ClusteredDistribution ×2, the SortMergeJoin co-partitioning
+  *     contract) and each partition builds a probe index over only ITS
+  *     cells — per-executor memory drops from O(all probes) to
+  *     O(probes in local cells), the escape hatch for corpus-sized
+  *     probe sides (the self-join near-dup shape at 10⁸–10⁹ rows),
+  *     at the cost of shuffling both sides once. Output rows differ
+  *     per partition between the modes, but both are supersets of the
+  *     global top-cap under the SAME total order — any partitioning of
+  *     the scored-pair set is (each global winner beats even fewer
+  *     rivals inside its own partition) — so the caller's final window
+  *     rank is byte-identical either way (spec-pinned).
+  *
   * Types are pinned to the index layout (LongType ids/cells) — callers
   * fall back to the compositional plan for exotic id types.
   */
@@ -82,6 +103,7 @@ case class ProbeTopKNode(
     mode: String,                  // "sdc" | "cos"
     table: Option[Broadcast[Array[Double]]], // sdc only
     m: Int, ksub: Int, cap: Int,
+    partitioned: Boolean,          // cell-co-partitioned vs probe broadcast
     ascoreAttr: AttributeReference) extends BinaryNode {
 
   require(mode == "sdc" || mode == "cos", s"ProbeTopKNode: bad mode '$mode'")
@@ -123,6 +145,57 @@ private[graft] object ProbeIndex {
   private val vecCache = new java.util.WeakHashMap[
     AnyRef, java.util.HashMap[String, java.util.HashMap[java.lang.Long, Array[QVec]]]]()
 
+  /** Build a cell → probe-codes index from a row stream — reads every
+    * needed field into primitives before advancing, so the iterator's
+    * row buffer reuse is safe. The partitioned mode calls this directly
+    * (one index per partition, no caching wanted).
+    */
+  def buildCodes(rows: Iterator[InternalRow], m: Int, qIdIdx: Int, qPayIdx: Int,
+                 cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QCodes]] = {
+    val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QCodes]]()
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
+        val arr = r.getArray(qPayIdx)
+        val cs = new Array[Int](m)
+        var j = 0
+        while (j < m) { cs(j) = arr.getInt(j); j += 1 }
+        tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QCodes]())
+          .add(new QCodes(r.getLong(qIdIdx), cs))
+      }
+    }
+    val out = new java.util.HashMap[java.lang.Long, Array[QCodes]](tmp.size() * 2)
+    tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QCodes](0))))
+    out
+  }
+
+  /** Build a cell → probe-vector index (with precomputed ‖q‖ — same
+    * left-to-right double accumulation as DotProductFloat, same sqrt,
+    * the value the compositional normF(qv) computes per CANDIDATE).
+    */
+  def buildVecs(rows: Iterator[InternalRow], qIdIdx: Int, qPayIdx: Int,
+                cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QVec]] = {
+    val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QVec]]()
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
+        val arr = r.getArray(qPayIdx)
+        val n = arr.numElements()
+        val v = new Array[Float](n)
+        var j = 0
+        while (j < n) { v(j) = arr.getFloat(j); j += 1 }
+        var qq = 0.0
+        j = 0
+        while (j < n) { qq += v(j).toDouble * v(j).toDouble; j += 1 }
+        tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QVec]())
+          .add(new QVec(r.getLong(qIdIdx), v, math.sqrt(qq)))
+      }
+    }
+    val out = new java.util.HashMap[java.lang.Long, Array[QVec]](tmp.size() * 2)
+    tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QVec](0))))
+    out
+  }
+
   def codes(rows: Array[InternalRow], m: Int, qIdIdx: Int, qPayIdx: Int,
             cellIdx: Int): java.util.HashMap[java.lang.Long, Array[QCodes]] =
     codesCache.synchronized {
@@ -132,22 +205,7 @@ private[graft] object ProbeIndex {
       val hit = byLayout.get(layoutKey)
       if (hit != null) hit
       else {
-        val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QCodes]]()
-        var i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
-            val arr = r.getArray(qPayIdx)
-            val cs = new Array[Int](m)
-            var j = 0
-            while (j < m) { cs(j) = arr.getInt(j); j += 1 }
-            tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QCodes]())
-              .add(new QCodes(r.getLong(qIdIdx), cs))
-          }
-          i += 1
-        }
-        val out = new java.util.HashMap[java.lang.Long, Array[QCodes]](tmp.size() * 2)
-        tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QCodes](0))))
+        val out = buildCodes(rows.iterator, m, qIdIdx, qPayIdx, cellIdx)
         byLayout.put(layoutKey, out)
         out
       }
@@ -162,29 +220,7 @@ private[graft] object ProbeIndex {
       val hit = byLayout.get(layoutKey)
       if (hit != null) hit
       else {
-        val tmp = new java.util.HashMap[java.lang.Long, java.util.ArrayList[QVec]]()
-        var i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          if (!r.isNullAt(qIdIdx) && !r.isNullAt(qPayIdx) && !r.isNullAt(cellIdx)) {
-            val arr = r.getArray(qPayIdx)
-            val n = arr.numElements()
-            val v = new Array[Float](n)
-            var j = 0
-            while (j < n) { v(j) = arr.getFloat(j); j += 1 }
-            // ‖q‖ once per probe row: same left-to-right double
-            // accumulation as DotProductFloat, same sqrt — the value
-            // the compositional normF(qv) computes per CANDIDATE
-            var qq = 0.0
-            j = 0
-            while (j < n) { qq += v(j).toDouble * v(j).toDouble; j += 1 }
-            tmp.computeIfAbsent(r.getLong(cellIdx), _ => new java.util.ArrayList[QVec]())
-              .add(new QVec(r.getLong(qIdIdx), v, math.sqrt(qq)))
-          }
-          i += 1
-        }
-        val out = new java.util.HashMap[java.lang.Long, Array[QVec]](tmp.size() * 2)
-        tmp.forEach((cell, list) => out.put(cell, list.toArray(new Array[QVec](0))))
+        val out = buildVecs(rows.iterator, qIdIdx, qPayIdx, cellIdx)
         byLayout.put(layoutKey, out)
         out
       }
@@ -253,6 +289,7 @@ case class ProbeTopKExec(
     queryId: Attribute, queryPayload: Attribute, probeCell: Attribute,
     mode: String, table: Option[Broadcast[Array[Double]]],
     m: Int, ksub: Int, cap: Int,
+    partitioned: Boolean,
     ascoreAttr: AttributeReference,
     left: SparkPlan,  // corpus
     right: SparkPlan) // probes
@@ -269,12 +306,18 @@ case class ProbeTopKExec(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(ascoreAttr)
 
-  // the probe side rides an identity broadcast (EnsureRequirements
-  // inserts the BroadcastExchange); the corpus side streams as-is —
-  // see the node scaladoc for why clustering is the CALLER's memory
-  // lever, not a hard distribution requirement
+  // broadcast mode: the probe side rides an identity broadcast
+  // (EnsureRequirements inserts the BroadcastExchange) and the corpus
+  // streams as-is. Partitioned mode: both sides hash-cluster on cell —
+  // the same two-ClusteredDistribution co-partitioning contract
+  // AsOfJoinExec (and SortMergeJoin) use, so EnsureRequirements gives
+  // zipPartitions-compatible children.
   override def requiredChildDistribution: Seq[Distribution] =
-    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+    if (partitioned)
+      ClusteredDistribution(Seq(corpusCell)) ::
+        ClusteredDistribution(Seq(probeCell)) :: Nil
+    else
+      UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): ProbeTopKExec =
@@ -296,125 +339,181 @@ case class ProbeTopKExec(
     val mLoc = m; val ksubLoc = ksub; val capLoc = cap
     val isSdc = mode == "sdc"
     val tableB = table.orNull
-    val probeRel = right.executeBroadcast[Array[InternalRow]]()
     val outAttrs = output
     val outRows = longMetric("numOutputRows")
     val scored = longMetric("numScoredPairs")
 
-    left.execute().mapPartitions { iter =>
-      val heaps = new java.util.HashMap[java.lang.Long, TopKHeap]()
-      def heapFor(qid: Long): TopKHeap = {
-        var h = heaps.get(qid)
-        if (h == null) { h = new TopKHeap(capLoc); heaps.put(qid, h) }
-        h
-      }
-      if (isSdc) {
-        val t = tableB.value
-        val probeIdx = ProbeIndex.codes(probeRel.value, mLoc, qIdIdx, qPayIdx, pCellIdx)
-        val codesIdx = payIdx(0); val cnormIdx = payIdx(1)
-        val cCodes = new Array[Int](mLoc)
-        while (iter.hasNext) {
-          val row = iter.next()
-          if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
-              !row.isNullAt(codesIdx) && !row.isNullAt(cnormIdx)) {
-            val qs = probeIdx.get(row.getLong(cellIdx))
-            if (qs != null) {
-              val cid = row.getLong(cidIdx)
-              val cnorm = row.getDouble(cnormIdx)
-              val arr = row.getArray(codesIdx)
-              var j = 0
-              while (j < mLoc) { cCodes(j) = arr.getInt(j); j += 1 }
-              var i = 0
-              while (i < qs.length) {
-                val q = qs(i)
-                if (q.id != cid) { // self-exclusion, as the join's filter
-                  // EXACT PqSdcScore arithmetic: same table layout, same
-                  // j-ascending adds, one IEEE division. NaN guard: Spark's
-                  // `when(cnorm > 0, ...)` treats NaN as larger than any
-                  // value (NaN cnorm → condition true → s/NaN = NaN score,
-                  // ranking FIRST desc); Java's primitive `>` is false for
-                  // NaN — mirror Spark so a corrupt cnorm can't silently
-                  // break the byte-identical pin (unreachable for
-                  // well-formed indexes: cnorm = sqrt of a self-score)
-                  val score =
-                    if (cnorm > 0 || java.lang.Double.isNaN(cnorm)) {
-                      var s = 0.0
-                      var k = 0
-                      while (k < mLoc) {
-                        s += t((k * ksubLoc + q.codes(k)) * ksubLoc + cCodes(k))
-                        k += 1
-                      }
-                      s / cnorm
-                    } else Double.NegativeInfinity
-                  scored += 1
-                  heapFor(q.id).offer(score, cid)
-                }
-                i += 1
-              }
-            }
-          }
+    if (partitioned) {
+      // both children arrive hash-clustered on cell with matching
+      // partition counts (EnsureRequirements) — each partition builds a
+      // probe index over only ITS cells; no broadcast exists anywhere
+      left.execute().zipPartitions(right.execute()) { (cIter, pIter) =>
+        if (isSdc) {
+          val probeIdx = ProbeIndex.buildCodes(pIter, mLoc, qIdIdx, qPayIdx, pCellIdx)
+          ProbeScorer.sdc(cIter, probeIdx, tableB.value,
+            cidIdx, cellIdx, payIdx(0), payIdx(1), mLoc, ksubLoc, capLoc,
+            outAttrs, outRows, scored)
+        } else {
+          val probeIdx = ProbeIndex.buildVecs(pIter, qIdIdx, qPayIdx, pCellIdx)
+          ProbeScorer.cos(cIter, probeIdx,
+            cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
         }
-      } else {
-        val probeIdx = ProbeIndex.vecs(probeRel.value, qIdIdx, qPayIdx, pCellIdx)
-        val cvIdx = payIdx(0)
-        var cv: Array[Float] = null
-        while (iter.hasNext) {
-          val row = iter.next()
-          if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
-              !row.isNullAt(cvIdx)) {
-            val qs = probeIdx.get(row.getLong(cellIdx))
-            if (qs != null) {
-              val cid = row.getLong(cidIdx)
-              val arr = row.getArray(cvIdx)
-              val n = arr.numElements()
-              if (cv == null || cv.length != n) cv = new Array[Float](n)
-              var j = 0
-              while (j < n) { cv(j) = arr.getFloat(j); j += 1 }
-              // ‖c‖ once per corpus row — same accumulation as normF(cv)
-              var cc = 0.0
-              j = 0
-              while (j < n) { cc += cv(j).toDouble * cv(j).toDouble; j += 1 }
-              val nc = math.sqrt(cc)
-              var i = 0
-              while (i < qs.length) {
-                val q = qs(i)
-                if (q.id != cid) {
-                  // EXACT cosineF arithmetic: dot(q,c) / (‖q‖ * ‖c‖),
-                  // left-to-right double accumulation (DotProductFloat)
-                  require(q.vec.length == n,
-                    s"dot_product_float: mismatched dimensions (${q.vec.length} vs $n)")
-                  var d = 0.0
+      }
+    } else {
+      val probeRel = right.executeBroadcast[Array[InternalRow]]()
+      left.execute().mapPartitions { iter =>
+        if (isSdc) {
+          val probeIdx = ProbeIndex.codes(probeRel.value, mLoc, qIdIdx, qPayIdx, pCellIdx)
+          ProbeScorer.sdc(iter, probeIdx, tableB.value,
+            cidIdx, cellIdx, payIdx(0), payIdx(1), mLoc, ksubLoc, capLoc,
+            outAttrs, outRows, scored)
+        } else {
+          val probeIdx = ProbeIndex.vecs(probeRel.value, qIdIdx, qPayIdx, pCellIdx)
+          ProbeScorer.cos(iter, probeIdx,
+            cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
+        }
+      }
+    }
+  }
+}
+
+/** The per-partition scoring loops, shared verbatim by the broadcast
+  * and partitioned execution modes — one code path means the modes
+  * cannot drift arithmetically (the byte-equivalence pin compares them
+  * directly). Stateless object: closures capture only primitives,
+  * metrics, and the prebuilt probe index.
+  */
+private[graft] object ProbeScorer {
+  import ProbeIndex.{QCodes, QVec}
+
+  private def heapFor(heaps: java.util.HashMap[java.lang.Long, TopKHeap],
+                      qid: Long, cap: Int): TopKHeap = {
+    var h = heaps.get(qid)
+    if (h == null) { h = new TopKHeap(cap); heaps.put(qid, h) }
+    h
+  }
+
+  def sdc(iter: Iterator[InternalRow],
+          probeIdx: java.util.HashMap[java.lang.Long, Array[QCodes]],
+          t: Array[Double],
+          cidIdx: Int, cellIdx: Int, codesIdx: Int, cnormIdx: Int,
+          m: Int, ksub: Int, cap: Int,
+          outAttrs: Seq[Attribute],
+          outRows: SQLMetric, scored: SQLMetric): Iterator[InternalRow] = {
+    val heaps = new java.util.HashMap[java.lang.Long, TopKHeap]()
+    val cCodes = new Array[Int](m)
+    while (iter.hasNext) {
+      val row = iter.next()
+      if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
+          !row.isNullAt(codesIdx) && !row.isNullAt(cnormIdx)) {
+        val qs = probeIdx.get(row.getLong(cellIdx))
+        if (qs != null) {
+          val cid = row.getLong(cidIdx)
+          val cnorm = row.getDouble(cnormIdx)
+          val arr = row.getArray(codesIdx)
+          var j = 0
+          while (j < m) { cCodes(j) = arr.getInt(j); j += 1 }
+          var i = 0
+          while (i < qs.length) {
+            val q = qs(i)
+            if (q.id != cid) { // self-exclusion, as the join's filter
+              // EXACT PqSdcScore arithmetic: same table layout, same
+              // j-ascending adds, one IEEE division. NaN guard: Spark's
+              // `when(cnorm > 0, ...)` treats NaN as larger than any
+              // value (NaN cnorm → condition true → s/NaN = NaN score,
+              // ranking FIRST desc); Java's primitive `>` is false for
+              // NaN — mirror Spark so a corrupt cnorm can't silently
+              // break the byte-identical pin (unreachable for
+              // well-formed indexes: cnorm = sqrt of a self-score)
+              val score =
+                if (cnorm > 0 || java.lang.Double.isNaN(cnorm)) {
+                  var s = 0.0
                   var k = 0
-                  while (k < n) { d += q.vec(k).toDouble * cv(k).toDouble; k += 1 }
-                  scored += 1
-                  heapFor(q.id).offer(d / (q.norm * nc), cid)
-                }
-                i += 1
-              }
+                  while (k < m) {
+                    s += t((k * ksub + q.codes(k)) * ksub + cCodes(k))
+                    k += 1
+                  }
+                  s / cnorm
+                } else Double.NegativeInfinity
+              scored += 1
+              heapFor(heaps, q.id, cap).offer(score, cid)
             }
+            i += 1
           }
         }
       }
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val entries = heaps.entrySet().iterator()
-      new Iterator[InternalRow] {
-        private var cur: java.util.Map.Entry[java.lang.Long, TopKHeap] = _
-        private var pos = 0
-        override def hasNext: Boolean =
-          (cur != null && pos < cur.getValue.size) || entries.hasNext
-        override def next(): InternalRow = {
-          if (cur == null || pos >= cur.getValue.size) {
-            cur = entries.next(); pos = 0
+    }
+    emit(heaps, outAttrs, outRows)
+  }
+
+  def cos(iter: Iterator[InternalRow],
+          probeIdx: java.util.HashMap[java.lang.Long, Array[QVec]],
+          cidIdx: Int, cellIdx: Int, cvIdx: Int, cap: Int,
+          outAttrs: Seq[Attribute],
+          outRows: SQLMetric, scored: SQLMetric): Iterator[InternalRow] = {
+    val heaps = new java.util.HashMap[java.lang.Long, TopKHeap]()
+    var cv: Array[Float] = null
+    while (iter.hasNext) {
+      val row = iter.next()
+      if (!row.isNullAt(cidIdx) && !row.isNullAt(cellIdx) &&
+          !row.isNullAt(cvIdx)) {
+        val qs = probeIdx.get(row.getLong(cellIdx))
+        if (qs != null) {
+          val cid = row.getLong(cidIdx)
+          val arr = row.getArray(cvIdx)
+          val n = arr.numElements()
+          if (cv == null || cv.length != n) cv = new Array[Float](n)
+          var j = 0
+          while (j < n) { cv(j) = arr.getFloat(j); j += 1 }
+          // ‖c‖ once per corpus row — same accumulation as normF(cv)
+          var cc = 0.0
+          j = 0
+          while (j < n) { cc += cv(j).toDouble * cv(j).toDouble; j += 1 }
+          val nc = math.sqrt(cc)
+          var i = 0
+          while (i < qs.length) {
+            val q = qs(i)
+            if (q.id != cid) {
+              // EXACT cosineF arithmetic: dot(q,c) / (‖q‖ * ‖c‖),
+              // left-to-right double accumulation (DotProductFloat)
+              require(q.vec.length == n,
+                s"dot_product_float: mismatched dimensions (${q.vec.length} vs $n)")
+              var d = 0.0
+              var k = 0
+              while (k < n) { d += q.vec(k).toDouble * cv(k).toDouble; k += 1 }
+              scored += 1
+              heapFor(heaps, q.id, cap).offer(d / (q.norm * nc), cid)
+            }
+            i += 1
           }
-          val h = cur.getValue
-          val r = new GenericInternalRow(3)
-          r.update(0, cur.getKey.longValue())
-          r.update(1, h.idAt(pos))
-          r.update(2, h.scoreAt(pos))
-          pos += 1
-          outRows += 1
-          proj(r)
         }
+      }
+    }
+    emit(heaps, outAttrs, outRows)
+  }
+
+  private def emit(heaps: java.util.HashMap[java.lang.Long, TopKHeap],
+                   outAttrs: Seq[Attribute],
+                   outRows: SQLMetric): Iterator[InternalRow] = {
+    val proj = UnsafeProjection.create(outAttrs, outAttrs)
+    val entries = heaps.entrySet().iterator()
+    new Iterator[InternalRow] {
+      private var cur: java.util.Map.Entry[java.lang.Long, TopKHeap] = _
+      private var pos = 0
+      override def hasNext: Boolean =
+        (cur != null && pos < cur.getValue.size) || entries.hasNext
+      override def next(): InternalRow = {
+        if (cur == null || pos >= cur.getValue.size) {
+          cur = entries.next(); pos = 0
+        }
+        val h = cur.getValue
+        val r = new GenericInternalRow(3)
+        r.update(0, cur.getKey.longValue())
+        r.update(1, h.idAt(pos))
+        r.update(2, h.scoreAt(pos))
+        pos += 1
+        outRows += 1
+        proj(r)
       }
     }
   }
@@ -444,6 +543,27 @@ object SdcTopKPlan {
       is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
       isArr(probes, "qv", FloatType)
 
+  /** Probe-side bytes above which the operator escalates from the
+    * identity-broadcast mode to the cell-co-partitioned mode (the
+    * BHJ→SMJ pattern; `-1` disables broadcast entirely — every plan
+    * goes partitioned, the spec's forcing lever). Default 512 MB: the
+    * identity broadcast materializes the whole probe side on the
+    * driver and once per executor, so the r15 soak shapes (≤ 202 k
+    * probes ≈ tens of MB) stay broadcast, while a corpus-sized probe
+    * side (10⁸–10⁹ rows in the self-join near-dup shape) trips to
+    * partitioned instead of OOMing every executor.
+    */
+  val probeBroadcastThresholdKey = "spark.graft.ann.probeBroadcastThreshold"
+  private val defaultProbeBroadcastThreshold: Long = 512L << 20
+
+  private def choosePartitioned(probes: DataFrame): Boolean = {
+    val thr = probes.sparkSession.conf
+      .get(probeBroadcastThresholdKey, defaultProbeBroadcastThreshold.toString)
+      .toLong
+    thr < 0 ||
+      probes.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(thr)
+  }
+
   private def build(corpus: DataFrame, probes: DataFrame,
                     corpusPayloadNames: Seq[String], queryPayloadName: String,
                     mode: String, table: Option[Broadcast[Array[Double]]],
@@ -462,6 +582,7 @@ object SdcTopKPlan {
       pick(pPlan, "query_id"), pick(pPlan, queryPayloadName),
       pick(pPlan, "cell"),
       mode, table, m, ksub, cap,
+      choosePartitioned(probes),
       AttributeReference("ascore", DoubleType, nullable = false)())
     GraftBridge.ofRows(spark, node)
   }

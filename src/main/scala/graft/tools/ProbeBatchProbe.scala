@@ -54,6 +54,11 @@ object ProbeBatchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_THRESHOLD forces the fused operator's mode for
+    // paired A/B runs: "-1" = always partitioned, large = always
+    // broadcast (see SdcTopKPlan.probeBroadcastThresholdKey)
+    sys.env.get("SPARK_GRAFT_PROBE_THRESHOLD").foreach(v =>
+      spark.conf.set(graft.plans.SdcTopKPlan.probeBroadcastThresholdKey, v))
     try {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count() // warm cache + size

@@ -159,6 +159,64 @@ class SdcTopKPlanSpec extends SparkSpec {
       reference.orderBy("query_id", "rank").collect())
   }
 
+  test("partitioned-probe mode == broadcast mode, byte-identical (sdc)") {
+    val (encC, qp, tbl) = fixture()
+    val tblB = VectorExpressions.sdcTableBroadcast(tbl)
+    val c = 7
+    // broadcast mode (default threshold) is the pinned reference
+    val bcast = SdcTopKPlan.partialTopK(encC, qp, tblB, m, ksub, c)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "default threshold must keep the probe side broadcast on tiny data")
+    val want = shortlistVia(bcast, c)
+    spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
+    try {
+      // threshold -1 disables broadcast entirely — the BHJ→SMJ pattern
+      val part = SdcTopKPlan.partialTopK(encC, qp, tblB, m, ksub, c)
+      val plan = part.queryExecution.executedPlan.toString
+      assert(plan.contains("ProbeTopK"), s"fused node missing:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"partitioned mode must not broadcast the probe side:\n$plan")
+      assert(plan.contains("hashpartitioning"),
+        s"partitioned mode must cell-cluster both sides:\n$plan")
+      assert(shortlistVia(part, c) === want)
+      // and under hostile pre-partitionings of either side
+      assert(shortlistVia(SdcTopKPlan.partialTopK(
+        encC.repartition(7), qp.coalesce(1), tblB, m, ksub, c), c) === want)
+    } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+  }
+
+  test("partitioned-probe mode == broadcast mode, byte-identical (cosine ivfTopK)") {
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val q = corpus.filter(col("id") < 30)
+    val reference = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+      k = 7, nProbe = 2).orderBy("query_id", "rank").collect()
+    spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
+    try {
+      val part = Similarity.ivfTopK(assigned, cents, q, "v", "id",
+        k = 7, nProbe = 2)
+      val plan = part.queryExecution.executedPlan.toString
+      assert(plan.contains("ProbeTopK") && !plan.contains("BroadcastExchange"),
+        s"expected partitioned fused plan:\n$plan")
+      assert(part.orderBy("query_id", "rank").collect() === reference)
+    } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+  }
+
+  test("probe-side size threshold picks the mode (BHJ→SMJ escalation)") {
+    val (encC, qp, tbl) = fixture()
+    val tblB = VectorExpressions.sdcTableBroadcast(tbl)
+    // a 1-byte threshold: any real probe side exceeds it → partitioned
+    spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "1")
+    try {
+      val plan = SdcTopKPlan.partialTopK(encC, qp, tblB, m, ksub, 5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"probe side above threshold must escalate to partitioned:\n$plan")
+    } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+  }
+
   test("TopKHeap keeps exactly the top-C under (score desc, id asc) with ties") {
     val rnd = new scala.util.Random(5)
     val entries = (0 until 500).map(i => (rnd.nextInt(20) / 10.0, i.toLong))
