@@ -745,23 +745,47 @@ object Dedup {
   def embeddingNearDupsBucketed(
       embs: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,
-      lloydIterations: Int = 1): DataFrame = {
+      lloydIterations: Int = 1,
+      useFused: Option[Boolean] = None): DataFrame = {
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = Similarity.refineCentroids(e,
       Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
     val assigned = multiProbe(e, cents, nProbe)
-    // equi-join on cell — NOT a cartesian. Verify cosine and FILTER
-    // map-side, BEFORE the (id_a, id_b) dedup: only surviving near-dup
-    // pairs (tiny) ever shuffle, instead of every candidate row carrying
-    // two full vectors. cos is identical for duplicate pair rows, so
-    // filter-then-dedup ≡ dedup-then-filter.
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.VectorExpressions.cosineF(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    val corpusSide = assigned.select(col("id").as("corpus_id"),
+      col("cell"), col("v").as("cv"))
+    val probeSide = assigned.select(col("id").as("query_id"),
+      col("v").as("qv"), col("cell"))
+    val fused = useFused.getOrElse(
+      graft.plans.SdcTopKPlan.cosineLayoutSupported(corpusSide, probeSide))
+    if (fused) {
+      // fused pair-threshold scan (plans/SdcTopKPlan.scala `cospair`
+      // mode, partitioned — both sides ARE the corpus): pairs are
+      // scored inline against the per-partition probe index and only
+      // survivors materialize as rows. At the 100× soak the
+      // compositional join below spent its wall building an UnsafeRow
+      // with two full vectors for every one of ~3×10⁸ candidate pairs.
+      // Byte-identical output (spec-pinned): same cosineF arithmetic,
+      // same a.id < b.id pairing, NaN survives ≥ τ as Spark compares.
+      graft.plans.SdcTopKPlan.pairsCosine(corpusSide, probeSide, threshold)
+        .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"),
+          col("ascore").as("cos"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    } else {
+      // compositional fallback (exotic id layouts): equi-join on cell —
+      // NOT a cartesian. Verify cosine and FILTER map-side, BEFORE the
+      // (id_a, id_b) dedup: only surviving near-dup pairs (tiny) ever
+      // shuffle, instead of every candidate row carrying two full
+      // vectors. cos is identical for duplicate pair rows, so
+      // filter-then-dedup ≡ dedup-then-filter.
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.VectorExpressions.cosineF(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   /** [[embeddingNearDupsBucketed]] with a PQ pre-filter in front of the

@@ -68,9 +68,9 @@ object GraftStrategy extends SparkStrategy {
     case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, fwd) =>
       AsOfJoinExec(lk, rk, lts, rts, payload, fwd, planLater(l), planLater(r)) :: Nil
     case ProbeTopKNode(corpus, probes, cid, ccell, cPayload,
-        qid, qPayload, pcell, mode, table, m, ksub, cap, partitioned, ascore) =>
+        qid, qPayload, pcell, mode, table, m, ksub, cap, partitioned, tau, ascore) =>
       ProbeTopKExec(cid, ccell, cPayload, qid, qPayload, pcell,
-        mode, table, m, ksub, cap, partitioned, ascore,
+        mode, table, m, ksub, cap, partitioned, tau, ascore,
         planLater(corpus), planLater(probes)) :: Nil
     case _ => Nil
   }

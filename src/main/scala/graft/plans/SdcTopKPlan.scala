@@ -50,6 +50,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *     values, same final ops). Corpus layout (corpus_id, cell,
   *     cv: array<float>), probes (query_id, qv, cell). This serves
   *     [[graft.ext.Similarity.ivfTopK]] — the exact-scored workhorse.
+  *   - `cospair`: the PAIR-THRESHOLD variant of `cos` for the near-dup
+  *     self-join family ([[graft.ext.Dedup.embeddingNearDupsBucketed]]):
+  *     no heaps — every (query, candidate) with query_id < corpus_id
+  *     and cosine ≥ `tau` is emitted as it is scored (NaN ≥ τ mirrors
+  *     Spark, where NaN compares larger than any value). Replaces the
+  *     within-cell self-join whose output was an UnsafeRow carrying
+  *     TWO full vectors per CANDIDATE pair (~hundreds of GB at 10⁸
+  *     pairs) with inline scoring that materializes only survivors.
+  *     The caller still dedups pairs probed in two shared cells.
   *
   * Output is the per-partition top-`cap` per query — a superset of the
   * global top-cap under the SAME total order, so the caller's final
@@ -100,13 +109,15 @@ case class ProbeTopKNode(
     queryId: Attribute,
     queryPayload: Attribute,       // sdc: qcodes; cos: qv
     probeCell: Attribute,
-    mode: String,                  // "sdc" | "cos"
+    mode: String,                  // "sdc" | "cos" | "cospair"
     table: Option[Broadcast[Array[Double]]], // sdc only
     m: Int, ksub: Int, cap: Int,
     partitioned: Boolean,          // cell-co-partitioned vs probe broadcast
+    tau: Double,                   // cospair only: emission threshold
     ascoreAttr: AttributeReference) extends BinaryNode {
 
-  require(mode == "sdc" || mode == "cos", s"ProbeTopKNode: bad mode '$mode'")
+  require(mode == "sdc" || mode == "cos" || mode == "cospair",
+    s"ProbeTopKNode: bad mode '$mode'")
 
   override def left: LogicalPlan = corpus
   override def right: LogicalPlan = probes
@@ -290,6 +301,7 @@ case class ProbeTopKExec(
     mode: String, table: Option[Broadcast[Array[Double]]],
     m: Int, ksub: Int, cap: Int,
     partitioned: Boolean,
+    tau: Double,
     ascoreAttr: AttributeReference,
     left: SparkPlan,  // corpus
     right: SparkPlan) // probes
@@ -343,6 +355,9 @@ case class ProbeTopKExec(
     val outRows = longMetric("numOutputRows")
     val scored = longMetric("numScoredPairs")
 
+    val isPair = mode == "cospair"
+    val tauLoc = tau
+
     if (partitioned) {
       // both children arrive hash-clustered on cell with matching
       // partition counts (EnsureRequirements) — each partition builds a
@@ -355,8 +370,12 @@ case class ProbeTopKExec(
             outAttrs, outRows, scored)
         } else {
           val probeIdx = ProbeIndex.buildVecs(pIter, qIdIdx, qPayIdx, pCellIdx)
-          ProbeScorer.cos(cIter, probeIdx,
-            cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
+          if (isPair)
+            ProbeScorer.cosPairs(cIter, probeIdx,
+              cidIdx, cellIdx, payIdx(0), tauLoc, outAttrs, outRows, scored)
+          else
+            ProbeScorer.cos(cIter, probeIdx,
+              cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
         }
       }
     } else {
@@ -369,8 +388,12 @@ case class ProbeTopKExec(
             outAttrs, outRows, scored)
         } else {
           val probeIdx = ProbeIndex.vecs(probeRel.value, qIdIdx, qPayIdx, pCellIdx)
-          ProbeScorer.cos(iter, probeIdx,
-            cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
+          if (isPair)
+            ProbeScorer.cosPairs(iter, probeIdx,
+              cidIdx, cellIdx, payIdx(0), tauLoc, outAttrs, outRows, scored)
+          else
+            ProbeScorer.cos(iter, probeIdx,
+              cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
         }
       }
     }
@@ -391,6 +414,21 @@ private[graft] object ProbeScorer {
     var h = heaps.get(qid)
     if (h == null) { h = new TopKHeap(cap); heaps.put(qid, h) }
     h
+  }
+
+  /** A zero-norm vector makes the cosine denominator 0 — the
+    * compositional plan's `Divide` raises DIVIDE_BY_ZERO there under
+    * ANSI mode (the Spark 4 default every shipped session runs). Raise
+    * the same loud error instead of silently scoring NaN/∞: a
+    * zero-norm embedding in a similarity scan is corrupt input, and at
+    * 100 TB a silent NaN pair is unfindable.
+    */
+  @inline private def checkedDenom(denom: Double, qid: Long, cid: Long): Double = {
+    if (denom == 0.0)
+      throw new ArithmeticException(
+        s"cosine division by zero: zero-norm vector in pair (query_id=$qid, " +
+          s"corpus_id=$cid) — the compositional Divide raises here too (ANSI)")
+    denom
   }
 
   def sdc(iter: Iterator[InternalRow],
@@ -482,7 +520,7 @@ private[graft] object ProbeScorer {
               var k = 0
               while (k < n) { d += q.vec(k).toDouble * cv(k).toDouble; k += 1 }
               scored += 1
-              heapFor(heaps, q.id, cap).offer(d / (q.norm * nc), cid)
+              heapFor(heaps, q.id, cap).offer(d / checkedDenom(q.norm * nc, q.id, cid), cid)
             }
             i += 1
           }
@@ -490,6 +528,75 @@ private[graft] object ProbeScorer {
       }
     }
     emit(heaps, outAttrs, outRows)
+  }
+
+  /** Pair-threshold mode: emit (query_id, corpus_id, cos) for every
+    * scored pair with query_id < corpus_id and cosine ≥ tau — no heap,
+    * survivors stream out as they are found. Replicates the
+    * compositional self-join's semantics exactly: the `a.id < b.id`
+    * join conjunct becomes the q.id < cid guard (each unordered pair
+    * scores once per SHARED cell — the caller's dropDuplicates keeps
+    * one), and the `cos >= τ` filter keeps NaN because Spark compares
+    * NaN larger than any value (a zero-norm pair scores 0/0 = NaN and
+    * SURVIVES the compositional filter — mirrored here).
+    */
+  def cosPairs(iter: Iterator[InternalRow],
+               probeIdx: java.util.HashMap[java.lang.Long, Array[QVec]],
+               cidIdx: Int, cellIdx: Int, cvIdx: Int, tau: Double,
+               outAttrs: Seq[Attribute],
+               outRows: SQLMetric, scored: SQLMetric): Iterator[InternalRow] = {
+    val proj = UnsafeProjection.create(outAttrs, outAttrs)
+    var cv: Array[Float] = null
+    iter.flatMap { row =>
+      if (row.isNullAt(cidIdx) || row.isNullAt(cellIdx) || row.isNullAt(cvIdx))
+        Iterator.empty
+      else {
+        val qs = probeIdx.get(row.getLong(cellIdx))
+        if (qs == null) Iterator.empty
+        else {
+          val cid = row.getLong(cidIdx)
+          val arr = row.getArray(cvIdx)
+          val n = arr.numElements()
+          if (cv == null || cv.length != n) cv = new Array[Float](n)
+          var j = 0
+          while (j < n) { cv(j) = arr.getFloat(j); j += 1 }
+          var cc = 0.0
+          j = 0
+          while (j < n) { cc += cv(j).toDouble * cv(j).toDouble; j += 1 }
+          val nc = math.sqrt(cc)
+          // survivors only — bounded by probes-in-cell that pass τ,
+          // tiny at near-dup thresholds
+          val hits = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+          var i = 0
+          while (i < qs.length) {
+            val q = qs(i)
+            if (q.id < cid) { // the a.id < b.id join conjunct
+              require(q.vec.length == n,
+                s"dot_product_float: mismatched dimensions (${q.vec.length} vs $n)")
+              var d = 0.0
+              var k = 0
+              while (k < n) { d += q.vec(k).toDouble * cv(k).toDouble; k += 1 }
+              val s = d / checkedDenom(q.norm * nc, q.id, cid)
+              scored += 1
+              // NaN ≥ τ mirrors Spark, where NaN compares larger than
+              // any value (reachable only via NaN INPUT components —
+              // zero norms raise above, as the compositional Divide
+              // does under ANSI)
+              if (s >= tau || java.lang.Double.isNaN(s)) hits += ((q.id, s))
+            }
+            i += 1
+          }
+          hits.iterator.map { case (qid, s) =>
+            val r = new GenericInternalRow(3)
+            r.update(0, qid)
+            r.update(1, cid)
+            r.update(2, s)
+            outRows += 1
+            proj(r)
+          }
+        }
+      }
+    }
   }
 
   private def emit(heaps: java.util.HashMap[java.lang.Long, TopKHeap],
@@ -567,11 +674,19 @@ object SdcTopKPlan {
   private def build(corpus: DataFrame, probes: DataFrame,
                     corpusPayloadNames: Seq[String], queryPayloadName: String,
                     mode: String, table: Option[Broadcast[Array[Double]]],
-                    m: Int, ksub: Int, cap: Int): DataFrame = {
+                    m: Int, ksub: Int, cap: Int, tau: Double = 0.0,
+                    forcePartitioned: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
     GraftStrategy.install(spark)
     val cPlan = GraftBridge.analyzed(corpus)
-    val pPlan = GraftBridge.analyzed(probes)
+    // re-alias EVERY probe column: in self-join shapes (the pair scan)
+    // both children derive from the same subtree, so an un-aliased
+    // probe column shares its exprId with a corpus column — the
+    // analyzer's DeduplicateRelations then rewrites the child but not
+    // the node's carried Attribute, and pruning drops the "duplicate".
+    // A fresh Alias per column guarantees disjoint probe-side exprIds.
+    val pPlan = GraftBridge.analyzed(
+      probes.select(probes.columns.map(n => probes.col(n).as(n)).toIndexedSeq: _*))
     def pick(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"probeTopK: no column '$n'"))
@@ -582,7 +697,8 @@ object SdcTopKPlan {
       pick(pPlan, "query_id"), pick(pPlan, queryPayloadName),
       pick(pPlan, "cell"),
       mode, table, m, ksub, cap,
-      choosePartitioned(probes),
+      forcePartitioned.getOrElse(choosePartitioned(probes)),
+      tau,
       AttributeReference("ascore", DoubleType, nullable = false)())
     GraftBridge.ofRows(spark, node)
   }
@@ -607,4 +723,20 @@ object SdcTopKPlan {
   def partialTopKCosine(corpus: DataFrame, probes: DataFrame,
                         k: Int): DataFrame =
     build(corpus, probes, Seq("cv"), "qv", "cos", None, 0, 0, k)
+
+  /** The fused PAIR-THRESHOLD cosine scan for the near-dup self-join
+    * family: every (query_id, corpus_id, ascore=cos) with
+    * query_id < corpus_id and cos ≥ tau, scored inline — candidate
+    * pairs below τ never exist as rows. The caller dedups pairs that
+    * share two probed cells and applies its output shaping. Defaults
+    * to forcing the PARTITIONED mode: in the self-join shape both
+    * sides are the same corpus-sized fan-out, exactly the shape whose
+    * broadcast is the per-executor memory wall; pass
+    * `forcePartitioned = Some(false)` or None-with-threshold for the
+    * incremental small-batch shape.
+    */
+  def pairsCosine(corpus: DataFrame, probes: DataFrame, tau: Double,
+                  forcePartitioned: Option[Boolean] = Some(true)): DataFrame =
+    build(corpus, probes, Seq("cv"), "qv", "cospair", None, 0, 0, 0,
+      tau, forcePartitioned)
 }

@@ -217,6 +217,51 @@ class SdcTopKPlanSpec extends SparkSpec {
     } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
   }
 
+  test("fused pair-threshold scan == compositional self-join, byte-identical") {
+    def run(useFused: Boolean, arrange: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.embeddingNearDupsBucketed(
+        arrange(corpus), "v", "id", threshold = 0.99, nCells = 8, nProbe = 2,
+        useFused = Some(useFused))
+        .orderBy("id_a", "id_b").collect()
+    val want = run(useFused = false, identity)
+    assert(want.nonEmpty, "fixture must produce near-dup pairs")
+    val fused = run(useFused = true, identity)
+    assert(fused === want)
+    // plan shape: fused, partitioned (self-join => never broadcast),
+    // no self-join row materialization
+    val plan = graft.ext.Dedup.embeddingNearDupsBucketed(
+      corpus, "v", "id", 0.99, nCells = 8, nProbe = 2, useFused = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ProbeTopK"), s"pair scan not fused:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"self-join pair scan must not broadcast a corpus-sized side:\n$plan")
+    // hostile input partitionings collapse to the same pairs
+    assert(run(useFused = true, _.repartition(7)) === want)
+    assert(run(useFused = true, _.coalesce(1)) === want)
+  }
+
+  test("zero-norm vectors raise loudly in BOTH pair paths (ANSI Divide parity)") {
+    // a zero vector makes the cosine denominator 0: the compositional
+    // plan's Divide raises DIVIDE_BY_ZERO under ANSI (the Spark 4
+    // default), and the fused scorer must be equally loud — a silent
+    // NaN/∞ pair at 100 TB is unfindable corruption
+    val base = (0 until 40).map(i => (i.toLong, Seq.fill(dim)(0.5f + i * 0.001f)))
+    val zeros = Seq((100L, Seq.fill(dim)(0f)), (101L, Seq.fill(dim)(0f)))
+    val embs = (base ++ zeros).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    def pairs(useFused: Boolean) = graft.ext.Dedup.embeddingNearDupsBucketed(
+      embs, "v", "id", threshold = 0.9999, nCells = 2, nProbe = 2,
+      useFused = Some(useFused))
+      .orderBy("id_a", "id_b").collect()
+    val eComp = intercept[Exception] { pairs(useFused = false) }
+    assert(eComp.toString.toLowerCase.contains("divi"),
+      s"compositional must raise divide-by-zero: $eComp")
+    val eFused = intercept[Exception] { pairs(useFused = true) }
+    assert(eFused.toString.toLowerCase.contains("division by zero") ||
+      Option(eFused.getCause).exists(_.toString.toLowerCase.contains("division by zero")),
+      s"fused must raise the same loud error: $eFused")
+  }
+
   test("TopKHeap keeps exactly the top-C under (score desc, id asc) with ties") {
     val rnd = new scala.util.Random(5)
     val entries = (0 until 500).map(i => (rnd.nextInt(20) / 10.0, i.toLong))
