@@ -250,6 +250,72 @@ class PqSpec extends SparkSpec {
     assert(run(incr) === run(oneShot))
   }
 
+  test("streaming append crash-recovery: retry after a PARTIAL store commit still equals one-shot") {
+    // q_stream_pq_append proves clean-run equivalence; the real risk is
+    // a micro-batch retry AFTER part of the batch's parquet files
+    // already landed in the store. Construct exactly that: run 1's
+    // foreachBatch appends only HALF of batch 0's rows and then dies
+    // (the checkpoint never commits the batch); run 2 resumes from the
+    // SAME checkpoint with the real consumer. The offset log replays
+    // batch 0 in full and skipExistingIds absorbs the half-committed
+    // rows — the recovered store must be row-identical to a one-shot
+    // build, and a store-backed query must not be able to tell.
+    val base = java.nio.file.Files.createTempDirectory("graft-pqcrash").toString
+    val cents = Similarity.refineCentroids(corpus,
+      Similarity.coarseCentroids(corpus, "v", "id", nCells = 8),
+      "v", "id", iterations = 1)
+    val assigned = Similarity.assignCells(corpus, cents, "v", "id")
+    val oneShot = s"$base/oneshot"
+    Pq.writePqIndex(assigned, cents, cb, oneShot, dim = dim, m = m, ksub = ksub)
+    val incr = s"$base/incr"
+    Pq.writePqIndex(assigned.filter(col("corpus_id") < 100), cents, cb, incr,
+      dim = dim, m = m, ksub = ksub)
+    // two file drops so recovery also proves later batches still run
+    corpus.filter(col("id") >= 100 && col("id") < 150).coalesce(1)
+      .write.parquet(s"$base/in")
+    corpus.filter(col("id") >= 150).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val ckpt = s"$base/ckpt"
+    def stream(consumer: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+      spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(consumer)
+        .start()
+    // run 1: partial commit, then crash BEFORE the batch commits
+    val crashed = stream { (batch, _) =>
+      Pq.appendToPqIndex(batch.sparkSession, incr,
+        batch.filter(col("id") % 2 === 0), "v", "id", skipExistingIds = true)
+      throw new RuntimeException("simulated crash after partial store commit")
+    }
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(err.toString.contains("simulated crash"), s"wrong failure: $err")
+    // the half-committed rows ARE in the store, the checkpoint is not
+    val committed = spark.read.parquet(incr).count()
+    assert(committed > 100 && committed < 200,
+      s"fixture must leave a genuine partial commit, store has $committed rows")
+    // run 2: same checkpoint, the real consumer — recovery
+    stream { (batch, _) =>
+      Pq.appendToPqIndex(batch.sparkSession, incr, batch, "v", "id",
+        skipExistingIds = true)
+    }.awaitTermination()
+    val cols = Seq("corpus_id", "cell", "codes", "cnorm").map(col)
+    val a = spark.read.parquet(incr).select(cols: _*)
+    val b = spark.read.parquet(oneShot).select(cols: _*)
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() === 0,
+      "recovered store must be row-identical to the one-shot build")
+    val q = corpus.filter(col("id") < 20)
+    def run(p: String) = Pq.ivfSdcPrerankTopKFromStore(spark, p, cents, q,
+        "v", "id", k = 10, nProbe = 2, preRankC = 30,
+        dim = dim, m = m, ksub = ksub)
+      .orderBy("query_id", "rank").collect()
+    assert(run(incr) === run(oneShot))
+  }
+
   test("appendToPqIndex: strict id check catches moved-cell re-ingest; schema mismatch fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("graft-pqstrict").toString
     val cents = Similarity.refineCentroids(corpus,
