@@ -59,8 +59,20 @@ object ProbeBatchProbe {
     // broadcast (see SdcTopKPlan.probeBroadcastThresholdKey)
     sys.env.get("SPARK_GRAFT_PROBE_THRESHOLD").foreach(v =>
       spark.conf.set(graft.plans.SdcTopKPlan.probeBroadcastThresholdKey, v))
+    // SPARK_GRAFT_PROBE_DIM synthesizes a higher-dim embedding column
+    // by tiling the real 64-dim vector with small deterministic
+    // per-copy jitter — cluster structure (and so cell occupancy)
+    // survives, only the arithmetic width changes. This measures the
+    // exact-vs-prerank crossover curve at dim 256/768.
+    val dimT = sys.env.get("SPARK_GRAFT_PROBE_DIM").map(_.toInt).getOrElse(64)
+    require(dimT % 64 == 0, s"probe dim must be a multiple of 64, got $dimT")
     try {
-      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val e = if (dimT == 64) e0 else e0.withColumn("embedding",
+        flatten(array((0 until dimT / 64).map(r =>
+          transform(col("embedding"), x =>
+            (x + (pmod(xxhash64(col("vec_id"), lit(r)), lit(1000))
+              .cast("double") / 1e4 - 0.05)).cast("float"))): _*)))
       val n = e.count() // warm cache + size
       val cents = Similarity.trainedCentroids(e, "embedding", "vec_id",
         nCells = nCells)
@@ -73,13 +85,13 @@ object ProbeBatchProbe {
         val en = e.select(col("vec_id").as("id"),
           graft.ext.Pq.normalized(col("embedding")).as("v"))
         Some(graft.ext.Pq.trainCodebooks(en, "v", "id",
-          dim = 64, m = 16, ksub = 16, iterations = 1))
+          dim = dimT, m = 16, ksub = 16, iterations = 1))
       } else None
       val storePath = if (useStore) {
         require(cb.nonEmpty, "store mode requires preRankC > 0")
         val p = storeDir.getPath
         graft.ext.Pq.writePqIndex(assigned, cents, cb.get, p,
-          dim = 64, m = 16, ksub = 16)
+          dim = dimT, m = 16, ksub = 16)
         Some(p)
       } else None
       val t0 = System.nanoTime()
@@ -87,18 +99,18 @@ object ProbeBatchProbe {
         case (Some(_), Some(p)) =>
           graft.ext.Pq.ivfSdcPrerankTopKFromStore(spark, p, cents, e,
             "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
-            dim = 64, m = 16, ksub = 16)
+            dim = dimT, m = 16, ksub = 16)
         case (Some(c), None) =>
           graft.ext.Pq.ivfSdcPrerankTopK(assigned, cents, c, e,
             "embedding", "vec_id", k = k, nProbe = nProbe, preRankC = preRankC,
-            dim = 64, m = 16, ksub = 16)
+            dim = dimT, m = 16, ksub = 16)
         case _ => Similarity.ivfTopK(assigned, cents, e,
           "embedding", "vec_id", k = k, nProbe = nProbe)
       }
       val rows = top.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probebatch] dir=$dir corpus=$n queries=$n nCells=$nCells " +
-        f"nProbe=$nProbe k=$k preRankC=$preRankC store=$useStore " +
+        f"nProbe=$nProbe k=$k preRankC=$preRankC store=$useStore dim=$dimT " +
         f"result_rows=$rows sec=$sec%.2f " +
         s"(old probe selection would have shuffled ${n * nCells} rows)")
     } finally {
