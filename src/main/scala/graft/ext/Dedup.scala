@@ -789,10 +789,16 @@ object Dedup {
   }
 
   /** [[embeddingNearDupsBucketed]] with a PQ pre-filter in front of the
-    * exact verification — the 100 TB self-join cost cut. The bucketed
-    * form exact-scores EVERY within-cell candidate pair with the
-    * full-dimension cosine kernel (dim multiply-adds per pair — the
-    * dominant cost once bucketing has bounded the pair space); here
+    * exact verification. MEASURED NOTE (r16, SCALE.md Round 16): the
+    * fused `cospair` scan the plain bucketed form now routes through
+    * beats this variant at every measured shape (8.25 s vs 17.8 s at
+    * 100×) because the within-cell JOIN — which this variant keeps —
+    * is the dominant cost, not the cosine arithmetic the pre-filter
+    * skips. Prefer [[embeddingNearDupsBucketed]]; this form remains
+    * for arithmetic-bound shapes (and stays gated). Original rationale:
+    * the bucketed form exact-scores EVERY within-cell candidate pair
+    * with the full-dimension cosine kernel (dim multiply-adds per pair
+    * — the dominant cost once bucketing has bounded the pair space); here
     * each pair is first scored by the symmetric PQ statistic
     * cos(decode(a), decode(b)) = m table reads against ONE shared
     * broadcast [[Pq.sdcTable]] plus a precomputed per-ROW
