@@ -104,6 +104,50 @@ private[graft] object ExtQueriesAnn {
       recallOk.unionByName(shapeOk).unionByName(ivfpqOk).orderBy("check_name")
     }),
 
+    "x_ann_mode_equivalence" -> ((s, d) => {
+      // GATE for the r16 partitioned-probe execution mode: the fused
+      // operator's two modes (identity-broadcast vs cell-co-partitioned,
+      // selected by spark.graft.ann.probeBroadcastThreshold) must be
+      // result-INVISIBLE. Engine-side two-direction equality of the
+      // full ivfTopK output and of the near-dup pair scan (fused
+      // partitioned vs the compositional join), as literal verdicts.
+      // The mode is baked into the plan at BUILD time, so building one
+      // frame per conf setting then comparing lazily is sound.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val cents = Similarity.refineCentroids(e,
+        Similarity.coarseCentroids(e, "embedding", "vec_id", nCells = 16),
+        "embedding", "vec_id", iterations = 1)
+      val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
+      val key = graft.plans.SdcTopKPlan.probeBroadcastThresholdKey
+      def withThreshold[A](v: Option[String])(body: => A): A = {
+        v.foreach(s.conf.set(key, _))
+        try body finally s.conf.unset(key)
+      }
+      val bcast = withThreshold(Some(Long.MaxValue.toString)) {
+        Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
+          k = 10, nProbe = 4) }
+      val part = withThreshold(Some("-1")) {
+        Similarity.ivfTopK(assigned, cents, q, "embedding", "vec_id",
+          k = 10, nProbe = 4) }
+      val topkEq = (bcast.exceptAll(part).count() +
+        part.exceptAll(bcast).count()) == 0
+      // pair scan: the ALWAYS-partitioned fused path vs the
+      // compositional broadcast join it replaced
+      val fusedPairs = Dedup.embeddingNearDupsBucketed(e, "embedding",
+        "vec_id", threshold = 0.9, nCells = 8, nProbe = 2,
+        useFused = Some(true))
+      val joinPairs = Dedup.embeddingNearDupsBucketed(e, "embedding",
+        "vec_id", threshold = 0.9, nCells = 8, nProbe = 2,
+        useFused = Some(false))
+      val pairEq = (fusedPairs.exceptAll(joinPairs).count() +
+        joinPairs.exceptAll(fusedPairs).count()) == 0
+      import s.implicits._
+      Seq(("pair_scan_fused_equals_compositional", pairEq),
+          ("topk_partitioned_equals_broadcast", topkEq))
+        .toDF("check_name", "ok").orderBy("check_name")
+    }),
+
     "x_ann_ivf_recall" -> ((s, d) => {
       // ORACLE-GATED quality bound for the HASH-SEEDED ANN paths —
       // since r13 the cheap FALLBACK (the flagships seed via trained
@@ -403,6 +447,11 @@ private[graft] object ExtQueriesAnn {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_ann_mode_equivalence" ->
+      """SELECT * FROM (VALUES ('pair_scan_fused_equals_compositional', TRUE),
+        |  ('topk_partitioned_equals_broadcast', TRUE))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
+
     "x_ann_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_mean_recall10_ge_070', TRUE),
         |  ('ivfpq_mean_recall10_ge_065', TRUE))
