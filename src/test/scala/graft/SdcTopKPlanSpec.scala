@@ -262,6 +262,37 @@ class SdcTopKPlanSpec extends SparkSpec {
       s"fused must raise the same loud error: $eFused")
   }
 
+  test("ProbeIndex cache keys on layout, not just broadcast identity (r15 advice)") {
+    // one broadcast rows array served to two execs with DIFFERENT
+    // column layouts must build two indexes — before the fix the
+    // second silently reused the first's (stale column positions)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def row(id: Long, codes: Array[Int], cell: Long): InternalRow =
+      InternalRow(id, ArrayData.toArrayData(codes), cell)
+    // layout A: (id@0, codes@1, cell@2); layout B reads cell from 0 and
+    // id from 2 — same rows, different positions
+    val rows = Array(
+      row(1L, Array(0, 1), 7L),
+      row(2L, Array(1, 0), 7L))
+    val a = graft.plans.ProbeIndex.codes(rows, m = 2, qIdIdx = 0, qPayIdx = 1, cellIdx = 2)
+    val b = graft.plans.ProbeIndex.codes(rows, m = 2, qIdIdx = 2, qPayIdx = 1, cellIdx = 0)
+    assert(a ne b, "different layouts over one broadcast must not share an index")
+    assert(a.get(7L).map(_.id).toSet === Set(1L, 2L))
+    assert(b.get(1L).map(_.id).toSet === Set(7L)) // id read from cell position
+    // same layout twice: cached instance reused
+    val a2 = graft.plans.ProbeIndex.codes(rows, m = 2, qIdIdx = 0, qPayIdx = 1, cellIdx = 2)
+    assert(a eq a2, "identical layout must hit the cache")
+    // vecs cache: same contract
+    def vrow(id: Long, v: Array[Float], cell: Long): InternalRow =
+      InternalRow(id, ArrayData.toArrayData(v), cell)
+    val vrows = Array(vrow(3L, Array(1f, 0f), 9L))
+    val va = graft.plans.ProbeIndex.vecs(vrows, qIdIdx = 0, qPayIdx = 1, cellIdx = 2)
+    val vb = graft.plans.ProbeIndex.vecs(vrows, qIdIdx = 2, qPayIdx = 1, cellIdx = 0)
+    assert(va ne vb)
+    assert(va.get(9L).head.id === 3L && vb.get(3L).head.id === 9L)
+  }
+
   test("TopKHeap keeps exactly the top-C under (score desc, id asc) with ties") {
     val rnd = new scala.util.Random(5)
     val entries = (0 until 500).map(i => (rnd.nextInt(20) / 10.0, i.toLong))
