@@ -421,7 +421,12 @@ private[graft] object ProbeScorer {
     * ANSI mode (the Spark 4 default every shipped session runs). Raise
     * the same loud error instead of silently scoring NaN/∞: a
     * zero-norm embedding in a similarity scan is corrupt input, and at
-    * 100 TB a silent NaN pair is unfindable.
+    * 100 TB a silent NaN pair is unfindable. The raise matches the
+    * compositional plan ONLY under ANSI, so the cosine modes hard-
+    * require ANSI at build time and [[SdcTopKPlan.cosineLayoutSupported]]
+    * reports false for non-ANSI sessions (callers then keep the
+    * compositional plan, whose Divide carries the session's own
+    * semantics — NULL-drop when ANSI is off).
     */
   @inline private def checkedDenom(denom: Double, qid: Long, cid: Long): Double = {
     if (denom == 0.0)
@@ -537,8 +542,11 @@ private[graft] object ProbeScorer {
     * join conjunct becomes the q.id < cid guard (each unordered pair
     * scores once per SHARED cell — the caller's dropDuplicates keeps
     * one), and the `cos >= τ` filter keeps NaN because Spark compares
-    * NaN larger than any value (a zero-norm pair scores 0/0 = NaN and
-    * SURVIVES the compositional filter — mirrored here).
+    * NaN larger than any value. NaN survival is reachable only through
+    * NaN INPUT components: a zero-norm pair RAISES in [[checkedDenom]],
+    * exactly as the compositional Divide does under ANSI mode (the
+    * build-time requirement — non-ANSI sessions route to the
+    * compositional fallback instead).
     */
   def cosPairs(iter: Iterator[InternalRow],
                probeIdx: java.util.HashMap[java.lang.Long, Array[QVec]],
@@ -643,9 +651,18 @@ object SdcTopKPlan {
       is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
       isArr(probes, "qcodes", IntegerType)
 
-  /** True when both frames carry the cosine-mode layout. */
+  /** True when both frames carry the cosine-mode layout AND the session
+    * runs ANSI mode. The fused cosine scorers replicate the
+    * compositional `Divide`'s ANSI raise on a zero-norm denominator;
+    * with ANSI off the compositional plan NULL-drops that pair instead,
+    * so a non-ANSI session must keep the compositional plan to keep its
+    * own semantics (ADVICE r16). Every shipped session runs ANSI (the
+    * Spark 4 default) — this only reroutes sessions that explicitly
+    * turned it off.
+    */
   def cosineLayoutSupported(corpus: DataFrame, probes: DataFrame): Boolean =
-    is(corpus, "corpus_id", LongType) && is(corpus, "cell", LongType) &&
+    corpus.sparkSession.sessionState.conf.ansiEnabled &&
+      is(corpus, "corpus_id", LongType) && is(corpus, "cell", LongType) &&
       isArr(corpus, "cv", FloatType) &&
       is(probes, "query_id", LongType) && is(probes, "cell", LongType) &&
       isArr(probes, "qv", FloatType)
@@ -663,12 +680,50 @@ object SdcTopKPlan {
   val probeBroadcastThresholdKey = "spark.graft.ann.probeBroadcastThreshold"
   private val defaultProbeBroadcastThreshold: Long = 512L << 20
 
+  // session-scoped memo for the mode-selection size estimate, keyed by
+  // the ANALYZED plan's semantic fingerprint: `optimizedPlan.stats`
+  // costs a full optimizer pass over the probe side's lineage (the ANN
+  // rows feed deep index-build trees here), and gate/bench runs rebuild
+  // semantically identical probe plans repeatedly (VERDICT r16 #3 — the
+  // x_ann_ivf_recall +0.66 s adjudication). Staleness risk is bounded:
+  // the estimate only picks between two RESULT-EQUIVALENT modes
+  // (x_ann_mode_equivalence), and file-size drift within one session
+  // under an identical plan is not a shipped shape. Weak session key —
+  // entries die with the session.
+  private val estCache = new java.util.WeakHashMap[
+    SparkSession, java.util.HashMap[Integer, BigInt]]()
+
   private def choosePartitioned(probes: DataFrame): Boolean = {
     val thr = probes.sparkSession.conf
       .get(probeBroadcastThresholdKey, defaultProbeBroadcastThreshold.toString)
       .toLong
-    thr < 0 ||
-      probes.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(thr)
+    // conf extremes decide without any stats probe: -1 (the spec's
+    // partitioned-forcing lever) and MaxValue (the equivalence gate's
+    // broadcast-forcing lever) — no estimate can cross them
+    if (thr < 0) true
+    else if (thr == Long.MaxValue) false
+    else {
+      val est = estCache.synchronized {
+        val perSession = estCache.computeIfAbsent(
+          probes.sparkSession, _ => new java.util.HashMap[Integer, BigInt]())
+        val key = Integer.valueOf(probes.queryExecution.analyzed.semanticHash())
+        var v = perSession.get(key)
+        if (v == null) {
+          v = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+          perSession.put(key, v)
+        }
+        v
+      }
+      val partitioned = est > BigInt(thr)
+      // one line per decision (ADVICE r16): sizeInBytes on an explode
+      // fan-out can be grossly inflated, and a misestimate-driven flip
+      // to the double-shuffle mode should be visible in bench logs, not
+      // silent (modes are gated equivalent — this is a perf tripwire)
+      System.err.println(
+        s"[graft] probeTopK mode=${if (partitioned) "partitioned" else "broadcast"} " +
+          s"probeEstimateBytes=$est thresholdBytes=$thr")
+      partitioned
+    }
   }
 
   private def build(corpus: DataFrame, probes: DataFrame,
@@ -677,6 +732,14 @@ object SdcTopKPlan {
                     m: Int, ksub: Int, cap: Int, tau: Double = 0.0,
                     forcePartitioned: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
+    // the cosine scorers' zero-norm raise is ANSI-Divide parity; under
+    // a non-ANSI session the compositional plan NULL-drops instead —
+    // callers route there via cosineLayoutSupported, and building the
+    // fused node directly in such a session is a semantics bug
+    if (mode != "sdc") require(spark.sessionState.conf.ansiEnabled,
+      s"probeTopK '$mode' mode requires spark.sql.ansi.enabled=true " +
+        "(its zero-norm raise mirrors the ANSI Divide); non-ANSI " +
+        "sessions must use the compositional plan")
     GraftStrategy.install(spark)
     val cPlan = GraftBridge.analyzed(corpus)
     // re-alias EVERY probe column: in self-join shapes (the pair scan)

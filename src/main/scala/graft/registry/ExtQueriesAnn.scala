@@ -120,9 +120,15 @@ private[graft] object ExtQueriesAnn {
         "embedding", "vec_id", iterations = 1)
       val assigned = Similarity.assignCells(e, cents, "embedding", "vec_id")
       val key = graft.plans.SdcTopKPlan.probeBroadcastThresholdKey
+      // restore the PRIOR value (not unset): the gate must not clobber
+      // a user/session-set threshold for the rest of the session
       def withThreshold[A](v: Option[String])(body: => A): A = {
+        val prior = s.conf.getOption(key)
         v.foreach(s.conf.set(key, _))
-        try body finally s.conf.unset(key)
+        try body finally prior match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
       }
       // each equality reads BOTH sides twice (two-direction exceptAll)
       // — persist the compared frames so neither plan re-executes per

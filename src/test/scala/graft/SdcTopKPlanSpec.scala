@@ -262,6 +262,39 @@ class SdcTopKPlanSpec extends SparkSpec {
       s"fused must raise the same loud error: $eFused")
   }
 
+  test("non-ANSI sessions reroute to the compositional plan (r16 advice)") {
+    // the fused cosine scorers replicate the ANSI Divide's raise on a
+    // zero-norm denominator; with ANSI off the compositional Divide
+    // NULL-drops that pair instead — the router must keep the session's
+    // own semantics, and building the fused node directly must refuse
+    val base = (0 until 40).map(i => (i.toLong, Seq.fill(dim)(0.5f + i * 0.001f)))
+    val zeros = Seq((100L, Seq.fill(dim)(0f)), (101L, Seq.fill(dim)(0f)))
+    val embs = (base ++ zeros).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    val corpusSide = embs.select(col("id").as("corpus_id"),
+      lit(0L).as("cell"), col("v").as("cv"))
+    val probeSide = embs.select(col("id").as("query_id"),
+      col("v").as("qv"), lit(0L).as("cell"))
+    assert(SdcTopKPlan.cosineLayoutSupported(corpusSide, probeSide),
+      "ANSI session with the pinned layout must route fused")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(!SdcTopKPlan.cosineLayoutSupported(corpusSide, probeSide),
+        "non-ANSI session must report the fused layout unsupported")
+      intercept[IllegalArgumentException] {
+        SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.9)
+      }
+      // the near-dup router (useFused = None) keeps the compositional
+      // plan, whose non-ANSI Divide silently DROPS the zero-norm pair
+      // instead of raising — the session's own semantics
+      val pairs = graft.ext.Dedup.embeddingNearDupsBucketed(
+        embs, "v", "id", threshold = 0.9999, nCells = 2, nProbe = 2)
+        .collect()
+      assert(!pairs.exists(r => r.getLong(0) == 100L || r.getLong(1) == 101L),
+        "non-ANSI compositional plan must NULL-drop zero-norm pairs")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("ProbeIndex cache keys on layout, not just broadcast identity (r15 advice)") {
     // one broadcast rows array served to two execs with DIFFERENT
     // column layouts must build two indexes — before the fix the
