@@ -2,6 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // environment sampled BEFORE any work: the post-run loadavg samples
+    // the bench's own 32-core burn (r16's committed quiet-box headline
+    // carried load_avg 4.41 and could not defend its "load < 2" claim —
+    // VERDICT r16 #4). load1_pre is the field quiet-box adjudications
+    // must cite; the post-run load_avg stays as the "did anything else
+    // spin up mid-run" cross-check.
+    val load1Pre =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val uptimePreSec =
+      try scala.io.Source.fromFile("/proc/uptime").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -152,10 +164,12 @@ object Bench {
     // explicit ROOT locale: the f-interpolator honors the JVM default
     // locale, which on comma-decimal locales would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // environment header: a bench number without the load it ran under
-    // is unadjudicable — r7's official artifact disagreed with the
-    // quiet-JVM close by 43% because the final run shared the sandbox
-    // with a 10x dataset build, and nothing recorded that
+    // post-run environment sample: a bench number without the load it
+    // ran under is unadjudicable — r7's official artifact disagreed
+    // with the quiet-JVM close by 43% because the final run shared the
+    // sandbox with a 10x dataset build, and nothing recorded that.
+    // (Pre-run load1_pre above is the quiet-box adjudication field;
+    // this one is self-polluted by the run itself.)
     val loadAvg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
@@ -173,7 +187,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
         s""""headline_total":${fmt(headlineTotal)},"headline_n":${headlineRows.size},""" +
         s""""headline":$hs,""" +
-        s""""failed":$fails,"load_avg":$loadAvg,"shm_free_gb":${fmt(shmFreeGb)},""" +
+        s""""failed":$fails,"load1_pre":$load1Pre,"uptime_pre_sec":$uptimePreSec,""" +
+        s""""load_avg":$loadAvg,"shm_free_gb":${fmt(shmFreeGb)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query map (medians) → file; all raw rep timings → a
