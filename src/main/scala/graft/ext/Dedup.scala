@@ -727,19 +727,42 @@ object Dedup {
   def embeddingNearDupsAgainst(
       incoming: DataFrame, store: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nCells: Int = 16, nProbe: Int = 2,
-      lloydIterations: Int = 1): DataFrame = {
+      lloydIterations: Int = 1,
+      useFused: Option[Boolean] = None): DataFrame = {
     val st = store.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = Similarity.refineCentroids(st,
       Similarity.coarseCentroids(st, "v", "id", nCells), "v", "id", lloydIterations)
     val assignedStore = Similarity.assignCells(st, cents, "v", "id")
     val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("v"))
     val probes = multiProbe(inc, cents, nProbe)
-    probes.as("n").join(assignedStore.as("s"), col("n.cell") === col("s.cell"))
-      .select(col("n.id").as("id_new"), col("s.corpus_id").as("id_store"),
-        graft.functions.VectorExpressions.cosineF(col("n.v"), col("s.cv")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .dropDuplicates("id_new", "id_store")
-      .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+    val probeSide = probes.select(col("id").as("query_id"),
+      col("v").as("qv"), col("cell"))
+    val fused = useFused.getOrElse(
+      graft.plans.SdcTopKPlan.cosineLayoutSupported(assignedStore, probeSide))
+    if (fused) {
+      // fused UNORDERED pair scan (plans/SdcTopKPlan.scala `cospairu`):
+      // batch×store candidates score inline against the probe index and
+      // only survivors materialize — the compositional join below built
+      // an UnsafeRow carrying two full vectors per CANDIDATE, a wall at
+      // 10⁷-row backfill batches (r16 verdict #2). Byte-identical
+      // output (spec-pinned): same cosineF arithmetic, no id conjunct
+      // either way. Mode selection is threshold-based: daily batches
+      // broadcast (store streams shuffle-free), backfill-sized batches
+      // trip to cell-co-partitioned.
+      graft.plans.SdcTopKPlan.pairsCosineAgainst(assignedStore, probeSide,
+          threshold)
+        .select(col("query_id").as("id_new"), col("corpus_id").as("id_store"),
+          col("ascore").as("cos"))
+        .dropDuplicates("id_new", "id_store")
+        .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+    } else {
+      probes.as("n").join(assignedStore.as("s"), col("n.cell") === col("s.cell"))
+        .select(col("n.id").as("id_new"), col("s.corpus_id").as("id_store"),
+          graft.functions.VectorExpressions.cosineF(col("n.v"), col("s.cv")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .dropDuplicates("id_new", "id_store")
+        .select(col("id_new"), col("id_store"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   def embeddingNearDupsBucketed(

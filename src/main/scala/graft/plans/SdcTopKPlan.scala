@@ -59,6 +59,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *     TWO full vectors per CANDIDATE pair (~hundreds of GB at 10⁸
   *     pairs) with inline scoring that materializes only survivors.
   *     The caller still dedups pairs probed in two shared cells.
+  *   - `cospairu`: the UNORDERED pair-threshold variant for the
+  *     incremental batch-vs-store shape
+  *     ([[graft.ext.Dedup.embeddingNearDupsAgainst]]): the two sides
+  *     are DISJOINT row sets (an incoming batch probed against a
+  *     persisted store), so there is no `a.id < b.id` conjunct and no
+  *     self-exclusion — every (query, candidate) pair with cosine ≥
+  *     `tau` is emitted, exactly the compositional batch×store
+  *     equi-join's semantics (ids that happen to collide across the
+  *     two sides pair like any other rows, as they do in the join).
   *
   * Output is the per-partition top-`cap` per query — a superset of the
   * global top-cap under the SAME total order, so the caller's final
@@ -116,7 +125,8 @@ case class ProbeTopKNode(
     tau: Double,                   // cospair only: emission threshold
     ascoreAttr: AttributeReference) extends BinaryNode {
 
-  require(mode == "sdc" || mode == "cos" || mode == "cospair",
+  require(mode == "sdc" || mode == "cos" || mode == "cospair" ||
+    mode == "cospairu",
     s"ProbeTopKNode: bad mode '$mode'")
 
   override def left: LogicalPlan = corpus
@@ -355,7 +365,8 @@ case class ProbeTopKExec(
     val outRows = longMetric("numOutputRows")
     val scored = longMetric("numScoredPairs")
 
-    val isPair = mode == "cospair"
+    val isPair = mode == "cospair" || mode == "cospairu"
+    val orderedPair = mode == "cospair"
     val tauLoc = tau
 
     if (partitioned) {
@@ -372,7 +383,8 @@ case class ProbeTopKExec(
           val probeIdx = ProbeIndex.buildVecs(pIter, qIdIdx, qPayIdx, pCellIdx)
           if (isPair)
             ProbeScorer.cosPairs(cIter, probeIdx,
-              cidIdx, cellIdx, payIdx(0), tauLoc, outAttrs, outRows, scored)
+              cidIdx, cellIdx, payIdx(0), tauLoc, orderedPair,
+              outAttrs, outRows, scored)
           else
             ProbeScorer.cos(cIter, probeIdx,
               cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
@@ -390,7 +402,8 @@ case class ProbeTopKExec(
           val probeIdx = ProbeIndex.vecs(probeRel.value, qIdIdx, qPayIdx, pCellIdx)
           if (isPair)
             ProbeScorer.cosPairs(iter, probeIdx,
-              cidIdx, cellIdx, payIdx(0), tauLoc, outAttrs, outRows, scored)
+              cidIdx, cellIdx, payIdx(0), tauLoc, orderedPair,
+              outAttrs, outRows, scored)
           else
             ProbeScorer.cos(iter, probeIdx,
               cidIdx, cellIdx, payIdx(0), capLoc, outAttrs, outRows, scored)
@@ -551,6 +564,7 @@ private[graft] object ProbeScorer {
   def cosPairs(iter: Iterator[InternalRow],
                probeIdx: java.util.HashMap[java.lang.Long, Array[QVec]],
                cidIdx: Int, cellIdx: Int, cvIdx: Int, tau: Double,
+               ordered: Boolean,
                outAttrs: Seq[Attribute],
                outRows: SQLMetric, scored: SQLMetric): Iterator[InternalRow] = {
     val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -578,7 +592,11 @@ private[graft] object ProbeScorer {
           var i = 0
           while (i < qs.length) {
             val q = qs(i)
-            if (q.id < cid) { // the a.id < b.id join conjunct
+            // ordered: the self-join's a.id < b.id conjunct; unordered
+            // (batch-vs-store): every pair scores, no self-exclusion —
+            // the sides are disjoint row sets and the compositional
+            // equi-join has no id conjunct either
+            if (!ordered || q.id < cid) {
               require(q.vec.length == n,
                 s"dot_product_float: mismatched dimensions (${q.vec.length} vs $n)")
               var d = 0.0
@@ -801,5 +819,23 @@ object SdcTopKPlan {
   def pairsCosine(corpus: DataFrame, probes: DataFrame, tau: Double,
                   forcePartitioned: Option[Boolean] = Some(true)): DataFrame =
     build(corpus, probes, Seq("cv"), "qv", "cospair", None, 0, 0, 0,
+      tau, forcePartitioned)
+
+  /** The UNORDERED fused pair-threshold scan for the incremental
+    * batch-vs-store shape ([[graft.ext.Dedup.embeddingNearDupsAgainst]]):
+    * corpus = the persisted store's (corpus_id, cell, cv), probes = the
+    * incoming batch's multi-probed (query_id, qv, cell). Every
+    * (query, candidate) pair with cosine ≥ tau is emitted inline — no
+    * `query_id < corpus_id` guard and no self-exclusion, because the
+    * sides are disjoint row sets and the compositional equi-join it
+    * replaces has no id conjunct. Mode selection is threshold-based by
+    * default: a daily batch (≤ 10⁶ rows) broadcasts and the store
+    * streams shuffle-free; a backfill-sized batch (≥ 10⁷ rows — the
+    * r16 verdict's named wall) trips to the cell-co-partitioned mode
+    * instead of OOMing every executor.
+    */
+  def pairsCosineAgainst(corpus: DataFrame, probes: DataFrame, tau: Double,
+                         forcePartitioned: Option[Boolean] = None): DataFrame =
+    build(corpus, probes, Seq("cv"), "qv", "cospairu", None, 0, 0, 0,
       tau, forcePartitioned)
 }

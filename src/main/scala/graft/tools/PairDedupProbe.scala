@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * replication jitter makes each base vector's replicas mutual
   * near-dups, so the pair output is real and large.
   *
-  * usage: runMain graft.tools.PairDedupProbe <sfDir> [nCells] [nProbe] [threshold] [exact|pq|fused|all]
+  * r17: also measures the INCREMENTAL batch-vs-store shape
+  * ([[graft.ext.Dedup.embeddingNearDupsAgainst]]) — compositional join
+  * vs the fused unordered pair scan (broadcast and forced-partitioned
+  * modes), batch = every 10th vector, store = the rest.
+  *
+  * usage: runMain graft.tools.PairDedupProbe <sfDir> [nCells] [nProbe] [threshold] [exact|pq|fused|against|all]
   */
 object PairDedupProbe {
   def main(args: Array[String]): Unit = {
@@ -60,6 +65,39 @@ object PairDedupProbe {
             threshold, nCells = nCells, nProbe = nProbe,
             useFused = Some(true)).count()
         }
+      if (which == "against" || which == "all") {
+        // the incremental shape: the first ~10% of ids are the incoming
+        // batch, the rest the persisted store. A CONTIGUOUS split (not
+        // a modulus): ScaleUp assigns replica ids base + k·baseCount,
+        // so a modulus split that divides the stride puts every replica
+        // family on one side and the cross-split pair set is empty —
+        // the block split puts whole replica families on both sides
+        val cut = n / 10
+        val batch = e.filter(col("vec_id") < cut)
+        val store = e.filter(col("vec_id") >= cut)
+        timed("against-compositional-join") {
+          graft.ext.Dedup.embeddingNearDupsAgainst(batch, store,
+            "embedding", "vec_id", threshold, nCells = nCells,
+            nProbe = nProbe, useFused = Some(false)).count()
+        }
+        timed("against-fused-broadcast") {
+          graft.ext.Dedup.embeddingNearDupsAgainst(batch, store,
+            "embedding", "vec_id", threshold, nCells = nCells,
+            nProbe = nProbe, useFused = Some(true)).count()
+        }
+        timed("against-fused-partitioned") {
+          val key = graft.plans.SdcTopKPlan.probeBroadcastThresholdKey
+          val prior = spark.conf.getOption(key)
+          spark.conf.set(key, "-1")
+          try graft.ext.Dedup.embeddingNearDupsAgainst(batch, store,
+            "embedding", "vec_id", threshold, nCells = nCells,
+            nProbe = nProbe, useFused = Some(true)).count()
+          finally prior match {
+            case Some(p) => spark.conf.set(key, p)
+            case None => spark.conf.unset(key)
+          }
+        }
+      }
     } finally spark.stop()
   }
 }

@@ -262,6 +262,39 @@ class SdcTopKPlanSpec extends SparkSpec {
       s"fused must raise the same loud error: $eFused")
   }
 
+  test("fused UNORDERED pair scan == compositional batch-vs-store join, byte-identical") {
+    // the incremental shape: an incoming batch probed against a store.
+    // Ids OVERLAP across the sides (store 0..149, batch 100..199) — the
+    // compositional equi-join has no id conjunct, so colliding ids pair
+    // like any other rows and the fused path must NOT self-exclude
+    val store = corpus.filter(col("id") < 150)
+    val batch = corpus.filter(col("id") >= 100)
+    def run(useFused: Boolean) =
+      graft.ext.Dedup.embeddingNearDupsAgainst(
+        batch, store, "v", "id", threshold = 0.99, nCells = 8, nProbe = 2,
+        useFused = Some(useFused))
+        .orderBy("id_new", "id_store").collect()
+    val want = run(useFused = false)
+    assert(want.nonEmpty, "fixture must produce batch-vs-store pairs")
+    // overlapping ids must be able to pair with THEMSELVES (cos = 1)
+    assert(want.exists(r => r.getLong(0) == r.getLong(1)),
+      "overlap fixture must exercise colliding ids")
+    assert(run(useFused = true) === want)
+    // default routing is fused; a small batch stays broadcast (the
+    // store streams shuffle-free), and forcing partitioned via the
+    // threshold lever is result-invisible
+    val dflt = graft.ext.Dedup.embeddingNearDupsAgainst(
+      batch, store, "v", "id", threshold = 0.99, nCells = 8, nProbe = 2)
+    val plan = dflt.queryExecution.executedPlan.toString
+    assert(plan.contains("ProbeTopK"), s"Against path not fused:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"a tiny batch must ride the broadcast mode:\n$plan")
+    assert(dflt.orderBy("id_new", "id_store").collect() === want)
+    spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
+    try assert(run(useFused = true) === want)
+    finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+  }
+
   test("non-ANSI sessions reroute to the compositional plan (r16 advice)") {
     // the fused cosine scorers replicate the ANSI Divide's raise on a
     // zero-norm denominator; with ANSI off the compositional Divide
