@@ -698,6 +698,94 @@ object SdcTopKPlan {
   val probeBroadcastThresholdKey = "spark.graft.ann.probeBroadcastThreshold"
   private val defaultProbeBroadcastThreshold: Long = 512L << 20
 
+  /** Skew hardening for the PARTITIONED mode (r16 verdict #1): both
+    * sides hash-cluster on `cell`, so a hot cell — a collapsed/dead
+    * centroid — lands on ONE task and serializes the stage, and AQE
+    * skew-split cannot rebalance a custom exec. When
+    * `spark.graft.ann.skewSaltFactor` = S > 1, cells holding more than
+    * `spark.graft.ann.skewCellFraction` of the corpus (default 5%) are
+    * sub-split: the BUILDER rewrites both sides' cell column to the
+    * composite `cell·S + salt` — corpus rows of a hot cell take
+    * salt = hash(corpus_id) mod S (each row exactly one sub-cell),
+    * probe rows of a hot cell REPLICATE across all S sub-cells, cold
+    * cells map to salt 0. Matching is exact on the composite key, so
+    * every (probe, corpus) pair that shared a cell shares exactly one
+    * sub-cell: the scored-pair SET is unchanged, only its partitioning
+    * — and any partitioning of the scored pairs yields the same global
+    * result (the superset property the two execution modes already
+    * rely on; spec-pinned byte-identical).
+    *
+    * OFF by default: trained seeding keeps cells balanced in every
+    * shipped shape, and detection costs one extra aggregation pass
+    * over the corpus lineage per build. Turn it on for untrusted /
+    * degenerate centroid sets. Detection collects only (hot cell, n)
+    * rows — bounded by 1/fraction cells by construction.
+    */
+  val skewSaltFactorKey = "spark.graft.ann.skewSaltFactor"
+  val skewCellFractionKey = "spark.graft.ann.skewCellFraction"
+
+  /** Hot cells from collected (cell, rows) stats: cells holding
+    * ≥ `frac` of `total` rows. Pure — unit-testable. */
+  private[graft] def detectHotCells(counts: Seq[(Long, Long)], total: Long,
+                                    frac: Double): Seq[Long] =
+    counts.filter { case (_, n) => n.toDouble >= frac * total }.map(_._1)
+
+  /** Apply the salted sub-split to both sides when enabled and hot
+    * cells exist. Returns the (possibly rewritten) frames. */
+  private def maybeSaltCells(corpus: DataFrame, probes: DataFrame,
+                             corpusIdName: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val spark = corpus.sparkSession
+    val s = spark.conf.get(skewSaltFactorKey, "0").toInt
+    if (s <= 1) return (corpus, probes)
+    val frac = spark.conf.get(skewCellFractionKey, "0.05").toDouble
+    require(frac > 0.0 && frac <= 1.0,
+      s"$skewCellFractionKey must be in (0, 1], got $frac")
+    // one aggregation pass over the corpus lineage: per-cell counts
+    // (map-side combined to ≤ distinct-cells rows), then total/extrema
+    // and the hot set read off the persisted stats — the corpus itself
+    // is scanned once
+    val stats = corpus.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .persist()
+    try {
+      val agg = stats.agg(sum(col("__n")), min(col("cell")), max(col("cell")))
+        .first()
+      if (agg.isNullAt(0)) return (corpus, probes) // empty corpus
+      val total = agg.getLong(0)
+      val minCell = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val maxCell = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+      // the composite key must stay injective in a Long
+      if (maxCell > (Long.MaxValue - s) / s || minCell < Long.MinValue / s) {
+        System.err.println(s"[graft] probeTopK skew-salt SKIPPED: cell id " +
+          s"range [$minCell, $maxCell] would overflow the composite key at " +
+          s"saltFactor=$s")
+        return (corpus, probes)
+      }
+      val hot = detectHotCells(
+        stats.filter(col("cell").isNotNull &&
+            col("__n") >= (frac * total).toLong)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        total, frac)
+      if (hot.isEmpty) return (corpus, probes)
+      System.err.println(s"[graft] probeTopK skew-salt: ${hot.size} hot " +
+        s"cell(s) ${hot.take(8).mkString("[", ",", "]")} sub-split x$s " +
+        s"(fraction=$frac, corpus=$total)")
+      val hotCols = hot.map(lit)
+      val sL = s.toLong
+      val cSalted = corpus.withColumn("cell",
+        when(col("cell").isin(hotCols: _*),
+          col("cell") * sL + pmod(hash(col(corpusIdName)), lit(s)).cast("long"))
+          .otherwise(col("cell") * sL))
+      val pSalted = probes
+        .withColumn("__salt", explode(
+          when(col("cell").isin(hotCols: _*), sequence(lit(0L), lit(sL - 1L)))
+            .otherwise(array(lit(0L)))))
+        .withColumn("cell", col("cell") * sL + col("__salt"))
+        .drop("__salt")
+      (cSalted, pSalted)
+    } finally stats.unpersist()
+  }
+
   // session-scoped memo for the mode-selection size estimate, keyed by
   // the ANALYZED plan's semantic fingerprint: `optimizedPlan.stats`
   // costs a full optimizer pass over the probe side's lineage (the ANN
@@ -759,7 +847,13 @@ object SdcTopKPlan {
         "(its zero-norm raise mirrors the ANSI Divide); non-ANSI " +
         "sessions must use the compositional plan")
     GraftStrategy.install(spark)
-    val cPlan = GraftBridge.analyzed(corpus)
+    val partitioned = forcePartitioned.getOrElse(choosePartitioned(probes))
+    // skew hardening applies only where skew can hurt: the partitioned
+    // mode clusters on cell, the broadcast mode has no cell partitioning
+    val (corpusIn, probesIn) =
+      if (partitioned) maybeSaltCells(corpus, probes, "corpus_id")
+      else (corpus, probes)
+    val cPlan = GraftBridge.analyzed(corpusIn)
     // re-alias EVERY probe column: in self-join shapes (the pair scan)
     // both children derive from the same subtree, so an un-aliased
     // probe column shares its exprId with a corpus column — the
@@ -767,7 +861,7 @@ object SdcTopKPlan {
     // the node's carried Attribute, and pruning drops the "duplicate".
     // A fresh Alias per column guarantees disjoint probe-side exprIds.
     val pPlan = GraftBridge.analyzed(
-      probes.select(probes.columns.map(n => probes.col(n).as(n)).toIndexedSeq: _*))
+      probesIn.select(probesIn.columns.map(n => probesIn.col(n).as(n)).toIndexedSeq: _*))
     def pick(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"probeTopK: no column '$n'"))
@@ -778,7 +872,7 @@ object SdcTopKPlan {
       pick(pPlan, "query_id"), pick(pPlan, queryPayloadName),
       pick(pPlan, "cell"),
       mode, table, m, ksub, cap,
-      forcePartitioned.getOrElse(choosePartitioned(probes)),
+      partitioned,
       tau,
       AttributeReference("ascore", DoubleType, nullable = false)())
     GraftBridge.ofRows(spark, node)

@@ -262,6 +262,81 @@ class SdcTopKPlanSpec extends SparkSpec {
       s"fused must raise the same loud error: $eFused")
   }
 
+  test("skew-salted partitioned mode == unsalted, byte-identical (r16 verdict #1)") {
+    // a collapsed centroid: ~60% of the corpus forced into cell 0. With
+    // skewSaltFactor = S > 1 the builder sub-splits hot cells into S
+    // composite sub-cells (corpus rows one salt each, probe rows
+    // replicated across all S) — the scored-pair SET is unchanged, so
+    // pairs are identical and the RANKED top-k is identical (the salted
+    // partial output is a larger superset the window rank collapses)
+    val skewed = corpus.withColumn("cell",
+      when(pmod(col("id"), lit(10)) < 6, lit(0L))
+        .otherwise(pmod(col("id"), lit(8)).cast("long")))
+    val corpusSide = skewed.select(col("id").as("corpus_id"), col("cell"),
+      col("v").as("cv"))
+    val probeSide = skewed.select(col("id").as("query_id"), col("v").as("qv"),
+      col("cell"))
+    def rankedTopK(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      shortlistVia(df, 5)
+    // unsalted references
+    val wantPairs = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+      .orderBy("query_id", "corpus_id").collect()
+    assert(wantPairs.nonEmpty)
+    val wantTopK = rankedTopK(SdcTopKPlan.partialTopKCosine(
+      corpusSide, probeSide, 5))
+    val (encC, qp, tbl) = fixture()
+    val skewedEnc = encC.withColumn("cell",
+      when(pmod(col("corpus_id"), lit(10)) < 6, lit(0L))
+        .otherwise(col("cell")))
+    val skewedQp = qp.withColumn("cell",
+      when(pmod(col("query_id"), lit(10)) < 6, lit(0L))
+        .otherwise(col("cell")))
+    val tblB = VectorExpressions.sdcTableBroadcast(tbl)
+    val wantSdc = shortlistVia(
+      SdcTopKPlan.partialTopK(skewedEnc, skewedQp, tblB, m, ksub, 7), 7)
+    spark.conf.set(SdcTopKPlan.skewSaltFactorKey, "4")
+    try {
+      val saltedPairs = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+        .orderBy("query_id", "corpus_id").collect()
+      assert(saltedPairs === wantPairs)
+      // topk: force partitioned so the salt engages (broadcast mode
+      // never salts — it has no cell partitioning to skew)
+      spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
+      try {
+        assert(rankedTopK(SdcTopKPlan.partialTopKCosine(
+          corpusSide, probeSide, 5)) === wantTopK)
+        assert(shortlistVia(SdcTopKPlan.partialTopK(
+          skewedEnc, skewedQp, tblB, m, ksub, 7), 7) === wantSdc)
+      } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+      // end-to-end: the bucketed near-dup router under salting
+      val want = graft.ext.Dedup.embeddingNearDupsBucketed(
+        corpus, "v", "id", threshold = 0.99, nCells = 8, nProbe = 2,
+        useFused = Some(false)).orderBy("id_a", "id_b").collect()
+      val salted = graft.ext.Dedup.embeddingNearDupsBucketed(
+        corpus, "v", "id", threshold = 0.99, nCells = 8, nProbe = 2,
+        useFused = Some(true)).orderBy("id_a", "id_b").collect()
+      assert(salted === want)
+      // overflow guard: cell ids too large for the composite key skip
+      // salting (logged) and still produce correct results
+      val bigCells = corpusSide.withColumn("cell",
+        col("cell") + lit(Long.MaxValue / 2))
+      val bigProbes = probeSide.withColumn("cell",
+        col("cell") + lit(Long.MaxValue / 2))
+      val wantBig = SdcTopKPlan.pairsCosine(bigCells, bigProbes, 0.99)
+        .orderBy("query_id", "corpus_id").collect()
+      assert(wantBig.map(r => (r.getLong(0), r.getLong(1))) ===
+        wantPairs.map(r => (r.getLong(0), r.getLong(1))))
+    } finally spark.conf.unset(SdcTopKPlan.skewSaltFactorKey)
+  }
+
+  test("detectHotCells: cells at or above the fraction, and only those") {
+    val counts = Seq((0L, 600L), (1L, 70L), (2L, 30L), (3L, 300L))
+    assert(SdcTopKPlan.detectHotCells(counts, 1000L, 0.05) ===
+      Seq(0L, 1L, 3L))
+    assert(SdcTopKPlan.detectHotCells(counts, 1000L, 0.3) === Seq(0L, 3L))
+    assert(SdcTopKPlan.detectHotCells(counts, 1000L, 0.7) === Seq.empty)
+  }
+
   test("fused UNORDERED pair scan == compositional batch-vs-store join, byte-identical") {
     // the incremental shape: an incoming batch probed against a store.
     // Ids OVERLAP across the sides (store 0..149, batch 100..199) — the
