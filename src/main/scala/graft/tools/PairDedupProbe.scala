@@ -66,15 +66,14 @@ object PairDedupProbe {
             useFused = Some(true)).count()
         }
       if (which == "against" || which == "all") {
-        // the incremental shape: the first ~10% of ids are the incoming
-        // batch, the rest the persisted store. A CONTIGUOUS split (not
-        // a modulus): ScaleUp assigns replica ids base + k·baseCount,
-        // so a modulus split that divides the stride puts every replica
-        // family on one side and the cross-split pair set is empty —
-        // the block split puts whole replica families on both sides
-        val cut = n / 10
-        val batch = e.filter(col("vec_id") < cut)
-        val store = e.filter(col("vec_id") >= cut)
+        // the incremental shape: ~10% of rows are the incoming batch,
+        // the rest the persisted store. A HASH split (not a vec_id
+        // modulus): ScaleUp assigns replica ids replica·10⁷ + base, so
+        // an id-arithmetic split can put whole replica families on one
+        // side and empty the cross-split pair set; the hash split
+        // scatters each family across both sides
+        val batch = e.filter(pmod(hash(col("vec_id"), lit(11)), lit(10)) === 0)
+        val store = e.filter(pmod(hash(col("vec_id"), lit(11)), lit(10)) =!= 0)
         timed("against-compositional-join") {
           graft.ext.Dedup.embeddingNearDupsAgainst(batch, store,
             "embedding", "vec_id", threshold, nCells = nCells,
