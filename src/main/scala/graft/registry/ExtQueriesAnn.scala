@@ -158,9 +158,23 @@ private[graft] object ExtQueriesAnn {
         "vec_id", threshold = 0.9, nCells = 8, nProbe = 2,
         useFused = Some(false))
       val pairEq = eq(fusedPairs, joinPairs)
+      // r17: the UNORDERED pair mode (cospairu — the incremental
+      // batch-vs-store scan) gated the same way: fused vs the
+      // compositional equi-join it replaced, on an overlapping-id
+      // split so the no-self-exclusion semantics are exercised
+      val batch = e.filter(col("vec_id") < 30)
+      val store = e.filter(col("vec_id") >= 15 && col("vec_id") < 120)
+      val fusedAgainst = Dedup.embeddingNearDupsAgainst(batch, store,
+        "embedding", "vec_id", threshold = 0.3, nCells = 8, nProbe = 2,
+        useFused = Some(true))
+      val joinAgainst = Dedup.embeddingNearDupsAgainst(batch, store,
+        "embedding", "vec_id", threshold = 0.3, nCells = 8, nProbe = 2,
+        useFused = Some(false))
+      val againstEq = eq(fusedAgainst, joinAgainst)
       import s.implicits._
       Seq(("pair_scan_fused_equals_compositional", pairEq),
-          ("topk_partitioned_equals_broadcast", topkEq))
+          ("topk_partitioned_equals_broadcast", topkEq),
+          ("against_fused_equals_compositional", againstEq))
         .toDF("check_name", "ok").orderBy("check_name")
     }),
 
@@ -464,7 +478,8 @@ private[graft] object ExtQueriesAnn {
 
   val oracles: Map[String, String] = Map(
     "x_ann_mode_equivalence" ->
-      """SELECT * FROM (VALUES ('pair_scan_fused_equals_compositional', TRUE),
+      """SELECT * FROM (VALUES ('against_fused_equals_compositional', TRUE),
+        |  ('pair_scan_fused_equals_compositional', TRUE),
         |  ('topk_partitioned_equals_broadcast', TRUE))
         |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
