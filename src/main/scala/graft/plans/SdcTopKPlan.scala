@@ -720,6 +720,11 @@ object SdcTopKPlan {
     * over the corpus lineage per build. Turn it on for untrusted /
     * degenerate centroid sets. Detection collects only (hot cell, n)
     * rows — bounded by 1/fraction cells by construction.
+    *
+    * `skewSaltFactor=auto` runs the same detection but computes S from
+    * the measured hottest cell instead of a hand-tuned constant (see
+    * [[autoSaltFactor]]) — the no-tuning form of the same opt-in; the
+    * lineage-pass cost is identical.
     */
   val skewSaltFactorKey = "spark.graft.ann.skewSaltFactor"
   val skewCellFractionKey = "spark.graft.ann.skewCellFraction"
@@ -730,14 +735,32 @@ object SdcTopKPlan {
                                     frac: Double): Seq[Long] =
     counts.filter { case (_, n) => n.toDouble >= frac * total }.map(_._1)
 
+  /** Salt factor for `skewSaltFactor=auto`, from the measured hottest
+    * cell: proportional to how far past the hot threshold it is (a
+    * 30 % cell at frac=0.05 splits ×12, a 8 % cell ×4 — the split cost
+    * is probe replication ×S on the hot cell, so a mildly hot cell
+    * gets a mild split), doubled because the r17 skew table measured
+    * ×16 strictly dominating ×8 on the collapsed-cell fixture, and
+    * capped at 2× the session's shuffle parallelism (S sub-cells hash
+    * to ≤ S tasks — salt beyond the core count buys nothing but
+    * replication). Pure — unit-testable. */
+  private[graft] def autoSaltFactor(maxCellRows: Long, total: Long,
+                                    frac: Double, parallelism: Int): Int = {
+    val ratio = maxCellRows.toDouble / (frac * total)
+    math.min(math.max(2 * parallelism, 2),
+      math.max(2, 2 * math.ceil(ratio).toInt))
+  }
+
   /** Apply the salted sub-split to both sides when enabled and hot
     * cells exist. Returns the (possibly rewritten) frames. */
   private def maybeSaltCells(corpus: DataFrame, probes: DataFrame,
                              corpusIdName: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     val spark = corpus.sparkSession
-    val s = spark.conf.get(skewSaltFactorKey, "0").toInt
-    if (s <= 1) return (corpus, probes)
+    val conf = spark.conf.get(skewSaltFactorKey, "0")
+    val auto = conf.trim.equalsIgnoreCase("auto")
+    val fixedS = if (auto) 0 else conf.toInt
+    if (!auto && fixedS <= 1) return (corpus, probes)
     val frac = spark.conf.get(skewCellFractionKey, "0.05").toDouble
     require(frac > 0.0 && frac <= 1.0,
       s"$skewCellFractionKey must be in (0, 1], got $frac")
@@ -754,6 +777,15 @@ object SdcTopKPlan {
       val total = agg.getLong(0)
       val minCell = if (agg.isNullAt(1)) 0L else agg.getLong(1)
       val maxCell = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+      val hotCounts = stats.filter(col("cell").isNotNull &&
+          col("__n") >= (frac * total).toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val hot = detectHotCells(hotCounts, total, frac)
+      if (hot.isEmpty) return (corpus, probes)
+      val s =
+        if (!auto) fixedS
+        else autoSaltFactor(hotCounts.map(_._2).max, total, frac,
+          spark.sessionState.conf.numShufflePartitions)
       // the composite key must stay injective in a Long
       if (maxCell > (Long.MaxValue - s) / s || minCell < Long.MinValue / s) {
         System.err.println(s"[graft] probeTopK skew-salt SKIPPED: cell id " +
@@ -761,15 +793,10 @@ object SdcTopKPlan {
           s"saltFactor=$s")
         return (corpus, probes)
       }
-      val hot = detectHotCells(
-        stats.filter(col("cell").isNotNull &&
-            col("__n") >= (frac * total).toLong)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
-        total, frac)
-      if (hot.isEmpty) return (corpus, probes)
       System.err.println(s"[graft] probeTopK skew-salt: ${hot.size} hot " +
-        s"cell(s) ${hot.take(8).mkString("[", ",", "]")} sub-split x$s " +
-        s"(fraction=$frac, corpus=$total)")
+        s"cell(s) ${hot.take(8).mkString("[", ",", "]")} sub-split x$s" +
+        (if (auto) " (auto)" else "") +
+        s" (fraction=$frac, corpus=$total)")
       val hotCols = hot.map(lit)
       val sL = s.toLong
       val cSalted = corpus.withColumn("cell",

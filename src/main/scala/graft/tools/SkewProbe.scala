@@ -30,7 +30,7 @@ object SkewProbe {
     val hotPct = if (args.length > 3) args(3).toInt else 30
     val tau = if (args.length > 4) args(4).toDouble else 0.97
     val which = if (args.length > 5) args(5) else "both"
-    val saltF = if (args.length > 6) args(6).toInt else 8
+    val saltF = if (args.length > 6) args(6) else "8" // int or "auto"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("skew-probe").master(s"local[$cpus]")

@@ -337,6 +337,64 @@ class SdcTopKPlanSpec extends SparkSpec {
     assert(SdcTopKPlan.detectHotCells(counts, 1000L, 0.7) === Seq.empty)
   }
 
+  test("autoSaltFactor: 2x the hotness ratio, floored at 2, capped at 2x parallelism") {
+    // 30% cell at frac=0.05 on 32 partitions: ratio 6 -> S = 12
+    assert(SdcTopKPlan.autoSaltFactor(300L, 1000L, 0.05, 32) === 12)
+    // barely hot (6%): ratio 1.2 -> ceil 2 -> S = 4 (mild split)
+    assert(SdcTopKPlan.autoSaltFactor(60L, 1000L, 0.05, 32) === 4)
+    // exactly at threshold: ratio 1 -> S = 2 (the floor)
+    assert(SdcTopKPlan.autoSaltFactor(50L, 1000L, 0.05, 32) === 2)
+    // a 90% cell at frac=0.01: ratio 90 -> 180, capped at 2*32 = 64
+    assert(SdcTopKPlan.autoSaltFactor(900L, 1000L, 0.01, 32) === 64)
+    // tiny parallelism still splits: cap max(2*1, 2) = 2
+    assert(SdcTopKPlan.autoSaltFactor(900L, 1000L, 0.01, 1) === 2)
+  }
+
+  test("skewSaltFactor=auto == unsalted, byte-identical; no-op on balanced") {
+    // same collapsed-centroid fixture as the fixed-S salting spec, but
+    // S computed from the measured hottest cell (~60% at frac=0.05 on
+    // the suite's 4 shuffle partitions: ratio 12 -> S = min(8, 24) = 8)
+    val skewed = corpus.withColumn("cell",
+      when(pmod(col("id"), lit(10)) < 6, lit(0L))
+        .otherwise(pmod(col("id"), lit(8)).cast("long")))
+    val corpusSide = skewed.select(col("id").as("corpus_id"), col("cell"),
+      col("v").as("cv"))
+    val probeSide = skewed.select(col("id").as("query_id"), col("v").as("qv"),
+      col("cell"))
+    val wantPairs = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+      .orderBy("query_id", "corpus_id").collect()
+    assert(wantPairs.nonEmpty)
+    val wantTopK = shortlistVia(SdcTopKPlan.partialTopKCosine(
+      corpusSide, probeSide, 5), 5)
+    spark.conf.set(SdcTopKPlan.skewSaltFactorKey, "auto")
+    try {
+      assert(SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+        .orderBy("query_id", "corpus_id").collect() === wantPairs)
+      spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
+      try {
+        assert(shortlistVia(SdcTopKPlan.partialTopKCosine(
+          corpusSide, probeSide, 5), 5) === wantTopK)
+      } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
+      // balanced cells (max ~1/8 of rows < frac default 0.05? no — 1/8
+      // IS hot at 0.05; raise the fraction so nothing is hot and auto
+      // must be a structural no-op)
+      spark.conf.set(SdcTopKPlan.skewCellFractionKey, "0.5")
+      try {
+        val balancedSide = corpus.withColumn("cell",
+            pmod(col("id"), lit(8)).cast("long"))
+          .select(col("id").as("corpus_id"), col("cell"), col("v").as("cv"))
+        val balancedProbes = corpus.withColumn("cell",
+            pmod(col("id"), lit(8)).cast("long"))
+          .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+        val noSalt = SdcTopKPlan.pairsCosine(balancedSide, balancedProbes, 0.99)
+        // no hot cell -> the builder returns the frames unchanged: the
+        // plan must carry no salted composite-cell arithmetic
+        assert(!noSalt.queryExecution.analyzed.toString.contains("__salt"))
+        assert(noSalt.orderBy("query_id", "corpus_id").collect().nonEmpty)
+      } finally spark.conf.unset(SdcTopKPlan.skewCellFractionKey)
+    } finally spark.conf.unset(SdcTopKPlan.skewSaltFactorKey)
+  }
+
   test("fused UNORDERED pair scan == compositional batch-vs-store join, byte-identical") {
     // the incremental shape: an incoming batch probed against a store.
     // Ids OVERLAP across the sides (store 0..149, batch 100..199) — the
