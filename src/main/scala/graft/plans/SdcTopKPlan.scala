@@ -747,8 +747,13 @@ object SdcTopKPlan {
   private[graft] def autoSaltFactor(maxCellRows: Long, total: Long,
                                     frac: Double, parallelism: Int): Int = {
     val ratio = maxCellRows.toDouble / (frac * total)
-    math.min(math.max(2 * parallelism, 2),
-      math.max(2, 2 * math.ceil(ratio).toInt))
+    // all-Double until the final toInt: a tiny `frac` can push `ratio`
+    // past Int range, where `2 * ceil(ratio).toInt` wraps negative and
+    // max(2, ·) silently collapses S to the floor exactly when skew is
+    // worst (ADVICE r17). Double.toInt saturates, and the parallelism
+    // cap keeps the result in Int range anyway.
+    math.min(math.max(2.0 * parallelism, 2.0),
+      math.max(2.0, 2.0 * math.ceil(ratio))).toInt
   }
 
   /** Apply the salted sub-split to both sides when enabled and hot
@@ -822,9 +827,18 @@ object SdcTopKPlan {
   // the estimate only picks between two RESULT-EQUIVALENT modes
   // (x_ann_mode_equivalence), and file-size drift within one session
   // under an identical plan is not a shipped shape. Weak session key —
-  // entries die with the session.
-  private val estCache = new java.util.WeakHashMap[
-    SparkSession, java.util.HashMap[Integer, BigInt]]()
+  // entries die with the session; per-session entries are LRU-capped
+  // (ADVICE r17: a long-lived incremental service calling
+  // embeddingNearDupsAgainst per batch builds one distinct probe plan
+  // per batch, which would otherwise accumulate forever).
+  private[graft] val estCacheMaxEntries = 64
+  private[graft] final class EstLru
+      extends java.util.LinkedHashMap[Integer, BigInt](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Integer, BigInt]): Boolean =
+      size() > estCacheMaxEntries
+  }
+  private val estCache = new java.util.WeakHashMap[SparkSession, EstLru]()
 
   private def choosePartitioned(probes: DataFrame): Boolean = {
     val thr = probes.sparkSession.conf
@@ -838,7 +852,7 @@ object SdcTopKPlan {
     else {
       val est = estCache.synchronized {
         val perSession = estCache.computeIfAbsent(
-          probes.sparkSession, _ => new java.util.HashMap[Integer, BigInt]())
+          probes.sparkSession, _ => new EstLru)
         val key = Integer.valueOf(probes.queryExecution.analyzed.semanticHash())
         var v = perSession.get(key)
         if (v == null) {

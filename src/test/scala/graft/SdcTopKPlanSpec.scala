@@ -350,6 +350,35 @@ class SdcTopKPlanSpec extends SparkSpec {
     assert(SdcTopKPlan.autoSaltFactor(900L, 1000L, 0.01, 1) === 2)
   }
 
+  test("autoSaltFactor: extreme ratios stay positive and capped (no Int wrap)") {
+    // ADVICE r17: a tiny frac pushes ratio past Int range, where the
+    // old `2 * ceil(ratio).toInt` wrapped negative and max(2, ·)
+    // collapsed S to 2 exactly when skew was worst. The all-Double form
+    // must hit the parallelism cap instead.
+    val s = SdcTopKPlan.autoSaltFactor(Long.MaxValue, Long.MaxValue, 1e-18, 32)
+    assert(s === 64)
+    assert(SdcTopKPlan.autoSaltFactor(1000000L, 1000000L, 1e-12, 16) === 32)
+    // degenerate huge parallelism: Double min saturates, stays positive
+    assert(SdcTopKPlan.autoSaltFactor(Long.MaxValue, Long.MaxValue, 1e-18,
+      Int.MaxValue) > 0)
+  }
+
+  test("estCache LRU evicts past the cap (long-lived incremental sessions)") {
+    // ADVICE r17: one distinct probe plan per incremental batch must
+    // not accumulate forever in the per-session estimate memo.
+    val lru = new SdcTopKPlan.EstLru
+    (0 until SdcTopKPlan.estCacheMaxEntries + 10).foreach { i =>
+      lru.put(Integer.valueOf(i), BigInt(i))
+    }
+    assert(lru.size() === SdcTopKPlan.estCacheMaxEntries)
+    assert(!lru.containsKey(Integer.valueOf(0))) // eldest evicted
+    // access order, not insert order: touching an old entry keeps it
+    val k = Integer.valueOf(SdcTopKPlan.estCacheMaxEntries + 5)
+    lru.get(k)
+    lru.put(Integer.valueOf(-1), BigInt(1))
+    assert(lru.containsKey(k))
+  }
+
   test("skewSaltFactor=auto == unsalted, byte-identical; no-op on balanced") {
     // same collapsed-centroid fixture as the fixed-S salting spec, but
     // S computed from the measured hottest cell (~60% at frac=0.05 on
