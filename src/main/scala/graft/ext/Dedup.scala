@@ -730,7 +730,11 @@ object Dedup {
       lloydIterations: Int = 1,
       useFused: Option[Boolean] = None): DataFrame = {
     val st = store.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = Similarity.refineCentroids(st,
+    // WithStats: the refinement's per-cell counts feed the fused
+    // operator's skew-salt detection for free (default-on — a
+    // degenerate centroid set over the store no longer serializes the
+    // partitioned mode silently; r17 verdict #1)
+    val (cents, cellStats) = Similarity.refineCentroidsWithStats(st,
       Similarity.coarseCentroids(st, "v", "id", nCells), "v", "id", lloydIterations)
     val assignedStore = Similarity.assignCells(st, cents, "v", "id")
     val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -750,7 +754,7 @@ object Dedup {
       // broadcast (store streams shuffle-free), backfill-sized batches
       // trip to cell-co-partitioned.
       graft.plans.SdcTopKPlan.pairsCosineAgainst(assignedStore, probeSide,
-          threshold)
+          threshold, cellStats = cellStats)
         .select(col("query_id").as("id_new"), col("corpus_id").as("id_store"),
           col("ascore").as("cos"))
         .dropDuplicates("id_new", "id_store")
@@ -771,7 +775,12 @@ object Dedup {
       lloydIterations: Int = 1,
       useFused: Option[Boolean] = None): DataFrame = {
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = Similarity.refineCentroids(e,
+    // WithStats: free skew-salt detection input for the fused pair
+    // scan (default-on; r17 verdict #1). The counts are top-1 counts
+    // while the operator input is multi-probed — a cell's top-1 share
+    // lower-bounds its absolute size, which is the detection estimate
+    // (documented in the operator's conf scaladoc).
+    val (cents, cellStats) = Similarity.refineCentroidsWithStats(e,
       Similarity.coarseCentroids(e, "v", "id", nCells), "v", "id", lloydIterations)
     val assigned = multiProbe(e, cents, nProbe)
     val corpusSide = assigned.select(col("id").as("corpus_id"),
@@ -789,7 +798,8 @@ object Dedup {
       // with two full vectors for every one of ~3×10⁸ candidate pairs.
       // Byte-identical output (spec-pinned): same cosineF arithmetic,
       // same a.id < b.id pairing, NaN survives ≥ τ as Spark compares.
-      graft.plans.SdcTopKPlan.pairsCosine(corpusSide, probeSide, threshold)
+      graft.plans.SdcTopKPlan.pairsCosine(corpusSide, probeSide, threshold,
+          cellStats = cellStats)
         .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"),
           col("ascore").as("cos"))
         .dropDuplicates("id_a", "id_b")

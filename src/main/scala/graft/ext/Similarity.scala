@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -102,16 +102,27 @@ object Similarity {
     * corpus sizes IVF exists for).
     */
   private def centroidMean(cells: DataFrame): DataFrame =
+    centroidMeanN(cells).select(col("cell"), col("centroid"))
+
+  /** [[centroidMean]] carrying the per-cell row count as `__n` — the
+    * count is already computed per (cell, dim) for the mean's divisor,
+    * so surfacing it is free (the two count(1) aggregates share one
+    * buffer). The skew-salt detection reads these counts off the
+    * refinement pass instead of paying its own corpus pass
+    * ([[refineCentroidsWithStats]]). */
+  private def centroidMeanN(cells: DataFrame): DataFrame =
     cells
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       // decimal accumulation: order-independent (deterministic at any
       // parallelism), unlike avg(double)
       .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
-        .cast(DoubleType).as("m"))
+        .cast(DoubleType).as("m"), count(lit(1)).as("cnt"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("cnt")).as("__n"))
+      .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("centroid"),
+        col("__n"))
 
   def coarseCentroids(corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame =
     centroidMean(corpus.select(
@@ -190,17 +201,54 @@ object Similarity {
     * embeddings Lloyd steps are what makes IVF recall usable.
     */
   def refineCentroids(corpus: DataFrame, centroids: DataFrame,
-                      vecCol: String, idCol: String, iterations: Int): DataFrame = {
+                      vecCol: String, idCol: String, iterations: Int): DataFrame =
+    refineCentroidsWithStats(corpus, centroids, vecCol, idCol, iterations)._1
+
+  /** [[refineCentroids]] that ALSO returns the per-cell assignment
+    * counts its final iteration's aggregation produced — the free
+    * detection input for the fused ANN operator's skew salting
+    * ([[graft.plans.SdcTopKPlan.CellStats]]): the refinement's
+    * per-cell mean already groups the assigned corpus by cell, so the
+    * counts cost nothing beyond collecting ≤ nCells extra longs with
+    * the centroids the loop driver-materializes anyway.
+    *
+    * The counts describe the assignment under the PENULTIMATE
+    * centroids (the final re-centering shifts assignments one more
+    * step), so they are a one-Lloyd-step-stale ESTIMATE of the final
+    * cell distribution — exactly good enough for hot-cell detection
+    * (a collapsed cell is stable across one step; salting is
+    * output-invariant either way, so staleness is perf-only).
+    * `iterations = 0` runs no assignment pass and returns no stats.
+    */
+  def refineCentroidsWithStats(
+      corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String,
+      iterations: Int): (DataFrame, Option[graft.plans.SdcTopKPlan.CellStats]) = {
     // pin between iterations: each Lloyd step reads the previous
     // centroids twice (assign + mean) and the chain would otherwise
     // recompute every earlier iteration per use
     var cents = materializeCentroids(centroids)
-    for (_ <- 0 until iterations) {
+    var stats: Option[graft.plans.SdcTopKPlan.CellStats] = None
+    for (i <- 0 until iterations) {
       val assigned = assignCells(corpus, cents, vecCol, idCol)
-      cents = materializeCentroids(
-        centroidMean(assigned.select(col("cell"), col("cv").as("v"))))
+      val mean = centroidMeanN(assigned.select(col("cell"), col("cv").as("v")))
+      if (i == iterations - 1) {
+        val rows = mean.select(col("cell"), col("centroid"), col("__n"))
+          .collect().toIndexedSeq
+        val pinned = rows.map(r => Row(r.get(0), r.get(1)))
+        val schema = StructType(Seq(StructField("cell", LongType),
+          StructField("centroid", ArrayType(DoubleType))))
+        cents = corpus.sparkSession.createDataFrame(
+          corpus.sparkSession.sparkContext.parallelize(pinned, 1), schema)
+        val counts = rows.map(r => (r.getLong(0), r.getLong(2)))
+        if (counts.nonEmpty)
+          stats = Some(graft.plans.SdcTopKPlan.CellStats(counts,
+            counts.iterator.map(_._2).sum))
+      } else {
+        cents = materializeCentroids(
+          mean.select(col("cell"), col("centroid")))
+      }
     }
-    cents
+    (cents, stats)
   }
 
   /** Trained IVF seeding: k-means||-style oversampled initialization
@@ -649,7 +697,8 @@ object Similarity {
     */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 4,
+      cellStats: Option[graft.plans.SdcTopKPlan.CellStats] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val (units, cellIds, dim) = flatCentroids(centroids, normalize = true)
     val probes = q.withColumn("pc", explode(VectorExpressions.nearestCellsTopK(
@@ -669,7 +718,8 @@ object Similarity {
     // Heap memory is distinctQueries(partition) × k — tiny at top-k
     // caps under any partitioning, so no cell-clustering is needed.
     if (graft.plans.SdcTopKPlan.cosineLayoutSupported(corpusSide, probes)) {
-      graft.plans.SdcTopKPlan.partialTopKCosine(corpusSide, probes, k)
+      graft.plans.SdcTopKPlan.partialTopKCosine(corpusSide, probes, k,
+          cellStats = cellStats)
         .withColumn("cos", col("ascore"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)

@@ -715,25 +715,116 @@ object SdcTopKPlan {
     * result (the superset property the two execution modes already
     * rely on; spec-pinned byte-identical).
     *
-    * OFF by default: trained seeding keeps cells balanced in every
-    * shipped shape, and detection costs one extra aggregation pass
-    * over the corpus lineage per build. Turn it on for untrusted /
-    * degenerate centroid sets. Detection collects only (hot cell, n)
-    * rows — bounded by 1/fraction cells by construction.
+    * ON BY DEFAULT where detection is free (r17 verdict #1): when the
+    * builder hands over [[CellStats]] — per-cell counts the index
+    * build's own refinement aggregation already produced
+    * ([[graft.ext.Similarity.refineCentroidsWithStats]]) — detection is
+    * a driver-side scan of ≤ nCells collected longs, so with the conf
+    * UNSET the operator auto-salts from those stats. Every shipped
+    * caller (the Dedup near-dup family, ivfTopK) threads stats, so a
+    * degenerate/untrusted centroid set no longer hits the measured
+    * 20–50× serialization wall silently. With the conf unset and NO
+    * stats available (direct operator use), detection stays off — the
+    * old default — because it would cost one extra aggregation pass
+    * over the corpus lineage per build.
     *
-    * `skewSaltFactor=auto` runs the same detection but computes S from
-    * the measured hottest cell instead of a hand-tuned constant (see
-    * [[autoSaltFactor]]) — the no-tuning form of the same opt-in; the
-    * lineage-pass cost is identical.
+    * Explicit settings override: `auto` forces detection even without
+    * stats (pays the lineage pass — the r17 opt-in form); an integer
+    * S > 1 salts hot cells ×S (detection from stats when present, the
+    * lineage pass otherwise); `off`/`0`/`1` disables entirely.
+    *
+    * Hot-cell rule: the auto/default path requires BOTH the absolute
+    * fraction and the pair-work criterion ([[detectHotCellsAuto]] —
+    * what makes default-on safe on balanced small-nCells layouts);
+    * the explicit fixed-S mode keeps the r17 fraction-only rule
+    * ([[detectHotCells]]).
+    *
+    * Detection residuals (ADVICE r17, perf-only — salting is
+    * output-invariant for ANY hot set, spec-pinned): (a) stats come
+    * from the LAST refinement iteration's aggregation, one Lloyd step
+    * stale relative to the final assignment — a collapsed cell is
+    * stable across one step, a cell crossing the threshold on the last
+    * step can be missed; (b) both stats and the lineage pass count the
+    * CORPUS side only — a probe-side-only hot cell (many probe rows,
+    * balanced corpus) is not detected, though when any corpus-hot cell
+    * triggers salting the sub-split parallelizes that cell's pair work
+    * regardless of which side contributed the mass.
     */
   val skewSaltFactorKey = "spark.graft.ann.skewSaltFactor"
   val skewCellFractionKey = "spark.graft.ann.skewCellFraction"
 
+  /** Per-cell assignment counts captured for free from an aggregation
+    * pass the index build already ran (the Lloyd refinement's per-cell
+    * mean — [[graft.ext.Similarity.refineCentroidsWithStats]]).
+    * `counts` is bounded by nCells rows (collected with the centroids,
+    * which are driver-materialized by contract). CONTRACT: `counts`
+    * must enumerate every cell id the operator's inputs can carry —
+    * the composite-key overflow guard takes its id range from these
+    * keys. Internal builders satisfy this by construction: assignment
+    * only emits ids of centroids that survived refinement, which are
+    * exactly the ids the refinement aggregation counted. */
+  final case class CellStats(counts: Seq[(Long, Long)], total: Long) {
+    def minCell: Long = counts.iterator.map(_._1).min
+    def maxCell: Long = counts.iterator.map(_._1).max
+  }
+
+  /** Which detection source the conf + available stats select: "none"
+    * (no detection), "stats" (free — provided [[CellStats]]), "pass"
+    * (one aggregation pass over the corpus lineage). Pure —
+    * unit-testable. `confOpt` = the raw conf value, None when unset. */
+  private[graft] def detectionSource(confOpt: Option[String],
+                                     statsPresent: Boolean): String =
+    confOpt.map(_.trim) match {
+      case None => if (statsPresent) "stats" else "none"
+      case Some(c) if c.equalsIgnoreCase("auto") =>
+        if (statsPresent) "stats" else "pass"
+      case Some(c) if c.equalsIgnoreCase("off") => "none"
+      case Some(c) =>
+        if (c.toInt <= 1) "none"
+        else if (statsPresent) "stats" else "pass"
+    }
+
+  /** Last salt decision taken by [[maybeSaltCells]] — test/probe
+    * observability only (the decision is otherwise visible only as a
+    * stderr line and a rewritten cell column). */
+  @volatile private[graft] var lastSaltDecision: String = "unsalted"
+
   /** Hot cells from collected (cell, rows) stats: cells holding
-    * ≥ `frac` of `total` rows. Pure — unit-testable. */
+    * ≥ `frac` of `total` rows. Pure — unit-testable. This is the
+    * FIXED-S mode's rule (explicit integer conf, r17 semantics); the
+    * auto/default path layers the pair-work criterion on top
+    * ([[detectHotCellsAuto]]). */
   private[graft] def detectHotCells(counts: Seq[(Long, Long)], total: Long,
                                     frac: Double): Seq[Long] =
     counts.filter { case (_, n) => n.toDouble >= frac * total }.map(_._1)
+
+  /** Hot cells for the AUTO/default path: a cell must hold ≥ `frac` of
+    * the corpus AND its pair WORK (n², the within-cell candidate count
+    * the partitioned mode serializes on one task) must exceed
+    * `HotWorkFactor` × the fair per-task share of total pair work
+    * (Σn²/parallelism). The second criterion is what makes default-on
+    * detection safe: at small nCells a BALANCED layout puts every cell
+    * above an absolute fraction (16 cells ⇒ 6.25 % each > the 5 %
+    * default), but balanced cells carry ≤ parallelism/nCells × the
+    * fair work share — being at the mean is balance, not skew.
+    * `sumSq` = Σn² over ALL cells (not just the candidates). Pure —
+    * unit-testable. Known residual (documented): a balanced layout
+    * with nCells < parallelism/factor reads as "hot" by work — that is
+    * a parallelism shortfall, not skew, and salting it is
+    * output-invariant and parallelism-positive, just probe-replication
+    * heavier; no shipped shape has it (gate shapes run nCells=16 at
+    * 32 partitions). */
+  private[graft] val HotWorkFactor = 3.0
+  private[graft] def detectHotCellsAuto(counts: Seq[(Long, Long)],
+                                        total: Long, sumSq: Double,
+                                        frac: Double,
+                                        parallelism: Int): Seq[Long] = {
+    val fairWork = sumSq / math.max(parallelism, 1)
+    counts.filter { case (_, n) =>
+      n.toDouble >= frac * total &&
+        n.toDouble * n.toDouble >= HotWorkFactor * fairWork
+    }.map(_._1)
+  }
 
   /** Salt factor for `skewSaltFactor=auto`, from the measured hottest
     * cell: proportional to how far past the hot threshold it is (a
@@ -757,35 +848,61 @@ object SdcTopKPlan {
   }
 
   /** Apply the salted sub-split to both sides when enabled and hot
-    * cells exist. Returns the (possibly rewritten) frames. */
+    * cells exist. Returns the (possibly rewritten) frames. Detection
+    * reads the builder-provided [[CellStats]] when available (free);
+    * the corpus-lineage aggregation pass runs only for explicit conf
+    * settings without stats (see the conf scaladoc above). */
   private def maybeSaltCells(corpus: DataFrame, probes: DataFrame,
-                             corpusIdName: String): (DataFrame, DataFrame) = {
+                             corpusIdName: String,
+                             cellStats: Option[CellStats]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
+    lastSaltDecision = "unsalted"
     val spark = corpus.sparkSession
-    val conf = spark.conf.get(skewSaltFactorKey, "0")
-    val auto = conf.trim.equalsIgnoreCase("auto")
-    val fixedS = if (auto) 0 else conf.toInt
-    if (!auto && fixedS <= 1) return (corpus, probes)
+    val confOpt = spark.conf.getOption(skewSaltFactorKey)
+      .map(_.trim).filter(_.nonEmpty)
+    val source = detectionSource(confOpt, cellStats.nonEmpty)
+    if (source == "none") return (corpus, probes)
+    val auto = confOpt.forall(_.equalsIgnoreCase("auto")) // unset => auto
+    val fixedS = if (auto) 0 else confOpt.get.toInt
     val frac = spark.conf.get(skewCellFractionKey, "0.05").toDouble
     require(frac > 0.0 && frac <= 1.0,
       s"$skewCellFractionKey must be in (0, 1], got $frac")
-    // one aggregation pass over the corpus lineage: per-cell counts
-    // (map-side combined to ≤ distinct-cells rows), then total/extrema
-    // and the hot set read off the persisted stats — the corpus itself
-    // is scanned once
-    val stats = corpus.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
-      .persist()
-    try {
-      val agg = stats.agg(sum(col("__n")), min(col("cell")), max(col("cell")))
-        .first()
-      if (agg.isNullAt(0)) return (corpus, probes) // empty corpus
-      val total = agg.getLong(0)
-      val minCell = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      val maxCell = if (agg.isNullAt(2)) 0L else agg.getLong(2)
-      val hotCounts = stats.filter(col("cell").isNotNull &&
-          col("__n") >= (frac * total).toLong)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val hot = detectHotCells(hotCounts, total, frac)
+    val (hotCounts, total, sumSq, minCell, maxCell) = source match {
+      case "stats" =>
+        val st = cellStats.get
+        if (st.counts.isEmpty || st.total <= 0L) return (corpus, probes)
+        val sq = st.counts.iterator
+          .map { case (_, n) => n.toDouble * n.toDouble }.sum
+        (st.counts, st.total, sq, st.minCell, st.maxCell)
+      case _ =>
+        // one aggregation pass over the corpus lineage: per-cell counts
+        // (map-side combined to ≤ distinct-cells rows), then
+        // total/extrema/work and the hot set read off the persisted
+        // stats — the corpus itself is scanned once
+        val stats = corpus.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+          .persist()
+        try {
+          val agg = stats.agg(sum(col("__n")), min(col("cell")),
+            max(col("cell")),
+            sum(col("__n").cast("double") * col("__n").cast("double"))).first()
+          if (agg.isNullAt(0)) return (corpus, probes) // empty corpus
+          val totalP = agg.getLong(0)
+          val minC = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+          val maxC = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+          val sq = if (agg.isNullAt(3)) 0.0 else agg.getDouble(3)
+          // bounded collect: only cells at/over the hot threshold,
+          // ≤ 1/frac rows by construction
+          val hotC = stats.filter(col("cell").isNotNull &&
+              col("__n") >= (frac * totalP).toLong)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          (hotC, totalP, sq, minC, maxC)
+        } finally stats.unpersist()
+    }
+    {
+      val hot =
+        if (auto) detectHotCellsAuto(hotCounts, total, sumSq, frac,
+          spark.sessionState.conf.numShufflePartitions)
+        else detectHotCells(hotCounts, total, frac)
       if (hot.isEmpty) return (corpus, probes)
       val s =
         if (!auto) fixedS
@@ -798,10 +915,11 @@ object SdcTopKPlan {
           s"saltFactor=$s")
         return (corpus, probes)
       }
+      lastSaltDecision = s"salted x$s hot=${hot.size} src=$source"
       System.err.println(s"[graft] probeTopK skew-salt: ${hot.size} hot " +
         s"cell(s) ${hot.take(8).mkString("[", ",", "]")} sub-split x$s" +
         (if (auto) " (auto)" else "") +
-        s" (fraction=$frac, corpus=$total)")
+        s" (fraction=$frac, corpus=$total, detection=$source)")
       val hotCols = hot.map(lit)
       val sL = s.toLong
       val cSalted = corpus.withColumn("cell",
@@ -815,7 +933,7 @@ object SdcTopKPlan {
         .withColumn("cell", col("cell") * sL + col("__salt"))
         .drop("__salt")
       (cSalted, pSalted)
-    } finally stats.unpersist()
+    }
   }
 
   // session-scoped memo for the mode-selection size estimate, keyed by
@@ -877,7 +995,8 @@ object SdcTopKPlan {
                     corpusPayloadNames: Seq[String], queryPayloadName: String,
                     mode: String, table: Option[Broadcast[Array[Double]]],
                     m: Int, ksub: Int, cap: Int, tau: Double = 0.0,
-                    forcePartitioned: Option[Boolean] = None): DataFrame = {
+                    forcePartitioned: Option[Boolean] = None,
+                    cellStats: Option[CellStats] = None): DataFrame = {
     val spark = corpus.sparkSession
     // the cosine scorers' zero-norm raise is ANSI-Divide parity; under
     // a non-ANSI session the compositional plan NULL-drops instead —
@@ -892,7 +1011,7 @@ object SdcTopKPlan {
     // skew hardening applies only where skew can hurt: the partitioned
     // mode clusters on cell, the broadcast mode has no cell partitioning
     val (corpusIn, probesIn) =
-      if (partitioned) maybeSaltCells(corpus, probes, "corpus_id")
+      if (partitioned) maybeSaltCells(corpus, probes, "corpus_id", cellStats)
       else (corpus, probes)
     val cPlan = GraftBridge.analyzed(corpusIn)
     // re-alias EVERY probe column: in self-join shapes (the pair scan)
@@ -927,9 +1046,10 @@ object SdcTopKPlan {
     */
   def partialTopK(corpus: DataFrame, probes: DataFrame,
                   table: Broadcast[Array[Double]],
-                  m: Int, ksub: Int, preRankC: Int): DataFrame =
+                  m: Int, ksub: Int, preRankC: Int,
+                  cellStats: Option[CellStats] = None): DataFrame =
     build(corpus, probes, Seq("codes", "cnorm"), "qcodes",
-      "sdc", Some(table), m, ksub, preRankC)
+      "sdc", Some(table), m, ksub, preRankC, cellStats = cellStats)
 
   /** The fused EXACT-COSINE partial top-k: corpus (corpus_id, cell,
     * cv: array<float>) against probes (query_id, qv, cell) — the
@@ -937,8 +1057,10 @@ object SdcTopKPlan {
     * the same bit-exact cosine as the cosineF kernel.
     */
   def partialTopKCosine(corpus: DataFrame, probes: DataFrame,
-                        k: Int): DataFrame =
-    build(corpus, probes, Seq("cv"), "qv", "cos", None, 0, 0, k)
+                        k: Int,
+                        cellStats: Option[CellStats] = None): DataFrame =
+    build(corpus, probes, Seq("cv"), "qv", "cos", None, 0, 0, k,
+      cellStats = cellStats)
 
   /** The fused PAIR-THRESHOLD cosine scan for the near-dup self-join
     * family: every (query_id, corpus_id, ascore=cos) with
@@ -952,9 +1074,10 @@ object SdcTopKPlan {
     * incremental small-batch shape.
     */
   def pairsCosine(corpus: DataFrame, probes: DataFrame, tau: Double,
-                  forcePartitioned: Option[Boolean] = Some(true)): DataFrame =
+                  forcePartitioned: Option[Boolean] = Some(true),
+                  cellStats: Option[CellStats] = None): DataFrame =
     build(corpus, probes, Seq("cv"), "qv", "cospair", None, 0, 0, 0,
-      tau, forcePartitioned)
+      tau, forcePartitioned, cellStats)
 
   /** The UNORDERED fused pair-threshold scan for the incremental
     * batch-vs-store shape ([[graft.ext.Dedup.embeddingNearDupsAgainst]]):
@@ -970,7 +1093,8 @@ object SdcTopKPlan {
     * instead of OOMing every executor.
     */
   def pairsCosineAgainst(corpus: DataFrame, probes: DataFrame, tau: Double,
-                         forcePartitioned: Option[Boolean] = None): DataFrame =
+                         forcePartitioned: Option[Boolean] = None,
+                         cellStats: Option[CellStats] = None): DataFrame =
     build(corpus, probes, Seq("cv"), "qv", "cospairu", None, 0, 0, 0,
-      tau, forcePartitioned)
+      tau, forcePartitioned, cellStats)
 }

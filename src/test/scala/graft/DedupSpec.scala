@@ -261,6 +261,40 @@ class DedupSpec extends SparkSpec {
       "pair generation must be a cell equi-join, not a cartesian")
   }
 
+  test("embeddingNearDupsBucketed: degenerate corpus auto-salts by DEFAULT, output invariant") {
+    // r17 verdict #1: a duplicate-heavy corpus collapses one trained
+    // cell; with no conf set, the fused pair scan must now detect it
+    // from the refinement stats (free) and salt — identical pairs
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val hot = vec()
+    // 60% of rows are tiny perturbations of one vector -> one cell
+    // holds ~60% of the corpus after refinement
+    val rows = (0 until 120).map { i =>
+      val v = if (i < 72) hot.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+              else vec()
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val saltKey = graft.plans.SdcTopKPlan.skewSaltFactorKey
+    spark.conf.unset(saltKey)
+    val got = Dedup.embeddingNearDupsBucketed(e, "embedding", "vec_id",
+        threshold = 0.95, nCells = 8, nProbe = 2)
+      .orderBy("id_a", "id_b").collect()
+    assert(graft.plans.SdcTopKPlan.lastSaltDecision.endsWith("src=stats"),
+      s"expected default-on stats salting, got " +
+        s"'${graft.plans.SdcTopKPlan.lastSaltDecision}'")
+    assert(got.nonEmpty)
+    spark.conf.set(saltKey, "off")
+    try {
+      val want = Dedup.embeddingNearDupsBucketed(e, "embedding", "vec_id",
+          threshold = 0.95, nCells = 8, nProbe = 2)
+        .orderBy("id_a", "id_b").collect()
+      assert(graft.plans.SdcTopKPlan.lastSaltDecision === "unsalted")
+      assert(got === want)
+    } finally spark.conf.unset(saltKey)
+  }
+
   test("embeddingNearDupsBucketedPq: PQ pre-filter keeps precision 1.0 and ≥0.9 recall") {
     // same planted-near-dup fixture as the bucketed test: the PQ
     // pre-filter must stay a strict work-skipper — every emitted pair

@@ -379,6 +379,77 @@ class SdcTopKPlanSpec extends SparkSpec {
     assert(lru.containsKey(k))
   }
 
+  test("detectionSource: conf/stats matrix (default on iff stats provided)") {
+    import SdcTopKPlan.detectionSource
+    // unset conf: free detection from stats, never a lineage pass
+    assert(detectionSource(None, statsPresent = true) === "stats")
+    assert(detectionSource(None, statsPresent = false) === "none")
+    // explicit auto: r17 opt-in — pays the pass when no stats
+    assert(detectionSource(Some("auto"), statsPresent = true) === "stats")
+    assert(detectionSource(Some("AUTO"), statsPresent = false) === "pass")
+    // explicit fixed S
+    assert(detectionSource(Some("8"), statsPresent = true) === "stats")
+    assert(detectionSource(Some("8"), statsPresent = false) === "pass")
+    // disabled forms win over stats
+    assert(detectionSource(Some("off"), statsPresent = true) === "none")
+    assert(detectionSource(Some("0"), statsPresent = true) === "none")
+    assert(detectionSource(Some("1"), statsPresent = true) === "none")
+  }
+
+  test("detectHotCellsAuto: balanced small-nCells layouts are never hot") {
+    import SdcTopKPlan.detectHotCellsAuto
+    // 16 perfectly balanced cells at P=32: every share (6.25%) clears
+    // the 5% absolute fraction — the r17 rule would salt ALL of them —
+    // but each cell's pair work is only 2x the fair task share < 3x
+    val balanced = (0L until 16L).map(c => (c, 1000L))
+    val sqB = balanced.map { case (_, n) => n.toDouble * n.toDouble }.sum
+    assert(detectHotCellsAuto(balanced, 16000L, sqB, 0.05, 32) === Seq.empty)
+    // the measured r17 fixture: a 30% collapsed cell among 63 cold ones
+    val skewed = (0L, 60000L) +: (1L until 64L).map(c => (c, 2222L))
+    val sqS = skewed.map { case (_, n) => n.toDouble * n.toDouble }.sum
+    assert(detectHotCellsAuto(skewed, 200000L, sqS, 0.05, 32) === Seq(0L))
+    // the mild 8% cell is still caught at P=32 (r17 measured x4 there)
+    val mild = (0L, 16000L) +: (1L until 64L).map(c => (c, 2921L))
+    val sqM = mild.map { case (_, n) => n.toDouble * n.toDouble }.sum
+    assert(detectHotCellsAuto(mild, 200000L, sqM, 0.05, 32) === Seq(0L))
+    // sub-fraction cells never qualify no matter the work concentration
+    assert(detectHotCellsAuto(Seq((0L, 40L), (1L, 1L)), 10000L,
+      1601.0, 0.05, 32) === Seq.empty)
+  }
+
+  test("unset conf + CellStats: salts from stats, byte-identical; no stats = no-op") {
+    val skewed = corpus.withColumn("cell",
+      when(pmod(col("id"), lit(10)) < 6, lit(0L))
+        .otherwise(pmod(col("id"), lit(8)).cast("long")))
+    val corpusSide = skewed.select(col("id").as("corpus_id"), col("cell"),
+      col("v").as("cv"))
+    val probeSide = skewed.select(col("id").as("query_id"), col("v").as("qv"),
+      col("cell"))
+    // stats as the builder would hand them over: per-cell counts
+    val counts = skewed.groupBy(col("cell")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val stats = SdcTopKPlan.CellStats(counts, counts.map(_._2).sum)
+    spark.conf.unset(SdcTopKPlan.skewSaltFactorKey)
+    // reference: explicitly disabled
+    spark.conf.set(SdcTopKPlan.skewSaltFactorKey, "off")
+    val want = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99,
+        cellStats = Some(stats))
+      .orderBy("query_id", "corpus_id").collect()
+    assert(SdcTopKPlan.lastSaltDecision === "unsalted")
+    spark.conf.unset(SdcTopKPlan.skewSaltFactorKey)
+    // default conf + stats: engages (free detection), same bytes
+    val got = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99,
+      cellStats = Some(stats))
+    assert(SdcTopKPlan.lastSaltDecision.startsWith("salted"),
+      s"expected stats-driven salting, got '${SdcTopKPlan.lastSaltDecision}'")
+    assert(SdcTopKPlan.lastSaltDecision.endsWith("src=stats"))
+    assert(got.orderBy("query_id", "corpus_id").collect() === want)
+    // default conf without stats: old default — structurally untouched
+    SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+      .queryExecution.executedPlan // force build
+    assert(SdcTopKPlan.lastSaltDecision === "unsalted")
+  }
+
   test("skewSaltFactor=auto == unsalted, byte-identical; no-op on balanced") {
     // same collapsed-centroid fixture as the fixed-S salting spec, but
     // S computed from the measured hottest cell (~60% at frac=0.05 on
@@ -397,18 +468,22 @@ class SdcTopKPlanSpec extends SparkSpec {
       corpusSide, probeSide, 5), 5)
     spark.conf.set(SdcTopKPlan.skewSaltFactorKey, "auto")
     try {
-      assert(SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
-        .orderBy("query_id", "corpus_id").collect() === wantPairs)
+      val saltedPairs = SdcTopKPlan.pairsCosine(corpusSide, probeSide, 0.99)
+      // explicit auto without stats = the r17 opt-in: detection pays
+      // the lineage pass and must actually engage on this fixture
+      assert(SdcTopKPlan.lastSaltDecision.endsWith("src=pass"),
+        s"expected pass-driven salting, got '${SdcTopKPlan.lastSaltDecision}'")
+      assert(saltedPairs.orderBy("query_id", "corpus_id").collect() === wantPairs)
       spark.conf.set(SdcTopKPlan.probeBroadcastThresholdKey, "-1")
       try {
         assert(shortlistVia(SdcTopKPlan.partialTopKCosine(
           corpusSide, probeSide, 5), 5) === wantTopK)
       } finally spark.conf.unset(SdcTopKPlan.probeBroadcastThresholdKey)
-      // balanced cells (max ~1/8 of rows < frac default 0.05? no — 1/8
-      // IS hot at 0.05; raise the fraction so nothing is hot and auto
-      // must be a structural no-op)
-      spark.conf.set(SdcTopKPlan.skewCellFractionKey, "0.5")
-      try {
+      // balanced cells: 1/8 shares clear the 5% absolute fraction, but
+      // the auto path's pair-work criterion (detectHotCellsAuto) keeps
+      // balance from reading as skew — structural no-op at the DEFAULT
+      // fraction (this is what makes default-on detection safe)
+      locally {
         val balancedSide = corpus.withColumn("cell",
             pmod(col("id"), lit(8)).cast("long"))
           .select(col("id").as("corpus_id"), col("cell"), col("v").as("cv"))
@@ -418,9 +493,10 @@ class SdcTopKPlanSpec extends SparkSpec {
         val noSalt = SdcTopKPlan.pairsCosine(balancedSide, balancedProbes, 0.99)
         // no hot cell -> the builder returns the frames unchanged: the
         // plan must carry no salted composite-cell arithmetic
+        assert(SdcTopKPlan.lastSaltDecision === "unsalted")
         assert(!noSalt.queryExecution.analyzed.toString.contains("__salt"))
         assert(noSalt.orderBy("query_id", "corpus_id").collect().nonEmpty)
-      } finally spark.conf.unset(SdcTopKPlan.skewCellFractionKey)
+      }
     } finally spark.conf.unset(SdcTopKPlan.skewSaltFactorKey)
   }
 

@@ -78,6 +78,34 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean below 0.9 (per-query: $recalls)")
   }
 
+  test("refineCentroidsWithStats: free per-cell counts match a direct count pass") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val init = Similarity.coarseCentroids(embs, "embedding", "vec_id", nCells = 4)
+    val (cents, statsOpt) = Similarity.refineCentroidsWithStats(
+      embs, init, "embedding", "vec_id", iterations = 2)
+    // same centroids as the stats-less form (byte-identical refinement)
+    val plain = Similarity.refineCentroids(embs, init,
+      "embedding", "vec_id", iterations = 2)
+    assert(cents.orderBy("cell").collect() === plain.orderBy("cell").collect())
+    val stats = statsOpt.getOrElse(fail("no stats from a 2-iteration refine"))
+    assert(stats.total === 120L)
+    // the counts describe the PENULTIMATE assignment (the final
+    // re-centering shifts one more step): recompute that assignment
+    // directly — one extra refine stopped one step earlier
+    val prev = Similarity.refineCentroids(embs, init,
+      "embedding", "vec_id", iterations = 1)
+    val want = Similarity.assignCells(embs, prev, "embedding", "vec_id")
+      .groupBy("cell").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stats.counts.toMap === want)
+    // zero iterations: no assignment pass ran, so no stats
+    assert(Similarity.refineCentroidsWithStats(embs, init,
+      "embedding", "vec_id", iterations = 0)._2.isEmpty)
+  }
+
   test("kmeansParallelInit: finds sparse clusters hash seeding misses, deterministic") {
     val rnd = new scala.util.Random(11)
     // skewed clusters (300 / 12 / 6 points): density-proportional hash
