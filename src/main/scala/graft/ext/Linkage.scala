@@ -45,6 +45,10 @@ object Linkage {
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"editDistanceJoin: shared column names ${clash.mkString(", ")} — alias one side first")
+    // the segment/position explodes below are compute-dense narrow
+    // transforms on the input scans — floor them so a single-split gate
+    // file doesn't serialize candidate generation (no-op at scale)
+    val (leftF, rightF) = (graft.ops.Par.floor(left), graft.ops.Par.floor(right))
     val kp1 = k + 1
 
     // segment geometry for a string of length `n`: k+1 segments whose
@@ -60,7 +64,7 @@ object Linkage {
           greatest(lit(0), col("__ed_i") - col("__ed_thresh")))
 
     val rSegs = withGeometry(
-      right
+      rightF
         .withColumn("__ed_n", length(col(rightCol)))
         .withColumn("__ed_i", explode(sequence(lit(0), lit(k)))), "__ed_n")
       .withColumn("__ed_seg",
@@ -68,7 +72,7 @@ object Linkage {
       .select(right.columns.map(col) :+ col("__ed_n") :+ col("__ed_i") :+ col("__ed_seg"): _*)
 
     val lCands = withGeometry(
-      left
+      leftF
         .withColumn("__ed_m", length(col(leftCol)))
         .withColumn("__ed_n",
           explode(sequence(greatest(col("__ed_m") - k, lit(0)), col("__ed_m") + k)))
@@ -242,8 +246,14 @@ object Linkage {
       transform(sequence(lit(1), length(c)),
         i => concat(c.substr(lit(1), i - lit(1)),
           c.substr(i + lit(1), length(c)))))
-    val lSig = left.withColumn("__dl_sig", explode(sigs(col(leftCol))))
-    val rSig = right.withColumn("__dl_sig", explode(sigs(col(rightCol))))
+    // signature generation (|s|+1 deletion variants per row) is the
+    // compute-dense narrow step — floor so a single-split scan doesn't
+    // serialize it (QueryProbe: x_er_cluster's 1.25 s of pair-gen task
+    // time ran on 2 tasks); structural no-op at scale
+    val lSig = graft.ops.Par.floor(left)
+      .withColumn("__dl_sig", explode(sigs(col(leftCol))))
+    val rSig = graft.ops.Par.floor(right)
+      .withColumn("__dl_sig", explode(sigs(col(rightCol))))
     val (lB, rB) = maxSigDf match {
       case Some(cap) =>
         val hot = rSig.groupBy(col("__dl_sig"))

@@ -268,4 +268,50 @@ class ValidateSpec extends SparkSpec {
       Seq(0.25, 0.5, 0.75)).collect()
     assert(out.map(_.getDouble(1)).toSeq === Seq(25.0, 50.0, 75.0))
   }
+
+  test("profile per-column group-reduce matches the legacy expand form " +
+      "(r18 optimization: no EXPAND, shuffle bounded by distinct values)") {
+    import spark.implicits._
+    // duplicates (map-side combine path), an all-null column, negatives,
+    // and a timestamp-ish string — the shapes the rewrite must not move
+    val df = Seq(
+      (1L, Option("a"), Option(-2.5), Option.empty[Long]),
+      (2L, Option("a"), Option(0.5), Option.empty[Long]),
+      (2L, Option.empty[String], Option(-2.5), Option.empty[Long]),
+      (3L, Option("b"), Option.empty[Double], Option.empty[Long])
+    ).toDF("id", "s", "v", "allnull")
+    // legacy expand form, inlined (what profile() computed before r18)
+    import org.apache.spark.sql.functions._
+    val targets = df.columns.toSeq
+    val numeric = Set("id", "v", "allnull")
+    val aggs = targets.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count(when(col(c).isNull, 1)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      (if (numeric.contains(c))
+        round(sum(col(c).cast("decimal(30,6)")).cast("double") / count(col(c)), 6)
+      else lit(null).cast("double")).as(s"__mean_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = targets.map(c =>
+      s"'$c', __n_$c, __null_$c, __dist_$c, __min_$c, __max_$c, __mean_$c").mkString(", ")
+    val legacy = one.selectExpr(s"stack(${targets.size}, $stacked) as " +
+        "(column, n, nulls, n_distinct, min_s, max_s, mean)")
+      .orderBy("column")
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().toSeq
+    val got = Validate.profile(df)
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().toSeq
+    assert(got === legacy)
+    // empty input: all-zero counts, null min/max/mean — same both forms
+    val empty = Validate.profile(df.limit(0))
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().toSeq
+    assert(empty.map(r => (r._1, r._2, r._3, r._4)) ===
+      targets.sorted.map(c => (c, 0L, 0L, 0L)))
+    assert(empty.forall(r => r._5 == null && r._6 == null && r._7.isEmpty))
+  }
 }
