@@ -319,15 +319,31 @@ object Behavior {
                    broadcastItemCounts: Boolean = true): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastItemCounts) broadcast(_) else identity
-    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val sized = items.groupBy(col("b")).agg(count(lit(1)).as("bn"))
-      .where(col("bn") <= maxBasketSize).select(col("b"))
-    val inB = items.join(sized, "b")
-    val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
-    val ci = inB.groupBy(col("i")).agg(count(lit(1)).as("ci"))
-    val pairs = inB.select(col("b"), col("i").as("ia"))
-      .join(inB.select(col("b"), col("i").as("ib")), "b")
-      .where(col("ia") < col("ib"))
+    // r18 restructure (guide §2.3/§2.4): ONE exchange on the basket key
+    // collects each basket's distinct items (collect_set dedups in the
+    // partial aggregate, so the map side combines exactly like the old
+    // distinct did); size cap, item counts, basket count AND the pair
+    // space all derive from that one per-basket frame. The old form
+    // paid a (b, i) distinct whose subtree re-executed per consumer
+    // (column pruning made the three exchanges non-identical — measured
+    // three duplicate 1.2 s stage-jobs), a per-basket count join, and a
+    // SELF-JOIN on the basket key; pairs now come from a narrow sorted-
+    // array explode (strictly-after slice ⇒ ia < ib, identical pair
+    // set), no join at all. Memory note: one aggregation row holds one
+    // basket's distinct-item array, so a degenerate mega-basket costs
+    // one array row (bounded by the basket, dropped by the cap right
+    // after) — the pair explosion it used to threaten never happens.
+    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy(col("b")).agg(sort_array(collect_set(col("i"))).as("arr"))
+      .where(size(col("arr")) <= maxBasketSize)
+      .select(col("arr"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val ci = baskets.select(explode(col("arr")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val pairs = baskets
+      .select(col("arr"), posexplode(col("arr")).as(Seq("p", "ia")))
+      .select(col("ia"),
+        explode(slice(col("arr"), col("p") + lit(2), size(col("arr")))).as("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("cab"))
     pairs
       .join(hint(ci.select(col("i").as("ia"), col("ci").as("ca"))), "ia")
@@ -351,14 +367,19 @@ object Behavior {
     val pairs = coOccurrence(df, basketCol, itemCol, maxBasketSize,
         broadcastItemCounts)
       .where(col("cab") >= minPairCount)
-    val ab = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"),
-      col("cab"), col("ca").as("c_ante"), col("lift"))
-    val ba = pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"),
-      col("cab"), col("cb").as("c_ante"), col("lift"))
-    ab.unionByName(ba)
-      .withColumn("confidence",
-        round(col("cab").cast("double") / col("c_ante"), 6))
-      .select("antecedent", "consequent", "cab", "c_ante", "confidence", "lift")
+    // both directions via ONE narrow explode instead of a union of two
+    // projections — the union duplicated the whole coOccurrence subtree
+    // per branch (r18; measured as 2× the exchange count in the plan)
+    pairs.select(explode(array(
+        struct(col("ia").as("antecedent"), col("ib").as("consequent"),
+          col("cab"), col("ca").as("c_ante"), col("lift")),
+        struct(col("ib").as("antecedent"), col("ia").as("consequent"),
+          col("cab"), col("cb").as("c_ante"), col("lift")))).as("r"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("r.cab").as("cab"),
+        col("r.c_ante").as("c_ante"),
+        round(col("r.cab").cast("double") / col("r.c_ante"), 6).as("confidence"),
+        col("r.lift").as("lift"))
   }
 
   /** Two-variant experiment readout: per-user conversion (any row with
