@@ -52,7 +52,16 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     nBuckets: Int, sortCols: Seq[String] = Seq.empty,
                     path: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    // r18: cluster rows by the bucket key BEFORE the bucketed write.
+    // repartition(n, cols) is the same HashPartitioning(murmur3) the
+    // bucket spec uses, so each write task holds exactly one bucket and
+    // emits ONE file per bucket instead of (input tasks × nBuckets)
+    // fragments — guide §6 output sizing: the whole point of paying the
+    // bucket shuffle once is a clean per-bucket file layout, and the
+    // per-task sortBy then sorts whole buckets, not slices. Row content
+    // is untouched (the read-back differential proves it).
+    val clustered = df.repartition(nBuckets, bucketCols.map(col): _*)
+    val w = clustered.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
