@@ -921,11 +921,16 @@ private[graft] object AnalyticsQueries {
       // exercises the dangling-mass correction). 3 synchronous steps;
       // per-edge contributions accumulate in decimal, so the unrolled
       // oracle matches byte-for-byte.
+      // r18: pin the distinct edge list once — the lazy frame's subtree
+      // re-materialized per consumer (nodes/outdeg/per-iteration joins
+      // prune it differently, so exchange reuse missed; the job trace
+      // showed the join+distinct map stage executing twice)
       val e = t(s, d, "orders")
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
+        .localCheckpoint(true)
       graft.ext.Graph.pagerank(e, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
